@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * The reference (yeameen/lyft-presto) is a coordinator+worker MPP SQL engine;
+  * here the Spark driver+Catalyst is the coordinator and executor tasks are
+  * the workers (see SURVEY.md §0). Everything below the SQL/DataFrame surface
+  * — codegen, shuffle, spill, memory — is delegated to Spark itself.
+  *
+  * Tuned for local[N] testing but configured the way a large cluster run
+  * would be: AQE on (runtime join-distribution choice, skew handling — the
+  * analog of the reference's join_distribution_type=AUTOMATIC session
+  * property, presto-main/.../DetermineJoinDistributionType.java), CBO on so
+  * join reordering engages once tables are ANALYZEd (analog of
+  * join_reordering_strategy=AUTOMATIC, iterative/rule/ReorderJoins.java).
+  */
+object Engine {
+  def session(cores: Int = 32, app: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+    spark
+  }
+
+  /** Idempotent per-session setup usable on externally-built sessions too
+    * (Verify/Bench build their own session from the driver contract).
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}
+
+/** Test-data catalog: registers the driver-generated parquet tables as temp
+  * views, the Spark-native analog of the reference's connector catalog
+  * (presto-spi/.../connector/ConnectorMetadata.java — tables are declared,
+  * schema comes from the source; here the parquet footer is the declaration).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  // (session, dir) pairs already registered — avoids re-reading ten parquet
+  // footers for every one of the ~100 declared queries in a Verify run.
+  private val registered = scala.collection.mutable.Set[(SparkSession, String)]()
+
+  def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registered((spark, dir))) {
+      Engine.configure(spark)
+      names.foreach { n => t(spark, dir, n).createOrReplaceTempView(n) }
+      // a session points at one sfDir at a time; drop stale entries
+      registered.filterInPlace { case (s, d) => (s ne spark) || d == dir }
+      registered += ((spark, dir))
+    }
+  }
+
+  /** Direct DataFrame access for API-style (non-SQL) queries.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as a long (legacy nanosAsLong conf)
+    * and floor-truncate to a µs timestamp — DuckDB's ns→µs cast truncates
+    * identically, keeping the oracle comparable (FIXTURES.md §C).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query of the engine: the Spark-side implementation plus an
+  * optional ANSI-SQL oracle the driver runs on DuckDB over the same parquet
+  * tables (the analog of the reference's H2 differential oracle,
+  * presto-tests/.../H2QueryRunner.java + QueryAssertions.java:97-122).
+  *
+  * Oracle-matching rules (SURVEY.md §7.5, FIXTURES.md §C):
+  *  - column names must be identical on both sides (compare sorts by name);
+  *  - every query pins a total ORDER BY with explicit NULLS FIRST/LAST;
+  *  - floating aggregates go through exact decimal sums
+  *    (`CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`) so partial-aggregation
+  *    order cannot perturb low bits — decimal addition is associative.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Q {
+  /** Query whose single SQL text is valid for both Spark SQL and DuckDB. */
+  def sqlSame(text: String, headline: Boolean = false): Q =
+    sql(text, text, headline)
+
+  /** SQL query with per-dialect texts (Spark first, DuckDB second). */
+  def sql(spark: String, duck: String, headline: Boolean = false): Q =
+    Q((s, dir) => { Tables.ensure(s, dir); s.sql(spark) }, Some(duck), headline)
+
+  /** DataFrame/Dataset-API query with a DuckDB oracle. */
+  def df(duck: String, headline: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q((s, dir) => { Tables.ensure(s, dir); fn(s, dir) }, Some(duck), headline)
+
+  /** Query with no SQL-expressible oracle (driver records rows-only check);
+    * correctness is covered by a ScalaTest spec instead.
+    */
+  def noOracle(fn: (SparkSession, String) => DataFrame): Q =
+    Q((s, dir) => { Tables.ensure(s, dir); fn(s, dir) }, None)
+}
+
+/** The full declared-query inventory, assembled from per-area modules. */
+object Registry {
+  lazy val all: Map[String, Q] =
+    queries.Tpch.qs ++
+      queries.Relational.qs ++
+      queries.Windows.qs ++
+      queries.Functions.qs ++
+      queries.Llm.qs
+
+  lazy val headline: Seq[String] =
+    all.collect { case (k, q) if q.headline => k }.toSeq.sorted
+}
