@@ -1,3 +1,283 @@
 package graft.queries
+
 import graft.Q
-object Functions { val qs: Map[String, Q] = Map() }
+
+/** Scalar-function coverage — one declared query per function family from
+  * SURVEY.md §2.1 (reference implementations under
+  * presto-main/src/main/java/io/prestosql/operator/scalar/, registration
+  * list metadata/FunctionRegistry.java:403-655). Every function here is a
+  * Spark built-in (codegen'd, no UDFs — the Catalyst analog of the
+  * reference's bytecode-compiled PageProcessor, sql/gen/ExpressionCompiler
+  * .java); the declared queries prove value-level parity against DuckDB.
+  *
+  * Dialect notes: where Spark and DuckDB spell a function differently
+  * (instr/strpos, date_format/strftime, sha2/sha256, transform/
+  * list_transform, ...) the query carries per-dialect texts via Q.sql —
+  * the *values* still must hash-match.
+  */
+object Functions {
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- string basics (StringFunctions.java: length/upper/lower/substr/
+    //      reverse/lpad/rpad/trim — all 1-based substr in both engines) ----
+    "fn_string_basics" -> Q.sqlSame(
+      """SELECT p_partkey,
+        |  LENGTH(p_name) AS len,
+        |  UPPER(p_brand) AS up, LOWER(p_type) AS lo,
+        |  SUBSTR(p_name, 3, 5) AS sub,
+        |  REVERSE(p_brand) AS rev,
+        |  LPAD(p_brand, 12, '*') AS padl, RPAD(p_brand, 12, '*') AS padr,
+        |  TRIM('  ' || p_brand || ' ') AS trimmed
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- split/concat/replace/position (StringFunctions.java:
+    //      split_part/strpos/concat/replace) ----
+    "fn_string_split" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  split_part(p_name, ' ', -1) AS last_word,
+        |  instr(p_name, 'a') AS pos_a,
+        |  concat_ws('|', p_brand, p_type) AS joined,
+        |  replace(p_name, ' ', '_') AS snake
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  split_part(p_name, ' ', -1) AS last_word,
+        |  strpos(p_name, 'a') AS pos_a,
+        |  concat_ws('|', p_brand, p_type) AS joined,
+        |  replace(p_name, ' ', '_') AS snake
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- edit distance (StringFunctions.java levenshtein_distance) ----
+    "fn_levenshtein" -> Q.sqlSame(
+      """SELECT p_partkey, levenshtein(p_brand, p_type) AS dist
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- regex family (JoniRegexpFunctions.java: regexp_like/extract/
+    //      replace; Catalyst RLIKE/regexp_extract/regexp_replace). DuckDB
+    //      regexp_replace needs the 'g' flag to match Spark's replace-all. --
+    "fn_regex" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  p_name RLIKE '^[a-m]' AS starts_low,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_token,
+        |  regexp_replace(p_name, '[aeiou]', '.') AS devoweled
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  regexp_matches(p_name, '^[a-m]') AS starts_low,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_token,
+        |  regexp_replace(p_name, '[aeiou]', '.', 'g') AS devoweled
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- datetime field extraction (DateTimeFunctions.java: year/quarter/
+    //      month/day/hour/minute, date_trunc). DuckDB date_trunc returns
+    //      DATE for month granularity — cast back to TIMESTAMP. ----
+    "fn_datetime_parts" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  YEAR(o_orderdate) AS y, QUARTER(o_orderdate) AS q,
+        |  MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  YEAR(o_orderdate) AS y, QUARTER(o_orderdate) AS q,
+        |  MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // ---- datetime arithmetic (DateTimeFunctions.java date_add/date_diff) --
+    "fn_datetime_arith" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  o_orderdate - INTERVAL 1 HOUR AS hour_before,
+        |  datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00') AS days_since_95
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  o_orderdate - INTERVAL 1 HOUR AS hour_before,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // ---- datetime formatting + epoch (date_format/format_datetime and
+    //      to_unixtime — Spark unix_timestamp = duck epoch) ----
+    "fn_datetime_format" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS iso_day,
+        |  date_format(o_orderdate, 'yyyy/MM') AS ym,
+        |  unix_timestamp(o_orderdate) AS epoch_s
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  strftime(o_orderdate, '%Y/%m') AS ym,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // ---- math core (MathFunctions.java: abs/ceil/floor/round/sqrt/exp/
+    //      ln/log10/pow/mod/sign) — transcendentals rounded to 9 dp ----
+    "fn_math_core" -> Q.sqlSame(
+      """SELECT o_orderkey,
+        |  ABS(-o_totalprice) AS abs_p,
+        |  CEIL(o_totalprice) AS ceil_p, FLOOR(o_totalprice) AS floor_p,
+        |  ROUND(o_totalprice, 1) AS round_p,
+        |  ROUND(SQRT(o_totalprice), 9) AS sqrt_p,
+        |  ROUND(LN(o_totalprice), 9) AS ln_p,
+        |  ROUND(LOG10(o_totalprice), 9) AS log10_p,
+        |  ROUND(POWER(o_totalprice, 0.5), 9) AS pow_half,
+        |  MOD(o_orderkey, 7) AS mod7,
+        |  SIGN(o_totalprice - 200000) AS sgn
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // ---- trig + angular conversion (MathFunctions.java trig block) ----
+    "fn_math_trig" -> Q.sqlSame(
+      """SELECT n_nationkey,
+        |  ROUND(SIN(n_nationkey), 9) AS s, ROUND(COS(n_nationkey), 9) AS c,
+        |  ROUND(ATAN2(n_nationkey, 10), 9) AS a2,
+        |  ROUND(DEGREES(n_nationkey), 6) AS deg,
+        |  ROUND(RADIANS(n_nationkey), 9) AS rad
+        |FROM nation
+        |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin),
+
+    // ---- width_bucket (MathFunctions.java:width_bucket) — DuckDB lacks it;
+    //      oracle uses the equivalent closed formula ----
+    "fn_width_bucket" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  width_bucket(o_totalprice, 0.0, 500000.0, 10) AS bucket
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000.0) + 1, 1), 11) AS BIGINT) AS bucket
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // ---- bitwise scalars (BitwiseFunctions.java) ----
+    "fn_bitwise" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band, o_orderkey | 4096 AS bor,
+        |  o_orderkey ^ 1023 AS bxor,
+        |  shiftleft(o_orderkey, 2) AS shl, shiftright(o_orderkey, 2) AS shr
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band, o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, 1023) AS bxor,
+        |  o_orderkey << 2 AS shl, o_orderkey >> 2 AS shr
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // ---- TRY semantics (TryFunction.java/TryCastFunction.java →
+    //      Spark try_cast/try_divide; ANSI mode stays on) ----
+    "fn_try" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  try_cast(p_brand AS INT) AS not_a_number,
+        |  try_cast(CAST(p_size AS STRING) AS INT) AS roundtrip,
+        |  try_divide(p_retailprice, p_size - p_size) AS div_zero
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  try_cast(p_brand AS INT) AS not_a_number,
+        |  try_cast(CAST(p_size AS STRING) AS INT) AS roundtrip,
+        |  p_retailprice / NULLIF(p_size - p_size, 0) AS div_zero
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- hash/crypto (VarbinaryFunctions.java: md5/sha256/to_hex/
+    //      to_base64; hex case-normalized — Spark upper, DuckDB lower) ----
+    "fn_hash_crypto" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha2(p_name, 256) AS h_sha256,
+        |  lower(hex(p_name)) AS h_hex,
+        |  base64(CAST(p_name AS BINARY)) AS h_b64
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  lower(hex(p_name)) AS h_hex,
+        |  base64(CAST(p_name AS BLOB)) AS h_b64
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- JSON family (JsonFunctions.java: json_extract_scalar →
+    //      get_json_object; over the events.props JSON column) ----
+    "fn_json" -> Q.sql(
+      spark = """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+      duck = """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin),
+
+    // ---- array basics (Array*Function.java: cardinality/contains/
+    //      distinct/sort/element_at — Spark 1-based = duck 1-based) ----
+    "fn_array_basics" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  size(split(p_name, ' ')) AS n_words,
+        |  array_contains(split(p_name, ' '), 'the') AS has_the,
+        |  sort_array(array_distinct(split(p_name, ' '))) AS uniq_sorted,
+        |  element_at(split(p_name, ' '), 1) AS first_word
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  list_contains(string_split(p_name, ' '), 'the') AS has_the,
+        |  list_sort(list_distinct(string_split(p_name, ' '))) AS uniq_sorted,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- higher-order lambdas (ArrayTransformFunction.java,
+    //      ArrayFilterFunction.java, ArrayReduceFunction.java → Catalyst
+    //      transform/filter/aggregate; sequential double fold on both
+    //      sides so float addition order is identical) ----
+    "fn_array_lambdas" -> Q.sql(
+      spark = """SELECT vec_id,
+        |  ROUND(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + x), 6) AS vec_sum,
+        |  size(filter(embedding, x -> x > 0)) AS n_pos,
+        |  ROUND(element_at(transform(embedding, x -> CAST(x AS DOUBLE) * 2), 1), 6) AS first_doubled
+        |FROM embeddings WHERE vec_id < 200
+        |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT vec_id,
+        |  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 6) AS vec_sum,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  ROUND(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 6) AS first_doubled
+        |FROM embeddings WHERE vec_id < 200
+        |ORDER BY vec_id ASC NULLS LAST""".stripMargin),
+
+    // ---- sequence generation (SequenceFunction.java → Spark sequence =
+    //      duck generate_series, both inclusive) ----
+    "fn_sequence" -> Q.sql(
+      spark = """SELECT n_nationkey,
+        |  sequence(1, n_nationkey + 1) AS seq,
+        |  size(sequence(1, n_nationkey + 1)) AS seq_len
+        |FROM nation
+        |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT n_nationkey,
+        |  generate_series(1, n_nationkey + 1) AS seq,
+        |  len(generate_series(1, n_nationkey + 1)) AS seq_len
+        |FROM nation
+        |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin)
+  )
+}
