@@ -47,6 +47,7 @@ object Registry {
       queries.Relational.qs ++
       queries.Windows.qs ++
       queries.Functions.qs ++
+      queries.Compat.qs ++
       queries.Llm.qs
 
   lazy val headline: Seq[String] =

@@ -4,5 +4,8 @@ import org.apache.spark.sql.SparkSession
   * reference registration list: presto-main/.../metadata/FunctionRegistry.java:403-655).
   * Populated incrementally; registration is idempotent. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = ()
+  def register(spark: SparkSession): Unit = {
+    Rewrites.register(spark)
+    Udfs.register(spark)
+  }
 }

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, StringLocate, TimestampAdd, TimestampDiff}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.GraftSqlBridge.toCol
+import org.apache.spark.sql.functions._
+
+/** Presto-named functions expressed as *native Catalyst expression rewrites*
+  * (SURVEY.md §7.2 step 3; the reference registration list is
+  * presto-main/.../metadata/FunctionRegistry.java:403-655). Each builder
+  * expands at analysis time into built-in expressions, so the executed plan
+  * is identical to hand-written Spark SQL — whole-stage codegen'd, no UDF
+  * boundary, no per-row dispatch. This is the Spark-first replacement for
+  * the reference's bytecode specialization (sql/gen/ExpressionCompiler.java).
+  */
+object Rewrites {
+
+  private type Builder = PartialFunction[Seq[Column], Column]
+  private type Registry = (String, Builder)
+
+  /** Column → catalyst Expression through the session's converter (see
+    * GraftSqlBridge — the static path leaves unresolvable wrappers).
+    */
+  private def toExpr(c: Column)(implicit spark: SparkSession): Expression =
+    GraftSqlBridge.toExpr(spark, c)
+
+  /** Extract a required string literal (e.g. a datetime pattern) at
+    * analysis time so dialect translation costs nothing per row.
+    */
+  private def litStr(c: Column, fn: String)(implicit spark: SparkSession): String = {
+    val e = toExpr(c)
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"graft $fn: pattern argument must be a literal string")
+    String.valueOf(e.eval(null))
+  }
+
+  private def defs(implicit spark: SparkSession): Seq[Registry] = Seq(
+
+    // ---------- strings (operator/scalar/StringFunctions.java) ----------
+    "strpos" -> { case Seq(s, sub) => toCol(new StringLocate(toExpr(sub), toExpr(s))) },
+    "levenshtein_distance" -> { case Seq(a, b) => levenshtein(a, b) },
+    "split_to_map" -> { case Seq(s, ed, kd) =>
+      toCol(org.apache.spark.sql.catalyst.expressions.StringToMap(toExpr(s), toExpr(ed), toExpr(kd))) },
+    "codepoint" -> { case Seq(s) => ascii(s) },
+    "to_utf8" -> { case Seq(s) => encode(s, "UTF-8") },
+    "from_utf8" -> { case Seq(b) => decode(b, "UTF-8") },
+
+    // ---------- math (operator/scalar/MathFunctions.java) ----------
+    "from_base" -> { case Seq(s, r) => toCol(new Conv(toExpr(s), toExpr(r), toExpr(lit(10)))).cast("bigint") },
+    "to_base" -> { case Seq(x, r) => lower(toCol(new Conv(toExpr(x.cast("string")), toExpr(lit(10)), toExpr(r)))) },
+    "truncate" -> { case Seq(x) => (signum(x) * floor(abs(x))).cast("double") },
+    "is_nan" -> { case Seq(x) => isnan(x) },
+    "is_infinite" -> { case Seq(x) => abs(x) === lit(Double.PositiveInfinity) },
+    "is_finite" -> { case Seq(x) => !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity) },
+    "infinity" -> { case Seq() => lit(Double.PositiveInfinity) },
+    "nan" -> { case Seq() => lit(Double.NaN) },
+    "e" -> { case Seq() => lit(math.E) },
+    "bitwise_and" -> { case Seq(a, b) => a.bitwiseAND(b) },
+    "bitwise_or" -> { case Seq(a, b) => a.bitwiseOR(b) },
+    "bitwise_xor" -> { case Seq(a, b) => a.bitwiseXOR(b) },
+    "bitwise_not" -> { case Seq(a) => toCol(org.apache.spark.sql.catalyst.expressions.BitwiseNot(toExpr(a))) },
+    // cosine similarity over array<numeric> (MathFunctions.java has the
+    // sparse-map variant; dense arrays are the LLM-pipeline shape). Zero
+    // vectors yield NULL (0/0) rather than an error.
+    "cosine_similarity" -> { case Seq(a, b) =>
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      dot / nullif(na * nb, lit(0.0)) },
+    // Wilson score interval (operator/scalar/WilsonInterval.java)
+    "wilson_interval_lower" -> { case Seq(s, n, z) => wilson(s, n, z, lower = true) },
+    "wilson_interval_upper" -> { case Seq(s, n, z) => wilson(s, n, z, lower = false) },
+
+    // ---------- datetime (operator/scalar/DateTimeFunctions.java) ----------
+    // ISO day-of-week 1=Mon..7=Sun (Spark dayofweek is 1=Sun..7=Sat)
+    "day_of_week" -> { case Seq(t) => ((dayofweek(t) + lit(5)) % lit(7)) + lit(1) },
+    "dow" -> { case Seq(t) => ((dayofweek(t) + lit(5)) % lit(7)) + lit(1) },
+    "day_of_year" -> { case Seq(t) => dayofyear(t) },
+    "doy" -> { case Seq(t) => dayofyear(t) },
+    "day_of_month" -> { case Seq(t) => dayofmonth(t) },
+    "week" -> { case Seq(t) => weekofyear(t) },
+    "week_of_year" -> { case Seq(t) => weekofyear(t) },
+    // ISO week-year = calendar year of that week's Thursday
+    "year_of_week" -> { case Seq(t) => isoWeekYear(t) },
+    "yow" -> { case Seq(t) => isoWeekYear(t) },
+    "last_day_of_month" -> { case Seq(t) => last_day(t) },
+    "from_unixtime" -> { case Seq(x) => timestamp_seconds(x) },
+    "to_unixtime" -> { case Seq(t) => (unix_micros(t.cast("timestamp")).cast("double") / lit(1e6)) },
+    // MySQL-pattern parse; format side is handled by dialect sniffing below
+    "date_parse" -> { case Seq(s, f) =>
+      to_timestamp(s, Patterns.mysqlToJava(litStr(f, "date_parse"))) },
+    // Spark's own date_format BUT with MySQL %-patterns auto-translated: a
+    // literal pattern containing '%' cannot be a java.time pattern ('%' is
+    // invalid there), so translation is unambiguous. NB: overridden names
+    // must emit their catalyst expression directly — calling the same-named
+    // DSL function inside the builder would re-enter this builder forever.
+    "date_format" -> { case Seq(t, f) =>
+      val p = litStr(f, "date_format")
+      toCol(DateFormatClass(toExpr(t),
+        toExpr(lit(if (p.contains("%")) Patterns.mysqlToJava(p) else p)))) },
+    "format_datetime" -> { case Seq(t, f) =>
+      toCol(DateFormatClass(toExpr(t),
+        toExpr(lit(Patterns.jodaToJava(litStr(f, "format_datetime")))))) },
+    "parse_datetime" -> { case Seq(s, f) =>
+      to_timestamp(s, Patterns.jodaToJava(litStr(f, "parse_datetime"))) },
+    // Presto 3-arg date_add('unit', n, ts) / date_diff('unit', a, b);
+    // 2-arg forms keep the Spark built-ins' semantics (direct expressions,
+    // same self-reference caveat as date_format).
+    "date_add" -> {
+      case Seq(u, n, t) => toCol(new TimestampAdd(litStr(u, "date_add").toUpperCase, toExpr(n), toExpr(t)))
+      case Seq(d, n) => toCol(DateAdd(toExpr(d), toExpr(n))) },
+    "date_diff" -> {
+      case Seq(u, a, b) => toCol(new TimestampDiff(litStr(u, "date_diff").toUpperCase, toExpr(a), toExpr(b)))
+      case Seq(end, start) => toCol(DateDiff(toExpr(end), toExpr(start))) },
+
+    // ---------- arrays (operator/scalar/Array*Function.java) ----------
+    "cardinality" -> { case Seq(a) => size(a) },
+    "contains" -> { case Seq(a, v) => array_contains(a, v) },
+    "ngrams" -> { case Seq(a, n) =>
+      transform(sequence(lit(1), greatest(size(a) - n + lit(1), lit(1))),
+        i => slice(a, i, n)) },
+    "zip" -> { case cols if cols.size >= 2 => arrays_zip(cols: _*) },
+    "array_ngrams" -> { case Seq(a, n) =>
+      transform(sequence(lit(1), greatest(size(a) - n + lit(1), lit(1))),
+        i => slice(a, i, n)) },
+
+    // ---------- JSON (operator/scalar/JsonFunctions.java) ----------
+    "json_extract_scalar" -> { case Seq(j, p) => toCol(GetJsonObject(toExpr(j), toExpr(p))) },
+    "json_extract" -> { case Seq(j, p) => toCol(GetJsonObject(toExpr(j), toExpr(p))) },
+    "json_array_get" -> { case Seq(j, i) =>
+      toCol(GetJsonObject(toExpr(j), toExpr(concat(lit("$["), i.cast("string"), lit("]"))))) },
+    "json_parse" -> { case Seq(s) => s },   // JSON type == string in this engine
+    "json_format" -> { case Seq(j) => j },
+
+    // ---------- URL (operator/scalar/UrlFunctions.java) ----------
+    "url_extract_protocol" -> { case Seq(u) => parse_url(u, lit("PROTOCOL")) },
+    "url_extract_host" -> { case Seq(u) => parse_url(u, lit("HOST")) },
+    "url_extract_path" -> { case Seq(u) => parse_url(u, lit("PATH")) },
+    "url_extract_query" -> { case Seq(u) => parse_url(u, lit("QUERY")) },
+    "url_extract_fragment" -> { case Seq(u) => parse_url(u, lit("REF")) },
+    "url_extract_parameter" -> { case Seq(u, k) => parse_url(u, lit("QUERY"), k) },
+    "url_extract_port" -> { case Seq(u) =>
+      nullif(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:([0-9]+)", 1), lit("")).cast("bigint") },
+
+    // ---------- conditionals / misc ----------
+    "format" -> { case cols if cols.nonEmpty => call_function("format_string", cols: _*) },
+
+    // ---------- aggregate rewrites (operator/aggregation/) ----------
+    "geometric_mean" -> { case Seq(x) => exp(avg(log(x))) },
+    "approx_distinct" -> {
+      case Seq(x) => approx_count_distinct(x)
+      case Seq(x, e) => toCol(org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus(
+        toExpr(x), relativeSD = toExpr(e).eval(null).asInstanceOf[Double]).toAggregateExpression()) },
+    "arbitrary" -> { case Seq(x) => first(x, ignoreNulls = true) }
+  )
+
+  private def wilson(s: Column, n: Column, z: Column, lower: Boolean): Column = {
+    val p = s.cast("double") / n.cast("double")
+    val z2n = z * z / n
+    val center = p + z2n / lit(2.0)
+    val spread = z * sqrt(p * (lit(1.0) - p) / n + z2n / (lit(4.0) * n))
+    val num = if (lower) center - spread else center + spread
+    num / (lit(1.0) + z2n)
+  }
+
+  private def isoWeekYear(t: Column)(implicit spark: SparkSession): Column = {
+    val isoDow = ((dayofweek(t) + lit(5)) % lit(7)) + lit(1)
+    // direct DateAdd: the date_add DSL name is overridden by this registry
+    year(toCol(DateAdd(toExpr(t.cast("date")), toExpr(lit(4) - isoDow))))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    implicit val s: SparkSession = spark
+    val registry = spark.sessionState.functionRegistry
+    defs.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(
+        name,
+        (exprs: Seq[Expression]) =>
+          toExpr(builder.applyOrElse(exprs.map(toCol), (cs: Seq[Column]) =>
+            throw new IllegalArgumentException(
+              s"graft $name: unsupported argument count ${cs.size}"))),
+        "scala_udf")
+    }
+  }
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Q
+
+/** Oracle-checked queries exercising the Presto-named gap-fill functions
+  * registered by [[graft.functions.Rewrites]]/[[graft.functions.Udfs]]
+  * (reference surface: presto-main/.../metadata/FunctionRegistry.java:403-655).
+  * The Spark texts use the reference's function names; the DuckDB side
+  * spells the same value out of built-ins — proving the compat layer
+  * computes the right thing, not merely that it parses.
+  */
+object Compat {
+
+  val qs: Map[String, Q] = Map(
+
+    // strpos/levenshtein_distance/codepoint (StringFunctions.java) +
+    // hamming_distance + normalize (UDF side) — all value-checked.
+    "compat_string_fns" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  strpos(p_name, 'a') AS pos_a,
+        |  levenshtein_distance(p_brand, p_type) AS lev,
+        |  codepoint(substr(p_name, 1, 1)) AS cp,
+        |  hamming_distance(substr(rpad(p_name, 8, '_'), 1, 8), substr(rpad(p_brand, 8, '_'), 1, 8)) AS ham,
+        |  normalize(p_name, 'NFC') AS norm,
+        |  to_base(p_partkey, 16) AS hex_key,
+        |  from_base(to_base(p_partkey, 16), 16) AS roundtrip
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  strpos(p_name, 'a') AS pos_a,
+        |  levenshtein(p_brand, p_type) AS lev,
+        |  ord(substr(p_name, 1, 1)) AS cp,
+        |  hamming(substr(rpad(p_name, 8, '_'), 1, 8), substr(rpad(p_brand, 8, '_'), 1, 8)) AS ham,
+        |  nfc_normalize(p_name) AS norm,
+        |  printf('%x', p_partkey) AS hex_key,
+        |  p_partkey AS roundtrip
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // Presto datetime field accessors (DateTimeFunctions.java): ISO
+    // day-of-week/week-year vs Spark's Sunday-based dayofweek.
+    "compat_datetime_fields" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  day_of_week(o_orderdate) AS dow_iso,
+        |  day_of_year(o_orderdate) AS doy,
+        |  week_of_year(o_orderdate) AS woy,
+        |  year_of_week(o_orderdate) AS iso_year,
+        |  last_day_of_month(o_orderdate) AS eom,
+        |  to_unixtime(o_orderdate) AS epoch_d,
+        |  CAST(from_unixtime(to_unixtime(o_orderdate)) AS TIMESTAMP_NTZ) AS ts_roundtrip
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  isodow(o_orderdate) AS dow_iso,
+        |  dayofyear(o_orderdate) AS doy,
+        |  weekofyear(o_orderdate) AS woy,
+        |  isoyear(o_orderdate) AS iso_year,
+        |  last_day(o_orderdate) AS eom,
+        |  epoch(o_orderdate) AS epoch_d,
+        |  CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP) AS ts_roundtrip
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // Presto 3-arg date_add/date_diff. Spark's parser owns these names at
+    // the grammar level (unit must be an unquoted identifier — quoted
+    // Presto-style units are rejected before function resolution, so a
+    // registry override cannot intercept them); the unquoted form below is
+    // semantically identical to Presto's date_add('day', 30, ts).
+    "compat_datetime_arith" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  date_add(DAY, 30, o_orderdate) AS plus_30d,
+        |  date_add(HOUR, -6, o_orderdate) AS minus_6h,
+        |  date_diff(DAY, TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+        |  date_diff(HOUR, TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS hours_since
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS plus_30d,
+        |  o_orderdate - INTERVAL 6 HOUR AS minus_6h,
+        |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+        |  date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS hours_since
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // MySQL `%`-patterns (date_format/date_parse) and Joda patterns
+    // (format_datetime/parse_datetime), translated at analysis time —
+    // DuckDB strftime uses C tokens (%M = minute) as its own dialect.
+    "compat_datetime_patterns" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  date_format(o_orderdate, '%Y-%m-%d %H:%i:%s') AS mysql_fmt,
+        |  date_parse(date_format(o_orderdate, '%Y-%m-%d %H:%i:%s'), '%Y-%m-%d %H:%i:%s') AS mysql_roundtrip,
+        |  format_datetime(o_orderdate, 'yyyy/MM/dd HH:mm') AS joda_fmt,
+        |  parse_datetime(format_datetime(o_orderdate, 'yyyy/MM/dd HH:mm'), 'yyyy/MM/dd HH:mm') AS joda_roundtrip
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS mysql_fmt,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS mysql_roundtrip,
+        |  strftime(o_orderdate, '%Y/%m/%d %H:%M') AS joda_fmt,
+        |  strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M'), '%Y/%m/%d %H:%M') AS joda_roundtrip
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // URL family (UrlFunctions.java) over URLs synthesized from part rows.
+    "compat_url_fns" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  url_extract_protocol(u) AS proto,
+        |  url_extract_host(u) AS host,
+        |  url_extract_port(u) AS port,
+        |  url_extract_path(u) AS path,
+        |  url_extract_query(u) AS query,
+        |  url_extract_fragment(u) AS frag,
+        |  url_extract_parameter(u, 'id') AS param_id
+        |FROM (SELECT p_partkey,
+        |        'https://shop.example.com:8443/cat/item?id=' || CAST(p_partkey AS STRING)
+        |          || '&size=' || CAST(p_size AS STRING) || '#top' AS u
+        |      FROM part WHERE p_partkey < 300) t
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  'https' AS proto,
+        |  'shop.example.com' AS host,
+        |  CAST(8443 AS BIGINT) AS port,
+        |  '/cat/item' AS path,
+        |  'id=' || CAST(p_partkey AS VARCHAR) || '&size=' || CAST(p_size AS VARCHAR) AS query,
+        |  'top' AS frag,
+        |  CAST(p_partkey AS VARCHAR) AS param_id
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ngrams/cardinality/contains (Array*Function.java) + JSON accessors
+    // (JsonFunctions.java) over the events.props JSON column.
+    "compat_array_json" -> Q.sql(
+      spark = """SELECT event_id,
+        |  cardinality(split(event_type, '_')) AS n_tokens,
+        |  contains(split(event_type, '_'), 'click') AS has_click,
+        |  ngrams(split(event_type, '_'), 2) AS bigrams,
+        |  json_extract_scalar(props, '$.k') AS k_scalar,
+        |  json_array_get('[' || CAST(event_id AS STRING) || ',' ||
+        |    CAST(event_id * 2 AS STRING) || ']', 1) AS second_el
+        |FROM events WHERE event_id < 500
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT event_id,
+        |  len(string_split(event_type, '_')) AS n_tokens,
+        |  list_contains(string_split(event_type, '_'), 'click') AS has_click,
+        |  list_transform(generate_series(1, greatest(len(string_split(event_type, '_')) - 1, 1)),
+        |    i -> string_split(event_type, '_')[i:i+1]) AS bigrams,
+        |  json_extract_string(props, '$.k') AS k_scalar,
+        |  json_extract_string('[' || CAST(event_id AS VARCHAR) || ',' ||
+        |    CAST(event_id * 2 AS VARCHAR) || ']', '$[1]') AS second_el
+        |FROM events WHERE event_id < 500
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin),
+
+    // truncate/is_finite/wilson intervals (MathFunctions.java,
+    // WilsonInterval.java) — DuckDB side uses the closed formulas.
+    "compat_math_misc" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  truncate(o_totalprice / 1000.0) AS trunc_k,
+        |  is_finite(o_totalprice) AS fin,
+        |  is_infinite(o_totalprice * CAST('Infinity' AS DOUBLE)) AS inf_mul,
+        |  ROUND(wilson_interval_lower(CAST(o_orderkey % 100 AS DOUBLE), 100.0, 1.96), 9) AS wil_lo,
+        |  ROUND(wilson_interval_upper(CAST(o_orderkey % 100 AS DOUBLE), 100.0, 1.96), 9) AS wil_hi
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  trunc(o_totalprice / 1000.0) AS trunc_k,
+        |  isfinite(o_totalprice) AS fin,
+        |  isinf(o_totalprice * CAST('Infinity' AS DOUBLE)) AS inf_mul,
+        |  ROUND(((p + z2n/2) - 1.96 * sqrt(p*(1-p)/100.0 + z2n/4/100.0)) / (1 + z2n), 9) AS wil_lo,
+        |  ROUND(((p + z2n/2) + 1.96 * sqrt(p*(1-p)/100.0 + z2n/4/100.0)) / (1 + z2n), 9) AS wil_hi
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |        CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS p,
+        |        1.96 * 1.96 / 100.0 AS z2n
+        |      FROM orders) t
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // cosine_similarity over adjacent embedding pairs — sequential double
+    // folds on both sides so float summation order is identical.
+    "compat_cosine_similarity" -> Q.sql(
+      spark = """SELECT a.vec_id,
+        |  ROUND(cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 200
+        |ORDER BY a.vec_id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT a.vec_id,
+        |  ROUND(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.embedding)),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)
+        |    / NULLIF(
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(a.embedding)),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x, y) -> x + y)) *
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(b.embedding)),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)), 0.0),
+        |  6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 200
+        |ORDER BY a.vec_id ASC NULLS LAST""".stripMargin),
+
+    // Aggregate rewrites: geometric_mean / approx_distinct / arbitrary
+    // (GeometricMeanAggregations.java, ApproximateCountDistinctAggregation
+    // .java, ArbitraryAggregationFunction.java). approx_distinct's sketch
+    // differs per engine, so the oracle checks exact COUNT(DISTINCT) on a
+    // column where the HLL answer is exact (small cardinality).
+    "compat_aggregates" -> Q.sql(
+      spark = """SELECT l_returnflag,
+        |  ROUND(geometric_mean(l_quantity), 6) AS geo_qty,
+        |  approx_distinct(l_linestatus) AS n_status,
+        |  arbitrary(l_returnflag) AS any_flag
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+      duck = """SELECT l_returnflag,
+        |  ROUND(exp(avg(ln(l_quantity))), 6) AS geo_qty,
+        |  COUNT(DISTINCT l_linestatus) AS n_status,
+        |  MIN(l_returnflag) AS any_flag
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
+  )
+}

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into spark-sql's package-private Column <-> Expression converters.
+  * Lives in the org.apache.spark.sql package purely to satisfy the access
+  * modifier; the graft function registry uses it to register Presto-named
+  * functions whose bodies are built with the public Column DSL.
+  *
+  * Column → Expression must go through the *session's* converter
+  * (classic.SparkSession.expression) so the ColumnNode tree is materialized
+  * into catalyst expressions the analyzer can resolve — the static
+  * ExpressionUtils.expression wraps lazily and the wrapper would survive
+  * (unresolved) into codegen.
+  */
+object GraftSqlBridge {
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpr(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+}

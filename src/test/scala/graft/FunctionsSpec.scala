@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Unit coverage for the gap-fill functions that have no DuckDB oracle
+  * (SURVEY.md §5.2 — the analog of the reference's per-function golden
+  * asserts, presto-main/src/test/.../operator/scalar/FunctionAssertions).
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql AS x").collect()(0).get(0)
+
+  // ---- Porter stemmer (known vectors from the published algorithm) ----
+  test("word_stem classic vectors") {
+    val vectors = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "caress" -> "caress",
+      "cats" -> "cat", "feed" -> "feed", "agreed" -> "agre",
+      "plastered" -> "plaster", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file", "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc", "digitizer" -> "digit",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog",
+      "communism" -> "commun", "activate" -> "activ",
+      "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    vectors.foreach { case (in, want) =>
+      assert(functions.PorterStemmer.stem(in) == want, s"stem($in)")
+    }
+  }
+
+  test("word_stem via SQL") {
+    assert(one("word_stem('running')") == "run")
+    assert(one("word_stem('Generalizations')") == "gener")
+  }
+
+  // ---- HMAC against RFC 4231 test case 2 ("Jefe" / "what do ya want...") --
+  test("hmac_sha256 rfc4231 vector") {
+    val got = one("hmac_sha256(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))")
+    assert(got == "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+  test("hmac_md5 rfc2202 vector") {
+    val got = one("hmac_md5(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))")
+    assert(got == "750c783e6ab0b503eaa86e310a5db738")
+  }
+
+  // ---- combinations ----
+  test("combinations") {
+    val got = one("combinations(array('a','b','c'), 2)")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+    assert(got.map(_.toList).toList == List(List("a", "b"), List("a", "c"), List("b", "c")))
+  }
+
+  // ---- IEEE-754 round trips ----
+  test("ieee754 roundtrip") {
+    assert(one("from_ieee754_64(to_ieee754_64(3.1415926535))") == 3.1415926535)
+    assert(one("lower(hex(to_ieee754_64(1.0)))") == "3ff0000000000000")
+    assert(one("from_ieee754_32(to_ieee754_32(CAST(0.5 AS FLOAT)))") == 0.5f)
+  }
+
+  // ---- hamming / normalize edge cases ----
+  test("hamming_distance") {
+    assert(one("hamming_distance('karolin', 'kathrin')") == 3L)
+    assert(one("hamming_distance('', '')") == 0L)
+    intercept[Exception](one("hamming_distance('ab', 'abc')"))
+  }
+  test("normalize forms") {
+    // e + combining acute (NFD) normalizes to precomposed é (NFC)
+    assert(one("normalize('é', 'NFC')") == "é")
+    assert(one("normalize('é', 'NFD')") == "é")
+  }
+
+  // ---- datetime pattern dialect translators ----
+  test("mysql pattern translation") {
+    assert(functions.Patterns.mysqlToJava("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss")
+    assert(functions.Patterns.mysqlToJava("%Y%m%d") == "yyyyMMdd")
+    assert(functions.Patterns.mysqlToJava("%d/%b/%Y %T") == "dd/MMM/yyyy HH:mm:ss")
+    // literal text is quoted so letters don't leak as pattern tokens
+    assert(functions.Patterns.mysqlToJava("%Yq") == "yyyy'q'")
+    intercept[IllegalArgumentException](functions.Patterns.mysqlToJava("%Q"))
+  }
+  test("joda pattern translation") {
+    assert(functions.Patterns.jodaToJava("YYYY-MM-dd") == "yyyy-MM-dd")
+    assert(functions.Patterns.jodaToJava("yyyy/MM/dd HH:mm") == "yyyy/MM/dd HH:mm")
+    assert(functions.Patterns.jodaToJava("'at' YYYY") == "'at' yyyy")
+  }
+  test("date_parse end to end") {
+    assert(one("CAST(date_parse('2024-03-15 14:30:00', '%Y-%m-%d %H:%i:%s') AS STRING)")
+      == "2024-03-15 14:30:00")
+    assert(one("CAST(parse_datetime('2024/03/15', 'YYYY/MM/dd') AS STRING)")
+      == "2024-03-15 00:00:00")
+  }
+
+  // ---- ISO week fields vs known dates ----
+  test("iso week fields") {
+    // 2024-12-30 is a Monday in ISO week 1 of 2025
+    assert(one("day_of_week(TIMESTAMP '2024-12-30 00:00:00')") == 1)
+    assert(one("year_of_week(TIMESTAMP '2024-12-30 00:00:00')") == 2025)
+    assert(one("week_of_year(TIMESTAMP '2024-12-30 00:00:00')") == 1)
+    // 2023-01-01 is a Sunday in ISO week 52 of 2022
+    assert(one("day_of_week(TIMESTAMP '2023-01-01 00:00:00')") == 7)
+    assert(one("year_of_week(TIMESTAMP '2023-01-01 00:00:00')") == 2022)
+  }
+
+  // ---- misc rewrites ----
+  test("from_base/to_base") {
+    assert(one("from_base('ff', 16)") == 255L)
+    assert(one("to_base(255, 16)") == "ff")
+    assert(one("from_base('101', 2)") == 5L)
+  }
+  test("cosine_similarity") {
+    val sim = one("cosine_similarity(array(1.0, 0.0), array(0.0, 1.0))")
+    assert(sim == 0.0)
+    val same = one("cosine_similarity(array(1.0, 2.0), array(2.0, 4.0))").asInstanceOf[Double]
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(one("cosine_similarity(array(0.0, 0.0), array(1.0, 1.0))") == null)
+  }
+  test("wilson interval") {
+    val lo = one("wilson_interval_lower(86.0, 100.0, 1.96)").asInstanceOf[Double]
+    val hi = one("wilson_interval_upper(86.0, 100.0, 1.96)").asInstanceOf[Double]
+    assert(lo > 0.77 && lo < 0.79)   // known ~0.779 for 86/100 at 95%
+    assert(hi > 0.90 && hi < 0.92)   // known ~0.912
+  }
+  test("ngrams") {
+    val got = one("ngrams(array('a','b','c','d'), 2)")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+    assert(got.map(_.toList).toList ==
+      List(List("a", "b"), List("b", "c"), List("c", "d")))
+    val short = one("ngrams(array('a'), 3)")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
+    assert(short.map(_.toList).toList == List(List("a")))
+  }
+}
