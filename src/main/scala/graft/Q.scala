@@ -48,6 +48,7 @@ object Registry {
       queries.Windows.qs ++
       queries.Functions.qs ++
       queries.Compat.qs ++
+      queries.Sketches.qs ++
       queries.Llm.qs
 
   lazy val headline: Seq[String] =

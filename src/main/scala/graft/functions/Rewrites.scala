@@ -1,7 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, StringLocate, TimestampAdd, TimestampDiff}
+import graft.functions.sketches._
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, LambdaFunction, StringLocate, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
+import org.apache.spark.sql.types.{BinaryType, DecimalType}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.GraftSqlBridge.toCol
 import org.apache.spark.sql.functions._
@@ -115,8 +118,44 @@ object Rewrites {
       case Seq(u, a, b) => toCol(new TimestampDiff(litStr(u, "date_diff").toUpperCase, toExpr(a), toExpr(b)))
       case Seq(end, start) => toCol(DateDiff(toExpr(end), toExpr(start))) },
 
+    // ---------- sketch aggregates (SURVEY.md §7.3; HLL value type is
+    //            BinaryType — see graft.functions.sketches.Hll) ----------
+    "approx_set" -> { case Seq(x) => toCol(ApproxSetAgg(toExpr(x)).toAggregateExpression()) },
+    "merge" -> { case Seq(x) => toCol(HllUnionAgg(toExpr(x)).toAggregateExpression()) },
+    "empty_approx_set" -> { case Seq() => lit(Hll.empty()) },
+    // histogram / map aggregates (operator/aggregation/histogram/, Map*.java)
+    "histogram" -> { case Seq(x) => toCol(HistogramAgg(toExpr(x)).toAggregateExpression()) },
+    "map_agg" -> { case Seq(k, v) => toCol(MapAggAgg(toExpr(k), toExpr(v)).toAggregateExpression()) },
+    "map_union" -> { case Seq(m) => toCol(MapUnionAgg(toExpr(m)).toAggregateExpression()) },
+    "multimap_agg" -> { case Seq(k, v) => toCol(MultimapAggAgg(toExpr(k), toExpr(v)).toAggregateExpression()) },
+    // checksum: order-independent content hash (ChecksumAggregationFunction
+    // .java:132 sums per-row xxhash64 with wrapping add; decimal sum here —
+    // same order-independence, no 64-bit wrap needed)
+    "checksum" -> { case Seq(x) => sum(xxhash64(x).cast(DecimalType(38, 0))) },
+    // min_by/max_by n-variants (MinNAggregationFunction.java/TypedHeap.java);
+    // 2-arg forms emit the catalyst builtins directly (same-name override)
+    "min_by" -> {
+      case Seq(x, y) => toCol(MinBy(toExpr(x), toExpr(y)).toAggregateExpression())
+      case Seq(x, y, n) =>
+        slice(transform(array_sort(collect_list(struct(y.as("k"), x.as("v")))),
+          s => s.getField("v")), lit(1), n) },
+    "max_by" -> {
+      case Seq(x, y) => toCol(MaxBy(toExpr(x), toExpr(y)).toAggregateExpression())
+      case Seq(x, y, n) =>
+        slice(transform(reverse(array_sort(collect_list(struct(y.as("k"), x.as("v"))))),
+          s => s.getField("v")), lit(1), n) },
+    // reduce_agg(x, init, inputFn, combineFn) (ReduceAggregationFunction
+    // .java) — folds the collected group with the user's lambda
+    "reduce_agg" -> { case Seq(x, init, inputFn, _) =>
+      val id = UnresolvedNamedLambdaVariable(Seq("reduce_agg_state"))
+      toCol(ArrayAggregate(toExpr(collect_list(x)), toExpr(init),
+        toExpr(inputFn).asInstanceOf[LambdaFunction], LambdaFunction(id, Seq(id)))) },
+
     // ---------- arrays (operator/scalar/Array*Function.java) ----------
-    "cardinality" -> { case Seq(a) => size(a) },
+    // cardinality covers arrays/maps AND HLL sketches (Presto's HyperLogLog
+    // type) — dispatch on the resolved input type.
+    "cardinality" -> { case Seq(a) =>
+      if (toExpr(a).dataType == BinaryType) toCol(HllCardinality(toExpr(a))) else size(a) },
     "contains" -> { case Seq(a, v) => array_contains(a, v) },
     "ngrams" -> { case Seq(a, n) =>
       transform(sequence(lit(1), greatest(size(a) - n + lit(1), lit(1))),

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Q
+
+/** Declared queries for the custom aggregate functions (SURVEY.md §7.3):
+  * HLL sketches, histogram/map aggregates, checksum, min_by/max_by(n),
+  * reduce_agg. Sketch estimates are engine-specific, so oracles pick
+  * cardinalities small enough that the HLL linear-counting range is exact;
+  * map outputs are stringified in sorted key order for stable comparison.
+  */
+object Sketches {
+
+  val qs: Map[String, Q] = Map(
+
+    // approx_set + cardinality, grouped — cardinalities here sit in the
+    // linear-counting range where the estimate is exact
+    // (ApproximateSetAggregation.java / HyperLogLogFunctions.java).
+    "sketch_hll_cardinality" -> Q.sql(
+      spark = """SELECT o_orderpriority,
+        |  cardinality(approx_set(o_custkey % 40)) AS n_custs_approx,
+        |  cardinality(approx_set(o_orderstatus)) AS n_status
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey % 40) AS n_custs_approx,
+        |  COUNT(DISTINCT o_orderstatus) AS n_status
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // Two-level rollup: per-group sketches unioned with merge(), the
+    // re-aggregation pattern HLL exists for (MergeHyperLogLogAggregation
+    // .java) — a 100-TB-friendly distinct-count rollup.
+    "sketch_hll_merge" -> Q.sql(
+      spark = """SELECT cardinality(merge(s)) AS n_parts
+        |FROM (SELECT l_returnflag, approx_set(l_partkey % 60) AS s
+        |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+      duck = """SELECT COUNT(DISTINCT l_partkey % 60) AS n_parts
+        |FROM lineitem""".stripMargin),
+
+    // histogram → map<value, count>, stringified sorted for the oracle
+    // (histogram/Histogram.java:147).
+    "agg_histogram" -> Q.sql(
+      spark = """SELECT o_orderpriority,
+        |  concat_ws(',', sort_array(transform(map_entries(histogram(o_orderstatus)),
+        |    e -> concat(e.key, ':', CAST(e.value AS STRING))))) AS status_hist
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderpriority,
+        |  string_agg(o_orderstatus || ':' || CAST(n AS VARCHAR), ',' ORDER BY o_orderstatus) AS status_hist
+        |FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |      FROM orders GROUP BY o_orderpriority, o_orderstatus) t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // map_agg(k, v) — one entry per distinct key (MapAggregationFunction
+    // .java); keys here are unique per group so the result is total.
+    "agg_map_agg" -> Q.sql(
+      spark = """SELECT n_regionkey,
+        |  concat_ws(',', sort_array(transform(map_entries(map_agg(n_name, n_nationkey)),
+        |    e -> concat(e.key, '=', CAST(e.value AS STRING))))) AS nation_keys
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT n_regionkey,
+        |  string_agg(n_name || '=' || CAST(n_nationkey AS VARCHAR), ','
+        |    ORDER BY n_name || '=' || CAST(n_nationkey AS VARCHAR)) AS nation_keys
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS LAST""".stripMargin),
+
+    // multimap_agg(k, v) → map<k, array<v>> (multimapagg/) — values sorted
+    // inside each key for determinism.
+    "agg_multimap_agg" -> Q.sql(
+      spark = """SELECT
+        |  concat_ws(';', sort_array(transform(map_entries(multimap_agg(c_mktsegment, c_custkey % 13)),
+        |    e -> concat(e.key, ':', concat_ws(',', sort_array(e.value)))))) AS seg_map
+        |FROM customer WHERE c_custkey < 80""".stripMargin,
+      duck = """SELECT string_agg(kv, ';' ORDER BY kv) AS seg_map
+        |FROM (SELECT c_mktsegment || ':' ||
+        |        string_agg(CAST(c_custkey % 13 AS VARCHAR), ',' ORDER BY c_custkey % 13) AS kv
+        |      FROM customer WHERE c_custkey < 80
+        |      GROUP BY c_mktsegment) t""".stripMargin),
+
+    // map_union over per-row maps (MapUnionAggregation.java).
+    "agg_map_union" -> Q.sql(
+      spark = """SELECT
+        |  concat_ws(',', sort_array(transform(map_entries(
+        |    map_union(map(n_name, n_nationkey))),
+        |    e -> concat(e.key, '=', CAST(e.value AS STRING))))) AS all_nations
+        |FROM nation""".stripMargin,
+      duck = """SELECT string_agg(n_name || '=' || CAST(n_nationkey AS VARCHAR), ','
+        |    ORDER BY n_name || '=' || CAST(n_nationkey AS VARCHAR)) AS all_nations
+        |FROM nation""".stripMargin),
+
+    // min_by/max_by with n (MinNAggregationFunction.java — TypedHeap) —
+    // unique o_totalprice makes the top-3 deterministic.
+    "agg_min_max_by_n" -> Q.sql(
+      spark = """SELECT o_orderpriority,
+        |  concat_ws(',', transform(max_by(o_orderkey, o_totalprice, 3), x -> CAST(x AS STRING))) AS top3_orders,
+        |  concat_ws(',', transform(min_by(o_orderkey, o_totalprice, 3), x -> CAST(x AS STRING))) AS bottom3_orders,
+        |  max_by(o_orderkey, o_totalprice) AS best_order
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderpriority,
+        |  array_to_string(list(o_orderkey ORDER BY o_totalprice DESC)[1:3], ',') AS top3_orders,
+        |  array_to_string(list(o_orderkey ORDER BY o_totalprice ASC)[1:3], ',') AS bottom3_orders,
+        |  arg_max(o_orderkey, o_totalprice) AS best_order
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // reduce_agg with integer state so the fold is order-independent
+    // (ReduceAggregationFunction.java).
+    "agg_reduce_agg" -> Q.sql(
+      spark = """SELECT l_returnflag,
+        |  reduce_agg(CAST(ROUND(l_quantity * 100) AS BIGINT), CAST(0 AS BIGINT),
+        |    (a, b) -> a + b, (a, b) -> a + b) AS qty_centisum
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+      duck = """SELECT l_returnflag,
+        |  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_centisum
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
+
+    // checksum — DuckDB has no xxhash64; cross-partitioning invariance is
+    // asserted in SketchesSpec, the driver records rows-only here
+    // (ChecksumAggregationFunction.java is Presto's own verifier primitive).
+    "agg_checksum" -> Q.noOracle { (s, dir) =>
+      s.sql(
+        """SELECT o_orderpriority, checksum(o_orderkey) AS chk
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
+    }
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Behavior specs for the custom aggregates — the properties the DuckDB
+  * oracle cannot check: HLL error bounds at scale, invariance of results
+  * under partitioning (the distributed-correctness property), and
+  * serialization through Spark's partial/final aggregation path.
+  */
+class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "7")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+    spark.range(0, 100000).createOrReplaceTempView("r100k")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def one(sql: String): Any = spark.sql(sql).collect()(0).get(0)
+
+  test("hll exact at small cardinality, near-exact in linear-counting range") {
+    assert(one("SELECT cardinality(approx_set(id % 50)) FROM r100k") == 50L)
+    val est700 = one("SELECT cardinality(approx_set(id % 700)) FROM r100k").asInstanceOf[Long]
+    assert(math.abs(est700 - 700L) <= 14, s"estimate $est700")  // ±2%
+  }
+
+  test("hll error within 5% at 100k distinct") {
+    val est = one("SELECT cardinality(approx_set(id)) FROM r100k").asInstanceOf[Long]
+    assert(math.abs(est - 100000L) < 5000, s"estimate $est")
+  }
+
+  test("hll merge equals direct sketch") {
+    val direct = one("SELECT cardinality(approx_set(id % 3000)) FROM r100k")
+    val merged = one(
+      """SELECT cardinality(merge(s)) FROM
+        |  (SELECT id % 7 AS g, approx_set(id % 3000) AS s FROM r100k GROUP BY id % 7)""".stripMargin)
+    assert(direct == merged)
+  }
+
+  test("hll survives repartitioning (partial/final serialization)") {
+    val a = one("SELECT cardinality(approx_set(id % 1234)) FROM r100k")
+    val df = spark.table("r100k").repartition(13)
+    df.createOrReplaceTempView("r100k_rep")
+    val b = one("SELECT cardinality(approx_set(id % 1234)) FROM r100k_rep")
+    assert(a == b, s"$a vs $b")
+    assert(math.abs(a.asInstanceOf[Long] - 1234L) <= 25)
+  }
+
+  test("checksum is order- and partitioning-independent") {
+    val a = one("SELECT checksum(id) FROM r100k")
+    spark.table("r100k").repartition(17).createOrReplaceTempView("r100k_17")
+    val b = one("SELECT checksum(id) FROM r100k_17")
+    spark.table("r100k").orderBy(org.apache.spark.sql.functions.col("id").desc)
+      .createOrReplaceTempView("r100k_desc")
+    val c = one("SELECT checksum(id) FROM r100k_desc")
+    assert(a == b && b == c && a != null)
+  }
+
+  test("checksum detects content difference") {
+    val a = one("SELECT checksum(id) FROM r100k")
+    val d = one("SELECT checksum(id + 1) FROM r100k")
+    assert(a != d)
+  }
+
+  test("histogram matches groupBy counts through a shuffle") {
+    val m = one(
+      "SELECT histogram(id % 5) FROM (SELECT id FROM r100k DISTRIBUTE BY id % 11)")
+      .asInstanceOf[Map[Long, Long]]
+    assert(m == Map(0L -> 20000L, 1L -> 20000L, 2L -> 20000L, 3L -> 20000L, 4L -> 20000L))
+  }
+
+  test("map_union first-wins and multimap collects all") {
+    val mu = one(
+      """SELECT map_union(map(CAST(id % 2 AS STRING), id)) FROM
+        |  (SELECT id FROM r100k WHERE id < 4)""".stripMargin)
+      .asInstanceOf[Map[String, Long]]
+    assert(mu.keySet == Set("0", "1"))
+    val mm = one(
+      """SELECT multimap_agg(CAST(id % 2 AS STRING), id) FROM
+        |  (SELECT id FROM r100k WHERE id < 4)""".stripMargin)
+      .asInstanceOf[Map[String, scala.collection.Seq[Long]]]
+    assert(mm("0").sorted == Seq(0L, 2L) && mm("1").sorted == Seq(1L, 3L))
+  }
+
+  test("min_by/max_by n-variants") {
+    val top = one("SELECT max_by(id, id % 100, 2) FROM (SELECT id FROM r100k WHERE id < 200)")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(top.forall(v => v % 100 == 99))
+    val bottom = one("SELECT min_by(id, id, 3) FROM r100k")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(bottom == Seq(0L, 1L, 2L))
+  }
+
+  test("reduce_agg folds with user lambda") {
+    assert(one("SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) " +
+      "FROM (SELECT id FROM r100k WHERE id < 100)") == 4950L)
+  }
+}
