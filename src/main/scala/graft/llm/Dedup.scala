@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication operators, each a DataFrame → DataFrame plan
+  * with no driver-side iteration:
+  *
+  *  - exact:       hash-groupBy on a canonical key (one shuffle on the hash)
+  *  - minhashLsh:  shingle → MinHash → band → bucket-join → verify; the
+  *                 candidate join shuffles on (band, bucket) so only
+  *                 colliding docs ever meet — the 100-TB path, vs the
+  *                 quadratic all-pairs verify
+  *  - simhashPairs: 64-bit SimHash, banded into 16-bit chunks (pigeonhole:
+  *                 hamming ≤ 3 ⇒ some chunk equal), verified by bit_count
+  *  - jaccardPairs: exact all-pairs (small inputs / verification oracle)
+  *  - embeddingPairs: exact cosine all-pairs above a threshold
+  *
+  * Reference analog: the setdigest MinHash type and jaccard_index scalar
+  * (presto-main/.../type/setdigest/SetDigestFunctions.java) — re-expressed
+  * as relational plans instead of per-row sketch values.
+  */
+object Dedup {
+
+  /** Exact duplicates by md5 of a key expression: emits one row per
+    * duplicate *group* (n > 1) with the keeper (min id) and members.
+    */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.select(col(idCol), md5(col(keyCol)).as("dup_key"))
+      .groupBy(col("dup_key"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("keeper"),
+        sort_array(collect_list(col(idCol))).as("members"))
+      .filter(col("n_dups") > 1)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * @param elems column expression producing the document's element array
+    *              (token set or shingle set), already distinct
+    * @param k     signature length; bands*rowsPerBand must equal k
+    * @param threshold verified Jaccard threshold for emitted pairs
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      elems: org.apache.spark.sql.Column,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+
+    val sigs = df
+      .select(col(idCol).as("id"), elems.as("elems"))
+      .withColumn("sig", TextOps.minhashSignature(col("elems"), k))
+
+    val banded = sigs
+      .select(col("id"), col("elems"),
+        explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("elems"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // Candidates: docs sharing any band bucket. The join shuffles on
+    // (band, bucket); distinct collapses multi-band collisions.
+    val left = banded.select(
+      col("band"), col("bucket"), col("id").as("id_a"), col("elems").as("elems_a"))
+    val right = banded.select(
+      col("band"), col("bucket"), col("id").as("id_b"), col("elems").as("elems_b"))
+    val candidates = left
+      .join(right,
+        left("band") === right("band") && left("bucket") === right("bucket") &&
+          left("id_a") < right("id_b"))
+      .select(col("id_a"), col("id_b"), col("elems_a"), col("elems_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", TextOps.jaccard(col("elems_a"), col("elems_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
+    * The 64-bit hash is split into 4 16-bit chunks; by pigeonhole any pair
+    * within hamming ≤ 3 shares at least one chunk, so the candidate join
+    * shuffles on (chunk index, chunk value) rather than comparing all pairs.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      elems: org.apache.spark.sql.Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only up to hamming 3")
+
+    val hashed = df.select(col(idCol).as("id"), TextOps.simhash64(elems).as("sim"))
+    val chunked = hashed.select(col("id"), col("sim"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk_idx"),
+          call_function("shiftright", col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("cc"))
+      .select(col("id"), col("sim"), col("cc.chunk_idx").as("chunk_idx"), col("cc.chunk").as("chunk"))
+
+    val left = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val right = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+
+    left.join(right,
+        left("chunk_idx") === right("chunk_idx") && left("chunk") === right("chunk") &&
+          left("id_a") < right("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TextOps.hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact all-pairs Jaccard above a threshold — quadratic; the verifier
+    * for minhashLsh and the right tool only for small slices.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      elems: org.apache.spark.sql.Column,
+      threshold: Double): DataFrame = {
+    val s = df.select(col(idCol).as("id"), elems.as("elems"))
+    val a = s.select(col("id").as("id_a"), col("elems").as("elems_a"))
+    val b = s.select(col("id").as("id_b"), col("elems").as("elems_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", TextOps.jaccard(col("elems_a"), col("elems_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact all-pairs embedding cosine similarity above a threshold. */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = s.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = s.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Keep one representative per near-duplicate cluster: given verified
+    * pairs, drop every id that appears as the larger member of a pair with
+    * a smaller keeper (greedy min-id clustering — one pass, no iteration).
+    */
+  def dropDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id_b").as("loser")).distinct()
+    df.join(losers, df(idCol) === losers("loser"), "left_anti")
+  }
+
+  /** Window-based exact dedup keeping the first row per key — the
+    * row_number() ≤ 1 pattern (TopNRowNumber / WindowGroupLimit at scale).
+    */
+  def keepFirst(df: DataFrame, keyCol: String, orderCol: String): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+}

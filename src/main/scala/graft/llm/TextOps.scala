@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for training-data pipelines —
+  * tokenization, shingling, MinHash/SimHash signatures, fingerprints,
+  * quality metrics, language scoring. Everything here is a pure expression
+  * composition (whole-stage codegen'd, no UDFs), so these run at scan
+  * speed and scale linearly with the corpus; the reference's analog is the
+  * setdigest/MinHash machinery (presto-main/.../type/setdigest/) plus the
+  * string/array function families (SURVEY.md §2.1).
+  */
+object TextOps {
+
+  /** Whitespace tokens, original order preserved. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct token set — the unit for set-similarity dedup. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct word n-gram shingles joined by single spaces. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** MinHash signature of an element array: k minimums of per-seed
+    * xxhash64. Seeding folds the seed index into the hash input (the
+    * classic "k hash functions" construction; reference:
+    * setdigest/SetDigest.java's MinHash component).
+    */
+  def minhashSignature(elems: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(elems, e => xxhash64(e, j))))
+
+  /** LSH banding of a MinHash signature: `bands` structs of
+    * (band index, hash of that band's rows). Docs sharing any band bucket
+    * become candidate pairs — the standard S-curve construction.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows))).as("bucket")))
+
+  /** Exact Jaccard similarity of two element arrays (assumed distinct). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** 64-bit SimHash over an element array: majority vote per bit position
+    * of the elements' xxhash64 values (Charikar 2002, "Similarity
+    * estimation techniques from rounding algorithms").
+    */
+  def simhash64(elems: Column): Column = {
+    val votes = aggregate(
+      elems,
+      array_repeat(lit(0L), 64),
+      (acc, e) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(e), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (a, bit) => a.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Document fingerprint: minimum hash over sliding character w-grams
+    * (a deterministic winnowing-style rolling-hash selection; md5 so an
+    * external engine can reproduce it byte-for-byte).
+    */
+  def fingerprint(text: Column, w: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (w - 1), lit(1))),
+      i => md5(substring(text, lit(i), lit(w)))))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — the usual cheap proxy for subword counts.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics for filter pipelines: token count, mean word length,
+    * punctuation ratio, stopword ratio, and a blended [0,1] score.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "at", "by", "be", "this")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanWordLen(text: Column): Column =
+    (length(text) - size(tokens(text)) + 1).cast("double") / size(tokens(text))
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Blended quality score in [0,1]: enough tokens, sane word lengths,
+    * some-but-not-too-many stopwords, little punctuation noise.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast("double") / lit(20.0), lit(1.0))
+    val wordScore = when(meanWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore = when(stopwordRatio(text).between(0.01, 0.6), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    (lenScore + wordScore + stopScore + punctScore) / 4.0
+  }
+
+  /** Language-ID by stopword-list hits — the n-gram-free heuristic tier.
+    * Scores each candidate language by distinct-token overlap with its
+    * stopword list and picks the argmax (ties break by list order).
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "avec", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "con", "para", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "中"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokenSet(text)
+    langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+  }
+
+  /** Predicted language code, 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0 && acc === "und", lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Property tests for the LLM-pipeline operators — the guarantees the
+  * DuckDB oracle cannot express: LSH recall against exact computation,
+  * pigeonhole completeness of SimHash banding, ANN recall, and
+  * deterministic multimodal plumbing.
+  */
+class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs: DataFrame = Tables.t(spark, sfDir, "documents")
+  private def embs: DataFrame = Tables.t(spark, sfDir, "embeddings")
+
+  test("minhash-lsh recall: finds every exact pair at its threshold") {
+    val elems = TextOps.tokenSet(col("text"))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", elems, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", elems, k = 32, bands = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes LSH precise; recall is the probabilistic part
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    assert(exact.nonEmpty, "test corpus should contain >=1 near-dup pair")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("minhash-lsh never compares all pairs (bucket-join plan)") {
+    val plan = Dedup.minhashLsh(docs, "doc_id", TextOps.tokenSet(col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), "candidate generation must not cross-join")
+  }
+
+  test("simhash banding is complete for hamming <= 3 (pigeonhole)") {
+    val elems = TextOps.tokenSet(col("text"))
+    // all-pairs ground truth over a slice
+    val d = docs.filter(col("doc_id") < 60)
+    val hashed = d.select(col("doc_id"), TextOps.simhash64(elems).as("sim"))
+    val a = hashed.select(col("doc_id").as("ia"), col("sim").as("sa"))
+    val b = hashed.select(col("doc_id").as("ib"), col("sim").as("sb"))
+    val exact = a.join(b, col("ia") < col("ib"))
+      .withColumn("h", TextOps.hamming64(col("sa"), col("sb")))
+      .filter(col("h") <= 3)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(d, "doc_id", elems, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
+  }
+
+  test("synthetic duplicates are found by every dedup tier") {
+    val sp = spark; import sp.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),  // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+      (4L, "completely different content about database engines and columnar storage systems"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exact(base, "doc_id", "text").collect()
+    assert(exact.length == 1 && exact(0).getAs[Long]("n_dups") == 2)
+
+    val near = Dedup.jaccardPairs(base, "doc_id", TextOps.tokenSet(col("text")), 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)) && near.contains((1L, 3L)) && near.contains((2L, 3L)))
+    assert(!near.exists(p => p._1 == 4L || p._2 == 4L))
+
+    val lsh = Dedup.minhashLsh(base, "doc_id", TextOps.tokenSet(col("text")),
+      k = 32, bands = 8, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L)), "identical docs must always collide")
+  }
+
+  test("dropDuplicates keeps exactly one representative per cluster") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", TextOps.tokenSet(col("text")), 0.9)
+    val kept = Dedup.dropDuplicates(docs, "doc_id", pairs)
+    val removed = docs.count() - kept.count()
+    val losers = pairs.select("id_b").distinct().count()
+    assert(removed == losers)
+  }
+
+  test("ann lsh recall against brute force") {
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, embs, "vec_id", "embedding", 5, nPlanes = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.35, s"ANN recall $recall too low for 4 planes + multi-probe")
+    assert(approx.nonEmpty)
+  }
+
+  test("ann results deterministic across partitionings") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val r1 = Similarity.lshTopK(queries, embs, "vec_id", "embedding", 3, nPlanes = 4)
+      .collect().map(_.toString).sorted
+    val r2 = Similarity.lshTopK(queries.repartition(7), embs.repartition(5),
+        "vec_id", "embedding", 3, nPlanes = 4)
+      .collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
+  }
+
+  test("multimodal image features: schema, determinism, full coverage") {
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "image")
+    val f1 = Multimodal.imageFeatures(media, partitions = 4)
+    assert(f1.schema == Multimodal.imageFeatureSchema)
+    assert(f1.count() == docs.count())
+    val f2 = Multimodal.imageFeatures(media, partitions = 9)
+    val s1 = f1.orderBy("media_id").collect().map(_.toString)
+    val s2 = f2.orderBy("media_id").collect().map(_.toString)
+    assert(s1.sameElements(s2), "decode must be deterministic across partitionings")
+    val row = f1.filter(col("media_id") === 0).collect()(0)
+    assert(row.getAs[Int]("width") >= 64 && row.getAs[Int]("n_channels") == 3)
+    assert(row.getAs[scala.collection.Seq[Float]]("feature").length == 16)
+  }
+
+  test("multimodal audio frames: fixed frame shape") {
+    val media = Multimodal.mediaFromText(docs.limit(20), "doc_id", "text", "audio")
+    val frames = Multimodal.audioFrames(media)
+    assert(frames.schema == Multimodal.audioFeatureSchema)
+    val row = frames.collect()(0)
+    val fr = row.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("frames")
+    assert(fr.length == 4 && fr.forall(_.length == 8))
+    assert(row.getAs[Int]("sample_rate") == 16000)
+  }
+
+  test("language id picks a deterministic argmax with und fallback") {
+    val sp = spark; import sp.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "le chat et le chien est pas une"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("quality score bounds and monotone token credit") {
+    val sp = spark; import sp.implicits._
+    val d = Seq(
+      (1L, "short"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running through the long field with great speed today")
+    ).toDF("doc_id", "text")
+    val scores = d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(scores(2L) > scores(1L))
+  }
+}
