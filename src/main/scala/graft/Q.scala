@@ -49,6 +49,7 @@ object Registry {
       queries.Functions.qs ++
       queries.Compat.qs ++
       queries.Sketches.qs ++
+      queries.Events.qs ++
       queries.Llm.qs
 
   lazy val headline: Seq[String] =

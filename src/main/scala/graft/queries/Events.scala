@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form — tumbling/sliding/session windows
+  * over the `events` table. The reference has no streaming operators at
+  * all (SURVEY.md §1.1: Kafka topics are scanned as bounded tables), so
+  * these windows ARE the capability upgrade; graft.streaming.Streams runs
+  * the same shapes incrementally with watermarks. Window starts are cast
+  * to TIMESTAMP_NTZ so the DuckDB oracle's naive timestamps compare
+  * byte-identically.
+  */
+object Events {
+
+  val qs: Map[String, Q] = Map(
+
+    // Tumbling 1-hour windows (Spark window(); duck time_bucket).
+    "events_tumbling_window" -> Q.df(
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY wstart ASC NULLS LAST, event_type ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,8)")).cast("double").as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart").asc_nulls_last, col("event_type").asc_nulls_last)
+    },
+
+    // Sliding 2-hour windows advancing hourly — every event lands in two
+    // windows; the duck oracle unnests the two containing window starts.
+    "events_sliding_window" -> Q.df(
+      """SELECT wstart, COUNT(*) AS n
+        |FROM (
+        |  SELECT CAST(unnest([
+        |      time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+        |      time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))]) AS TIMESTAMP) AS wstart
+        |  FROM events) t
+        |GROUP BY wstart
+        |ORDER BY wstart ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"), col("n"))
+        .orderBy(col("wstart").asc_nulls_last)
+    },
+
+    // Session windows with a 4-hour inactivity gap per user
+    // (session_window(); duck gaps-and-islands with lag()).
+    "events_session_window" -> Q.df(
+      """SELECT user_id, CAST(MIN(ts2) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |          OR CAST(ts AS TIMESTAMP) - prev_ts > INTERVAL 4 HOUR THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_ts
+        |    FROM events) x) y
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id ASC NULLS LAST, session_start ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id").asc_nulls_last, col("session_start").asc_nulls_last)
+    },
+
+    // Event-time top event per user per day: the enrichment join + window
+    // pattern every event pipeline runs (events × customer-like dim would
+    // go the same way; user ids are synthetic here).
+    "events_daily_top_type" -> Q.sql(
+      spark = """SELECT user_id, day, event_type, n FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day, event_type,
+        |    COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+        |  FROM events
+        |  WHERE user_id < 20
+        |  GROUP BY user_id, date_trunc('day', ts), event_type) t
+        |WHERE rk = 1
+        |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin,
+      duck = """SELECT user_id, day, event_type, n FROM (
+        |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, event_type,
+        |    COUNT(*) AS n,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |      ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+        |  FROM events
+        |  WHERE user_id < 20
+        |  GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)), event_type) t
+        |WHERE rk = 1
+        |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin)
+  )
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events stream.
+  *
+  * The reference treats streams as bounded tables (Kafka offset-range
+  * splits, presto-kafka/.../KafkaSplitManager.java; no watermarks or
+  * state anywhere — SURVEY.md §1.1), so this module is the Spark-native
+  * capability upgrade: the same windowed shapes as queries/Events.scala,
+  * run incrementally with event-time watermarks and custom keyed state.
+  *
+  * Sources here are file streams over the driver parquet (each file = one
+  * micro-batch under Trigger.AvailableNow) — swap `.parquet(dir)` for
+  * `.format("kafka")` and the plans are unchanged, which is the point.
+  */
+object Streams {
+
+  /** The events schema as written by the driver (ts arrives as raw
+    * parquet-nanos int64 under the nanosAsLong reading conf — converted
+    * to a microsecond timestamp exactly like Tables.t does for batch).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** File-stream over an events parquet *directory* — one file per
+    * micro-batch, so a directory staged with N files exercises N
+    * incremental state updates.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling event-time window counts with a watermark: late events
+    * beyond the watermark are dropped, state for closed windows is freed —
+    * the unbounded-stream-safe version of events_tumbling_window.
+    */
+  def tumblingCounts(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,8)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows (4h inactivity gap) per user with watermarking. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * counts — the KeyValueGroupedDataset state API the reference has no
+    * counterpart for.
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val newCount = state.getOption.getOrElse(0L) + rows.size
+          state.update(newCount)
+          UserCount(user, newCount)
+      }
+  }
+
+  /** Run any streaming frame to an in-memory table with AvailableNow
+    * (process-everything-then-stop) and wait for completion. Returns the
+    * query so callers can inspect progress/metrics.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Continuous parquet sink with checkpointing — the durable-output path
+    * (exactly-once per micro-batch via the checkpoint + file-sink log).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

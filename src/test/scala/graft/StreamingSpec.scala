@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.Streams
+
+/** Streaming equivalence specs: the incremental (watermarked) plans must
+  * converge to the same answer as the batch plans over the same files
+  * once every micro-batch is processed (Trigger.AvailableNow).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var eventsDir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // stage the single events parquet file as a 4-file directory (the file
+    // source requires a directory; 4 files → 4 micro-batches)
+    eventsDir = java.nio.file.Files.createTempDirectory("graft_events").toString + "/events"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // range-partition by ts so file order ≈ arrival order: with random
+    // file order the watermark would (correctly) drop cross-file late
+    // events and batch equivalence wouldn't hold
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(eventsDir)
+    // the file source orders batches by (modification time, path); the
+    // writer stamps all parts with one mtime, so make arrival order
+    // explicit and deterministic: mtime ascending in range (path) order
+    val parts = new java.io.File(eventsDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def batchEvents = Tables.t(spark, "/root/testdata/sf0.001", "events")
+
+  test("streaming tumbling counts equal batch after availableNow") {
+    val stream = Streams.eventsStream(spark, eventsDir)
+    Streams.runToMemory(Streams.tumblingCounts(stream), "tumbling_out", "append")
+    // append mode emits only watermark-closed windows; the final window may
+    // be held back, so compare on the common (closed) prefix
+    val got = spark.table("tumbling_out")
+      .select(col("wstart").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toString).toSet
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toString).toSet
+    assert(got.subsetOf(want), "streaming emitted a window batch disagrees with")
+    assert(got.size >= (want.size * 7) / 10, s"too few closed windows: ${got.size} vs ${want.size}")
+  }
+
+  test("streaming session windows match batch sessionization") {
+    val stream = Streams.eventsStream(spark, eventsDir)
+    Streams.runToMemory(Streams.sessionCounts(stream), "sessions_out", "append")
+    val got = spark.table("sessions_out")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .collect().map(_.toString).toSet
+    val want = batchEvents
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("string"), col("n_events"))
+      .collect().map(_.toString).toSet
+    assert(got.subsetOf(want))
+    assert(got.size >= (want.size * 7) / 10, s"too few closed sessions: ${got.size} vs ${want.size}")
+  }
+
+  test("mapGroupsWithState running counts reach batch totals") {
+    val stream = Streams.eventsStream(spark, eventsDir)
+    Streams.runToMemory(
+      Streams.runningUserCounts(spark, stream).toDF(), "running_out", "update")
+    // last update per user = total count
+    val got = spark.table("running_out")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = batchEvents.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("streaming parquet sink is exactly-once under availableNow") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val stream = Streams.eventsStream(spark, eventsDir)
+    Streams.runToParquet(
+      stream.select(col("event_id"), col("user_id")),
+      s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val written = spark.read.parquet(s"$tmp/out").count()
+    assert(written == batchEvents.count())
+  }
+}
