@@ -36,8 +36,8 @@ object Q {
   /** Query with no SQL-expressible oracle (driver records rows-only check);
     * correctness is covered by a ScalaTest spec instead.
     */
-  def noOracle(fn: (SparkSession, String) => DataFrame): Q =
-    Q((s, dir) => { Tables.ensure(s, dir); fn(s, dir) }, None)
+  def noOracle(headline: Boolean = false)(fn: (SparkSession, String) => DataFrame): Q =
+    Q((s, dir) => { Tables.ensure(s, dir); fn(s, dir) }, None, headline)
 }
 
 /** The full declared-query inventory, assembled from per-area modules. */

@@ -51,30 +51,54 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
 
+    // (id, k longs) per doc — persist so banding, the candidate self-join
+    // and the estimate join all reuse one pass of shingle hashing.
     val sigs = df
-      .select(col(idCol).as("id"), elems.as("elems"))
-      .withColumn("sig", TextOps.minhashSignature(col("elems"), k))
+      .select(col(idCol).as("id"), TextOps.minhashElementHashes(elems).as("hashes"))
+      .select(col("id"), TextOps.minhashFromHashes(col("hashes"), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs
-      .select(col("id"), col("elems"),
-        explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("elems"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    // Candidates: docs sharing any band bucket. The join shuffles on
-    // (band, bucket); distinct collapses multi-band collisions.
-    val left = banded.select(
-      col("band"), col("bucket"), col("id").as("id_a"), col("elems").as("elems_a"))
-    val right = banded.select(
-      col("band"), col("bucket"), col("id").as("id_b"), col("elems").as("elems_b"))
+    // Candidates: docs sharing any band bucket. Join on ids only — the
+    // element arrays would multiply the shuffle by the collision count —
+    // and collapse multi-band collisions BEFORE verification, so each
+    // candidate pair is screened exactly once.
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = left
       .join(right,
         left("band") === right("band") && left("bucket") === right("bucket") &&
           left("id_a") < right("id_b"))
-      .select(col("id_a"), col("id_b"), col("elems_a"), col("elems_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    // Screen: estimated Jaccard = fraction of agreeing signature slots —
+    // k integer compares per pair against the cached signatures. A 0.2
+    // slack below the threshold is ~3σ at k=32, so true pairs survive.
+    val estSlack = 0.2
+    val screened = candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est") >= threshold - estSlack)
+      .select(col("id_a"), col("id_b"))
+
+    // Verify survivors exactly: recompute elements only for docs still in
+    // play — broadcast the (small) id set into a semi filter so the exact
+    // Jaccard touches a vanishing fraction of the corpus.
+    val candIds = screened
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+    val candElems = df
+      .join(broadcast(candIds), df(idCol) === col("__cid"))
+      .select(col("__cid").as("id"), elems.as("elems"))
+    screened
+      .join(candElems.select(col("id").as("id_a"), col("elems").as("elems_a")), "id_a")
+      .join(candElems.select(col("id").as("id_b"), col("elems").as("elems_b")), "id_b")
       .withColumn("jaccard", TextOps.jaccard(col("elems_a"), col("elems_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -93,11 +117,13 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only up to hamming 3")
 
     val hashed = df.select(col(idCol).as("id"), TextOps.simhash64(elems).as("sim"))
+    // persist: the self-join would otherwise recompute every SimHash twice
     val chunked = hashed.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_idx"),
           call_function("shiftright", col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk_idx").as("chunk_idx"), col("cc.chunk").as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val left = chunked.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("sim").as("sim_a"))

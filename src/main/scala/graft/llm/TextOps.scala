@@ -27,14 +27,42 @@ object TextOps {
       i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
-  /** MinHash signature of an element array: k minimums of per-seed
-    * xxhash64. Seeding folds the seed index into the hash input (the
-    * classic "k hash functions" construction; reference:
-    * setdigest/SetDigest.java's MinHash component).
+  /** MinHash signature of an element array: k minimums of k derived hash
+    * functions h_j(x) = h1(x) + j·h2(x) (Carter–Wegman double hashing, as
+    * real MinHash implementations use — reference analog:
+    * setdigest/SetDigest.java's MinHash component). Each element is
+    * string-hashed exactly twice; the k derived values are integer math,
+    * which matters because lambda expressions run interpreted.
     */
+  /** Per-element (h1, h2) hash pairs — stage this as its OWN column before
+    * deriving the signature: a lambda body is re-evaluated per outer-lambda
+    * iteration (no common-subexpression elimination inside interpreted
+    * HOFs), so inlining the string hashing under the k-loop would hash
+    * every element k times instead of twice. 31-bit components keep
+    * h1 + j·h2 far below Long.MaxValue (ANSI mode errors on wrap-around).
+    */
+  def minhashElementHashes(elems: Column): Column = {
+    val mask = lit(0x7FFFFFFFL)
+    transform(elems,
+      e => struct(xxhash64(e).bitwiseAND(mask).as("h1"),
+        xxhash64(e, lit(1)).bitwiseAND(mask).as("h2")))
+  }
+
+  /** Signature from staged element hashes — a single fold over the
+    * elements that updates all k running minimums per step. One pass means
+    * the hash structs are evaluated once per element even after Catalyst
+    * inlines the staged column into the lambda (CollapseProject), where a
+    * per-j array_min formulation would recompute them k times.
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    val ks = typedLit((0 until k).map(_.toLong))
+    aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, ks,
+        (m, j) => least(m, s.getField("h1") + j * s.getField("h2"))))
+  }
+
   def minhashSignature(elems: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(elems, e => xxhash64(e, j))))
+    minhashFromHashes(minhashElementHashes(elems), k)
 
   /** LSH banding of a MinHash signature: `bands` structs of
     * (band index, hash of that band's rows). Docs sharing any band bucket

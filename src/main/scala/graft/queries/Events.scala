@@ -22,7 +22,8 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY wstart ASC NULLS LAST, event_type ASC NULLS LAST""".stripMargin) { (s, dir) =>
+        |ORDER BY wstart ASC NULLS LAST, event_type ASC NULLS LAST""".stripMargin,
+      headline = true) { (s, dir) =>
       Tables.t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),

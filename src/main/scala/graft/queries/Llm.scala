@@ -130,16 +130,20 @@ object Llm {
     // ---- MinHash + LSH near-dup candidates (Dedup.minhashLsh) — sketch
     //      banding is engine-specific; recall vs exact pairs is proven in
     //      LlmSpec, the driver records a rows-only check ----
-    "llm_dedup_minhash" -> Q.noOracle { (s, dir) =>
+    // Bigram shingles, not raw token sets: this synthetic corpus draws
+    // from a tiny vocabulary, so token-set signatures collapse thousands
+    // of docs into one LSH bucket and the verify step goes quadratic —
+    // exactly the degenerate case shingling exists to prevent.
+    "llm_dedup_minhash" -> Q.noOracle(headline = true) { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
-      Dedup.minhashLsh(d, "doc_id", TextOps.tokenSet(col("text")),
-        k = 32, bands = 8, threshold = 0.9)
+      Dedup.minhashLsh(d, "doc_id", TextOps.wordShingles(col("text"), 2),
+        k = 32, bands = 8, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     },
 
     // ---- SimHash near-dup candidates (Dedup.simhashPairs) ----
-    "llm_dedup_simhash" -> Q.noOracle { (s, dir) =>
+    "llm_dedup_simhash" -> Q.noOracle() { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
       Dedup.simhashPairs(d, "doc_id", TextOps.tokenSet(col("text")), maxHamming = 3)
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
@@ -217,7 +221,7 @@ object Llm {
 
     // ---- bucketed LSH ANN (Similarity.lshTopK) — recall vs brute force
     //      proven in LlmSpec; rows-only here ----
-    "llm_ann_lsh" -> Q.noOracle { (s, dir) =>
+    "llm_ann_lsh" -> Q.noOracle(headline = true) { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 20)
       Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 3, nPlanes = 4)
@@ -227,14 +231,14 @@ object Llm {
 
     // ---- multimodal plumbing (Multimodal.imageFeatures / audioFrames) —
     //      stub decoders; schema + distribution tested in LlmSpec ----
-    "llm_multimodal_image" -> Q.noOracle { (s, dir) =>
+    "llm_multimodal_image" -> Q.noOracle() { (s, dir) =>
       val media = graft.llm.Multimodal.mediaFromText(
         Tables.t(s, dir, "documents"), "doc_id", "text", "image")
       graft.llm.Multimodal.imageFeatures(media, partitions = 8)
         .orderBy(col("media_id").asc_nulls_last)
     },
 
-    "llm_multimodal_audio" -> Q.noOracle { (s, dir) =>
+    "llm_multimodal_audio" -> Q.noOracle() { (s, dir) =>
       val media = graft.llm.Multimodal.mediaFromText(
         Tables.t(s, dir, "documents"), "doc_id", "text", "audio")
       graft.llm.Multimodal.audioFrames(media, partitions = 8)

@@ -266,7 +266,7 @@ object Relational {
     // — the reference's own verifier primitive): sum of per-row xxhash64.
     // DuckDB has no xxhash64, so value equality is covered by ScalaTest
     // (order-independence property); the driver records a rows-only check.
-    "agg_checksum_rows" -> Q.noOracle { (s, dir) =>
+    "agg_checksum_rows" -> Q.noOracle() { (s, dir) =>
       s.sql(
         """SELECT l_returnflag,
           |  SUM(CAST(xxhash64(CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING)) AS DECIMAL(38,0))) AS row_checksum
@@ -391,7 +391,7 @@ object Relational {
 
     // BERNOULLI TABLESAMPLE (SampleNode) — nondeterministic across engines;
     // rows-only check, statistical bounds asserted in ScalaTest.
-    "sample_bernoulli" -> Q.noOracle { (s, dir) =>
+    "sample_bernoulli" -> Q.noOracle() { (s, dir) =>
       Tables.t(s, dir, "lineitem").sample(0.1, seed = 42)
         .select(col("l_orderkey"), col("l_linenumber"))
     }

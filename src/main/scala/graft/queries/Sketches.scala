@@ -131,7 +131,7 @@ object Sketches {
     // checksum — DuckDB has no xxhash64; cross-partitioning invariance is
     // asserted in SketchesSpec, the driver records rows-only here
     // (ChecksumAggregationFunction.java is Presto's own verifier primitive).
-    "agg_checksum" -> Q.noOracle { (s, dir) =>
+    "agg_checksum" -> Q.noOracle() { (s, dir) =>
       s.sql(
         """SELECT o_orderpriority, checksum(o_orderkey) AS chk
           |FROM orders GROUP BY o_orderpriority
