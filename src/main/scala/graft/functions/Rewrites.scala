@@ -45,6 +45,16 @@ object Rewrites {
     "levenshtein_distance" -> { case Seq(a, b) => levenshtein(a, b) },
     "split_to_map" -> { case Seq(s, ed, kd) =>
       toCol(org.apache.spark.sql.catalyst.expressions.StringToMap(toExpr(s), toExpr(ed), toExpr(kd))) },
+    // split_to_multimap keeps every value per key (SplitToMultimapFunction
+    // .java): group the split k/v pairs by distinct key
+    "split_to_multimap" -> { case Seq(s, ed, kd) =>
+      val pairs = transform(call_function("split", s, ed),
+        e => struct(call_function("substring_index", e, kd, lit(1)).as("k"),
+          call_function("substring_index", e, kd, lit(-1)).as("v")))
+      val keys = array_distinct(transform(pairs, p => p.getField("k")))
+      map_from_arrays(keys,
+        transform(keys, k0 =>
+          transform(filter(pairs, p => p.getField("k") === k0), p => p.getField("v")))) },
     "codepoint" -> { case Seq(s) => ascii(s) },
     "to_utf8" -> { case Seq(s) => encode(s, "UTF-8") },
     "from_utf8" -> { case Seq(b) => decode(b, "UTF-8") },
@@ -89,6 +99,13 @@ object Rewrites {
     "year_of_week" -> { case Seq(t) => isoWeekYear(t) },
     "yow" -> { case Seq(t) => isoWeekYear(t) },
     "last_day_of_month" -> { case Seq(t) => last_day(t) },
+    // at_timezone / with_timezone (DateTimeFunctions.java; the reference's
+    // timestamp-with-time-zone type has no Spark counterpart — SURVEY
+    // §7.4.1 — so these convert wall-clock representation instead:
+    // at_timezone renders the instant in the target zone, with_timezone
+    // interprets a wall-clock reading as being in the given zone)
+    "at_timezone" -> { case Seq(t, z) => from_utc_timestamp(t, z) },
+    "with_timezone" -> { case Seq(t, z) => to_utc_timestamp(t, z) },
     "from_unixtime" -> { case Seq(x) => timestamp_seconds(x) },
     "to_unixtime" -> { case Seq(t) => (unix_micros(t.cast("timestamp")).cast("double") / lit(1e6)) },
     // MySQL-pattern parse; format side is handled by dialect sniffing below
@@ -144,6 +161,10 @@ object Rewrites {
       case Seq(x, y, n) =>
         slice(transform(reverse(array_sort(collect_list(struct(y.as("k"), x.as("v"))))),
           s => s.getField("v")), lit(1), n) },
+    // numeric_histogram(buckets, x) (NumericHistogram.java — Ben-Haim &
+    // Tom-Tov streaming histogram)
+    "numeric_histogram" -> { case Seq(b, x) =>
+      toCol(NumericHistogramAgg(toExpr(b), toExpr(x)).toAggregateExpression()) },
     // reduce_agg(x, init, inputFn, combineFn) (ReduceAggregationFunction
     // .java) — folds the collected group with the user's lambda
     "reduce_agg" -> { case Seq(x, init, inputFn, _) =>

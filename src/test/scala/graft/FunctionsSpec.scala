@@ -155,6 +155,34 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lo > 0.77 && lo < 0.79)   // known ~0.779 for 86/100 at 95%
     assert(hi > 0.90 && hi < 0.92)   // known ~0.912
   }
+  test("split_to_map and split_to_multimap") {
+    assert(one("split_to_map('a:1,b:2', ',', ':')['b']") == "2")
+    val mm = one("split_to_multimap('a:1,b:2,a:3', ',', ':')")
+      .asInstanceOf[Map[String, scala.collection.Seq[String]]]
+    assert(mm("a") == Seq("1", "3") && mm("b") == Seq("2"))
+  }
+
+  test("at_timezone / with_timezone wall-clock conversion") {
+    assert(one("CAST(at_timezone(TIMESTAMP_NTZ '2024-01-01 12:00:00', 'America/New_York') AS STRING)")
+      == "2024-01-01 07:00:00")
+    assert(one("CAST(with_timezone(TIMESTAMP_NTZ '2024-01-01 07:00:00', 'America/New_York') AS STRING)")
+      == "2024-01-01 12:00:00")
+  }
+
+  test("numeric_histogram properties") {
+    spark.range(0, 1000).createOrReplaceTempView("r1k")
+    def hist(sql: String): Map[Double, Double] =
+      spark.sql(sql).collect()(0).get(0).asInstanceOf[Map[Double, Double]]
+    val m = hist("SELECT numeric_histogram(10, CAST(id AS DOUBLE)) FROM r1k")
+    assert(m.size <= 10, s"bin cap violated: ${m.size}")
+    assert(math.abs(m.values.sum - 1000.0) < 1e-6, "mass not conserved")
+    assert(m.keys.min >= 0.0 && m.keys.max <= 999.0, "bin centers out of range")
+    // stable under repartitioning in total mass and bin cap
+    val m2 = hist("SELECT numeric_histogram(10, CAST(id AS DOUBLE)) FROM " +
+      "(SELECT id FROM r1k DISTRIBUTE BY id % 7)")
+    assert(m2.size <= 10 && math.abs(m2.values.sum - 1000.0) < 1e-6)
+  }
+
   test("ngrams") {
     val got = one("ngrams(array('a','b','c','d'), 2)")
       .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
