@@ -58,11 +58,25 @@ object Rewrites {
     "codepoint" -> { case Seq(s) => ascii(s) },
     "to_utf8" -> { case Seq(s) => encode(s, "UTF-8") },
     "from_utf8" -> { case Seq(b) => decode(b, "UTF-8") },
+    // Presto regexp_split(s, pattern) ≡ Spark split(s, regex) — same
+    // regex-delimiter semantics, different name
+    "regexp_split" -> { case Seq(s, p) => call_function("split", s, p) },
+    "to_hex" -> { case Seq(b) => upper(hex(b)) },
+    "from_hex" -> { case Seq(s) => unhex(s) },
+    "to_base64" -> { case Seq(b) => base64(b) },
+    "from_base64" -> { case Seq(s) => unbase64(s) },
+    // base64url: RFC 4648 §5 alphabet — translate +/ to -_
+    "to_base64url" -> { case Seq(b) => translate(base64(b), "+/", "-_") },
+    "from_base64url" -> { case Seq(s) => unbase64(translate(s, "-_", "+/")) },
 
     // ---------- math (operator/scalar/MathFunctions.java) ----------
     "from_base" -> { case Seq(s, r) => toCol(new Conv(toExpr(s), toExpr(r), toExpr(lit(10)))).cast("bigint") },
     "to_base" -> { case Seq(x, r) => lower(toCol(new Conv(toExpr(x.cast("string")), toExpr(lit(10)), toExpr(r)))) },
-    "truncate" -> { case Seq(x) => (signum(x) * floor(abs(x))).cast("double") },
+    "truncate" -> {
+      case Seq(x) => (signum(x) * floor(abs(x))).cast("double")
+      case Seq(x, n) =>   // truncate toward zero at n decimal places
+        val scale = pow(lit(10.0), n)
+        (signum(x) * floor(abs(x) * scale) / scale).cast("double") },
     "is_nan" -> { case Seq(x) => isnan(x) },
     "is_infinite" -> { case Seq(x) => abs(x) === lit(Double.PositiveInfinity) },
     "is_finite" -> { case Seq(x) => !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity) },
@@ -73,15 +87,40 @@ object Rewrites {
     "bitwise_or" -> { case Seq(a, b) => a.bitwiseOR(b) },
     "bitwise_xor" -> { case Seq(a, b) => a.bitwiseXOR(b) },
     "bitwise_not" -> { case Seq(a) => toCol(org.apache.spark.sql.catalyst.expressions.BitwiseNot(toExpr(a))) },
-    // cosine similarity over array<numeric> (MathFunctions.java has the
-    // sparse-map variant; dense arrays are the LLM-pipeline shape). Zero
-    // vectors yield NULL (0/0) rather than an error.
+    // bit_count(x, bits): population count of the low `bits` of the two's
+    // complement representation (BitwiseFunctions.java); 1-arg delegates
+    // to the 64-bit builtin (same-name override → direct expression)
+    "bit_count" -> {
+      case Seq(x) => toCol(org.apache.spark.sql.catalyst.expressions.BitwiseCount(toExpr(x)))
+      case Seq(x, bits) =>
+        val mask = when(bits === 64, lit(-1L))
+          .otherwise(call_function("shiftleft", lit(1L), bits.cast("int")) - 1L)
+        toCol(org.apache.spark.sql.catalyst.expressions.BitwiseCount(
+          toExpr(x.cast("bigint").bitwiseAND(mask)))) },
+    // cosine similarity: dense array<numeric> (the LLM-pipeline shape) or
+    // the reference's sparse map<k,double> form (MathFunctions.java
+    // cosine_similarity), dispatched on resolved input type. Zero vectors
+    // yield NULL (0/0) rather than an error.
     "cosine_similarity" -> { case Seq(a, b) =>
-      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      dot / nullif(na * nb, lit(0.0)) },
+      def norm(v: Column) =
+        sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      if (toExpr(a).dataType.isInstanceOf[org.apache.spark.sql.types.MapType]) {
+        val dot = aggregate(map_keys(a), lit(0.0),
+          (acc, k0) => acc + coalesce(element_at(a, k0), lit(0.0)) * coalesce(element_at(b, k0), lit(0.0)))
+        dot / nullif(norm(map_values(a)) * norm(map_values(b)), lit(0.0))
+      } else {
+        val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        dot / nullif(norm(a) * norm(b), lit(0.0))
+      } },
+    // width_bucket array-of-bins variant (MathFunctions.java 2-arg form):
+    // index = number of bin boundaries ≤ x; 4-arg form is the builtin
+    // (same-name override → direct expression)
+    "width_bucket" -> {
+      case Seq(x, bins) => size(filter(bins, b => b <= x)).cast("bigint")
+      case Seq(x, lo, hi, n) =>
+        toCol(org.apache.spark.sql.catalyst.expressions.WidthBucket(
+          toExpr(x), toExpr(lo), toExpr(hi), toExpr(n))) },
     // Wilson score interval (operator/scalar/WilsonInterval.java)
     "wilson_interval_lower" -> { case Seq(s, n, z) => wilson(s, n, z, lower = true) },
     "wilson_interval_upper" -> { case Seq(s, n, z) => wilson(s, n, z, lower = false) },
@@ -182,6 +221,14 @@ object Rewrites {
       transform(sequence(lit(1), greatest(size(a) - n + lit(1), lit(1))),
         i => slice(a, i, n)) },
     "zip" -> { case cols if cols.size >= 2 => arrays_zip(cols: _*) },
+    // multimap_from_entries(array<struct<k,v>>) keeps every value per key
+    // (MultimapFromEntriesFunction.java)
+    "multimap_from_entries" -> { case Seq(entries) =>
+      val keys = array_distinct(transform(entries, e => e.getField("key")))
+      map_from_arrays(keys,
+        transform(keys, k0 =>
+          transform(filter(entries, e => e.getField("key") === k0),
+            e => e.getField("value")))) },
     "array_ngrams" -> { case Seq(a, n) =>
       transform(sequence(lit(1), greatest(size(a) - n + lit(1), lit(1))),
         i => slice(a, i, n)) },
@@ -193,6 +240,14 @@ object Rewrites {
       toCol(GetJsonObject(toExpr(j), toExpr(concat(lit("$["), i.cast("string"), lit("]"))))) },
     "json_parse" -> { case Seq(s) => s },   // JSON type == string in this engine
     "json_format" -> { case Seq(j) => j },
+    "json_size" -> { case Seq(j, p) =>
+      val sub = toCol(GetJsonObject(toExpr(j), toExpr(p)))
+      when(sub.startsWith("["), json_array_length(sub))
+        .when(sub.startsWith("{"), size(json_object_keys(sub)))
+        .otherwise(when(sub.isNotNull, lit(0))) },
+    "is_json_scalar" -> { case Seq(j) =>
+      val t = trim(j)
+      t.isNotNull && !t.startsWith("[") && !t.startsWith("{") },
 
     // ---------- URL (operator/scalar/UrlFunctions.java) ----------
     "url_extract_protocol" -> { case Seq(u) => parse_url(u, lit("PROTOCOL")) },

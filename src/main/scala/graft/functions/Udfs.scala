@@ -52,6 +52,73 @@ object Udfs {
   /** IEEE-754 big-endian encodings — VarbinaryFunctions.java
     * to_ieee754_64/from_ieee754_64 (and 32-bit variants).
     */
+  /** Big-endian int64 codecs — VarbinaryFunctions.java
+    * to_big_endian_64/from_big_endian_64 (+32-bit variants).
+    */
+  private def toBigEndian64(x: java.lang.Long): Array[Byte] =
+    if (x == null) null
+    else java.nio.ByteBuffer.allocate(8).putLong(x).array()
+  private def fromBigEndian64(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else java.nio.ByteBuffer.wrap(b).getLong
+  private def toBigEndian32(x: java.lang.Integer): Array[Byte] =
+    if (x == null) null
+    else java.nio.ByteBuffer.allocate(4).putInt(x).array()
+  private def fromBigEndian32(b: Array[Byte]): java.lang.Integer =
+    if (b == null) null
+    else java.nio.ByteBuffer.wrap(b).getInt
+
+  /** Standard-normal CDF via erf (Abramowitz & Stegun 7.1.26-class
+    * approximation through java's tanh-free erf series is not in stdlib;
+    * use the complementary-error continued expansion below, |err| < 1e-12
+    * — reference: MathFunctions.java normal_cdf/inverse_normal_cdf.
+    */
+  private def erf(x: Double): Double = {
+    // Numerical Recipes erfc with Chebyshev fitting, |relative err| ~ 1.2e-7;
+    // adequate for CDF work and monotone
+    val z = math.abs(x)
+    val t = 1.0 / (1.0 + 0.5 * z)
+    val ans = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 + t * (0.37409196 +
+      t * (0.09678418 + t * (-0.18628806 + t * (0.27886807 + t * (-1.13520398 +
+      t * (1.48851587 + t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0) 1.0 - ans else ans - 1.0
+  }
+
+  private def normalCdf(mean: Double, sd: Double, x: Double): Double =
+    0.5 * (1.0 + erf((x - mean) / (sd * math.sqrt(2.0))))
+
+  /** Acklam's rational approximation for the probit function,
+    * |relative err| < 1.15e-9 (the standard public algorithm).
+    */
+  private def inverseNormalCdf(mean: Double, sd: Double, p: Double): Double = {
+    require(p > 0 && p < 1, "inverse_normal_cdf: p must be in (0, 1)")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+      1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+      6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+      -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+      3.754408661907416e+00)
+    val pLow = 0.02425
+    val z =
+      if (p < pLow) {
+        val q = math.sqrt(-2 * math.log(p))
+        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+      } else if (p <= 1 - pLow) {
+        val q = p - 0.5
+        val r = q * q
+        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+      } else {
+        val q = math.sqrt(-2 * math.log(1 - p))
+        -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+      }
+    mean + sd * z
+  }
+
   private def toIeee754_64(x: java.lang.Double): Array[Byte] =
     if (x == null) null
     else java.nio.ByteBuffer.allocate(8).putLong(java.lang.Double.doubleToLongBits(x)).array()
@@ -74,6 +141,12 @@ object Udfs {
     spark.udf.register("hmac_sha1", hmac("HmacSHA1") _)
     spark.udf.register("hmac_sha256", hmac("HmacSHA256") _)
     spark.udf.register("hmac_sha512", hmac("HmacSHA512") _)
+    spark.udf.register("to_big_endian_64", toBigEndian64 _)
+    spark.udf.register("from_big_endian_64", fromBigEndian64 _)
+    spark.udf.register("to_big_endian_32", toBigEndian32 _)
+    spark.udf.register("from_big_endian_32", fromBigEndian32 _)
+    spark.udf.register("normal_cdf", normalCdf _)
+    spark.udf.register("inverse_normal_cdf", inverseNormalCdf _)
     spark.udf.register("to_ieee754_64", toIeee754_64 _)
     spark.udf.register("from_ieee754_64", fromIeee754_64 _)
     spark.udf.register("to_ieee754_32", toIeee754_32 _)

@@ -183,6 +183,58 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.size <= 10 && math.abs(m2.values.sum - 1000.0) < 1e-6)
   }
 
+  test("hex/base64/big-endian codecs") {
+    assert(one("to_hex(to_utf8('abc'))") == "616263")
+    assert(one("CAST(from_hex('616263') AS STRING)") == "abc")
+    assert(one("to_base64url(to_utf8('ab?de>f'))") ==
+      one("translate(base64(to_utf8('ab?de>f')), '+/', '-_')"))
+    assert(one("CAST(from_base64url(to_base64url(to_utf8('hello'))) AS STRING)") == "hello")
+    assert(one("from_big_endian_64(to_big_endian_64(123456789))") == 123456789L)
+    assert(one("lower(hex(to_big_endian_64(1)))") == "0000000000000001")
+  }
+
+  test("regexp_split and truncate(x, n)") {
+    assert(one("size(regexp_split('a1b22c333d', '[0-9]+'))") == 4)
+    assert(one("truncate(3.789, 1)") == 3.7)
+    assert(one("truncate(-3.789, 2)") == -3.78)
+    assert(one("truncate(3.789)") == 3.0)
+  }
+
+  test("bit_count variants and width_bucket bins") {
+    assert(one("bit_count(7)") == 3)
+    assert(one("bit_count(-1, 8)") == 8L)   // low 8 bits of two's complement
+    assert(one("bit_count(255, 4)") == 4L)
+    assert(one("width_bucket(3.5, array(1.0, 2.0, 3.0, 4.0))") == 3L)
+    assert(one("width_bucket(0.5, array(1.0, 2.0))") == 0L)
+    assert(one("width_bucket(25.0, 0.0, 100.0, 10)") == 3L)
+  }
+
+  test("cosine_similarity sparse map form") {
+    val simD = one("cosine_similarity(map('a', 1.0, 'b', 2.0), map('a', 1.0, 'b', 2.0))")
+      .asInstanceOf[Double]
+    assert(math.abs(simD - 1.0) < 1e-12)
+    assert(one("cosine_similarity(map('a', 1.0), map('b', 1.0))") == 0.0)
+  }
+
+  test("normal cdf round trip") {
+    val p = one("normal_cdf(0.0, 1.0, 1.96)").asInstanceOf[Double]
+    assert(math.abs(p - 0.975) < 1e-3)
+    val x = one("inverse_normal_cdf(0.0, 1.0, 0.975)").asInstanceOf[Double]
+    assert(math.abs(x - 1.959964) < 1e-4)
+    val mid = one("normal_cdf(10.0, 2.0, 10.0)").asInstanceOf[Double]
+    assert(math.abs(mid - 0.5) < 1e-7)   // erf approximation |err| ~ 1.2e-7
+  }
+
+  test("multimap_from_entries and json helpers") {
+    val mm = one("multimap_from_entries(array(struct('a' AS key, 1 AS value), " +
+      "struct('b' AS key, 2 AS value), struct('a' AS key, 3 AS value)))")
+      .asInstanceOf[Map[String, scala.collection.Seq[Int]]]
+    assert(mm("a") == Seq(1, 3) && mm("b") == Seq(2))
+    assert(one("json_size('{\"a\": [1,2,3]}', '$.a')") == 3)
+    assert(one("is_json_scalar('42')") == true)
+    assert(one("is_json_scalar('[1,2]')") == false)
+  }
+
   test("ngrams") {
     val got = one("ngrams(array('a','b','c','d'), 2)")
       .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
