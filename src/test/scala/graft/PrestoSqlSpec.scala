@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Dialect-shim spec: Presto-surface SQL texts run unmodified through
+  * PrestoSql.sql against the graft registry.
+  */
+class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.ensure(spark, "/root/testdata/sf0.001")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("double-quoted identifiers") {
+    assert(PrestoSql.translate("SELECT \"n_name\" FROM nation")
+      == "SELECT `n_name` FROM nation")
+    assert(PrestoSql.translate("SELECT \"weird \"\"col\"\"\" FROM t")
+      == "SELECT `weird \"col\"` FROM t")
+    val rows = PrestoSql.sql(spark,
+      "SELECT \"n_name\" FROM nation WHERE \"n_nationkey\" = 3").collect()
+    assert(rows.length == 1)
+  }
+
+  test("string literals are never rewritten") {
+    assert(PrestoSql.translate("SELECT 'he said \"hi\"' AS s")
+      == "SELECT 'he said \"hi\"' AS s")
+    assert(PrestoSql.translate("SELECT 'it''s' AS s") == "SELECT 'it''s' AS s")
+    assert(PrestoSql.sql(spark, "SELECT 'day' AS s").collect()(0).getString(0) == "day")
+  }
+
+  test("quoted datetime units unquote only inside unit functions") {
+    assert(PrestoSql.translate("SELECT date_add('day', 1, ts) FROM t")
+      == "SELECT date_add(DAY, 1, ts) FROM t")
+    assert(PrestoSql.translate("SELECT date_diff('hour', a, b) FROM t")
+      == "SELECT date_diff(HOUR, a, b) FROM t")
+    // 'day' elsewhere stays a string
+    assert(PrestoSql.translate("SELECT concat('day', x) FROM t")
+      == "SELECT concat('day', x) FROM t")
+    val d = PrestoSql.sql(spark,
+      "SELECT date_add('day', 30, TIMESTAMP '2024-01-01 00:00:00') AS due")
+      .collect()(0).getTimestamp(0)
+    assert(d.toString.startsWith("2024-01-31"))
+  }
+
+  test("FETCH FIRST n ROWS ONLY becomes LIMIT") {
+    val rows = PrestoSql.sql(spark,
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey FETCH FIRST 5 ROWS ONLY")
+      .collect()
+    assert(rows.length == 5)
+    intercept[IllegalArgumentException](
+      PrestoSql.translate("SELECT x FROM t FETCH FIRST 5 ROWS WITH TIES"))
+  }
+
+  test("a realistic reference-dialect query end to end") {
+    val df = PrestoSql.sql(spark,
+      "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
+        "  approx_distinct(\"o_custkey\") AS nc\n" +
+        "FROM orders\n" +
+        "WHERE \"o_orderdate\" >= date_add('day', -36500, TIMESTAMP '2024-01-01 00:00:00')\n" +
+        "GROUP BY \"o_orderpriority\"\n" +
+        "ORDER BY \"o_orderpriority\"\n" +
+        "FETCH FIRST 3 ROWS ONLY")
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(1) > 0))
+  }
+}
