@@ -177,8 +177,15 @@ object Rewrites {
     // ---------- sketch aggregates (SURVEY.md §7.3; HLL value type is
     //            BinaryType — see graft.functions.sketches.Hll) ----------
     "approx_set" -> { case Seq(x) => toCol(ApproxSetAgg(toExpr(x)).toAggregateExpression()) },
-    "merge" -> { case Seq(x) => toCol(HllUnionAgg(toExpr(x)).toAggregateExpression()) },
+    // merge() unions HLL or qdigest sketches, dispatching per blob
+    "merge" -> { case Seq(x) => toCol(SketchUnionAgg(toExpr(x)).toAggregateExpression()) },
     "empty_approx_set" -> { case Seq() => lit(Hll.empty()) },
+    // qdigest family (QuantileDigestAggregationFunction.java,
+    // scalar/QuantileDigestFunctions.java)
+    "qdigest_agg" -> { case Seq(x) => toCol(QDigestAgg(toExpr(x)).toAggregateExpression()) },
+    "value_at_quantile" -> { case Seq(d, q) => toCol(ValueAtQuantile(toExpr(d), toExpr(q))) },
+    "values_at_quantiles" -> { case Seq(d, q) => toCol(ValuesAtQuantiles(toExpr(d), toExpr(q))) },
+    "quantile_at_value" -> { case Seq(d, v) => toCol(QuantileAtValue(toExpr(d), toExpr(v))) },
     // histogram / map aggregates (operator/aggregation/histogram/, Map*.java)
     "histogram" -> { case Seq(x) => toCol(HistogramAgg(toExpr(x)).toAggregateExpression()) },
     "map_agg" -> { case Seq(k, v) => toCol(MapAggAgg(toExpr(k), toExpr(v)).toAggregateExpression()) },

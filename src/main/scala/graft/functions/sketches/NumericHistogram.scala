@@ -75,7 +75,7 @@ case class NumericHistogramAgg(
 
   override def update(buffer: mutable.ArrayBuffer[(Double, Double)], input: InternalRow): mutable.ArrayBuffer[(Double, Double)] = {
     val v = child.eval(input)
-    if (v != null) insert(buffer, v.asInstanceOf[Number].doubleValue(), 1.0)
+    if (v != null) insert(buffer, graft.functions.sketches.QDigest.toDouble(v), 1.0)
     buffer
   }
 

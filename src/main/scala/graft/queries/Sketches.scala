@@ -128,6 +128,29 @@ object Sketches {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
 
+    // qdigest quantile sketches — estimates are engine-specific (sketch
+    // bytes differ per engine by design); accuracy bounds proven in
+    // SketchesSpec, rows-only check here (QuantileDigestAggregationFunction
+    // .java / scalar/QuantileDigestFunctions.java).
+    "sketch_qdigest_quantiles" -> Q.noOracle() { (s, dir) =>
+      s.sql(
+        """SELECT l_returnflag,
+          |  ROUND(value_at_quantile(qdigest_agg(l_extendedprice), 0.5), 2) AS median_price,
+          |  ROUND(value_at_quantile(qdigest_agg(l_extendedprice), 0.99), 2) AS p99_price,
+          |  ROUND(quantile_at_value(qdigest_agg(l_extendedprice), 30000.0), 4) AS frac_below_30k
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
+    },
+
+    // Two-level qdigest rollup through merge() — per-group sketches
+    // re-aggregated without rescanning, the same scale pattern as HLL.
+    "sketch_qdigest_merge" -> Q.noOracle() { (s, dir) =>
+      s.sql(
+        """SELECT ROUND(value_at_quantile(merge(s), 0.5), 2) AS global_median
+          |FROM (SELECT l_returnflag, qdigest_agg(l_quantity) AS s
+          |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+    },
+
     // checksum — DuckDB has no xxhash64; cross-partitioning invariance is
     // asserted in SketchesSpec, the driver records rows-only here
     // (ChecksumAggregationFunction.java is Presto's own verifier primitive).

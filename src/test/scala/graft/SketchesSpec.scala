@@ -102,6 +102,39 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bottom == Seq(0L, 1L, 2L))
   }
 
+  test("qdigest quantiles within tolerance on uniform data") {
+    val med = one("SELECT value_at_quantile(qdigest_agg(CAST(id AS DOUBLE)), 0.5) FROM r100k")
+      .asInstanceOf[Double]
+    assert(math.abs(med - 50000.0) < 2500, s"median $med")
+    val p99 = one("SELECT value_at_quantile(qdigest_agg(CAST(id AS DOUBLE)), 0.99) FROM r100k")
+      .asInstanceOf[Double]
+    assert(math.abs(p99 - 99000.0) < 2500, s"p99 $p99")
+    val qv = one("SELECT quantile_at_value(qdigest_agg(CAST(id AS DOUBLE)), 25000.0) FROM r100k")
+      .asInstanceOf[Double]
+    assert(math.abs(qv - 0.25) < 0.03, s"quantile_at_value $qv")
+    val multi = one("SELECT values_at_quantiles(qdigest_agg(CAST(id AS DOUBLE)), array(0.1, 0.9)) FROM r100k")
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(multi.length == 2 && multi(0) < multi(1))
+  }
+
+  test("qdigest two-level merge approximates direct sketch") {
+    val direct = one("SELECT value_at_quantile(qdigest_agg(CAST(id AS DOUBLE)), 0.5) FROM r100k")
+      .asInstanceOf[Double]
+    val merged = one(
+      """SELECT value_at_quantile(merge(s), 0.5) FROM
+        |  (SELECT id % 7 AS g, qdigest_agg(CAST(id AS DOUBLE)) AS s FROM r100k GROUP BY id % 7)""".stripMargin)
+      .asInstanceOf[Double]
+    assert(math.abs(direct - merged) < 5000, s"direct $direct merged $merged")
+  }
+
+  test("merge still unions hll sketches after qdigest generalization") {
+    val merged = one(
+      """SELECT cardinality(merge(s)) FROM
+        |  (SELECT id % 5 AS g, approx_set(id % 777) AS s FROM r100k GROUP BY id % 5)""".stripMargin)
+      .asInstanceOf[Long]
+    assert(math.abs(merged - 777L) <= 16)
+  }
+
   test("reduce_agg folds with user lambda") {
     assert(one("SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) " +
       "FROM (SELECT id FROM r100k WHERE id < 100)") == 4950L)
