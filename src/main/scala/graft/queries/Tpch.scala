@@ -141,6 +141,29 @@ object Tpch {
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST, l_year ASC NULLS LAST""".stripMargin),
 
+    // ---- Q8-ish: national market share -----------------------------------
+    "tpch_q08_market_share" -> Q.sqlSame(
+      """SELECT o_year,
+        |  ROUND(
+        |    CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE), 9) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |) all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year ASC NULLS LAST""".stripMargin),
+
     // ---- Q9-ish: profit by nation and year -------------------------------
     "tpch_q09_product_profit" -> Q.sqlSame(
       """SELECT nation, o_year,
@@ -184,6 +207,18 @@ object Tpch {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // ---- Q13: customer order-count distribution (outer join + nested agg)
+    "tpch_q13_customer_distribution" -> Q.sqlSame(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin),
 
     // ---- Q14-ish: promo revenue share (conditional agg over join) --------
     "tpch_q14_promo_revenue" -> Q.sqlSame(
