@@ -199,14 +199,17 @@ object Rewrites {
     // 2-arg forms emit the catalyst builtins directly (same-name override)
     "min_by" -> {
       case Seq(x, y) => toCol(MinBy(toExpr(x), toExpr(y)).toAggregateExpression())
-      case Seq(x, y, n) =>
-        slice(transform(array_sort(collect_list(struct(y.as("k"), x.as("v")))),
-          s => s.getField("v")), lit(1), n) },
+      case Seq(x, y, n) => toCol(MinMaxByNAgg(toExpr(x), toExpr(y), toExpr(n),
+        isMax = false).toAggregateExpression()) },
     "max_by" -> {
       case Seq(x, y) => toCol(MaxBy(toExpr(x), toExpr(y)).toAggregateExpression())
-      case Seq(x, y, n) =>
-        slice(transform(reverse(array_sort(collect_list(struct(y.as("k"), x.as("v"))))),
-          s => s.getField("v")), lit(1), n) },
+      case Seq(x, y, n) => toCol(MinMaxByNAgg(toExpr(x), toExpr(y), toExpr(n),
+        isMax = true).toAggregateExpression()) },
+    // array_agg keeps NULL elements (arrayagg/ArrayAggregationFunction
+    // .java) where Spark's collect_list/array_agg drop them: collect
+    // non-null struct wrappers, then unwrap
+    "array_agg" -> { case Seq(x) =>
+      transform(collect_list(struct(x.as("v"))), s => s.getField("v")) },
     // numeric_histogram(buckets, x) (NumericHistogram.java — Ben-Haim &
     // Tom-Tov streaming histogram)
     "numeric_histogram" -> { case Seq(b, x) =>

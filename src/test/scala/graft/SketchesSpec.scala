@@ -100,6 +100,17 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bottom = one("SELECT min_by(id, id, 3) FROM r100k")
       .asInstanceOf[scala.collection.Seq[Long]]
     assert(bottom == Seq(0L, 1L, 2L))
+    // bounded-heap state survives shuffle merge and strings order correctly
+    val names = one("SELECT max_by(CAST(id AS STRING), id, 3) FROM " +
+      "(SELECT id FROM r100k DISTRIBUTE BY id % 13)")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(names == Seq("99999", "99998", "99997"))
+  }
+
+  test("array_agg keeps nulls") {
+    val got = one("SELECT array_agg(NULLIF(id % 3, 1)) FROM (SELECT id FROM r100k WHERE id < 5)")
+      .asInstanceOf[scala.collection.Seq[Any]]
+    assert(got.size == 5 && got.count(_ == null) == 2)
   }
 
   test("qdigest quantiles within tolerance on uniform data") {
