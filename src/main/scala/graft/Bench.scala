@@ -36,7 +36,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    run(names.head)  // prewarm: JVM + codegen + parquet footer caches
+    names.foreach(run)  // prewarm pass: JVM, codegen, parquet footer caches
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -43,6 +43,26 @@ object Engine {
     functions.GraftFunctions.register(spark)
     spark
   }
+
+  /** Persist a DataFrame as a bucketed+sorted catalog table. Joins and
+    * aggregations between tables bucketed on the same keys with the same
+    * bucket count read co-located and skip the shuffle entirely — the
+    * 100 TB answer for repeated fact-fact joins (the reference's analog is
+    * grouped "lifespan" execution over hive buckets,
+    * operator/StageExecutionDescriptor.java). Verified by plan shape in
+    * DdlSpec ("bucketed join elides shuffle").
+    */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 }
 
 /** Test-data catalog: registers the driver-generated parquet tables as temp

@@ -85,6 +85,28 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.rowCount.exists(_.toLong == nCustomers))
   }
 
+  test("bucketed join elides shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Engine.writeBucketed(spark.table("orders"), "b_orders", 4, Seq("o_orderkey"))
+    Engine.writeBucketed(
+      spark.table("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", 4, Seq("o_orderkey"))
+    // co-located bucketed sides: sort-merge join without exchanges
+    val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == spark.table("lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("SET session properties round-trip") {
     spark.sql("SET spark.sql.shuffle.partitions=7")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
