@@ -63,6 +63,27 @@ object Engine {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Skew-salted equi-join: the fact side's hot keys are spread across
+    * `saltFactor` sub-partitions by a *deterministic* salt (hash of a
+    * discriminator column — not rand(), so retried tasks and re-runs
+    * produce identical plans), and the dim side is replicated once per
+    * salt. Use when a handful of keys dwarf the rest and AQE's skew-join
+    * splitting isn't available (e.g. the dim side is too big to broadcast
+    * but small enough to replicate saltFactor times).
+    */
+  def saltedJoin(
+      fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      key: String,
+      saltFactor: Int,
+      saltBy: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val saltedFact = fact.withColumn("__salt", pmod(xxhash64(saltBy), lit(saltFactor.toLong)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }
 
 /** Test-data catalog: registers the driver-generated parquet tables as temp

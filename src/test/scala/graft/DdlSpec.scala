@@ -107,6 +107,17 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("salted join equals plain join and spreads hot keys") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.table("lineitem")
+    val dim = spark.table("orders").select("o_orderkey", "o_orderpriority")
+    val plain = fact.join(dim, fact("l_orderkey") === dim("o_orderkey")).count()
+    val salted = Engine.saltedJoin(
+      fact.withColumnRenamed("l_orderkey", "o_orderkey"), dim,
+      "o_orderkey", saltFactor = 8, saltBy = col("l_linenumber")).count()
+    assert(salted == plain)
+  }
+
   test("SET session properties round-trip") {
     spark.sql("SET spark.sql.shuffle.partitions=7")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
