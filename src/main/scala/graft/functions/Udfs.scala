@@ -119,6 +119,79 @@ object Udfs {
     mean + sd * z
   }
 
+  /** Regularized incomplete beta I_x(a,b) by Lentz continued fraction
+    * (Numerical Recipes betacf/betai — the standard public algorithm);
+    * powers beta_cdf / inverse_beta_cdf (MathFunctions.java).
+    */
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val MaxIt = 200; val Eps = 3e-12; val FpMin = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < FpMin) d = FpMin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= MaxIt) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < Eps) return h
+      m += 1
+    }
+    h
+  }
+
+  private def lnGamma(x: Double): Double = {
+    // Lanczos approximation (g=7, n=9), |err| < 1e-13
+    val g = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5) math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = g(0)
+      var i = 1
+      while (i < 9) { a += g(i) / (z + i); i += 1 }
+      val t = z + 7.5
+      0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  private def regIncompleteBeta(a: Double, b: Double, x: Double): Double = {
+    require(a > 0 && b > 0, "beta_cdf: shape parameters must be positive")
+    require(x >= 0 && x <= 1, "beta_cdf: value must be in [0, 1]")
+    if (x == 0.0 || x == 1.0) x
+    else {
+      val bt = math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b) +
+        a * math.log(x) + b * math.log(1.0 - x))
+      if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(a, b, x) / a
+      else 1.0 - bt * betacf(b, a, 1.0 - x) / b
+    }
+  }
+
+  private def inverseBetaCdf(a: Double, b: Double, p: Double): Double = {
+    require(p >= 0 && p <= 1, "inverse_beta_cdf: p must be in [0, 1]")
+    // monotone bisection — 80 iterations gives ~1e-24 interval width
+    var lo = 0.0; var hi = 1.0
+    var i = 0
+    while (i < 80) {
+      val mid = (lo + hi) / 2
+      if (regIncompleteBeta(a, b, mid) < p) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
   private def toIeee754_64(x: java.lang.Double): Array[Byte] =
     if (x == null) null
     else java.nio.ByteBuffer.allocate(8).putLong(java.lang.Double.doubleToLongBits(x)).array()
@@ -147,6 +220,8 @@ object Udfs {
     spark.udf.register("from_big_endian_32", fromBigEndian32 _)
     spark.udf.register("normal_cdf", normalCdf _)
     spark.udf.register("inverse_normal_cdf", inverseNormalCdf _)
+    spark.udf.register("beta_cdf", (a: Double, b: Double, x: Double) => regIncompleteBeta(a, b, x))
+    spark.udf.register("inverse_beta_cdf", inverseBetaCdf _)
     spark.udf.register("to_ieee754_64", toIeee754_64 _)
     spark.udf.register("from_ieee754_64", fromIeee754_64 _)
     spark.udf.register("to_ieee754_32", toIeee754_32 _)

@@ -229,6 +229,22 @@ object Llm {
         .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
     },
 
+    // ---- end-to-end corpus cleaning: quality filter → near-dup removal →
+    //      kept docs with metrics. The composition a real training-data
+    //      job runs; invariants (kept ⊆ input, no surviving near-dup pair,
+    //      quality floor) are asserted in LlmSpec ----
+    "llm_pipeline_clean_corpus" -> Q.noOracle() { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val qualified = d.filter(TextOps.qualityScore(col("text")) >= 0.7)
+      val pairs = Dedup.minhashLsh(qualified, "doc_id",
+        TextOps.tokenSet(col("text")), k = 32, bands = 8, threshold = 0.95)
+      Dedup.dropDuplicates(qualified, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"),
+          TextOps.nTokens(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- multimodal plumbing (Multimodal.imageFeatures / audioFrames) —
     //      stub decoders; schema + distribution tested in LlmSpec ----
     "llm_multimodal_image" -> Q.noOracle() { (s, dir) =>

@@ -225,6 +225,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(mid - 0.5) < 1e-7)   // erf approximation |err| ~ 1.2e-7
   }
 
+  test("beta cdf known values") {
+    // Beta(2,2): CDF(x) = 3x² − 2x³ (closed form)
+    val c = one("beta_cdf(2.0, 2.0, 0.3)").asInstanceOf[Double]
+    assert(math.abs(c - (3 * 0.09 - 2 * 0.027)) < 1e-9)
+    // Beta(1,1) is uniform
+    assert(math.abs(one("beta_cdf(1.0, 1.0, 0.42)").asInstanceOf[Double] - 0.42) < 1e-9)
+    val inv = one("inverse_beta_cdf(2.0, 2.0, beta_cdf(2.0, 2.0, 0.3))").asInstanceOf[Double]
+    assert(math.abs(inv - 0.3) < 1e-9)
+  }
+
   test("multimap_from_entries and json helpers") {
     val mm = one("multimap_from_entries(array(struct('a' AS key, 1 AS value), " +
       "struct('b' AS key, 2 AS value), struct('a' AS key, 3 AS value)))")

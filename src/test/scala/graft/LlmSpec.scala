@@ -145,6 +145,24 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Int]("sample_rate") == 16000)
   }
 
+  test("clean-corpus pipeline invariants") {
+    val kept = Registry.all("llm_pipeline_clean_corpus").fn(spark, sfDir)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(allIds) && keptIds.nonEmpty)
+    // LSH recall is probabilistic (documented): on this corpus several
+    // hundred pairs sit at the threshold, so allow a ~1% residual rather
+    // than zero — the property is that dedup removed (nearly) all of them
+    val survivors = docs.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    val residual = Dedup.jaccardPairs(survivors, "doc_id", TextOps.tokenSet(col("text")), 0.95)
+      .count()
+    val before = Dedup.jaccardPairs(docs, "doc_id", TextOps.tokenSet(col("text")), 0.95).count()
+    assert(residual <= math.max(2L, before / 100),
+      s"$residual of $before near-dup pairs survived the pipeline")
+    // quality floor holds
+    assert(kept.filter(col("quality") < 0.7).count() == 0)
+  }
+
   test("language id picks a deterministic argmax with und fallback") {
     val sp = spark; import sp.implicits._
     val d = Seq(
