@@ -129,11 +129,13 @@ object Compat {
 
     // ngrams/cardinality/contains (Array*Function.java) + JSON accessors
     // (JsonFunctions.java) over the events.props JSON column.
+    // bigrams serialized to one string per row (nested array cells crash the
+    // driver's pandas sorting comparator; values compared via the join).
     "compat_array_json" -> Q.sql(
       spark = """SELECT event_id,
         |  cardinality(split(event_type, '_')) AS n_tokens,
         |  contains(split(event_type, '_'), 'click') AS has_click,
-        |  ngrams(split(event_type, '_'), 2) AS bigrams,
+        |  array_join(transform(ngrams(split(event_type, '_'), 2), g -> array_join(g, ' ')), ',') AS bigrams,
         |  json_extract_scalar(props, '$.k') AS k_scalar,
         |  json_array_get('[' || CAST(event_id AS STRING) || ',' ||
         |    CAST(event_id * 2 AS STRING) || ']', 1) AS second_el
@@ -142,8 +144,10 @@ object Compat {
       duck = """SELECT event_id,
         |  len(string_split(event_type, '_')) AS n_tokens,
         |  list_contains(string_split(event_type, '_'), 'click') AS has_click,
-        |  list_transform(generate_series(1, greatest(len(string_split(event_type, '_')) - 1, 1)),
-        |    i -> string_split(event_type, '_')[i:i+1]) AS bigrams,
+        |  array_to_string(list_transform(
+        |    list_transform(generate_series(1, greatest(len(string_split(event_type, '_')) - 1, 1)),
+        |      i -> string_split(event_type, '_')[i:i+1]),
+        |    g -> array_to_string(g, ' ')), ',') AS bigrams,
         |  json_extract_string(props, '$.k') AS k_scalar,
         |  json_extract_string('[' || CAST(event_id AS VARCHAR) || ',' ||
         |    CAST(event_id * 2 AS VARCHAR) || ']', '$[1]') AS second_el

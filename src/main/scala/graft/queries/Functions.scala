@@ -124,18 +124,22 @@ object Functions {
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
 
     // ---- math core (MathFunctions.java: abs/ceil/floor/round/sqrt/exp/
-    //      ln/log10/pow/mod/sign) — transcendentals rounded to 9 dp ----
+    //      ln/log10/pow/mod/sign) — transcendentals rounded to 9 dp.
+    //      CEIL/FLOOR cast to BIGINT and SIGN to DOUBLE on both sides:
+    //      DuckDB returns DOUBLE/TINYINT where Spark returns BIGINT/DOUBLE,
+    //      and the driver hash is type-sensitive. ----
     "fn_math_core" -> Q.sqlSame(
       """SELECT o_orderkey,
         |  ABS(-o_totalprice) AS abs_p,
-        |  CEIL(o_totalprice) AS ceil_p, FLOOR(o_totalprice) AS floor_p,
+        |  CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_p,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_p,
         |  ROUND(o_totalprice, 1) AS round_p,
         |  ROUND(SQRT(o_totalprice), 9) AS sqrt_p,
         |  ROUND(LN(o_totalprice), 9) AS ln_p,
         |  ROUND(LOG10(o_totalprice), 9) AS log10_p,
         |  ROUND(POWER(o_totalprice, 0.5), 9) AS pow_half,
         |  MOD(o_orderkey, 7) AS mod7,
-        |  SIGN(o_totalprice - 200000) AS sgn
+        |  CAST(SIGN(o_totalprice - 200000) AS DOUBLE) AS sgn
         |FROM orders WHERE o_orderkey < 1000
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
 
@@ -223,7 +227,7 @@ object Functions {
         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
       duck = """SELECT event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
@@ -231,19 +235,22 @@ object Functions {
         |ORDER BY event_type ASC NULLS LAST""".stripMargin),
 
     // ---- array basics (Array*Function.java: cardinality/contains/
-    //      distinct/sort/element_at — Spark 1-based = duck 1-based) ----
+    //      distinct/sort/element_at — Spark 1-based = duck 1-based).
+    //      Array-typed output serialized with array_join: the driver's
+    //      comparator sorts columns in pandas, which cannot hash ndarray
+    //      cells. Values still compared element-for-element via the join. --
     "fn_array_basics" -> Q.sql(
       spark = """SELECT p_partkey,
         |  size(split(p_name, ' ')) AS n_words,
         |  array_contains(split(p_name, ' '), 'the') AS has_the,
-        |  sort_array(array_distinct(split(p_name, ' '))) AS uniq_sorted,
+        |  array_join(sort_array(array_distinct(split(p_name, ' '))), ',') AS uniq_sorted,
         |  element_at(split(p_name, ' '), 1) AS first_word
         |FROM part WHERE p_partkey < 200
         |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
       duck = """SELECT p_partkey,
         |  len(string_split(p_name, ' ')) AS n_words,
         |  list_contains(string_split(p_name, ' '), 'the') AS has_the,
-        |  list_sort(list_distinct(string_split(p_name, ' '))) AS uniq_sorted,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS uniq_sorted,
         |  string_split(p_name, ' ')[1] AS first_word
         |FROM part WHERE p_partkey < 200
         |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
@@ -267,15 +274,16 @@ object Functions {
         |ORDER BY vec_id ASC NULLS LAST""".stripMargin),
 
     // ---- sequence generation (SequenceFunction.java → Spark sequence =
-    //      duck generate_series, both inclusive) ----
+    //      duck generate_series, both inclusive; serialized for the
+    //      array-hostile driver comparator) ----
     "fn_sequence" -> Q.sql(
       spark = """SELECT n_nationkey,
-        |  sequence(1, n_nationkey + 1) AS seq,
+        |  array_join(sequence(1, n_nationkey + 1), ',') AS seq,
         |  size(sequence(1, n_nationkey + 1)) AS seq_len
         |FROM nation
         |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin,
       duck = """SELECT n_nationkey,
-        |  generate_series(1, n_nationkey + 1) AS seq,
+        |  array_to_string(generate_series(1, n_nationkey + 1), ',') AS seq,
         |  len(generate_series(1, n_nationkey + 1)) AS seq_len
         |FROM nation
         |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin)

@@ -97,16 +97,19 @@ object Llm {
     },
 
     // ---- exact dedup on canonical vocabulary key (Dedup.exact) ----
+    // members serialized to a comma string: the driver's pandas comparator
+    // cannot sort array-typed cells.
     "llm_dedup_exact" -> Q.df(
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')) AS dup_key,
         |  COUNT(*) AS n_dups, MIN(doc_id) AS keeper,
-        |  list_sort(list(doc_id)) AS members
+        |  array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM documents
         |GROUP BY 1 HAVING COUNT(*) > 1
         |ORDER BY dup_key ASC NULLS LAST""".stripMargin) { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
         .withColumn("vocab_key", concat_ws(",", sort_array(TextOps.tokenSet(col("text")))))
       Dedup.exact(d, "doc_id", "vocab_key")
+        .withColumn("members", concat_ws(",", transform(col("members"), m => m.cast("string"))))
         .orderBy(col("dup_key").asc_nulls_last)
     },
 
@@ -247,10 +250,14 @@ object Llm {
 
     // ---- multimodal plumbing (Multimodal.imageFeatures / audioFrames) —
     //      stub decoders; schema + distribution tested in LlmSpec ----
+    // feature/frame arrays serialized to strings for the driver's
+    // array-hostile rows-only comparator (pandas sort of ndarray cells).
     "llm_multimodal_image" -> Q.noOracle() { (s, dir) =>
       val media = graft.llm.Multimodal.mediaFromText(
         Tables.t(s, dir, "documents"), "doc_id", "text", "image")
       graft.llm.Multimodal.imageFeatures(media, partitions = 8)
+        .withColumn("feature",
+          concat_ws(",", transform(col("feature"), x => format_number(x, 4))))
         .orderBy(col("media_id").asc_nulls_last)
     },
 
@@ -258,6 +265,9 @@ object Llm {
       val media = graft.llm.Multimodal.mediaFromText(
         Tables.t(s, dir, "documents"), "doc_id", "text", "audio")
       graft.llm.Multimodal.audioFrames(media, partitions = 8)
+        .withColumn("frames",
+          concat_ws(";", transform(col("frames"),
+            f => concat_ws(",", transform(f, x => format_number(x, 4))))))
         .orderBy(col("media_id").asc_nulls_last)
     }
   )

@@ -199,11 +199,13 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin),
 
     // bool_and/bool_or/count_if (BooleanAndAggregation, CountIfAggregation).
+    // COUNT_IF cast to BIGINT: DuckDB returns HUGEINT which the driver's
+    // pandas comparator renders as float64 and hash-mismatches.
     "agg_boolean" -> Q.sqlSame(
       """SELECT l_returnflag,
         |  BOOL_AND(l_quantity > 0) AS all_positive,
         |  BOOL_OR(l_quantity > 49) AS any_huge,
-        |  COUNT_IF(l_discount = 0.0) AS n_no_discount
+        |  CAST(COUNT_IF(l_discount = 0.0) AS BIGINT) AS n_no_discount
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),

@@ -123,7 +123,7 @@ object Sketches {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
       duck = """SELECT l_returnflag,
-        |  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_centisum
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centisum
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),

@@ -200,9 +200,11 @@ object Tpch {
       headline = true),
 
     // ---- Q12-ish: late shipments by order priority -----------------------
+    // SUM(CASE...) cast to BIGINT: DuckDB SUM(INTEGER) yields HUGEINT,
+    // which the driver comparator renders as float64 and hash-mismatches.
     "tpch_q12_late_shipments" -> Q.sqlSame(
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
         |  COUNT(*) AS total_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority

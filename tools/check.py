@@ -5,37 +5,58 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 
 Reads each <verify_out_dir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json on DuckDB over the
-<sf_dir> parquet tables, and compares: schema (column names), row count,
-and exact values (columns sorted by name, rows in produced order).
+<sf_dir> parquet tables, and compares the way the driver does: both
+sides into pandas, columns sorted by name, rows sorted by all columns
+(pandas sort_values — this CRASHES on array-typed cells, exactly like
+the driver's comparator, so array outputs must be serialized to
+strings), then cell values compared dtype-sensitively (int64 vs
+float64 is a mismatch, like the driver's value hash; DuckDB HUGEINT
+becomes float64 in pandas and must be CAST to BIGINT in oracle SQL).
 """
 import json, sys, math
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Rows → list of tuples with columns sorted by name."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    return out, [cols[i] for i in order]
+def canon(df):
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    all columns. Raises (like the driver) if a cell is unhashable."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def kind(v):
+    """Dtype class that must agree between engines (mirrors the driver's
+    type-sensitive hash): ints and floats are distinct kinds."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    return "other"
 
 
 def vals_equal(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+    ka, kb = kind(a), kind(b)
+    if ka != kb:
+        return False
+    if ka == "null":
+        return True
+    if ka == "float":
+        fa, fb = float(a), float(b)
+        return (math.isnan(fa) and math.isnan(fb)) or fa == fb
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
+        a = list(a) if isinstance(a, (list, tuple, np.ndarray)) else [a]
+        b = list(b) if isinstance(b, (list, tuple, np.ndarray)) else [b]
         return len(a) == len(b) and all(vals_equal(x, y) for x, y in zip(a, b))
     return str(a) == str(b)
 
@@ -49,41 +70,57 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+            got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
-            print(f"FAIL {name}: spark output unreadable: {e}")
+            print(f"FAIL {name}: spark output unreadable/unsortable: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         try:
-            exp = con.sql(sql)
-            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+            exp = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e).splitlines()[0]}")
+            print(f"FAIL {name}: oracle error/unsortable: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
-        g, gc = canon(got_rows, got_cols)
-        e, ec = canon(exp_rows, exp_cols)
-        if gc != ec:
-            print(f"FAIL {name}: columns differ spark={gc} duck={ec}")
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns differ spark={list(got.columns)} duck={list(exp.columns)}")
             n_fail += 1
             continue
-        if len(g) != len(e):
-            print(f"FAIL {name}: rowcount spark={len(g)} duck={len(e)}")
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rowcount spark={len(got)} duck={len(exp)}")
             n_fail += 1
             continue
         bad = None
-        for i, (rg, re_) in enumerate(zip(g, e)):
-            if not all(vals_equal(x, y) for x, y in zip(rg, re_)):
-                bad = (i, rg, re_)
+        for i in range(len(got)):
+            rg, re_ = got.iloc[i], exp.iloc[i]
+            for c in got.columns:
+                if not vals_equal(rg[c], re_[c]):
+                    bad = (i, c, rg[c], re_[c])
+                    break
+            if bad:
                 break
         if bad:
-            i, rg, re_ = bad
-            print(f"FAIL {name}: row {i} differs\n  spark={rg}\n  duck ={re_}")
+            i, c, vg, ve = bad
+            print(f"FAIL {name}: row {i} col {c} differs\n  spark={vg!r} ({type(vg).__name__})\n  duck ={ve!r} ({type(ve).__name__})")
             n_fail += 1
         else:
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {len(oracle)} total ==")
+    # Rows-only queries (no oracle SQL): the driver still loads + sorts the
+    # output in pandas, so an unsortable (array-celled) output is a red row.
+    import os
+    extra = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path) or name in oracle:
+            continue
+        extra += 1
+        try:
+            df = canon(con.sql(f"SELECT * FROM '{path}/*.parquet'").df())
+            if len(df) == 0:
+                print(f"WARN {name}: rows-only output is empty")
+        except Exception as e:
+            print(f"FAIL {name}: rows-only output unreadable/unsortable: {str(e).splitlines()[0]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {len(oracle)} oracle + {extra} rows-only ==")
     sys.exit(1 if n_fail else 0)
 
 
