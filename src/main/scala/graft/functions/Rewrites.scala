@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import graft.functions.sketches._
 import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, LambdaFunction, StringLocate, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
-import org.apache.spark.sql.types.{BinaryType, DecimalType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy, ReduceAgg}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DecimalType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.GraftSqlBridge.toCol
 import org.apache.spark.sql.functions._
@@ -215,11 +215,14 @@ object Rewrites {
     "numeric_histogram" -> { case Seq(b, x) =>
       toCol(NumericHistogramAgg(toExpr(b), toExpr(x)).toAggregateExpression()) },
     // reduce_agg(x, init, inputFn, combineFn) (ReduceAggregationFunction
-    // .java) — folds the collected group with the user's lambda
-    "reduce_agg" -> { case Seq(x, init, inputFn, _) =>
-      val id = UnresolvedNamedLambdaVariable(Seq("reduce_agg_state"))
-      toCol(ArrayAggregate(toExpr(collect_list(x)), toExpr(init),
-        toExpr(inputFn).asInstanceOf[LambdaFunction], LambdaFunction(id, Seq(id)))) },
+    // .java) — mergeable TypedImperativeAggregate: O(1) state per group,
+    // combineFn actually runs on merge (see sketches/ReduceAgg.scala)
+    // NOTE: returned bare (no toAggregateExpression) — the analyzer's
+    // function validation only tolerates lambda arguments when the resolved
+    // root is the HigherOrderFunction itself; it wraps AggregateFunctions.
+    "reduce_agg" -> { case Seq(x, init, inputFn, combineFn) =>
+      toCol(ReduceAgg(toExpr(x), toExpr(init), toExpr(inputFn),
+        toExpr(combineFn))) },
 
     // ---------- arrays (operator/scalar/Array*Function.java) ----------
     // cardinality covers arrays/maps AND HLL sketches (Presto's HyperLogLog
@@ -278,8 +281,38 @@ object Rewrites {
       case Seq(x) => approx_count_distinct(x)
       case Seq(x, e) => toCol(org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus(
         toExpr(x), relativeSD = toExpr(e).eval(null).asInstanceOf[Double]).toAggregateExpression()) },
-    "arbitrary" -> { case Seq(x) => first(x, ignoreNulls = true) }
+    "arbitrary" -> { case Seq(x) => first(x, ignoreNulls = true) },
+    // approx_percentile — the reference's most-used quantile aggregate
+    // (ApproximateLongPercentileAggregations.java + Double/Real and Array
+    // siblings). Scalar/array forms ride Spark's ApproximatePercentile
+    // (GK summaries, mergeable, codegen'd); the weighted forms
+    // (x, w, p[, accuracy]) ride Spark's exact percentile-with-frequency —
+    // a valid "approximation" that is simply exact; Presto's weight is the
+    // effective row count, so it casts to long. Results cast back to the
+    // input type per the reference's signature (bigint in → bigint out).
+    "approx_percentile" -> {
+      case Seq(x, p) => approxPct(x, p)
+      case Seq(x, w, p) => weightedPct(x, w, p)
+      case Seq(x, w, p, _) => weightedPct(x, w, p)   // accuracy hint dropped
+    }
   )
+
+  /** Spark's default ApproximatePercentile accuracy (1e4) bounds rank error
+    * at n/10000 — the same envelope as the reference's qdigest default.
+    */
+  private def approxPct(x: Column, p: Column): Column =
+    percentile_approx(x, p, lit(10000))
+
+  private def weightedPct(x: Column, w: Column, p: Column)(implicit spark: SparkSession): Column = {
+    val exact = percentile(x, p, w.cast("long"))
+    val xt = toExpr(x).dataType
+    val arrayP = toExpr(p).dataType.isInstanceOf[ArrayType]
+    xt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        if (arrayP) exact.cast(ArrayType(xt)) else exact.cast(xt)
+      case _ => exact
+    }
+  }
 
   private def wilson(s: Column, n: Column, z: Column, lower: Boolean): Column = {
     val p = s.cast("double") / n.cast("double")

@@ -128,6 +128,43 @@ object Sketches {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
 
+    // approx_percentile — scalar, array and weighted forms (reference:
+    // ApproximateLongPercentileAggregations.java + Array siblings). Oracle:
+    // quantile_disc for the unweighted forms (the GK summary at default
+    // accuracy has ≤2-rank error over ~20k-row groups, invisible on a
+    // 50-value domain); quantile_cont over weight-expanded rows for the
+    // weighted form (which rides Spark's exact percentile-with-frequency).
+    "agg_approx_percentile" -> Q.sql(
+      spark = """SELECT l_returnflag,
+        |  approx_percentile(CAST(l_quantity AS BIGINT), 0.5) AS med_qty,
+        |  approx_percentile(CAST(l_quantity AS BIGINT), 0.75) AS p75_qty,
+        |  array_join(transform(
+        |    approx_percentile(CAST(l_quantity AS BIGINT), array(0.25, 0.5, 0.75)),
+        |    x -> CAST(x AS STRING)), ',') AS quartiles,
+        |  approx_percentile(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT), 0.5) AS med_wt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+      duck = """WITH base AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(l_linenumber AS BIGINT) AS w
+        |  FROM lineitem),
+        |expanded AS (
+        |  SELECT l_returnflag, q
+        |  FROM (SELECT l_returnflag, q, unnest(generate_series(1, w)) FROM base)),
+        |agg AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(q, 0.5) AS med_qty,
+        |    quantile_disc(q, 0.75) AS p75_qty,
+        |    array_to_string(quantile_disc(q, [0.25, 0.5, 0.75]), ',') AS quartiles
+        |  FROM base GROUP BY l_returnflag),
+        |wagg AS (
+        |  SELECT l_returnflag, CAST(quantile_cont(q, 0.5) AS BIGINT) AS med_wt
+        |  FROM expanded GROUP BY l_returnflag)
+        |SELECT l_returnflag, med_qty, p75_qty, quartiles, med_wt
+        |FROM agg JOIN wagg USING (l_returnflag)
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
+
     // qdigest quantile sketches — estimates are engine-specific (sketch
     // bytes differ per engine by design); accuracy bounds proven in
     // SketchesSpec, rows-only check here (QuantileDigestAggregationFunction

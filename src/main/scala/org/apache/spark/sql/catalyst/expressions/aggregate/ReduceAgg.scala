@@ -1,9 +1,11 @@
-package graft.functions.sketches
+// In Spark's own package: HigherOrderFunction's bind signature references
+// the private[sql] AbstractDataType (same reason GraftSqlBridge lives in
+// org.apache.spark.sql).
+package org.apache.spark.sql.catalyst.expressions.aggregate
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
 /** reduce_agg(value, initial, inputFn, combineFn) — a real mergeable

@@ -150,4 +150,28 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) " +
       "FROM (SELECT id FROM r100k WHERE id < 100)") == 4950L)
   }
+
+  test("reduce_agg combine lambda runs on merge (distinct from input lambda)") {
+    // 4 explicit partitions → 4 initialized partial states → exactly 3
+    // combines in the final merge; the +1000000 marker in combineFn (and
+    // NOT in inputFn) is therefore applied exactly 3 times. This fails on
+    // any implementation that collects the group and ignores combineFn.
+    spark.range(0, 40, 1, 4).createOrReplaceTempView("r40p4")
+    val got = one(
+      "SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b + 1000000) FROM r40p4")
+    assert(got == 780L + 3000000L, s"got $got")
+  }
+
+  test("reduce_agg state is O(1): group size far beyond any collect buffer") {
+    assert(one("SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) FROM r100k")
+      == 4999950000L)
+  }
+
+  test("reduce_agg with non-numeric state (string fold) and empty-input null") {
+    val s = one("SELECT reduce_agg(CAST(id AS STRING), '', (a, b) -> concat(a, b), (a, b) -> concat(a, b)) " +
+      "FROM (SELECT id FROM r100k WHERE id < 4 ORDER BY id) t").asInstanceOf[String]
+    assert(s.sorted == "0123", s"got $s")
+    assert(one("SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) " +
+      "FROM r100k WHERE id < 0") == null)
+  }
 }
