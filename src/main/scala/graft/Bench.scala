@@ -17,6 +17,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -29,11 +30,17 @@ object Bench {
     val names = Registry.headline
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try Registry.all(name).fn(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { Registry.all(name).fn(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop per-query persists outside the timer: the prewarm pass must
+      // not leave the LLM signature caches doubly cached, and query N must
+      // not ride query N-1's cache.
+      spark.catalog.clearCache()
+      if (ok) dt else -1.0
     }
 
     names.foreach(run)  // prewarm pass: JVM, codegen, parquet footer caches
@@ -41,7 +48,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The artifact must survive sbt log noise: persist it as a file AND
+    // print it as the very last stdout line (after spark.stop(), so no
+    // executor shutdown logging can trail it).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
+    println(json)
   }
 }

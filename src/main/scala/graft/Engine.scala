@@ -22,6 +22,7 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(app)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -9,13 +9,23 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale-proofing: remove the query's previous output BEFORE attempting
+    // it, so a query that fails (even at analysis) yields a missing-output
+    // red in the driver's compare — never a silent pass on last run's
+    // parquet.
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import graft.functions.sketches._
 import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, LambdaFunction, StringLocate, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy, ReduceAgg}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy, ReduceAggPlaceholder}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DecimalType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.GraftSqlBridge.toCol
@@ -216,13 +216,25 @@ object Rewrites {
       toCol(NumericHistogramAgg(toExpr(b), toExpr(x)).toAggregateExpression()) },
     // reduce_agg(x, init, inputFn, combineFn) (ReduceAggregationFunction
     // .java) — mergeable TypedImperativeAggregate: O(1) state per group,
-    // combineFn actually runs on merge (see sketches/ReduceAgg.scala)
-    // NOTE: returned bare (no toAggregateExpression) — the analyzer's
-    // function validation only tolerates lambda arguments when the resolved
-    // root is the HigherOrderFunction itself; it wraps AggregateFunctions.
+    // combineFn actually runs on merge (see aggregate/ReduceAgg.scala).
+    // The registry must return a *non-aggregate* HigherOrderFunction root
+    // (the analyzer's lambda check rejects anything else after it wraps
+    // AggregateFunctions in AggregateExpression), so: placeholder HOF here,
+    // swapped for the real aggregate by graft.ResolveReduceAgg when the
+    // GraftExtensions rule is installed. Without the extension, fall back
+    // to a value-correct single-pass ArrayAggregate fold (collects the
+    // group — O(group) memory, combineFn unused; null on empty input to
+    // match the aggregate's semantics).
     "reduce_agg" -> { case Seq(x, init, inputFn, combineFn) =>
-      toCol(ReduceAgg(toExpr(x), toExpr(init), toExpr(inputFn),
-        toExpr(combineFn))) },
+      if (reduceAggRuleInstalled)
+        toCol(ReduceAggPlaceholder(toExpr(x), toExpr(init), toExpr(inputFn),
+          toExpr(combineFn)))
+      else {
+        val arr = transform(collect_list(struct(x.as("v"))), s => s.getField("v"))
+        val folded = toCol(ArrayAggregate(toExpr(arr), toExpr(init),
+          toExpr(inputFn).asInstanceOf[LambdaFunction], LambdaFunction.identity))
+        when(size(arr) > 0, folded)
+      } },
 
     // ---------- arrays (operator/scalar/Array*Function.java) ----------
     // cardinality covers arrays/maps AND HLL sketches (Presto's HyperLogLog
@@ -297,19 +309,33 @@ object Rewrites {
     }
   )
 
+  /** True when the session was built with graft.GraftExtensions — the
+    * reduce_agg placeholder can only resolve if the swap rule is present.
+    */
+  private def reduceAggRuleInstalled(implicit spark: SparkSession): Boolean =
+    spark.sessionState.analyzer.extendedResolutionRules.exists(_ eq graft.ResolveReduceAgg)
+
   /** Spark's default ApproximatePercentile accuracy (1e4) bounds rank error
     * at n/10000 — the same envelope as the reference's qdigest default.
     */
   private def approxPct(x: Column, p: Column): Column =
     percentile_approx(x, p, lit(10000))
 
+  /** Weighted percentile rides Spark's exact percentile-with-frequency.
+    * Both the weight and the interpolated result are *rounded*, not
+    * truncated: the reference's weight is a double treated as an effective
+    * row count, and the DuckDB oracle rounds its continuous quantile the
+    * same way — truncation on either side gives off-by-one mismatches
+    * whenever the quantile interpolates to .5.
+    */
   private def weightedPct(x: Column, w: Column, p: Column)(implicit spark: SparkSession): Column = {
-    val exact = percentile(x, p, w.cast("long"))
+    val exact = percentile(x, p, round(w).cast("long"))
     val xt = toExpr(x).dataType
     val arrayP = toExpr(p).dataType.isInstanceOf[ArrayType]
     xt match {
       case ByteType | ShortType | IntegerType | LongType =>
-        if (arrayP) exact.cast(ArrayType(xt)) else exact.cast(xt)
+        if (arrayP) transform(exact, e => round(e)).cast(ArrayType(xt))
+        else round(exact).cast(xt)
       case _ => exact
     }
   }

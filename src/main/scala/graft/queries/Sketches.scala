@@ -159,7 +159,7 @@ object Sketches {
         |    array_to_string(quantile_disc(q, [0.25, 0.5, 0.75]), ',') AS quartiles
         |  FROM base GROUP BY l_returnflag),
         |wagg AS (
-        |  SELECT l_returnflag, CAST(quantile_cont(q, 0.5) AS BIGINT) AS med_wt
+        |  SELECT l_returnflag, CAST(ROUND(quantile_cont(q, 0.5)) AS BIGINT) AS med_wt
         |  FROM expanded GROUP BY l_returnflag)
         |SELECT l_returnflag, med_qty, p75_qty, quartiles, med_wt
         |FROM agg JOIN wagg USING (l_returnflag)

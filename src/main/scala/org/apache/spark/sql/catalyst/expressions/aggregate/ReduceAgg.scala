@@ -5,7 +5,7 @@ package org.apache.spark.sql.catalyst.expressions.aggregate
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable, Unevaluable, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.types._
 
 /** reduce_agg(value, initial, inputFn, combineFn) — a real mergeable
@@ -60,6 +60,15 @@ case class ReduceAgg(
       case (_, c) if !DataType.equalsStructurally(c, stateType, ignoreNullability = true) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName: combine function must return the state type $stateType, got $c")
+      // The combine lambda runs at merge time against no input row, so a
+      // body capturing an outer column (which the analyzer's lambda scoping
+      // would otherwise allow) must be rejected here — mirroring the
+      // reference's state-only combine signature
+      // (ReduceAggregationFunction.java combine takes two states only).
+      case _ if combineFn.references.nonEmpty =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: combine function must reference only its two state arguments, " +
+            s"found outer references: ${combineFn.references.map(_.name).mkString(", ")}")
       case _ => TypeCheckResult.TypeCheckSuccess
     }
   }
@@ -143,4 +152,55 @@ object ReduceAgg {
     * partial (never combined) from a real state.
     */
   final class State(var initialized: Boolean, var value: Any)
+}
+
+/** Analysis-time stand-in for reduce_agg on the SQL path.
+  *
+  * Spark's ResolveFunctions wraps any AggregateFunction returned by a
+  * function-registry builder into AggregateExpression *before* its lambda
+  * check, and that check requires the resolved root to be a
+  * HigherOrderFunction — so a lambda-taking aggregate can never resolve
+  * directly through the registry. This placeholder IS a plain
+  * HigherOrderFunction (passes the check, binds its lambdas through the
+  * standard ResolveLambdaVariables path) and is swapped for
+  * `ReduceAgg(...).toAggregateExpression()` by graft.ResolveReduceAgg, an
+  * analyzer rule injected via SparkSessionExtensions (graft.GraftExtensions)
+  * — the same fixed-point batch, so the swap lands before CheckAnalysis.
+  */
+case class ReduceAggPlaceholder(
+    input: Expression,
+    initial: Expression,
+    inputFn: Expression,
+    combineFn: Expression)
+  extends Expression with HigherOrderFunction with Unevaluable {
+
+  override def prettyName: String = "reduce_agg"
+
+  override def arguments: Seq[Expression] = Seq(input, initial)
+  override def argumentTypes: Seq[AbstractDataType] = Seq(AnyDataType, AnyDataType)
+  override def functions: Seq[Expression] = Seq(inputFn, combineFn)
+  override def functionTypes: Seq[AbstractDataType] = Seq(AnyDataType, AnyDataType)
+
+  override def children: Seq[Expression] = arguments ++ functions
+  override def nullable: Boolean = true
+  override def dataType: DataType = initial.dataType
+
+  /** Same contract as the real aggregate, so resolution either converges to
+    * a swappable, type-correct placeholder or fails with the same message.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    ReduceAgg(input, initial, inputFn, combineFn).checkInputDataTypes()
+
+  override def bindInternal(
+      f: (Expression, Seq[(DataType, Boolean)]) => LambdaFunction): HigherOrderFunction = {
+    val stateArg = (initial.dataType, true)
+    val valueArg = (input.dataType, input.nullable)
+    copy(
+      inputFn = f(inputFn, stateArg :: valueArg :: Nil),
+      combineFn = f(combineFn, stateArg :: stateArg :: Nil))
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ReduceAggPlaceholder =
+    copy(input = c(0), initial = c(1), inputFn = c(2), combineFn = c(3))
 }

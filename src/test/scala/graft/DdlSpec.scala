@@ -19,6 +19,7 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark = SparkSession.builder()
       .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.warehouse.dir", wh)
       .config("javax.jdo.option.ConnectionURL",

@@ -16,6 +16,7 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "7")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
