@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import graft.functions.sketches._
-import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, LambdaFunction, StringLocate, TimestampAdd, TimestampDiff, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Conv, DateAdd, DateDiff, DateFormatClass, Expression, GetJsonObject, LambdaFunction, StringLocate, TimestampAdd, TimestampDiff, TryEval, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy, ReduceAggPlaceholder}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DecimalType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.GraftSqlBridge
@@ -286,13 +286,45 @@ object Rewrites {
 
     // ---------- conditionals / misc ----------
     "format" -> { case cols if cols.nonEmpty => call_function("format_string", cols: _*) },
+    // Generic TRY(expr) (scalar/TryFunction.java): NULL instead of a
+    // runtime error for the wrapped expression — Spark's TryEval is the
+    // exact machinery its own try_add/try_divide use (codegen'd try/catch
+    // around the child), so ANSI cast/arith/overflow errors become NULL.
+    "try" -> { case Seq(x) => toCol(TryEval(toExpr(x))) },
+    // parse_presto_data_size('2.3MB') → DECIMAL(38,0) bytes
+    // (scalar/DataSizeFunctions.java: value × 1024^unit, truncated toward
+    // zero). Pure-expression form: regex split + exact decimal factors via
+    // a when-chain — codegen'd, no UDF; invalid input raises like the
+    // reference (wrap in try() for NULL-on-bad-input).
+    "parse_presto_data_size" -> { case Seq(s) =>
+      val pat = "^(\\d+(?:\\.\\d+)?)([a-zA-Z]+)$"
+      val num = regexp_extract(s, pat, 1).cast(DecimalType(24, 10))
+      val unit = regexp_extract(s, pat, 2)
+      val unitFactors = Seq("B", "kB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+        .zipWithIndex.map { case (u, k) =>
+          u -> new java.math.BigDecimal(java.math.BigInteger.valueOf(1024).pow(k)) }
+      val factor = unitFactors.tail
+        .foldLeft(when(unit === unitFactors.head._1, lit(unitFactors.head._2))) {
+          case (w, (u, f)) => w.when(unit === u, lit(f)) }
+        .otherwise(raise_error(concat(lit("Invalid data size: '"), s, lit("'")))
+          .cast(DecimalType(38, 0)))
+      floor(num * factor).cast(DecimalType(38, 0)) },
 
     // ---------- aggregate rewrites (operator/aggregation/) ----------
     "geometric_mean" -> { case Seq(x) => exp(avg(log(x))) },
     "approx_distinct" -> {
       case Seq(x) => approx_count_distinct(x)
-      case Seq(x, e) => toCol(org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus(
-        toExpr(x), relativeSD = toExpr(e).eval(null).asInstanceOf[Double]).toAggregateExpression()) },
+      case Seq(x, e) =>
+        // a bare SQL literal like 0.0040625 parses as DECIMAL — accept any
+        // numeric literal for the max-standard-error argument
+        val sd = toExpr(e).eval(null) match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"approx_distinct: max standard error must be a numeric literal, got $other")
+        }
+        toCol(org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus(
+          toExpr(x), relativeSD = sd).toAggregateExpression()) },
     "arbitrary" -> { case Seq(x) => first(x, ignoreNulls = true) },
     // approx_percentile — the reference's most-used quantile aggregate
     // (ApproximateLongPercentileAggregations.java + Double/Real and Array

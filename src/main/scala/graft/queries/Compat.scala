@@ -178,6 +178,83 @@ object Compat {
         |WHERE o_orderkey < 1000
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
 
+    // Statistical CDFs (MathFunctions.java normal_cdf/inverse_normal_cdf/
+    // beta_cdf/inverse_beta_cdf). The oracle replicates the SAME published
+    // algorithms in SQL — Numerical Recipes Chebyshev erf for normal_cdf,
+    // Acklam's central branch for the probit (p ∈ [.05,.94] stays in it) —
+    // so both engines run identical double arithmetic; beta_cdf is checked
+    // against closed forms (I_x(2,1)=x², I_x(2,2)=3x²−2x³) at 6 dp, inside
+    // the Lentz continued fraction's ~1e-11 convergence.
+    "compat_cdf" -> Q.sql(
+      spark = """SELECT o_orderkey,
+        |  ROUND(normal_cdf(0.0, 1.0, x), 7) AS ncdf,
+        |  ROUND(inverse_normal_cdf(0.0, 1.0, p), 7) AS incdf,
+        |  ROUND(beta_cdf(2.0, 1.0, u), 6) AS bcdf_sq,
+        |  ROUND(beta_cdf(2.0, 2.0, u), 6) AS bcdf_22,
+        |  ROUND(inverse_beta_cdf(1.0, 1.0, p), 6) AS ibcdf_id
+        |FROM (SELECT o_orderkey,
+        |        CAST(o_orderkey % 600 AS DOUBLE) / 100.0 - 3.0 AS x,
+        |        (CAST(o_orderkey % 90 AS DOUBLE) + 5.0) / 100.0 AS p,
+        |        (CAST(o_orderkey % 80 AS DOUBLE) + 10.0) / 100.0 AS u
+        |      FROM orders WHERE o_orderkey < 1000) t
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+      duck = """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderkey % 600 AS DOUBLE) / 100.0 - 3.0 AS x,
+        |    (CAST(o_orderkey % 90 AS DOUBLE) + 5.0) / 100.0 AS p,
+        |    (CAST(o_orderkey % 80 AS DOUBLE) + 10.0) / 100.0 AS u
+        |  FROM orders WHERE o_orderkey < 1000),
+        |e1 AS (SELECT *, abs(x / sqrt(2.0)) AS z FROM base),
+        |e2 AS (SELECT *, 1.0 / (1.0 + 0.5 * z) AS t FROM e1),
+        |e3 AS (SELECT *, t * exp(-z*z - 1.26551223 + t*(1.00002368 + t*(0.37409196 +
+        |  t*(0.09678418 + t*(-0.18628806 + t*(0.27886807 + t*(-1.13520398 +
+        |  t*(1.48851587 + t*(-0.82215223 + t*0.17087277))))))))) AS ans FROM e2),
+        |erf AS (SELECT *, CASE WHEN x >= 0 THEN 1.0 - ans ELSE ans - 1.0 END AS erfv FROM e3),
+        |probit AS (SELECT *, p - 0.5 AS q, (p - 0.5) * (p - 0.5) AS r FROM erf)
+        |SELECT o_orderkey,
+        |  ROUND(0.5 * (1.0 + erfv), 7) AS ncdf,
+        |  ROUND((((((-3.969683028665376e+01*r + 2.209460984245205e+02)*r + -2.759285104469687e+02)*r
+        |    + 1.383577518672690e+02)*r + -3.066479806614716e+01)*r + 2.506628277459239e+00)*q /
+        |    (((((-5.447609879822406e+01*r + 1.615858368580409e+02)*r + -1.556989798598866e+02)*r
+        |    + 6.680131188771972e+01)*r + -1.328068155288572e+01)*r + 1.0), 7) AS incdf,
+        |  ROUND(u * u, 6) AS bcdf_sq,
+        |  ROUND(u * u * (3.0 - 2.0 * u), 6) AS bcdf_22,
+        |  ROUND(p, 6) AS ibcdf_id
+        |FROM probit
+        |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
+
+    // word_stem (WordStemFunction.java; independent Porter 1980
+    // implementation — functions/Udfs.scala PorterStemmer). Known-answer
+    // oracle: the published algorithm's outputs for its classic example
+    // vocabulary, inlined as VALUES on the DuckDB side (DuckDB's own
+    // stem() lives in the unavailable fts extension).
+    "compat_word_stem" -> Q.sql(
+      spark = """SELECT word, word_stem(word) AS stem
+        |FROM VALUES ('caresses'), ('ponies'), ('caress'), ('cats'), ('feed'),
+        |  ('agreed'), ('plastered'), ('motoring'), ('sing'), ('conflated'),
+        |  ('troubled'), ('sized'), ('hopping'), ('tanned'), ('falling'),
+        |  ('hissing'), ('fizzed'), ('failing'), ('filing'), ('happy'), ('sky'),
+        |  ('relational'), ('conditional'), ('rational'), ('digitizer'),
+        |  ('operator'), ('feudalism'), ('decisiveness'), ('hopefulness'),
+        |  ('callousness'), ('triplicate'), ('formative'), ('running'),
+        |  ('generalizations') AS t(word)
+        |ORDER BY word ASC NULLS LAST""".stripMargin,
+      duck = """SELECT word, stem
+        |FROM (VALUES ('caresses','caress'), ('ponies','poni'), ('caress','caress'),
+        |  ('cats','cat'), ('feed','feed'), ('agreed','agre'),
+        |  ('plastered','plaster'), ('motoring','motor'), ('sing','sing'),
+        |  ('conflated','conflat'), ('troubled','troubl'), ('sized','size'),
+        |  ('hopping','hop'), ('tanned','tan'), ('falling','fall'),
+        |  ('hissing','hiss'), ('fizzed','fizz'), ('failing','fail'),
+        |  ('filing','file'), ('happy','happi'), ('sky','sky'),
+        |  ('relational','relat'), ('conditional','condit'),
+        |  ('rational','ration'), ('digitizer','digit'), ('operator','oper'),
+        |  ('feudalism','feudal'), ('decisiveness','decis'),
+        |  ('hopefulness','hope'), ('callousness','callous'),
+        |  ('triplicate','triplic'), ('formative','form'), ('running','run'),
+        |  ('generalizations','gener')) t(word, stem)
+        |ORDER BY word ASC NULLS LAST""".stripMargin),
+
     // cosine_similarity over adjacent embedding pairs — sequential double
     // folds on both sides so float summation order is identical.
     "compat_cosine_similarity" -> Q.sql(

@@ -196,6 +196,48 @@ object Functions {
         |FROM part WHERE p_partkey < 500
         |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
 
+    // ---- generic TRY(expr) (TryFunction.java → graft TryEval rewrite):
+    //      NULL on runtime error, value when the row succeeds. ok_small
+    //      mixes failing rows (tinyint overflow when p_size*100 > 127)
+    //      with succeeding ones in the SAME column — proving per-row
+    //      catch, not constant-folding. ----
+    "fn_try_generic" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  try(CAST(p_brand AS INT)) AS bad_cast,
+        |  try(CAST(CAST(p_size AS STRING) AS INT)) AS ok_cast,
+        |  CAST(try(p_retailprice / (p_size - p_size)) AS DOUBLE) AS div0,
+        |  CAST(try(CAST(p_size AS TINYINT) * CAST(100 AS TINYINT)) AS INT) AS ok_small
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  try_cast(p_brand AS INT) AS bad_cast,
+        |  CAST(p_size AS INT) AS ok_cast,
+        |  CAST(NULL AS DOUBLE) AS div0,
+        |  CAST(CASE WHEN p_size * 100 BETWEEN -128 AND 127
+        |            THEN p_size * 100 END AS INT) AS ok_small
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- parse_presto_data_size (DataSizeFunctions.java): value×1024^k,
+    //      truncated; invalid unit raises (NULL through try()) ----
+    "fn_parse_data_size" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  CAST(parse_presto_data_size(CAST(p_size AS STRING) || 'kB') AS BIGINT) AS kb,
+        |  CAST(parse_presto_data_size(CAST(p_size AS STRING) || 'MB') AS BIGINT) AS mb,
+        |  CAST(parse_presto_data_size(CAST(p_size AS STRING) || '.5GB') AS BIGINT) AS gb_frac,
+        |  CAST(parse_presto_data_size('2.3MB') AS BIGINT) AS frac_const,
+        |  CAST(try(parse_presto_data_size(p_brand)) AS BIGINT) AS invalid
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  CAST(p_size AS BIGINT) * 1024 AS kb,
+        |  CAST(p_size AS BIGINT) * 1048576 AS mb,
+        |  CAST(FLOOR((p_size + 0.5) * 1073741824) AS BIGINT) AS gb_frac,
+        |  CAST(2411724 AS BIGINT) AS frac_const,
+        |  CAST(NULL AS BIGINT) AS invalid
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
     // ---- hash/crypto (VarbinaryFunctions.java: md5/sha256/to_hex/
     //      to_base64; hex case-normalized — Spark upper, DuckDB lower) ----
     "fn_hash_crypto" -> Q.sql(

@@ -165,6 +165,48 @@ object Sketches {
         |FROM agg JOIN wagg USING (l_returnflag)
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
 
+    // approx_distinct, both arities (ApproximateCountDistinctAggregation
+    // .java). Cardinalities sit deep in the linear-counting regime of the
+    // chosen precisions (default ≈5% ⇒ 2^9 registers vs ≤12 distinct;
+    // 0.0040625 ⇒ 2^17 registers vs ≤100 distinct), where the estimate is
+    // exact — and the hash layout is deterministic, so a green run is
+    // stable, not lucky.
+    "agg_approx_distinct" -> Q.sql(
+      spark = """SELECT o_orderpriority,
+        |  approx_distinct(o_custkey % 12) AS d_def,
+        |  approx_distinct(o_custkey % 100, 0.0040625) AS d_eps
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey % 12) AS d_def,
+        |  COUNT(DISTINCT o_custkey % 100) AS d_eps
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // numeric_histogram (NumericHistogram.java — Ben-Haim & Tom-Tov
+    // streaming histogram). With more buckets (60) than distinct inputs
+    // (l_quantity has ≤50 integral values) no bin ever merges, so the
+    // sketch is exactly the per-value counts; lpad makes string order =
+    // numeric order on both sides.
+    "agg_numeric_histogram" -> Q.sql(
+      spark = """SELECT l_returnflag,
+        |  concat_ws(',', sort_array(transform(
+        |    map_entries(numeric_histogram(60, CAST(l_quantity AS DOUBLE))),
+        |    e -> concat(lpad(CAST(CAST(ROUND(e.key) AS BIGINT) AS STRING), 2, '0'),
+        |                ':', CAST(CAST(ROUND(e.value) AS BIGINT) AS STRING))))) AS qty_hist
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+      duck = """SELECT l_returnflag,
+        |  string_agg(lpad(CAST(q AS VARCHAR), 2, '0') || ':' || CAST(n AS VARCHAR), ','
+        |    ORDER BY lpad(CAST(q AS VARCHAR), 2, '0')) AS qty_hist
+        |FROM (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q, COUNT(*) AS n
+        |      FROM lineitem GROUP BY 1, 2) t
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
+
     // qdigest quantile sketches — estimates are engine-specific (sketch
     // bytes differ per engine by design); accuracy bounds proven in
     // SketchesSpec, rows-only check here (QuantileDigestAggregationFunction
