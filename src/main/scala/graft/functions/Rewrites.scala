@@ -177,8 +177,15 @@ object Rewrites {
     // ---------- sketch aggregates (SURVEY.md §7.3; HLL value type is
     //            BinaryType — see graft.functions.sketches.Hll) ----------
     "approx_set" -> { case Seq(x) => toCol(ApproxSetAgg(toExpr(x)).toAggregateExpression()) },
-    // merge() unions HLL or qdigest sketches, dispatching per blob
+    // merge() unions HLL, qdigest or setdigest sketches, dispatching per blob
     "merge" -> { case Seq(x) => toCol(SketchUnionAgg(toExpr(x)).toAggregateExpression()) },
+    // setdigest family (type/setdigest/SetDigestFunctions.java) — the
+    // re-mergeable bottom-k MinHash sketch; exact below saturation
+    "make_set_digest" -> { case Seq(x) => toCol(MakeSetDigestAgg(toExpr(x)).toAggregateExpression()) },
+    "merge_set_digest" -> { case Seq(x) => toCol(SketchUnionAgg(toExpr(x)).toAggregateExpression()) },
+    "jaccard_index" -> { case Seq(a, b) => toCol(JaccardIndex(toExpr(a), toExpr(b))) },
+    "intersection_cardinality" -> { case Seq(a, b) => toCol(IntersectionCardinality(toExpr(a), toExpr(b))) },
+    "hash_counts" -> { case Seq(x) => toCol(HashCounts(toExpr(x))) },
     "empty_approx_set" -> { case Seq() => lit(Hll.empty()) },
     // qdigest family (QuantileDigestAggregationFunction.java,
     // scalar/QuantileDigestFunctions.java)

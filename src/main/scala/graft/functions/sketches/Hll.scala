@@ -145,9 +145,10 @@ case class HllCardinality(child: Expression)
 
   override def eval(input: InternalRow): Any = child.eval(input) match {
     case null => null
+    case b: Array[Byte] if SetDigest.isSetDigest(b) => SetDigest.deserialize(b).cardinality
     case b: Array[Byte] if b.length == Hll.M => Hll.estimate(b)
     case b: Array[Byte] => throw new IllegalArgumentException(
-      s"cardinality: not an HLL sketch (${b.length} bytes, expected ${Hll.M})")
+      s"cardinality: not an HLL or setdigest sketch (${b.length} bytes)")
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllCardinality =

@@ -148,65 +148,97 @@ case class QDigestAgg(
     copy(child = c.head)
 }
 
-/** merge(sketch) unifying HLL and qdigest inputs — dispatches per blob on
-  * the qdigest magic (HLL blobs are raw 4096 register bytes; a qdigest
-  * blob is 8 + 16n bytes and starts with the magic, and 4096 = 8 + 16n has
-  * no integer solution with the magic prefix, so the tag is unambiguous).
+/** Union state for merge(sketch) across the three sketch families. */
+sealed trait SketchUnionBuf
+object SketchUnionBuf {
+  case object Empty extends SketchUnionBuf
+  final case class H(regs: Array[Byte]) extends SketchUnionBuf
+  final case class Q(bins: QDigest.Bins) extends SketchUnionBuf
+  final case class S(digest: SetDigest.Digest) extends SketchUnionBuf
+}
+
+/** merge(sketch) unifying HLL, qdigest and setdigest inputs — dispatches
+  * per blob on the magics (HLL blobs are raw 4096 register bytes whose
+  * entries are ranks ≤ 53, so neither magic's first byte can open one;
+  * qdigest and setdigest each lead with a distinct magic int). Mixing
+  * families inside one group is an error, as in the reference.
   */
 case class SketchUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Either[Array[Byte], QDigest.Bins]] {
+  extends TypedImperativeAggregate[SketchUnionBuf] {
+  import SketchUnionBuf._
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "merge"
 
-  // empty-state marker: Left(empty HLL) until the first input decides
-  override def createAggregationBuffer(): Either[Array[Byte], QDigest.Bins] =
-    Left(Hll.empty())
+  override def createAggregationBuffer(): SketchUnionBuf = Empty
 
-  private def mergeBlob(buf: Either[Array[Byte], QDigest.Bins], blob: Array[Byte]): Either[Array[Byte], QDigest.Bins] =
+  private def mixed(): Nothing =
+    throw new IllegalArgumentException("merge: mixed sketch families in one group")
+
+  private def mergeBlob(buf: SketchUnionBuf, blob: Array[Byte]): SketchUnionBuf =
     if (QDigest.isQDigest(blob)) {
       val bins = buf match {
-        case Right(b) => b
-        case Left(regs) if regs.forall(_ == 0) => mutable.ArrayBuffer.empty[(Double, Double)]
-        case Left(_) => throw new IllegalArgumentException("merge: mixed HLL and qdigest inputs")
+        case Q(b) => b
+        case Empty => mutable.ArrayBuffer.empty[(Double, Double)]
+        case _ => mixed()
       }
       QDigest.deserialize(blob).foreach { case (c, w) => QDigest.insert(bins, c, w) }
-      Right(bins)
-    } else buf match {
-      case Left(regs) =>
-        require(blob.length == Hll.M, s"merge: not a sketch (${blob.length} bytes)")
-        Hll.mergeInto(regs, blob); Left(regs)
-      case Right(_) => throw new IllegalArgumentException("merge: mixed HLL and qdigest inputs")
+      Q(bins)
+    } else if (SetDigest.isSetDigest(blob)) {
+      val d = buf match {
+        case S(d0) => d0
+        case Empty => SetDigest.empty()
+        case _ => mixed()
+      }
+      d.mergeInto(SetDigest.deserialize(blob))
+      S(d)
+    } else {
+      require(blob.length == Hll.M, s"merge: not a sketch (${blob.length} bytes)")
+      buf match {
+        case H(regs) => Hll.mergeInto(regs, blob); H(regs)
+        case Empty =>
+          val regs = Hll.empty(); Hll.mergeInto(regs, blob); H(regs)
+        case _ => mixed()
+      }
     }
 
-  override def update(buffer: Either[Array[Byte], QDigest.Bins], input: InternalRow): Either[Array[Byte], QDigest.Bins] =
+  override def update(buffer: SketchUnionBuf, input: InternalRow): SketchUnionBuf =
     child.eval(input) match {
       case null => buffer
       case blob: Array[Byte] => mergeBlob(buffer, blob)
     }
 
-  override def merge(a: Either[Array[Byte], QDigest.Bins], b: Either[Array[Byte], QDigest.Bins]): Either[Array[Byte], QDigest.Bins] =
+  override def merge(a: SketchUnionBuf, b: SketchUnionBuf): SketchUnionBuf =
     b match {
-      case Left(regs) if regs.forall(_ == 0) => a
-      case Left(regs) => mergeBlob(a, regs)
-      case Right(bins) => mergeBlob(a, QDigest.serialize(bins))
+      case Empty => a
+      case other => mergeBlob(a, eval(other).asInstanceOf[Array[Byte]])
     }
 
-  override def eval(buffer: Either[Array[Byte], QDigest.Bins]): Any = buffer match {
-    case Left(regs) => regs
-    case Right(bins) => QDigest.serialize(bins)
+  override def eval(buffer: SketchUnionBuf): Any = buffer match {
+    case Empty => Hll.empty() // empty-input convention: empty HLL, as before
+    case H(regs) => regs
+    case Q(bins) => QDigest.serialize(bins)
+    case S(d) => SetDigest.serialize(d)
   }
 
-  override def serialize(buffer: Either[Array[Byte], QDigest.Bins]): Array[Byte] =
-    eval(buffer).asInstanceOf[Array[Byte]]
+  // Shuffle form: Empty is a zero-length blob so a row-less partition's
+  // partial buffer can merge into ANY family (an empty HLL marker here
+  // would falsely "mix" with a qdigest/setdigest group).
+  override def serialize(buffer: SketchUnionBuf): Array[Byte] = buffer match {
+    case Empty => Array.emptyByteArray
+    case other => eval(other).asInstanceOf[Array[Byte]]
+  }
 
-  override def deserialize(bytes: Array[Byte]): Either[Array[Byte], QDigest.Bins] =
-    if (QDigest.isQDigest(bytes)) Right(QDigest.deserialize(bytes)) else Left(bytes)
+  override def deserialize(bytes: Array[Byte]): SketchUnionBuf =
+    if (bytes.isEmpty) SketchUnionBuf.Empty
+    else if (QDigest.isQDigest(bytes)) SketchUnionBuf.Q(QDigest.deserialize(bytes))
+    else if (SetDigest.isSetDigest(bytes)) SketchUnionBuf.S(SetDigest.deserialize(bytes))
+    else SketchUnionBuf.H(bytes)
 
   override def withNewMutableAggBufferOffset(n: Int): SketchUnionAgg = copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): SketchUnionAgg = copy(inputAggBufferOffset = n)

@@ -165,6 +165,43 @@ object Sketches {
         |FROM agg JOIN wagg USING (l_returnflag)
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
 
+    // setdigest value type (type/setdigest/SetDigestFunctions.java):
+    // per-group sketches compared pairwise with jaccard_index /
+    // intersection_cardinality, plus cardinality on the digest itself.
+    // Each group holds ≤400 distinct hashes — far below the 8192-entry
+    // saturation point, where the digest keeps every hash and all three
+    // operations are EXACT (and deterministic), so the oracle computes
+    // the true set statistics relationally.
+    "sketch_setdigest" -> Q.sql(
+      spark = """WITH d AS (SELECT o_orderpriority AS p, make_set_digest(o_custkey % 400) AS dig,
+        |                  COUNT(*) AS n
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT a.p AS pa, b.p AS pb,
+        |  ROUND(jaccard_index(a.dig, b.dig), 6) AS jac,
+        |  intersection_cardinality(a.dig, b.dig) AS icard,
+        |  cardinality(a.dig) AS card_a
+        |FROM d a JOIN d b ON a.p < b.p
+        |ORDER BY pa ASC NULLS LAST, pb ASC NULLS LAST""".stripMargin,
+      duck = """WITH s AS (SELECT DISTINCT o_orderpriority AS p, o_custkey % 400 AS v FROM orders),
+        |c AS (SELECT p, COUNT(*) AS n FROM s GROUP BY p),
+        |i AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS icount
+        |      FROM s a JOIN s b ON a.v = b.v AND a.p < b.p GROUP BY a.p, b.p)
+        |SELECT i.pa, i.pb,
+        |  ROUND(CAST(icount AS DOUBLE) / (ca.n + cb.n - icount), 6) AS jac,
+        |  icount AS icard,
+        |  ca.n AS card_a
+        |FROM i JOIN c ca ON ca.p = i.pa JOIN c cb ON cb.p = i.pb
+        |ORDER BY pa ASC NULLS LAST, pb ASC NULLS LAST""".stripMargin),
+
+    // Two-level setdigest rollup through merge() — same re-aggregation
+    // shape as the HLL/qdigest rollups; exact below saturation.
+    "sketch_setdigest_merge" -> Q.sql(
+      spark = """SELECT cardinality(merge(dig)) AS n_custs
+        |FROM (SELECT o_orderpriority, make_set_digest(o_custkey % 400) AS dig
+        |      FROM orders GROUP BY o_orderpriority)""".stripMargin,
+      duck = """SELECT COUNT(DISTINCT o_custkey % 400) AS n_custs
+        |FROM orders""".stripMargin),
+
     // approx_distinct, both arities (ApproximateCountDistinctAggregation
     // .java). Cardinalities sit deep in the linear-counting regime of the
     // chosen precisions (default ≈5% ⇒ 2^9 registers vs ≤12 distinct;

@@ -175,4 +175,60 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT reduce_agg(id, CAST(0 AS BIGINT), (a, b) -> a + b, (a, b) -> a + b) " +
       "FROM r100k WHERE id < 0") == null)
   }
+
+  // ---- setdigest (reference type/setdigest/SetDigestFunctions.java) ----
+
+  test("setdigest exact below saturation: cardinality, jaccard, intersection") {
+    assert(one("SELECT cardinality(make_set_digest(id % 500)) FROM r100k") == 500L)
+    // A = {0..499}, B = {250..749}: |A∩B| = 250, |A∪B| = 750
+    val row = spark.sql(
+      """SELECT jaccard_index(a.d, b.d) AS j, intersection_cardinality(a.d, b.d) AS i
+        |FROM (SELECT make_set_digest(id % 500) AS d FROM r100k) a,
+        |     (SELECT make_set_digest(id % 500 + 250) AS d FROM r100k) b""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 250.0 / 750.0) < 1e-12, s"jaccard ${row.getDouble(0)}")
+    assert(row.getLong(1) == 250L)
+  }
+
+  test("setdigest KMV estimate within 5% at 100k distinct (saturated)") {
+    val est = one("SELECT cardinality(make_set_digest(id)) FROM r100k").asInstanceOf[Long]
+    assert(math.abs(est - 100000L) < 5000, s"estimate $est")
+  }
+
+  test("setdigest saturated jaccard within 0.05 of truth") {
+    // A = {0..49999}, B = {25000..74999}: true J = 25000/75000 = 1/3
+    val j = one(
+      """SELECT jaccard_index(a.d, b.d)
+        |FROM (SELECT make_set_digest(id) AS d FROM r100k WHERE id < 50000) a,
+        |     (SELECT make_set_digest(id + 25000) AS d FROM r100k WHERE id < 50000) b""".stripMargin)
+      .asInstanceOf[Double]
+    assert(math.abs(j - 1.0 / 3.0) < 0.05, s"jaccard $j")
+  }
+
+  test("setdigest merge equals direct digest and survives repartitioning") {
+    val direct = one("SELECT cardinality(make_set_digest(id % 3000)) FROM r100k")
+    val merged = one(
+      """SELECT cardinality(merge(s)) FROM
+        |  (SELECT id % 7 AS g, make_set_digest(id % 3000) AS s FROM r100k GROUP BY id % 7)""".stripMargin)
+    assert(direct == merged)
+    spark.table("r100k").repartition(13).createOrReplaceTempView("r100k_sd_rep")
+    assert(one("SELECT cardinality(make_set_digest(id % 3000)) FROM r100k_sd_rep") == direct)
+  }
+
+  test("setdigest hash_counts tracks multiplicities") {
+    val m = one("SELECT hash_counts(make_set_digest(id % 4)) FROM r100k")
+      .asInstanceOf[scala.collection.Map[Long, Int]]
+    assert(m.size == 4)
+    assert(m.values.forall(_ == 25000), s"counts ${m.values.toSeq}")
+  }
+
+  test("merge rejects mixed sketch families") {
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT merge(s) FROM (
+          |  SELECT approx_set(id) AS s FROM r100k WHERE id < 10
+          |  UNION ALL
+          |  SELECT make_set_digest(id) AS s FROM r100k WHERE id < 10)""".stripMargin).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
