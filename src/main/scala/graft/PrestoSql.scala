@@ -25,11 +25,19 @@ object PrestoSql {
     "year", "quarter", "month", "week", "day", "hour", "minute", "second",
     "millisecond", "microsecond", "dayofyear")
 
+  /** Top-level `... ORDER BY <keys> FETCH FIRST n ROWS WITH TIES` — the
+    * greedy first group pins the LAST order-by, so an inner subquery's
+    * order-by stays with the base query.
+    */
+  private val withTiesRe =
+    "(?is)^(.*)\\bORDER\\s+BY\\s+(.+?)\\s+FETCH\\s+FIRST\\s+(\\d+)\\s+ROWS?\\s+WITH\\s+TIES\\s*;?\\s*$".r
+
   def translate(sql: String): String = {
     if (sql.toLowerCase.contains("with ties"))
       throw new IllegalArgumentException(
-        "FETCH FIRST ... WITH TIES is not supported: rewrite with rank() OVER (...) <= n " +
-          "(the reference desugars it the same way)")
+        "FETCH FIRST ... WITH TIES has no text-level Spark SQL equivalent; run it " +
+          "through PrestoSql.sql(spark, text), which desugars it into a rank() filter " +
+          "(the reference's ImplementLimitWithTies.java rewrite)")
 
     val out = new StringBuilder
     var i = 0
@@ -89,7 +97,67 @@ object PrestoSql {
       .replaceAllIn(out.toString, m => s"LIMIT ${m.group(1)}")
   }
 
-  /** Run Presto-dialect SQL against a session with the graft registry. */
-  def sql(spark: SparkSession, prestoText: String): DataFrame =
-    spark.sql(translate(prestoText))
+  /** Split on top-level commas (outside parens and string literals). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    var inQ = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case ',' if !inQ && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Parse one ORDER BY item (`expr [ASC|DESC] [NULLS FIRST|LAST]`). */
+  private def sortCol(spec: String): org.apache.spark.sql.Column = {
+    var t = spec.trim
+    def strip(suffix: String): Boolean =
+      if (t.toLowerCase.endsWith(suffix)) {
+        t = t.substring(0, t.length - suffix.length).trim; true
+      } else false
+    var nullsFirst: Option[Boolean] = None
+    if (strip("nulls first")) nullsFirst = Some(true)
+    else if (strip("nulls last")) nullsFirst = Some(false)
+    val asc = if (strip("desc")) false else { strip("asc"); true }
+    val c = org.apache.spark.sql.functions.expr(t)
+    (asc, nullsFirst) match {
+      case (true, None) => c.asc
+      case (true, Some(true)) => c.asc_nulls_first
+      case (true, Some(false)) => c.asc_nulls_last
+      case (false, None) => c.desc
+      case (false, Some(true)) => c.desc_nulls_first
+      case (false, Some(false)) => c.desc_nulls_last
+    }
+  }
+
+  /** Run Presto-dialect SQL against a session with the graft registry.
+    * `FETCH FIRST n ROWS WITH TIES` at top level is desugared here into a
+    * rank() window + filter — the reference's own planner rewrite
+    * (sql/planner/iterative/rule/ImplementLimitWithTies.java); Spark then
+    * optimizes `rank <= n` into WindowGroupLimit, so partitions pre-prune
+    * to their local top-n before the final merge, like a TopN.
+    */
+  def sql(spark: SparkSession, prestoText: String): DataFrame = prestoText match {
+    case withTiesRe(base, keys, n) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, rank}
+      val sortCols = splitTopLevel(keys).map(sortCol)
+      spark.sql(translate(base))
+        .withColumn("__graft_rk", rank().over(Window.orderBy(sortCols: _*)))
+        .filter(col("__graft_rk") <= n.toInt)
+        .drop("__graft_rk")
+        .orderBy(sortCols: _*)
+    case _ => spark.sql(translate(prestoText))
+  }
 }

@@ -61,6 +61,23 @@ object Rewrites {
     // Presto regexp_split(s, pattern) ≡ Spark split(s, regex) — same
     // regex-delimiter semantics, different name
     "regexp_split" -> { case Seq(s, p) => call_function("split", s, p) },
+    // regexp_replace: Presto's 2-arg form deletes matches; the 3-arg form
+    // dispatches on the replacement — a lambda gets the replace-with-
+    // function HOF (JoniRegexpFunctions.java lambda overload; capture
+    // groups arrive as array<varchar>), a string gets Spark's builtin
+    // (emitted as the catalyst class directly — same-name override).
+    "regexp_replace" -> {
+      case Seq(s, p) =>
+        toCol(org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+          toExpr(s), toExpr(p), toExpr(lit(""))))
+      case Seq(s, p, r) => toExpr(r) match {
+        case lf: LambdaFunction =>
+          toCol(org.apache.spark.sql.catalyst.expressions.RegExpReplaceWithLambda(
+            toExpr(s), toExpr(p), lf))
+        case rep =>
+          toCol(org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+            toExpr(s), toExpr(p), rep))
+      } },
     "to_hex" -> { case Seq(b) => upper(hex(b)) },
     "from_hex" -> { case Seq(s) => unhex(s) },
     "to_base64" -> { case Seq(b) => base64(b) },

@@ -75,6 +75,26 @@ object Functions {
         |FROM part WHERE p_partkey < 200
         |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
 
+    // ---- regexp_replace with lambda (JoniRegexpFunctions.java lambda
+    //      overload): the replacement function receives the capture groups
+    //      as array<varchar> (element_at = 1-based in both dialects), plus
+    //      Presto's 2-arg delete-matches form ----
+    "fn_regex_lambda" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  regexp_replace(p_name, '([a-z]+)', x -> upper(element_at(x, 1))) AS shouted,
+        |  regexp_replace(p_name, '(\\w)(\\w*)',
+        |    x -> concat(upper(element_at(x, 1)), element_at(x, 2))) AS title_case,
+        |  regexp_replace(p_name, '[aeiou]') AS devoweled
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  upper(p_name) AS shouted,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> upper(w[1]) || w[2:]), ' ') AS title_case,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
     // ---- datetime field extraction (DateTimeFunctions.java: year/quarter/
     //      month/day/hour/minute, date_trunc). DuckDB date_trunc returns
     //      DATE for month granularity — cast back to TIMESTAMP. ----

@@ -305,6 +305,26 @@ object Relational {
         |ORDER BY c_custkey ASC NULLS LAST
         |LIMIT 10 OFFSET 20""".stripMargin),
 
+    // FETCH FIRST n ROWS WITH TIES, desugared by PrestoSql.sql into a
+    // rank() filter (the reference's ImplementLimitWithTies.java rewrite;
+    // Spark optimizes rank<=n into WindowGroupLimit). The coarse bucket
+    // key guarantees ties at the cut, so the result exceeds n rows and the
+    // tied boundary group is fully included — the semantics LIMIT lacks.
+    "limit_with_ties" -> Q.df(
+      """SELECT o_orderkey, o_custkey, price_bucket FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_bucket,
+        |    rank() OVER (ORDER BY CAST(FLOOR(o_totalprice / 10000) AS BIGINT) DESC) AS rk
+        |  FROM orders WHERE o_orderkey < 2000) t
+        |WHERE rk <= 10
+        |ORDER BY price_bucket DESC, o_orderkey ASC""".stripMargin) { (s, dir) =>
+      graft.PrestoSql.sql(s,
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_bucket
+          |FROM orders WHERE o_orderkey < 2000
+          |ORDER BY price_bucket DESC FETCH FIRST 10 ROWS WITH TIES""".stripMargin)
+    },
+
     // DISTINCT + LIMIT fused (DistinctLimitOperator).
     "distinct_limit" -> Q.sqlSame(
       """SELECT DISTINCT o_orderpriority FROM orders

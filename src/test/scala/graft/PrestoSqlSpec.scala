@@ -65,6 +65,41 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       PrestoSql.translate("SELECT x FROM t FETCH FIRST 5 ROWS WITH TIES"))
   }
 
+  test("FETCH FIRST WITH TIES desugars to a rank filter") {
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (2, 'c'), (3, 'd') AS t(x, y)")
+      .createOrReplaceTempView("ties_t")
+    val got = PrestoSql.sql(spark,
+      "SELECT x, y FROM ties_t ORDER BY x DESC FETCH FIRST 2 ROWS WITH TIES")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    // top-2 by x desc: 3 (rank 1) then BOTH 2s (rank 2, tied)
+    assert(got == Seq((2, "b"), (2, "c"), (3, "d")), s"got $got")
+    // multi-key order with direction suffixes parses too
+    val multi = PrestoSql.sql(spark,
+      "SELECT x, y FROM ties_t ORDER BY x ASC NULLS LAST, y DESC FETCH FIRST 1 ROWS WITH TIES")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(multi == Seq((1, "a")), s"got $multi")
+  }
+
+  test("regexp_replace with lambda and 2-arg delete form") {
+    val r = spark.sql(
+      "SELECT regexp_replace('ab12cd', '([a-z]+)', x -> upper(element_at(x, 1)))").collect()(0).getString(0)
+    assert(r == "AB12CD")
+    // capture groups: swap pairs
+    val swap = spark.sql(
+      "SELECT regexp_replace('a1b2', '([a-z])([0-9])', x -> concat(element_at(x, 2), element_at(x, 1)))")
+      .collect()(0).getString(0)
+    assert(swap == "1a2b")
+    // 2-arg form deletes matches (Presto semantics)
+    assert(spark.sql("SELECT regexp_replace('a1b2c3', '[0-9]')").collect()(0).getString(0) == "abc")
+    // string 3-arg form still the builtin
+    assert(spark.sql("SELECT regexp_replace('aaa', 'a', 'b')").collect()(0).getString(0) == "bbb")
+    // null lambda result is an error, as in the reference
+    val e = intercept[Exception] {
+      spark.sql("SELECT regexp_replace('abc', '(a)', x -> CAST(NULL AS STRING))").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
