@@ -40,6 +40,16 @@ object Dedup {
     *              (token set or shingle set), already distinct
     * @param k     signature length; bands*rowsPerBand must equal k
     * @param threshold verified Jaccard threshold for emitted pairs
+    * @param hotBucketCap buckets wider than this (degenerate: thousands of
+    *              near-identical docs hashing into one band bucket) would
+    *              re-quadratize the candidate self-join (w² pairs); they are
+    *              instead STAR-LINKED — every member pairs with the bucket's
+    *              minimum id only (w−1 pairs). Verification still filters
+    *              exactly, and greedy min-id clustering (dropDuplicates)
+    *              removes the same duplicates: each member is tied to the
+    *              representative directly. The trade: within a degenerate
+    *              bucket the output lists representative pairs, not all
+    *              member-member pairs.
     */
   def minhashLsh(
       df: DataFrame,
@@ -47,7 +57,8 @@ object Dedup {
       elems: org.apache.spark.sql.Column,
       k: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      hotBucketCap: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
 
@@ -58,21 +69,33 @@ object Dedup {
       .select(col("id"), TextOps.minhashFromHashes(col("hashes"), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Bucket width + representative in one window pass — the same
+    // (band, bucket) hash shuffle the candidate join needs anyway.
+    val bw = Window.partitionBy(col("band"), col("bucket"))
     val banded = sigs
       .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__bw", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(col("id")).over(bw))
 
     // Candidates: docs sharing any band bucket. Join on ids only — the
     // element arrays would multiply the shuffle by the collision count —
     // and collapse multi-band collisions BEFORE verification, so each
-    // candidate pair is screened exactly once.
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = left
+    // candidate pair is screened exactly once. Buckets wider than the cap
+    // contribute star pairs (member, representative) instead of all pairs,
+    // bounding any bucket's candidate count at w−1 instead of w²/2.
+    val normal = banded.filter(col("__bw") <= hotBucketCap)
+    val left = normal.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = normal.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val allPairs = left
       .join(right,
         left("band") === right("band") && left("bucket") === right("bucket") &&
           left("id_a") < right("id_b"))
       .select(col("id_a"), col("id_b"))
+    val starPairs = banded
+      .filter(col("__bw") > hotBucketCap && col("id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+    val candidates = allPairs.unionByName(starPairs)
       .dropDuplicates("id_a", "id_b")
 
     // Screen: estimated Jaccard = fraction of agreeing signature slots —
@@ -139,15 +162,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Refuse to run an O(n²) baseline on an input it cannot afford: these
+    * exist as verification oracles and small-slice tools, and a silent
+    * cross join over a 100-TB table is a cluster-killer, not a slow query.
+    * The count is one cheap column-pruned job; callers with a pre-counted
+    * input can raise the bound deliberately.
+    */
+  private[llm] def guardQuadratic(df: DataFrame, what: String, scalePath: String,
+      maxRows: Long): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$what is O(n²) and got n=$n rows (bound $maxRows): it is the exact " +
+        s"verification baseline, not the scale path — use $scalePath for large " +
+        s"inputs, or pass maxRows explicitly after sizing the slice")
+    df
+  }
+
   /** Exact all-pairs Jaccard above a threshold — quadratic; the verifier
-    * for minhashLsh and the right tool only for small slices.
+    * for minhashLsh and the right tool only for small slices (guarded).
     */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       elems: org.apache.spark.sql.Column,
-      threshold: Double): DataFrame = {
-    val s = df.select(col(idCol).as("id"), elems.as("elems"))
+      threshold: Double,
+      maxRows: Long = 100000): DataFrame = {
+    val s = guardQuadratic(df.select(col(idCol).as("id"), elems.as("elems")),
+      "jaccardPairs", "minhashLsh", maxRows)
     val a = s.select(col("id").as("id_a"), col("elems").as("elems_a"))
     val b = s.select(col("id").as("id_b"), col("elems").as("elems_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -156,13 +197,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact all-pairs embedding cosine similarity above a threshold. */
+  /** Exact all-pairs embedding cosine similarity above a threshold
+    * (quadratic — guarded; the scale path is Similarity.lshTopK).
+    */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      threshold: Double,
+      maxRows: Long = 100000): DataFrame = {
+    val s = guardQuadratic(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "embeddingPairs", "Similarity.lshTopK", maxRows)
     val a = s.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = s.select(col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, col("id_a") < col("id_b"))

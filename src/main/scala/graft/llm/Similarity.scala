@@ -32,10 +32,20 @@ object Similarity {
 
   /** Exact top-k neighbors for every query row against the corpus.
     * Output: (query_id, neighbor_id, cos, rank), rank 1..k.
+    *
+    * |Q|·|C| work — the correctness baseline and final re-rank, guarded
+    * against accidental corpus-scale use (maxProduct bounds the pair
+    * count; lshTopK is the scale path).
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxProduct: Long = 100000000L): DataFrame = {
+    val nq = queries.count()
+    val nc = corpus.count()
+    require(nq * nc <= maxProduct,
+      s"bruteForceTopK is O(|Q|·|C|) and got $nq × $nc pairs (bound $maxProduct): " +
+        "use lshTopK for corpus-scale search, or pass maxProduct after sizing the slice")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -81,10 +91,19 @@ object Similarity {
     * neighbors at angle θ, single-bucket recall is (1−θ/π)^nPlanes;
     * multi-probe adds the one-flip terms.
     */
+  /** @param hotBucketCap corpus buckets wider than this are SALTED: a hot
+    *   bucket of width w splits into ⌈w/cap⌉ hash cells and each probing
+    *   query replicates across those cells, so no join partition exceeds
+    *   ~cap corpus rows while the candidate set stays EXACTLY the same
+    *   (each corpus row lives in one cell; the query visits all of them).
+    *   Sign-bucket skew is the known failure mode of hyperplane LSH on
+    *   clustered embeddings — this bounds it without losing recall.
+    */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, multiProbe: Boolean = true,
+      hotBucketCap: Int = 100000): DataFrame = {
     val probesFor: Column => Column = bucket =>
       if (multiProbe)
         array_union(array(bucket),
@@ -92,14 +111,28 @@ object Similarity {
             j => bucket.bitwiseXOR(call_function("shiftleft", lit(1L), j))))
       else array(bucket)
 
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes, dim))
+    // ≤ 2^nPlanes rows — broadcast to both sides; a query probing a bucket
+    // absent from the corpus joins away for free (no candidates there).
+    val bucketSizes = c.groupBy("bucket")
+      .agg(count(lit(1)).as("__bw"))
+      .withColumn("__nsplit",
+        greatest(ceil(col("__bw").cast("double") / hotBucketCap), lit(1L)).cast("bigint"))
+      .select(col("bucket"), col("__nsplit"))
+    val cSalted = c.join(broadcast(bucketSizes), "bucket")
+      .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), col("__nsplit")))
+      .drop("__nsplit")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket0", lshBucket(col("qv"), nPlanes, dim))
       .withColumn("bucket", explode(probesFor(col("bucket0"))))
       .drop("bucket0")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), nPlanes, dim))
-    val scored = q.join(c,
-        q("bucket") === c("bucket") && col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(bucketSizes), "bucket")
+      .withColumn("__salt", explode(sequence(lit(0L), col("__nsplit") - 1)))
+      .drop("__nsplit")
+    val scored = q.join(cSalted,
+        q("bucket") === cSalted("bucket") && q("__salt") === cSalted("__salt") &&
+          col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

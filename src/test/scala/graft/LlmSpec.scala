@@ -176,6 +176,62 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
   }
 
+  test("hot-bucket cap keeps degenerate minhash candidates linear") {
+    val sp = spark; import sp.implicits._
+    // adversarial corpus: 400 identical docs — every band bucket holds all
+    // 400, which uncapped would mean 400·399/2 ≈ 80k candidate pairs
+    val d = (1L to 400L).map(i => (i, "the same exact text repeated in every document"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(d, "doc_id", TextOps.tokenSet(col("text")),
+      threshold = 0.9, hotBucketCap = 50)
+    val got = pairs.collect()
+    // star-linking: every doc pairs with the representative (min id) only
+    assert(got.length == 399, s"expected 399 star pairs, got ${got.length}")
+    assert(got.forall(_.getLong(0) == 1L), "all pairs must link to the min-id representative")
+    // greedy min-id clustering still removes every duplicate
+    assert(Dedup.dropDuplicates(d, "doc_id", pairs).count() == 1L)
+  }
+
+  test("small buckets keep full pair enumeration under the cap") {
+    val sp = spark; import sp.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "completely different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(d, "doc_id", TextOps.tokenSet(col("text")), threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
+  test("ann hot-bucket salting preserves the exact result set") {
+    val q = embs.filter(col("vec_id") < 20)
+    val unsalted = Similarity.lshTopK(q, embs, "vec_id", "embedding", 3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // cap of 10 forces every populated sign bucket to salt into many cells
+    val salted = Similarity.lshTopK(q, embs, "vec_id", "embedding", 3, nPlanes = 4,
+      hotBucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(salted == unsalted, "salting must not change the candidate set or ranking")
+  }
+
+  test("quadratic baselines refuse oversized inputs") {
+    val sp = spark; import sp.implicits._
+    val big = sp.range(0, 2000).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id").cast("string")).as("text"))
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(big, "doc_id", TextOps.tokenSet(col("text")), 0.9,
+        maxRows = 1000).count()
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(embs, "vec_id", "embedding", 0.5, maxRows = 100).count()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(embs, embs, "vec_id", "embedding", 3,
+        maxProduct = 1000).count()
+    }
+  }
+
   test("quality score bounds and monotone token credit") {
     val sp = spark; import sp.implicits._
     val d = Seq(
