@@ -71,12 +71,15 @@ object Dedup {
 
     // Bucket width + representative in one window pass — the same
     // (band, bucket) hash shuffle the candidate join needs anyway.
+    // Persisted: three consumers (both self-join sides + the star pairs)
+    // would otherwise each redo the explode + shuffle + sort.
     val bw = Window.partitionBy(col("band"), col("bucket"))
     val banded = sigs
       .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .withColumn("__bw", count(lit(1)).over(bw))
       .withColumn("__bmin", min(col("id")).over(bw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidates: docs sharing any band bucket. Join on ids only — the
     // element arrays would multiply the shuffle by the collision count —

@@ -62,17 +62,21 @@ object Windows {
 
     // IGNORE NULLS value functions (Presto supports IGNORE NULLS on
     // lag/lead/first/last/nth — StatementAnalyzer; dialects place the
-    // modifier differently, hence per-dialect texts).
+    // modifier differently, hence per-dialect texts). Partitioned by
+    // priority so the window hash-distributes — an unpartitioned ORDER BY
+    // window moves the whole input through one task at scale.
     "window_ignore_nulls" -> Q.sql(
       spark = """SELECT o_orderkey,
-        |  lag(NULLIF(o_orderstatus, 'O')) IGNORE NULLS OVER (ORDER BY o_orderkey ASC) AS last_closed,
-        |  first_value(NULLIF(o_orderstatus, 'O')) IGNORE NULLS OVER (ORDER BY o_orderkey ASC) AS first_closed
+        |  lag(NULLIF(o_orderstatus, 'O')) IGNORE NULLS OVER w AS last_closed,
+        |  first_value(NULLIF(o_orderstatus, 'O')) IGNORE NULLS OVER w AS first_closed
         |FROM orders WHERE o_orderkey < 1000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC)
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
       duck = """SELECT o_orderkey,
-        |  lag(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER (ORDER BY o_orderkey ASC) AS last_closed,
-        |  first_value(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER (ORDER BY o_orderkey ASC) AS first_closed
+        |  lag(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER w AS last_closed,
+        |  first_value(NULLIF(o_orderstatus, 'O') IGNORE NULLS) OVER w AS first_closed
         |FROM orders WHERE o_orderkey < 1000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC)
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
 
     // first/last/nth over full-partition frame (FirstValueFunction.java,
@@ -105,13 +109,15 @@ object Windows {
         .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
     },
 
-    // Sliding ROWS frame (moving aggregate).
+    // Sliding ROWS frame (moving aggregate), partitioned so the window
+    // hash-distributes instead of single-tasking a global sort.
     "window_sliding_avg" -> Q.sqlSame(
       """SELECT o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE)
         |    / COUNT(*) OVER w AS moving_avg
         |FROM orders WHERE o_orderkey < 2000
-        |WINDOW w AS (ORDER BY o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
 
     // RANGE frame with peer groups (Presto RANGE limited to
@@ -128,10 +134,12 @@ object Windows {
         |  l_quantity ASC NULLS LAST, n_upto_qty ASC NULLS LAST""".stripMargin),
 
     // Value-offset RANGE frame (Spark superset of Presto's RANGE — SURVEY
-    // §2.1 window table).
+    // §2.1 window table). Partitioned by status: value-RANGE frames sort
+    // within their partition, and an unpartitioned one is a single-task
+    // global sort at scale.
     "window_range_value" -> Q.sqlSame(
       """SELECT o_orderkey, o_totalprice,
-        |  COUNT(*) OVER (ORDER BY o_totalprice ASC
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
         |    RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_within_1000
         |FROM orders WHERE o_orderkey < 2000
         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin),
