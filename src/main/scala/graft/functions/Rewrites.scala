@@ -215,10 +215,20 @@ object Rewrites {
     "map_agg" -> { case Seq(k, v) => toCol(MapAggAgg(toExpr(k), toExpr(v)).toAggregateExpression()) },
     "map_union" -> { case Seq(m) => toCol(MapUnionAgg(toExpr(m)).toAggregateExpression()) },
     "multimap_agg" -> { case Seq(k, v) => toCol(MultimapAggAgg(toExpr(k), toExpr(v)).toAggregateExpression()) },
-    // checksum: order-independent content hash (ChecksumAggregationFunction
-    // .java:132 sums per-row xxhash64 with wrapping add; decimal sum here —
-    // same order-independence, no 64-bit wrap needed)
-    "checksum" -> { case Seq(x) => sum(xxhash64(x).cast(DecimalType(38, 0))) },
+    // checksum: order-independent content hash matching the reference's
+    // shape (ChecksumAggregationFunction.java:132): per-row 64-bit hash
+    // summed with WRAPPING 64-bit addition, emitted as an 8-byte varbinary.
+    // The wrap is done in exact decimal then mapped back into long range
+    // (ANSI-safe: the value is reduced mod 2^64 first). Residual drift vs
+    // the reference: the row hash is Spark's xxhash64 (vs Presto's
+    // type-specific XxHash64 blocks), so the BITS differ cross-engine, but
+    // the algebra — commutative, wrapping, varbinary — is the same.
+    "checksum" -> { case Seq(x) =>
+      val two64 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
+      val two63 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63)))
+      val s = pmod(sum(xxhash64(x).cast(DecimalType(38, 0))), two64)
+      val wrapped = when(s >= two63, s - two64).otherwise(s).cast("bigint")
+      call_function("to_big_endian_64", wrapped) },
     // min_by/max_by n-variants (MinNAggregationFunction.java/TypedHeap.java);
     // 2-arg forms emit the catalyst builtins directly (same-name override)
     "min_by" -> {
@@ -289,6 +299,14 @@ object Rewrites {
       toCol(GetJsonObject(toExpr(j), toExpr(concat(lit("$["), i.cast("string"), lit("]"))))) },
     "json_parse" -> { case Seq(s) => s },   // JSON type == string in this engine
     "json_format" -> { case Seq(j) => j },
+    // json_size / is_json_scalar: KNOWN APPROXIMATION under the JSON=string
+    // ruling (SURVEY §7.4) — containers are detected by their first
+    // non-space character, so a scalar STRING VALUE that itself starts
+    // with '[' or '{' (i.e. the extracted text of a string whose content
+    // looks like JSON) is misclassified as a container. Exact behavior
+    // needs a parsing pass (reference JsonFunctions.java walks the token
+    // stream); the declared fn_json/compat_array_json queries pin the
+    // behavior on well-formed inputs.
     "json_size" -> { case Seq(j, p) =>
       val sub = toCol(GetJsonObject(toExpr(j), toExpr(p)))
       when(sub.startsWith("["), json_array_length(sub))

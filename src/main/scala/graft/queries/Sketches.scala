@@ -272,7 +272,7 @@ object Sketches {
     // (ChecksumAggregationFunction.java is Presto's own verifier primitive).
     "agg_checksum" -> Q.noOracle() { (s, dir) =>
       s.sql(
-        """SELECT o_orderpriority, checksum(o_orderkey) AS chk
+        """SELECT o_orderpriority, hex(checksum(o_orderkey)) AS chk
           |FROM orders GROUP BY o_orderpriority
           |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
     }

@@ -255,4 +255,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
     assert(short.map(_.toList).toList == List(List("a")))
   }
+
+  // ---- session functions (reference: current_user etc. resolved by the
+  //      session context, StatementAnalyzer; Spark builtins supply them —
+  //      values are session-dependent, so assert shape, not content) ----
+  test("session functions resolve from the session context") {
+    assert(one("current_user()") != null)
+    assert(one("current_database()") != null)
+    assert(one("current_timezone()") == "UTC") // pinned by the session conf
+    val d = one("current_date()").asInstanceOf[java.sql.Date]
+    assert(d.toLocalDate.getYear >= 2024)
+    // current_timestamp is fixed within one query (query-start semantics,
+    // same as the reference's per-query session time)
+    val row = spark.sql("SELECT current_timestamp() AS a, current_timestamp() AS b")
+      .collect()(0)
+    assert(row.get(0) == row.get(1))
+  }
 }

@@ -58,20 +58,34 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(a.asInstanceOf[Long] - 1234L) <= 25)
   }
 
+  private def bytes(sql: String): Seq[Byte] =
+    one(sql).asInstanceOf[Array[Byte]].toSeq
+
   test("checksum is order- and partitioning-independent") {
-    val a = one("SELECT checksum(id) FROM r100k")
+    val a = bytes("SELECT checksum(id) FROM r100k")
     spark.table("r100k").repartition(17).createOrReplaceTempView("r100k_17")
-    val b = one("SELECT checksum(id) FROM r100k_17")
+    val b = bytes("SELECT checksum(id) FROM r100k_17")
     spark.table("r100k").orderBy(org.apache.spark.sql.functions.col("id").desc)
       .createOrReplaceTempView("r100k_desc")
-    val c = one("SELECT checksum(id) FROM r100k_desc")
-    assert(a == b && b == c && a != null)
+    val c = bytes("SELECT checksum(id) FROM r100k_desc")
+    assert(a == b && b == c && a.length == 8)
   }
 
   test("checksum detects content difference") {
-    val a = one("SELECT checksum(id) FROM r100k")
-    val d = one("SELECT checksum(id + 1) FROM r100k")
+    val a = bytes("SELECT checksum(id) FROM r100k")
+    val d = bytes("SELECT checksum(id + 1) FROM r100k")
     assert(a != d)
+  }
+
+  test("checksum is the WRAPPING 64-bit sum of per-row xxhash64 (reference algebra)") {
+    // closed form: exact decimal sum of the row hashes, reduced mod 2^64,
+    // mapped into signed-long range, big-endian bytes
+    val exact = one("SELECT SUM(CAST(xxhash64(id) AS DECIMAL(38,0))) FROM r100k")
+      .asInstanceOf[java.math.BigDecimal].toBigInteger
+    val wrapped = exact.mod(java.math.BigInteger.ONE.shiftLeft(64))
+    val asLong = wrapped.longValue() // truncating BigInteger→long IS the 2^64 wrap
+    val expect = java.nio.ByteBuffer.allocate(8).putLong(asLong).array().toSeq
+    assert(bytes("SELECT checksum(id) FROM r100k") == expect)
   }
 
   test("histogram matches groupBy counts through a shuffle") {
