@@ -352,6 +352,22 @@ object Rewrites {
           .cast(DecimalType(38, 0)))
       floor(num * factor).cast(DecimalType(38, 0)) },
 
+    // ---------- graft pipeline accelerators (NOT Presto surface) ----------
+    // The LLM-dedup hot loops as single flat-loop native expressions; the
+    // Column-DSL forms in llm/TextOps delegate here. Spec-locked to be
+    // value-identical to their lambda formulations.
+    "word_shingles" -> { case Seq(t, nn) =>
+      toCol(WordShingles(toExpr(t), toExpr(nn))) },
+    "minhash_signature" -> { case Seq(e, kk) =>
+      val k = toExpr(kk).eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case n: java.lang.Number => n.intValue
+        case d: org.apache.spark.sql.types.Decimal => d.toInt
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature: k must be an integer literal, got $other")
+      }
+      toCol(MinhashSignature(toExpr(e), k)) },
+
     // ---------- aggregate rewrites (operator/aggregation/) ----------
     "geometric_mean" -> { case Seq(x) => exp(avg(log(x))) },
     "approx_distinct" -> {

@@ -1,0 +1,72 @@
+package graft.functions.sketches
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** MinHash signature of an element array as ONE native expression — the
+  * hot inner loop of corpus dedup (llm/Dedup.minhashLsh), lifted out of
+  * interpreted higher-order lambdas. The HOF formulation
+  * (TextOps.minhashFromHashes) evaluates a k-wide zip_with per element:
+  * every step allocates two k-arrays and dispatches k interpreted
+  * `least()` calls. Here the fold is a flat JVM loop over the array data:
+  * two xxhash64 calls per element, then k derived minimum updates on one
+  * long[k] — the Carter–Wegman h_j(x) = h1 + j·h2 construction, same as
+  * the reference's setdigest MinHash component
+  * (presto-main/.../type/setdigest/SetDigest.java).
+  *
+  * Hash-compatible with the staged-column form it replaces:
+  * h1 = xxhash64(e), h2 = xxhash64(e, 1) — the DSL's multi-arg xxhash64
+  * chains hash(1L, seed = hash(e, 42)) — both masked to 31 bits so
+  * h1 + j·h2 stays far below Long.MaxValue (ANSI overflow).
+  */
+case class MinhashSignature(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, "minhash signature length must be positive")
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array input, got $other")
+    }
+
+  // lazy: the child is an unresolved attribute when the Column is built
+  @transient private lazy val elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.get(i, elementType)
+        val h1full = XxHash64Function.hash(e, elementType, 42L)
+        val h1 = h1full & 0x7FFFFFFFL
+        // the DSL's xxhash64(e, 1) chains hash(1:int, seed = hash(e, 42))
+        val h2 = XxHash64Function.hash(1, IntegerType, h1full) & 0x7FFFFFFFL
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}

@@ -62,11 +62,11 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
 
-    // (id, k longs) per doc — persist so banding, the candidate self-join
-    // and the estimate join all reuse one pass of shingle hashing.
+    // (id, k longs) per doc — the native MinhashSignature expression (flat
+    // JVM loop, not interpreted lambdas); persisted so banding, the
+    // candidate self-join and the estimate join all reuse one hashing pass.
     val sigs = df
-      .select(col(idCol).as("id"), TextOps.minhashElementHashes(elems).as("hashes"))
-      .select(col("id"), TextOps.minhashFromHashes(col("hashes"), k).as("sig"))
+      .select(col(idCol).as("id"), TextOps.minhashSignature(elems, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bucket width + representative in one window pass — the same
@@ -116,12 +116,20 @@ object Dedup {
 
     // Verify survivors exactly: recompute elements only for docs still in
     // play — broadcast the (small) id set into a semi filter so the exact
-    // Jaccard touches a vanishing fraction of the corpus.
+    // Jaccard touches a vanishing fraction of the corpus. The element
+    // arrays travel as xxhash64 longs, not shingle strings: Jaccard of the
+    // hashed sets equals Jaccard of the string sets (a within-doc
+    // collision needs ~2^64/n² odds), at a fraction of the join's shuffle
+    // bytes and comparison cost.
     val candIds = screened
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+    // persisted: the candidate set is tiny, and without the barrier
+    // CollapseProject would inline the element computation past the verify
+    // joins — recomputing it per PAIR (×2) instead of per doc.
     val candElems = df
       .join(broadcast(candIds), df(idCol) === col("__cid"))
-      .select(col("__cid").as("id"), elems.as("elems"))
+      .select(col("__cid").as("id"), transform(elems, e => xxhash64(e)).as("elems"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     screened
       .join(candElems.select(col("id").as("id_a"), col("elems").as("elems_a")), "id_a")
       .join(candElems.select(col("id").as("id_b"), col("elems").as("elems_b")), "id_b")

@@ -19,8 +19,19 @@ object TextOps {
   /** Distinct token set — the unit for set-similarity dedup. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct word n-gram shingles joined by single spaces. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles joined by single spaces — the native
+    * flat-loop expression (sketches.WordShingles, registered as
+    * `word_shingles`); string-identical to [[wordShinglesLambda]], which
+    * the equivalence spec locks it against.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+
+  /** The pure-Column lambda formulation (slower: interpreted HOFs allocate
+    * a slice + join per position) — kept as the independent reference
+    * implementation for the equivalence spec.
+    */
+  def wordShinglesLambda(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
@@ -61,8 +72,14 @@ object TextOps {
         (m, j) => least(m, s.getField("h1") + j * s.getField("h2"))))
   }
 
+  /** Native single-expression signature (sketches.MinhashSignature,
+    * registered as `minhash_signature`): a flat JVM loop — two hashes per
+    * element, k minimum updates on one long[k] — instead of the
+    * interpreted staged-lambda fold above. Hash-identical to it (locked
+    * by spec).
+    */
   def minhashSignature(elems: Column, k: Int): Column =
-    minhashFromHashes(minhashElementHashes(elems), k)
+    call_function("minhash_signature", elems, lit(k))
 
   /** LSH banding of a MinHash signature: `bands` structs of
     * (band index, hash of that band's rows). Docs sharing any band bucket

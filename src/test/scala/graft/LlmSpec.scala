@@ -176,6 +176,37 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
   }
 
+  test("native minhash signature is hash-identical to the lambda fold") {
+    val lambdaForm = docs.limit(50).select(
+      TextOps.minhashFromHashes(
+        TextOps.minhashElementHashes(TextOps.tokenSet(col("text"))), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    val nativeForm = docs.limit(50).select(
+      TextOps.minhashSignature(TextOps.tokenSet(col("text")), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(lambdaForm == nativeForm)
+  }
+
+  test("native word shingles are string-identical to the lambda form") {
+    for (n <- Seq(2, 3)) {
+      val lambdaForm = docs.limit(80).select(
+        TextOps.wordShinglesLambda(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      val nativeForm = docs.limit(80).select(
+        TextOps.wordShingles(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      assert(lambdaForm == nativeForm, s"n=$n")
+    }
+    // degenerate: fewer words than n, leading/trailing whitespace
+    val sp = spark; import sp.implicits._
+    val edge = Seq((1L, "one"), (2L, " two words "), (3L, "")).toDF("doc_id", "text")
+    val l = edge.select(TextOps.wordShinglesLambda(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val v = edge.select(TextOps.wordShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(l == v, s"$l vs $v")
+  }
+
   test("hot-bucket cap keeps degenerate minhash candidates linear") {
     val sp = spark; import sp.implicits._
     // adversarial corpus: 400 identical docs — every band bucket holds all
