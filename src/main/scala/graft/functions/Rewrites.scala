@@ -114,8 +114,9 @@ object Rewrites {
           .otherwise(call_function("shiftleft", lit(1L), bits.cast("int")) - 1L)
         toCol(org.apache.spark.sql.catalyst.expressions.BitwiseCount(
           toExpr(x.cast("bigint").bitwiseAND(mask)))) },
-    // cosine similarity: dense array<numeric> (the LLM-pipeline shape) or
-    // the reference's sparse map<k,double> form (MathFunctions.java
+    // cosine similarity: dense array<numeric> (the LLM-pipeline shape —
+    // native flat-loop kernel, sketches.CosineSimilarityExpr) or the
+    // reference's sparse map<k,double> form (MathFunctions.java
     // cosine_similarity), dispatched on resolved input type. Zero vectors
     // yield NULL (0/0) rather than an error.
     "cosine_similarity" -> { case Seq(a, b) =>
@@ -126,9 +127,7 @@ object Rewrites {
           (acc, k0) => acc + coalesce(element_at(a, k0), lit(0.0)) * coalesce(element_at(b, k0), lit(0.0)))
         dot / nullif(norm(map_values(a)) * norm(map_values(b)), lit(0.0))
       } else {
-        val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        dot / nullif(norm(a) * norm(b), lit(0.0))
+        toCol(CosineSimilarityExpr(toExpr(a), toExpr(b)))
       } },
     // width_bucket array-of-bins variant (MathFunctions.java 2-arg form):
     // index = number of bin boundaries ≤ x; 4-arg form is the builtin
@@ -358,6 +357,13 @@ object Rewrites {
     // value-identical to their lambda formulations.
     "word_shingles" -> { case Seq(t, nn) =>
       toCol(WordShingles(toExpr(t), toExpr(nn))) },
+    "lsh_sign_bucket" -> { case Seq(v, np, dm) =>
+      def intLit(c: Column, what: String): Int = toExpr(c).eval(null) match {
+        case n: java.lang.Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"lsh_sign_bucket: $what must be an integer literal, got $other")
+      }
+      toCol(LshSignBucket(toExpr(v), intLit(np, "nPlanes"), intLit(dm, "dim"))) },
     "minhash_signature" -> { case Seq(e, kk) =>
       val k = toExpr(kk).eval(null) match {
         case i: java.lang.Integer => i.intValue

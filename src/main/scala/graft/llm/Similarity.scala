@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine similarity between two numeric arrays (sequential fold,
-    * deterministic). NULL on zero-norm input.
+  /** Exact cosine similarity between two numeric arrays — the native
+    * flat-loop kernel (sketches.CosineSimilarityExpr via the registry;
+    * value-identical to the lambda fold below, locked by spec). NULL on
+    * zero-norm or length-mismatched input.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  /** The interpreted lambda formulation — kept as the independent
+    * reference implementation for the equivalence spec.
+    */
+  def cosineLambda(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
@@ -71,9 +79,17 @@ object Similarity {
     }
 
   /** Sign-bucket of a vector under the hyperplane set: bit j = sign of
-    * dot(v, plane_j). 2^nPlanes buckets.
+    * dot(v, plane_j). 2^nPlanes buckets. Native flat-loop kernel
+    * (sketches.LshSignBucket; same deterministic plane matrix as
+    * [[lshBucketLambda]], locked by spec).
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    call_function("lsh_sign_bucket", vec, lit(nPlanes), lit(dim))
+
+  /** The interpreted lambda formulation — the equivalence spec's
+    * independent reference implementation.
+    */
+  def lshBucketLambda(vec: Column, nPlanes: Int, dim: Int): Column = {
     val ps = planes(nPlanes, dim)
     ps.zipWithIndex.map { case (p, j) =>
       val planeLit = array(p.map(lit): _*)

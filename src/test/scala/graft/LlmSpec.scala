@@ -207,6 +207,21 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l == v, s"$l vs $v")
   }
 
+  test("native cosine and sign bucket are value-identical to the lambda forms") {
+    val d = embs.filter(col("vec_id") < 60)
+    val joined = d.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .join(d.select((col("vec_id") - 1).as("i"), col("embedding").as("b")), "i")
+    val cos = joined.select(
+      Similarity.cosine(col("a"), col("b")).as("n"),
+      Similarity.cosineLambda(col("a"), col("b")).as("l")).collect()
+    assert(cos.nonEmpty)
+    cos.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+    val buckets = embs.limit(100).select(
+      Similarity.lshBucket(col("embedding"), 8, 64).as("n"),
+      Similarity.lshBucketLambda(col("embedding"), 8, 64).as("l")).collect()
+    buckets.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("hot-bucket cap keeps degenerate minhash candidates linear") {
     val sp = spark; import sp.implicits._
     // adversarial corpus: 400 identical docs — every band bucket holds all
