@@ -97,67 +97,42 @@ object PrestoSql {
       .replaceAllIn(out.toString, m => s"LIMIT ${m.group(1)}")
   }
 
-  /** Split on top-level commas (outside parens and string literals). */
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = scala.collection.mutable.Buffer.empty[String]
-    var depth = 0
-    var inQ = false
-    var start = 0
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => inQ = !inQ
-        case '(' if !inQ => depth += 1
-        case ')' if !inQ => depth -= 1
-        case ',' if !inQ && depth == 0 =>
-          out += s.substring(start, i); start = i + 1
-        case _ => ()
-      }
-      i += 1
-    }
-    out += s.substring(start)
-    out.toSeq
-  }
-
-  /** Parse one ORDER BY item (`expr [ASC|DESC] [NULLS FIRST|LAST]`). */
-  private def sortCol(spec: String): org.apache.spark.sql.Column = {
-    var t = spec.trim
-    def strip(suffix: String): Boolean =
-      if (t.toLowerCase.endsWith(suffix)) {
-        t = t.substring(0, t.length - suffix.length).trim; true
-      } else false
-    var nullsFirst: Option[Boolean] = None
-    if (strip("nulls first")) nullsFirst = Some(true)
-    else if (strip("nulls last")) nullsFirst = Some(false)
-    val asc = if (strip("desc")) false else { strip("asc"); true }
-    val c = org.apache.spark.sql.functions.expr(t)
-    (asc, nullsFirst) match {
-      case (true, None) => c.asc
-      case (true, Some(true)) => c.asc_nulls_first
-      case (true, Some(false)) => c.asc_nulls_last
-      case (false, None) => c.desc
-      case (false, Some(true)) => c.desc_nulls_first
-      case (false, Some(false)) => c.desc_nulls_last
-    }
-  }
-
   /** Run Presto-dialect SQL against a session with the graft registry.
-    * `FETCH FIRST n ROWS WITH TIES` at top level is desugared here into a
+    * `FETCH FIRST n ROWS WITH TIES` at top level is desugared into a
     * rank() window + filter — the reference's own planner rewrite
-    * (sql/planner/iterative/rule/ImplementLimitWithTies.java); Spark then
-    * optimizes `rank <= n` into WindowGroupLimit, so partitions pre-prune
-    * to their local top-n before the final merge, like a TopN.
+    * (sql/planner/iterative/rule/ImplementLimitWithTies.java). The rewrite
+    * happens on the ANALYZED plan's Sort node, so sort keys that are not
+    * in the select list (legal SQL, resolved as hidden sort columns) rank
+    * correctly; Spark then optimizes `rank <= n` into WindowGroupLimit, so
+    * partitions pre-prune to their local top-n before the final merge.
     */
   def sql(spark: SparkSession, prestoText: String): DataFrame = prestoText match {
     case withTiesRe(base, keys, n) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{col, rank}
-      val sortCols = splitTopLevel(keys).map(sortCol)
-      spark.sql(translate(base))
-        .withColumn("__graft_rk", rank().over(Window.orderBy(sortCols: _*)))
-        .filter(col("__graft_rk") <= n.toInt)
-        .drop("__graft_rk")
-        .orderBy(sortCols: _*)
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression => CExpr, LessThanOrEqual, Literal, NamedExpression, Rank, RowFrame, SpecifiedWindowFrame, UnboundedPreceding, CurrentRow, WindowExpression, WindowSpecDefinition}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, Window}
+      val analyzed = spark.sql(translate(s"$base\nORDER BY $keys"))
+        .queryExecution.analyzed
+      def tiesPlan(out: Seq[NamedExpression], sort: Sort): LogicalPlan = {
+        val order = sort.order
+        val rankAlias = Alias(
+          WindowExpression(
+            Rank(order.map(_.child: CExpr)),
+            WindowSpecDefinition(Nil, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          "__graft_rk")()
+        val window = Window(Seq(rankAlias), Nil, order, sort)
+        val filtered = Filter(
+          LessThanOrEqual(rankAlias.toAttribute, Literal(n.toInt)), window)
+        Project(out, Sort(order, global = true, filtered))
+      }
+      val plan = analyzed match {
+        case Project(out, s: Sort) if s.global => tiesPlan(out, s)
+        case s: Sort if s.global => tiesPlan(s.output.map(a => a: NamedExpression), s)
+        case other => throw new IllegalArgumentException(
+          "FETCH FIRST ... WITH TIES requires a top-level ORDER BY; got plan root " +
+            other.nodeName)
+      }
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
     case _ => spark.sql(translate(prestoText))
   }
 }

@@ -357,6 +357,7 @@ object Rewrites {
     // value-identical to their lambda formulations.
     "word_shingles" -> { case Seq(t, nn) =>
       toCol(WordShingles(toExpr(t), toExpr(nn))) },
+    "simhash64" -> { case Seq(e) => toCol(SimHash64Expr(toExpr(e))) },
     "lsh_sign_bucket" -> { case Seq(v, np, dm) =>
       def intLit(c: Column, what: String): Int = toExpr(c).eval(null) match {
         case n: java.lang.Number => n.intValue

@@ -97,9 +97,16 @@ object TextOps {
 
   /** 64-bit SimHash over an element array: majority vote per bit position
     * of the elements' xxhash64 values (Charikar 2002, "Similarity
-    * estimation techniques from rounding algorithms").
+    * estimation techniques from rounding algorithms"). Native flat-loop
+    * expression (sketches.SimHash64Expr), value-identical to
+    * [[simhash64Lambda]] (locked by spec).
     */
-  def simhash64(elems: Column): Column = {
+  def simhash64(elems: Column): Column = call_function("simhash64", elems)
+
+  /** The interpreted double-fold formulation — the equivalence spec's
+    * independent reference implementation.
+    */
+  def simhash64Lambda(elems: Column): Column = {
     val votes = aggregate(
       elems,
       array_repeat(lit(0L), 64),

@@ -17,4 +17,8 @@ object GraftSqlBridge {
   def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpr(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -207,6 +207,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l == v, s"$l vs $v")
   }
 
+  test("native simhash is value-identical to the lambda fold") {
+    val rows = docs.limit(80).select(
+      TextOps.simhash64(TextOps.tokenSet(col("text"))).as("n"),
+      TextOps.simhash64Lambda(TextOps.tokenSet(col("text"))).as("l")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("with-ties and top-n plans pre-prune per partition (WindowGroupLimit)") {
+    Tables.ensure(spark, sfDir)
+    val plan = PrestoSql.sql(spark,
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC FETCH FIRST 5 ROWS WITH TIES")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("native cosine and sign bucket are value-identical to the lambda forms") {
     val d = embs.filter(col("vec_id") < 60)
     val joined = d.select(col("vec_id").as("i"), col("embedding").as("a"))
