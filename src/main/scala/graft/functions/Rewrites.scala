@@ -350,6 +350,23 @@ object Rewrites {
         .otherwise(raise_error(concat(lit("Invalid data size: '"), s, lit("'")))
           .cast(DecimalType(38, 0)))
       floor(num * factor).cast(DecimalType(38, 0)) },
+    // parse_duration('3.2ms') → day-time interval
+    // (scalar/ParseDurationFunction.java; units ns…d). Spark's
+    // DayTimeIntervalType has µs resolution vs the reference's ms — a
+    // superset; unknown units raise, as there.
+    "parse_duration" -> { case Seq(s) =>
+      val pat = "^\\s*(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$"
+      val num = regexp_extract(s, pat, 1).cast("double")
+      val unit = regexp_extract(s, pat, 2)
+      val secsPer = Seq("ns" -> 1e-9, "us" -> 1e-6, "ms" -> 1e-3,
+        "s" -> 1.0, "m" -> 60.0, "h" -> 3600.0, "d" -> 86400.0)
+      val factor = secsPer.tail
+        .foldLeft(when(unit === secsPer.head._1, lit(secsPer.head._2))) {
+          case (w, (u, f)) => w.when(unit === u, lit(f)) }
+        .otherwise(raise_error(
+          concat(lit("Unknown duration unit in '"), s, lit("'"))).cast("double"))
+      make_dt_interval(lit(0), lit(0), lit(0),
+        (num * factor).cast(DecimalType(18, 6))) },
 
     // ---------- graft pipeline accelerators (NOT Presto surface) ----------
     // The LLM-dedup hot loops as single flat-loop native expressions; the

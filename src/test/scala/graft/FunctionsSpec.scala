@@ -256,6 +256,15 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short.map(_.toList).toList == List(List("a")))
   }
 
+  // ---- parse_duration (ParseDurationFunction.java) ----
+  test("parse_duration units and errors") {
+    assert(one("parse_duration('5m') = INTERVAL '5' MINUTE") == true)
+    assert(one("parse_duration('1.5h') = INTERVAL '90' MINUTE") == true)
+    assert(one("parse_duration('2d') = INTERVAL '48' HOUR") == true)
+    assert(one("parse_duration('3.2ms') = INTERVAL '0 00:00:00.0032' DAY TO SECOND") == true)
+    assert(one("try(parse_duration('7 parsecs'))") == null)
+  }
+
   // ---- session functions (reference: current_user etc. resolved by the
   //      session context, StatementAnalyzer; Spark builtins supply them —
   //      values are session-dependent, so assert shape, not content) ----

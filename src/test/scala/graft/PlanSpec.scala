@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regression locks for the scale contracts the README/SURVEY
+  * claim: dimension joins broadcast, parquet scans carry pushed filters
+  * and pruned schemas, top-n-per-group pre-prunes, and the dedup pipeline
+  * never goes quadratic. These are the properties a 100 TB run depends
+  * on; value-correctness alone would not catch losing one.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def executedPlan(name: String): String = {
+    val df = Registry.all(name).fn(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: dimension joins broadcast; scans push filters and prune columns") {
+    val p = executedPlan("tpch_q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast under AQE")
+    assert(p.contains("PushedFilters: ["), "parquet scan must carry pushed filters")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+    // column pruning: lineitem scan must not read all 7 columns
+    assert(p.contains("ReadSchema"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q05: five-table join tree stays broadcast + shuffle, no nested loop") {
+    val p = executedPlan("tpch_q05_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q06: single scan with pushed range filters, no shuffle except final agg") {
+    val p = executedPlan("tpch_q06_forecast_revenue")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("top-n per group pre-prunes below the sort (WindowGroupLimit)") {
+    val p = executedPlan("window_topn_per_group")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("minhash dedup plan: hash joins only, candidate join keys on (band, bucket)") {
+    val df = Registry.all("llm_dedup_minhash").fn(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("cartesian"), "candidate generation must never cross-join")
+    assert(p.contains("band") && p.contains("bucket"))
+  }
+}
