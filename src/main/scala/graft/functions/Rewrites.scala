@@ -41,7 +41,11 @@ object Rewrites {
   private def defs(implicit spark: SparkSession): Seq[Registry] = Seq(
 
     // ---------- strings (operator/scalar/StringFunctions.java) ----------
-    "strpos" -> { case Seq(s, sub) => toCol(new StringLocate(toExpr(sub), toExpr(s))) },
+    // 3-arg form finds the N-th occurrence (StringFunctions.java stringPosition
+    // with instance); negative instance counts from the end, like the reference
+    "strpos" -> {
+      case Seq(s, sub) => toCol(new StringLocate(toExpr(sub), toExpr(s)))
+      case Seq(s, sub, inst) => call_function("strpos_instance", s, sub, inst) },
     "levenshtein_distance" -> { case Seq(a, b) => levenshtein(a, b) },
     "split_to_map" -> { case Seq(s, ed, kd) =>
       toCol(org.apache.spark.sql.catalyst.expressions.StringToMap(toExpr(s), toExpr(ed), toExpr(kd))) },
@@ -162,6 +166,18 @@ object Rewrites {
     "at_timezone" -> { case Seq(t, z) => from_utc_timestamp(t, z) },
     "with_timezone" -> { case Seq(t, z) => to_utc_timestamp(t, z) },
     "from_unixtime" -> { case Seq(x) => timestamp_seconds(x) },
+    // ISO-8601 family (DateTimeFunctions.java from_iso8601_* / to_iso8601):
+    // Spark's timestamp/date casts accept ISO-8601 text (incl. 'T' and
+    // zone offsets, normalized to the session zone); to_iso8601 dispatches
+    // on the resolved input type like the reference's overloads.
+    "from_iso8601_timestamp" -> { case Seq(s) => s.cast("timestamp") },
+    "from_iso8601_date" -> { case Seq(s) => s.cast("date") },
+    "to_iso8601" -> { case Seq(x) =>
+      if (toExpr(x).dataType == org.apache.spark.sql.types.DateType)
+        toCol(DateFormatClass(toExpr(x.cast("timestamp")), toExpr(lit("yyyy-MM-dd"))))
+      else
+        toCol(DateFormatClass(toExpr(x.cast("timestamp")),
+          toExpr(lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))) },
     "to_unixtime" -> { case Seq(t) => (unix_micros(t.cast("timestamp")).cast("double") / lit(1e6)) },
     // MySQL-pattern parse; format side is handled by dialect sniffing below
     "date_parse" -> { case Seq(s, f) =>
@@ -290,6 +306,26 @@ object Rewrites {
     "array_ngrams" -> { case Seq(a, n) =>
       transform(sequence(lit(1), greatest(size(a) - n + lit(1), lit(1))),
         i => slice(a, i, n)) },
+
+    // any_match/all_match/none_match (scalar/ArrayAnyMatchFunction.java +
+    // All/None siblings) — Spark spells them exists/forall; emit the
+    // catalyst HOFs directly so the lambda binds through the standard path
+    "any_match" -> { case Seq(a, f) =>
+      toCol(org.apache.spark.sql.catalyst.expressions.ArrayExists(toExpr(a), toExpr(f))) },
+    "all_match" -> { case Seq(a, f) =>
+      toCol(org.apache.spark.sql.catalyst.expressions.ArrayForAll(toExpr(a), toExpr(f))) },
+    // none_match must keep a HigherOrderFunction ROOT (the analyzer's
+    // lambda check rejects Not(exists(...))): forall with the negated
+    // lambda body is the same three-valued result — any f-true → false,
+    // some f-null and no f-true → null, else true.
+    "none_match" -> { case Seq(a, f) =>
+      toExpr(f) match {
+        case lf: LambdaFunction =>
+          toCol(org.apache.spark.sql.catalyst.expressions.ArrayForAll(toExpr(a),
+            lf.copy(function = org.apache.spark.sql.catalyst.expressions.Not(lf.function))))
+        case other => throw new IllegalArgumentException(
+          s"none_match: second argument must be a lambda, got $other")
+      } },
 
     // ---------- JSON (operator/scalar/JsonFunctions.java) ----------
     "json_extract_scalar" -> { case Seq(j, p) => toCol(GetJsonObject(toExpr(j), toExpr(p))) },

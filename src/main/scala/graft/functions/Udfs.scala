@@ -205,7 +205,42 @@ object Udfs {
     if (b == null) null
     else java.lang.Float.intBitsToFloat(java.nio.ByteBuffer.wrap(b).getInt)
 
+  /** N-th occurrence position for 3-arg strpos (StringFunctions.java
+    * stringPosition with instance): 1-based, 0 when absent, negative
+    * instance counts from the end; occurrences may overlap.
+    */
+  private def strposInstance(s: String, sub: String, instance: java.lang.Long): java.lang.Long = {
+    if (s == null || sub == null || instance == null) return null
+    val inst = instance.toInt
+    require(inst != 0, "strpos: instance must not be zero")
+    if (sub.isEmpty) return 1L
+    if (inst > 0) {
+      var idx = -1
+      var from = 0
+      var count = 0
+      while (count < inst) {
+        idx = s.indexOf(sub, from)
+        if (idx < 0) return 0L
+        from = idx + 1
+        count += 1
+      }
+      idx + 1L
+    } else {
+      var idx = 0
+      var searchFrom = s.length
+      var count = 0
+      while (count < -inst) {
+        idx = s.lastIndexOf(sub, searchFrom)
+        if (idx < 0) return 0L
+        searchFrom = idx - 1
+        count += 1
+      }
+      idx + 1L
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.udf.register("strpos_instance", strposInstance _)
     spark.udf.register("normalize", (s: String, f: String) => normalize(s, Option(f).getOrElse("NFC")))
     spark.udf.register("word_stem", (s: String) => if (s == null) null else PorterStemmer.stem(s))
     spark.udf.register("hamming_distance", hammingDistance _)

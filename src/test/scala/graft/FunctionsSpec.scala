@@ -256,6 +256,36 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short.map(_.toList).toList == List(List("a")))
   }
 
+  // ---- 3-arg strpos / match lambdas / ISO-8601 family ----
+  test("strpos with instance argument") {
+    assert(one("strpos('a.b.c', '.', 1)") == 2L)
+    assert(one("strpos('a.b.c', '.', 2)") == 4L)
+    assert(one("strpos('a.b.c', '.', 3)") == 0L)
+    assert(one("strpos('a.b.c', '.', -1)") == 4L)
+    assert(one("strpos('a.b.c', '.', -2)") == 2L)
+    assert(one("strpos('a.b.c', 'z', 1)") == 0L)
+  }
+
+  test("any_match / all_match / none_match") {
+    assert(one("any_match(array(1, 2, 3), x -> x > 2)") == true)
+    assert(one("all_match(array(1, 2, 3), x -> x > 2)") == false)
+    assert(one("all_match(array(3, 4), x -> x > 2)") == true)
+    assert(one("none_match(array(1, 2, 3), x -> x > 5)") == true)
+    assert(one("none_match(array(1, 2, 3), x -> x > 2)") == false)
+  }
+
+  test("iso8601 conversions") {
+    assert(one("to_iso8601(DATE '2024-03-01')") == "2024-03-01")
+    assert(one("to_iso8601(TIMESTAMP '2024-03-01 10:30:00.125')")
+      == "2024-03-01T10:30:00.125")
+    assert(one("from_iso8601_date('2024-03-01')").toString == "2024-03-01")
+    assert(one("CAST(from_iso8601_timestamp('2024-03-01T10:30:00') AS STRING)")
+      == "2024-03-01 10:30:00")
+    // zone offsets normalize to the session zone (UTC)
+    assert(one("CAST(from_iso8601_timestamp('2024-03-01T10:30:00+02:00') AS STRING)")
+      == "2024-03-01 08:30:00")
+  }
+
   // ---- parse_duration (ParseDurationFunction.java) ----
   test("parse_duration units and errors") {
     assert(one("parse_duration('5m') = INTERVAL '5' MINUTE") == true)
