@@ -95,6 +95,34 @@ object Functions {
         |FROM part WHERE p_partkey < 200
         |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
 
+    // ---- match lambdas (ArrayAnyMatch/AllMatch/NoneMatch), 3-arg strpos
+    //      (N-th occurrence), ISO-8601 conversions — the DuckDB side
+    //      spells each out of list/closed-form primitives ----
+    "fn_match_strpos_iso" -> Q.sql(
+      spark = """SELECT p_partkey,
+        |  any_match(split(p_name, ' '), x -> length(x) > 5) AS has_long,
+        |  all_match(split(p_name, ' '), x -> length(x) >= 3) AS all_3plus,
+        |  none_match(split(p_name, ' '), x -> x = 'widget') AS no_widget,
+        |  strpos(p_name, 'e', 2) AS second_e,
+        |  strpos(p_name, 'e', -1) AS last_e,
+        |  to_iso8601(DATE '2024-03-01') AS iso_d,
+        |  CAST(from_iso8601_timestamp('2024-03-01T10:30:00') AS STRING) AS iso_ts
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT p_partkey,
+        |  len(list_filter(string_split(p_name, ' '), x -> length(x) > 5)) > 0 AS has_long,
+        |  len(list_filter(string_split(p_name, ' '), x -> length(x) >= 3))
+        |    = len(string_split(p_name, ' ')) AS all_3plus,
+        |  len(list_filter(string_split(p_name, ' '), x -> x = 'widget')) = 0 AS no_widget,
+        |  coalesce(list_filter(generate_series(1, length(p_name)),
+        |    i -> p_name[i] = 'e')[2], 0) AS second_e,
+        |  coalesce(list_filter(generate_series(1, length(p_name)),
+        |    i -> p_name[i] = 'e')[-1], 0) AS last_e,
+        |  '2024-03-01' AS iso_d,
+        |  '2024-03-01 10:30:00' AS iso_ts
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
+
     // ---- datetime field extraction (DateTimeFunctions.java: year/quarter/
     //      month/day/hour/minute, date_trunc). DuckDB date_trunc returns
     //      DATE for month granularity — cast back to TIMESTAMP. ----
