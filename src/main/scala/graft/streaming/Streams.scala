@@ -29,6 +29,7 @@ object Streams {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   final case class UserCount(user_id: Long, n: Long)
+  final case class UserMilestone(user_id: Long, milestone: Long)
 
   /** File-stream over an events parquet *directory* — one file per
     * micro-batch, so a directory staged with N files exercises N
@@ -78,6 +79,39 @@ object Streams {
           val newCount = state.getOption.getOrElse(0L) + rows.size
           state.update(newCount)
           UserCount(user, newCount)
+      }
+  }
+
+  /** Streaming exact dedup on arrival — `dropDuplicates` with a watermark
+    * bounds the id-set state to the watermark horizon (the ingest-pipeline
+    * shape: an at-least-once upstream feeding an exactly-once corpus).
+    * Duplicates inside the horizon hit state; ones arriving after it are
+    * dropped as late rows — either way each id is emitted once.
+    */
+  def dedupedEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicates("event_id")
+
+  /** flatMapGroupsWithState: emit one row each time a user's cumulative
+    * event count crosses a multiple of `every` — multi-row, append-mode
+    * keyed-state output (vs mapGroupsWithState's one-row-per-group). The
+    * emitted (user, milestone) SET is deterministic regardless of
+    * micro-batch boundaries: each crossing fires exactly once.
+    */
+  def userMilestones(
+      spark: SparkSession, events: DataFrame, every: Long = 10): Dataset[UserMilestone] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, UserMilestone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          ((before / every + 1) to (after / every))
+            .map(m => UserMilestone(user, m * every)).iterator
       }
   }
 

@@ -93,6 +93,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("streaming dedup collapses a doubled input to the batch distinct set") {
+    // stage the events TWICE (second copy arrives later) — an
+    // at-least-once upstream; dedup must emit each event_id exactly once
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString + "/events"
+    new java.io.File(dupDir).mkdirs()
+    val parts = new java.io.File(eventsDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val c1 = new java.io.File(dupDir, s"a$i.parquet")
+      val c2 = new java.io.File(dupDir, s"b$i.parquet")
+      java.nio.file.Files.copy(f.toPath, c1.toPath)
+      java.nio.file.Files.copy(f.toPath, c2.toPath)
+      c1.setLastModified(1000000L + i * 60000L)
+      c2.setLastModified(2000000L + i * 60000L) // replays arrive after the originals
+    }
+    val stream = Streams.eventsStream(spark, dupDir)
+    Streams.runToMemory(
+      Streams.dedupedEvents(stream).select(col("event_id")), "dedup_out", "append")
+    val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    val want = batchEvents.select(col("event_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(got.length == got.distinct.length, "dedup emitted a duplicate id")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("flatMapGroupsWithState milestones are batch-boundary independent") {
+    val stream = Streams.eventsStream(spark, eventsDir)
+    Streams.runToMemory(
+      Streams.userMilestones(spark, stream, every = 10).toDF(), "milestones_out", "append")
+    val got = spark.table("milestones_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = batchEvents.groupBy(col("user_id")).count()
+      .collect().flatMap { r =>
+        (1L to r.getLong(1) / 10).map(m => (r.getLong(0), m * 10))
+      }.toSet
+    assert(got == want)
+  }
+
   test("streaming parquet sink is exactly-once under availableNow") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val stream = Streams.eventsStream(spark, eventsDir)
