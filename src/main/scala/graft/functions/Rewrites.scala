@@ -411,6 +411,8 @@ object Rewrites {
     "word_shingles" -> { case Seq(t, nn) =>
       toCol(WordShingles(toExpr(t), toExpr(nn))) },
     "simhash64" -> { case Seq(e) => toCol(SimHash64Expr(toExpr(e))) },
+    "rolling_fingerprint" -> { case Seq(t, ww) =>
+      toCol(RollingFingerprint(toExpr(t), toExpr(ww))) },
     "lsh_sign_bucket" -> { case Seq(v, np, dm) =>
       def intLit(c: Column, what: String): Int = toExpr(c).eval(null) match {
         case n: java.lang.Number => n.intValue

@@ -128,9 +128,17 @@ object TextOps {
 
   /** Document fingerprint: minimum hash over sliding character w-grams
     * (a deterministic winnowing-style rolling-hash selection; md5 so an
-    * external engine can reproduce it byte-for-byte).
+    * external engine can reproduce it byte-for-byte). Native flat-loop
+    * expression (sketches.RollingFingerprint), value-identical to
+    * [[fingerprintLambda]] (locked by spec and the llm_fingerprint oracle).
     */
   def fingerprint(text: Column, w: Int = 8): Column =
+    call_function("rolling_fingerprint", text, lit(w))
+
+  /** The interpreted lambda formulation — the equivalence spec's
+    * independent reference implementation.
+    */
+  def fingerprintLambda(text: Column, w: Int = 8): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (w - 1), lit(1))),
       i => md5(substring(text, lit(i), lit(w)))))

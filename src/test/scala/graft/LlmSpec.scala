@@ -207,6 +207,20 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l == v, s"$l vs $v")
   }
 
+  test("native fingerprint is value-identical to the lambda form") {
+    val rows = docs.limit(80).select(
+      TextOps.fingerprint(col("text"), 8).as("n"),
+      TextOps.fingerprintLambda(col("text"), 8).as("l")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // short-text edge: text shorter than the window
+    val sp = spark; import sp.implicits._
+    val edge = Seq((1L, "abc"), (2L, "ümlaut ünïcode")).toDF("doc_id", "text")
+    val e = edge.select(TextOps.fingerprint(col("text"), 8).as("n"),
+      TextOps.fingerprintLambda(col("text"), 8).as("l")).collect()
+    e.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("native simhash is value-identical to the lambda fold") {
     val rows = docs.limit(80).select(
       TextOps.simhash64(TextOps.tokenSet(col("text"))).as("n"),
