@@ -142,31 +142,53 @@ object Dedup {
     * The 64-bit hash is split into 4 16-bit chunks; by pigeonhole any pair
     * within hamming ≤ 3 shares at least one chunk, so the candidate join
     * shuffles on (chunk index, chunk value) rather than comparing all pairs.
+    *
+    * @param hotChunkCap chunk buckets wider than this (any corpus ≫ 2¹⁶
+    *   docs guarantees repeated chunk values — candidates would grow
+    *   ~n²/2¹⁶ per chunk index) are STAR-LINKED like minhashLsh's hot
+    *   buckets: each member pairs with the bucket's minimum id only (w−1
+    *   pairs instead of w²/2). Greedy min-id clustering removes the same
+    *   duplicates; within a capped bucket the output lists representative
+    *   pairs, not all member-member pairs.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       elems: org.apache.spark.sql.Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      hotChunkCap: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only up to hamming 3")
 
     val hashed = df.select(col(idCol).as("id"), TextOps.simhash64(elems).as("sim"))
-    // persist: the self-join would otherwise recompute every SimHash twice
+    // persist: the self-join would otherwise recompute every SimHash twice.
+    // Bucket width + representative ride the same (chunk_idx, chunk) window
+    // shuffle; min(struct(id, sim)) carries the representative's hash along
+    // so star pairs need no extra join back.
+    val bw = Window.partitionBy(col("chunk_idx"), col("chunk"))
     val chunked = hashed.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_idx"),
           call_function("shiftright", col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk_idx").as("chunk_idx"), col("cc.chunk").as("chunk"))
+      .withColumn("__bw", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(struct(col("id"), col("sim"))).over(bw))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val left = chunked.select(col("chunk_idx"), col("chunk"),
+    val normal = chunked.filter(col("__bw") <= hotChunkCap)
+    val left = normal.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("sim").as("sim_a"))
-    val right = chunked.select(col("chunk_idx"), col("chunk"),
+    val right = normal.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-
-    left.join(right,
+    val allPairs = left.join(right,
         left("chunk_idx") === right("chunk_idx") && left("chunk") === right("chunk") &&
           left("id_a") < right("id_b"))
+      .select(col("id_a"), col("sim_a"), col("id_b"), col("sim_b"))
+    val starPairs = chunked
+      .filter(col("__bw") > hotChunkCap && col("id") =!= col("__bmin.id"))
+      .select(col("__bmin.id").as("id_a"), col("__bmin.sim").as("sim_a"),
+        col("id").as("id_b"), col("sim").as("sim_b"))
+
+    allPairs.unionByName(starPairs)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", TextOps.hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)

@@ -69,6 +69,27 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
   }
 
+  test("simhash hot-chunk cap bounds the adversarial all-identical corpus") {
+    val sp = spark; import sp.implicits._
+    // 200 identical docs: every chunk bucket has width 200 — uncapped, the
+    // candidate join would materialize 4 × 200²/2 pairs; capped at 10 it
+    // must star-link, emitting exactly the n−1 (representative, member)
+    // pairs that greedy min-id clustering needs.
+    val n = 200
+    val d = (1 to n).map(i => (i.toLong, "identical text payload repeated verbatim"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", TextOps.tokenSet(col("text")),
+      maxHamming = 3, hotChunkCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == n - 1, s"expected ${n - 1} star pairs, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 1L), "every capped pair must link to the min-id representative")
+    // and clustering still removes all duplicates
+    val kept = Dedup.dropDuplicates(d, "doc_id",
+      Dedup.simhashPairs(d, "doc_id", TextOps.tokenSet(col("text")),
+        maxHamming = 3, hotChunkCap = 10))
+    assert(kept.count() == 1)
+  }
+
   test("synthetic duplicates are found by every dedup tier") {
     val sp = spark; import sp.implicits._
     val base = Seq(
