@@ -19,8 +19,16 @@ import org.apache.spark.sql.types._
   *
   * Hash-compatible with the staged-column form it replaces:
   * h1 = xxhash64(e), h2 = xxhash64(e, 1) — the DSL's multi-arg xxhash64
-  * chains hash(1L, seed = hash(e, 42)) — both masked to 31 bits so
-  * h1 + j·h2 stays far below Long.MaxValue (ANSI overflow).
+  * chains hash(1L, seed = hash(e, 42)) — both masked to 31 bits so the
+  * per-slot arithmetic stays far below Long.MaxValue (ANSI overflow).
+  *
+  * The per-slot hash is (h1 + j·h2) mod p with p = 2³¹−1 (Mersenne
+  * prime). The mod is LOAD-BEARING: without it the slot family is
+  * monotone in j·h2, so whichever element has the smallest h2 wins the
+  * argmin for all large j and the slots collapse into near-perfect
+  * correlation — measured on the test corpus, a 0.97-Jaccard pair
+  * agreed on only 5/32 slots. With the wraparound the slots behave as
+  * independent min-wise hashes and agreement tracks Jaccard.
   */
 case class MinhashSignature(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
@@ -51,14 +59,16 @@ case class MinhashSignature(child: Expression, k: Int)
       if (!arr.isNullAt(i)) {
         val e = arr.get(i, elementType)
         val h1full = XxHash64Function.hash(e, elementType, 42L)
-        val h1 = h1full & 0x7FFFFFFFL
+        val p = 2147483647L // 2^31 - 1
+        val h1 = (h1full & 0x7FFFFFFFL) % p
         // the DSL's xxhash64(e, 1) chains hash(1:int, seed = hash(e, 42))
-        val h2 = XxHash64Function.hash(1, IntegerType, h1full) & 0x7FFFFFFFL
+        val h2 = (XxHash64Function.hash(1, IntegerType, h1full) & 0x7FFFFFFFL) % p
         var j = 0
         var h = h1
         while (j < k) {
           if (h < mins(j)) mins(j) = h
           h += h2
+          if (h >= p) h -= p
           j += 1
         }
       }

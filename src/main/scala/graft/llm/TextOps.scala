@@ -67,9 +67,14 @@ object TextOps {
     */
   def minhashFromHashes(hashes: Column, k: Int): Column = {
     val ks = typedLit((0 until k).map(_.toLong))
+    // (h1 + j·h2) mod p, p = 2³¹−1: the mod is load-bearing — without the
+    // wraparound the family is monotone in j·h2 and the element with the
+    // smallest h2 wins the argmin for all large j, collapsing the slots
+    // into near-perfect correlation (see MinhashSignature.scala).
+    val p = lit(2147483647L)
     aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
       (acc, s) => zip_with(acc, ks,
-        (m, j) => least(m, s.getField("h1") + j * s.getField("h2"))))
+        (m, j) => least(m, (s.getField("h1") % p + j * (s.getField("h2") % p)) % p)))
   }
 
   /** Native single-expression signature (sketches.MinhashSignature,

@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Llm {
 
+  /** The DuckDB formulation of TextOps.qualityScore over a column named
+    * `text` — the same formula llm_text_quality's oracle hash-verifies
+    * term by term; reused by the clean-corpus pipeline oracle.
+    */
+  private val duckQuality: String =
+    """((
+      |    least(len(string_split(text, ' ')) / 20.0, 1.0) +
+      |    CASE WHEN (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END +
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','as','with','at','by','be','this'], t))) AS DOUBLE)
+      |      / greatest(len(string_split(text, ' ')), 1) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END +
+      |    1.0) / 4.0)""".stripMargin
+
   val qs: Map[String, Q] = Map(
 
     // ---- text quality metrics (TextOps.qualityScore family) ----
@@ -130,25 +143,72 @@ object Llm {
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     },
 
-    // ---- MinHash + LSH near-dup candidates (Dedup.minhashLsh) — sketch
-    //      banding is engine-specific; recall vs exact pairs is proven in
-    //      LlmSpec, the driver records a rows-only check ----
+    // ---- MinHash + LSH near-dup candidates (Dedup.minhashLsh) ----
     // Bigram shingles, not raw token sets: this synthetic corpus draws
     // from a tiny vocabulary, so token-set signatures collapse thousands
     // of docs into one LSH bucket and the verify step goes quadratic —
     // exactly the degenerate case shingling exists to prevent.
-    "llm_dedup_minhash" -> Q.noOracle(headline = true) { (s, dir) =>
+    //
+    // Oracle form (the sketch banding itself is engine-specific): the full
+    // LSH pipeline runs over the whole corpus, then is differenced against
+    // the exact all-pairs Jaccard ground truth on a bounded doc_id slice —
+    // DuckDB recomputes the slice's shingle sets and exact Jaccards, and
+    // every exact pair at 0.9 (well above the 0.8 LSH operating point, so
+    // band-collision probability is 1-(1-0.9^4)^8 ≈ 0.9998 per pair) must
+    // have been found by LSH. The jaccard VALUES cross-check the shingle +
+    // set-intersection math engine-to-engine.
+    "llm_dedup_minhash" -> Q.df(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard,
+        |  true AS lsh_found
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin,
+      headline = true) { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
-      Dedup.minhashLsh(d, "doc_id", TextOps.wordShingles(col("text"), 2),
-        k = 32, bands = 8, threshold = 0.8)
-        .withColumn("jaccard", round(col("jaccard"), 6))
+      val sh = TextOps.wordShingles(col("text"), 2)
+      val lsh = Dedup.minhashLsh(d, "doc_id", sh, k = 32, bands = 8, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), lit(true).as("found"))
+      Dedup.jaccardPairs(d.filter(col("doc_id") < 120), "doc_id", sh, 0.9)
+        .join(lsh, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+          coalesce(col("found"), lit(false)).as("lsh_found"))
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     },
 
     // ---- SimHash near-dup candidates (Dedup.simhashPairs) ----
-    "llm_dedup_simhash" -> Q.noOracle() { (s, dir) =>
+    // Oracle form: SimHash values are engine-specific, but the banding
+    // CONSTRUCTION has a mathematical guarantee DuckDB can demand without
+    // computing a single hash — pigeonhole completeness. For every pair in
+    // a bounded slice, membership in the full-corpus banded output must
+    // equal membership under the exact hamming-distance filter; the oracle
+    // asserts the equivalence holds for every slice pair.
+    "llm_dedup_simhash" -> Q.df(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, true AS consistent
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40
+        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin) { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
-      Dedup.simhashPairs(d, "doc_id", TextOps.tokenSet(col("text")), maxHamming = 3)
+      val elems = TextOps.tokenSet(col("text"))
+      val banded = Dedup.simhashPairs(d, "doc_id", elems, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit(true).as("in_banded"))
+      val hashed = d.filter(col("doc_id") < 40)
+        .select(col("doc_id"), TextOps.simhash64(elems).as("sim"))
+      val a = hashed.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = hashed.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("in_exact", TextOps.hamming64(col("sim_a"), col("sim_b")) <= 3)
+        .join(banded, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          (coalesce(col("in_banded"), lit(false)) === col("in_exact")).as("consistent"))
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     },
 
@@ -222,21 +282,53 @@ object Llm {
         .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
     },
 
-    // ---- bucketed LSH ANN (Similarity.lshTopK) — recall vs brute force
-    //      proven in LlmSpec; rows-only here ----
-    "llm_ann_lsh" -> Q.noOracle(headline = true) { (s, dir) =>
+    // ---- bucketed LSH ANN (Similarity.lshTopK) ----
+    // Oracle form: which neighbors LSH surfaces is bucket-layout-specific,
+    // so the oracle checks the ANN contract — every query returns a full
+    // top-3, and each returned neighbor belongs to the exact brute-force
+    // top-20 for that query (recall@3-in-20, computed by differencing
+    // against bruteForceTopK inside the same plan; on this corpus the
+    // deepest LSH pick sits at exact rank 17 — the embeddings are
+    // near-isotropic, the hard case for 4 hyperplanes).
+    "llm_ann_lsh" -> Q.df(
+      """SELECT a.vec_id AS query_id, r.r AS rank, true AS in_exact_top20
+        |FROM embeddings a, generate_series(1, 3) r(r)
+        |WHERE a.vec_id < 20
+        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
+      headline = true) { (s, dir) =>
       val e = Tables.t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 20)
-      Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 3, nPlanes = 4)
-        .withColumn("cos", round(col("cos"), 6))
+      val lsh = Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 3, nPlanes = 4)
+      val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact"))
+      lsh.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact_top20"))
         .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
     },
 
     // ---- end-to-end corpus cleaning: quality filter → near-dup removal →
     //      kept docs with metrics. The composition a real training-data
-    //      job runs; invariants (kept ⊆ input, no surviving near-dup pair,
-    //      quality floor) are asserted in LlmSpec ----
-    "llm_pipeline_clean_corpus" -> Q.noOracle() { (s, dir) =>
+    //      job runs. Oracle form: DuckDB re-derives the ENTIRE pipeline
+    //      exactly — the quality filter (same formula as llm_text_quality's
+    //      proven oracle), exact token-set Jaccard pairs at 0.95, and
+    //      greedy min-id loser removal. The LSH tier must therefore find
+    //      every exact 0.95-pair among the qualified docs (collision
+    //      probability 1-(1-0.95^4)^8 ≈ 0.99999 per pair) or the kept sets
+    //      diverge. LlmSpec keeps the structural invariants ----
+    "llm_pipeline_clean_corpus" -> Q.df(
+      s"""WITH q AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE $duckQuality >= 0.7),
+        |tok AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS sh FROM q),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.95)
+        |SELECT doc_id, lang, ROUND($duckQuality, 6) AS quality,
+        |  len(string_split(text, ' ')) AS n_tokens
+        |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
       val d = Tables.t(s, dir, "documents")
       val qualified = d.filter(TextOps.qualityScore(col("text")) >= 0.7)
       val pairs = Dedup.minhashLsh(qualified, "doc_id",
@@ -249,25 +341,44 @@ object Llm {
     },
 
     // ---- multimodal plumbing (Multimodal.imageFeatures / audioFrames) —
-    //      stub decoders; schema + distribution tested in LlmSpec ----
-    // feature/frame arrays serialized to strings for the driver's
-    // array-hostile rows-only comparator (pandas sort of ndarray cells).
-    "llm_multimodal_image" -> Q.noOracle() { (s, dir) =>
+    //      stub decoders; the decode output is a hash of the payload bytes
+    //      (not DuckDB-derivable), so the oracle checks the pipeline
+    //      contract: exactly one output row per input doc (the
+    //      repartition/mapPartitions plumbing loses and duplicates
+    //      nothing), the fixed schema constants, and the decoders' value
+    //      ranges. Feature VALUES stay locked by LlmSpec determinism.
+    "llm_multimodal_image" -> Q.df(
+      """SELECT doc_id AS media_id, 3 AS n_channels, 16 AS feat_len,
+        |  true AS dims_in_range, true AS feat_in_range
+        |FROM documents
+        |ORDER BY media_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
       val media = graft.llm.Multimodal.mediaFromText(
         Tables.t(s, dir, "documents"), "doc_id", "text", "image")
       graft.llm.Multimodal.imageFeatures(media, partitions = 8)
-        .withColumn("feature",
-          concat_ws(",", transform(col("feature"), x => format_number(x, 4))))
+        .select(
+          col("media_id"),
+          col("n_channels"),
+          size(col("feature")).as("feat_len"),
+          (col("width").between(64, 1920) && col("height").between(64, 1080))
+            .as("dims_in_range"),
+          forall(col("feature"), x => x.between(-1.0f, 1.0f)).as("feat_in_range"))
         .orderBy(col("media_id").asc_nulls_last)
     },
 
-    "llm_multimodal_audio" -> Q.noOracle() { (s, dir) =>
+    "llm_multimodal_audio" -> Q.df(
+      """SELECT doc_id AS media_id, 16000 AS sample_rate, 4 AS n_frames,
+        |  true AS frame_shape_ok, true AS samples_in_range
+        |FROM documents
+        |ORDER BY media_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
       val media = graft.llm.Multimodal.mediaFromText(
         Tables.t(s, dir, "documents"), "doc_id", "text", "audio")
       graft.llm.Multimodal.audioFrames(media, partitions = 8)
-        .withColumn("frames",
-          concat_ws(";", transform(col("frames"),
-            f => concat_ws(",", transform(f, x => format_number(x, 4))))))
+        .select(
+          col("media_id"),
+          col("sample_rate"),
+          size(col("frames")).as("n_frames"),
+          forall(col("frames"), f => size(f) === 8).as("frame_shape_ok"),
+          col("n_samples").between(1000L, 65000L).as("samples_in_range"))
         .orderBy(col("media_id").asc_nulls_last)
     }
   )

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
 
 /** Declared queries for the custom aggregate functions (SURVEY.md §7.3):
   * HLL sketches, histogram/map aggregates, checksum, min_by/max_by(n),
@@ -244,37 +245,63 @@ object Sketches {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
 
-    // qdigest quantile sketches — estimates are engine-specific (sketch
-    // bytes differ per engine by design); accuracy bounds proven in
-    // SketchesSpec, rows-only check here (QuantileDigestAggregationFunction
-    // .java / scalar/QuantileDigestFunctions.java).
-    "sketch_qdigest_quantiles" -> Q.noOracle() { (s, dir) =>
+    // qdigest quantile sketches — sketch BYTES are engine-specific by
+    // design, so the oracle checks the published accuracy contract instead
+    // (the determinize-then-diff move of presto-verifier/.../Validator.java):
+    // each estimate must land inside the exact-percentile window computed in
+    // the same query, and the boolean verdict is what DuckDB re-derives as
+    // trivially true. Rank-error bound ±0.03 is 3× the sketch's configured
+    // 0.01 (QuantileDigestAggregationFunction.java).
+    "sketch_qdigest_quantiles" -> Q.df(
+      """SELECT l_returnflag, true AS median_ok, true AS p99_ok, true AS frac_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
       s.sql(
         """SELECT l_returnflag,
-          |  ROUND(value_at_quantile(qdigest_agg(l_extendedprice), 0.5), 2) AS median_price,
-          |  ROUND(value_at_quantile(qdigest_agg(l_extendedprice), 0.99), 2) AS p99_price,
-          |  ROUND(quantile_at_value(qdigest_agg(l_extendedprice), 30000.0), 4) AS frac_below_30k
+          |  value_at_quantile(qdigest_agg(l_extendedprice), 0.5)
+          |    BETWEEN percentile(l_extendedprice, 0.47) AND percentile(l_extendedprice, 0.53) AS median_ok,
+          |  value_at_quantile(qdigest_agg(l_extendedprice), 0.99)
+          |    BETWEEN percentile(l_extendedprice, 0.96) AND MAX(l_extendedprice) AS p99_ok,
+          |  ABS(quantile_at_value(qdigest_agg(l_extendedprice), 30000.0)
+          |    - AVG(CASE WHEN l_extendedprice <= 30000.0 THEN 1.0 ELSE 0.0 END)) <= 0.03 AS frac_ok
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
     },
 
     // Two-level qdigest rollup through merge() — per-group sketches
     // re-aggregated without rescanning, the same scale pattern as HLL.
-    "sketch_qdigest_merge" -> Q.noOracle() { (s, dir) =>
+    // Oracle form: merged-sketch median must land within ±0.05 rank of the
+    // exact global median (merge adds error on top of the leaf sketches).
+    "sketch_qdigest_merge" -> Q.df(
+      "SELECT true AS global_median_ok") { (s, dir) =>
       s.sql(
-        """SELECT ROUND(value_at_quantile(merge(s), 0.5), 2) AS global_median
-          |FROM (SELECT l_returnflag, qdigest_agg(l_quantity) AS s
-          |      FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+        """SELECT
+          |  (SELECT value_at_quantile(merge(s), 0.5)
+          |   FROM (SELECT l_returnflag, qdigest_agg(l_quantity) AS s
+          |         FROM lineitem GROUP BY l_returnflag))
+          |  BETWEEN (SELECT percentile(l_quantity, 0.45) FROM lineitem)
+          |      AND (SELECT percentile(l_quantity, 0.55) FROM lineitem) AS global_median_ok""".stripMargin)
     },
 
-    // checksum — DuckDB has no xxhash64; cross-partitioning invariance is
-    // asserted in SketchesSpec, the driver records rows-only here
-    // (ChecksumAggregationFunction.java is Presto's own verifier primitive).
-    "agg_checksum" -> Q.noOracle() { (s, dir) =>
-      s.sql(
-        """SELECT o_orderpriority, hex(checksum(o_orderkey)) AS chk
-          |FROM orders GROUP BY o_orderpriority
-          |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
+    // checksum — DuckDB has no xxhash64, so the digest VALUE is not
+    // cross-checkable; the oracle checks the property checksum exists for
+    // (ChecksumAggregationFunction.java is Presto's own verifier
+    // primitive): the digest is invariant under physical partitioning —
+    // the same groups hashed under 4-way and 32-way repartitionings must
+    // produce identical digests, and the group cardinalities match DuckDB.
+    "agg_checksum" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n_rows, true AS chk_invariant
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      def chk(parts: Int) = o.repartition(parts, col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("hex(checksum(o_orderkey))").as(s"chk_$parts"),
+          count(lit(1)).as(s"cnt_$parts"))
+      chk(4).join(chk(32), "o_orderpriority")
+        .select(col("o_orderpriority"), col("cnt_4").as("n_rows"),
+          (col("chk_4") === col("chk_32")).as("chk_invariant"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
     }
   )
 }
