@@ -320,6 +320,84 @@ object Tpch {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey ASC NULLS LAST""".stripMargin)
+        |ORDER BY c_nationkey ASC NULLS LAST""".stripMargin),
+
+    // ---- Q2/Q11/Q20: the three partsupp queries. The driver testdata has
+    // no partsupp table, so both engines derive the SAME deterministic one
+    // (TPC-H spec shape: 4 suppliers per part, spread by a co-prime
+    // stride; availqty/supplycost are integer formulas of the keys), which
+    // keeps every query fully hash-checkable against DuckDB. The SQL text
+    // is dialect-shared.
+
+    // ---- Q2-ish: min-cost supplier per part in region (correlated scalar
+    //      subquery over a 4-way join — the decorrelation shape the suite
+    //      lacked; benchto q02.sql) ----
+    "tpch_q02_min_cost_supplier" -> Q.sqlSame(
+      s"""WITH $partsuppCte
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        |FROM part, partsupp, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM partsupp ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS LAST,
+        |  s_name ASC NULLS LAST, p_partkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- Q11-ish: important stock per part in a nation vs a global
+    //      fraction (grouped agg HAVING a scalar-subquery threshold;
+    //      benchto q11.sql) ----
+    "tpch_q11_important_stock" -> Q.sqlSame(
+      s"""WITH $partsuppCte
+        |SELECT ps_partkey,
+        |  CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,8))) AS DOUBLE) AS part_value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY ps_partkey
+        |HAVING SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,8))) > (
+        |  SELECT SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,8))) * 0.001
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')
+        |ORDER BY part_value DESC NULLS LAST, ps_partkey ASC NULLS LAST""".stripMargin),
+
+    // ---- Q20-ish: suppliers with excess stock of promo parts (IN nested
+    //      in IN with a doubly-correlated aggregate — the decorrelation
+    //      stress shape; benchto q20.sql) ----
+    "tpch_q20_excess_stock_supplier" -> Q.sqlSame(
+      s"""WITH $partsuppCte
+        |SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (
+        |        SELECT COALESCE(0.5 * SUM(l_quantity), 0.0) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'))
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |ORDER BY s_name ASC NULLS LAST""".stripMargin)
   )
+
+  /** Deterministic partsupp derivation shared verbatim by the Spark and
+    * DuckDB texts of q02/q11/q20: 4 suppliers per part at a co-prime
+    * stride (7919 mod |supplier| cycles all residues), integer-formula
+    * availqty and 2-dp supplycost. Keys are 0-based like the testdata.
+    */
+  private lazy val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    CAST((p_partkey * 4 + i) * 7919 % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+      |    CAST((p_partkey * 7 + i * 3) % 9999 + 1 AS BIGINT) AS ps_availqty,
+      |    CAST((p_partkey * 13 + i * 29) % 90000 + 10000 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM part CROSS JOIN
+      |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) fours)""".stripMargin
 }
