@@ -44,6 +44,7 @@ object Q {
 object Registry {
   lazy val all: Map[String, Q] =
     queries.Tpch.qs ++
+      queries.Tpcds.qs ++
       queries.Relational.qs ++
       queries.Windows.qs ++
       queries.Functions.qs ++

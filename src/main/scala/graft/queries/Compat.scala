@@ -299,6 +299,22 @@ object Compat {
         |  MIN(l_returnflag) AS any_flag
         |FROM lineitem WHERE l_quantity > 0
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin)
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin),
+
+    // Session/context functions (Presto's current_user / current_date /
+    // current_timestamp / current_catalog / current_schema surface,
+    // SessionFunctions + ConnectorSession). The VALUES are
+    // session-specific by definition ("root"/"spark_catalog" vs
+    // "duckdb"/"memory"), so the oracle compares the determinized
+    // contract: each function resolves non-null, and the session's
+    // timestamp/date cohere.
+    "compat_session_fns" -> Q.sqlSame(
+      """SELECT
+        |  current_user IS NOT NULL AS has_user,
+        |  current_schema() IS NOT NULL AS has_schema,
+        |  current_database() IS NOT NULL AS has_database,
+        |  current_catalog() IS NOT NULL AS has_catalog,
+        |  CAST(current_timestamp AS DATE) = current_date AS ts_on_current_date,
+        |  year(current_date) BETWEEN 2020 AND 2100 AS date_plausible""".stripMargin)
   )
 }

@@ -63,6 +63,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("tpcds q3/q19 star joins broadcast their dims, no nested loop") {
+    for (name <- Seq("tpcds_q3_brand_by_year", "tpcds_q19_cross_border_brand")) {
+      val p = executedPlan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: dims must broadcast")
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
+      assert(p.contains("PushedFilters: ["), s"$name: filters must push to the scan")
+    }
+  }
+
+  test("tpcds q36 rollup ranks on the aggregated side (window after agg)") {
+    val p = executedPlan("tpcds_q36_rollup_rank")
+    assert(p.contains("Expand"), "rollup lowers to Expand")
+    assert(p.contains("Window"), "rank must survive")
+    assert(p.indexOf("Window") < p.indexOf("Expand"),
+      "window must sit above the rollup aggregate, not under it")
+  }
+
   test("minhash dedup plan: hash joins only, candidate join keys on (band, bucket)") {
     val df = Registry.all("llm_dedup_minhash").fn(spark, sfDir)
     val p = df.queryExecution.optimizedPlan.toString
