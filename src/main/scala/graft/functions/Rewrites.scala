@@ -328,28 +328,23 @@ object Rewrites {
       } },
 
     // ---------- JSON (operator/scalar/JsonFunctions.java) ----------
-    "json_extract_scalar" -> { case Seq(j, p) => toCol(GetJsonObject(toExpr(j), toExpr(p))) },
-    "json_extract" -> { case Seq(j, p) => toCol(GetJsonObject(toExpr(j), toExpr(p))) },
+    // Native Jackson walk over Presto's path dialect (PrestoJson.scala):
+    // scalar-vs-complex NULLs, numeric tokens matching arrays AND object
+    // fields, quoted bracket fields with dots, decoded escapes, lenient
+    // trailing commas — the edges where get_json_object diverges
+    // (JsonExtract.java; vectors from TestJsonExtract.java in
+    // FunctionsSpec).
+    "json_extract_scalar" -> { case Seq(j, p) =>
+      toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 1)) },
+    "json_extract" -> { case Seq(j, p) =>
+      toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 0)) },
     "json_array_get" -> { case Seq(j, i) =>
       toCol(GetJsonObject(toExpr(j), toExpr(concat(lit("$["), i.cast("string"), lit("]"))))) },
     "json_parse" -> { case Seq(s) => s },   // JSON type == string in this engine
     "json_format" -> { case Seq(j) => j },
-    // json_size / is_json_scalar: KNOWN APPROXIMATION under the JSON=string
-    // ruling (SURVEY §7.4) — containers are detected by their first
-    // non-space character, so a scalar STRING VALUE that itself starts
-    // with '[' or '{' (i.e. the extracted text of a string whose content
-    // looks like JSON) is misclassified as a container. Exact behavior
-    // needs a parsing pass (reference JsonFunctions.java walks the token
-    // stream); the declared fn_json/compat_array_json queries pin the
-    // behavior on well-formed inputs.
     "json_size" -> { case Seq(j, p) =>
-      val sub = toCol(GetJsonObject(toExpr(j), toExpr(p)))
-      when(sub.startsWith("["), json_array_length(sub))
-        .when(sub.startsWith("{"), size(json_object_keys(sub)))
-        .otherwise(when(sub.isNotNull, lit(0))) },
-    "is_json_scalar" -> { case Seq(j) =>
-      val t = trim(j)
-      t.isNotNull && !t.startsWith("[") && !t.startsWith("{") },
+      toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 2)) },
+    "is_json_scalar" -> { case Seq(j) => toCol(PrestoIsJsonScalar(toExpr(j))) },
 
     // ---------- URL (operator/scalar/UrlFunctions.java) ----------
     "url_extract_protocol" -> { case Seq(u) => parse_url(u, lit("PROTOCOL")) },

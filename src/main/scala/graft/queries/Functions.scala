@@ -324,6 +324,38 @@ object Functions {
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin),
 
+    // ---- Presto JSONPath edge semantics (PrestoJson.scala / reference
+    //      JsonExtract.java): the oracle hardcodes the reference's
+    //      documented outputs (TestJsonExtract.java vectors), so DuckDB
+    //      differentially pins scalar-vs-complex NULLs, numeric tokens
+    //      on arrays, quoted dotted fields, trailing-comma leniency and
+    //      real json_size — the behaviors get_json_object lacks ----
+    "fn_json_presto" -> Q.sql(
+      spark = """SELECT id,
+        |  json_extract_scalar(j, p) AS k_scalar,
+        |  json_extract(j, p) AS k_json,
+        |  json_size(j, p) AS k_size
+        |FROM (SELECT * FROM VALUES
+        |  (1, '{"fuu": {"bar": 1}}', '$.fuu'),
+        |  (2, '[0, 1, 2]', '$.1'),
+        |  (3, '{"0": 0, "1": 1, }', '$.1'),
+        |  (4, '{"foo.bar": 7}', '$["foo.bar"]'),
+        |  (5, '{"a": "[1,2]"}', '$.a'),
+        |  (6, 'not json', '$.a'),
+        |  (7, '{"a": [10, 20, {"b": 5}]}', '$.a[2].b'),
+        |  (8, '[[1,2],[3,4]]', '$[1]') AS t(id, j, p))
+        |ORDER BY id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT * FROM (VALUES
+        |  (1, NULL, '{"bar":1}', 1),
+        |  (2, '1', '1', 0),
+        |  (3, '1', '1', 0),
+        |  (4, '7', '7', 0),
+        |  (5, '[1,2]', '"[1,2]"', 0),
+        |  (6, NULL, NULL, NULL),
+        |  (7, '5', '5', 0),
+        |  (8, NULL, '[3,4]', 2)) t(id, k_scalar, k_json, k_size)
+        |ORDER BY id ASC NULLS LAST""".stripMargin),
+
     // ---- array basics (Array*Function.java: cardinality/contains/
     //      distinct/sort/element_at — Spark 1-based = duck 1-based).
     //      Array-typed output serialized with array_join: the driver's

@@ -246,6 +246,67 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("is_json_scalar('[1,2]')") == false)
   }
 
+  // Behavior vectors from the reference's TestJsonExtract.java — the edge
+  // semantics where get_json_object diverges (PrestoJson.scala).
+  test("presto json_extract_scalar: complex values are NULL, escapes decode") {
+    assert(one("json_extract_scalar('{\"fuu\": {\"bar\": 1}}', '$.fuu')") == null)
+    assert(one("json_extract_scalar('[1, 2, 3]', '$')") == null)
+    assert(one("json_extract_scalar('{\"fuu\": 1}', '$.fuu')") == "1")
+    assert(one("json_extract_scalar('{\"fuu\": null}', '$.fuu')") == null)
+    assert(one("json_extract_scalar('{\"fuu\": 1}', '$.bar')") == null)
+    assert(one("json_extract_scalar('\"abc\"', '$')") == "abc")
+    assert(one("json_extract_scalar('123', '$')") == "123")
+    assert(one("json_extract_scalar('null', '$')") == null)
+    assert(one("json_extract_scalar('{\"fuu\": [0.1, 1, 2]}', '$.fuu[0]')") == "0.1")
+    assert(one("json_extract_scalar('{\"fuu\": [0, [100, 101], 2]}', '$.fuu[1]')") == null)
+    assert(one("json_extract_scalar('{\"fuu\": [0, [100, 101], 2]}', '$.fuu[1][1]')") == "101")
+    // escaped characters decode in scalar mode
+    assert(one("json_extract_scalar('{\"fuu\": [\"\\\\u0001\"]}', '$.fuu[0]')") == "\u0001")
+  }
+
+  test("presto json paths: numeric tokens, unquoted/quoted brackets, leniency") {
+    // numeric path token matches arrays AND object fields
+    assert(one("json_extract_scalar('[0, 1, 2]', '$.1')") == "1")
+    assert(one("json_extract_scalar('[0, 1, 2]', '$[1]')") == "1")
+    assert(one("json_extract_scalar('[0, 1, 2]', '$[\"1\"]')") == "1")
+    assert(one("json_extract_scalar('{\"0\": 0, \"1\": 1, \"2\": 2, }', '$.1')") == "1")
+    assert(one("json_extract_scalar('{\"0\": 0, \"1\": 1, \"2\": 2, }', '$[1]')") == "1")
+    // fields starting with a digit
+    assert(one("json_extract_scalar('{\"15day\": 0, \"30day\": 1}', '$.30day')") == "1")
+    assert(one("json_extract_scalar('{\"15day\": 0, \"30day\": 1}', '$[30day]')") == "1")
+    // quoted bracket token addresses a field whose name contains a dot
+    assert(one("json_extract('{\"foo.bar\": 7}', '$[\"foo.bar\"]')") == "7")
+    // unquoted bracket field
+    assert(one("json_extract_scalar('{\"fuu\": 1}', '$[fuu]')") == "1")
+    // malformed json is NULL, not an error
+    assert(one("json_extract('not json at all', '$.a')") == null)
+  }
+
+  test("presto json_extract: compact re-serialization of complex values") {
+    assert(one("json_extract('{}', '$')") == "{}")
+    assert(one("json_extract('{\"fuu\": {\"bar\": 1}}', '$.fuu')") == "{\"bar\":1}")
+    assert(one("json_extract('[1, 2, 3]', '$')") == "[1,2,3]")
+    assert(one("json_extract('{\"fuu\": 1}', '$.fuu')") == "1")
+    assert(one("json_extract('\"abc\"', '$')") == "\"abc\"")
+    assert(one("json_extract('null', '$')") == "null")
+    // escapes preserved (not decoded) in json mode
+    assert(one("json_extract('{\"a\": \"ab\\\\u0001c\"}', '$.a')") == "\"ab\\u0001c\"")
+  }
+
+  test("presto json_size and is_json_scalar parse for real") {
+    assert(one("json_size('{\"a\": 1, \"b\": {\"c\": 2}}', '$')") == 2)
+    assert(one("json_size('{\"a\": 1, \"b\": {\"c\": 2}}', '$.b')") == 1)
+    assert(one("json_size('[1, [2, 3], 4]', '$')") == 3)
+    assert(one("json_size('{\"a\": 1}', '$.a')") == 0)
+    assert(one("json_size('{\"a\": 1}', '$.missing')") == null)
+    // a string VALUE whose text looks like a container is still a scalar —
+    // the case the old first-character sniff got wrong
+    assert(one("is_json_scalar('\"[1,2]\"')") == true)
+    assert(one("json_size('{\"a\": \"[1,2]\"}', '$.a')") == 0)
+    assert(one("is_json_scalar('{\"a\": 1}')") == false)
+    assert(one("is_json_scalar('not json')") == null)
+  }
+
   test("ngrams") {
     val got = one("ngrams(array('a','b','c','d'), 2)")
       .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]]
