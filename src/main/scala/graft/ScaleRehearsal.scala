@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale rehearsal (VERDICT r3 ask #9): runs the three
+  * heaviest headline plans on a 10×-replicated sf0.1 (≈ sf1: 6M lineitem
+  * rows, 50k docs, 50k vectors) to validate that the banded/salted paths
+  * scale linear-ish where the sf0.1 numbers cannot show it.
+  *
+  * Replication is on the fly (the driver testdata is read-only):
+  *  - q18 tables: keys shifted by replica stride — 10× more orders,
+  *    customers, lineitem rows, same join selectivity;
+  *  - documents: per-replica vowel rotation via translate(), so each
+  *    replica keeps its internal near-dup structure but shares no
+  *    vocabulary with the others (×10 docs, NOT ×100 dup pairs — a fair
+  *    n-scaling, not an output-size explosion);
+  *  - embeddings: per-replica coordinate reflections (orthogonal maps:
+  *    norms and intra-replica angles preserved, cross-replica geometry
+  *    scrambled so sign buckets spread).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleRehearsal"
+  */
+object ScaleRehearsal {
+
+  private val R = 10
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
+
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = Tables.t(spark, sfDir, name)
+      (0 until R).map(i => f(base, i)).reduce(_ unionByName _)
+    }
+    val keyOff = 100000000L
+
+    def time(what: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] $what%-22s $dt%8.2f s")
+      dt
+    }
+
+    // ---- q18 at 10×: keys shifted per replica ----
+    val li = rep("lineitem")((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
+    val ord = rep("orders")((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * keyOff))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * keyOff)))
+    val cust = rep("customer")((d, i) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(i * keyOff)))
+    li.createOrReplaceTempView("li10"); ord.createOrReplaceTempView("ord10")
+    cust.createOrReplaceTempView("cust10")
+    val tQ18 = time("tpch_q18 @10x") {
+      spark.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+          |FROM cust10 JOIN ord10 ON c_custkey = o_custkey
+          |JOIN li10 ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM li10 GROUP BY l_orderkey
+          |  HAVING SUM(l_quantity) > 300)
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+          |LIMIT 100""".stripMargin)
+    }
+
+    // ---- minhash near-dup at 10× docs (disjoint vocabularies) ----
+    val rot = "aeiou"
+    val docs = rep("documents")((d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+      .withColumn("text", translate(col("text"), rot,
+        (rot.drop(i % 5) + rot.take(i % 5)).reverse.drop(i / 5) +
+          (rot.drop(i % 5) + rot.take(i % 5)).reverse.take(i / 5))))
+    val tMin = time("minhash_lsh @10x") {
+      llm.Dedup.minhashLsh(docs, "doc_id", llm.TextOps.wordShingles(col("text"), 2),
+        k = 32, bands = 8, threshold = 0.8)
+    }
+
+    // ---- ann lsh at 10× vectors (reflected replicas) ----
+    val vecs = rep("embeddings")((d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * keyOff))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else zip_with(col("embedding"),
+          typedLit((0 until 64).map(dim => if (((dim >> (i % 6)) & 1) == 1) -1.0f else 1.0f)),
+          (x, f) => x * f)))
+    val queries = vecs.filter(col("vec_id") < 20)
+    val tAnn = time("ann_lsh @10x") {
+      llm.Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 3, nPlanes = 4)
+    }
+
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "ann": $tAnn%.2f}""")
+    spark.stop()
+  }
+}
