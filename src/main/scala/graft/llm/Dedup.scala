@@ -198,14 +198,15 @@ object Dedup {
   /** Refuse to run an O(n²) baseline on an input it cannot afford: these
     * exist as verification oracles and small-slice tools, and a silent
     * cross join over a 100-TB table is a cluster-killer, not a slow query.
-    * The count is one cheap column-pruned job; callers with a pre-counted
-    * input can raise the bound deliberately.
+    * The probe counts at most maxRows+1 rows (limit lets Spark stop the
+    * scan early), so the guard's cost is bounded by the bound itself, not
+    * by the input — a full count() would itself scan the 100-TB table.
     */
   private[llm] def guardQuadratic(df: DataFrame, what: String, scalePath: String,
       maxRows: Long): DataFrame = {
-    val n = df.count()
+    val n = df.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
     require(n <= maxRows,
-      s"$what is O(n²) and got n=$n rows (bound $maxRows): it is the exact " +
+      s"$what is O(n²) and got more than $maxRows rows: it is the exact " +
         s"verification baseline, not the scale path — use $scalePath for large " +
         s"inputs, or pass maxRows explicitly after sizing the slice")
     df

@@ -129,8 +129,26 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), nPlanes, dim))
-    // ≤ 2^nPlanes rows — broadcast to both sides; a query probing a bucket
-    // absent from the corpus joins away for free (no candidates there).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", lshBucket(col("qv"), nPlanes, dim))
+      .withColumn("bucket", explode(probesFor(col("bucket0"))))
+      .drop("bucket0")
+    bucketedTopK(c, q, k, hotBucketCap)
+  }
+
+  /** The shared tail of every bucketed ANN variant: salt hot corpus
+    * buckets into ⌈w/cap⌉ cells with query replication (identical
+    * candidate set, bounded join partition width), join on (bucket, salt),
+    * exact cosine re-rank, top-k per query.
+    *
+    * @param c (bucket, neighbor_id, cv) — one row per corpus vector per
+    *          index cell it lives in
+    * @param q (bucket, query_id, qv) — one row per query per probed cell
+    */
+  private def bucketedTopK(c: DataFrame, q: DataFrame, k: Int,
+      hotBucketCap: Int): DataFrame = {
+    // bucket-size table stays tiny (≤ #cells) — broadcast to both sides; a
+    // query probing a bucket absent from the corpus joins away for free.
     val bucketSizes = c.groupBy("bucket")
       .agg(count(lit(1)).as("__bw"))
       .withColumn("__nsplit",
@@ -139,15 +157,12 @@ object Similarity {
     val cSalted = c.join(broadcast(bucketSizes), "bucket")
       .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), col("__nsplit")))
       .drop("__nsplit")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket0", lshBucket(col("qv"), nPlanes, dim))
-      .withColumn("bucket", explode(probesFor(col("bucket0"))))
-      .drop("bucket0")
+    val qSalted = q
       .join(broadcast(bucketSizes), "bucket")
       .withColumn("__salt", explode(sequence(lit(0L), col("__nsplit") - 1)))
       .drop("__nsplit")
-    val scored = q.join(cSalted,
-        q("bucket") === cSalted("bucket") && q("__salt") === cSalted("__salt") &&
+    val scored = qSalted.join(cSalted,
+        qSalted("bucket") === cSalted("bucket") && qSalted("__salt") === cSalted("__salt") &&
           col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -157,5 +172,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN — the centroid-partitioned scale path, the
+    * standard alternative to hyperplane LSH when embeddings cluster (an
+    * IVF cell adapts to the data distribution where hyperplane buckets do
+    * not). Deterministic, k-means-free construction suited to a pure
+    * relational engine:
+    *
+    *  1. centroids = the nlist corpus vectors with the smallest
+    *     xxhash64(id) — a deterministic pseudo-random sample, broadcast;
+    *  2. every corpus vector joins the (broadcast) centroid table and is
+    *     assigned to its best cell with max_by(cell, cos) — one map-side
+    *     partial aggregation, NO shuffle of the n×nlist scored rows;
+    *  3. each query probes its nprobe best cells (tiny: |Q|×nlist window);
+    *  4. the shared bucketedTopK tail: salted hash join on cell id +
+    *     exact re-rank.
+    *
+    * Recall grows with nprobe/nlist; candidates ≈ n·nprobe/nlist.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      hotBucketCap: Int = 100000): DataFrame = {
+    require(nprobe <= nlist, "nprobe cannot exceed nlist")
+    val centroids = corpus
+      .select(col(idCol).as("cell_src"), col(vecCol).as("centroid"))
+      .withColumn("__h", xxhash64(col("cell_src")))
+      .orderBy(col("__h").asc, col("cell_src").asc)
+      .limit(nlist)
+      .withColumn("bucket", row_number().over(
+        Window.orderBy(col("__h").asc, col("cell_src").asc)).cast("long"))
+      .select(col("bucket"), col("centroid"))
+
+    // deterministic tie-break: equal-cos cells (duplicate sampled
+    // centroids happen on duplicate-heavy corpora) resolve to the highest
+    // bucket id, never to partial-agg arrival order
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col("cv"), col("centroid")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("bucket"), struct(col("__cos"), col("bucket"))).as("bucket"),
+        first(col("cv")).as("cv"))
+      .select(col("bucket"), col("neighbor_id"), col("cv"))
+
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col("qv"), col("centroid")))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("bucket").asc)
+    val q = qScored
+      .withColumn("__pr", row_number().over(qw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("bucket"), col("query_id"), col("qv"))
+
+    bucketedTopK(c, q, k, hotBucketCap)
   }
 }

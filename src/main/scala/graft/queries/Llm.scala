@@ -307,6 +307,26 @@ object Llm {
         .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
     },
 
+    // ---- IVF ANN (Similarity.ivfTopK) — the centroid-partitioned scale
+    //      path beside LSH; same differencing oracle: full top-3 per
+    //      query, every neighbor inside the exact brute-force top-20 ----
+    "llm_ann_ivf" -> Q.df(
+      """SELECT a.vec_id AS query_id, r.r AS rank, true AS in_exact_top20
+        |FROM embeddings a, generate_series(1, 3) r(r)
+        |WHERE a.vec_id < 20
+        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      val ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding", k = 3,
+        nlist = 16, nprobe = 4)
+      val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact"))
+      ivf.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact_top20"))
+        .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+    },
+
     // ---- end-to-end corpus cleaning: quality filter → near-dup removal →
     //      kept docs with metrics. The composition a real training-data
     //      job runs. Oracle form: DuckDB re-derives the ENTIRE pipeline

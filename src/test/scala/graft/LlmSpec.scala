@@ -143,6 +143,33 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.sameElements(r2))
   }
 
+  test("ann ivf recall against brute force") {
+    val queries = embs.filter(col("vec_id") < 30)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nprobe/nlist = 1/4 of the corpus is scanned; recall must beat that
+    // share by a wide margin (the cells concentrate near neighbors)
+    assert(recall >= 0.35, s"IVF recall $recall too low for nprobe=4/nlist=16")
+    assert(approx.nonEmpty)
+  }
+
+  test("ann ivf deterministic across partitionings, full top-k per query") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val r1 = Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted
+    val r2 = Similarity.ivfTopK(queries.repartition(7), embs.repartition(5),
+        "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted
+    assert(r1.sameElements(r2))
+    assert(r1.length == queries.count() * 3, "every query must fill its top-k")
+  }
+
   test("multimodal image features: schema, determinism, full coverage") {
     val media = Multimodal.mediaFromText(docs, "doc_id", "text", "image")
     val f1 = Multimodal.imageFeatures(media, partitions = 4)
