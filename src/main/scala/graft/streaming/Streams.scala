@@ -115,6 +115,30 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join: each view event joins the
+    * same user's purchase events that follow within `within`. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so Spark can age out join state past the horizon — the unbounded-safe
+    * funnel-attribution shape (view → purchase) that a bounded-table
+    * engine cannot express incrementally.
+    */
+  def viewToPurchase(events: DataFrame, within: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Run any streaming frame to an in-memory table with AvailableNow
     * (process-everything-then-stop) and wait for completion. Returns the
     * query so callers can inspect progress/metrics.

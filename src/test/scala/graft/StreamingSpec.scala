@@ -65,6 +65,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size >= (want.size * 7) / 10, s"too few closed windows: ${got.size} vs ${want.size}")
   }
 
+  test("stream-stream interval join converges to the batch join") {
+    val stream = Streams.eventsStream(spark, eventsDir)
+    Streams.runToMemory(Streams.viewToPurchase(stream), "funnel_out", "append")
+    val got = spark.table("funnel_out")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .collect().map(_.toString).toSet
+    val b = batchEvents
+    val views = b.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val purchases = b.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val want = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 hour"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .collect().map(_.toString).toSet
+    assert(got.subsetOf(want), "streaming join emitted a pair batch disagrees with")
+    assert(want.nonEmpty, "test data should contain view->purchase funnels")
+    assert(got.size >= (want.size * 7) / 10,
+      s"too few join results survived watermarking: ${got.size} vs ${want.size}")
+  }
+
   test("streaming session windows match batch sessionization") {
     val stream = Streams.eventsStream(spark, eventsDir)
     Streams.runToMemory(Streams.sessionCounts(stream), "sessions_out", "append")
