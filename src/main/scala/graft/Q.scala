@@ -51,7 +51,8 @@ object Registry {
       queries.Compat.qs ++
       queries.Sketches.qs ++
       queries.Events.qs ++
-      queries.Llm.qs
+      queries.Llm.qs ++
+      queries.Ddl.qs
 
   lazy val headline: Seq[String] =
     all.collect { case (k, q) if q.headline => k }.toSeq.sorted

@@ -177,7 +177,7 @@ object Tpch {
         |  JOIN supplier ON s_suppkey = l_suppkey
         |  JOIN orders ON o_orderkey = l_orderkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE p_name LIKE '%green%'
+        |  WHERE p_name LIKE '%blue%'
         |) profit
         |GROUP BY nation, o_year
         |ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST""".stripMargin),
