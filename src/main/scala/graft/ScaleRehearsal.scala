@@ -80,31 +80,46 @@ object ScaleRehearsal {
     }
 
     // ---- minhash near-dup at 10× docs (disjoint vocabularies) ----
+    // 10 DISTINCT substitution maps: 5 rotations × (plain | reversed) —
+    // rotation alone repeats with period 5 and would give every document
+    // an exact twin in a sibling replica
     val rot = "aeiou"
     val docs = rep("documents")((d, i) => d
       .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
-      .withColumn("text", translate(col("text"), rot,
-        (rot.drop(i % 5) + rot.take(i % 5)).reverse.drop(i / 5) +
-          (rot.drop(i % 5) + rot.take(i % 5)).reverse.take(i / 5))))
+      .withColumn("text", translate(col("text"), rot, {
+        val r = rot.drop(i % 5) + rot.take(i % 5)
+        if (i < 5) r else r.reverse
+      })))
     val tMin = time("minhash_lsh @10x") {
       llm.Dedup.minhashLsh(docs, "doc_id", llm.TextOps.wordShingles(col("text"), 2),
         k = 32, bands = 8, threshold = 0.8)
     }
 
     // ---- ann lsh at 10× vectors (reflected replicas) ----
+    // 10 DISTINCT orthogonal maps: bit-pattern reflection keyed by i%6,
+    // globally negated for i>=6 so the (1,7)/(2,8)/(3,9) bit collisions
+    // become antipodal rather than identical replicas
     val vecs = rep("embeddings")((d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * keyOff))
       .withColumn("embedding",
         if (i == 0) col("embedding")
-        else zip_with(col("embedding"),
-          typedLit((0 until 64).map(dim => if (((dim >> (i % 6)) & 1) == 1) -1.0f else 1.0f)),
-          (x, f) => x * f)))
+        else {
+          val neg = if (i >= 6) -1.0f else 1.0f
+          zip_with(col("embedding"),
+            typedLit((0 until 64).map(dim =>
+              (if (((dim >> (i % 6)) & 1) == 1) -1.0f else 1.0f) * neg)),
+            (x, f) => x * f)
+        }))
     val queries = vecs.filter(col("vec_id") < 20)
     val tAnn = time("ann_lsh @10x") {
       llm.Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 3, nPlanes = 4)
     }
+    val tIvf = time("ann_ivf @10x") {
+      llm.Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 3,
+        nlist = 64, nprobe = 8)
+    }
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "ann": $tAnn%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "ann": $tAnn%.2f, "ivf": $tIvf%.2f}""")
     spark.stop()
   }
 }

@@ -124,7 +124,11 @@ object PrestoJsonPath {
           }
           if (!found) return false
         case JsonToken.START_ARRAY =>
-          if (!tok.forall(_.isDigit)) return false
+          // ASCII digits only, bounded — Character.isDigit accepts Unicode
+          // digit classes and an over-Int token would throw in toInt,
+          // crashing the query instead of returning the off-path NULL
+          if (tok.isEmpty || tok.length > 9 || !tok.forall(c => c >= '0' && c <= '9'))
+            return false
           val want = tok.toInt
           var idx = -1
           var done = false
@@ -195,10 +199,10 @@ object PrestoJsonPath {
 }
 
 /** json_extract / json_extract_scalar / json_size over the Presto path
-  * dialect. Literal paths (the overwhelming majority) tokenize once; a
+  * dialect. Literal paths validate at analysis time and tokenize once; a
   * dynamic path column re-tokenizes only when the value changes
-  * (single-entry memo — paths are near-constant per column in practice).
-  * An invalid path raises, matching INVALID_FUNCTION_ARGUMENT.
+  * (single-entry memo — paths are near-constant per column in practice)
+  * and raises at eval if invalid, matching INVALID_FUNCTION_ARGUMENT.
   */
 case class PrestoJsonExtract(left: Expression, right: Expression, mode: Int)
   extends BinaryExpression with CodegenFallback {
@@ -213,6 +217,19 @@ case class PrestoJsonExtract(left: Expression, right: Expression, mode: Int)
 
   @transient private var cachedPath: String = _
   @transient private var cachedTokens: Seq[String] = _
+
+  // a malformed LITERAL path fails analysis (INVALID_FUNCTION_ARGUMENT at
+  // planning, as documented), not per-row inside the job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (right.foldable && right.eval(null) != null) {
+      try {
+        PrestoJsonPath.tokenize(right.eval(null).asInstanceOf[UTF8String].toString)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      } catch {
+        case e: IllegalArgumentException =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(e.getMessage)
+      }
+    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(json: Any, path: Any): Any = {
     val p = path.asInstanceOf[UTF8String].toString

@@ -338,8 +338,14 @@ object Rewrites {
       toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 1)) },
     "json_extract" -> { case Seq(j, p) =>
       toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 0)) },
+    // json_array_get: same native dialect; Presto's negative index counts
+    // from the end (JsonFunctions.java), resolved via json_size($) — NULL
+    // input or a non-array stays NULL through the size lookup.
     "json_array_get" -> { case Seq(j, i) =>
-      toCol(GetJsonObject(toExpr(j), toExpr(concat(lit("$["), i.cast("string"), lit("]"))))) },
+      val len = toCol(PrestoJsonExtract(toExpr(j), toExpr(lit("$")), mode = 2))
+      val idx = when(i >= 0, i.cast("long")).otherwise(len.cast("long") + i.cast("long"))
+      toCol(PrestoJsonExtract(toExpr(j),
+        toExpr(concat(lit("$["), idx.cast("string"), lit("]"))), mode = 0)) },
     "json_parse" -> { case Seq(s) => s },   // JSON type == string in this engine
     "json_format" -> { case Seq(j) => j },
     "json_size" -> { case Seq(j, p) =>

@@ -204,7 +204,12 @@ object Dedup {
     */
   private[llm] def guardQuadratic(df: DataFrame, what: String, scalePath: String,
       maxRows: Long): DataFrame = {
-    val n = df.limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    // the probe must be able to count maxRows+1 rows, so the bound itself
+    // must fit the limit(): beyond ~2^31 rows a quadratic baseline is
+    // indefensible anyway
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"$what: maxRows must be in (0, ${Int.MaxValue})")
+    val n = df.limit(maxRows.toInt + 1).count()
     require(n <= maxRows,
       s"$what is O(n²) and got more than $maxRows rows: it is the exact " +
         s"verification baseline, not the scale path — use $scalePath for large " +

@@ -388,16 +388,19 @@ object Tpch {
   )
 
   /** Deterministic partsupp derivation shared verbatim by the Spark and
-    * DuckDB texts of q02/q11/q20: 4 suppliers per part at a co-prime
-    * stride (7919 mod |supplier| cycles all residues), integer-formula
-    * availqty and 2-dp supplycost. Keys are 0-based like the testdata.
+    * DuckDB texts of q02/q11/q20: the distinct (l_partkey, l_suppkey)
+    * pairs actually drawn by the synthetic lineitem — exactly how TPC-H
+    * itself relates the two tables, so q20's correlated availqty-vs-
+    * shipped-quantity aggregate runs against real matches instead of a
+    * vacuous COALESCE — with integer-formula availqty (1..40, the same
+    * order as a ship-window quantity sum, so the predicate genuinely
+    * discriminates) and 2-dp supplycost.
     */
   private lazy val partsuppCte: String =
     """partsupp AS (
-      |  SELECT p_partkey AS ps_partkey,
-      |    CAST((p_partkey * 4 + i) * 7919 % (SELECT COUNT(*) FROM supplier) AS BIGINT) AS ps_suppkey,
-      |    CAST((p_partkey * 7 + i * 3) % 9999 + 1 AS BIGINT) AS ps_availqty,
-      |    CAST((p_partkey * 13 + i * 29) % 90000 + 10000 AS DOUBLE) / 100.0 AS ps_supplycost
-      |  FROM part CROSS JOIN
-      |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) fours)""".stripMargin
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 3) % 40 + 1 AS BIGINT) AS ps_availqty,
+      |    CAST((ps_partkey * 13 + ps_suppkey * 29) % 90000 + 10000 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |        FROM lineitem) pairs)""".stripMargin
 }

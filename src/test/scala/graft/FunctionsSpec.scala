@@ -299,6 +299,13 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("json_size('[1, [2, 3], 4]', '$')") == 3)
     assert(one("json_size('{\"a\": 1}', '$.a')") == 0)
     assert(one("json_size('{\"a\": 1}', '$.missing')") == null)
+    // json_array_get: negative index counts from the end; out-of-Int
+    // indices are off-path NULL, not a crash
+    assert(one("json_array_get('[10, 20, 30]', 1)") == "20")
+    assert(one("json_array_get('[10, 20, 30]', -1)") == "30")
+    assert(one("json_array_get('[\"a\", [1,2]]', -1)") == "[1,2]")
+    assert(one("json_array_get('[10]', 5)") == null)
+    assert(one("json_extract('[1,2]', '$[2147483648]')") == null)
     // a string VALUE whose text looks like a container is still a scalar —
     // the case the old first-character sniff got wrong
     assert(one("is_json_scalar('\"[1,2]\"')") == true)
