@@ -324,6 +324,23 @@ object Functions {
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin),
 
+    // ---- schema-declared record decode (the reference's JSON record
+    //      decoder surface, json/JsonRowDecoder.java: message bytes →
+    //      typed columns by declared schema) — from_json with an explicit
+    //      schema, the Spark-native equivalent; null row on malformed
+    //      input mirrors the decoder's null-on-undecodable contract ----
+    "fn_record_decode_json" -> Q.sql(
+      spark = """SELECT event_id,
+        |  from_json(props, 'k INT').k AS k,
+        |  from_json('not a record', 'k INT').k AS bad_k
+        |FROM events WHERE event_id < 300
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(NULL AS INT) AS bad_k
+        |FROM events WHERE event_id < 300
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin),
+
     // ---- Presto JSONPath edge semantics (PrestoJson.scala / reference
     //      JsonExtract.java): the oracle hardcodes the reference's
     //      documented outputs (TestJsonExtract.java vectors), so DuckDB
