@@ -346,7 +346,12 @@ object Rewrites {
       val idx = when(i >= 0, i.cast("long")).otherwise(len.cast("long") + i.cast("long"))
       toCol(PrestoJsonExtract(toExpr(j),
         toExpr(concat(lit("$["), idx.cast("string"), lit("]"))), mode = 0)) },
-    "json_parse" -> { case Seq(s) => s },   // JSON type == string in this engine
+    // json_parse canonicalizes through the Jackson walk (Presto's JSON
+    // type stores the parsed canonical form: '{"a" : 1}' → '{"a":1}');
+    // malformed input → NULL. json_format of a (string-represented) JSON
+    // value is the text itself.
+    "json_parse" -> { case Seq(s) =>
+      toCol(PrestoJsonExtract(toExpr(s), toExpr(lit("$")), mode = 0)) },
     "json_format" -> { case Seq(j) => j },
     "json_size" -> { case Seq(j, p) =>
       toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 2)) },

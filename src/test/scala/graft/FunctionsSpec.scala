@@ -293,6 +293,12 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("json_extract('{\"a\": \"ab\\\\u0001c\"}', '$.a')") == "\"ab\\u0001c\"")
   }
 
+  test("json_parse canonicalizes; json_format returns the text") {
+    assert(one("json_parse('{\"a\" : 1,  \"b\": [1 , 2]}')") == "{\"a\":1,\"b\":[1,2]}")
+    assert(one("json_parse('nope')") == null)
+    assert(one("json_format(json_parse('[1, 2]'))") == "[1,2]")
+  }
+
   test("presto json_size and is_json_scalar parse for real") {
     assert(one("json_size('{\"a\": 1, \"b\": {\"c\": 2}}', '$')") == 2)
     assert(one("json_size('{\"a\": 1, \"b\": {\"c\": 2}}', '$.b')") == 1)

@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("partsupp queries (q02/q11/q20) decorrelate: hash joins, no cartesian") {
+    for (name <- Seq("tpch_q02_min_cost_supplier", "tpch_q11_important_stock",
+        "tpch_q20_excess_stock_supplier")) {
+      val p = executedPlan(name)
+      assert(!p.toLowerCase.contains("cartesianproduct"), s"$name: no cartesian")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name: correlated subqueries must lower to joins")
+    }
+  }
+
   test("tpcds q3/q19 star joins broadcast their dims, no nested loop") {
     for (name <- Seq("tpcds_q3_brand_by_year", "tpcds_q19_cross_border_brand")) {
       val p = executedPlan(name)
