@@ -245,6 +245,51 @@ case class PrestoJsonExtract(left: Expression, right: Expression, mode: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** json_array_contains(json, value) — true iff the top-level JSON array
+  * holds a scalar equal to `value`, matched per type like the reference's
+  * overloads (JsonFunctions.java): booleans against boolean tokens,
+  * integral/floating values against number tokens, strings against string
+  * tokens. Non-array or malformed input → NULL.
+  */
+case class PrestoJsonArrayContains(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "json_array_contains"
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(json: Any, value: Any): Any =
+    try {
+      val p = PrestoJsonPath.factory.createParser(json.asInstanceOf[UTF8String].toString)
+      try {
+        if (p.nextToken() != JsonToken.START_ARRAY) return null
+        var found = false
+        var t = p.nextToken()
+        while (!found && t != JsonToken.END_ARRAY && t != null) {
+          found = (t, value) match {
+            case (JsonToken.VALUE_TRUE, b: Boolean) => b
+            case (JsonToken.VALUE_FALSE, b: Boolean) => !b
+            case (JsonToken.VALUE_NUMBER_INT, n: Long) => p.getLongValue == n
+            case (JsonToken.VALUE_NUMBER_INT, n: Int) => p.getLongValue == n.toLong
+            case (JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT, d: Double) =>
+              p.getDoubleValue == d
+            case (JsonToken.VALUE_STRING, s: UTF8String) => p.getText == s.toString
+            case _ => false
+          }
+          if (!found) { p.skipChildren(); t = p.nextToken() }
+        }
+        found
+      } finally p.close()
+    } catch {
+      case _: java.io.IOException => null
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrestoJsonArrayContains =
+    copy(left = newLeft, right = newRight)
+}
+
 /** is_json_scalar via a real parse (JsonFunctions.java): true iff the
   * whole input is one scalar JSON value — a string value whose TEXT looks
   * like "[1]" is a scalar, which the old first-character sniff

@@ -38,6 +38,14 @@ object Rewrites {
     String.valueOf(e.eval(null))
   }
 
+  /** Seconds offset of the session zone at the instant: to_utc_timestamp
+    * re-interprets the wall time in the session zone, so the difference IS
+    * the zone offset (0 under the engine's UTC pin, correct elsewhere).
+    */
+  private def tzOffsetSecs(t: Column): Column =
+    unix_seconds(t.cast("timestamp")) -
+      unix_seconds(to_utc_timestamp(t.cast("timestamp"), call_function("current_timezone")))
+
   private def defs(implicit spark: SparkSession): Seq[Registry] = Seq(
 
     // ---------- strings (operator/scalar/StringFunctions.java) ----------
@@ -84,6 +92,10 @@ object Rewrites {
       } },
     "to_hex" -> { case Seq(b) => upper(hex(b)) },
     "from_hex" -> { case Seq(s) => unhex(s) },
+    // varbinary digests (HashingFunctions.java) — Spark's sha2 emits hex
+    // text, unhex restores the reference's varbinary output type
+    "sha256" -> { case Seq(x) => unhex(sha2(x.cast("binary"), 256)) },
+    "sha512" -> { case Seq(x) => unhex(sha2(x.cast("binary"), 512)) },
     "to_base64" -> { case Seq(b) => base64(b) },
     "from_base64" -> { case Seq(s) => unbase64(s) },
     // base64url: RFC 4648 §5 alphabet — translate +/ to -_
@@ -179,6 +191,21 @@ object Rewrites {
         toCol(DateFormatClass(toExpr(x.cast("timestamp")),
           toExpr(lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))) },
     "to_unixtime" -> { case Seq(t) => (unix_micros(t.cast("timestamp")).cast("double") / lit(1e6)) },
+    // millisecond-of-second (DateTimeFunctions.java) — pmod keeps pre-epoch
+    // timestamps in 0..999
+    "millisecond" -> { case Seq(t) =>
+      (pmod(unix_micros(t.cast("timestamp")), lit(1000000L)) / 1000).cast("bigint") },
+    // to_milliseconds(day-time interval): epoch + interval → µs is exact
+    // under the UTC session pin, avoiding the end-field truncation of a
+    // direct interval cast
+    "to_milliseconds" -> { case Seq(i) =>
+      (unix_micros(to_timestamp(lit("1970-01-01 00:00:00")) + i) / 1000).cast("bigint") },
+    // session-zone offset components at the instant (negative east→west
+    // split mirrors the reference: -05:30 → hour -5, minute -30)
+    "timezone_hour" -> { case Seq(t) =>
+      (tzOffsetSecs(t) / 3600).cast("bigint") },
+    "timezone_minute" -> { case Seq(t) =>
+      ((tzOffsetSecs(t) % 3600) / 60).cast("bigint") },
     // MySQL-pattern parse; format side is handled by dialect sniffing below
     "date_parse" -> { case Seq(s, f) =>
       to_timestamp(s, Patterns.mysqlToJava(litStr(f, "date_parse"))) },
@@ -356,6 +383,8 @@ object Rewrites {
     "json_size" -> { case Seq(j, p) =>
       toCol(PrestoJsonExtract(toExpr(j), toExpr(p), mode = 2)) },
     "is_json_scalar" -> { case Seq(j) => toCol(PrestoIsJsonScalar(toExpr(j))) },
+    "json_array_contains" -> { case Seq(j, v) =>
+      toCol(PrestoJsonArrayContains(toExpr(j), toExpr(v))) },
 
     // ---------- URL (operator/scalar/UrlFunctions.java) ----------
     "url_extract_protocol" -> { case Seq(u) => parse_url(u, lit("PROTOCOL")) },

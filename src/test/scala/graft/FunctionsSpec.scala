@@ -293,6 +293,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("json_extract('{\"a\": \"ab\\\\u0001c\"}', '$.a')") == "\"ab\\u0001c\"")
   }
 
+  test("function-audit gap fills: json_array_contains, millisecond, sha2, tz, to_milliseconds") {
+    assert(one("json_array_contains('[1, 2, 3]', 2)") == true)
+    assert(one("json_array_contains('[1, 2, 3]', 5)") == false)
+    assert(one("json_array_contains('[true, false]', false)") == true)
+    assert(one("json_array_contains('[\"a\", \"b\"]', 'b')") == true)
+    assert(one("json_array_contains('[1.5, 2.5]', 2.5d)") == true)
+    assert(one("json_array_contains('{\"a\": 1}', 1)") == null)
+    assert(one("json_array_contains('bad', 1)") == null)
+    assert(one("millisecond(TIMESTAMP '2024-01-02 03:04:05.321')") == 321L)
+    // SHA-256 of empty input is the well-known digest
+    assert(one("to_hex(sha256(CAST('' AS BINARY)))") ==
+      "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855")
+    assert(one("length(sha512(CAST('x' AS BINARY)))") == 64)
+    // UTC session: zone offset components are zero
+    assert(one("timezone_hour(TIMESTAMP '2024-06-01 12:00:00')") == 0L)
+    assert(one("timezone_minute(TIMESTAMP '2024-06-01 12:00:00')") == 0L)
+    assert(one("to_milliseconds(parse_duration('3.2s'))") == 3200L)
+    assert(one("to_milliseconds(INTERVAL '2' MINUTE)") == 120000L)
+  }
+
   test("json_parse canonicalizes; json_format returns the text") {
     assert(one("json_parse('{\"a\" : 1,  \"b\": [1 , 2]}')") == "{\"a\":1,\"b\":[1,2]}")
     assert(one("json_parse('nope')") == null)
