@@ -47,6 +47,39 @@ object Ddl {
           |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
     },
 
+    // ANALYZE ... COMPUTE STATISTICS (reference StatisticsWriterOperator):
+    // the computed rowCount, read back from the catalog, must equal
+    // DuckDB's COUNT(*) over the same source.
+    "ddl_analyze_stats" -> Q.df(
+      "SELECT COUNT(*) AS analyzed_rows FROM customer") { (s, dir) =>
+      drop(s, "g_stats_customer", s"$scratch/g_stats_customer")
+      s.sql(
+        s"""CREATE TABLE g_stats_customer USING parquet
+           |LOCATION '$scratch/g_stats_customer'
+           |AS SELECT * FROM customer""".stripMargin)
+      s.sql("ANALYZE TABLE g_stats_customer COMPUTE STATISTICS")
+      val rows = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("g_stats_customer"))
+        .stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
+      import s.implicits._
+      Seq(rows).toDF("analyzed_rows")
+    },
+
+    // EXPLAIN (ExplainOperator): the plan text itself is engine-specific,
+    // so the oracle checks the contract — EXPLAIN returns a plan that
+    // aggregates, scans parquet, and carries the pushed filter.
+    "ddl_explain_contract" -> Q.df(
+      "SELECT true AS has_agg, true AS scans_parquet, true AS filter_pushed") { (s, dir) =>
+      val plan = s.sql(
+        """EXPLAIN SELECT o_orderpriority, COUNT(*) FROM orders
+          |WHERE o_orderkey < 1000 GROUP BY o_orderpriority""".stripMargin)
+        .head().getString(0)
+      import s.implicits._
+      Seq((plan.contains("HashAggregate"), plan.contains("Parquet"),
+        plan.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,1000)]")))
+        .toDF("has_agg", "scans_parquet", "filter_pushed")
+    },
+
     // DELETE as stage-then-swap (parquet has no DSv2 row-level delete; the
     // reference's DeleteOperator semantics map to materializing the
     // retained set): the surviving aggregate must equal DuckDB's
