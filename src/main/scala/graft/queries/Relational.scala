@@ -235,13 +235,19 @@ object Relational {
     // Final outputs rounded to 6 dp: the closed formulas subtract huge
     // near-equal doubles (sx*sx/n ~ 1e18), so the engines' decimal→double
     // cast rounding surfaces at ~1e-10 relative — rounding restores equality.
+    // Output rounding is magnitude-aware: the decimal→double input casts
+    // differ by 1 ulp between engines above ~15 significant digits (seen
+    // at sf0.1), and the (sxx − sx²/n) cancellation amplifies that ulp
+    // into the 6th decimal of a ~1e9 variance. 2dp on the variance terms
+    // keeps 11 significant digits — far above the ulp noise — while corr
+    // (normalized) stays at 6dp.
     "agg_statistics" -> Q.sqlSame(
       """SELECT l_returnflag,
-        |  ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_samp_price,
-        |  ROUND((sxx - sx * sx / n) / n, 6) AS var_pop_price,
-        |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp_price_qty,
+        |  ROUND((sxx - sx * sx / n) / (n - 1), 2) AS var_samp_price,
+        |  ROUND((sxx - sx * sx / n) / n, 2) AS var_pop_price,
+        |  ROUND((sxy - sx * sy / n) / (n - 1), 2) AS covar_samp_price_qty,
         |  ROUND((sxy - sx * sy / n) / ((n - 1) * SQRT((sxx - sx * sx / n) / (n - 1)) * SQRT((syy - sy * sy / n) / (n - 1))), 6) AS corr_price_qty,
-        |  ROUND((sxy - sx * sy / n) / (syy - sy * sy / n), 6) AS regr_slope_price_qty
+        |  ROUND((sxy - sx * sy / n) / (syy - sy * sy / n), 4) AS regr_slope_price_qty
         |FROM (
         |  SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
