@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST BARE STDOUT LINE of `sbt "runMain graft.Bench"`
+// as the bench artifact. sbt's default LoggedOutput routes the forked JVM's
+// stdout through the sbt logger ([info] prefix) and appends its own
+// "[success] Total time" line, so that parse can never succeed. StdoutOutput
+// passes the forked process's stdout/stderr through verbatim (Spark's log4j
+// noise targets stderr, so it stays off stdout), and showSuccess drops the
+// trailing [success] line — leaving Bench's JSON as the final stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,7 +54,11 @@ object Bench {
     // print it as the very last stdout line (after spark.stop(), so no
     // executor shutdown logging can trail it).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // Silence shutdown logging so nothing can trail the JSON even when the
+    // caller merges stderr into stdout (2>&1).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(json)
+    System.out.flush()
   }
 }

@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
   *    dot); get_json_object cannot address such fields.
   *  - scalar extraction DECODES escapes ("abc" → the control char);
   *    json extraction re-serializes compactly, preserving escapes.
-  *  - lenient input: trailing commas (`{"a": 1, }`) parse (the reference
-  *    parser accepts them per TestJsonExtract's vectors); malformed JSON
-  *    → NULL, never an error.
+  *  - lenient-LOOKING input: TestJsonExtract's trailing-comma vectors
+  *    (`{"a": 1, }` with path `$.a`) pass because streaming extraction
+  *    stops at the matched value before reaching the malformed tail — the
+  *    reference's JSON_FACTORY is NOT lenient (JsonExtract.java:120 only
+  *    disables CANONICALIZE_FIELD_NAMES), so whole-document operations on
+  *    such input hit JsonParseException. We reproduce both behaviors with
+  *    a strict factory; malformed JSON → NULL, never an error.
   *  - `json_size` counts fields/elements of the container at the path, 0
   *    for scalars, NULL off-path/invalid (JsonFunctions.java json_size) —
   *    replacing the first-character string-sniffing approximation carried
@@ -36,11 +40,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
   */
 object PrestoJsonPath {
 
-  private[functions] val factory: JsonFactory = {
-    val f = new JsonFactory()
-    f.enable(JsonParser.Feature.ALLOW_TRAILING_COMMA)
-    f
-  }
+  private[functions] val factory: JsonFactory = new JsonFactory()
 
   /** JsonPathTokenizer.java semantics: strict, whitespace-rejecting. */
   def tokenize(path: String): Seq[String] = {
@@ -215,8 +215,11 @@ case class PrestoJsonExtract(left: Expression, right: Expression, mode: Int)
   override def dataType: DataType = if (mode == 2) IntegerType else StringType
   override def nullable: Boolean = true
 
-  @transient private var cachedPath: String = _
-  @transient private var cachedTokens: Seq[String] = _
+  // Single-entry memo held as one immutable pair written atomically: the
+  // same expression instance can be evaluated from concurrent actions on a
+  // shared cached plan, and two separate vars could be observed mid-update
+  // (one thread's path with another's tokens).
+  @transient private var cached: (String, Seq[String]) = _
 
   // a malformed LITERAL path fails analysis (INVALID_FUNCTION_ARGUMENT at
   // planning, as documented), not per-row inside the job
@@ -233,11 +236,15 @@ case class PrestoJsonExtract(left: Expression, right: Expression, mode: Int)
 
   override protected def nullSafeEval(json: Any, path: Any): Any = {
     val p = path.asInstanceOf[UTF8String].toString
-    if (cachedTokens == null || cachedPath != p) {
-      cachedTokens = PrestoJsonPath.tokenize(p)
-      cachedPath = p
-    }
-    PrestoJsonPath.extract(json.asInstanceOf[UTF8String].toString, cachedTokens, mode)
+    val c = cached
+    val tokens =
+      if (c != null && c._1 == p) c._2
+      else {
+        val t = PrestoJsonPath.tokenize(p)
+        cached = (p, t)
+        t
+      }
+    PrestoJsonPath.extract(json.asInstanceOf[UTF8String].toString, tokens, mode)
   }
 
   override protected def withNewChildrenInternal(
