@@ -88,12 +88,16 @@ object Dedup {
     // contribute star pairs (member, representative) instead of all pairs,
     // bounding any bucket's candidate count at w−1 instead of w²/2.
     val normal = banded.filter(col("__bw") <= hotBucketCap)
+    // right side's keys are renamed (band_r/bucket_r) so the self-join
+    // condition references two distinct attributes — no lineage-ambiguity
+    // resolution, no "trivially true equals predicate" warnings.
     val left = normal.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val right = normal.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val right = normal.select(
+      col("band").as("band_r"), col("bucket").as("bucket_r"), col("id").as("id_b"))
     val allPairs = left
       .join(right,
-        left("band") === right("band") && left("bucket") === right("bucket") &&
-          left("id_a") < right("id_b"))
+        col("band") === col("band_r") && col("bucket") === col("bucket_r") &&
+          col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val starPairs = banded
       .filter(col("__bw") > hotBucketCap && col("id") =!= col("__bmin"))
@@ -175,13 +179,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val normal = chunked.filter(col("__bw") <= hotChunkCap)
+    // renamed right-side keys (see minhashLsh): unambiguous self-join.
     val left = normal.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("sim").as("sim_a"))
-    val right = normal.select(col("chunk_idx"), col("chunk"),
+    val right = normal.select(col("chunk_idx").as("chunk_idx_r"), col("chunk").as("chunk_r"),
       col("id").as("id_b"), col("sim").as("sim_b"))
     val allPairs = left.join(right,
-        left("chunk_idx") === right("chunk_idx") && left("chunk") === right("chunk") &&
-          left("id_a") < right("id_b"))
+        col("chunk_idx") === col("chunk_idx_r") && col("chunk") === col("chunk_r") &&
+          col("id_a") < col("id_b"))
       .select(col("id_a"), col("sim_a"), col("id_b"), col("sim_b"))
     val starPairs = chunked
       .filter(col("__bw") > hotChunkCap && col("id") =!= col("__bmin.id"))

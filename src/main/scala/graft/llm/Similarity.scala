@@ -161,8 +161,12 @@ object Similarity {
       .join(broadcast(bucketSizes), "bucket")
       .withColumn("__salt", explode(sequence(lit(0L), col("__nsplit") - 1)))
       .drop("__nsplit")
-    val scored = qSalted.join(cSalted,
-        qSalted("bucket") === cSalted("bucket") && qSalted("__salt") === cSalted("__salt") &&
+    // corpus-side keys renamed so the join references distinct attributes
+    // (both sides pass through bucketSizes — avoids lineage-ambiguity
+    // resolution and its "trivially true predicate" warnings).
+    val scored = qSalted.join(
+        cSalted.withColumnRenamed("bucket", "bucket_r").withColumnRenamed("__salt", "__salt_r"),
+        col("bucket") === col("bucket_r") && col("__salt") === col("__salt_r") &&
           col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
