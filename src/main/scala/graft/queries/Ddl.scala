@@ -1,6 +1,8 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.sources.CowDelete
+import org.apache.spark.sql.functions._
 
 /** Declared queries for the writer/DML surface (TableWriter/TableFinish,
   * DELETE — reference TableWriterOperator.java, DeleteOperator.java),
@@ -119,6 +121,38 @@ object Ddl {
           |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS acctbal
           |FROM g_del_supplier_stage GROUP BY s_nationkey
           |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin)
+    },
+
+    // Row-level DELETE via copy-on-write at file granularity (CowDelete —
+    // the mechanism of the reference's DeleteOperator.java without a
+    // lakehouse manifest): orders is laid out partitioned by
+    // o_orderpriority, the predicate targets one priority, and only that
+    // partition's files rewrite. `cow_scoped` carries the mechanism claim
+    // into the oracle: at least one file was rewritten AND every rewritten
+    // file lived under the targeted partition — the other four partitions'
+    // files were never touched (CowDeleteSpec additionally pins their
+    // mtimes byte-identical).
+    "ddl_delete_rowlevel" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  true AS cow_scoped
+        |FROM orders WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_cowdel_orders"
+      drop(s, "g_cowdel_orders", loc)
+      Tables.t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(loc)
+      val stats = CowDelete.delete(s, loc,
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+      val scoped = stats.touched.nonEmpty &&
+        stats.touched.forall(_.contains("o_orderpriority=1-URGENT"))
+      s.read.option("basePath", loc).parquet(loc)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
+        .withColumn("cow_scoped", lit(scoped))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
     }
   )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.CowDelete
+
+/** Copy-on-write row-level DELETE (sources/CowDelete.scala — the
+  * file-granularity analog of the reference's DeleteOperator.java +
+  * PushDeleteIntoConnector.java): correctness of the surviving rows AND
+  * the mechanism claim — files outside the touched set keep their exact
+  * path and modification time, i.e. the rewrite cost is bounded by the
+  * deleted data's locality, not the table size.
+  */
+class CowDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def files(dir: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified())
+      .toMap
+  }
+
+  private def freshTable(partitioned: Boolean): String = {
+    val loc = Files.createTempDirectory("graft_cow").toString + "/t"
+    val orders = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val w = orders.write.mode("overwrite")
+    (if (partitioned) w.partitionBy("o_orderpriority") else w).parquet(loc)
+    loc
+  }
+
+  test("partition-scoped delete rewrites only the touched partition's files") {
+    val loc = freshTable(partitioned = true)
+    val before = files(loc)
+    assert(before.keySet.exists(_.contains("o_orderpriority=1-URGENT")))
+
+    val expected = spark.read.option("basePath", loc).parquet(loc)
+      .filter(!(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0))
+      .count()
+    val stats = CowDelete.delete(spark, loc,
+      col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+    val after = files(loc)
+
+    // surviving rows
+    assert(spark.read.option("basePath", loc).parquet(loc).count() == expected)
+    assert(spark.read.option("basePath", loc).parquet(loc)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+      .count() == 0)
+
+    // mechanism: every touched/rewritten path is inside the target
+    // partition; every file OUTSIDE it survives with identical mtime
+    assert(stats.touched.nonEmpty)
+    assert(stats.touched.forall(_.contains("o_orderpriority=1-URGENT")))
+    val untouchedBefore = before.filterNot(_._1.contains("o_orderpriority=1-URGENT"))
+    val untouchedAfter = after.filterNot(_._1.contains("o_orderpriority=1-URGENT"))
+    assert(untouchedAfter == untouchedBefore,
+      "files outside the touched partition must keep path AND mtime")
+    // the touched partition's originals are gone, replacements present
+    assert(stats.touched.forall(p => !after.contains(p)))
+    assert(after.keySet.exists(p =>
+      p.contains("o_orderpriority=1-URGENT") && p.contains("part-cow-")))
+  }
+
+  test("no-match predicate is a metadata-only no-op: zero files rewritten") {
+    val loc = freshTable(partitioned = true)
+    val before = files(loc)
+    val stats = CowDelete.delete(spark, loc, col("o_orderkey") === -1)
+    assert(stats.touched.isEmpty && stats.rewritten == 0L)
+    assert(files(loc) == before)
+  }
+
+  test("non-partitioned table: only files containing matching rows rewrite") {
+    val loc = Files.createTempDirectory("graft_cow").toString + "/t"
+    val orders = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    // range-partition into 4 files so the key predicate has file locality
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(loc)
+    val before = files(loc)
+    assert(before.size >= 4)
+
+    val maxKey = 100 // min-max row-group stats exclude most files
+    val expected = spark.read.parquet(loc)
+      .filter(!(col("o_orderkey") <= maxKey)).count()
+    val stats = CowDelete.delete(spark, loc, col("o_orderkey") <= maxKey)
+    val after = files(loc)
+
+    assert(spark.read.parquet(loc).count() == expected)
+    assert(stats.touched.nonEmpty && stats.touched.size < before.size,
+      s"delete of keys <= $maxKey must not touch every one of ${before.size} range files")
+    val untouchedBefore = before -- stats.touched
+    assert((after -- after.keySet.filter(_.contains("part-cow-"))) == untouchedBefore,
+      "files without matching rows must keep path AND mtime")
+  }
+}
