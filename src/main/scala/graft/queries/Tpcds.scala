@@ -4,12 +4,16 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the six structural
+  * sql/presto/tpcds/q*.sql); this module re-expresses the twelve structural
   * families that dominate that suite and that the TPC-H-ish queries do not
   * cover: dim-heavy star joins with date rollups (q3), multi-dim averages
   * (q7), cross-border brand analysis (q19), ROLLUP with a window function
   * ranking within grouping level (q36/q86), multi-channel UNION ALL
-  * re-aggregation (q71), and count-band join-backs (q34/q73).
+  * re-aggregation (q71), count-band join-backs (q34/q73), count-bucket
+  * pivots (q88), window-over-rollup top-k chains (q67), multi-CTE channel
+  * intersections with a scalar HAVING bar (q14), full-outer cumulative
+  * crossovers (q51), window-mean deviation screens (q89), and
+  * within-class revenue shares (q98/q12).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -124,6 +128,153 @@ object Tpcds {
         |JOIN customer ON c_custkey = o_custkey
         |WHERE o_orderstatus = 'F'
         |ORDER BY cnt DESC NULLS LAST, c_name ASC NULLS LAST, o_orderkey ASC NULLS LAST
-        |LIMIT 200""".stripMargin)
+        |LIMIT 200""".stripMargin),
+
+    // ---- q88-style: count-bucket pivot — eight independent band counts
+    //      pivoted into one row via comma cross join. Each bucket count is
+    //      an independent partial-agg over the same fact scan; Spark plans
+    //      eight parallel global aggregates over one-row joins (all
+    //      broadcast), never a shuffle wider than a single long ----
+    "tpcds_q88_count_buckets" -> Q.sqlSame(
+      """SELECT b1.cnt AS h1, b2.cnt AS h2, b3.cnt AS h3, b4.cnt AS h4,
+        |       b5.cnt AS h5, b6.cnt AS h6, b7.cnt AS h7, b8.cnt AS h8
+        |FROM
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 1 AND 6 AND l_discount < 0.05) b1,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 7 AND 12 AND l_discount < 0.05) b2,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 13 AND 18 AND l_discount < 0.05) b3,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 19 AND 24 AND l_discount < 0.05) b4,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 25 AND 30 AND l_discount >= 0.05) b5,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 31 AND 36 AND l_discount >= 0.05) b6,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 37 AND 42 AND l_discount >= 0.05) b7,
+        |  (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 43 AND 50 AND l_discount >= 0.05) b8""".stripMargin),
+
+    // ---- q67-style: window-over-rollup chain — revenue ROLLUP over the
+    //      (p_type, p_brand) hierarchy, then rank() WITHIN each p_type
+    //      partition (rollup subtotal rows fall into the NULL-type
+    //      partition, exactly q67's i_category grouping), keep top 10.
+    //      The window runs on the aggregated (small) side. The DISPLAYED
+    //      sum rounds to 2 decimals: the grand-total row accumulates ~60k
+    //      per-row double→decimal cast roundings whose half-boundary
+    //      behavior differs between engines by ~1 ulp; ranking uses the
+    //      unrounded value, where inter-brand gaps dwarf an ulp ----
+    "tpcds_q67_rollup_topk" -> Q.sqlSame(
+      """SELECT p_type, p_brand, ROUND(sumsales, 2) AS sumsales, rk
+        |FROM (
+        |  SELECT p_type, p_brand, sumsales,
+        |    RANK() OVER (PARTITION BY p_type
+        |                 ORDER BY sumsales DESC, p_brand ASC NULLS FIRST) AS rk
+        |  FROM (
+        |    SELECT p_type, p_brand,
+        |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sumsales
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    GROUP BY ROLLUP (p_type, p_brand)) agg) ranked
+        |WHERE rk <= 10
+        |ORDER BY p_type ASC NULLS FIRST, rk ASC NULLS LAST, p_brand ASC NULLS FIRST""".stripMargin),
+
+    // ---- q14-style: multi-CTE channel intersection — parts sold through
+    //      ALL THREE priority channels (INTERSECT chain), an avg-sales
+    //      scalar CTE as the HAVING bar, then per-channel re-aggregation
+    //      over the intersected part set. Both HAVING operands derive from
+    //      exact decimal sums (then one IEEE division), so the comparison
+    //      is bit-deterministic across engines ----
+    "tpcds_q14_cross_channel" -> Q.sqlSame(
+      """WITH cross_parts AS (
+        |  SELECT l_partkey AS pk FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority = '2-HIGH'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority = '3-MEDIUM'),
+        |avg_sales AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+        |    / COUNT(*) AS average FROM lineitem)
+        |SELECT channel, p_brand, sales, cnt
+        |FROM (
+        |  SELECT 'urgent' AS channel, p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sales,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE o_orderpriority = '1-URGENT' AND l_partkey IN (SELECT pk FROM cross_parts)
+        |  GROUP BY p_brand
+        |  HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+        |    > 20 * (SELECT average FROM avg_sales)
+        |  UNION ALL
+        |  SELECT 'high', p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE),
+        |    COUNT(*)
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE o_orderpriority = '2-HIGH' AND l_partkey IN (SELECT pk FROM cross_parts)
+        |  GROUP BY p_brand
+        |  HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+        |    > 20 * (SELECT average FROM avg_sales)) ch
+        |ORDER BY channel ASC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q51-style: cumulative-revenue crossover — per-month revenue of
+    //      two channels FULL OUTER JOINed on month, running totals over
+    //      the ordered months, keep months where the urgent channel's
+    //      cumulative exceeds the other's. Cumulative sums stay in decimal
+    //      until the final cast, so running totals are exact ----
+    "tpcds_q51_cumulative_compare" -> Q.sqlSame(
+      """SELECT mo, urgent_cum, other_cum
+        |FROM (
+        |  SELECT COALESCE(u.mo, o.mo) AS mo,
+        |    CAST(SUM(COALESCE(u.rev, 0)) OVER (ORDER BY COALESCE(u.mo, o.mo)) AS DOUBLE) AS urgent_cum,
+        |    CAST(SUM(COALESCE(o.rev, 0)) OVER (ORDER BY COALESCE(u.mo, o.mo)) AS DOUBLE) AS other_cum
+        |  FROM (
+        |    SELECT month(o_orderdate) AS mo,
+        |      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+        |    GROUP BY month(o_orderdate)) u
+        |  FULL OUTER JOIN (
+        |    SELECT month(o_orderdate) AS mo,
+        |      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    WHERE o_orderpriority = '5-LOW' AND year(o_orderdate) = 1996
+        |    GROUP BY month(o_orderdate)) o
+        |  ON u.mo = o.mo) t
+        |WHERE urgent_cum > other_cum
+        |ORDER BY mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q89-style: monthly deviation from the type's yearly mean —
+    //      per-(type, month) revenue, the window mean over the type
+    //      partition from exact SUM/COUNT (one IEEE division), keep rows
+    //      deviating >10% from their mean ----
+    "tpcds_q89_monthly_deviation" -> Q.sqlSame(
+      """SELECT p_type, mo, rev, ROUND(avg_monthly, 6) AS avg_monthly
+        |FROM (
+        |  SELECT p_type, mo, rev,
+        |    CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY p_type) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_type) AS avg_monthly
+        |  FROM (
+        |    SELECT p_type, month(o_orderdate) AS mo,
+        |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |    FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN part ON p_partkey = l_partkey
+        |    WHERE year(o_orderdate) = 1996
+        |    GROUP BY p_type, month(o_orderdate)) m) d
+        |WHERE rev > 1.1 * avg_monthly OR rev < 0.9 * avg_monthly
+        |ORDER BY p_type ASC NULLS LAST, mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q98/q12-style: revenue share within class — each brand's share
+    //      of its type's revenue via an exact decimal window sum ----
+    "tpcds_q98_class_ratio" -> Q.sqlSame(
+      """SELECT p_type, p_brand, rev,
+        |  ROUND(rev * 100 / CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+        |    AS revenueratio
+        |FROM (
+        |  SELECT p_type, p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size <= 20
+        |  GROUP BY p_type, p_brand) b
+        |ORDER BY p_type ASC NULLS LAST, revenueratio DESC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin)
   )
 }

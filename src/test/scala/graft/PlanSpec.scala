@@ -97,4 +97,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesian"), "candidate generation must never cross-join")
     assert(p.contains("band") && p.contains("bucket"))
   }
+
+  test("tpcds q88 pivot: eight single-row buckets join as broadcast, one scan each") {
+    val p = executedPlan("tpcds_q88_count_buckets")
+    // each bucket is a global aggregate to ONE row; the pivot is seven
+    // broadcast joins of single-row sides — never a shuffled join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "single-row bucket joins must broadcast")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+    assert(p.contains("PushedFilters: ["), "band predicates must reach the scans")
+  }
+
+  test("tpcds q67/q89/q98 window-over-agg: window sits above the aggregate") {
+    for (name <- Seq("tpcds_q67_rollup_topk", "tpcds_q89_monthly_deviation",
+        "tpcds_q98_class_ratio")) {
+      val p = executedPlan(name)
+      assert(p.contains("Window"), s"$name: window must survive")
+      assert(p.contains("HashAggregate"), s"$name: aggregate below the window")
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
+    }
+  }
+
+  test("tpcds q14 channel intersection: semi joins against the part set, no nested loop") {
+    val p = executedPlan("tpcds_q14_cross_channel")
+    assert(p.contains("LeftSemi"), "IN (SELECT pk ...) must lower to a semi join")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
 }
