@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, Tables}
+import graft.{ExplainAnalyze, Q, Tables}
 import graft.sources.CowDelete
 import org.apache.spark.sql.functions._
 
@@ -153,6 +153,33 @@ object Ddl {
           sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
         .withColumn("cow_scoped", lit(scoped))
         .orderBy(col("o_orderpriority").asc_nulls_last)
+    },
+
+    // EXPLAIN ANALYZE (reference ExplainAnalyzeOperator.java): run a
+    // filter+aggregate over orders and report RUNTIME statistics off the
+    // executed (post-AQE) plan. The oracle can recompute two of those
+    // numbers independently from the data — the Filter operator's
+    // numOutputRows is exactly the predicate's match count (parquet
+    // pushdown prunes row groups; the Filter node does the exact cut),
+    // and the final HashAggregate's numOutputRows is exactly the group
+    // count — which turns engine-internal metrics into an oracle-checked
+    // contract rather than a trust-me string.
+    "ddl_explain_analyze" -> Q.df(
+      """SELECT 'filtered' AS phase, COUNT(*) AS n
+        |FROM orders WHERE o_orderkey < 10000
+        |UNION ALL
+        |SELECT 'groups', COUNT(DISTINCT o_orderpriority)
+        |FROM orders WHERE o_orderkey < 10000
+        |ORDER BY phase ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val stats = ExplainAnalyze.run(
+        Tables.t(s, dir, "orders")
+          .filter(col("o_orderkey") < 10000)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt")))
+      val filtered = ExplainAnalyze.first(stats, "Filter", "numOutputRows").getOrElse(-1L)
+      val groups = ExplainAnalyze.first(stats, "HashAggregate", "numOutputRows").getOrElse(-1L)
+      import s.implicits._
+      Seq(("filtered", filtered), ("groups", groups)).toDF("phase", "n")
+        .orderBy(col("phase").asc_nulls_last)
     }
   )
 }

@@ -136,4 +136,31 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT OVERWRITE t_del SELECT * FROM t_del_stage")
     assert(spark.sql("SELECT MIN(s_suppkey) FROM t_del").collect()(0).getLong(0) > cutoff)
   }
+
+  test("EXPLAIN ANALYZE surfaces runtime metrics off the executed plan") {
+    import org.apache.spark.sql.functions._
+    val q = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderkey") < 500)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val stats = ExplainAnalyze.run(q)
+
+    // exact invariants the data pins down
+    val expectFiltered = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderkey") < 500).count()
+    assert(ExplainAnalyze.first(stats, "Filter", "numOutputRows").contains(expectFiltered))
+    val groups = q.count()
+    assert(ExplainAnalyze.first(stats, "HashAggregate", "numOutputRows").contains(groups))
+
+    // structural invariants: a shuffle happened and moved bytes; the scan
+    // reported its own output; pre-order puts the final agg above the scan
+    val shuffleBytes = stats.filter(_.metric == "shuffleBytesWritten").map(_.value)
+    assert(shuffleBytes.nonEmpty && shuffleBytes.exists(_ > 0),
+      s"expected a shuffle with bytes > 0 in:\n${stats.mkString("\n")}")
+    val scanOrd = stats.collectFirst {
+      case ExplainAnalyze.OpStat(o, op, "numOutputRows", _) if op.contains("Scan") => o }
+    val aggOrd = stats.collectFirst {
+      case ExplainAnalyze.OpStat(o, "HashAggregate", "numOutputRows", _) => o }
+    assert(scanOrd.nonEmpty && aggOrd.nonEmpty && aggOrd.get < scanOrd.get,
+      "final aggregate must sit above the scan in pre-order")
+  }
 }
