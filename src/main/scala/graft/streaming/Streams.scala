@@ -82,14 +82,21 @@ object Streams {
       }
   }
 
-  /** Streaming exact dedup on arrival — `dropDuplicates` with a watermark
-    * bounds the id-set state to the watermark horizon (the ingest-pipeline
-    * shape: an at-least-once upstream feeding an exactly-once corpus).
-    * Duplicates inside the horizon hit state; ones arriving after it are
-    * dropped as late rows — either way each id is emitted once.
+  /** Streaming exact dedup on arrival (the ingest-pipeline shape: an
+    * at-least-once upstream feeding an exactly-once corpus) —
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with the
+    * event-time column absent from the key subset, plain dropDuplicates
+    * keeps every id in state forever (StreamingSpec's bounded-state test
+    * catches exactly this — state grew one epoch per epoch). The
+    * WithinWatermark variant dedups on the bare key and EVICTS each entry
+    * once the watermark passes its event time + horizon, so state is
+    * bounded by the horizon's id arrival rate no matter how long the
+    * stream runs. Duplicates inside the horizon hit state; ones arriving
+    * beyond it are dropped as late rows — either way each id is emitted
+    * once.
     */
   def dedupedEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", horizon).dropDuplicates("event_id")
+    events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
 
   /** flatMapGroupsWithState: emit one row each time a user's cumulative
     * event count crosses a multiple of `every` — multi-row, append-mode

@@ -164,4 +164,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val written = spark.read.parquet(s"$tmp/out").count()
     assert(written == batchEvents.count())
   }
+
+  test("dedup state is watermark-bounded: numRowsTotal plateaus across epochs") {
+    // Four epochs of 1000 fresh ids, each shifted 40 days (past the
+    // 30-day span of the base data + the 2h horizon), run through ONE
+    // checkpointed dedup stream via four availableNow restarts. If
+    // dropDuplicates state were unbounded, the state store would hold
+    // epoch*1000 rows by the last run; the watermark purge must keep the
+    // peak per-run state at ~one epoch regardless of how many epochs have
+    // passed — THE property that lets dedup-on-arrival run forever.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bounded").toString
+    val srcDir = new java.io.File(tmp, "events"); srcDir.mkdirs()
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") // ts stays long nanos
+    val epochRows = raw.count()
+    val dayNanos = 24L * 3600 * 1000 * 1000 * 1000
+
+    var peaks = Vector.empty[Long]
+    for (epoch <- 0 until 4) {
+      val stageTmp = new java.io.File(tmp, s"stage$epoch")
+      raw.withColumn("ts", col("ts") + lit(epoch * 40L * dayNanos))
+        .withColumn("event_id", col("event_id") + lit(epoch * 1000000L))
+        .coalesce(1).write.mode("overwrite").parquet(stageTmp.toString)
+      val part = stageTmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, f"e$epoch%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L + epoch * 60000L); ()
+
+      val q = Streams.runToParquet(
+        Streams.dedupedEvents(Streams.eventsStream(spark, srcDir.toString))
+          .select(col("event_id")),
+        s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      val statePerBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsTotal)
+      assert(statePerBatch.nonEmpty, s"epoch $epoch reported no state operator progress")
+      peaks = peaks :+ statePerBatch.max
+    }
+
+    // every id passed through exactly once …
+    val emitted = spark.read.parquet(s"$tmp/out").collect().map(_.getLong(0))
+    assert(emitted.length == 4 * epochRows && emitted.distinct.length == emitted.length)
+    // … yet no run's peak state ever approached the cumulative id count:
+    // bounded at ~one epoch (+ the sub-horizon tail), with no upward trend
+    assert(peaks.forall(_ <= epochRows + 100),
+      s"state must stay ~one epoch, got peaks $peaks")
+    assert(peaks.last <= peaks.head + 100,
+      s"state must plateau, not trend upward: $peaks")
+  }
 }
