@@ -94,6 +94,17 @@ object ScaleRehearsal {
       llm.Dedup.minhashLsh(docs, "doc_id", llm.TextOps.wordShingles(col("text"), 2),
         k = 32, bands = 8, threshold = 0.8)
     }
+    // SimHash: not a headline bench query, so time 1× here for the ratio.
+    // At 10× docs the 16-bit chunk space starts to saturate and the
+    // star-link hotChunkCap can genuinely engage — the regime it exists for.
+    val tSim1 = time("simhash @1x") {
+      llm.Dedup.simhashPairs(Tables.t(spark, sfDir, "documents"),
+        "doc_id", llm.TextOps.tokenSet(col("text")), maxHamming = 3)
+    }
+    val tSim = time("simhash @10x") {
+      llm.Dedup.simhashPairs(docs, "doc_id", llm.TextOps.tokenSet(col("text")),
+        maxHamming = 3)
+    }
 
     // ---- ann lsh at 10× vectors (reflected replicas) ----
     // 10 DISTINCT orthogonal maps: bit-pattern reflection keyed by i%6,
@@ -119,7 +130,7 @@ object ScaleRehearsal {
         nlist = 64, nprobe = 8)
     }
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "ann": $tAnn%.2f, "ivf": $tIvf%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f,"ann": $tAnn%.2f, "ivf": $tIvf%.2f}""")
     spark.stop()
   }
 }
