@@ -4,16 +4,21 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the twelve structural
-  * families that dominate that suite and that the TPC-H-ish queries do not
-  * cover: dim-heavy star joins with date rollups (q3), multi-dim averages
-  * (q7), cross-border brand analysis (q19), ROLLUP with a window function
-  * ranking within grouping level (q36/q86), multi-channel UNION ALL
-  * re-aggregation (q71), count-band join-backs (q34/q73), count-bucket
-  * pivots (q88), window-over-rollup top-k chains (q67), multi-CTE channel
-  * intersections with a scalar HAVING bar (q14), full-outer cumulative
-  * crossovers (q51), window-mean deviation screens (q89), and
-  * within-class revenue shares (q98/q12).
+  * sql/presto/tpcds/q*.sql); this module re-expresses the nineteen
+  * structural families that dominate that suite and that the TPC-H-ish
+  * queries do not cover: dim-heavy star joins with date rollups (q3),
+  * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
+  * a window function ranking within grouping level (q36/q86), multi-channel
+  * UNION ALL re-aggregation (q71), count-band join-backs (q34/q73),
+  * count-bucket pivots (q88), window-over-rollup top-k chains (q67),
+  * multi-CTE channel intersections with a scalar HAVING bar (q14),
+  * full-outer cumulative crossovers (q51), window-mean deviation screens
+  * (q89), within-class revenue shares (q98/q12), correlated above-average
+  * screens (q1/q30/q81), frequent-item ∩ best-customer CTE funnels (q23),
+  * period-over-period share shifts (q31), year-over-year self-joined
+  * aggregates (q2/q59), within-group low-revenue screens against an
+  * agg-of-agg (q65), multi-EXISTS demographic screens (q10/q35/q69), and
+  * returns-adjusted net revenue (q93).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -275,6 +280,150 @@ object Tpcds {
         |  FROM lineitem JOIN part ON p_partkey = l_partkey
         |  WHERE p_size <= 20
         |  GROUP BY p_type, p_brand) b
-        |ORDER BY p_type ASC NULLS LAST, revenueratio DESC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin)
+        |ORDER BY p_type ASC NULLS LAST, revenueratio DESC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q1/q30/q81-style: correlated above-average screen — customers
+    //      whose returned revenue exceeds 1.2× the mean over their nation.
+    //      The CTE aggregates once; the correlated scalar subquery re-reads
+    //      the (small) aggregate, so Spark plans one fact shuffle plus a
+    //      broadcast of the per-nation means. Mean = exact decimal SUM /
+    //      COUNT (one IEEE division) so the bar is bit-deterministic ----
+    "tpcds_q1_returns_above_avg" -> Q.sqlSame(
+      """WITH cust_returns AS (
+        |  SELECT c_custkey AS ctr_custkey, c_nationkey AS ctr_nationkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS ctr_total
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT c_name, CAST(ctr_total AS DOUBLE) AS ctr_total
+        |FROM cust_returns ctr1
+        |JOIN customer ON c_custkey = ctr_custkey
+        |WHERE CAST(ctr_total AS DOUBLE) > (
+        |  SELECT CAST(SUM(ctr2.ctr_total) AS DOUBLE) / COUNT(*) * 1.2
+        |  FROM cust_returns ctr2
+        |  WHERE ctr2.ctr_nationkey = ctr1.ctr_nationkey)
+        |ORDER BY c_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q23-style: frequent-item ∩ best-customer funnel — two HAVING
+    //      CTEs (parts sold >30 times, customers with >1000 total quantity)
+    //      both applied as semi joins to a year slice of the fact table.
+    //      Both CTE aggregates shuffle once on their own key and arrive at
+    //      the fact scan as broadcast semi joins ----
+    "tpcds_q23_frequent_best" -> Q.sqlSame(
+      """WITH frequent_parts AS (
+        |  SELECT l_partkey AS fp FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(*) > 30),
+        |best_customers AS (
+        |  SELECT o_custkey AS bc
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 1000)
+        |SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_sales,
+        |  COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_partkey IN (SELECT fp FROM frequent_parts)
+        |  AND o_custkey IN (SELECT bc FROM best_customers)
+        |  AND year(o_orderdate) = 1997""".stripMargin),
+
+    // ---- q31-style: period-over-period share shift — nations where the
+    //      urgent channel's Q1→Q2 growth outpaces total growth. One
+    //      aggregate CTE carrying both measures (conditional SUM), then a
+    //      self-join on nation pivots the two quarters side by side; the
+    //      joined side is 25 rows, broadcast. Growth = ratio of two
+    //      exactly-summed decimals (one IEEE division each) ----
+    "tpcds_q31_share_shift" -> Q.sqlSame(
+      """WITH rev AS (
+        |  SELECT n_name, quarter(o_orderdate) AS q,
+        |    SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS urgent_rev,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_rev
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) IN (1, 2)
+        |  GROUP BY n_name, quarter(o_orderdate))
+        |SELECT q1.n_name AS n_name,
+        |  ROUND(CAST(q2.urgent_rev AS DOUBLE) / CAST(q1.urgent_rev AS DOUBLE), 6) AS urgent_growth,
+        |  ROUND(CAST(q2.total_rev AS DOUBLE) / CAST(q1.total_rev AS DOUBLE), 6) AS total_growth
+        |FROM rev q1 JOIN rev q2 ON q1.n_name = q2.n_name AND q1.q = 1 AND q2.q = 2
+        |WHERE CAST(q1.urgent_rev AS DOUBLE) > 0
+        |  AND CAST(q2.urgent_rev AS DOUBLE) / CAST(q1.urgent_rev AS DOUBLE)
+        |    > CAST(q2.total_rev AS DOUBLE) / CAST(q1.total_rev AS DOUBLE)
+        |ORDER BY n_name ASC NULLS LAST""".stripMargin),
+
+    // ---- q2/q59-style: year-over-year self-joined aggregate — monthly
+    //      revenue 1996 vs 1997 pivoted by a self-join on month. The CTE
+    //      aggregates the fact table once (24 output rows); the self-join
+    //      is broadcast trivially ----
+    "tpcds_q59_year_over_year" -> Q.sqlSame(
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY year(o_orderdate), month(o_orderdate))
+        |SELECT a.mo AS mo, CAST(a.rev AS DOUBLE) AS rev1, CAST(b.rev AS DOUBLE) AS rev2,
+        |  ROUND(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6) AS ratio
+        |FROM m a JOIN m b ON a.mo = b.mo AND a.yr = 1996 AND b.yr = 1997
+        |ORDER BY mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q65-style: low-revenue screen against an agg-of-agg — (supplier,
+    //      part) revenue pairs at or below 10% of that supplier's mean
+    //      part-revenue. First aggregate shuffles the fact table on the
+    //      pair key; the second aggregates the (already small) result per
+    //      supplier; the final join is agg-to-agg, not fact-to-fact ----
+    "tpcds_q65_low_revenue_parts" -> Q.sqlSame(
+      """WITH sp AS (
+        |  SELECT l_suppkey AS sk, l_partkey AS pk,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |sa AS (
+        |  SELECT sk AS sk2, CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev
+        |  FROM sp GROUP BY sk)
+        |SELECT s_name, p_name, CAST(rev AS DOUBLE) AS rev, ROUND(avg_rev, 6) AS avg_rev
+        |FROM sp
+        |JOIN sa ON sk = sk2
+        |JOIN supplier ON s_suppkey = sk
+        |JOIN part ON p_partkey = pk
+        |WHERE CAST(rev AS DOUBLE) <= 0.1 * avg_rev
+        |ORDER BY s_name ASC NULLS LAST, p_name ASC NULLS LAST, rev ASC NULLS LAST
+        |LIMIT 200""".stripMargin),
+
+    // ---- q10/q35/q69-style: multi-EXISTS demographic screen — customers
+    //      active in the urgent channel but absent from the low channel,
+    //      counted by nation. Both EXISTS sides aggregate to distinct
+    //      custkeys and arrive as broadcast semi/anti joins against the
+    //      customer dim ----
+    "tpcds_q69_channel_exclusive" -> Q.sqlSame(
+      """SELECT n_name, COUNT(*) AS cnt
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '5-LOW')
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS LAST""".stripMargin),
+
+    // ---- q93-style: returns-adjusted net revenue — returned lines
+    //      ('R') subtract instead of add, per customer. One conditional
+    //      exact-decimal sum over the 3-way star; the sign flip rides the
+    //      same aggregate, no second scan ----
+    "tpcds_q93_returns_adjusted" -> Q.sqlSame(
+      """SELECT c_name,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+        |    THEN -(l_extendedprice * (1 - l_discount))
+        |    ELSE l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS act_sales
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_name
+        |ORDER BY act_sales ASC NULLS LAST, c_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin)
   )
 }

@@ -124,4 +124,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), "IN (SELECT pk ...) must lower to a semi join")
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("tpcds q1 correlated above-average screen decorrelates to joins") {
+    val p = executedPlan("tpcds_q1_returns_above_avg")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "correlated scalar subquery must lower to a join against the per-nation means")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpcds q69 EXISTS/NOT EXISTS lower to semi + anti joins") {
+    val p = executedPlan("tpcds_q69_channel_exclusive")
+    assert(p.contains("LeftSemi"), "EXISTS must lower to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must lower to an anti join")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q23/q65 agg-funnels: fact shuffles once per agg key, no nested loop") {
+    for (name <- Seq("tpcds_q23_frequent_best", "tpcds_q65_low_revenue_parts",
+        "tpcds_q31_share_shift", "tpcds_q59_year_over_year")) {
+      val p = executedPlan(name)
+      assert(p.contains("HashAggregate"), s"$name: aggregates must hash")
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
+    }
+  }
 }
