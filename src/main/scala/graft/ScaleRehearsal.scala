@@ -122,15 +122,29 @@ object ScaleRehearsal {
             (x, f) => x * f)
         }))
     val queries = vecs.filter(col("vec_id") < 20)
-    val tAnn = time("ann_lsh @10x") {
+    // fixed-index stress: nPlanes=4 (16 buckets) is deliberately undersized
+    // for 500k vectors — bucket width grows 10×, and with 10× queries the
+    // candidate pairs grow ~100×. This is the worst case the salting has
+    // to survive, not the deployment configuration.
+    val tAnn = time("ann_lsh @10x fixed") {
       llm.Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 3, nPlanes = 4)
     }
-    val tIvf = time("ann_ivf @10x") {
+    // sized index: any deployment grows the index with the corpus
+    // (buckets ∝ n keeps expected bucket width constant). nPlanes=8 is the
+    // operator default — 256 buckets, ~2k wide at 500k vectors.
+    val tAnnSized = time("ann_lsh @10x sized") {
+      llm.Similarity.lshTopK(queries, vecs, "vec_id", "embedding", k = 3, nPlanes = 8)
+    }
+    val tIvf = time("ann_ivf @10x fixed") {
       llm.Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 3,
         nlist = 64, nprobe = 8)
     }
+    val tIvfSized = time("ann_ivf @10x sized") {
+      llm.Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 3,
+        nlist = 256, nprobe = 16)
+    }
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f,"ann": $tAnn%.2f, "ivf": $tIvf%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
     spark.stop()
   }
 }

@@ -290,6 +290,12 @@ object Rewrites {
     // Tom-Tov streaming histogram)
     "numeric_histogram" -> { case Seq(b, x) =>
       toCol(NumericHistogramAgg(toExpr(b), toExpr(x)).toAggregateExpression()) },
+    // approx_most_frequent(buckets, x, capacity) — SpaceSaving heavy
+    // hitters (post-reference in Presto; part of the corpus-stats surface:
+    // top-k token counts with O(capacity) state per group). Exact while
+    // distinct keys <= capacity on every partition.
+    "approx_most_frequent" -> { case Seq(b, x, c) =>
+      toCol(ApproxMostFrequentAgg(toExpr(b), toExpr(x), toExpr(c)).toAggregateExpression()) },
     // reduce_agg(x, init, inputFn, combineFn) (ReduceAggregationFunction
     // .java) — mergeable TypedImperativeAggregate: O(1) state per group,
     // combineFn actually runs on merge (see aggregate/ReduceAgg.scala).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{ExplainAnalyze, Q, Tables}
-import graft.sources.CowDelete
+import graft.sources.{CowDelete, CowUpdate}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the writer/DML surface (TableWriter/TableFinish,
@@ -145,6 +145,39 @@ object Ddl {
         .partitionBy("o_orderpriority").parquet(loc)
       val stats = CowDelete.delete(s, loc,
         col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+      val scoped = stats.touched.nonEmpty &&
+        stats.touched.forall(_.contains("o_orderpriority=1-URGENT"))
+      s.read.option("basePath", loc).parquet(loc)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
+        .withColumn("cow_scoped", lit(scoped))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    },
+
+    // Copy-on-write row-level UPDATE (sources/CowDelete.scala's CowUpdate;
+    // the reference's UpdatablePageSource direction) — raise o_totalprice
+    // by 10% for every third urgent order, rewriting only the files that
+    // hold matching rows. The oracle recomputes the updated table with a
+    // CASE over the ORIGINAL data (one IEEE multiply — bit-deterministic
+    // on both engines), and the row count doubles as the no-row-lost
+    // invariant. cow_scoped pins that every touched file lived under the
+    // targeted partition.
+    "ddl_update_rowlevel" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+        |    THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  true AS cow_scoped
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_cowupd_orders"
+      drop(s, "g_cowupd_orders", loc)
+      Tables.t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(loc)
+      val stats = CowUpdate.update(s, loc,
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 5 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") * 1.1)))
       val scoped = stats.touched.nonEmpty &&
         stats.touched.forall(_.contains("o_orderpriority=1-URGENT"))
       s.read.option("basePath", loc).parquet(loc)

@@ -302,6 +302,39 @@ object Sketches {
         .select(col("o_orderpriority"), col("cnt_4").as("n_rows"),
           (col("chk_4") === col("chk_32")).as("chk_invariant"))
         .orderBy(col("o_orderpriority").asc_nulls_last)
-    }
+    },
+
+    // approx_most_frequent (SpaceSaving heavy hitters; sketches/
+    // SpaceSaving.scala) — top-5 words per document source. Capacity 1024
+    // far exceeds the corpus vocabulary, so no partial ever evicts and the
+    // summary is exactly the per-word counts (the SetDigest
+    // exact-below-saturation stance); map entries are emitted in
+    // (count desc, word asc) order, which the oracle re-derives exactly.
+    // The eviction path (capacity < distinct) is property-tested in
+    // SketchesSpec on a zipfian stream.
+    "agg_approx_most_frequent" -> Q.sql(
+      spark = """SELECT src,
+        |  concat_ws(',', transform(
+        |    map_entries(approx_most_frequent(5, word, 1024)),
+        |    e -> concat(e.key, ':', CAST(e.value AS STRING)))) AS top_words
+        |FROM (SELECT source AS src, explode(split(lower(text), ' ')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY src
+        |ORDER BY src ASC NULLS LAST""".stripMargin,
+      duck = """SELECT src,
+        |  string_agg(word || ':' || CAST(n AS VARCHAR), ',' ORDER BY n DESC, word ASC) AS top_words
+        |FROM (
+        |  SELECT src, word, n,
+        |    row_number() OVER (PARTITION BY src ORDER BY n DESC, word ASC) AS rk
+        |  FROM (
+        |    SELECT src, word, COUNT(*) AS n
+        |    FROM (SELECT source AS src, unnest(string_split(lower(text), ' ')) AS word
+        |          FROM documents) u
+        |    WHERE word <> ''
+        |    GROUP BY src, word) c) r
+        |WHERE rk <= 5
+        |GROUP BY src
+        |ORDER BY src ASC NULLS LAST""".stripMargin)
   )
 }

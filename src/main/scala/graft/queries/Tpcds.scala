@@ -410,6 +410,57 @@ object Tpcds {
         |GROUP BY n_name
         |ORDER BY n_name ASC NULLS LAST""".stripMargin),
 
+    // ---- q47/q57-style: lag/lead neighbors around a deviation screen —
+    //      monthly brand revenue, rows deviating >10% from the brand's
+    //      yearly mean, displayed with their previous and next month's
+    //      revenue. Both the mean and the lag/lead value windows run over
+    //      the aggregated series (12 rows per brand), never the fact
+    //      table; rev is exact-decimal-summed before any window sees it ----
+    "tpcds_q47_lag_lead_deviation" -> Q.sqlSame(
+      """SELECT p_brand, mo, rev, ROUND(prev_rev, 2) AS prev_rev,
+        |  ROUND(next_rev, 2) AS next_rev
+        |FROM (
+        |  SELECT p_brand, mo, rev,
+        |    LAG(rev) OVER (PARTITION BY p_brand ORDER BY mo) AS prev_rev,
+        |    LEAD(rev) OVER (PARTITION BY p_brand ORDER BY mo) AS next_rev,
+        |    CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_brand) AS avg_rev
+        |  FROM (
+        |    SELECT p_brand, month(o_orderdate) AS mo,
+        |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |    FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN part ON p_partkey = l_partkey
+        |    WHERE year(o_orderdate) = 1996 AND p_type = 'PROMO'
+        |    GROUP BY p_brand, month(o_orderdate)) m) d
+        |WHERE (rev > 1.1 * avg_rev OR rev < 0.9 * avg_rev)
+        |  AND prev_rev IS NOT NULL AND next_rev IS NOT NULL
+        |ORDER BY p_brand ASC NULLS LAST, mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q78-style: returns-excluded year-over-year growth — supplier
+    //      sales counting only orders with NO returned line (correlated
+    //      NOT EXISTS → anti join at order granularity, q78's
+    //      ws_order_number-not-in-returns shape), pivoted 1996 vs 1997 by
+    //      a self-join on supplier, ranked by growth ----
+    "tpcds_q78_clean_order_growth" -> Q.sqlSame(
+      """WITH clean AS (
+        |  SELECT l_suppkey AS sk, year(o_orderdate) AS yr,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,8))) AS qty,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS amt
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM lineitem r
+        |      WHERE r.l_orderkey = o_orderkey AND r.l_returnflag = 'R')
+        |  GROUP BY l_suppkey, year(o_orderdate))
+        |SELECT s_name, CAST(a.qty AS DOUBLE) AS qty1, CAST(b.qty AS DOUBLE) AS qty2,
+        |  ROUND(CAST(b.amt AS DOUBLE) / CAST(a.amt AS DOUBLE), 6) AS growth
+        |FROM clean a
+        |JOIN clean b ON a.sk = b.sk AND a.yr = 1996 AND b.yr = 1997
+        |JOIN supplier ON s_suppkey = a.sk
+        |ORDER BY growth DESC NULLS LAST, s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
     // ---- q93-style: returns-adjusted net revenue — returned lines
     //      ('R') subtract instead of add, per customer. One conditional
     //      exact-decimal sum over the 3-way star; the sign flip rides the

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, not}
+import org.apache.spark.sql.functions.{col, not, when}
 
 /** Copy-on-write row-level DELETE over a parquet directory table.
   *
@@ -48,14 +48,63 @@ object CowDelete {
     */
   final case class DeleteStats(touched: Seq[String], total: Long, rewritten: Long)
 
-  private def localPath(uri: String): String =
-    Paths.get(java.net.URI.create(
-      if (uri.contains(":/")) uri else "file://" + uri)).toString
-
   /** Delete all rows matching `predicate` from the parquet table at
     * `path`, rewriting only the files that contain matching rows.
     */
   def delete(spark: SparkSession, path: String, predicate: Column): DeleteStats = {
+    val s = CowCore.rewrite(spark, path, predicate)(_.where(not(predicate)))
+    DeleteStats(s.touched, s.total, s.rewritten)
+  }
+}
+
+/** Copy-on-write row-level UPDATE — same touched-file discovery and swap
+  * as [[CowDelete]] (the reference splits the analogous machinery between
+  * `DeleteOperator.java`'s rowId collection and the connector's
+  * `UpdatablePageSource`), but the rewrite keeps EVERY row of a touched
+  * file, applying the SET expressions only where the predicate holds:
+  * one `when(predicate, set).otherwise(col)` projection per assigned
+  * column, a single codegen'd pass, no join and no union. A SET that
+  * targets a partition column moves its rows to the right partition
+  * directory automatically, because the rewrite re-materializes partition
+  * columns through `partitionBy` like every staged write here.
+  */
+object CowUpdate {
+
+  final case class UpdateStats(touched: Seq[String], total: Long, rewritten: Long)
+
+  /** Apply `sets` (column name → new-value expression, evaluated against
+    * the pre-update row, as in ANSI UPDATE) to all rows matching
+    * `predicate` in the parquet table at `path`.
+    */
+  def update(spark: SparkSession, path: String, predicate: Column,
+      sets: Seq[(String, Column)]): UpdateStats = {
+    val byName = sets.toMap
+    val s = CowCore.rewrite(spark, path, predicate) { touchedDf =>
+      touchedDf.select(touchedDf.columns.toSeq.map { c =>
+        byName.get(c)
+          .map(e => when(predicate, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+    UpdateStats(s.touched, s.total, s.rewritten)
+  }
+}
+
+/** The shared copy-on-write core: touched-file discovery (metadata-only
+  * scan under the predicate), staged rewrite of only those files, and the
+  * stage-then-swap commit. See [[CowDelete]]'s scaladoc for the full
+  * mechanism and its scale rationale.
+  */
+private[sources] object CowCore {
+
+  final case class Stats(touched: Seq[String], total: Long, rewritten: Long)
+
+  private def localPath(uri: String): String =
+    Paths.get(java.net.URI.create(
+      if (uri.contains(":/")) uri else "file://" + uri)).toString
+
+  def rewrite(spark: SparkSession, path: String, predicate: Column)(
+      transformTouched: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Stats = {
     val table = spark.read.option("basePath", path).parquet(path)
 
     // Touched-file discovery: a metadata-only projection under the
@@ -70,10 +119,10 @@ object CowDelete {
       .sorted
       .toSeq
     val total = table.select(col("_metadata.file_path")).distinct().count()
-    if (touched.isEmpty) return DeleteStats(Nil, total, 0L)
+    if (touched.isEmpty) return Stats(Nil, total, 0L)
 
     // Rewrite pass: re-read ONLY the touched files (basePath recovers
-    // partition-directory columns), keep the complement of the predicate.
+    // partition-directory columns) and apply the caller's transform.
     // Partition columns are re-materialized into directories on write so
     // staged parts mirror the table's own layout.
     val base = Paths.get(path).toAbsolutePath
@@ -82,11 +131,9 @@ object CowDelete {
     }.toSeq
     val stage = base.resolveSibling(base.getFileName.toString +
       s".cow_stage_${UUID.randomUUID().toString.take(8)}")
-    val retained = spark.read
-      .option("basePath", path)
-      .parquet(touched: _*)
-      .where(not(predicate))
-    val writer = retained.write.mode("overwrite")
+    val rewritten = transformTouched(
+      spark.read.option("basePath", path).parquet(touched: _*))
+    val writer = rewritten.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(stage.toString)
 
@@ -106,7 +153,7 @@ object CowDelete {
     }
     touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
     deleteRecursively(stage.toFile)
-    DeleteStats(touched, total, moved)
+    Stats(touched, total, moved)
   }
 
   private def walk(f: File): Seq[File] =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.CowDelete
+import graft.sources.{CowDelete, CowUpdate}
 
 /** Copy-on-write row-level DELETE (sources/CowDelete.scala — the
   * file-granularity analog of the reference's DeleteOperator.java +
@@ -87,6 +87,51 @@ class CowDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = CowDelete.delete(spark, loc, col("o_orderkey") === -1)
     assert(stats.touched.isEmpty && stats.rewritten == 0L)
     assert(files(loc) == before)
+  }
+
+  test("row-level update: values change in place, row count and untouched files survive") {
+    val loc = freshTable(partitioned = true)
+    val before = files(loc)
+    val total = spark.read.option("basePath", loc).parquet(loc).count()
+    val expectedSum = spark.read.option("basePath", loc).parquet(loc)
+      .select(sum(when(
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0,
+        col("o_totalprice") * 2).otherwise(col("o_totalprice"))))
+      .collect()(0).getDouble(0)
+
+    val stats = CowUpdate.update(spark, loc,
+      col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0,
+      Seq("o_totalprice" -> (col("o_totalprice") * 2)))
+    val after = files(loc)
+    val t = spark.read.option("basePath", loc).parquet(loc)
+
+    assert(t.count() == total, "UPDATE must not change the row count")
+    val gotSum = t.select(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(gotSum - expectedSum) <= math.ulp(expectedSum) * 64,
+      s"sum after update: $gotSum vs $expectedSum")
+    assert(stats.touched.nonEmpty &&
+      stats.touched.forall(_.contains("o_orderpriority=1-URGENT")))
+    val untouchedBefore = before.filterNot(_._1.contains("o_orderpriority=1-URGENT"))
+    val untouchedAfter = after.filterNot(_._1.contains("o_orderpriority=1-URGENT"))
+    assert(untouchedAfter == untouchedBefore,
+      "files outside the touched partition must keep path AND mtime")
+  }
+
+  test("update of a partition column moves rows to the new partition directory") {
+    val loc = freshTable(partitioned = true)
+    val urgent = spark.read.option("basePath", loc).parquet(loc)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(urgent > 0)
+
+    CowUpdate.update(spark, loc,
+      col("o_orderpriority") === "1-URGENT",
+      Seq("o_orderpriority" -> lit("0-RECLASSIFIED")))
+    val t = spark.read.option("basePath", loc).parquet(loc)
+
+    assert(t.filter(col("o_orderpriority") === "1-URGENT").count() == 0)
+    assert(t.filter(col("o_orderpriority") === "0-RECLASSIFIED").count() == urgent)
+    assert(files(loc).keySet.exists(_.contains("o_orderpriority=0-RECLASSIFIED")),
+      "moved rows must land in their new partition directory")
   }
 
   test("non-partitioned table: only files containing matching rows rewrite") {

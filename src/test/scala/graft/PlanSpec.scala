@@ -110,7 +110,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("tpcds q67/q89/q98 window-over-agg: window sits above the aggregate") {
     for (name <- Seq("tpcds_q67_rollup_topk", "tpcds_q89_monthly_deviation",
-        "tpcds_q98_class_ratio")) {
+        "tpcds_q98_class_ratio", "tpcds_q47_lag_lead_deviation")) {
       val p = executedPlan(name)
       assert(p.contains("Window"), s"$name: window must survive")
       assert(p.contains("HashAggregate"), s"$name: aggregate below the window")
@@ -138,6 +138,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftSemi"), "EXISTS must lower to a semi join")
     assert(p.contains("LeftAnti"), "NOT EXISTS must lower to an anti join")
     assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q78 returns exclusion lowers to an anti join, no nested loop") {
+    val p = executedPlan("tpcds_q78_clean_order_growth")
+    assert(p.contains("LeftAnti"), "NOT EXISTS returns screen must lower to an anti join")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("tpcds q23/q65 agg-funnels: fact shuffles once per agg key, no nested loop") {

@@ -245,4 +245,43 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage != null)
   }
+
+  test("approx_most_frequent exact below saturation, any partitioning") {
+    // 200 distinct keys, capacity 256: no partial can evict, so the top-10
+    // must equal the exact GROUP BY top-10 even across forced merges
+    spark.sql("SELECT id, CAST(id % 200 AS STRING) AS k FROM r100k")
+      .repartition(13).createOrReplaceTempView("amf_in")
+    val got = spark.sql(
+      "SELECT map_entries(approx_most_frequent(10, k, 256)) FROM amf_in")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = spark.sql(
+      """SELECT k, COUNT(*) AS n FROM amf_in GROUP BY k
+        |ORDER BY n DESC, k ASC LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact, s"got $got")
+  }
+
+  test("approx_most_frequent retains zipfian heavy hitters under eviction") {
+    // zipf-ish stream: key j appears ~100000/(j+1) times, 1000 distinct,
+    // capacity 64 << 1000 so eviction is constant; the guarantees under
+    // test: estimate >= true count (SpaceSaving never undercounts) and
+    // the undisputed heavy hitters survive
+    spark.range(0, 100000).selectExpr(
+        "CAST(CAST(floor(100000 / (id + 1)) AS INT) % 1000 AS STRING) AS k")
+      .repartition(5).createOrReplaceTempView("amf_zipf")
+    val got = spark.sql(
+      "SELECT map_entries(approx_most_frequent(5, k, 64)) FROM amf_zipf")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = spark.sql(
+      """SELECT k, COUNT(*) AS n FROM amf_zipf GROUP BY k
+        |ORDER BY n DESC LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    exact.foreach { case (k, n) =>
+      assert(got.contains(k), s"heavy hitter $k lost (exact count $n, got $got)")
+      assert(got(k) >= n, s"$k undercounted: ${got(k)} < $n")
+      assert(got(k) <= n + 100000L / 64 * 5, s"$k overshoot beyond bound: ${got(k)} vs $n")
+    }
+  }
 }
