@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / ordering operators for training-data curation.
+  *
+  * Both are pure map-side plans: no RNG state, no shuffle introduced by
+  * the operator itself, and bit-identical output for a given input no
+  * matter the cluster size, partitioning, or number of retries — the
+  * property a 100 TB curation run needs so a re-run (or a per-partition
+  * task retry) cannot silently change the training set. This is the same
+  * stance as the engine's bernoulli sample (`sample_bernoulli`'s
+  * determinism contract): sampling is a FUNCTION of the data, not of the
+  * execution.
+  */
+object Sampling {
+
+  /** Class-balanced systematic sampling: keep a row iff
+    * `id mod 1000 < permille(class)`. Rates are integer permille so the
+    * bar is exact; classes absent from `permille` use `defaultPermille`.
+    * For uniformly-distributed ids the realized rate converges to the
+    * requested one per class; ids correlated with the class column should
+    * be hashed first (pass `xxhash64(col)` as `idCol`).
+    */
+  def stratified(df: DataFrame, classCol: String, idCol: Column,
+      permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    require((permille.values ++ Seq(defaultPermille)).forall(p => p >= 0 && p <= 1000),
+      "permille rates must be in [0, 1000]")
+    val bar = permille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(classCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(idCol, lit(1000)) < bar)
+  }
+
+  /** Reproducible corpus shuffle: order by a seeded hash of the id (ties
+    * broken by the id itself, so the order is total). Changing the seed
+    * gives an independent epoch permutation; the same seed always gives
+    * the same one.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: Column, seed: Long): DataFrame =
+    df.orderBy(xxhash64(idCol, lit(seed)), idCol)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{ExplainAnalyze, Q, Tables}
-import graft.sources.{CowDelete, CowUpdate}
+import graft.sources.{CowDelete, CowMerge, CowUpdate}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the writer/DML surface (TableWriter/TableFinish,
@@ -185,6 +185,46 @@ object Ddl {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
         .withColumn("cow_scoped", lit(scoped))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    },
+
+    // Copy-on-write MERGE (upsert): a corrections table re-prices every
+    // seventh order (matched → SET from the source row) and appends
+    // key-shifted copies of every eleventh order (not matched → insert as
+    // NEW files — existing files never rewritten for inserts). The oracle
+    // re-derives the merged table as original-with-CASE UNION ALL the
+    // insert set; counts double as the cardinality invariant.
+    "ddl_merge_rowlevel" -> Q.df(
+      """WITH merged AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.9
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  true AS merge_invariants
+        |FROM merged
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_cowmrg_orders"
+      drop(s, "g_cowmrg_orders", loc)
+      val orders = Tables.t(s, dir, "orders")
+      orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(loc)
+      val source = orders.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+        .unionByName(orders.where(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      val stats = CowMerge.merge(s, loc, source, Seq("o_orderkey"),
+        Seq("o_totalprice" -> col("src_o_totalprice")))
+      val ok = stats.touched.nonEmpty && stats.inserted > 0
+      s.read.option("basePath", loc).parquet(loc)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
+        .withColumn("merge_invariants", lit(ok))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
 

@@ -415,6 +415,48 @@ object Llm {
           forall(col("frames"), f => size(f) === 8).as("frame_shape_ok"),
           col("n_samples").between(1000L, 65000L).as("samples_in_range"))
         .orderBy(col("media_id").asc_nulls_last)
+    },
+
+    // Deterministic class-balanced sampling (llm/Sampling.scala):
+    // downsample English to 50% and every other language to 10% by id
+    // residue — a pure map-side filter DuckDB re-derives exactly (no RNG,
+    // no shuffle, re-run-stable at any cluster size).
+    "llm_sample_stratified" -> Q.df(
+      """SELECT lang, COUNT(*) AS kept,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(30,8))) AS DOUBLE) AS chars_kept
+        |FROM documents
+        |WHERE doc_id % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.stratified(Tables.t(s, dir, "documents"),
+          "lang", col("doc_id"), Map("en" -> 500), defaultPermille = 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum(col("n_chars").cast("decimal(30,8)")).cast("double").as("chars_kept"))
+        .orderBy(col("lang").asc_nulls_last)
+    },
+
+    // Reproducible epoch shuffle (llm/Sampling.scala): two independent
+    // evaluations of the same seeded permutation must assign every doc
+    // the same position — the oracle re-derives the contract as trivially
+    // true plus the slice count (the sample_bernoulli determinism-oracle
+    // pattern).
+    "llm_shuffle_deterministic" -> Q.df(
+      """SELECT COUNT(*) AS n, true AS stable
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val slice = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+      // different input partitionings on the two sides defeat exchange
+      // reuse, so the position agreement is a real cross-execution check
+      def positions(parts: Int) = graft.llm.Sampling
+        .deterministicShuffle(slice.repartition(parts, col("doc_id")), col("doc_id"), seed = 42)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(xxhash64(col("doc_id"), lit(42L)), col("doc_id"))).as("pos"))
+      positions(4)
+        .join(positions(16).withColumnRenamed("pos", "pos_b"), "doc_id")
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) === sum(when(col("pos") === col("pos_b"), 1).otherwise(0)))
+            .as("stable"))
     }
   )
 }

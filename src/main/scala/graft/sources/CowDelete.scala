@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, not, when}
+import org.apache.spark.sql.functions.{col, lit, not, when}
 
 /** Copy-on-write row-level DELETE over a parquet directory table.
   *
@@ -52,7 +52,7 @@ object CowDelete {
     * `path`, rewriting only the files that contain matching rows.
     */
   def delete(spark: SparkSession, path: String, predicate: Column): DeleteStats = {
-    val s = CowCore.rewrite(spark, path, predicate)(_.where(not(predicate)))
+    val s = CowCore.rewrite(spark, path, _.where(predicate))(_.where(not(predicate)))
     DeleteStats(s.touched, s.total, s.rewritten)
   }
 }
@@ -79,7 +79,7 @@ object CowUpdate {
   def update(spark: SparkSession, path: String, predicate: Column,
       sets: Seq[(String, Column)]): UpdateStats = {
     val byName = sets.toMap
-    val s = CowCore.rewrite(spark, path, predicate) { touchedDf =>
+    val s = CowCore.rewrite(spark, path, _.where(predicate)) { touchedDf =>
       touchedDf.select(touchedDf.columns.toSeq.map { c =>
         byName.get(c)
           .map(e => when(predicate, e).otherwise(col(c)).as(c))
@@ -90,29 +90,101 @@ object CowUpdate {
   }
 }
 
+/** Copy-on-write MERGE (upsert): rows of `source` that match the target on
+  * the key columns update it (the SET expressions may read the source row's
+  * columns through a `src_` prefix); rows with no match append as NEW files
+  * — they never touch an existing one. Matched-row discovery is a key
+  * semi-join projected to `_metadata.file_path`, so the rewrite cost is
+  * bounded by the files the source's keys actually live in, exactly like
+  * DELETE/UPDATE. The ANSI cardinality rule (a target row may match at
+  * most one source row) is enforced with a distributed uniqueness check on
+  * the source keys before anything is written.
+  */
+object CowMerge {
+
+  /** @param inserted staged part files appended for unmatched source rows */
+  final case class MergeStats(
+      touched: Seq[String], total: Long, rewritten: Long, inserted: Long)
+
+  def merge(spark: SparkSession, path: String, source: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], whenMatchedSet: Seq[(String, Column)],
+      insertUnmatched: Boolean = true): MergeStats = {
+    val table = spark.read.option("basePath", path).parquet(path)
+    val keyCs = keyCols.map(col)
+
+    require(source.groupBy(keyCs: _*).count()
+      .where(col("count") > 1).isEmpty,
+      "MERGE source must be unique on the key columns (ANSI cardinality rule)")
+
+    val byName = whenMatchedSet.toMap
+    val srcKeys = source.select(keyCs: _*)
+    val base = Paths.get(path).toAbsolutePath
+
+    // Stage the inserts FIRST: the anti-join reads the pre-merge table,
+    // and its lazy lineage must execute while the original files still
+    // exist (the rewrite below swaps them out).
+    val insertStage = if (insertUnmatched) {
+      val newRows = source
+        .join(table.select(keyCs: _*), keyCols, "left_anti")
+        .select(table.columns.toSeq.map(col): _*)
+      if (newRows.isEmpty) None
+      else {
+        val sample = table.select(col("_metadata.file_path"))
+          .limit(1).collect().headOption.map(r => CowCore.localPath(r.getString(0)))
+        val partitionCols =
+          sample.map(CowCore.partitionColsOf(spark, table, _)).getOrElse(Nil)
+        Some(CowCore.stage(spark, base, partitionCols, newRows))
+      }
+    } else None
+
+    val s = CowCore.rewrite(spark, path,
+      _.join(srcKeys, keyCols, "left_semi")) { touchedDf =>
+      val srcSide = source.select(source.columns.toSeq.map(c =>
+          if (keyCols.contains(c)) col(c) else col(c).as(s"src_$c")): _*)
+        .withColumn("__matched", lit(true))
+      touchedDf.join(srcSide, keyCols, "left_outer")
+        .select(touchedDf.columns.toSeq.map { c =>
+          byName.get(c)
+            .map(e => when(col("__matched").isNotNull, e).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
+    }
+
+    val inserted = insertStage.map(CowCore.moveIn(_, base)).getOrElse(0L)
+    MergeStats(s.touched, s.total, s.rewritten, inserted)
+  }
+}
+
 /** The shared copy-on-write core: touched-file discovery (metadata-only
-  * scan under the predicate), staged rewrite of only those files, and the
-  * stage-then-swap commit. See [[CowDelete]]'s scaladoc for the full
+  * scan under the matching rows), staged rewrite of only those files, and
+  * the stage-then-swap commit. See [[CowDelete]]'s scaladoc for the full
   * mechanism and its scale rationale.
   */
 private[sources] object CowCore {
 
   final case class Stats(touched: Seq[String], total: Long, rewritten: Long)
 
-  private def localPath(uri: String): String =
+  private[sources] def localPath(uri: String): String =
     Paths.get(java.net.URI.create(
       if (uri.contains(":/")) uri else "file://" + uri)).toString
 
-  def rewrite(spark: SparkSession, path: String, predicate: Column)(
+  /** @param matching selects the table rows that will change — a predicate
+    *   filter for DELETE/UPDATE, a key semi-join for MERGE. Only the
+    *   `_metadata.file_path` column of its result is ever materialized.
+    */
+  def rewrite(spark: SparkSession, path: String,
+      matching: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
       transformTouched: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Stats = {
     val table = spark.read.option("basePath", path).parquet(path)
 
     // Touched-file discovery: a metadata-only projection under the
-    // predicate. distinct() keeps the exchange on the (tiny) file-path
-    // column; the collect is bounded by the touched-file count.
-    val touched = table
-      .where(predicate)
-      .select(col("_metadata.file_path"))
+    // matching rows. The metadata pseudo-column is materialized BEFORE
+    // `matching` runs — it resolves only directly on a file scan, and
+    // MERGE's semi-join would lose it. distinct() keeps the exchange on
+    // the (tiny) file-path column; the collect is bounded by the
+    // touched-file count.
+    val touched = matching(table.withColumn("__cow_fp", col("_metadata.file_path")))
+      .select(col("__cow_fp"))
       .distinct()
       .collect()
       .map(r => localPath(r.getString(0)))
@@ -126,24 +198,45 @@ private[sources] object CowCore {
     // Partition columns are re-materialized into directories on write so
     // staged parts mirror the table's own layout.
     val base = Paths.get(path).toAbsolutePath
-    val partitionCols = table.schema.fieldNames.filter { f =>
-      !spark.read.parquet(touched.head).schema.fieldNames.contains(f)
-    }.toSeq
-    val stage = base.resolveSibling(base.getFileName.toString +
-      s".cow_stage_${UUID.randomUUID().toString.take(8)}")
+    val partitionCols = partitionColsOf(spark, table, touched.head)
     val rewritten = transformTouched(
       spark.read.option("basePath", path).parquet(touched: _*))
-    val writer = rewritten.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(stage.toString)
+    val moved = stageAndMove(spark, base, partitionCols, rewritten)
+    touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    Stats(touched, total, moved)
+  }
 
-    // Swap (the TableFinish/commit analog): stage is fully written and
-    // closed before any original is removed, so a crash before this point
-    // leaves the table intact and only orphans the stage directory.
-    val staged = walk(stage.toFile).filter(_.getName.endsWith(".parquet"))
+  /** Partition-directory columns = table columns absent from the data files. */
+  def partitionColsOf(spark: SparkSession,
+      table: org.apache.spark.sql.DataFrame, sampleFile: String): Seq[String] =
+    table.schema.fieldNames.filter { f =>
+      !spark.read.parquet(sampleFile).schema.fieldNames.contains(f)
+    }.toSeq
+
+  /** Write `df` as parquet into a fresh stage directory next to `base`.
+    * The write EXECUTES here — any lineage over the live table reads the
+    * pre-swap files, which is what makes staging-before-swap safe.
+    */
+  def stage(spark: SparkSession, base: java.nio.file.Path,
+      partitionCols: Seq[String], df: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+    val dir = base.resolveSibling(base.getFileName.toString +
+      s".cow_stage_${UUID.randomUUID().toString.take(8)}")
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dir.toString)
+    dir
+  }
+
+  /** Move a stage's parts into `base` (the TableFinish/commit analog):
+    * the stage is fully written and closed before anything moves, so a
+    * crash before this point leaves the table intact and only orphans the
+    * stage directory. Returns the number of parts moved.
+    */
+  def moveIn(stageDir: java.nio.file.Path, base: java.nio.file.Path): Long = {
+    val staged = walk(stageDir.toFile).filter(_.getName.endsWith(".parquet"))
     var moved = 0L
     staged.foreach { f =>
-      val rel = stage.relativize(f.toPath.toAbsolutePath)
+      val rel = stageDir.relativize(f.toPath.toAbsolutePath)
       val destDir = if (rel.getParent == null) base else base.resolve(rel.getParent)
       Files.createDirectories(destDir)
       Files.move(f.toPath,
@@ -151,10 +244,13 @@ private[sources] object CowCore {
         StandardCopyOption.ATOMIC_MOVE)
       moved += 1
     }
-    touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    deleteRecursively(stage.toFile)
-    Stats(touched, total, moved)
+    deleteRecursively(stageDir.toFile)
+    moved
   }
+
+  def stageAndMove(spark: SparkSession, base: java.nio.file.Path,
+      partitionCols: Seq[String], df: org.apache.spark.sql.DataFrame): Long =
+    moveIn(stage(spark, base, partitionCols, df), base)
 
   private def walk(f: File): Seq[File] =
     if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{CowDelete, CowUpdate}
+import graft.sources.{CowDelete, CowMerge, CowUpdate}
 
 /** Copy-on-write row-level DELETE (sources/CowDelete.scala — the
   * file-granularity analog of the reference's DeleteOperator.java +
@@ -132,6 +132,46 @@ class CowDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.filter(col("o_orderpriority") === "0-RECLASSIFIED").count() == urgent)
     assert(files(loc).keySet.exists(_.contains("o_orderpriority=0-RECLASSIFIED")),
       "moved rows must land in their new partition directory")
+  }
+
+  test("merge: matched rows update from source, unmatched insert as new files only") {
+    val loc = freshTable(partitioned = true)
+    val before = files(loc)
+    val orders = spark.read.option("basePath", loc).parquet(loc)
+    val total = orders.count()
+
+    // updates target only 1-URGENT keys; inserts are key-shifted copies
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 3 === 0)
+    val nUpd = urgent.count()
+    val source = urgent.withColumn("o_totalprice", col("o_totalprice") * 3)
+      .unionByName(urgent.limit(5).withColumn("o_orderkey",
+        col("o_orderkey") + lit(10000000L)))
+    val stats = CowMerge.merge(spark, loc, source, Seq("o_orderkey"),
+      Seq("o_totalprice" -> col("src_o_totalprice")))
+    val after = files(loc)
+    val t = spark.read.option("basePath", loc).parquet(loc)
+
+    assert(t.count() == total + 5, "merge must add exactly the unmatched rows")
+    assert(t.filter(col("o_orderkey") >= 10000000L).count() == 5)
+    assert(nUpd > 0 && stats.touched.nonEmpty && stats.inserted > 0)
+    // updates confined to the partition the matched keys live in; files
+    // outside it keep path AND mtime (inserted parts are NEW paths)
+    assert(stats.touched.forall(_.contains("o_orderpriority=1-URGENT")))
+    val untouchedBefore = before.filterNot(_._1.contains("o_orderpriority=1-URGENT"))
+    assert(untouchedBefore.forall { case (p, m) => after.get(p).contains(m) },
+      "pre-existing files outside the touched partition must keep path AND mtime")
+  }
+
+  test("merge rejects a source with duplicate keys (ANSI cardinality rule)") {
+    val loc = freshTable(partitioned = true)
+    val orders = spark.read.option("basePath", loc).parquet(loc)
+    val dup = orders.limit(1).unionByName(orders.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      CowMerge.merge(spark, loc, dup, Seq("o_orderkey"),
+        Seq("o_totalprice" -> col("src_o_totalprice")))
+    }
+    assert(e.getMessage.contains("unique"))
   }
 
   test("non-partitioned table: only files containing matching rows rewrite") {
