@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the nineteen
+  * sql/presto/tpcds/q*.sql); this module re-expresses the twenty-three
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -17,8 +17,12 @@ import graft.Q
   * screens (q1/q30/q81), frequent-item ∩ best-customer CTE funnels (q23),
   * period-over-period share shifts (q31), year-over-year self-joined
   * aggregates (q2/q59), within-group low-revenue screens against an
-  * agg-of-agg (q65), multi-EXISTS demographic screens (q10/q35/q69), and
-  * returns-adjusted net revenue (q93).
+  * agg-of-agg (q65), multi-EXISTS demographic screens (q10/q35/q69),
+  * returns-adjusted net revenue (q93), lag/lead deviation neighborhoods
+  * (q47/q57), returns-excluded growth with an order-level anti join (q78),
+  * temporal funnels across order roles (q25/q29), dual-metric rank unions
+  * (q49), cross-channel revenue bands (q58), and time-of-day count ratios
+  * over the events stream table (q90).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -460,6 +464,99 @@ object Tpcds {
         |JOIN supplier ON s_suppkey = a.sk
         |ORDER BY growth DESC NULLS LAST, s_name ASC NULLS LAST
         |LIMIT 100""".stripMargin),
+
+    // ---- q25/q29-style: temporal funnel across order roles — revenue of
+    //      orders placed by customers who already had an order more than
+    //      90 days earlier (the sold-then-returned-then-repurchased date
+    //      chain, on the driver schema's two order roles). The correlated
+    //      EXISTS carries one equality (custkey) plus a non-equi date
+    //      bound, lowering to a semi join with a range condition ----
+    "tpcds_q25_repeat_revenue" -> Q.sqlSame(
+      """SELECT n_name, COUNT(*) AS repeat_orders,
+        |  CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS repeat_revenue
+        |FROM orders o2
+        |JOIN customer ON c_custkey = o2.o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o1
+        |  WHERE o1.o_custkey = o2.o_custkey
+        |    AND o1.o_orderdate < o2.o_orderdate - INTERVAL 90 DAY)
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS LAST""".stripMargin),
+
+    // ---- q49-style: dual-metric rank union — per-brand return ratios by
+    //      quantity AND by amount, each ranked independently over the same
+    //      aggregate, keeping anything top-10 on either. Both ratios are
+    //      exact-decimal sums divided once; both windows run over the
+    //      ~brand-count aggregate, not the fact table ----
+    "tpcds_q49_dual_rank" -> Q.sqlSame(
+      """SELECT p_brand, ROUND(ratio_q, 6) AS ratio_q, qty_rank, amt_rank
+        |FROM (
+        |  SELECT p_brand,
+        |    CAST(ret_qty AS DOUBLE) / CAST(qty AS DOUBLE) AS ratio_q,
+        |    RANK() OVER (ORDER BY CAST(ret_qty AS DOUBLE) / CAST(qty AS DOUBLE) DESC,
+        |                 p_brand ASC) AS qty_rank,
+        |    RANK() OVER (ORDER BY CAST(ret_amt AS DOUBLE) / CAST(amt AS DOUBLE) DESC,
+        |                 p_brand ASC) AS amt_rank
+        |  FROM (
+        |    SELECT p_brand,
+        |      SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END AS DECIMAL(30,8))) AS ret_qty,
+        |      SUM(CAST(l_quantity AS DECIMAL(30,8))) AS qty,
+        |      SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END AS DECIMAL(30,8))) AS ret_amt,
+        |      SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS amt
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    GROUP BY p_brand) m) r
+        |WHERE qty_rank <= 10 OR amt_rank <= 10
+        |ORDER BY qty_rank ASC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q58-style: cross-channel revenue band — brands whose revenue in
+    //      each of the three main priority channels sits within ±20% of
+    //      the brand's cross-channel mean. One conditional-sum pass
+    //      carries all three channels (no union, no re-scan); the band
+    //      compare happens on the tiny aggregate ----
+    "tpcds_q58_channel_band" -> Q.sqlSame(
+      """SELECT p_brand, r1, r2, r3
+        |FROM (
+        |  SELECT p_brand,
+        |    CAST(c1 AS DOUBLE) AS r1, CAST(c2 AS DOUBLE) AS r2, CAST(c3 AS DOUBLE) AS r3,
+        |    CAST(c1 + c2 + c3 AS DOUBLE) / 3 AS avg3
+        |  FROM (
+        |    SELECT p_brand,
+        |      SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS c1,
+        |      SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS c2,
+        |      SUM(CAST(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS c3
+        |    FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN part ON p_partkey = l_partkey
+        |    GROUP BY p_brand) s) b
+        |WHERE r1 BETWEEN 0.8 * avg3 AND 1.2 * avg3
+        |  AND r2 BETWEEN 0.8 * avg3 AND 1.2 * avg3
+        |  AND r3 BETWEEN 0.8 * avg3 AND 1.2 * avg3
+        |ORDER BY p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q90-style: time-of-day ratio — morning (07-11) vs evening
+    //      (17-21) event counts per type over the events stream table,
+    //      one conditional-count pass, ratio on the aggregate ----
+    "tpcds_q90_am_pm" -> Q.sql(
+      spark = """SELECT event_type,
+        |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
+        |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 17 AND 21 THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt,
+        |  ROUND(CAST(SUM(CASE WHEN hour(ts) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(CASE WHEN hour(ts) BETWEEN 17 AND 21 THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+      duck = """SELECT event_type,
+        |  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
+        |  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 17 AND 21 THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt,
+        |  ROUND(CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 17 AND 21 THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin),
 
     // ---- q93-style: returns-adjusted net revenue — returned lines
     //      ('R') subtract instead of add, per customer. One conditional

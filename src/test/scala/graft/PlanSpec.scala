@@ -147,6 +147,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tpcds q25 temporal EXISTS lowers to a semi join with a range condition") {
+    val p = executedPlan("tpcds_q25_repeat_revenue")
+    assert(p.contains("LeftSemi"), "temporal EXISTS must lower to a semi join")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q49/q58/q90 single-pass conditional aggregates: one scan, no union re-scan") {
+    for (name <- Seq("tpcds_q49_dual_rank", "tpcds_q58_channel_band", "tpcds_q90_am_pm")) {
+      val p = executedPlan(name)
+      assert(p.contains("HashAggregate"), s"$name")
+      assert(!p.contains("Union"), s"$name: conditional sums must share one scan, not union branches")
+    }
+  }
+
   test("tpcds q23/q65 agg-funnels: fact shuffles once per agg key, no nested loop") {
     for (name <- Seq("tpcds_q23_frequent_best", "tpcds_q65_low_revenue_parts",
         "tpcds_q31_share_shift", "tpcds_q59_year_over_year")) {
