@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-scale deduplication operators, each a DataFrame → DataFrame plan
-  * with no driver-side iteration:
+  * with no driver-side iteration (the one exception: [[Dedup.connectedComponents]]
+  * carries a bounded iteration-control loop — see its scaladoc):
   *
   *  - exact:       hash-groupBy on a canonical key (one shuffle on the hash)
   *  - minhashLsh:  shingle → MinHash → band → bucket-join → verify; the
@@ -277,4 +278,54 @@ object Dedup {
         row_number().over(Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+
+  /** Connected components over an undirected pair list: label every vertex
+    * with the MINIMUM id reachable from it — the canonical cluster id for
+    * near-duplicate groups, upgrading the one-pass greedy star of
+    * [[dropDuplicates]] to true transitive clusters (a–b, b–c ⇒ one
+    * cluster even though a–c was never emitted as a pair).
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the per-vertex minimum — all distributed joins/aggregations
+    * over the EDGE set (pairs, not the corpus), converging in
+    * O(cluster diameter) rounds (near-dup clusters are shallow; hub-and-
+    * spoke from star-linked hot buckets has diameter 2). The driver-side
+    * loop carries only iteration control; the convergence probe is a
+    * `limit(1).count()` — bounded, never a full-result count. `maxIter`
+    * bounds pathological chains (a 100 TB run would rather fail loudly
+    * than spin).
+    *
+    * Returns (id, cluster) — one row per vertex that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev"))
+        .limit(1).count() == 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— raise maxIter only after checking the pair graph for unexpected long chains")
+    edges.unpersist()
+    labels
+  }
 }

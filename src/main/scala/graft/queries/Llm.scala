@@ -192,6 +192,51 @@ object Llm {
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     },
 
+    // Transitive near-dup clusters (Dedup.connectedComponents): exact
+    // jaccard pairs on the oracle slice, then min-label propagation to
+    // full connected components (a-b + b-c => one cluster even when a-c
+    // never surfaced as a pair). The DuckDB oracle recomputes the SAME
+    // clusters independently via a recursive-CTE transitive closure over
+    // the same edge set — labels, sizes, and full member lists must all
+    // agree.
+    "llm_dedup_clusters" -> Q.df(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 500),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT cluster_id, COUNT(*) AS sz,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+        |FROM labels
+        |GROUP BY cluster_id
+        |ORDER BY cluster_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(d.filter(col("doc_id") < 500), "doc_id",
+        transform(TextOps.wordShingles(col("text"), 2), e => xxhash64(e)), 0.9)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("cluster").as("cluster_id"))
+        .agg(count(lit(1)).as("sz"),
+          concat_ws(",", transform(sort_array(collect_list(col("id"))),
+            i => i.cast("string"))).as("members"))
+        .orderBy(col("cluster_id").asc_nulls_last)
+    },
+
     // ---- SimHash near-dup candidates (Dedup.simhashPairs) ----
     // Oracle form: SimHash values are engine-specific, but the banding
     // CONSTRUCTION has a mathematical guarantee DuckDB can demand without

@@ -367,4 +367,31 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(scores(2L) > scores(1L))
   }
+
+  test("connected components: chains, triangles, and isolated pairs resolve transitively") {
+    // chain 1-2-3-4 (diameter 3, needs real propagation), triangle 10-11-12,
+    // isolated pair 20-21; shuffled across partitions
+    val pairs = spark.createDataFrame(
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+        (10L, 12L), (21L, 20L))).toDF("id_a", "id_b").repartition(5)
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components subsume the greedy star on real slice pairs") {
+    val elems = TextOps.tokenSet(col("text"))
+    val pairs = Dedup.jaccardPairs(docs.filter(col("doc_id") < 200), "doc_id", elems, 0.8)
+    val cc = Dedup.connectedComponents(pairs)
+    // every pair lands in one cluster, and each cluster's label is its min member
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select("id_a", "id_b").collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label label is not its min member")
+    }
+  }
 }
