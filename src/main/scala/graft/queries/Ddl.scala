@@ -134,7 +134,7 @@ object Ddl {
     // mtimes byte-identical).
     "ddl_delete_rowlevel" -> Q.df(
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total,
         |  true AS cow_scoped
         |FROM orders WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
         |GROUP BY o_orderpriority
@@ -150,7 +150,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
         .withColumn("cow_scoped", lit(scoped))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -165,8 +165,8 @@ object Ddl {
     // targeted partition.
     "ddl_update_rowlevel" -> Q.df(
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
-        |    THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+        |    THEN o_totalprice * 1.1 ELSE o_totalprice END AS DECIMAL(30,8))) AS DOUBLE), 2) AS total,
         |  true AS cow_scoped
         |FROM orders
         |GROUP BY o_orderpriority
@@ -183,7 +183,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
         .withColumn("cow_scoped", lit(scoped))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -204,7 +204,7 @@ object Ddl {
         |  SELECT o_orderpriority, o_totalprice AS p
         |  FROM orders WHERE o_orderkey % 11 = 0)
         |SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  ROUND(CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE), 2) AS total,
         |  true AS merge_invariants
         |FROM merged
         |GROUP BY o_orderpriority
@@ -223,7 +223,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(30,8)")).cast("double").as("total"))
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
         .withColumn("merge_invariants", lit(ok))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
