@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the twenty-three
+  * sql/presto/tpcds/q*.sql); this module re-expresses the twenty-four
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -21,8 +21,9 @@ import graft.Q
   * returns-adjusted net revenue (q93), lag/lead deviation neighborhoods
   * (q47/q57), returns-excluded growth with an order-level anti join (q78),
   * temporal funnels across order roles (q25/q29), dual-metric rank unions
-  * (q49), cross-channel revenue bands (q58), and time-of-day count ratios
-  * over the events stream table (q90).
+  * (q49), cross-channel revenue bands (q58), time-of-day count ratios
+  * over the events stream table (q90), and composite-key self-joins of a
+  * wide star (q64).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -557,6 +558,34 @@ object Tpcds {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin),
+
+    // ---- q64-style: composite-key self-join of a wide star — per
+    //      (part, supplier) revenue aggregated per year, the two years
+    //      matched by a self-join on the COMPOSITE key (q64's
+    //      cs1.item_sk = cs2.item_sk ∧ syear conditions), dims joined
+    //      after the aggregate so the wide fan touches grouped rows, not
+    //      the fact table. Full-column ORDER BY keeps the LIMIT edge
+    //      deterministic under duplicate part names ----
+    "tpcds_q64_composite_resale" -> Q.sqlSame(
+      """WITH sales AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk, year(o_orderdate) AS yr,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY l_partkey, l_suppkey, year(o_orderdate))
+        |SELECT p_name, s_name, n_name,
+        |  CAST(a.rev AS DOUBLE) AS rev1, CAST(b.rev AS DOUBLE) AS rev2,
+        |  a.cnt AS cnt1, b.cnt AS cnt2
+        |FROM sales a
+        |JOIN sales b ON a.pk = b.pk AND a.sk = b.sk AND a.yr = 1996 AND b.yr = 1997
+        |JOIN part ON p_partkey = a.pk
+        |JOIN supplier ON s_suppkey = a.sk
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE CAST(b.rev AS DOUBLE) > CAST(a.rev AS DOUBLE)
+        |ORDER BY p_name ASC NULLS LAST, s_name ASC NULLS LAST,
+        |  rev1 ASC NULLS LAST, rev2 ASC NULLS LAST, cnt1 ASC NULLS LAST, cnt2 ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
 
     // ---- q93-style: returns-adjusted net revenue — returned lines
     //      ('R') subtract instead of add, per customer. One conditional

@@ -153,6 +153,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("tpcds q64 composite-key self-join: dims join the aggregate, no nested loop") {
+    val p = executedPlan("tpcds_q64_composite_resale")
+    assert(p.contains("HashAggregate"))
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tpcds q49/q58/q90 single-pass conditional aggregates: one scan, no union re-scan") {
     for (name <- Seq("tpcds_q49_dual_rank", "tpcds_q58_channel_band", "tpcds_q90_am_pm")) {
       val p = executedPlan(name)
