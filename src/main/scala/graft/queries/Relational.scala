@@ -309,6 +309,21 @@ object Relational {
         |FROM orders WHERE o_orderkey < 3000
         |ORDER BY status ASC NULLS LAST, o_orderkey DESC NULLS LAST""".stripMargin),
 
+    // Full 6-key distributed sort, no limit — the reference's
+    // distributed_sort benchmark family (presto-benchto-benchmarks/.../
+    // sql/presto/distributed_sort/, BASELINE.md row): Spark plans a
+    // range-partitioned global sort (sampled split points, per-partition
+    // sort, ordered output), its MergeOperator analog. (l_orderkey,
+    // l_linenumber) makes the order total.
+    "sort_distributed_6col" -> Q.sqlSame(
+      """SELECT l_shipdate, l_returnflag, l_linestatus, l_quantity,
+        |  l_extendedprice, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_shipdate ASC NULLS LAST, l_returnflag ASC NULLS LAST,
+        |  l_linestatus ASC NULLS LAST, l_quantity DESC NULLS LAST,
+        |  l_extendedprice ASC NULLS LAST, l_orderkey ASC NULLS LAST,
+        |  l_linenumber ASC NULLS LAST""".stripMargin),
+
     // Top-N (TopNOperator → TakeOrderedAndProjectExec).
     "sort_topn" -> Q.sqlSame(
       """SELECT o_orderkey, o_totalprice FROM orders

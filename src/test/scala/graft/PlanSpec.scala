@@ -153,6 +153,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("distributed 6-col sort plans a range-partitioned global sort") {
+    val p = executedPlan("sort_distributed_6col")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "full ORDER BY must exchange on rangepartitioning (distributed sort), not a single partition")
+    assert(p.contains("Sort"))
+  }
+
   test("tpcds q64 composite-key self-join: dims join the aggregate, no nested loop") {
     val p = executedPlan("tpcds_q64_composite_resale")
     assert(p.contains("HashAggregate"))
