@@ -100,6 +100,27 @@ object Events {
         |  WHERE user_id < 20
         |  GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)), event_type) t
         |WHERE rk = 1
-        |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin)
+        |ORDER BY user_id ASC NULLS LAST, day ASC NULLS LAST""".stripMargin),
+
+    // Semi-structured event properties through the native Presto JSONPath
+    // walker (functions/PrestoJson.scala's json_extract_scalar — the
+    // reference's JsonExtract.java semantics) aggregated per event type;
+    // DuckDB re-derives with its own JSON extension. The decode runs
+    // inside the scan projection — no UDF boundary, stream-safe.
+    "events_props_json" -> Q.sql(
+      spark = """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(json_extract_scalar(props, '$.k') AS INT) AS DECIMAL(30,8))) AS DOUBLE) AS sum_k,
+        |  MIN(CAST(json_extract_scalar(props, '$.k') AS INT)) AS min_k,
+        |  MAX(CAST(json_extract_scalar(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+      duck = """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS DECIMAL(30,8))) AS DOUBLE) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS LAST""".stripMargin)
   )
 }
