@@ -94,6 +94,18 @@ object ScaleRehearsal {
       llm.Dedup.minhashLsh(docs, "doc_id", llm.TextOps.wordShingles(col("text"), 2),
         k = 32, bands = 8, threshold = 0.8)
     }
+    // connected components over the 10× pair graph: the iterative tail of
+    // the dedup pipeline — rounds scale with cluster diameter, per-round
+    // cost with the EDGE count (≪ corpus size), so this should stay a
+    // small fraction of pair generation
+    val ccPairs = llm.Dedup.minhashLsh(docs, "doc_id",
+      llm.TextOps.wordShingles(col("text"), 2), k = 32, bands = 8, threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ccPairs.count() // materialize so tCc times only the clustering
+    val tCc = time("connected_cc @10x") {
+      llm.Dedup.connectedComponents(ccPairs)
+    }
+    ccPairs.unpersist()
     // SimHash: not a headline bench query, so time 1× here for the ratio.
     // At 10× docs the 16-bit chunk space starts to saturate and the
     // star-link hotChunkCap can genuinely engage — the regime it exists for.
@@ -144,7 +156,7 @@ object ScaleRehearsal {
         nlist = 256, nprobe = 16)
     }
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the twenty-four
+  * sql/presto/tpcds/q*.sql); this module re-expresses the twenty-five
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -22,8 +22,8 @@ import graft.Q
   * (q47/q57), returns-excluded growth with an order-level anti join (q78),
   * temporal funnels across order roles (q25/q29), dual-metric rank unions
   * (q49), cross-channel revenue bands (q58), time-of-day count ratios
-  * over the events stream table (q90), and composite-key self-joins of a
-  * wide star (q64).
+  * over the events stream table (q90), composite-key self-joins of a
+  * wide star (q64), and distinct-count bucket pivots (q28).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -586,6 +586,28 @@ object Tpcds {
         |ORDER BY p_name ASC NULLS LAST, s_name ASC NULLS LAST,
         |  rev1 ASC NULLS LAST, rev2 ASC NULLS LAST, cnt1 ASC NULLS LAST, cnt2 ASC NULLS LAST
         |LIMIT 100""".stripMargin),
+
+    // ---- q28-style: distinct-count bucket pivot — four quantity bands,
+    //      each contributing an average price, a row count, AND a COUNT
+    //      DISTINCT, pivoted into one row. The distinct aggregates force
+    //      per-bucket expand/dedup plans (MarkDistinct machinery) over the
+    //      same scan; the pivot joins four single-row sides (broadcast) ----
+    "tpcds_q28_distinct_buckets" -> Q.sqlSame(
+      """SELECT b1.avg1, b1.cnt1, b1.cntd1, b2.avg2, b2.cnt2, b2.cntd2,
+        |  b3.avg3, b3.cnt3, b3.cntd3, b4.avg4, b4.cnt4, b4.cntd4
+        |FROM
+        |  (SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg1,
+        |     COUNT(*) AS cnt1, COUNT(DISTINCT l_partkey) AS cntd1
+        |   FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+        |  (SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg2,
+        |     COUNT(*) AS cnt2, COUNT(DISTINCT l_partkey) AS cntd2
+        |   FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2,
+        |  (SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg3,
+        |     COUNT(*) AS cnt3, COUNT(DISTINCT l_partkey) AS cntd3
+        |   FROM lineitem WHERE l_quantity BETWEEN 26 AND 40) b3,
+        |  (SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg4,
+        |     COUNT(*) AS cnt4, COUNT(DISTINCT l_partkey) AS cntd4
+        |   FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) b4""".stripMargin),
 
     // ---- q93-style: returns-adjusted net revenue — returned lines
     //      ('R') subtract instead of add, per customer. One conditional
