@@ -298,30 +298,63 @@ object Dedup {
     * Returns (id, cluster) — one row per vertex that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not just persist): the batched self-joins below
+    // reference their input ~4× per round, so whatever plan `edges`
+    // carries is CLONED 4^batch times into every downstream tree — with
+    // the caller's full pair-generation pipeline still attached, plan
+    // construction and listener plan-rendering blow up long before any
+    // task runs. The checkpoint pins the (pair-sized, corpus-independent)
+    // edge set and makes the per-round tree a trivial scan.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // Per-round Spark ACTIONS, not per-round compute, dominate when the
+    // pair graph is small relative to the corpus (the common dedup case),
+    // so: (a) each round folds in pointer doubling — min over the label's
+    // own label, covering the 2^k-hop neighborhood by round k, so chains
+    // converge in O(log diameter) rounds (cluster(v) always names a vertex
+    // of v's component, so the label-of-label stays in-component); and
+    // (b) rounds are BATCHED into one lazy plan with a single convergence
+    // probe per batch — a star graph settles in one batch = one job.
+    val batch = 3
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val viaNeighbor = edges
-        .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next
+      val stale = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var cur = labels
+      for (_ <- 0 until math.min(batch, maxIter - i)) {
+        val viaNeighbor = edges
+          .join(cur, edges("dst") === cur("id"))
+          .select(edges("src").as("id"), col("cluster"))
+        val viaLabel = cur.select(col("id"), col("cluster").as("mid"))
+          .join(cur.select(col("id").as("mid_r"), col("cluster").as("cluster")),
+            col("mid") === col("mid_r"))
+          .select(col("id"), col("cluster"))
+        cur = cur.unionByName(viaNeighbor).unionByName(viaLabel)
+          .groupBy("id").agg(min("cluster").as("cluster"))
+          .persist(lvl)
+        stale += cur
+      }
+      // localCheckpoint truncates the LOGICAL plan, not just execution:
+      // cur references itself 4× per round, so without the cut the
+      // analyzed tree grows 4^rounds across batches and the driver OOMs
+      // planning, long before any executor does real work
+      val settled = cur.localCheckpoint(true)
+      // no change across the whole batch = fixpoint (labels only decrease)
+      converged = settled
         .join(labels.withColumnRenamed("cluster", "prev"), "id")
         .filter(col("cluster") =!= col("prev"))
         .limit(1).count() == 0
+      stale.foreach(_.unpersist())
       labels.unpersist()
-      labels = next
-      i += 1
+      labels = settled
+      i += math.min(batch, maxIter - i)
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— raise maxIter only after checking the pair graph for unexpected long chains")
