@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declared queries for connector breadth (SURVEY §2 #9) — the reference's
+  * non-parquet storage formats (`presto-hive/.../HiveStorageFormat.java:53-93`
+  * lists CSV/JSON/ORC/TEXTFILE alongside PARQUET) and the csv/json record
+  * decoders (`presto-record-decoder/`). Each query pushes a real table
+  * through the format and back via the [[graft.sources.Sources]] readers,
+  * then the DuckDB oracle re-reads THE SAME FILES with its own native
+  * reader (CSV/JSON-lines) or re-derives the aggregate from the parquet
+  * source (ORC — DuckDB has no ORC reader). A symmetric writer/reader bug
+  * cannot survive the cross-engine file-level check, and a value that
+  * doesn't survive the format roundtrip breaks the hash either way.
+  *
+  * Scale note: every reader here takes an EXPLICIT schema — schema
+  * inference reads the whole input once just to guess types, a non-starter
+  * at 100 TB (the reference engine never infers: connectors declare types,
+  * SURVEY §1.1). The partitioned-CSV query additionally proves
+  * hive-style directory layout + partition pruning work on a schemaless
+  * format: the pruned read lists one partition directory, not the table.
+  */
+object Connectors {
+
+  // Per-JVM scratch (same rationale as Ddl.scala): concurrent runs must
+  // not clobber each other; the oracle runs AFTER Verify in the same
+  // driver pass, so the pid-scoped path is still present for read_csv.
+  private val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_src_${
+    java.lang.ProcessHandle.current().pid()}"
+
+  private def reset(dir: String): Unit = {
+    def rec(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rec)
+      x.delete(); ()
+    }
+    rec(new java.io.File(dir))
+  }
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType)))
+
+  // `escape="` makes Spark emit RFC-4180 quoting (doubled quotes) instead
+  // of backslash escapes, which is what every other CSV reader — DuckDB's
+  // included — expects; the space-separated timestamp format is the one
+  // both engines parse identically (Spark's default writes a 'T'+zone
+  // suffix DuckDB's TIMESTAMP, a zoneless type, won't take).
+  private val csvOpts = Map(
+    "header" -> "true", "escape" -> "\"",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss")
+
+  val qs: Map[String, Q] = Map(
+
+    // CSV connector roundtrip: orders → CSV files → graft CSV reader
+    // (explicit schema); the oracle re-reads the same CSV files with
+    // DuckDB's native reader under the same declared types, so the check
+    // is file-level and cross-engine, not a self-consistent write/read.
+    "src_csv_roundtrip" -> Q.df(
+      s"""SELECT * FROM read_csv('$scratch/orders_csv/*.csv', header=true,
+         |  columns={'o_orderkey':'BIGINT','o_custkey':'BIGINT',
+         |    'o_orderstatus':'VARCHAR','o_totalprice':'DOUBLE',
+         |    'o_orderdate':'TIMESTAMP','o_orderpriority':'VARCHAR'})
+         |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/orders_csv")
+      val w = Tables.t(s, dir, "orders").write.mode("overwrite")
+      csvOpts.foldLeft(w)((w, kv) => w.option(kv._1, kv._2)).csv(s"$scratch/orders_csv")
+      Sources.csv(s, s"$scratch/orders_csv", ordersSchema)
+        .orderBy(col("o_orderkey").asc_nulls_last)
+    },
+
+    // JSON-lines connector roundtrip (presto-record-decoder's json codec /
+    // HiveStorageFormat.JSON): supplier → newline-delimited JSON → graft
+    // jsonLines reader; oracle re-reads the same files via read_json.
+    "src_jsonl_roundtrip" -> Q.df(
+      s"""SELECT * FROM read_json('$scratch/supplier_jsonl/*.json',
+         |  format='newline_delimited',
+         |  columns={'s_suppkey':'BIGINT','s_name':'VARCHAR',
+         |    's_nationkey':'INTEGER','s_acctbal':'DOUBLE'})
+         |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/supplier_jsonl")
+      Tables.t(s, dir, "supplier").write.mode("overwrite")
+        .json(s"$scratch/supplier_jsonl")
+      Sources.jsonLines(s, s"$scratch/supplier_jsonl", supplierSchema)
+        .orderBy(col("s_suppkey").asc_nulls_last)
+    },
+
+    // ORC connector roundtrip (HiveStorageFormat.ORC): customer → ORC →
+    // graft ORC reader. DuckDB cannot read ORC, so the oracle re-derives
+    // the aggregate from the parquet source — any value the format
+    // mangles breaks the sum/count hash.
+    "src_orc_roundtrip" -> Q.df(
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS acctbal
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/customer_orc")
+      Tables.t(s, dir, "customer").write.mode("overwrite")
+        .orc(s"$scratch/customer_orc")
+      Sources.orc(s, s"$scratch/customer_orc")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
+    },
+
+    // Hive-style partitioned CSV + partition pruning: nation written as
+    // n_regionkey=K directories, read back pruned to one partition. The
+    // oracle recomputes from the parquet source; the Spark plan must
+    // recover the partition column from the directory key (cast back to
+    // the declared int — inference yields int32 here, but the contract is
+    // the declared type, not the inferred one).
+    "src_csv_partitioned_prune" -> Q.df(
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2
+        |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/nation_csv")
+      Sources.write(
+        Tables.t(s, dir, "nation"), s"$scratch/nation_csv", "csv",
+        partitionBy = Seq("n_regionkey"))
+      s.read.schema(nationSchema)
+        .option("basePath", s"$scratch/nation_csv")
+        .csv(s"$scratch/nation_csv")
+        .filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey").asc_nulls_last)
+    })
+}

@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the twenty-five
+  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-two
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -23,7 +23,10 @@ import graft.Q
   * temporal funnels across order roles (q25/q29), dual-metric rank unions
   * (q49), cross-channel revenue bands (q58), time-of-day count ratios
   * over the events stream table (q90), composite-key self-joins of a
-  * wide star (q64), and distinct-count bucket pivots (q28).
+  * wide star (q64), distinct-count bucket pivots (q28), triple-fact
+  * date-chained inventory joins (q72), multi-hop EXISTS over a
+  * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
+  * and full-outer channel reports under a rollup (q77/q80).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -623,6 +626,179 @@ object Tpcds {
         |JOIN customer ON c_custkey = o_custkey
         |GROUP BY c_name
         |ORDER BY act_sales ASC NULLS LAST, c_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q72-style: the triple-fact date-chained join — TPC-DS's
+    //      hardest join shape (catalog_sales × inventory × warehouse with
+    //      a d1/d2/d3 date-dim chain). Here the sales fact joins an
+    //      inventory-analog SECOND scan of lineitem on part, restricted to
+    //      a different supplier, a 30-day window after the order date, and
+    //      a lower on-hand quantity. The filtered part/supplier dims
+    //      broadcast; the fact-fact join shuffles on l_partkey only ----
+    "tpcds_q72_inventory_chain" -> Q.sqlSame(
+      """SELECT p_name, s_name, year(o_orderdate) AS d_year, COUNT(*) AS cnt
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN lineitem inv ON inv.l_partkey = l.l_partkey
+        |  AND inv.l_suppkey <> l.l_suppkey
+        |  AND inv.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 30 DAY
+        |  AND inv.l_quantity < l.l_quantity
+        |WHERE p.p_size = 1 AND o.o_orderpriority = '1-URGENT'
+        |GROUP BY p_name, s_name, year(o_orderdate)
+        |ORDER BY cnt DESC NULLS LAST, p_name ASC NULLS LAST,
+        |  s_name ASC NULLS LAST, d_year ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q95-style: multi-hop EXISTS over a self-joined fact — orders
+    //      whose lines involve at least two distinct suppliers (the
+    //      "shipped from more than one warehouse" self-join ws1/ws2) AND
+    //      that appear in the returns set. Both membership probes are
+    //      semi joins on the fact key; the distinct self-join pairs
+    //      collapse before the probe ----
+    "tpcds_q95_multi_warehouse" -> Q.sqlSame(
+      """WITH multi_supp AS (
+        |  SELECT DISTINCT l1.l_orderkey AS okey
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey <> l2.l_suppkey)
+        |SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderkey IN (SELECT okey FROM multi_supp)
+        |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin),
+
+    // ---- q4/q74-style: the year-over-year CTE tower — one per-customer
+    //      (year, channel) aggregate CTE self-joined four ways (two
+    //      channels × two years, q74's exact shape; q4 adds a third
+    //      channel), screening customers whose return-channel growth
+    //      outpaces their sales-channel growth. Ratios compare as DOUBLE
+    //      on both engines (exact-decimal totals → bit-identical IEEE
+    //      division); the 4-way self-join keys on c_custkey so all four
+    //      legs share one shuffle partitioning ----
+    "tpcds_q4_growth_tower" -> Q.sqlSame(
+      """WITH totals AS (
+        |  SELECT c_custkey, c_name, year(o_orderdate) AS yr, l_returnflag AS chan,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE l_returnflag IN ('N', 'R') AND year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY c_custkey, c_name, year(o_orderdate), l_returnflag)
+        |SELECT n1.c_custkey AS c_custkey, n1.c_name AS c_name,
+        |  CAST(n2.total / n1.total AS DOUBLE) AS sale_ratio,
+        |  CAST(r2.total / r1.total AS DOUBLE) AS ret_ratio
+        |FROM totals n1 JOIN totals n2 ON n1.c_custkey = n2.c_custkey
+        |JOIN totals r1 ON n1.c_custkey = r1.c_custkey
+        |JOIN totals r2 ON n1.c_custkey = r2.c_custkey
+        |WHERE n1.chan = 'N' AND n1.yr = 1995 AND n2.chan = 'N' AND n2.yr = 1996
+        |  AND r1.chan = 'R' AND r1.yr = 1995 AND r2.chan = 'R' AND r2.yr = 1996
+        |  AND n1.total > 0 AND r1.total > 0
+        |  AND r2.total / r1.total > n2.total / n1.total
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin),
+
+    // ---- q77/q80-style: the channel report — per-channel sales and
+    //      returns aggregated separately, FULL OUTER joined on
+    //      (channel, id) so a supplier with only returns still reports,
+    //      then re-aggregated under ROLLUP(channel) for the all-channel
+    //      total row. Decimal sums stay exact until the final DOUBLE cast ----
+    "tpcds_q77_channel_report" -> Q.sqlSame(
+      """WITH s AS (
+        |  SELECT o_orderpriority AS channel, l_suppkey AS id,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag <> 'R'
+        |  GROUP BY o_orderpriority, l_suppkey),
+        |r AS (
+        |  SELECT o_orderpriority AS channel, l_suppkey AS id,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS returns
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_orderpriority, l_suppkey),
+        |joined AS (
+        |  SELECT COALESCE(s.channel, r.channel) AS channel,
+        |    COALESCE(sales, 0) AS sales, COALESCE(returns, 0) AS returns
+        |  FROM s FULL OUTER JOIN r ON s.channel = r.channel AND s.id = r.id)
+        |SELECT channel,
+        |  CAST(SUM(sales) AS DOUBLE) AS sales,
+        |  CAST(SUM(returns) AS DOUBLE) AS returns,
+        |  CAST(SUM(sales - returns) AS DOUBLE) AS profit
+        |FROM joined
+        |GROUP BY ROLLUP(channel)
+        |ORDER BY channel ASC NULLS FIRST""".stripMargin),
+
+    // ---- q9-style: the scalar-subquery CASE tower — fifteen scalar
+    //      subqueries (3 per quantity bucket) collapsing to one row; the
+    //      bucket counts steer which aggregate each CASE publishes, so
+    //      both branches are live (buckets 1/3 take the THEN arm on this
+    //      data, 2/4/5 the ELSE). Catalyst plans each scalar subquery as
+    //      its own tiny aggregate and the outer row assembles from
+    //      EnforceSingleRow results — q9's exact physical shape ----
+    "tpcds_q9_bucket_cases" -> Q.sqlSame(
+      """SELECT
+        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 12000
+        |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 12000
+        |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2,
+        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 12000
+        |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS bucket3,
+        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 12000
+        |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS bucket4,
+        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 12000
+        |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5""".stripMargin),
+
+    // ---- q99-style: the ship-lag bucket matrix — conditional counts of
+    //      days-between buckets per priority class. The only dialect
+    //      split in this family: Spark's datediff(end, start) vs DuckDB's
+    //      date_diff('day', start, end). Counts cast to BIGINT on both
+    //      sides (DuckDB SUM(int) widens to HUGEINT → float64) ----
+    "tpcds_q99_ship_lag_buckets" -> Q.sql(
+      spark = """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 30 AND datediff(l_shipdate, o_orderdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 60 AND datediff(l_shipdate, o_orderdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+      duck = """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30 AND date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 AND date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // ---- q39-style: the volatility screen — per-(part, month) demand
+    //      aggregated, then parts whose coefficient of variation across
+    //      months exceeds 1. The stddev goes through the agg_statistics
+    //      closed form (exact decimal moment sums → one deterministic
+    //      double expression) so cross-engine aggregation order cannot
+    //      perturb the screen at its boundary ----
+    "tpcds_q39_demand_volatility" -> Q.sqlSame(
+      """WITH inv AS (
+        |  SELECT l_partkey, month(l_shipdate) AS mth,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY l_partkey, month(l_shipdate)),
+        |stats AS (
+        |  SELECT l_partkey,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(qty AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(qty * qty AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        |  FROM inv GROUP BY l_partkey)
+        |SELECT l_partkey, ROUND(sx / n, 4) AS mean,
+        |  ROUND(SQRT((sxx - sx * sx / n) / (n - 1)) / (sx / n), 4) AS cov
+        |FROM stats
+        |WHERE n >= 4 AND sx > 0 AND SQRT((sxx - sx * sx / n) / (n - 1)) / (sx / n) > 1.0
+        |ORDER BY cov DESC NULLS LAST, l_partkey ASC NULLS LAST
         |LIMIT 100""".stripMargin)
   )
 }

@@ -112,19 +112,29 @@ object CowMerge {
     val table = spark.read.option("basePath", path).parquet(path)
     val keyCs = keyCols.map(col)
 
-    require(source.groupBy(keyCs: _*).count()
+    // Pin the source rows ONCE before anything reads them: the merge
+    // evaluates `source` in four places (cardinality check, unmatched
+    // probe, insert stage, matched-row rewrite), and a nondeterministic
+    // source (limit/sample without a total order) could yield a different
+    // row set at each evaluation — the rows written would not be the rows
+    // the cardinality check validated. localCheckpoint materializes the
+    // rows and truncates lineage, so a lost block fails loudly instead of
+    // silently recomputing a different source.
+    val src = source.localCheckpoint(true)
+
+    require(src.groupBy(keyCs: _*).count()
       .where(col("count") > 1).isEmpty,
       "MERGE source must be unique on the key columns (ANSI cardinality rule)")
 
     val byName = whenMatchedSet.toMap
-    val srcKeys = source.select(keyCs: _*)
+    val srcKeys = src.select(keyCs: _*)
     val base = Paths.get(path).toAbsolutePath
 
     // Stage the inserts FIRST: the anti-join reads the pre-merge table,
     // and its lazy lineage must execute while the original files still
     // exist (the rewrite below swaps them out).
     val insertStage = if (insertUnmatched) {
-      val newRows = source
+      val newRows = src
         .join(table.select(keyCs: _*), keyCols, "left_anti")
         .select(table.columns.toSeq.map(col): _*)
       if (newRows.isEmpty) None
@@ -139,7 +149,7 @@ object CowMerge {
 
     val s = CowCore.rewrite(spark, path,
       _.join(srcKeys, keyCols, "left_semi")) { touchedDf =>
-      val srcSide = source.select(source.columns.toSeq.map(c =>
+      val srcSide = src.select(src.columns.toSeq.map(c =>
           if (keyCols.contains(c)) col(c) else col(c).as(s"src_$c")): _*)
         .withColumn("__matched", lit(true))
       touchedDf.join(srcSide, keyCols, "left_outer")
@@ -190,7 +200,10 @@ private[sources] object CowCore {
       .map(r => localPath(r.getString(0)))
       .sorted
       .toSeq
-    val total = table.select(col("_metadata.file_path")).distinct().count()
+    // File count comes from the FileIndex the read already built — zero
+    // Spark jobs — not a distributed distinct over the metadata column
+    // (which would scan the table just to count its files, on every DML).
+    val total = table.inputFiles.length.toLong
     if (touched.isEmpty) return Stats(Nil, total, 0L)
 
     // Rewrite pass: re-read ONLY the touched files (basePath recovers
