@@ -37,17 +37,22 @@ object StressRehearsal {
     }
   }
 
-  private val R = 10
   private val keyOff = 100000000L
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("spill")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val R = sys.env.getOrElse("SPARK_GRAFT_STRESS_R", "10").toInt
+    // spill mode uses FEWER, FATTER shuffle partitions: per-task state is
+    // what exhausts execution memory; 32 thin partitions at rehearsal SF
+    // never would (a 100 TB task's partition is fat by definition)
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", if (mode == "spill") "8" else cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -58,10 +63,12 @@ object StressRehearsal {
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         // rehearsal-sized skew thresholds: the defaults (256m) target
-        // multi-GB production partitions
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        // multi-GB production partitions, and the sizes AQE sees are
+        // POST-compression shuffle bytes (~2MB median here)
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "3m")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "512k")
       case _ => b
     }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -123,8 +130,24 @@ object StressRehearsal {
             .write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache()
+        val spillAfterMin = (tally.memSpilled, tally.diskSpilled)
 
-        println(f"""[stress] {"mode":"spill","heap_gb":$heapG%.1f,"q18_sec":$tQ18%.2f,"q18_spill_mem_mb":${spillAfterQ18._1 / 1048576}%d,"q18_spill_disk_mb":${spillAfterQ18._2 / 1048576}%d,"minhash_sec":$tMin%.2f,"total_spill_mem_mb":${tally.memSpilled / 1048576}%d,"total_spill_disk_mb":${tally.diskSpilled / 1048576}%d}""")
+        // The guaranteed-pressure case: a full 6-key distributed sort of
+        // the replicated fact (the reference's OrderByOperator +
+        // FileSingleStreamSpiller path). R×600k rows of ~100-byte rows
+        // through <heap/2.5> of execution memory across fat partitions
+        // MUST go through UnsafeExternalSorter's spill files — the
+        // aggregates above legitimately fit (hash state ∝ group count,
+        // not row count), which is itself worth recording.
+        val tSort = timed {
+          li.orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+              col("l_quantity"), col("l_extendedprice"), col("l_orderkey"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val sortMem = tally.memSpilled - spillAfterMin._1
+        val sortDisk = tally.diskSpilled - spillAfterMin._2
+
+        println(f"""[stress] {"mode":"spill","heap_gb":$heapG%.1f,"replicas":$R%d,"q18_sec":$tQ18%.2f,"q18_spill_mem_mb":${spillAfterQ18._1 / 1048576}%d,"minhash_sec":$tMin%.2f,"minhash_spill_mem_mb":${(spillAfterMin._1 - spillAfterQ18._1) / 1048576}%d,"sort_sec":$tSort%.2f,"sort_spill_mem_mb":${sortMem / 1048576}%d,"sort_spill_disk_mb":${sortDisk / 1048576}%d,"total_spill_mem_mb":${tally.memSpilled / 1048576}%d,"total_spill_disk_mb":${tally.diskSpilled / 1048576}%d}""")
 
       case "skew" =>
         // ~10% of the 10× fact rides ONE hot order key; the rest spread
@@ -141,21 +164,24 @@ object StressRehearsal {
           .filter(col("o_orderkey") =!= hotKey)
           .unionByName(Tables.t(spark, sfDir, "orders")
             .filter(col("o_orderkey") === hotKey))
-        val joined = ord.join(li, col("o_orderkey") === col("l_orderkey"))
-          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        // Aggregate on a DIFFERENT key than the join: a same-key groupBy
+        // inherits the join's partitioning, and AQE refuses a skew split
+        // that would break a downstream required distribution (no extra
+        // shuffle policy); the re-keyed agg shuffles anyway, so splitting
+        // the skewed join partition is free.
+        def shape = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
           .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("lines"))
-        val t = timed { joined.write.format("noop").mode("overwrite").save() }
-        val stats = ExplainAnalyze.run(
-          ord.join(li, col("o_orderkey") === col("l_orderkey"))
-            .groupBy(col("o_orderkey"), col("o_orderpriority"))
-            .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("lines")))
-        val skewedParts = stats.filter(s =>
-          s.op == "AQEShuffleRead" && s.metric == "numSkewedPartitions").map(_.value).sum
-        val skewSplits = stats.filter(s =>
-          s.op == "AQEShuffleRead" && s.metric == "numSkewedPartitionSplits").map(_.value).sum
-        val hotLines = stats.filter(s =>
-          s.op == "AQEShuffleRead" && s.metric == "numPartitions").map(_.value).sum
-        println(f"""[stress] {"mode":"skew","sec":$t%.2f,"skewed_partitions":$skewedParts%d,"skew_splits":$skewSplits%d,"aqe_partitions":$hotLines%d}""")
+        val t = timed { shape.write.format("noop").mode("overwrite").save() }
+        val stats = ExplainAnalyze.run(shape)
+        if (sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
+          stats.groupBy(_.op).keys.toSeq.sorted.foreach(op => println(s"[stress-op] $op"))
+        def metric(m: String) = stats.filter(s =>
+          s.op.startsWith("AQEShuffleRead") && s.metric == m).map(_.value).sum
+        val skewedParts = metric("numSkewedPartitions")
+        val skewSplits = metric("numSkewedSplits")
+        val aqeParts = metric("numPartitions")
+        println(f"""[stress] {"mode":"skew","sec":$t%.2f,"skewed_partitions":$skewedParts%d,"skew_splits":$skewSplits%d,"aqe_partitions":$aqeParts%d}""")
     }
     spark.stop()
   }
