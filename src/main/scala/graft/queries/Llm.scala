@@ -109,6 +109,44 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last)
     },
 
+    // ---- corpus-statistics quality scoring (token rarity) ----
+    // The corpus-level companion of llm_text_quality's per-document
+    // metrics: every document scored by the CORPUS frequency of its
+    // tokens (one tokenize → explode pass builds the frequency table, a
+    // broadcast-friendly join scores each token in place — the same
+    // two-pass shape TF-IDF / unigram-LM perplexity filters use at
+    // 100 TB, with no driver-side vocabulary). High avg_token_freq =
+    // boilerplate built from the corpus's most common words; low = rare
+    // vocabulary. All-integer arithmetic (counts, exact division at the
+    // end) so cross-engine equality is bitwise — no transcendental logs
+    // whose last ulp could differ between libm implementations.
+    "llm_token_rarity" -> Q.sql(
+      spark = """WITH toks AS (
+        |  SELECT doc_id, tok
+        |  FROM documents LATERAL VIEW explode(split(lower(text), ' ')) t AS tok
+        |  WHERE length(text) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cf) AS BIGINT) AS freq_mass,
+        |  ROUND(CAST(SUM(cf) AS DOUBLE) / COUNT(*), 4) AS avg_token_freq
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY avg_token_freq DESC NULLS LAST, doc_id ASC NULLS LAST
+        |LIMIT 100""".stripMargin,
+      duck = """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents WHERE len(text) > 0),
+        |freq AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cf) AS BIGINT) AS freq_mass,
+        |  ROUND(CAST(SUM(cf) AS DOUBLE) / COUNT(*), 4) AS avg_token_freq
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY avg_token_freq DESC NULLS LAST, doc_id ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
     // ---- exact dedup on canonical vocabulary key (Dedup.exact) ----
     // members serialized to a comma string: the driver's pandas comparator
     // cannot sort array-typed cells.

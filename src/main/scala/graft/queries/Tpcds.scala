@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-two
+  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-four
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -26,7 +26,9 @@ import graft.Q
   * wide star (q64), distinct-count bucket pivots (q28), triple-fact
   * date-chained inventory joins (q72), multi-hop EXISTS over a
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
-  * and full-outer channel reports under a rollup (q77/q80).
+  * full-outer channel reports under a rollup (q77/q80), scalar-subquery
+  * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
+  * screens (q39), channel-overlap counts (q97), and wide month-pivot reports (q66).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -669,16 +671,42 @@ object Tpcds {
         |  AND o_orderkey IN (SELECT okey FROM multi_supp)
         |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin),
 
-    // ---- q4/q74-style: the year-over-year CTE tower — one per-customer
-    //      (year, channel) aggregate CTE self-joined four ways (two
-    //      channels × two years, q74's exact shape; q4 adds a third
-    //      channel), screening customers whose return-channel growth
-    //      outpaces their sales-channel growth. Ratios compare as DOUBLE
-    //      on both engines (exact-decimal totals → bit-identical IEEE
-    //      division); the 4-way self-join keys on c_custkey so all four
-    //      legs share one shuffle partitioning ----
-    "tpcds_q4_growth_tower" -> Q.sqlSame(
-      """WITH totals AS (
+    // ---- q4/q74-style: the year-over-year CTE tower — per-customer
+    //      (year, channel) totals screened for customers whose
+    //      return-channel growth outpaces their sales-channel growth.
+    //      The ORACLE keeps q4's literal shape: a totals CTE self-joined
+    //      four ways (two channels × two years, q74's exact form). The
+    //      Spark side does NOT run that tower: Spark (like the reference's
+    //      Presto lineage) inlines CTEs, so the four legs would each
+    //      rescan and re-aggregate the fact — four fact scans at 100 TB.
+    //      Instead it folds the tower into ONE conditional-aggregate pass
+    //      (SUM(CASE chan/year) pivot): one scan, one shuffle, identical
+    //      rows — a NULL pivot cell marks a missing (chan, year) leg,
+    //      exactly the rows the tower's inner joins drop. Ratios compare
+    //      as DOUBLE (exact-decimal sums → bit-identical IEEE division) ----
+    "tpcds_q4_growth_tower" -> Q.sql(
+      spark = """WITH base AS (
+        |  SELECT c_custkey, c_name, year(o_orderdate) AS yr, l_returnflag AS chan,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) AS amt
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE l_returnflag IN ('N', 'R') AND year(o_orderdate) IN (1995, 1996)),
+        |pv AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(SUM(CASE WHEN chan = 'N' AND yr = 1995 THEN amt END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN chan = 'N' AND yr = 1996 THEN amt END) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN chan = 'R' AND yr = 1995 THEN amt END) AS DOUBLE) AS r1,
+        |    CAST(SUM(CASE WHEN chan = 'R' AND yr = 1996 THEN amt END) AS DOUBLE) AS r2
+        |  FROM base GROUP BY c_custkey, c_name)
+        |SELECT c_custkey, c_name,
+        |  CAST(n2 / n1 AS DOUBLE) AS sale_ratio,
+        |  CAST(r2 / r1 AS DOUBLE) AS ret_ratio
+        |FROM pv
+        |WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND r1 IS NOT NULL AND r2 IS NOT NULL
+        |  AND n1 > 0 AND r1 > 0 AND r2 / r1 > n2 / n1
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+      duck = """WITH totals AS (
         |  SELECT c_custkey, c_name, year(o_orderdate) AS yr, l_returnflag AS chan,
         |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total
         |  FROM lineitem
@@ -697,6 +725,38 @@ object Tpcds {
         |  AND n1.total > 0 AND r1.total > 0
         |  AND r2.total / r1.total > n2.total / n1.total
         |ORDER BY c_custkey ASC NULLS LAST""".stripMargin),
+
+    // ---- q97-style: channel-overlap counts — the distinct customer
+    //      sets of two "channels" FULL OUTER joined, bucketed into
+    //      only-A / only-B / both. Counts cast to BIGINT on both sides ----
+    "tpcds_q97_channel_overlap" -> Q.sqlSame(
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+        |  CAST(SUM(CASE WHEN a.k IS NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS low_only,
+        |  CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin),
+
+    // ---- q66-style: the wide month-pivot report — per (supplier, year)
+    //      rows with one conditional-aggregate column per month/metric
+    //      (q66 pivots 12 months × 2 metrics per warehouse). One scan,
+    //      one shuffle on the GROUP BY keys; every cell is an exact
+    //      decimal sum cast to DOUBLE at the end; NULL cells mark months
+    //      with no shipments, as in the original ----
+    "tpcds_q66_month_pivot" -> Q.sqlSame(
+      """SELECT s_name, year(l_shipdate) AS d_year,
+        |  CAST(SUM(CASE WHEN month(l_shipdate) = 1 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) END) AS DOUBLE) AS jan_rev,
+        |  CAST(SUM(CASE WHEN month(l_shipdate) = 2 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) END) AS DOUBLE) AS feb_rev,
+        |  CAST(SUM(CASE WHEN month(l_shipdate) = 3 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)) END) AS DOUBLE) AS mar_rev,
+        |  CAST(SUM(CASE WHEN month(l_shipdate) <= 6 THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS DOUBLE) AS h1_qty,
+        |  CAST(SUM(CASE WHEN month(l_shipdate) > 6 THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS DOUBLE) AS h2_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_rev
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE year(l_shipdate) IN (1995, 1996)
+        |GROUP BY s_name, year(l_shipdate)
+        |HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) > 500000
+        |ORDER BY s_name ASC NULLS LAST, d_year ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
 
     // ---- q77/q80-style: the channel report — per-channel sales and
     //      returns aggregated separately, FULL OUTER joined on
