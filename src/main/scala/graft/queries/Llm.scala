@@ -147,6 +147,81 @@ object Llm {
         |ORDER BY avg_token_freq DESC NULLS LAST, doc_id ASC NULLS LAST
         |LIMIT 100""".stripMargin),
 
+    // ---- embedding int8 quantization ----
+    // The serving/index-compression step after dedup+ANN: per-vector
+    // symmetric int8 quantization (scale = max|x|, q = round(x/scale*127))
+    // as a pure map-side expression chain — no shuffle, no state, exactly
+    // what runs over 10^9 vectors before an index build. The oracle
+    // recomputes the same math in DuckDB; elements are CAST to DOUBLE
+    // first on both sides (float→double is exact) so the arithmetic is
+    // engine-identical, and both engines round halves away from zero.
+    // over_err counts elements whose dequantization error exceeds one
+    // quantization step — must be 0 everywhere, making the column a
+    // cross-engine proof of the error bound, not just of the digits.
+    "llm_embedding_quantize" -> Q.sql(
+      spark = """WITH v AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 50),
+        |s AS (
+        |  SELECT vec_id, e, array_max(transform(e, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  array_join(transform(e, x -> CAST(CAST(round(x / scale * 127) AS INT) AS STRING)), ',') AS q8,
+        |  CAST(size(filter(transform(e, x -> abs(round(x / scale * 127) / 127 * scale - x)),
+        |    d -> d > scale / 127)) AS BIGINT) AS over_err
+        |FROM s
+        |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+      duck = """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 50),
+        |s AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  array_to_string(list_transform(e, x -> CAST(CAST(round(x / scale * 127) AS INT) AS VARCHAR)), ',') AS q8,
+        |  CAST(len(list_filter(list_transform(e, x -> abs(round(x / scale * 127) / 127 * scale - x)),
+        |    d -> d > scale / 127)) AS BIGINT) AS over_err
+        |FROM s
+        |ORDER BY vec_id ASC NULLS LAST""".stripMargin),
+
+    // ---- sharded sequence packing ----
+    // Pretraining-style concatenate-and-chunk: documents are concatenated
+    // in a deterministic order and cut into fixed token windows; a doc's
+    // pack is where its first token lands (window cumsum minus own count,
+    // integer-divided by the context length). Packing runs WITHIN
+    // deterministic shards (doc_id mod 8): a global-order cumsum would be
+    // a single-partition window — the sharded form is how packing
+    // actually distributes (packs never cross shards, each shard's window
+    // is an independent partition), and re-running at any parallelism
+    // gives bit-identical packs. All-integer arithmetic end to end.
+    "llm_sequence_packing" -> Q.sql(
+      spark = """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, size(split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+        |  FROM toks)
+        |SELECT shard, CAST(start_tok DIV 2048 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM cum
+        |GROUP BY shard, start_tok DIV 2048
+        |ORDER BY shard ASC NULLS LAST, pack_id ASC NULLS LAST
+        |LIMIT 200""".stripMargin,
+      duck = """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+        |  FROM toks)
+        |SELECT shard, CAST(start_tok // 2048 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        |FROM cum
+        |GROUP BY shard, start_tok // 2048
+        |ORDER BY shard ASC NULLS LAST, pack_id ASC NULLS LAST
+        |LIMIT 200""".stripMargin),
+
     // ---- exact dedup on canonical vocabulary key (Dedup.exact) ----
     // members serialized to a comma string: the driver's pandas comparator
     // cannot sort array-typed cells.

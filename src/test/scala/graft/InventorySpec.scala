@@ -32,4 +32,17 @@ class InventorySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet ==
       Registry.all.collect { case (k, q) if q.oracle.isDefined => k }.toSet)
   }
+
+  test("every bench override shadows an oracle-checked declared query") {
+    // A bench override times an operator-only plan under a declared
+    // query's name; the contract is that the SAME name stays in
+    // Registry.all with a real oracle, so nothing the bench reports is
+    // outside the correctness gate.
+    Registry.benchOverrides.keySet.foreach { k =>
+      assert(Registry.all.contains(k), s"bench override $k has no correctness twin")
+      assert(Registry.all(k).oracle.isDefined, s"$k's correctness twin lost its oracle")
+    }
+    // and overrides must cover every headline name that differs from all
+    assert(Registry.headline.toSet.subsetOf(Registry.bench.keySet))
+  }
 }
