@@ -184,4 +184,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
     }
   }
+
+  private def factScans(plan: String, table: String): Int =
+    plan.linesIterator.count(l =>
+      (l.contains("Scan parquet") || l.contains("FileScan")) && l.contains(table))
+
+  test("tpcds q4 pivot folds the growth tower into ONE fact scan") {
+    // the oracle runs q4's literal 4-way CTE self-join; the Spark plan
+    // must NOT — under CTE inlining the tower rescans lineitem four
+    // times, and the whole point of the pivot rewrite is one pass
+    val p = executedPlan("tpcds_q4_growth_tower")
+    assert(factScans(p, "lineitem") == 1,
+      s"growth tower must scan lineitem exactly once, saw ${factScans(p, "lineitem")}")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q72 inventory chain: dims broadcast, filters pushed, no cartesian") {
+    val p = executedPlan("tpcds_q72_inventory_chain")
+    assert(p.contains("BroadcastHashJoin"), "part/supplier dims must broadcast")
+    assert(p.contains("PushedFilters: ["), "p_size/priority filters must reach the scans")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpcds q95 multi-hop membership lowers to semi joins") {
+    val p = executedPlan("tpcds_q95_multi_warehouse")
+    assert(p.contains("LeftSemi"), "both IN probes must lower to semi joins")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("llm_sequence_packing windows per shard, never a single global partition") {
+    val p = executedPlan("llm_sequence_packing")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(shard"),
+      "the pack cumsum must partition by shard — a global-order window is a 1-partition bottleneck")
+  }
+
+  test("llm_embedding_quantize plans map-side only: no exchange below the sort") {
+    val df = Registry.all("llm_embedding_quantize").fn(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      "quantization is per-row expression work; nothing may shuffle or aggregate")
+  }
 }
