@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-four
+  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-six
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), and wide month-pivot reports (q66).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), and revenue-segment histograms (q54).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -757,6 +757,48 @@ object Tpcds {
         |HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) > 500000
         |ORDER BY s_name ASC NULLS LAST, d_year ASC NULLS LAST
         |LIMIT 100""".stripMargin),
+
+    // ---- q21-style: the before/after balance screen — per (supplier,
+    //      part) quantities split at an event date, keeping pairs whose
+    //      after/before ratio stays within [2/3, 3/2] (q21's inventory
+    //      balance check), then suppliers ranked by how many balanced
+    //      parts they carry. Conditional exact-decimal sums; the band is
+    //      CROSS-MULTIPLIED (3·after ≥ 2·before), never divided — Spark
+    //      folds the literal 2.0/3.0 as DECIMAL(2,1) division (0.666667,
+    //      ABOVE 2/3) while a double ratio sits at 0.6̅, so parts exactly
+    //      on the bound would flip between engines ----
+    "tpcds_q21_balance_screen" -> Q.sqlSame(
+      """WITH sp AS (
+        |  SELECT s_name, l_partkey,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) <= 1995 THEN CAST(l_quantity AS DECIMAL(30,8)) ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) AS qty_before,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) > 1995 THEN CAST(l_quantity AS DECIMAL(30,8)) ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) AS qty_after
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  GROUP BY s_name, l_partkey)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS balanced_parts
+        |FROM sp
+        |WHERE qty_before > 0 AND qty_after > 0
+        |  AND 3 * qty_after >= 2 * qty_before AND 2 * qty_after <= 3 * qty_before
+        |GROUP BY s_name
+        |HAVING COUNT(*) >= 5
+        |ORDER BY balanced_parts DESC NULLS LAST, s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q54-style: the histogram-of-an-aggregate — per-customer
+    //      lifetime revenue bucketed into fixed segments, then customers
+    //      counted per segment (q54's revenue-band report). The bucket
+    //      floor runs on a DOUBLE cast of the exact decimal total so the
+    //      division is bit-identical cross-engine ----
+    "tpcds_q54_revenue_segments" -> Q.sqlSame(
+      """WITH rev AS (
+        |  SELECT c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS r
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT CAST(FLOOR(r / 500000) AS BIGINT) AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS num_customers
+        |FROM rev
+        |GROUP BY FLOOR(r / 500000)
+        |ORDER BY segment ASC NULLS LAST""".stripMargin),
 
     // ---- q77/q80-style: the channel report — per-channel sales and
     //      returns aggregated separately, FULL OUTER joined on
