@@ -222,6 +222,47 @@ object Llm {
         |ORDER BY shard ASC NULLS LAST, pack_id ASC NULLS LAST
         |LIMIT 200""".stripMargin),
 
+    // ---- benchmark decontamination (shared-shingle containment) ----
+    // The train/eval overlap check every pretraining corpus runs: an
+    // eval set's shingle fingerprints (here: docs 0-29 as the stand-in
+    // benchmark, 3-word shingles) are BROADCAST against the corpus — the
+    // corpus never shuffles on content, only the final per-doc count
+    // groups by doc_id. Shingles travel as xxhash64 longs (collision odds
+    // ~n²/2⁶⁴ — the same containment-safe hashing the minhash verify step
+    // documents), a fraction of the broadcast bytes of raw trigrams; the
+    // DuckDB oracle recomputes on the raw strings, so the hash shortcut
+    // is itself under test. Output: corpus docs ranked by how many
+    // distinct benchmark shingles they contain.
+    "llm_decontaminate" -> Q.df(
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS sh
+        |  FROM documents WHERE doc_id < 30),
+        |docsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS sh
+        |  FROM documents WHERE doc_id >= 30)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        |FROM docsh JOIN ev USING (sh)
+        |GROUP BY doc_id
+        |ORDER BY shared_shingles DESC NULLS LAST, doc_id ASC NULLS LAST
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val sh3 = array_distinct(transform(
+        TextOps.wordShingles(col("text"), 3), e => xxhash64(e)))
+      val ev = d.filter(col("doc_id") < 30)
+        .select(explode(sh3).as("sh")).distinct()
+      val corp = d.filter(col("doc_id") >= 30)
+        .select(col("doc_id"), explode(sh3).as("sh"))
+      corp.join(broadcast(ev), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .orderBy(col("shared_shingles").desc_nulls_last, col("doc_id").asc_nulls_last)
+        .limit(100)
+    },
+
     // ---- exact dedup on canonical vocabulary key (Dedup.exact) ----
     // members serialized to a comma string: the driver's pandas comparator
     // cannot sort array-typed cells.

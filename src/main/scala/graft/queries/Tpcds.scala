@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-six
+  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-seven
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), and revenue-segment histograms (q54).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), and prior-period decline deltas (q75).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -799,6 +799,27 @@ object Tpcds {
         |FROM rev
         |GROUP BY FLOOR(r / 500000)
         |ORDER BY segment ASC NULLS LAST""".stripMargin),
+
+    // ---- q75-style: the prior-period delta — per-(brand, year) totals
+    //      self-joined onto the SAME aggregate at year-1, keeping brands
+    //      whose quantity declined. One aggregate, one self-join keyed on
+    //      (brand, year±1); deltas computed on exact decimals and cast to
+    //      DOUBLE at the end ----
+    "tpcds_q75_brand_decline" -> Q.sqlSame(
+      """WITH yearly AS (
+        |  SELECT p_brand, year(o_orderdate) AS yr,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,8))) AS qty,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  GROUP BY p_brand, year(o_orderdate))
+        |SELECT c.p_brand AS p_brand, c.yr AS d_year,
+        |  CAST(p.qty AS DOUBLE) AS prev_qty, CAST(c.qty AS DOUBLE) AS curr_qty,
+        |  CAST(c.rev - p.rev AS DOUBLE) AS rev_delta
+        |FROM yearly c JOIN yearly p ON c.p_brand = p.p_brand AND c.yr = p.yr + 1
+        |WHERE c.qty < p.qty
+        |ORDER BY rev_delta ASC NULLS LAST, p_brand ASC NULLS LAST, d_year ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
 
     // ---- q77/q80-style: the channel report — per-channel sales and
     //      returns aggregated separately, FULL OUTER joined on
