@@ -222,6 +222,46 @@ object Llm {
         |ORDER BY shard ASC NULLS LAST, pack_id ASC NULLS LAST
         |LIMIT 200""".stripMargin),
 
+    // ---- intra-document repetition (Gopher/RefinedWeb duplicate-n-gram
+    //      rule) ----
+    // Boilerplate/spam filter: fraction of a document's 3-grams that are
+    // repeats of an earlier 3-gram in the SAME document. Pure map-side
+    // expression work (raw grams built inline — TextOps.wordShingles
+    // dedupes by design, and this rule needs the duplicates); integer
+    // counts and one exact final division, so cross-engine equality is
+    // bitwise ----
+    "llm_repetition" -> Q.df(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS grams
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS dup_grams,
+        |  ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS dup_ratio
+        |FROM sh
+        |WHERE len(grams) - len(list_distinct(grams)) > 0
+        |ORDER BY dup_ratio DESC NULLS LAST, doc_id ASC NULLS LAST
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val grams = transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => array_join(slice(toks, i, lit(3)), " "))
+      Tables.t(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), grams.as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          (size(col("grams")) - size(array_distinct(col("grams")))).cast("long").as("dup_grams"),
+          round((size(col("grams")) - size(array_distinct(col("grams")))).cast("double")
+            / size(col("grams")), 6).as("dup_ratio"))
+        .filter(col("dup_grams") > 0)
+        .orderBy(col("dup_ratio").desc_nulls_last, col("doc_id").asc_nulls_last)
+        .limit(100)
+    },
+
     // ---- benchmark decontamination (shared-shingle containment) ----
     // The train/eval overlap check every pretraining corpus runs: an
     // eval set's shingle fingerprints (here: docs 0-29 as the stand-in
