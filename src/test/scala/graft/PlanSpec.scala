@@ -226,4 +226,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join") && !p.contains("Aggregate"),
       "quantization is per-row expression work; nothing may shuffle or aggregate")
   }
+
+  test("llm_decontaminate broadcasts the benchmark fingerprints, corpus never shuffles on content") {
+    val p = executedPlan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval shingle set must broadcast; a shuffled containment join moves the corpus")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q75 delta: one aggregate feeds both self-join legs' shapes, no nested loop") {
+    val p = executedPlan("tpcds_q75_brand_decline")
+    assert(p.contains("HashAggregate"))
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
