@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-seven
+  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-eight
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), and prior-period decline deltas (q75).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), and multi-channel set-algebra counts (q38/q87).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -820,6 +820,30 @@ object Tpcds {
         |WHERE c.qty < p.qty
         |ORDER BY rev_delta ASC NULLS LAST, p_brand ASC NULLS LAST, d_year ASC NULLS LAST
         |LIMIT 100""".stripMargin),
+
+    // ---- q38/q87-style: multi-channel set algebra over customer sets —
+    //      the count of customers present in ALL three channels
+    //      (INTERSECT chain) and present in one but NOT another (EXCEPT).
+    //      Spark lowers both to semi/anti joins over the deduped channel
+    //      sets; nothing materializes beyond the distinct keys ----
+    "tpcds_q38_channel_intersect" -> Q.sqlSame(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS hot_customers FROM (
+        |  SELECT c_custkey, c_name FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT c_custkey, c_name FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE o_orderpriority = '2-HIGH'
+        |  INTERSECT
+        |  SELECT c_custkey, c_name FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE o_orderpriority = '3-MEDIUM') t""".stripMargin),
+
+    "tpcds_q87_channel_except" -> Q.sqlSame(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS exclusive_customers FROM (
+        |  SELECT c_custkey, c_name FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT c_custkey, c_name FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE o_orderpriority = '5-LOW') t""".stripMargin),
 
     // ---- q77/q80-style: the channel report — per-channel sales and
     //      returns aggregated separately, FULL OUTER joined on
