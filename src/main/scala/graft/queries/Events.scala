@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics in batch form — tumbling/sliding/session windows
@@ -107,6 +108,43 @@ object Events {
     // reference's JsonExtract.java semantics) aggregated per event type;
     // DuckDB re-derives with its own JSON extension. The decode runs
     // inside the scan projection — no UDF boundary, stream-safe.
+    // As-of join: each click paired with the user's most recent view at
+    // or before it — the time-series lookup the prompt-level surveys file
+    // under "as-of join" (DuckDB runs its native ASOF LEFT JOIN as the
+    // oracle). The Spark plan is the SCALABLE as-of form: union both
+    // sides, one window per user ordered by time carrying the last
+    // non-null view id — never the click×view range product a naive
+    // range join materializes (quadratic per user), and one shuffle on
+    // user_id total. Views order before clicks at equal timestamps so
+    // the join is inclusive (≤), matching ASOF semantics; -1 marks
+    // clicks with no prior view (keeps the column int64 both engines).
+    "events_asof_join" -> Q.df(
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id AS user_id, c.event_id AS event_id,
+        |  COALESCE(v.view_id, -1) AS view_id
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.vts <= c.cts
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_click").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "view", col("event_id")).as("view_marker"),
+          when(col("event_type") === "click", lit(1)).otherwise(lit(0)).as("is_click"))
+        .withColumn("last_view", last(col("view_marker"), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 1)
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("last_view"), lit(-1L)).as("view_id"))
+        .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+    },
+
     "events_props_json" -> Q.sql(
       spark = """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(json_extract_scalar(props, '$.k') AS INT) AS DECIMAL(30,8))) AS DOUBLE) AS sum_k,
