@@ -868,9 +868,9 @@ object Tpcds {
         |    COALESCE(sales, 0) AS sales, COALESCE(returns, 0) AS returns
         |  FROM s FULL OUTER JOIN r ON s.channel = r.channel AND s.id = r.id)
         |SELECT channel,
-        |  CAST(SUM(sales) AS DOUBLE) AS sales,
-        |  CAST(SUM(returns) AS DOUBLE) AS returns,
-        |  CAST(SUM(sales - returns) AS DOUBLE) AS profit
+        |  ROUND(CAST(SUM(sales) AS DOUBLE), 2) AS sales,
+        |  ROUND(CAST(SUM(returns) AS DOUBLE), 2) AS returns,
+        |  ROUND(CAST(SUM(sales - returns) AS DOUBLE), 2) AS profit
         |FROM joined
         |GROUP BY ROLLUP(channel)
         |ORDER BY channel ASC NULLS FIRST""".stripMargin),
@@ -884,21 +884,21 @@ object Tpcds {
     //      EnforceSingleRow results — q9's exact physical shape ----
     "tpcds_q9_bucket_cases" -> Q.sqlSame(
       """SELECT
-        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 12000
+        |  ROUND(CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 12000
         |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
-        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
-        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 12000
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END, 2) AS bucket1,
+        |  ROUND(CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 12000
         |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
-        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2,
-        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 12000
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END, 2) AS bucket2,
+        |  ROUND(CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 12000
         |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
-        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS bucket3,
-        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 12000
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END, 2) AS bucket3,
+        |  ROUND(CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 12000
         |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
-        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS bucket4,
-        |  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 12000
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END, 2) AS bucket4,
+        |  ROUND(CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 12000
         |    THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
-        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5""".stripMargin),
+        |    ELSE (SELECT CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) * 1000 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END, 2) AS bucket5""".stripMargin),
 
     // ---- q99-style: the ship-lag bucket matrix — conditional counts of
     //      days-between buckets per priority class. The only dialect
