@@ -65,9 +65,15 @@ final class SpaceSavingState(val capacity: Int) {
         push(minCount + by, v)
     }
 
-  /** Trim to the top `capacity` keys by count after a merge. */
-  def trim(): Unit = if (counts.size > capacity) {
-    val keep = counts.toSeq.sortBy(-_._2._1).take(capacity)
+  /** Trim to the top `capacity` keys by count after a merge. Ties broken
+    * by key (the same ordering eval() uses) so which equal-count keys
+    * survive never depends on HashMap iteration order.
+    */
+  def trim(keyOrd: Ordering[Any]): Unit = if (counts.size > capacity) {
+    val keep = counts.toSeq
+      .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
+        if (c1 != c2) c1 > c2 else keyOrd.compare(k1, k2) < 0 }
+      .take(capacity)
     counts.clear()
     heap = mutable.PriorityQueue.empty[(Long, Any)](
       Ordering.by[(Long, Any), Long](_._1).reverse)
@@ -117,7 +123,7 @@ case class ApproxMostFrequentAgg(
 
   override def merge(a: SpaceSavingState, b: SpaceSavingState): SpaceSavingState = {
     b.counts.foreach { case (k, (c, e)) => a.offer(k, c, e) }
-    a.trim()
+    a.trim(keyOrdering)
     a
   }
 

@@ -325,40 +325,48 @@ object Dedup {
     val batch = 3
     var i = 0
     var converged = false
-    while (!converged && i < maxIter) {
-      val stale = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      var cur = labels
-      for (_ <- 0 until math.min(batch, maxIter - i)) {
-        val viaNeighbor = edges
-          .join(cur, edges("dst") === cur("id"))
-          .select(edges("src").as("id"), col("cluster"))
-        val viaLabel = cur.select(col("id"), col("cluster").as("mid"))
-          .join(cur.select(col("id").as("mid_r"), col("cluster").as("cluster")),
-            col("mid") === col("mid_r"))
-          .select(col("id"), col("cluster"))
-        cur = cur.unionByName(viaNeighbor).unionByName(viaLabel)
-          .groupBy("id").agg(min("cluster").as("cluster"))
-          .persist(lvl)
-        stale += cur
+    try {
+      while (!converged && i < maxIter) {
+        val stale = scala.collection.mutable.ListBuffer.empty[DataFrame]
+        var cur = labels
+        for (_ <- 0 until math.min(batch, maxIter - i)) {
+          val viaNeighbor = edges
+            .join(cur, edges("dst") === cur("id"))
+            .select(edges("src").as("id"), col("cluster"))
+          val viaLabel = cur.select(col("id"), col("cluster").as("mid"))
+            .join(cur.select(col("id").as("mid_r"), col("cluster").as("cluster")),
+              col("mid") === col("mid_r"))
+            .select(col("id"), col("cluster"))
+          cur = cur.unionByName(viaNeighbor).unionByName(viaLabel)
+            .groupBy("id").agg(min("cluster").as("cluster"))
+            .persist(lvl)
+          stale += cur
+        }
+        // localCheckpoint truncates the LOGICAL plan, not just execution:
+        // cur references itself 4× per round, so without the cut the
+        // analyzed tree grows 4^rounds across batches and the driver OOMs
+        // planning, long before any executor does real work
+        val settled = cur.localCheckpoint(true)
+        // no change across the whole batch = fixpoint (labels only decrease)
+        converged = settled
+          .join(labels.withColumnRenamed("cluster", "prev"), "id")
+          .filter(col("cluster") =!= col("prev"))
+          .limit(1).count() == 0
+        stale.foreach(_.unpersist())
+        labels.unpersist()
+        labels = settled
+        i += math.min(batch, maxIter - i)
       }
-      // localCheckpoint truncates the LOGICAL plan, not just execution:
-      // cur references itself 4× per round, so without the cut the
-      // analyzed tree grows 4^rounds across batches and the driver OOMs
-      // planning, long before any executor does real work
-      val settled = cur.localCheckpoint(true)
-      // no change across the whole batch = fixpoint (labels only decrease)
-      converged = settled
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev"))
-        .limit(1).count() == 0
-      stale.foreach(_.unpersist())
-      labels.unpersist()
-      labels = settled
-      i += math.min(batch, maxIter - i)
+    } finally {
+      // release cached blocks on every exit path — the non-convergence
+      // throw below and any mid-loop job failure would otherwise leak
+      // the checkpointed edge set (and the last labels) for the life of
+      // the session
+      edges.unpersist()
+      if (!converged) labels.unpersist()
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— raise maxIter only after checking the pair graph for unexpected long chains")
-    edges.unpersist()
     labels
   }
 }

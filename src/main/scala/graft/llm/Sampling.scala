@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / ordering operators for training-data curation.
   *
-  * Both are pure map-side plans: no RNG state, no shuffle introduced by
-  * the operator itself, and bit-identical output for a given input no
+  * Both are deterministic — bit-identical output for a given input no
   * matter the cluster size, partitioning, or number of retries — the
   * property a 100 TB curation run needs so a re-run (or a per-partition
   * task retry) cannot silently change the training set. This is the same
   * stance as the engine's bernoulli sample (`sample_bernoulli`'s
   * determinism contract): sampling is a FUNCTION of the data, not of the
-  * execution.
+  * execution. Cost profiles differ: `stratified` is a pure map-side
+  * filter (no RNG state, no shuffle); `deterministicShuffle` is a
+  * distributed range-partitioned SORT — one exchange (range partitioning
+  * on the seeded hash) plus a per-partition sort, the unavoidable price
+  * of a total order over the corpus.
   */
 object Sampling {
 
@@ -36,7 +39,8 @@ object Sampling {
   /** Reproducible corpus shuffle: order by a seeded hash of the id (ties
     * broken by the id itself, so the order is total). Changing the seed
     * gives an independent epoch permutation; the same seed always gives
-    * the same one.
+    * the same one. Plans as a range-partitioned distributed sort — an
+    * exchange is inherent to any global reordering.
     */
   def deterministicShuffle(df: DataFrame, idCol: Column, seed: Long): DataFrame =
     df.orderBy(xxhash64(idCol, lit(seed)), idCol)

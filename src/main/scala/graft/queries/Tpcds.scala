@@ -551,7 +551,7 @@ object Tpcds {
         |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
         |  CAST(SUM(CASE WHEN hour(ts) BETWEEN 17 AND 21 THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt,
         |  ROUND(CAST(SUM(CASE WHEN hour(ts) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / SUM(CASE WHEN hour(ts) BETWEEN 17 AND 21 THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+        |    / NULLIF(SUM(CASE WHEN hour(ts) BETWEEN 17 AND 21 THEN 1 ELSE 0 END), 0), 6) AS am_pm_ratio
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin,
@@ -559,7 +559,7 @@ object Tpcds {
         |  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
         |  CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 17 AND 21 THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt,
         |  ROUND(CAST(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 7 AND 11 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 17 AND 21 THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+        |    / NULLIF(SUM(CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 17 AND 21 THEN 1 ELSE 0 END), 0), 6) AS am_pm_ratio
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS LAST""".stripMargin),
