@@ -35,6 +35,46 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("members"))
       .filter(col("n_dups") > 1)
 
+  /** Segment-level (sub-document) duplication profile — the C4/MassiveText
+    * line-dedup rule generalized to fixed-width word windows: split every
+    * document into consecutive `segWords`-word segments, count how many of
+    * a document's segments also appear in at least one OTHER document, and
+    * emit per-document (id, n_segs, dup_segs). Downstream curation either
+    * drops high-fraction documents or cuts the duplicated segments out;
+    * within-document repetition is deliberately NOT counted here (that is
+    * the repetition-ratio quality rule's job).
+    *
+    * Scale shape: segments travel as xxhash64 longs, never strings, so the
+    * corpus-wide segment table is 8 bytes + id per segment. One shuffle
+    * hash-partitions segments to count distinct containing docs; the join
+    * back to the per-doc side reuses the same (seg) partitioning, and the
+    * final per-doc rollup shuffles ids — all linear in total segment count,
+    * the same cost envelope as exact dedup. No driver-side state.
+    */
+  def segmentDuplication(
+      df: DataFrame,
+      idCol: String,
+      text: org.apache.spark.sql.Column,
+      segWords: Int = 16): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val chunks = df
+      .select(col(idCol).as("id"), split(text, " ").as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("id"),
+        explode(sequence(lit(1),
+          ceil(size(col("w")) / lit(segWords.toDouble)).cast("int"))).as("i"),
+        col("w"))
+      .select(col("id"),
+        xxhash64(array_join(
+          slice(col("w"), (col("i") - 1) * segWords + 1, lit(segWords)), " ")).as("seg"))
+    val segDocs = chunks.groupBy("seg")
+      .agg(countDistinct(col("id")).as("nd"))
+    chunks.join(segDocs, "seg")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("nd") > 1, 1).otherwise(0)).cast("long").as("dup_segs"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * @param elems column expression producing the document's element array

@@ -36,6 +36,26 @@ object Sampling {
     df.filter(pmod(idCol, lit(1000)) < bar)
   }
 
+  /** Mixture-weight solver for corpus composition: given a target token
+    * budget PER CLASS (source, domain, language …), compute the integer
+    * permille sampling rate that `stratified` needs to realize that mix —
+    * `min(1000, floor(1000 · target / tokens(class)))`, i.e. downsample
+    * overrepresented classes toward the target and keep underrepresented
+    * ones whole (rates never upsample; repeat epochs handle deficits).
+    * Returns (class, toks, permille) — one row per class, computed with a
+    * single map-side-combined aggregation over the corpus; feed the result
+    * into `stratified` for the actual cut. This is the static mixing step
+    * every large-corpus training run performs before shuffling.
+    */
+  def mixturePermille(df: DataFrame, classCol: String, tokens: Column,
+      targetPerClass: Long): DataFrame = {
+    require(targetPerClass > 0, "targetPerClass must be positive")
+    df.groupBy(col(classCol))
+      .agg(sum(tokens).cast("long").as("toks"))
+      .withColumn("permille",
+        least(lit(1000L), floor(lit(1000.0) * targetPerClass / col("toks"))).cast("long"))
+  }
+
   /** Reproducible corpus shuffle: order by a seeded hash of the id (ties
     * broken by the id itself, so the order is total). Changing the seed
     * gives an independent epoch permutation; the same seed always gives

@@ -437,6 +437,59 @@ object Llm {
     // CONSTRUCTION has a mathematical guarantee DuckDB can demand without
     // computing a single hash — pigeonhole completeness. For every pair in
     // a bounded slice, membership in the full-corpus banded output must
+    // ---- segment-level duplication profile (Dedup.segmentDuplication) ----
+    // The C4/MassiveText sub-document rule: 16-word segments hashed
+    // corpus-wide, per-doc duplicated-segment counts rolled up per source.
+    // The oracle recomputes over raw segment STRINGS (DuckDB list slicing)
+    // while the operator travels xxhash64 longs — agreement also certifies
+    // the hashing introduces no collision at this scale.
+    "llm_dedup_segments" -> Q.df(
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |idx AS (SELECT doc_id, source, w,
+        |    unnest(generate_series(1, CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+        |  FROM toks),
+        |chunks AS (SELECT doc_id, source,
+        |    array_to_string(w[((i-1)*16+1):(i*16)], ' ') AS seg
+        |  FROM idx),
+        |seg_counts AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd
+        |  FROM chunks GROUP BY seg),
+        |perdoc AS (SELECT c.doc_id, c.source, COUNT(*) AS n_segs,
+        |    SUM(CASE WHEN sc.nd > 1 THEN 1 ELSE 0 END) AS dup_segs
+        |  FROM chunks c JOIN seg_counts sc ON c.seg = sc.seg
+        |  GROUP BY c.doc_id, c.source)
+        |SELECT source, CAST(SUM(dup_segs) AS BIGINT) AS dup_segs,
+        |  CAST(SUM(n_segs) AS BIGINT) AS n_segs,
+        |  ROUND(CAST(SUM(dup_segs) AS DOUBLE) / SUM(n_segs), 6) AS dup_frac
+        |FROM perdoc GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      Dedup.segmentDuplication(d, "doc_id", col("text"), segWords = 16)
+        .join(d.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source")
+        .agg(sum(col("dup_segs")).cast("long").as("dup_segs"),
+          sum(col("n_segs")).cast("long").as("n_segs"),
+          round(sum(col("dup_segs")).cast("double") / sum(col("n_segs")), 6)
+            .as("dup_frac"))
+        .orderBy(col("source").asc_nulls_last)
+    },
+
+    // ---- mixture-weight solver (Sampling.mixturePermille) ----
+    // Static corpus mixing: per-source token mass and the permille rate
+    // stratified sampling needs to hit an 800-token/source target mix.
+    "llm_mixture_weights" -> Q.df(
+      """WITH per_src AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source)
+        |SELECT source, toks,
+        |  CAST(LEAST(1000, FLOOR(1000.0 * 800 / toks)) AS BIGINT) AS permille
+        |FROM per_src
+        |ORDER BY source ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.mixturePermille(Tables.t(s, dir, "documents"),
+          "source", size(split(col("text"), " ")), targetPerClass = 800L)
+        .orderBy(col("source").asc_nulls_last)
+    },
+
     // equal membership under the exact hamming-distance filter; the oracle
     // asserts the equivalence holds for every slice pair.
     "llm_dedup_simhash" -> Q.df(

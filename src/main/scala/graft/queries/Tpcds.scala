@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), and multi-channel set-algebra counts (q38/q87).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), and correlated excess-discount screens (q92/q32).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -946,6 +946,46 @@ object Tpcds {
         |FROM stats
         |WHERE n >= 4 AND sx > 0 AND SQRT((sxx - sx * sx / n) / (n - 1)) / (sx / n) > 1.0
         |ORDER BY cov DESC NULLS LAST, l_partkey ASC NULLS LAST
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin),
+
+    // ---- q44-style: the best/worst asymmetric rank join — items ranked
+    //      by revenue ascending AND descending in one pass over the
+    //      aggregate, the two rankings matched rank-to-rank so row k pairs
+    //      the k-th best with the k-th worst (q44's ascending/descending
+    //      subquery pair). Ties broken by part key so RANK is a total
+    //      order and the join is 1:1 ----
+    "tpcds_q44_best_worst" -> Q.sqlSame(
+      """WITH perf AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |ranked AS (SELECT pk, rev,
+        |    RANK() OVER (ORDER BY rev ASC, pk ASC) AS rnk_a,
+        |    RANK() OVER (ORDER BY rev DESC, pk ASC) AS rnk_d FROM perf)
+        |SELECT a.rnk_a AS rnk, pa.p_name AS best_name, pb.p_name AS worst_name,
+        |  ROUND(a.rev, 2) AS best_rev, ROUND(b.rev, 2) AS worst_rev
+        |FROM ranked a JOIN ranked b ON a.rnk_a = b.rnk_d AND a.rnk_a <= 10
+        |JOIN part pa ON pa.p_partkey = a.pk
+        |JOIN part pb ON pb.p_partkey = b.pk
+        |ORDER BY rnk ASC NULLS LAST""".stripMargin),
+
+    // ---- q92/q32-style: the excess-discount screen — lineitems whose
+    //      discount exceeds 1.3× the average discount for the SAME part
+    //      over the same window, summed. The correlated scalar aggregate
+    //      decorrelates to a per-part aggregate join; the 1.3× band is
+    //      cross-multiplied (10·x > 13·avg) so no decimal literal ever
+    //      divides (the q21 constant-folding lesson), and the average is
+    //      derived from the exact decimal sum so aggregation order cannot
+    //      move the boundary ----
+    "tpcds_q92_excess_discount" -> Q.sqlSame(
+      """SELECT ROUND(CAST(SUM(CAST(w.l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS excess_revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem w JOIN part ON p_partkey = w.l_partkey
+        |WHERE p_size <= 15
+        |  AND w.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        |  AND 10 * w.l_discount > 13 * (
+        |    SELECT CAST(SUM(CAST(l2.l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = w.l_partkey
+        |      AND l2.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')""".stripMargin)
   )
 }

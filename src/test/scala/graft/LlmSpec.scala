@@ -112,6 +112,42 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.contains((1L, 2L)), "identical docs must always collide")
   }
 
+  test("segment duplication counts cross-doc segments, not within-doc repeats") {
+    val sp = spark; import sp.implicits._
+    // 4-word segments: doc 1 and 2 share their first segment exactly;
+    // doc 3 repeats its own segment twice (within-doc only); doc 4 unique.
+    val base = Seq(
+      (1L, "a b c d e f g h"),         // segs: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),         // shares "a b c d" with doc 1
+      (3L, "p q r s p q r s"),         // own segment twice, no other doc
+      (4L, "unique words only here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDuplication(base, "doc_id", col("text"), segWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 1L), "doc 1: 2 segments, 1 shared cross-doc")
+    assert(out(2L) == (2L, 1L), "doc 2: 2 segments, 1 shared cross-doc")
+    assert(out(3L) == (2L, 0L), "within-doc repetition is not cross-doc duplication")
+    assert(out(4L) == (1L, 0L))
+    // partial tail segment: 5 words at segWords=4 -> 2 segments
+    val tail = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val t = Dedup.segmentDuplication(tail, "doc_id", col("text"), 4).collect()
+    assert(t.head.getLong(1) == 2L)
+  }
+
+  test("mixture permille downsamples overrepresented classes to the target") {
+    val sp = spark; import sp.implicits._
+    val base = Seq(
+      ("big", 4000L), ("big", 4000L),       // 8000 tokens -> permille 100
+      ("fit", 500L), ("fit", 300L),         // 800 tokens  -> exactly 1000
+      ("small", 10L))                       // 10 tokens   -> capped at 1000
+      .toDF("source", "toks")
+    val out = graft.llm.Sampling.mixturePermille(base, "source", col("toks"), 800L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("big") == (8000L, 100L))
+    assert(out("fit") == (800L, 1000L))
+    assert(out("small") == (10L, 1000L), "never upsample past keeping everything")
+  }
+
   test("dropDuplicates keeps exactly one representative per cluster") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", TextOps.tokenSet(col("text")), 0.9)
     val kept = Dedup.dropDuplicates(docs, "doc_id", pairs)

@@ -240,4 +240,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesianproduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("tpcds q44 best/worst: rank-to-rank join hashes, part dims broadcast") {
+    val p = executedPlan("tpcds_q44_best_worst")
+    assert(p.contains("BroadcastHashJoin"), "part lookups must broadcast")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpcds q92 excess-discount decorrelates to a per-part aggregate join") {
+    val p = executedPlan("tpcds_q92_excess_discount")
+    assert(p.contains("HashAggregate"),
+      "the correlated AVG must lower to a standalone per-part aggregate")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("segment dedup joins on the segment hash, never a cross product") {
+    val p = executedPlan("llm_dedup_segments")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("xxhash64"), "segments must travel as 64-bit hashes, not strings")
+  }
+
+  test("mixture weights is one map-side-combined aggregation") {
+    val p = executedPlan("llm_mixture_weights")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the mixture solve is a single aggregation, no join anywhere")
+  }
 }
