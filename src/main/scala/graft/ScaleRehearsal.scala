@@ -117,6 +117,17 @@ object ScaleRehearsal {
       llm.Dedup.simhashPairs(docs, "doc_id", llm.TextOps.tokenSet(col("text")),
         maxHamming = 3)
     }
+    // Segment-level dedup: all joins key on the 64-bit segment hash, so
+    // cost is linear in total segment count — the 10×/1× ratio should sit
+    // near 10 (the vowel-rotated replicas share no segments, so the
+    // cross-replica collision rate stays flat).
+    val tSeg1 = time("segdedup @1x") {
+      llm.Dedup.segmentDuplication(Tables.t(spark, sfDir, "documents"),
+        "doc_id", col("text"), segWords = 16)
+    }
+    val tSeg = time("segdedup @10x") {
+      llm.Dedup.segmentDuplication(docs, "doc_id", col("text"), segWords = 16)
+    }
 
     // ---- ann lsh at 10× vectors (reflected replicas) ----
     // 10 DISTINCT orthogonal maps: bit-pattern reflection keyed by i%6,
@@ -156,7 +167,7 @@ object ScaleRehearsal {
         nlist = 256, nprobe = 16)
     }
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
     spark.stop()
   }
 }
