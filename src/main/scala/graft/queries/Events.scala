@@ -78,6 +78,31 @@ object Events {
         .orderBy(col("user_id").asc_nulls_last, col("session_start").asc_nulls_last)
     },
 
+    // Rolling event-time rate per user: a RANGE frame bounded by a TIME
+    // interval (1 hour preceding) rather than a row count — the
+    // per-entity rolling counter/limiter every event pipeline runs. The
+    // frame is event-time-driven, so row-count frames cannot express it;
+    // both engines bound the frame by ts arithmetic and include ts peers.
+    // The windowed SUM rides the exact-decimal pattern so frame
+    // accumulation order cannot perturb the double.
+    "events_rolling_rate" -> Q.sql(
+      spark = """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS value_last_hour
+        |FROM events
+        |WHERE user_id < 10
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS value_last_hour
+        |FROM events
+        |WHERE user_id < 10
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin),
+
     // Event-time top event per user per day: the enrichment join + window
     // pattern every event pipeline runs (events × customer-like dim would
     // go the same way; user ids are synthetic here).

@@ -490,6 +490,42 @@ object Llm {
         .orderBy(col("source").asc_nulls_last)
     },
 
+    // ---- mixture solve + apply, end to end ----
+    // The full static-mixing loop: solve per-source permille rates from a
+    // 400-token/source target (mixturePermille), broadcast the tiny rate
+    // table back onto the corpus, and cut with the same deterministic
+    // permille bar stratified sampling uses — then report what the cut
+    // realized. The corpus never shuffles: the only exchange is the rate
+    // aggregation itself; the apply side is a broadcast join + map-side
+    // filter. (Realized mass tracks the target only as well as ids mix
+    // per class — synthetic round-robin ids at tiny SF overshoot; hash
+    // the id first when ids correlate with the class, per the operator
+    // docs.)
+    "llm_mixture_apply" -> Q.df(
+      """WITH per_src AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |rates AS (SELECT source,
+        |    CAST(LEAST(1000, FLOOR(1000.0 * 400 / toks)) AS BIGINT) AS permille
+        |  FROM per_src),
+        |kept AS (SELECT d.source, len(string_split(d.text, ' ')) AS dtoks
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE d.doc_id % 1000 < r.permille)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(dtoks) AS BIGINT) AS kept_toks
+        |FROM kept GROUP BY source
+        |ORDER BY source ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val rates = graft.llm.Sampling.mixturePermille(
+        d, "source", size(split(col("text"), " ")), targetPerClass = 400L)
+      d.join(broadcast(rates.select(col("source"), col("permille"))), "source")
+        .filter(pmod(col("doc_id"), lit(1000)) < col("permille"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("kept_toks"))
+        .orderBy(col("source").asc_nulls_last)
+    },
+
     // equal membership under the exact hamming-distance filter; the oracle
     // asserts the equivalence holds for every slice pair.
     "llm_dedup_simhash" -> Q.df(

@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), and correlated excess-discount screens (q92/q32).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), correlated excess-discount screens (q92/q32), and exclusive-ship EXISTS/NOT-EXISTS screens (q16/q94).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -986,6 +986,26 @@ object Tpcds {
         |    SELECT CAST(SUM(CAST(l2.l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
         |    FROM lineitem l2
         |    WHERE l2.l_partkey = w.l_partkey
-        |      AND l2.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')""".stripMargin)
+        |      AND l2.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31')""".stripMargin),
+
+    // ---- q16/q94-style: the exclusive-ship screen — priority orders
+    //      whose lineitems involve at least two distinct suppliers (EXISTS
+    //      over a self-joined fact) and which had no returned item (NOT
+    //      EXISTS), counted with their total price. The q95 multi-hop
+    //      EXISTS plus q94's NOT-EXISTS exclusion in one shape: Catalyst
+    //      must lower the pair to a semi join AND an anti join against the
+    //      same fact ----
+    "tpcds_q94_exclusive_ship" -> Q.sqlSame(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS order_cnt,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_price
+        |FROM orders o
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o.o_orderkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')""".stripMargin)
   )
 }

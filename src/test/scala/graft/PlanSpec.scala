@@ -264,6 +264,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("xxhash64"), "segments must travel as 64-bit hashes, not strings")
   }
 
+  test("tpcds q94 lowers EXISTS to semi and NOT EXISTS to anti against the fact") {
+    val p = executedPlan("tpcds_q94_exclusive_ship")
+    assert(p.contains("LeftSemi"), "EXISTS over the self-joined fact must lower to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS returns screen must lower to an anti join")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("mixture apply broadcasts the solved rates; the corpus never shuffles") {
+    val p = executedPlan("llm_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"), "the tiny rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle to meet the rate table")
+  }
+
   test("mixture weights is one map-side-combined aggregation") {
     val p = executedPlan("llm_mixture_weights")
     assert(p.contains("HashAggregate"))

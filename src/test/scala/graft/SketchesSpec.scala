@@ -284,4 +284,24 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(k) <= n + 100000L / 64 * 5, s"$k overshoot beyond bound: ${got(k)} vs $n")
     }
   }
+
+  test("approx_most_frequent deterministic under eviction with tied counts") {
+    // The regime the trim tie-break exists for: capacity 64 << 1000
+    // distinct keys and a long tail of keys sharing the SAME count, so the
+    // post-merge trim must cut within an equal-count cohort. Which keys
+    // survive must be a function of the data (count desc, key asc) — never
+    // of HashMap iteration order — so two evaluations of the same plan
+    // must agree entry-for-entry, including entry order.
+    spark.range(0, 30000).selectExpr(
+        "CAST(CASE WHEN id % 3 = 0 THEN id % 10 ELSE 10 + id % 1000 END AS STRING) AS k")
+      .repartition(7).createOrReplaceTempView("amf_ties")
+    def run(): Seq[(String, Long)] = spark.sql(
+      "SELECT map_entries(approx_most_frequent(20, k, 64)) FROM amf_ties")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val a = run()
+    val b = run()
+    assert(a == b, s"eviction-regime output varied across runs:\n$a\n$b")
+    assert(a.nonEmpty && a.size <= 20)
+  }
 }
