@@ -75,6 +75,47 @@ object Dedup {
         sum(when(col("nd") > 1, 1).otherwise(0)).cast("long").as("dup_segs"))
   }
 
+  /** Segment-level CUT — the transform twin of [[segmentDuplication]]:
+    * remove every `segWords`-word segment that also appears in at least
+    * one other document and rebuild the document from the surviving
+    * segments, in their original order (the C4 rule applied at segment
+    * granularity: boilerplate and cross-posted passages vanish, unique
+    * prose stays). Within-document repeats are kept — they are one
+    * document's own content, not corpus contamination. Documents whose
+    * every segment is shared elsewhere are dropped entirely (nothing
+    * survives to rebuild).
+    *
+    * Same scale shape as the profile: hashes travel, not strings; the
+    * rebuild joins the (small) kept-index sets back to the tokenized
+    * corpus on id and reslices — no shuffle ever carries segment text.
+    */
+  def segmentCut(
+      df: DataFrame,
+      idCol: String,
+      text: org.apache.spark.sql.Column,
+      segWords: Int = 16): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val base = df.select(col(idCol).as("id"), split(text, " ").as("w"))
+      .filter(size(col("w")) >= 1)
+    val chunks = base
+      .select(col("id"),
+        explode(sequence(lit(1),
+          ceil(size(col("w")) / lit(segWords.toDouble)).cast("int"))).as("i"),
+        col("w"))
+      .select(col("id"), col("i"),
+        xxhash64(array_join(
+          slice(col("w"), (col("i") - 1) * segWords + 1, lit(segWords)), " ")).as("seg"))
+    val segDocs = chunks.groupBy("seg").agg(countDistinct(col("id")).as("nd"))
+    val keptIdx = chunks.join(segDocs, "seg")
+      .filter(col("nd") === 1)
+      .groupBy("id").agg(array_sort(collect_list(col("i"))).as("ks"))
+    base.join(keptIdx, "id")
+      .select(col("id"),
+        array_join(flatten(transform(col("ks"),
+          i => slice(col("w"), (i - 1) * segWords + 1, lit(segWords)))), " ")
+          .as("clean_text"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * @param elems column expression producing the document's element array

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / ordering operators for training-data curation.
   *
-  * Both are deterministic — bit-identical output for a given input no
+  * All are deterministic — bit-identical output for a given input no
   * matter the cluster size, partitioning, or number of retries — the
   * property a 100 TB curation run needs so a re-run (or a per-partition
   * task retry) cannot silently change the training set. This is the same

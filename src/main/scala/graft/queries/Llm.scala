@@ -490,6 +490,42 @@ object Llm {
         .orderBy(col("source").asc_nulls_last)
     },
 
+    // ---- segment-level cut (Dedup.segmentCut) ----
+    // The transform twin of the duplication profile: cross-doc duplicated
+    // segments removed, text rebuilt from the survivors in order. The
+    // oracle rebuilds with DuckDB list slicing over raw strings and the
+    // md5 of the rebuilt text must agree byte-for-byte — a far stronger
+    // check than counts (one word out of order or one boundary off by one
+    // flips the hash).
+    "llm_dedup_segment_cut" -> Q.df(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |idx AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+        |  FROM toks),
+        |chunks AS (SELECT doc_id, w, i,
+        |    array_to_string(w[((i-1)*16+1):(i*16)], ' ') AS seg FROM idx),
+        |seg_counts AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd
+        |  FROM chunks GROUP BY seg),
+        |kept AS (SELECT c.doc_id, c.i FROM chunks c
+        |  JOIN seg_counts sc ON c.seg = sc.seg WHERE sc.nd = 1),
+        |rebuilt AS (
+        |  SELECT t.doc_id,
+        |    array_to_string(flatten(list_transform(list_sort(list(k.i)),
+        |      i -> t.w[((i-1)*16+1):(i*16)])), ' ') AS clean_text
+        |  FROM toks t JOIN kept k ON t.doc_id = k.doc_id
+        |  GROUP BY t.doc_id, t.w)
+        |SELECT doc_id, md5(clean_text) AS clean_md5,
+        |  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS clean_words
+        |FROM rebuilt ORDER BY doc_id ASC NULLS LAST
+        |LIMIT 200""".stripMargin) { (s, dir) =>
+      Dedup.segmentCut(Tables.t(s, dir, "documents"), "doc_id", col("text"), 16)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          size(split(col("clean_text"), " ")).cast("long").as("clean_words"))
+        .orderBy(col("doc_id").asc_nulls_last)
+        .limit(200)
+    },
+
     // ---- mixture solve + apply, end to end ----
     // The full static-mixing loop: solve per-source permille rates from a
     // 400-token/source target (mixturePermille), broadcast the tiny rate

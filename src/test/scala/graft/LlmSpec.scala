@@ -134,6 +134,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.head.getLong(1) == 2L)
   }
 
+  test("segment cut removes cross-doc segments, keeps own repeats, in order") {
+    val sp = spark; import sp.implicits._
+    val base = Seq(
+      (1L, "a b c d e f g h"),          // shares "a b c d" with doc 2
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s p q r s"),          // own repeat — must survive whole
+      (4L, "a b c d"))                   // nothing survives — dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentCut(base, "doc_id", col("text"), segWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "e f g h", "shared leading segment must be cut")
+    assert(out(2L) == "x y z w")
+    assert(out(3L) == "p q r s p q r s", "within-doc repeats are not contamination")
+    assert(!out.contains(4L), "fully-duplicated doc drops entirely")
+  }
+
   test("mixture permille downsamples overrepresented classes to the target") {
     val sp = spark; import sp.implicits._
     val base = Seq(
