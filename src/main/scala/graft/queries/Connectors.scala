@@ -141,5 +141,32 @@ object Connectors {
         .select(col("n_nationkey"), col("n_name"),
           col("n_regionkey").cast("int").as("n_regionkey"))
         .orderBy(col("n_nationkey").asc_nulls_last)
+    },
+
+    // JDBC connector roundtrip (presto-base-jdbc): customer → embedded
+    // Derby (the JDBC engine already on Spark's classpath) → parallel
+    // range-partitioned JDBC read (4 split predicates on c_custkey — the
+    // reference's split generation) → aggregate. The oracle re-derives
+    // from the parquet source, ORC-style: the in-memory Derby is invisible
+    // to the oracle process, so any value the JDBC type mapping mangles
+    // (or a row a split predicate drops/duplicates) breaks the hash.
+    "src_jdbc_roundtrip" -> Q.df(
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS acctbal
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      // keep Derby's log out of the repo working tree
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+      val url = s"jdbc:derby:memory:graft_${java.lang.ProcessHandle.current().pid()};create=true"
+      val cust = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      Sources.writeJdbc(cust, url, "customer_jdbc")
+      val bounds = cust.agg(min("c_custkey"), max("c_custkey")).head()
+      Sources.jdbc(s, url, "customer_jdbc", "c_custkey",
+          bounds.getLong(0), bounds.getLong(1) + 1, numPartitions = 4)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"))
+        .orderBy(col("c_nationkey").asc_nulls_last)
     })
 }
