@@ -118,9 +118,11 @@ object ScaleRehearsal {
         maxHamming = 3)
     }
     // Segment-level dedup: all joins key on the 64-bit segment hash, so
-    // cost is linear in total segment count — the 10×/1× ratio should sit
-    // near 10 (the vowel-rotated replicas share no segments, so the
-    // cross-replica collision rate stays flat).
+    // WORK is linear in total segment count (the vowel-rotated replicas
+    // share no segments, so the collision rate stays flat). Measured
+    // wall ratio runs well BELOW 10 (≈2.5× in SCALE_r08.md) because the
+    // 1× run is dominated by fixed job/shuffle setup — sublinear wall is
+    // the healthy signature here; ≈10× would mean setup stopped mattering.
     val tSeg1 = time("segdedup @1x") {
       llm.Dedup.segmentDuplication(Tables.t(spark, sfDir, "documents"),
         "doc_id", col("text"), segWords = 16)

@@ -27,21 +27,32 @@ import org.apache.spark.sql.types._
   * Returns a map<value, bigint> of the top `buckets` keys, entries ordered
   * by (count desc, key asc) so the result is deterministic.
   */
-final class SpaceSavingState(val capacity: Int) {
+final class SpaceSavingState(val capacity: Int, keyOrd: Ordering[Any]) {
   /** value -> (estimated count, max overestimation error) */
   val counts = mutable.HashMap.empty[Any, (Long, Long)]
-  /** lazy-deletion min-heap over (count, value); entries go stale when a
+  /** Dequeue order for the lazy-deletion eviction heap: smallest count
+    * first, count ties broken by LARGEST key under keyOrd — so which of
+    * several equal-count keys gets evicted is a function of the summary's
+    * content, never of HashMap/heap insertion order (offer() is the only
+    * place eviction happens; an order-dependent victim there would make
+    * approx_most_frequent output vary run-to-run under eviction).
+    */
+  private val heapOrd: Ordering[(Long, Any)] = new Ordering[(Long, Any)] {
+    def compare(x: (Long, Any), y: (Long, Any)): Int = {
+      val c = java.lang.Long.compare(y._1, x._1)
+      if (c != 0) c else keyOrd.compare(x._2, y._2)
+    }
+  }
+  /** lazy-deletion heap over (count, value); entries go stale when a
     * key is incremented or evicted — validated against `counts` on pop.
     * Compacted when it outgrows 4×capacity so memory stays O(capacity).
     */
-  private var heap = mutable.PriorityQueue.empty[(Long, Any)](
-    Ordering.by[(Long, Any), Long](_._1).reverse)
+  private var heap = mutable.PriorityQueue.empty[(Long, Any)](heapOrd)
 
   private def push(count: Long, key: Any): Unit = {
     heap.enqueue((count, key))
     if (heap.size > 4 * capacity) {
-      heap = mutable.PriorityQueue.empty[(Long, Any)](
-        Ordering.by[(Long, Any), Long](_._1).reverse)
+      heap = mutable.PriorityQueue.empty[(Long, Any)](heapOrd)
       counts.foreach { case (k, (c, _)) => heap.enqueue((c, k)) }
     }
   }
@@ -64,21 +75,9 @@ final class SpaceSavingState(val capacity: Int) {
         counts(v) = (minCount + by, minCount + err)
         push(minCount + by, v)
     }
-
-  /** Trim to the top `capacity` keys by count after a merge. Ties broken
-    * by key (the same ordering eval() uses) so which equal-count keys
-    * survive never depends on HashMap iteration order.
-    */
-  def trim(keyOrd: Ordering[Any]): Unit = if (counts.size > capacity) {
-    val keep = counts.toSeq
-      .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
-        if (c1 != c2) c1 > c2 else keyOrd.compare(k1, k2) < 0 }
-      .take(capacity)
-    counts.clear()
-    heap = mutable.PriorityQueue.empty[(Long, Any)](
-      Ordering.by[(Long, Any), Long](_._1).reverse)
-    keep.foreach { case (k, ce) => counts(k) = ce; heap.enqueue((ce._1, k)) }
-  }
+  // note: offer() keeps counts.size <= capacity on every branch (insert
+  // only below capacity, otherwise evict-then-insert), so merge needs no
+  // post-hoc trim — the eviction tie-break above IS the determinism story.
 }
 
 case class ApproxMostFrequentAgg(
@@ -113,7 +112,7 @@ case class ApproxMostFrequentAgg(
   override def prettyName: String = "approx_most_frequent"
 
   override def createAggregationBuffer(): SpaceSavingState =
-    new SpaceSavingState(capacity)
+    new SpaceSavingState(capacity, keyOrdering)
 
   override def update(state: SpaceSavingState, input: InternalRow): SpaceSavingState = {
     val v = value.eval(input)
@@ -123,7 +122,6 @@ case class ApproxMostFrequentAgg(
 
   override def merge(a: SpaceSavingState, b: SpaceSavingState): SpaceSavingState = {
     b.counts.foreach { case (k, (c, e)) => a.offer(k, c, e) }
-    a.trim(keyOrdering)
     a
   }
 

@@ -57,23 +57,38 @@ object Dedup {
       text: org.apache.spark.sql.Column,
       segWords: Int = 16): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
-    val chunks = df
-      .select(col(idCol).as("id"), split(text, " ").as("w"))
-      .filter(size(col("w")) >= 1)
-      .select(col("id"),
-        explode(sequence(lit(1),
-          ceil(size(col("w")) / lit(segWords.toDouble)).cast("int"))).as("i"),
-        col("w"))
-      .select(col("id"),
-        xxhash64(array_join(
-          slice(col("w"), (col("i") - 1) * segWords + 1, lit(segWords)), " ")).as("seg"))
-    val segDocs = chunks.groupBy("seg")
-      .agg(countDistinct(col("id")).as("nd"))
-    chunks.join(segDocs, "seg")
+    val chunks = segIndex(tokenized(df, idCol, text), segWords)
+    chunks.join(segDocCounts(chunks), "seg")
       .groupBy("id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("nd") > 1, 1).otherwise(0)).cast("long").as("dup_segs"))
   }
+
+  /** (id, word-array) per document with at least one word — the shared
+    * front of the segment operators.
+    */
+  private def tokenized(df: DataFrame, idCol: String,
+      text: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(idCol).as("id"), split(text, " ").as("w"))
+      .filter(size(col("w")) >= 1)
+
+  /** (id, i, seg) — one row per consecutive `segWords`-word window, seg =
+    * xxhash64 of the joined window. THE segment boundary arithmetic: both
+    * the duplication profile and the cut derive from this one definition,
+    * so they can never disagree about where a segment starts.
+    */
+  private def segIndex(base: DataFrame, segWords: Int): DataFrame =
+    base.select(col("id"),
+        explode(sequence(lit(1),
+          ceil(size(col("w")) / lit(segWords.toDouble)).cast("int"))).as("i"),
+        col("w"))
+      .select(col("id"), col("i"),
+        xxhash64(array_join(
+          slice(col("w"), (col("i") - 1) * segWords + 1, lit(segWords)), " ")).as("seg"))
+
+  /** (seg, nd) — distinct containing-document count per segment. */
+  private def segDocCounts(chunks: DataFrame): DataFrame =
+    chunks.groupBy("seg").agg(countDistinct(col("id")).as("nd"))
 
   /** Segment-level CUT — the transform twin of [[segmentDuplication]]:
     * remove every `segWords`-word segment that also appears in at least
@@ -95,18 +110,9 @@ object Dedup {
       text: org.apache.spark.sql.Column,
       segWords: Int = 16): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
-    val base = df.select(col(idCol).as("id"), split(text, " ").as("w"))
-      .filter(size(col("w")) >= 1)
-    val chunks = base
-      .select(col("id"),
-        explode(sequence(lit(1),
-          ceil(size(col("w")) / lit(segWords.toDouble)).cast("int"))).as("i"),
-        col("w"))
-      .select(col("id"), col("i"),
-        xxhash64(array_join(
-          slice(col("w"), (col("i") - 1) * segWords + 1, lit(segWords)), " ")).as("seg"))
-    val segDocs = chunks.groupBy("seg").agg(countDistinct(col("id")).as("nd"))
-    val keptIdx = chunks.join(segDocs, "seg")
+    val base = tokenized(df, idCol, text)
+    val chunks = segIndex(base, segWords)
+    val keptIdx = chunks.join(segDocCounts(chunks), "seg")
       .filter(col("nd") === 1)
       .groupBy("id").agg(array_sort(collect_list(col("i"))).as("ks"))
     base.join(keptIdx, "id")
@@ -406,9 +412,15 @@ object Dedup {
     val batch = 3
     var i = 0
     var converged = false
+    // every frame persisted/checkpointed by this call, unpersisted as it
+    // goes stale; the finally drains whatever is still live on a failure
+    // path (mid-batch job error, non-convergence) so nothing — edges,
+    // batch intermediates, or a just-checkpointed settled frame — can
+    // outlive the call in the block manager. On success only the returned
+    // labels stay cached (the caller owns them).
+    val live = scala.collection.mutable.ListBuffer[DataFrame](labels)
     try {
       while (!converged && i < maxIter) {
-        val stale = scala.collection.mutable.ListBuffer.empty[DataFrame]
         var cur = labels
         for (_ <- 0 until math.min(batch, maxIter - i)) {
           val viaNeighbor = edges
@@ -421,30 +433,27 @@ object Dedup {
           cur = cur.unionByName(viaNeighbor).unionByName(viaLabel)
             .groupBy("id").agg(min("cluster").as("cluster"))
             .persist(lvl)
-          stale += cur
+          live += cur
         }
         // localCheckpoint truncates the LOGICAL plan, not just execution:
         // cur references itself 4× per round, so without the cut the
         // analyzed tree grows 4^rounds across batches and the driver OOMs
         // planning, long before any executor does real work
         val settled = cur.localCheckpoint(true)
+        live += settled
         // no change across the whole batch = fixpoint (labels only decrease)
         converged = settled
           .join(labels.withColumnRenamed("cluster", "prev"), "id")
           .filter(col("cluster") =!= col("prev"))
           .limit(1).count() == 0
-        stale.foreach(_.unpersist())
-        labels.unpersist()
         labels = settled
+        live.filter(_ ne settled).foreach(_.unpersist())
+        live.filterInPlace(_ eq settled)
         i += math.min(batch, maxIter - i)
       }
     } finally {
-      // release cached blocks on every exit path — the non-convergence
-      // throw below and any mid-loop job failure would otherwise leak
-      // the checkpointed edge set (and the last labels) for the life of
-      // the session
       edges.unpersist()
-      if (!converged) labels.unpersist()
+      if (!converged) live.foreach(_.unpersist())
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— raise maxIter only after checking the pair graph for unexpected long chains")

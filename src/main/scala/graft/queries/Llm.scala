@@ -432,11 +432,6 @@ object Llm {
         .orderBy(col("cluster_id").asc_nulls_last)
     },
 
-    // ---- SimHash near-dup candidates (Dedup.simhashPairs) ----
-    // Oracle form: SimHash values are engine-specific, but the banding
-    // CONSTRUCTION has a mathematical guarantee DuckDB can demand without
-    // computing a single hash — pigeonhole completeness. For every pair in
-    // a bounded slice, membership in the full-corpus banded output must
     // ---- segment-level duplication profile (Dedup.segmentDuplication) ----
     // The C4/MassiveText sub-document rule: 16-word segments hashed
     // corpus-wide, per-doc duplicated-segment counts rolled up per source.
@@ -562,6 +557,11 @@ object Llm {
         .orderBy(col("source").asc_nulls_last)
     },
 
+    // ---- SimHash near-dup candidates (Dedup.simhashPairs) ----
+    // Oracle form: SimHash values are engine-specific, but the banding
+    // CONSTRUCTION has a mathematical guarantee DuckDB can demand without
+    // computing a single hash — pigeonhole completeness. For every pair in
+    // a bounded slice, membership in the full-corpus banded output must
     // equal membership under the exact hamming-distance filter; the oracle
     // asserts the equivalence holds for every slice pair.
     "llm_dedup_simhash" -> Q.df(

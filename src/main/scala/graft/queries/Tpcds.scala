@@ -961,11 +961,11 @@ object Tpcds {
         |ranked AS (SELECT pk, rev,
         |    RANK() OVER (ORDER BY rev ASC, pk ASC) AS rnk_a,
         |    RANK() OVER (ORDER BY rev DESC, pk ASC) AS rnk_d FROM perf)
-        |SELECT a.rnk_a AS rnk, pa.p_name AS best_name, pb.p_name AS worst_name,
-        |  ROUND(a.rev, 2) AS best_rev, ROUND(b.rev, 2) AS worst_rev
-        |FROM ranked a JOIN ranked b ON a.rnk_a = b.rnk_d AND a.rnk_a <= 10
-        |JOIN part pa ON pa.p_partkey = a.pk
+        |SELECT w.rnk_a AS rnk, pb.p_name AS best_name, pw.p_name AS worst_name,
+        |  ROUND(b.rev, 2) AS best_rev, ROUND(w.rev, 2) AS worst_rev
+        |FROM ranked w JOIN ranked b ON w.rnk_a = b.rnk_d AND w.rnk_a <= 10
         |JOIN part pb ON pb.p_partkey = b.pk
+        |JOIN part pw ON pw.p_partkey = w.pk
         |ORDER BY rnk ASC NULLS LAST""".stripMargin),
 
     // ---- q92/q32-style: the excess-discount screen — lineitems whose
