@@ -161,6 +161,8 @@ object Connectors {
       val cust = Tables.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       Sources.writeJdbc(cust, url, "customer_jdbc")
+      // bounded 2-scalar driver fetch — the split-bound probe every JDBC
+      // engine's split generation performs; never a row-path collect
       val bounds = cust.agg(min("c_custkey"), max("c_custkey")).head()
       Sources.jdbc(s, url, "customer_jdbc", "c_custkey",
           bounds.getLong(0), bounds.getLong(1) + 1, numPartitions = 4)

@@ -109,6 +109,31 @@ object Relational {
         |FROM region CROSS JOIN nation
         |ORDER BY r_name ASC NULLS LAST, n_name ASC NULLS LAST""".stripMargin),
 
+    // Skew-salted equi-join (Engine.saltedJoin): the manual mitigation for
+    // the hot-key regime AQE's skew split cannot handle (dim too big to
+    // broadcast, downstream distribution pinned — SCALE_r08.md's skew
+    // notes). The salt is a deterministic hash, so the result is a pure
+    // function of the data; the oracle runs the UNSALTED join — value
+    // equality proves the salt spreads and reassembles without dropping
+    // or duplicating a single row.
+    "join_salted_skew" -> Q.df(
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.Engine.saltedJoin(
+          Tables.t(s, dir, "lineitem"),
+          Tables.t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", saltFactor = 8, saltBy = col("l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double"), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    },
+
     // Non-equi theta join (NestedLoop + filter; BroadcastNestedLoopJoinExec).
     "join_non_equi" -> Q.sqlSame(
       """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
