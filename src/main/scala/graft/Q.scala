@@ -69,6 +69,16 @@ object Registry {
       val d = Tables.t(s, dir, "documents")
       llm.Dedup.minhashLsh(d, "doc_id", llm.TextOps.wordShingles(col("text"), 2),
         k = 32, bands = 8, threshold = 0.8)
+    },
+    // Same rationale for the ANN headline: the declared query joins
+    // `bruteForceTopK(k=20)` over the 20 query vectors as its recall-
+    // differencing oracle — trivial at sf0.1 but still oracle overhead,
+    // not operator cost. The override times `lshTopK` alone.
+    "llm_ann_lsh" -> Q.noOracle(headline = true) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val e = Tables.t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      llm.Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 3, nPlanes = 4)
     })
 
   /** What Bench runs: the declared inventory with operator-only overrides. */

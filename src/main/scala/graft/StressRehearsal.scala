@@ -114,6 +114,9 @@ object StressRehearsal {
               |LIMIT 100""".stripMargin)
             .write.format("noop").mode("overwrite").save()
         }
+        // stage-completed events arrive async; drain before every tally
+        // snapshot so segment attribution is stable
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
         val spillAfterQ18 = (tally.memSpilled, tally.diskSpilled)
         spark.catalog.clearCache()
 
@@ -129,6 +132,7 @@ object StressRehearsal {
               k = 32, bands = 8, threshold = 0.8)
             .write.format("noop").mode("overwrite").save()
         }
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
         spark.catalog.clearCache()
         val spillAfterMin = (tally.memSpilled, tally.diskSpilled)
 
@@ -144,6 +148,7 @@ object StressRehearsal {
               col("l_quantity"), col("l_extendedprice"), col("l_orderkey"))
             .write.format("noop").mode("overwrite").save()
         }
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
         val sortMem = tally.memSpilled - spillAfterMin._1
         val sortDisk = tally.diskSpilled - spillAfterMin._2
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.sources.Sources
+import graft.sources.{Avro, Sources}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -170,5 +170,37 @@ object Connectors {
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"))
         .orderBy(col("c_nationkey").asc_nulls_last)
+    },
+
+    // Avro record-decoder roundtrip (presto-record-decoder/.../avro/
+    // AvroColumnDecoder.java — the third decoder format; json and csv are
+    // above): documents → Avro container files via [[graft.sources.Avro]]
+    // (splittable Hadoop AvroKey framing; spark-avro is not on this
+    // classpath, avro + avro-mapred are) → read back with the DECLARED
+    // schema → aggregate. DuckDB has no Avro reader, so the oracle
+    // re-derives from the parquet source (the ORC/JDBC pattern): any
+    // value the Avro type mapping or Utf8 bridge mangles, and any row a
+    // split drops or duplicates, breaks rows+hash.
+    "src_avro_roundtrip" -> Q.df(
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/documents_avro")
+      Avro.write(
+        Tables.t(s, dir, "documents"), s"$scratch/documents_avro", "document")
+      Avro.read(s, s"$scratch/documents_avro", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))), "document")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("chars_sum"),
+          sum(length(col("text"))).cast("long").as("text_len_sum"))
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
     })
 }

@@ -143,20 +143,26 @@ object Events {
     // user_id total. Views order before clicks at equal timestamps so
     // the join is inclusive (≤), matching ASOF semantics; -1 marks
     // clicks with no prior view (keeps the column int64 both engines).
+    // Tied view timestamps per user are resolved deterministically on
+    // BOTH sides: the window also orders by event_id so `last` picks the
+    // max event_id among equal-ts views, and the oracle pre-dedupes
+    // views to max(event_id) per (user_id, vts) before its ASOF join
+    // (ASOF is otherwise free to pick any tied row).
     "events_asof_join" -> Q.df(
       """WITH clicks AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
         |  FROM events WHERE event_type = 'click'),
         |views AS (
-        |  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
-        |  FROM events WHERE event_type = 'view')
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, MAX(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
         |SELECT c.user_id AS user_id, c.event_id AS event_id,
         |  COALESCE(v.view_id, -1) AS view_id
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.vts <= c.cts
         |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_click").asc)
+        .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.t(s, dir, "events")
         .filter(col("event_type").isin("click", "view"))

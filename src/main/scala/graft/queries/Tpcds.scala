@@ -4,7 +4,7 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the thirty-eight
+  * sql/presto/tpcds/q*.sql); this module re-expresses the sixty-two
   * structural families that dominate that suite and that the TPC-H-ish
   * queries do not cover: dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), correlated excess-discount screens (q92/q32), and exclusive-ship EXISTS/NOT-EXISTS screens (q16/q94).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), correlated excess-discount screens (q92/q32), exclusive-ship EXISTS/NOT-EXISTS screens (q16/q94), channel sales+returns rollup reports (q5/q80), multi-OR demographic band selects (q13/q48), sale-return-repurchase 3-leg chains (q17/q29), cross-nation movement reports (q46/q68), demographic EXISTS towers (q10/q35), netpaid scalar-HAVING screens (q24), correlated category-average price screens (q6), INTERSECT-derived dim filters (q8), rollup average towers (q18/q22), dim-only correlated self-counts (q41), day-of-week pivots (q43), and OR-of-IN-subquery screens (q45).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -1006,6 +1006,472 @@ object Tpcds {
         |    WHERE l1.l_orderkey = o.o_orderkey)
         |  AND NOT EXISTS (
         |    SELECT 1 FROM lineitem lr
-        |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')""".stripMargin)
+        |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')""".stripMargin),
+
+    // ---- q5/q80-style: the channel sales+returns rollup report — each
+    //      row of the fact contributes EITHER a sales row or a returns row
+    //      to a UNION ALL, per-channel per-nation aggregates, then a
+    //      GROUP BY ROLLUP (channel, id) grand-total report (reference
+    //      q5.sql's ssr/csr/wsr CTEs; channels here are order-priority
+    //      bands since the driver schema has one fact table) ----
+    "tpcds_q5_channel_rollup" -> Q.sqlSame(
+      """WITH salesreturns AS (
+        |  SELECT o_orderpriority AS pri, s_nationkey AS nk,
+        |    l_extendedprice * (1 - l_discount) AS sales_price,
+        |    CAST(0 AS DOUBLE) AS return_amt,
+        |    l_extendedprice * (1 - l_discount) - 100.0 * l_quantity AS profit_amt,
+        |    CAST(0 AS DOUBLE) AS net_loss
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE l_returnflag <> 'R'
+        |  UNION ALL
+        |  SELECT o_orderpriority, s_nationkey,
+        |    CAST(0 AS DOUBLE), l_extendedprice,
+        |    CAST(0 AS DOUBLE), 100.0 * l_quantity - l_extendedprice * (1 - l_discount)
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE l_returnflag = 'R'),
+        |chan AS (
+        |  SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |              WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |              ELSE 'economy channel' END AS channel,
+        |    n_name AS id,
+        |    CAST(SUM(CAST(sales_price AS DECIMAL(30,8))) AS DOUBLE) AS sales,
+        |    CAST(SUM(CAST(return_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
+        |    CAST(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |  FROM salesreturns JOIN nation ON n_nationkey = nk
+        |  GROUP BY CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |                WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |                ELSE 'economy channel' END, n_name)
+        |SELECT channel, id,
+        |  CAST(SUM(CAST(sales AS DECIMAL(30,8))) AS DOUBLE) AS sales,
+        |  CAST(SUM(CAST(returns_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
+        |  CAST(SUM(CAST(profit AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |FROM chan
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel ASC NULLS LAST, id ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q80-style: the same channel report shape with the promotional
+    //      anti-screen — parts with a PROMO type are excluded via NOT
+    //      EXISTS (q80's p_promo_sk/p_channel_tv anti-condition), a
+    //      bounded date window, brand as the report id ----
+    "tpcds_q80_channel_promo_report" -> Q.sqlSame(
+      """WITH salesreturns AS (
+        |  SELECT o_orderpriority AS pri, p_brand AS brand,
+        |    l_extendedprice * (1 - l_discount) AS sales_price,
+        |    CAST(0 AS DOUBLE) AS return_amt,
+        |    l_extendedprice * (1 - l_discount) - 100.0 * l_quantity AS profit_amt,
+        |    CAST(0 AS DOUBLE) AS net_loss
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag <> 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |    AND NOT EXISTS (SELECT 1 FROM part p2
+        |      WHERE p2.p_partkey = l_partkey AND p2.p_type LIKE 'PROMO%')
+        |  UNION ALL
+        |  SELECT o_orderpriority, p_brand,
+        |    CAST(0 AS DOUBLE), l_extendedprice,
+        |    CAST(0 AS DOUBLE), 100.0 * l_quantity - l_extendedprice * (1 - l_discount)
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |    AND NOT EXISTS (SELECT 1 FROM part p2
+        |      WHERE p2.p_partkey = l_partkey AND p2.p_type LIKE 'PROMO%')),
+        |chan AS (
+        |  SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |              WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |              ELSE 'economy channel' END AS channel,
+        |    brand AS id,
+        |    CAST(SUM(CAST(sales_price AS DECIMAL(30,8))) AS DOUBLE) AS sales,
+        |    CAST(SUM(CAST(return_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
+        |    CAST(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |  FROM salesreturns
+        |  GROUP BY CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |                WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |                ELSE 'economy channel' END, brand)
+        |SELECT channel, id,
+        |  CAST(SUM(CAST(sales AS DECIMAL(30,8))) AS DOUBLE) AS sales,
+        |  CAST(SUM(CAST(returns_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
+        |  CAST(SUM(CAST(profit AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |FROM chan
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel ASC NULLS LAST, id ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q13-style: single-row multi-OR demographic band select — three
+    //      (segment x order-total x quantity) bands OR-ed together, times
+    //      three (nation-set x price) bands, averaged. Catalyst must push
+    //      the whole disjunction into one scan, not a union ----
+    "tpcds_q13_demographic_bands" -> Q.sqlSame(
+      """SELECT
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE year(o_orderdate) = 1995
+        |  AND ((c_mktsegment = 'BUILDING' AND o_totalprice BETWEEN 100000 AND 200000
+        |        AND l_quantity BETWEEN 1 AND 25)
+        |    OR (c_mktsegment = 'AUTOMOBILE' AND o_totalprice BETWEEN 50000 AND 150000
+        |        AND l_quantity BETWEEN 26 AND 50)
+        |    OR (c_mktsegment = 'MACHINERY' AND o_totalprice BETWEEN 150000 AND 300000
+        |        AND l_quantity BETWEEN 10 AND 40))
+        |  AND ((n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |        AND l_extendedprice BETWEEN 10000 AND 40000)
+        |    OR (n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+        |        AND l_extendedprice BETWEEN 20000 AND 60000)
+        |    OR (n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+        |        AND l_extendedprice BETWEEN 5000 AND 50000))""".stripMargin),
+
+    // ---- q48-style: the companion band select summing quantity under
+    //      (priority x discount x order-total) OR-bands crossed with
+    //      (nation-set x quantity) bands ----
+    "tpcds_q48_band_quantity" -> Q.sqlSame(
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS BIGINT) AS qty_sum
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE year(o_orderdate) = 1996
+        |  AND ((o_orderpriority = '1-URGENT' AND l_discount BETWEEN 0.00 AND 0.04
+        |        AND o_totalprice BETWEEN 50000 AND 150000)
+        |    OR (o_orderpriority = '3-MEDIUM' AND l_discount BETWEEN 0.03 AND 0.07
+        |        AND o_totalprice BETWEEN 100000 AND 250000)
+        |    OR (o_orderpriority = '5-LOW' AND l_discount BETWEEN 0.06 AND 0.10
+        |        AND o_totalprice BETWEEN 150000 AND 400000))
+        |  AND ((n_name IN ('NATION_1', 'NATION_2', 'NATION_3') AND l_quantity BETWEEN 1 AND 20)
+        |    OR (n_name IN ('NATION_4', 'NATION_5', 'NATION_6') AND l_quantity BETWEEN 15 AND 35)
+        |    OR (n_name IN ('NATION_7', 'NATION_8', 'NATION_9') AND l_quantity BETWEEN 30 AND 50))""".stripMargin),
+
+    // ---- q17-style: sale -> return -> repurchase 3-leg fact chain per
+    //      customer (q17's ss->sr->cs quantity funnel; legs keyed on
+    //      customer because the synthetic (cust, part) multiplicity is
+    //      ~1), with count/avg/stddev per leg derived from exact decimal
+    //      sums so distributed partial-agg order cannot move a bit ----
+    "tpcds_q17_quantity_chain_stats" -> Q.sqlSame(
+      """WITH sale AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part, l_quantity AS qty, o_orderdate AS d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'A' AND year(o_orderdate) = 1995),
+        |ret AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part, l_quantity AS qty, o_orderdate AS d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R' AND year(o_orderdate) IN (1995, 1996)),
+        |rep AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part, l_quantity AS qty, o_orderdate AS d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'N' AND year(o_orderdate) IN (1995, 1996, 1997))
+        |SELECT p_brand,
+        |  CAST(n AS BIGINT) AS sale_cnt,
+        |  ROUND(s_sx / n, 6) AS sale_avg,
+        |  ROUND(SQRT((s_sxx - s_sx * s_sx / n) / (n - 1)), 6) AS sale_stdev,
+        |  ROUND(r_sx / n, 6) AS ret_avg,
+        |  ROUND(SQRT((r_sxx - r_sx * r_sx / n) / (n - 1)), 6) AS ret_stdev,
+        |  ROUND(c_sx / n, 6) AS rep_avg,
+        |  ROUND(SQRT((c_sxx - c_sx * c_sx / n) / (n - 1)), 6) AS rep_stdev
+        |FROM (
+        |  SELECT p_brand,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(s.qty AS DECIMAL(30,8))) AS DOUBLE) AS s_sx,
+        |    CAST(SUM(CAST(s.qty * s.qty AS DECIMAL(30,8))) AS DOUBLE) AS s_sxx,
+        |    CAST(SUM(CAST(r.qty AS DECIMAL(30,8))) AS DOUBLE) AS r_sx,
+        |    CAST(SUM(CAST(r.qty * r.qty AS DECIMAL(30,8))) AS DOUBLE) AS r_sxx,
+        |    CAST(SUM(CAST(c.qty AS DECIMAL(30,8))) AS DOUBLE) AS c_sx,
+        |    CAST(SUM(CAST(c.qty * c.qty AS DECIMAL(30,8))) AS DOUBLE) AS c_sxx
+        |  FROM sale s
+        |  JOIN ret r ON r.cust = s.cust AND r.d >= s.d
+        |  JOIN rep c ON c.cust = r.cust AND c.d >= r.d
+        |  JOIN part ON p_partkey = s.part
+        |  GROUP BY p_brand) t
+        |WHERE n > 1
+        |ORDER BY p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q29-style: the sum-variant of the 3-leg chain — quantity
+    //      totals per brand and sale month (q29's monthly rollup of the
+    //      same ss->sr->cs join tree) ----
+    "tpcds_q29_repeat_quantity_sums" -> Q.sqlSame(
+      """WITH sale AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part, l_quantity AS qty, o_orderdate AS d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'A' AND year(o_orderdate) = 1995),
+        |ret AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part, l_quantity AS qty, o_orderdate AS d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R' AND year(o_orderdate) IN (1995, 1996)),
+        |rep AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part, l_quantity AS qty, o_orderdate AS d
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'N' AND year(o_orderdate) IN (1995, 1996, 1997))
+        |SELECT p_brand, month(s.d) AS sale_month,
+        |  CAST(CAST(SUM(CAST(s.qty AS DECIMAL(30,8))) AS DOUBLE) AS BIGINT) AS sale_qty,
+        |  CAST(CAST(SUM(CAST(r.qty AS DECIMAL(30,8))) AS DOUBLE) AS BIGINT) AS ret_qty,
+        |  CAST(CAST(SUM(CAST(c.qty AS DECIMAL(30,8))) AS DOUBLE) AS BIGINT) AS rep_qty
+        |FROM sale s
+        |JOIN ret r ON r.cust = s.cust AND r.d >= s.d
+        |JOIN rep c ON c.cust = r.cust AND c.d >= r.d
+        |JOIN part ON p_partkey = s.part
+        |GROUP BY p_brand, month(s.d)
+        |ORDER BY p_brand ASC NULLS LAST, sale_month ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q46-style: "city-pair" customer movement — per-order aggregate
+    //      keyed by the supplier nation (bought city), joined back to the
+    //      customer's home nation, keeping only cross-nation orders
+    //      (q46's ca_city <> bought_city screen on weekend sales) ----
+    "tpcds_q46_nation_pair_movement" -> Q.sqlSame(
+      """SELECT c_name, cn.n_name AS home_nation, bought_nation, ok AS o_orderkey, amt, profit
+        |FROM (
+        |  SELECT l_orderkey AS ok, o_custkey AS cust, sn.n_name AS bought_nation,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS amt,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 100.0 * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    AND day(o_orderdate) % 7 IN (0, 6)
+        |    AND year(o_orderdate) IN (1996, 1997, 1998)
+        |  GROUP BY l_orderkey, o_custkey, sn.n_name) dn
+        |JOIN customer ON c_custkey = cust
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE cn.n_name <> bought_nation
+        |ORDER BY c_name ASC NULLS LAST, home_nation ASC NULLS LAST,
+        |  bought_nation ASC NULLS LAST, o_orderkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q68-style: the companion movement report with the extended
+    //      measure list (ext sales + ext tax) and an account-balance
+    //      screen on the outer customer join ----
+    "tpcds_q68_nation_pair_extended" -> Q.sqlSame(
+      """SELECT c_name, cn.n_name AS home_nation, bought_nation, ok AS o_orderkey,
+        |  ext_sales, ext_tax
+        |FROM (
+        |  SELECT l_orderkey AS ok, o_custkey AS cust, sn.n_name AS bought_nation,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS ext_sales,
+        |    CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(30,8))) AS DOUBLE) AS ext_tax
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  WHERE o_orderpriority = '5-LOW'
+        |    AND o_totalprice BETWEEN 150000 AND 300000
+        |    AND year(o_orderdate) = 1995
+        |  GROUP BY l_orderkey, o_custkey, sn.n_name) dn
+        |JOIN customer ON c_custkey = cust
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE cn.n_name <> bought_nation AND c_acctbal > 1000
+        |ORDER BY c_name ASC NULLS LAST, home_nation ASC NULLS LAST,
+        |  bought_nation ASC NULLS LAST, o_orderkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q10-style: the demographic EXISTS tower — customers in a
+    //      nation set who bought in the primary channel AND in at least
+    //      one of two secondary channels (EXISTS AND (EXISTS OR EXISTS),
+    //      Catalyst lowers the disjunctive pair to ExistenceJoins), with
+    //      the repeated count(*) column list of the reference ----
+    "tpcds_q10_exists_tower" -> Q.sqlSame(
+      """SELECT c_mktsegment, n_name,
+        |  COUNT(*) AS cnt1,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+        |  COUNT(*) AS cnt2,
+        |  ROUND(CAST(MIN(c_acctbal) AS DOUBLE), 2) AS min_bal,
+        |  COUNT(*) AS cnt3
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE n_name IN ('NATION_10', 'NATION_11', 'NATION_12', 'NATION_13', 'NATION_14')
+        |  AND EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        |      AND year(o_orderdate) = 1996)
+        |  AND (EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '2-HIGH'
+        |      AND year(o_orderdate) = 1996)
+        |    OR EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '5-LOW'
+        |      AND year(o_orderdate) = 1996))
+        |GROUP BY c_mktsegment, n_name
+        |ORDER BY c_mktsegment ASC NULLS LAST, n_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q35-style: the stats variant of the EXISTS tower — per
+    //      (nation, segment) count/max/sum/avg of balances for customers
+    //      active in 1995 with activity in either half-year (EXISTS OR
+    //      EXISTS over the fact behind an orders join) ----
+    "tpcds_q35_exists_stats" -> Q.sqlSame(
+      """SELECT n_name, c_mktsegment,
+        |  COUNT(*) AS cnt,
+        |  ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |  AND (EXISTS (SELECT 1 FROM orders o JOIN lineitem ON l_orderkey = o.o_orderkey
+        |    WHERE o.o_custkey = c_custkey AND year(l_shipdate) = 1995 AND month(l_shipdate) <= 6)
+        |    OR EXISTS (SELECT 1 FROM orders o JOIN lineitem ON l_orderkey = o.o_orderkey
+        |    WHERE o.o_custkey = c_custkey AND year(l_shipdate) = 1995 AND month(l_shipdate) > 6))
+        |GROUP BY n_name, c_mktsegment
+        |ORDER BY n_name ASC NULLS LAST, c_mktsegment ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q24-style: dense returned-sales join where the supplier and
+    //      customer share a nation (q24's birth-country = address-country
+    //      screen), aggregated into a netpaid CTE that the outer query
+    //      both re-aggregates AND references in a scalar-subquery HAVING
+    //      bar (paid > 0.05 * avg over the whole CTE) ----
+    "tpcds_q24_netpaid_scalar_having" -> Q.sqlSame(
+      """WITH ssales AS (
+        |  SELECT c_name, s_name, sn.n_name AS nat, p_brand, p_size,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS netpaid
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  WHERE l_returnflag = 'R' AND c_nationkey = s_nationkey
+        |  GROUP BY c_name, s_name, sn.n_name, p_brand, p_size)
+        |SELECT c_name, s_name,
+        |  CAST(SUM(CAST(netpaid AS DECIMAL(30,8))) AS DOUBLE) AS paid
+        |FROM ssales
+        |WHERE p_brand LIKE 'Brand#3%'
+        |GROUP BY c_name, s_name
+        |HAVING CAST(SUM(CAST(netpaid AS DECIMAL(30,8))) AS DOUBLE) > (
+        |  SELECT 0.05 * CAST(SUM(CAST(netpaid AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) FROM ssales)
+        |ORDER BY c_name ASC NULLS LAST, s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q6-style: customers buying items priced above their item
+    //      category's average — a correlated scalar subquery per p_type
+    //      (q6's i_current_price > 1.2 * avg-per-category), counted per
+    //      nation with a HAVING floor. The factor is 1.005 because the
+    //      synthetic retailprice spread is SF-dependent and narrow ----
+    "tpcds_q6_above_category_avg" -> Q.sqlSame(
+      """SELECT n_name, COUNT(*) AS cnt
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) BETWEEN 1 AND 6
+        |  AND p_retailprice > 1.005 * (
+        |    SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        |    FROM part p2 WHERE p2.p_type = part.p_type)
+        |GROUP BY n_name
+        |HAVING COUNT(*) >= 2
+        |ORDER BY cnt ASC NULLS LAST, n_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q8-style: revenue restricted by an INTERSECT-derived dim set —
+    //      the nation list intersected with nations having enough
+    //      BUILDING customers (q8's zip-list INTERSECT preferred-customer
+    //      zips), consumed through IN (subquery) ----
+    "tpcds_q8_intersect_filter" -> Q.sqlSame(
+      """SELECT s_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS net_sales
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE year(o_orderdate) = 1996
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_name IN ('NATION_0', 'NATION_5', 'NATION_15', 'NATION_20', 'NATION_24')
+        |    INTERSECT
+        |    SELECT c_nationkey FROM customer
+        |    WHERE c_mktsegment = 'BUILDING'
+        |    GROUP BY c_nationkey HAVING COUNT(*) >= 3)
+        |GROUP BY s_name
+        |ORDER BY s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q18-style: five decimal-cast averages under a two-level ROLLUP
+    //      (q18's catalog averages over the demographic hierarchy) ----
+    "tpcds_q18_rollup_averages" -> Q.sqlSame(
+      """SELECT n_name, c_mktsegment,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg1,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg2,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg3,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg4,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg5
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE year(o_orderdate) = 1996 AND o_orderpriority = '2-HIGH'
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS LAST, c_mktsegment ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q22-style: average on-hand quantity over the full item
+    //      hierarchy ROLLUP (brand -> type -> size), ordered by the
+    //      averaged measure (q22's inventory qoh rollup) ----
+    "tpcds_q22_hierarchy_avg" -> Q.sqlSame(
+      """SELECT p_brand, p_type, p_size,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS qoh
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE year(l_shipdate) IN (1996, 1997)
+        |GROUP BY ROLLUP (p_brand, p_type, p_size)
+        |ORDER BY qoh ASC NULLS LAST, p_brand ASC NULLS LAST,
+        |  p_type ASC NULLS LAST, p_size ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q41-style: dim-only query — distinct item names where a
+    //      correlated COUNT over the same dim's OR-banded attributes is
+    //      positive (q41's i_manufact self-join; exercises scalar-count
+    //      decorrelation with zero fact involvement) ----
+    "tpcds_q41_dim_self_count" -> Q.sqlSame(
+      """SELECT DISTINCT p_name
+        |FROM part p1
+        |WHERE p_size BETWEEN 1 AND 15
+        |  AND (SELECT COUNT(*) FROM part p2
+        |    WHERE p2.p_brand = p1.p_brand
+        |      AND ((p2.p_type IN ('ECONOMY', 'PROMO') AND p2.p_size BETWEEN 1 AND 10)
+        |        OR (p2.p_type IN ('STANDARD', 'LARGE') AND p2.p_size BETWEEN 5 AND 15))) > 0
+        |ORDER BY p_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q43-style: day-of-week conditional-sum pivot per supplier
+    //      (q43's s_store day-name columns); dow is day(date) % 7 so both
+    //      engines compute the identical bucket ----
+    "tpcds_q43_dow_pivot" -> Q.sqlSame(
+      """SELECT s_name,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 0 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d0_sales,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 1 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d1_sales,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 2 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d2_sales,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 3 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d3_sales,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 4 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d4_sales,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 5 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d5_sales,
+        |  CAST(SUM(CAST(CASE WHEN day(o_orderdate) % 7 = 6 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8))) AS DOUBLE) AS d6_sales
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY s_name
+        |ORDER BY s_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q45-style: disjunction of a plain predicate and an
+    //      IN-subquery (q45's zip-list OR item-id-subquery) — Catalyst
+    //      must plan the subquery leg as an ExistenceJoin feeding the OR,
+    //      not a semi join that would drop the left leg ----
+    "tpcds_q45_or_in_subquery" -> Q.sqlSame(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sales
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE year(o_orderdate) = 1996
+        |  AND (c_acctbal > 9000
+        |    OR l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_partkey IN (1, 2, 3, 5, 7, 11, 13, 17, 19, 23)))
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
   )
 }
+

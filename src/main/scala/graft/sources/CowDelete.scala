@@ -119,8 +119,12 @@ object CowMerge {
     // row set at each evaluation — the rows written would not be the rows
     // the cardinality check validated. localCheckpoint materializes the
     // rows and truncates lineage, so a lost block fails loudly instead of
-    // silently recomputing a different source.
+    // silently recomputing a different source. The pinned blocks are
+    // released in the finally below — every read of `src` completes
+    // before merge() returns, so repeated MERGEs in one session leave no
+    // block-manager storage behind.
     val src = source.localCheckpoint(true)
+    try {
 
     require(src.groupBy(keyCs: _*).count()
       .where(col("count") > 1).isEmpty,
@@ -162,6 +166,7 @@ object CowMerge {
 
     val inserted = insertStage.map(CowCore.moveIn(_, base)).getOrElse(0L)
     MergeStats(s.touched, s.total, s.rewritten, inserted)
+    } finally src.unpersist()
   }
 }
 

@@ -196,8 +196,8 @@ class CowDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       // r7 VERDICT "what's wrong #3"). Assert the mechanism directly:
       // inputFiles reports every file without launching a single job.
       val n = table.inputFiles.length
-      // the listener bus delivers asynchronously; give it a beat to drain
-      Thread.sleep(2000)
+      // the listener bus delivers asynchronously; drain before asserting
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       assert(n == expected, s"inputFiles saw $n files, disk has $expected")
       assert(counter.jobs.get() == 0,
         s"inputFiles launched ${counter.jobs.get()} jobs; the FileIndex must answer driver-side")
