@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-off 10× scale rehearsal (VERDICT r3 ask #9): runs the three
@@ -20,6 +21,11 @@ import org.apache.spark.sql.functions._
   *    scrambled so sign buckets spread).
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleRehearsal"
+  *
+  * `runMain graft.ScaleRehearsal curve40` instead runs the straight-line
+  * plans (q18, minhash, segment dedup) at R=40 on the full heap, two
+  * passes each (prewarm + measured, per-plan min) — the 40× point of the
+  * 1×→10×→40× warm curve in SCALE_r09.md.
   */
 object ScaleRehearsal {
 
@@ -40,10 +46,12 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(spark)
 
-    def rep(name: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
+    def repN(n: Int, name: String)(f: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = Tables.t(spark, sfDir, name)
-      (0 until R).map(i => f(base, i)).reduce(_ unionByName _)
+      (0 until n).map(i => f(base, i)).reduce(_ unionByName _)
     }
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      repN(R, name)(f)
     val keyOff = 100000000L
 
     def time(what: String)(df: => DataFrame): Double = {
@@ -53,6 +61,61 @@ object ScaleRehearsal {
       spark.catalog.clearCache()
       println(f"[scale] $what%-22s $dt%8.2f s")
       dt
+    }
+
+    // ---- curve40 mode: the 40× warm point of the 1×→10×→40× series.
+    // Two passes per plan on the full heap; pass 1 warms page cache and
+    // JIT, pass 2 is the recorded number (the bench harness's best-of-2
+    // discipline — SCALE_r05 documents the cold-cache swing).
+    if (args.headOption.contains("curve40")) {
+      val Rc = 40
+      val li40 = repN(Rc, "lineitem")((d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
+      val ord40 = repN(Rc, "orders")((d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * keyOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * keyOff)))
+      val cust40 = repN(Rc, "customer")((d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * keyOff)))
+      li40.createOrReplaceTempView("li40"); ord40.createOrReplaceTempView("ord40")
+      cust40.createOrReplaceTempView("cust40")
+      val rotc = "aeiou"
+      val docs40 = repN(Rc, "documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        // 40 distinct maps: 5 rotations × reversed × consonant swap rounds
+        .withColumn("text", translate(col("text"),
+          rotc + "rstln", {
+            val r = rotc.drop(i % 5) + rotc.take(i % 5)
+            val v = if ((i / 5) % 2 == 0) r else r.reverse
+            val cshift = "rstln".drop((i / 10) % 5) + "rstln".take((i / 10) % 5)
+            v + cshift
+          })))
+      def q18of(li: String, ord: String, cust: String): DataFrame = spark.sql(
+        s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+           |FROM $cust JOIN $ord ON c_custkey = o_custkey
+           |JOIN $li ON o_orderkey = l_orderkey
+           |WHERE o_orderkey IN (
+           |  SELECT l_orderkey FROM $li GROUP BY l_orderkey
+           |  HAVING SUM(l_quantity) > 300)
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+           |LIMIT 100""".stripMargin)
+      def best2(what: String)(df: => DataFrame): Double = {
+        val a = time(s"$what pass1")(df)
+        val b = time(s"$what pass2")(df)
+        math.min(a, b)
+      }
+      val tQ = best2("q18 @40x")(q18of("li40", "ord40", "cust40"))
+      val tM = best2("minhash @40x") {
+        llm.Dedup.minhashLsh(docs40, "doc_id",
+          llm.TextOps.wordShingles(col("text"), 2), k = 32, bands = 8, threshold = 0.8)
+      }
+      val tS = best2("segdedup @40x") {
+        llm.Dedup.segmentDuplication(docs40, "doc_id", col("text"), segWords = 16)
+      }
+      println(f"""[scale] {"mode": "curve40", "q18": $tQ%.2f, "minhash": $tM%.2f, "segdedup": $tS%.2f}""")
+      spark.stop()
+      return
     }
 
     // ---- q18 at 10×: keys shifted per replica ----
@@ -130,6 +193,40 @@ object ScaleRehearsal {
     val tSeg = time("segdedup @10x") {
       llm.Dedup.segmentDuplication(docs, "doc_id", col("text"), segWords = 16)
     }
+    // Segment CUT shares segIndex with the profile but adds the rebuild:
+    // kept-index sets join back to the tokenized corpus on id and reslice.
+    // Work stays ∝ segment count — the rebuild join carries index arrays,
+    // not segment text.
+    val tCut1 = time("segcut @1x") {
+      llm.Dedup.segmentCut(Tables.t(spark, sfDir, "documents"),
+        "doc_id", col("text"), segWords = 16)
+    }
+    val tCut = time("segcut @10x") {
+      llm.Dedup.segmentCut(docs, "doc_id", col("text"), segWords = 16)
+    }
+
+    // ---- as-of join at 10× events (user + event ids shifted) ----
+    // One shuffle on user_id; window state ∝ events per user, which the
+    // replication keeps CONSTANT (each replica brings new users) — the
+    // scaling knob that matters for the union+window as-of form.
+    def asofPlan(ev: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "view", col("event_id")).as("view_marker"),
+          when(col("event_type") === "click", lit(1)).otherwise(lit(0)).as("is_click"))
+        .withColumn("last_view", last(col("view_marker"), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 1)
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("last_view"), lit(-1L)).as("view_id"))
+    }
+    val tAsof1 = time("asof @1x") { asofPlan(Tables.t(spark, sfDir, "events")) }
+    val ev10 = rep("events")((d, i) => d
+      .withColumn("user_id", col("user_id") + lit(i * keyOff))
+      .withColumn("event_id", col("event_id") + lit(i * keyOff)))
+    val tAsof = time("asof @10x") { asofPlan(ev10) }
 
     // ---- ann lsh at 10× vectors (reflected replicas) ----
     // 10 DISTINCT orthogonal maps: bit-pattern reflection keyed by i%6,
@@ -169,7 +266,35 @@ object ScaleRehearsal {
         nlist = 256, nprobe = 16)
     }
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
+    // ---- connected components on a DEEP graph ----
+    // The near-dup pair graphs CC normally sees are stars/cliques of
+    // diameter ≤ 3; the O(log diameter) pointer-doubling claim needs a
+    // graph that is actually deep. Chain of 4,096 (diameter 4,095: naive
+    // neighbor-propagation needs ~4,095 rounds and would abort on the
+    // maxIter=20 require — completing AT ALL under the default budget IS
+    // the doubling evidence), a 200k-leaf star hub (the degenerate
+    // cluster shape), and 50k isolated 2-cliques (the common case).
+    val chainN = 4096L
+    val deepEdges = spark.range(0, chainN - 1)
+      .select((lit(10000000L) + col("id")).as("id_a"),
+        (lit(10000001L) + col("id")).as("id_b"))
+      .unionByName(spark.range(1, 200001)
+        .select(lit(20000000L).as("id_a"), (lit(20000000L) + col("id")).as("id_b")))
+      .unionByName(spark.range(0, 50000)
+        .select((lit(30000000L) + col("id") * 2).as("id_a"),
+          (lit(30000000L) + col("id") * 2 + 1).as("id_b")))
+      .select(col("id_a"), col("id_b"))
+    val nEdges = deepEdges.count()
+    val tDeep0 = System.nanoTime()
+    val deepLabels = llm.Dedup.connectedComponents(deepEdges)
+    val nComp = deepLabels.select("cluster").distinct().count()
+    val tDeep = (System.nanoTime() - tDeep0) / 1e9
+    deepLabels.unpersist()
+    val expComp = 1 + 1 + 50000
+    println(f"[scale] cc_deep               $tDeep%8.2f s  edges=$nEdges components=$nComp (expect $expComp)")
+    require(nComp == expComp, s"deep-graph CC found $nComp components, expected $expComp")
+
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "cc_deep": $tDeep%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "segcut_1x": $tCut1%.2f, "segcut": $tCut%.2f, "asof_1x": $tAsof1%.2f, "asof": $tAsof%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
     spark.stop()
   }
 }

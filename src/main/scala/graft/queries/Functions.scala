@@ -304,6 +304,16 @@ object Functions {
         |FROM part WHERE p_partkey < 200
         |ORDER BY p_partkey ASC NULLS LAST""".stripMargin),
 
+    // ---- differential fuzz banks (FunctionFuzzer): 3 × 42 randomized
+    //      expression columns over nation in the dialect-common subset,
+    //      seeded deterministically — the driver's DuckDB gate IS the
+    //      differential check, re-run every round. FuzzSpec locks the
+    //      generator's determinism so the SQL (and therefore the oracle
+    //      hash) cannot drift between rounds ----
+    "fuzz_expr_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(101L, 42)),
+    "fuzz_expr_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(202L, 42)),
+    "fuzz_expr_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(303L, 42)),
+
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----
     "fn_json" -> Q.sql(

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Locks the differential-fuzz layer (functions/FunctionFuzzer.scala).
+  *
+  * The actual cross-engine differential — Spark vs DuckDB over every
+  * generated expression — runs in the driver's oracle gate, because the
+  * fuzz banks are ordinary declared queries (`fuzz_expr_bank_*`,
+  * `Q.sqlSame`). What this spec locks is everything that gate relies on:
+  * the generator is deterministic (same seed → byte-identical SQL, so
+  * the oracle hash cannot drift between rounds), the registry entries
+  * are exactly regenerations, the SQL executes in Spark with the
+  * declared shape, and the NULL plumbing (guarded `%`) actually
+  * exercises three-valued logic rather than degenerating to all-null or
+  * no-null columns.
+  */
+class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("generator is deterministic: same seed, same SQL") {
+    assert(graft.functions.FunctionFuzzer.generate(101L, 42) ==
+      graft.functions.FunctionFuzzer.generate(101L, 42))
+    assert(graft.functions.FunctionFuzzer.generate(101L, 42) !=
+      graft.functions.FunctionFuzzer.generate(202L, 42))
+  }
+
+  test("registry banks are exact regenerations (oracle hash cannot drift)") {
+    val expected = Map(
+      "fuzz_expr_bank_1" -> 101L, "fuzz_expr_bank_2" -> 202L,
+      "fuzz_expr_bank_3" -> 303L)
+    expected.foreach { case (name, seed) =>
+      val q = Registry.all(name)
+      assert(q.oracle.contains(graft.functions.FunctionFuzzer.generate(seed, 42)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+    }
+  }
+
+  test("banks execute in Spark with the declared shape") {
+    for (name <- Seq("fuzz_expr_bank_1", "fuzz_expr_bank_2", "fuzz_expr_bank_3")) {
+      val df = Registry.all(name).fn(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.length == 25, s"$name: expected the 25 nation rows")
+      assert(df.columns.length == 43, s"$name: expected k + 42 expression columns")
+      assert(df.columns.head == "k")
+    }
+  }
+
+  test("the guarded % exercises real three-valued logic (some null, not all)") {
+    val df = Registry.all("fuzz_expr_bank_1").fn(spark, sfDir)
+    val rows = df.collect()
+    val cells = for (r <- rows; i <- 1 until df.columns.length) yield r.isNullAt(i)
+    assert(cells.contains(true), "no NULL ever produced — the % guard is dead code")
+    assert(cells.contains(false), "every cell NULL — the banks degenerated")
+  }
+}
