@@ -135,4 +135,103 @@ object PrestoSql {
       org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
     case _ => spark.sql(translate(prestoText))
   }
+
+  /** Session prepared-statement surface: PREPARE name FROM query /
+    * EXECUTE name [USING expr, ...] / DEALLOCATE PREPARE name
+    * (reference grammar SqlBase.g4 `PREPARE`/`EXECUTE`/`DEALLOCATE`
+    * statements; presto-main execution/PrepareTask.java stores the raw
+    * statement text in Session.preparedStatements and EXECUTE re-plans it
+    * with parameters bound). Spark keeps no such session state, so this
+    * registry supplies it; parameter BINDING is delegated to Spark's
+    * native positional-parameter API (`SparkSession.sql(text, args)`), so
+    * each `?` becomes a typed literal in the analyzed plan — never string
+    * splicing. USING arguments are themselves SQL expressions (Presto
+    * constant-folds them at EXECUTE planning time); they are evaluated in
+    * one constant-folded `SELECT` with no table scan.
+    */
+  final class Prepared(spark: SparkSession) {
+    private val stmts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    private val prepareRe =
+      "(?is)^\\s*PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+(.+?)\\s*;?\\s*$".r
+    private val executeRe =
+      "(?is)^\\s*EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$".r
+    private val deallocRe =
+      "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+
+    /** Route one statement: PREPARE/EXECUTE/DEALLOCATE handled here, any
+      * other text falls through to `PrestoSql.sql`.
+      */
+    def statement(text: String): DataFrame = text match {
+      case prepareRe(name, body) =>
+        stmts(name) = body
+        spark.sql(s"SELECT 'PREPARE' AS result")
+      case deallocRe(name) =>
+        if (stmts.remove(name).isEmpty) notFound(name)
+        spark.sql(s"SELECT 'DEALLOCATE' AS result")
+      case executeRe(name, usingList) =>
+        execute(name, Option(usingList).map(splitTopLevel).getOrElse(Nil))
+      case other => PrestoSql.sql(spark, other)
+    }
+
+    def execute(name: String, argExprs: Seq[String]): DataFrame = {
+      val body = stmts.getOrElse(name, notFound(name))
+      val want = countParams(body)
+      if (want != argExprs.length)
+        throw new IllegalArgumentException(
+          s"Incorrect number of parameters: expected $want but found ${argExprs.length}")
+      if (argExprs.isEmpty) PrestoSql.sql(spark, body)
+      else {
+        // constant-fold the USING expressions in one no-scan SELECT
+        val bound = spark.sql(s"SELECT ${argExprs.mkString(", ")}").head()
+        spark.sql(translate(body), bound.toSeq.toArray)
+      }
+    }
+
+    private def notFound(name: String): Nothing =
+      throw new IllegalArgumentException(s"Prepared statement not found: $name")
+
+    /** `?` markers outside string literals / double-quoted identifiers. */
+    private def countParams(sql: String): Int = {
+      var i = 0; var cnt = 0
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '\'' =>
+            i += 1
+            while (i < sql.length && sql.charAt(i) != '\'') i += 1
+            i += 1
+          case '"' =>
+            i += 1
+            while (i < sql.length && sql.charAt(i) != '"') i += 1
+            i += 1
+          case '?' => cnt += 1; i += 1
+          case _ => i += 1
+        }
+      }
+      cnt
+    }
+
+    /** Split `USING a, b, c` on top-level commas (quotes and parens bind). */
+    private def splitTopLevel(s: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        c match {
+          case '\'' =>
+            cur.append(c); i += 1
+            while (i < s.length && s.charAt(i) != '\'') { cur.append(s.charAt(i)); i += 1 }
+            if (i < s.length) cur.append('\'')
+          case '(' => depth += 1; cur.append(c)
+          case ')' => depth -= 1; cur.append(c)
+          case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
+          case _ => cur.append(c)
+        }
+        i += 1
+      }
+      if (cur.toString.trim.nonEmpty) parts += cur.toString.trim
+      parts.toSeq
+    }
+  }
 }

@@ -109,4 +109,61 @@ object FunctionFuzzer {
        |FROM nation
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
+
+  /** A date-family bank: randomized DATE expressions in the dialect-common
+    * subset. Additional subset rules beyond [[generate]]'s:
+    *  - dates are BUILT, never parsed: `make_date` over bounded int
+    *    arithmetic (day ≤ 28 ⇒ always valid, both engines identical);
+    *  - `date_trunc` results are CAST to DATE on both sides (Spark returns
+    *    TIMESTAMP, DuckDB returns DATE — the cast pins the common type);
+    *  - extractors (year/month/day/quarter/dayofyear) are CAST to BIGINT
+    *    (Spark INT vs DuckDB BIGINT would fail the dtype-parity check);
+    *  - no day-of-week, no +/- INTERVAL, no datediff: divergent numbering
+    *    / result types / argument order across the two engines.
+    */
+  def generateDates(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+
+    def dateLeaf(): String = rnd.nextInt(3) match {
+      case 0 => f"DATE '${1992 + rnd.nextInt(9)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d'"
+      case 1 => s"make_date(${1992 + rnd.nextInt(9)}, CAST(1 + (n_nationkey % 12) AS INT), ${1 + rnd.nextInt(28)})"
+      case _ => s"make_date(CAST(1992 + (n_regionkey % 7) AS INT), ${1 + rnd.nextInt(12)}, CAST(1 + (n_nationkey % 28) AS INT))"
+    }
+
+    def dateExpr(d: Int): String =
+      if (d <= 0) dateLeaf()
+      else rnd.nextInt(6) match {
+        case 0 => s"last_day(${dateExpr(d - 1)})"
+        case 1 =>
+          val unit = Seq("year", "quarter", "month", "week")(rnd.nextInt(4))
+          s"CAST(date_trunc('$unit', ${dateExpr(d - 1)}) AS DATE)"
+        case 2 => s"greatest(${dateExpr(d - 1)}, ${dateExpr(d - 1)})"
+        case 3 => s"least(${dateExpr(d - 1)}, ${dateExpr(d - 1)})"
+        case 4 => s"(CASE WHEN ${dateBool(d - 1)} THEN ${dateExpr(d - 1)} ELSE ${dateExpr(d - 1)} END)"
+        case _ => dateLeaf()
+      }
+
+    def dateBool(d: Int): String = {
+      val op = Seq("<", "<=", "=", "<>", ">", ">=")(rnd.nextInt(6))
+      s"(${dateExpr(d)} $op ${dateExpr(d)})"
+    }
+
+    def dateInt(d: Int): String = {
+      val ex = Seq("year", "month", "day", "quarter", "dayofyear")(rnd.nextInt(5))
+      s"CAST($ex(${dateExpr(d)}) AS BIGINT)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val e = i % 3 match {
+        case 1 => dateInt(2)
+        case 2 => dateExpr(2)
+        case _ => dateBool(1)
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
 }

@@ -308,6 +308,29 @@ object Compat {
     // "duckdb"/"memory"), so the oracle compares the determinized
     // contract: each function resolves non-null, and the session's
     // timestamp/date cohere.
+    // PREPARE / EXECUTE ... USING / DEALLOCATE (grammar SqlBase.g4
+    // statements; presto-main execution/PrepareTask.java): the Spark side
+    // runs through the session prepared-statement registry with positional
+    // `?` parameters — one of them a USING *expression* the layer
+    // constant-folds (20 + 5), as the reference's EXECUTE planning does —
+    // and the oracle re-states the query with the literals inlined.
+    "compat_prepare_execute" -> Q.df(
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |FROM part WHERE p_size <= 25 AND p_type = 'PROMO'
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS LAST""".stripMargin) { (s, _) =>
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement(
+        """PREPARE part_band FROM
+          |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+          |FROM part WHERE p_size <= ? AND p_type = ?
+          |GROUP BY p_brand
+          |ORDER BY p_brand ASC NULLS LAST""".stripMargin)
+      ps.statement("EXECUTE part_band USING 20 + 5, 'PROMO'")
+    },
+
     "compat_session_fns" -> Q.sqlSame(
       """SELECT
         |  current_user IS NOT NULL AS has_user,

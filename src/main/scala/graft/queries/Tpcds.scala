@@ -4,9 +4,9 @@ import graft.Q
 
 /** TPC-DS-class query shapes adapted to the driver schema — the reference
   * benchmarks 103 TPC-DS queries (presto-benchto-benchmarks/.../tpcds.yaml,
-  * sql/presto/tpcds/q*.sql); this module re-expresses the sixty-two
-  * structural families that dominate that suite and that the TPC-H-ish
-  * queries do not cover: dim-heavy star joins with date rollups (q3),
+  * sql/presto/tpcds/q*.sql); this module re-expresses all ninety-nine
+  * query families of that suite as structural analogs on the driver
+  * schema (the TPC-H-ish queries cover none of these shapes): dim-heavy star joins with date rollups (q3),
   * multi-dim averages (q7), cross-border brand analysis (q19), ROLLUP with
   * a window function ranking within grouping level (q36/q86), multi-channel
   * UNION ALL re-aggregation (q71), count-band join-backs (q34/q73),
@@ -28,7 +28,7 @@ import graft.Q
   * self-joined fact (q95), year-over-year CTE growth towers (q4/q74),
   * full-outer channel reports under a rollup (q77/q80), scalar-subquery
   * CASE towers (q9), ship-lag bucket matrices (q99), demand-volatility
-  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), correlated excess-discount screens (q92/q32), exclusive-ship EXISTS/NOT-EXISTS screens (q16/q94), channel sales+returns rollup reports (q5/q80), multi-OR demographic band selects (q13/q48), sale-return-repurchase 3-leg chains (q17/q29), cross-nation movement reports (q46/q68), demographic EXISTS towers (q10/q35), netpaid scalar-HAVING screens (q24), correlated category-average price screens (q6), INTERSECT-derived dim filters (q8), rollup average towers (q18/q22), dim-only correlated self-counts (q41), day-of-week pivots (q43), and OR-of-IN-subquery screens (q45).
+  * screens (q39), channel-overlap counts (q97), wide month-pivot reports (q66), before/after balance screens (q21), revenue-segment histograms (q54), prior-period decline deltas (q75), multi-channel set-algebra counts (q38/q87), best/worst asymmetric rank joins (q44), correlated excess-discount screens (q92/q32), exclusive-ship EXISTS/NOT-EXISTS screens (q16/q94), channel sales+returns rollup reports (q5/q80), multi-OR demographic band selects (q13/q48), sale-return-repurchase 3-leg chains (q17/q29), cross-nation movement reports (q46/q68), demographic EXISTS towers (q10/q35), netpaid scalar-HAVING screens (q24), correlated category-average price screens (q6), INTERSECT-derived dim filters (q8), rollup average towers (q18/q22), dim-only correlated self-counts (q41), day-of-week pivots (q43), OR-of-IN-subquery screens (q45), week-over-week day-name pivot ratios (q2), two-channel growth screens (q11/q74), windowed revenue shares (q12/q20), three-way OR customer screens (q15), nation-exclusive ship screens (q16), catalog average towers (q26/q27), above-average returns details (q30/q81), correlated excess-quantity screens (q32), dim-filtered channel unions (q33/q56/q60), price+demand band screens (q37/q82), returns-netted before/after pivots (q40), trivial dim-fact reports (q42/q52/q55), latency bucket matrices (q50/q62), quarterly/profit deviation screens (q53/q63), rank-of-deviation neighborhoods (q57), promotional-share scalar pairs (q61), rank-restricted rollups (q70), narrow count bands (q73), null-channel reports (q76), aggregated pair-profit reports (q79), three-slice returns ratios (q83), no-fact dim chains with inline band tables (q84), triple-OR returns bands (q85), item-hierarchy rollups (q86), call-center loss reports (q91), and hour-band count probes (q96).
   *
   * Scale notes: every star join broadcasts its dims (part/customer/
   * supplier/nation stay far under the broadcast threshold at any SF); the
@@ -1472,6 +1472,819 @@ object Tpcds {
         |GROUP BY n_name
         |ORDER BY n_name ASC NULLS LAST
         |LIMIT 100""".stripMargin),
+
+    // ---- q2-style: week-over-week day-name pivot ratio — weekly revenue
+    //      pivoted by day-of-week, one year self-joined to the next on the
+    //      week index, each cell a yearly ratio (reference q02.sql's
+    //      wswscs CTE joined to itself at d_year+1). Week index is
+    //      arithmetic on dayofyear (identical both engines); the Spark
+    //      dayofweek (1=Sunday) and DuckDB dayofweek (0=Sunday) dialects
+    //      are aligned with a +1 on the oracle side ----
+    "tpcds_q2_week_over_week" -> Q.sql(
+      spark = """WITH wk AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    CAST(floor((dayofyear(o_orderdate) - 1) / 7) AS BIGINT) AS wkno,
+        |    dayofweek(o_orderdate) AS dow,
+        |    CAST(o_totalprice AS DECIMAL(30,8)) AS price
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |pv AS (
+        |  SELECT yr, wkno,
+        |    CAST(SUM(CASE WHEN dow = 1 THEN price END) AS DOUBLE) AS sun_sales,
+        |    CAST(SUM(CASE WHEN dow = 2 THEN price END) AS DOUBLE) AS mon_sales,
+        |    CAST(SUM(CASE WHEN dow = 6 THEN price END) AS DOUBLE) AS fri_sales,
+        |    CAST(SUM(CASE WHEN dow = 7 THEN price END) AS DOUBLE) AS sat_sales
+        |  FROM wk GROUP BY yr, wkno)
+        |SELECT a.wkno AS wkno,
+        |  ROUND(a.sun_sales / b.sun_sales, 2) AS sun_r,
+        |  ROUND(a.mon_sales / b.mon_sales, 2) AS mon_r,
+        |  ROUND(a.fri_sales / b.fri_sales, 2) AS fri_r,
+        |  ROUND(a.sat_sales / b.sat_sales, 2) AS sat_r
+        |FROM pv a JOIN pv b ON a.wkno = b.wkno
+        |WHERE a.yr = 1995 AND b.yr = 1996
+        |ORDER BY wkno ASC NULLS LAST""".stripMargin,
+      duck = """WITH wk AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    CAST(floor((dayofyear(o_orderdate) - 1) / 7) AS BIGINT) AS wkno,
+        |    dayofweek(o_orderdate) + 1 AS dow,
+        |    CAST(o_totalprice AS DECIMAL(30,8)) AS price
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+        |pv AS (
+        |  SELECT yr, wkno,
+        |    CAST(SUM(CASE WHEN dow = 1 THEN price END) AS DOUBLE) AS sun_sales,
+        |    CAST(SUM(CASE WHEN dow = 2 THEN price END) AS DOUBLE) AS mon_sales,
+        |    CAST(SUM(CASE WHEN dow = 6 THEN price END) AS DOUBLE) AS fri_sales,
+        |    CAST(SUM(CASE WHEN dow = 7 THEN price END) AS DOUBLE) AS sat_sales
+        |  FROM wk GROUP BY yr, wkno)
+        |SELECT a.wkno AS wkno,
+        |  ROUND(a.sun_sales / b.sun_sales, 2) AS sun_r,
+        |  ROUND(a.mon_sales / b.mon_sales, 2) AS mon_r,
+        |  ROUND(a.fri_sales / b.fri_sales, 2) AS fri_r,
+        |  ROUND(a.sat_sales / b.sat_sales, 2) AS sat_r
+        |FROM pv a JOIN pv b ON a.wkno = b.wkno
+        |WHERE a.yr = 1995 AND b.yr = 1996
+        |ORDER BY wkno ASC NULLS LAST""".stripMargin),
+
+    // ---- q11-style: the two-channel year-over-year growth screen (q4's
+    //      shape with per-line channels instead of returnflag): quantity
+    //      totals per (customer, year, linenumber-band channel), customers
+    //      kept when the primary channel grew faster. Four self-joins of
+    //      one grouped CTE — Catalyst broadcasts the grouped (small) side ----
+    "tpcds_q11_channel_growth" -> Q.sqlSame(
+      """WITH totals AS (
+        |  SELECT c_custkey, c_name, year(o_orderdate) AS yr,
+        |    CASE WHEN l_linenumber <= 2 THEN 'primary' ELSE 'secondary' END AS chan,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,8))) AS qty
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY c_custkey, c_name, year(o_orderdate),
+        |    CASE WHEN l_linenumber <= 2 THEN 'primary' ELSE 'secondary' END)
+        |SELECT p1.c_custkey AS c_custkey, p1.c_name AS c_name,
+        |  ROUND(CAST(p2.qty AS DOUBLE) / CAST(p1.qty AS DOUBLE), 6) AS primary_ratio,
+        |  ROUND(CAST(s2.qty AS DOUBLE) / CAST(s1.qty AS DOUBLE), 6) AS secondary_ratio
+        |FROM totals p1 JOIN totals p2 ON p1.c_custkey = p2.c_custkey
+        |JOIN totals s1 ON p1.c_custkey = s1.c_custkey
+        |JOIN totals s2 ON p1.c_custkey = s2.c_custkey
+        |WHERE p1.chan = 'primary' AND p1.yr = 1996
+        |  AND p2.chan = 'primary' AND p2.yr = 1997
+        |  AND s1.chan = 'secondary' AND s1.yr = 1996
+        |  AND s2.chan = 'secondary' AND s2.yr = 1997
+        |  AND CAST(p2.qty AS DOUBLE) / CAST(p1.qty AS DOUBLE)
+        |    > CAST(s2.qty AS DOUBLE) / CAST(s1.qty AS DOUBLE)
+        |ORDER BY c_custkey ASC NULLS LAST""".stripMargin),
+
+    // ---- q12-style: the q98 revenue-share template scoped to a 30-day
+    //      ship window (the reference triplet q12/q20/q98 differs only in
+    //      channel + window; the window IS q12's distinguishing clause) ----
+    "tpcds_q12_windowed_share" -> Q.sqlSame(
+      """SELECT p_type, p_brand, rev,
+        |  ROUND(rev * 100 / CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+        |    AS revenueratio
+        |FROM (
+        |  SELECT p_type, p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'N'
+        |    AND l_shipdate BETWEEN DATE '1996-02-01' AND DATE '1996-03-01'
+        |  GROUP BY p_type, p_brand) b
+        |ORDER BY p_type ASC NULLS LAST, revenueratio DESC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q15-style: the three-way OR customer screen — revenue by
+    //      customer-id band where the band is in a list OR the nation is
+    //      in a list OR the item is big-ticket (reference q15's zip-list /
+    //      state-list / price>500 OR) ----
+    "tpcds_q15_or_screen" -> Q.sqlSame(
+      """SELECT substr(c_name, 16, 2) AS cust_band,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS total_sales
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE (substr(c_name, 16, 2) IN ('13', '17', '21', '29')
+        |    OR n_name IN ('NATION_2', 'NATION_8', 'NATION_14')
+        |    OR l_extendedprice > 4500)
+        |  AND year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+        |GROUP BY substr(c_name, 16, 2)
+        |ORDER BY cust_band ASC NULLS LAST""".stripMargin),
+
+    // ---- q16-style: the catalog twin of q94's exclusive-ship screen —
+    //      date-windowed finished orders whose lines involve suppliers
+    //      from at least two NATIONS (vs q94's two suppliers) and with no
+    //      'A'-returned line, count-distinct + total (reference q16.sql) ----
+    "tpcds_q16_nation_exclusive" -> Q.sqlSame(
+      """SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_count,
+        |  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_price
+        |FROM orders o
+        |WHERE o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+        |  AND o.o_orderstatus = 'F'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l1
+        |    JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
+        |    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    WHERE l1.l_orderkey = o.o_orderkey AND s1.s_nationkey <> s2.s_nationkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'A')""".stripMargin),
+
+    // ---- q20-style: the third member of the revenue-share triplet — the
+    //      share within manufacturer-tier (p_type) over a different
+    //      channel slice ('A'-flag lines) and window ----
+    "tpcds_q20_channel_share" -> Q.sqlSame(
+      """SELECT p_type, p_size, rev,
+        |  ROUND(rev * 100 / CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+        |    AS revenueratio
+        |FROM (
+        |  SELECT p_type, p_size,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'A'
+        |    AND l_shipdate BETWEEN DATE '1997-05-01' AND DATE '1997-05-31'
+        |  GROUP BY p_type, p_size) b
+        |ORDER BY p_type ASC NULLS LAST, revenueratio DESC NULLS LAST, p_size ASC NULLS LAST""".stripMargin),
+
+    // ---- q26-style: the catalog twin of q7's multi-measure averages —
+    //      same four-average shape over a different dim slice (two
+    //      segments, open orders, 1997) grouped by brand ----
+    "tpcds_q26_catalog_avgs" -> Q.sqlSame(
+      """SELECT p_brand,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg1,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg2,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg3,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS agg4
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD') AND o_orderstatus = 'O'
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q27-style: q7's averages under a ROLLUP with the grouping-level
+        //  column (reference q27's rollup over state) ----
+    "tpcds_q27_rollup_avgs" -> Q.sqlSame(
+      """SELECT n_name, p_brand,
+        |  GROUPING(n_name) + GROUPING(p_brand) AS lochierarchy,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE o_orderpriority = '3-MEDIUM' AND year(o_orderdate) = 1996
+        |GROUP BY ROLLUP (n_name, p_brand)
+        |ORDER BY lochierarchy DESC NULLS LAST, n_name ASC NULLS LAST, p_brand ASC NULLS LAST
+        |LIMIT 200""".stripMargin),
+
+    // ---- q30-style: the q1 above-average screen on the QUANTITY measure
+    //      with the wider customer detail output (reference q30 returns
+    //      the full customer row; q1 returns name+total only) ----
+    "tpcds_q30_returns_detail" -> Q.sqlSame(
+      """WITH ret AS (
+        |  SELECT c_custkey AS ctr_custkey, c_nationkey AS ctr_nationkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(30,8))) AS ctr_qty
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |  CAST(ctr_qty AS DOUBLE) AS ctr_qty
+        |FROM ret ctr1 JOIN customer ON c_custkey = ctr_custkey
+        |WHERE CAST(ctr_qty AS DOUBLE) > (
+        |  SELECT CAST(SUM(ctr2.ctr_qty) AS DOUBLE) / COUNT(*) * 1.2
+        |  FROM ret ctr2 WHERE ctr2.ctr_nationkey = ctr1.ctr_nationkey)
+        |ORDER BY c_custkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q32-style: q92's correlated excess screen on the QUANTITY
+    //      measure — items whose quantity beats 1.3× the part's windowed
+    //      average, summed as excess revenue (reference q32.sql) ----
+    "tpcds_q32_excess_quantity" -> Q.sqlSame(
+      """SELECT ROUND(CAST(SUM(CAST(w.l_extendedprice * (1 - w.l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |    AS excess_revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem w JOIN part ON p_partkey = w.l_partkey
+        |WHERE p_size >= 40
+        |  AND w.l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |  AND w.l_quantity > 1.3 * (
+        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = w.l_partkey
+        |      AND l2.l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31')""".stripMargin),
+
+    // ---- q33-style: three-channel union re-aggregated under an
+    //      IN-subquery dim filter (reference q33/q56/q60 — per-channel
+    //      CTEs each restricted to the manufacturers of one category,
+    //      UNION ALL, then re-agg). Channels here are linenumber bands to
+    //      keep the triplet distinct from q71's priority channels ----
+    "tpcds_q33_dim_filtered_union" -> Q.sqlSame(
+      """WITH promo_brands AS (
+        |  SELECT p_brand FROM part WHERE p_type = 'PROMO' GROUP BY p_brand),
+        |c1 AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN (SELECT p_brand FROM promo_brands)
+        |    AND l_linenumber <= 2 AND year(l_shipdate) = 1996
+        |  GROUP BY p_brand),
+        |c2 AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN (SELECT p_brand FROM promo_brands)
+        |    AND l_linenumber BETWEEN 3 AND 4 AND year(l_shipdate) = 1996
+        |  GROUP BY p_brand),
+        |c3 AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN (SELECT p_brand FROM promo_brands)
+        |    AND l_linenumber >= 5 AND year(l_shipdate) = 1996
+        |  GROUP BY p_brand)
+        |SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3) u
+        |GROUP BY p_brand
+        |ORDER BY total_sales DESC NULLS LAST, p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q37-style: the price-band + demand-band item screen — parts in
+    //      a retail-price band whose windowed demand lands in a quantity
+    //      band (reference q37's inv_quantity_on_hand BETWEEN, via the
+    //      HAVING-banded semi join since the schema has no inventory) ----
+    "tpcds_q37_price_demand_band" -> Q.sqlSame(
+      """SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |FROM part
+        |WHERE p_retailprice BETWEEN 940 AND 960
+        |  AND p_partkey IN (
+        |    SELECT l_partkey FROM lineitem
+        |    WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        |    GROUP BY l_partkey
+        |    HAVING SUM(l_quantity) BETWEEN 100 AND 500)
+        |ORDER BY p_partkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q40-style: the before/after pivot NETTED for returns — each
+    //      line contributes plus-or-minus revenue by returnflag, split
+    //      around a pivot date (reference q40's sales-minus-refund CASE
+    //      around the d_date split) ----
+    "tpcds_q40_netted_pivot" -> Q.sqlSame(
+      """SELECT n_name, p_brand,
+        |  CAST(SUM(CASE WHEN l_shipdate < DATE '1997-06-01' THEN net END) AS DOUBLE) AS sales_before,
+        |  CAST(SUM(CASE WHEN l_shipdate >= DATE '1997-06-01' THEN net END) AS DOUBLE) AS sales_after
+        |FROM (
+        |  SELECT l_suppkey, l_partkey, l_shipdate,
+        |    CAST(CASE WHEN l_returnflag = 'R' THEN -(l_extendedprice * (1 - l_discount))
+        |         ELSE l_extendedprice * (1 - l_discount) END AS DECIMAL(30,8)) AS net
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1997-05-01' AND DATE '1997-06-30') l
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN part ON p_partkey = l_partkey
+        |GROUP BY n_name, p_brand
+        |ORDER BY n_name ASC NULLS LAST, p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q42/q52/q55-style: the trivial dim-fact yearly/monthly report
+    //      triplet (the reference trio differs only in the reported dim:
+    //      category / brand / brand-within-manager) — one entry each with
+    //      the matching dim choice ----
+    "tpcds_q42_type_year" -> Q.sqlSame(
+      """SELECT year(o_orderdate) AS d_year, p_type,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_agg
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE year(o_orderdate) = 1998
+        |GROUP BY year(o_orderdate), p_type
+        |ORDER BY sum_agg DESC NULLS LAST, p_type ASC NULLS LAST""".stripMargin),
+
+    "tpcds_q52_brand_month" -> Q.sqlSame(
+      """SELECT year(o_orderdate) AS d_year, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS ext_price
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 2
+        |GROUP BY year(o_orderdate), p_brand
+        |ORDER BY ext_price DESC NULLS LAST, p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    "tpcds_q55_brand_sized" -> Q.sqlSame(
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS ext_price
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size BETWEEN 10 AND 20
+        |  AND year(o_orderdate) = 1996 AND month(o_orderdate) = 11
+        |GROUP BY p_brand
+        |ORDER BY ext_price DESC NULLS LAST, p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q50-style: the fulfillment-latency bucket matrix by supplier
+    //      nation (reference q50's 30/60/90/120/more day-diff pivot
+    //      between sale and return, here order→ship) ----
+    "tpcds_q50_latency_matrix" -> Q.sql(
+      spark = """SELECT n_name,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 30 AND datediff(l_shipdate, o_orderdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 60 AND datediff(l_shipdate, o_orderdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 90 AND datediff(l_shipdate, o_orderdate) <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-12-31'
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS LAST""".stripMargin,
+      duck = """SELECT n_name,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30 AND date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 AND date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 AND date_diff('day', o_orderdate, l_shipdate) <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1996-12-31'
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS LAST""".stripMargin),
+
+    // ---- q53-style: the quarterly deviation screen — per-(brand,
+    //      quarter) revenue vs the brand's quarterly mean, kept when the
+    //      relative deviation exceeds 10% (reference q53/q63's
+    //      avg-ratio CASE; q89 is the monthly threshold sibling) ----
+    "tpcds_q53_quarterly_deviation" -> Q.sqlSame(
+      """SELECT p_brand, qtr, rev, ROUND(avg_rev, 6) AS avg_rev
+        |FROM (
+        |  SELECT p_brand, qtr, rev,
+        |    CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_brand) AS avg_rev
+        |  FROM (
+        |    SELECT p_brand, quarter(o_orderdate) AS qtr,
+        |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN part ON p_partkey = l_partkey
+        |    WHERE year(o_orderdate) = 1997 AND p_type IN ('PROMO', 'STANDARD')
+        |    GROUP BY p_brand, quarter(o_orderdate)) m) d
+        |WHERE avg_rev > 0 AND abs(rev - avg_rev) / avg_rev > 0.1
+        |ORDER BY p_brand ASC NULLS LAST, qtr ASC NULLS LAST""".stripMargin),
+
+    // ---- q56-style: the color-set member of the dim-filtered union
+    //      triplet — brand set derived from part-name colors, channels by
+    //      market segment, union re-aggregated (reference q56.sql) ----
+    "tpcds_q56_color_union" -> Q.sqlSame(
+      """WITH color_brands AS (
+        |  SELECT p_brand FROM part
+        |  WHERE p_name LIKE 'red %' OR p_name LIKE 'blue %' OR p_name LIKE 'green %'
+        |  GROUP BY p_brand),
+        |c1 AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN (SELECT p_brand FROM color_brands)
+        |    AND c_mktsegment = 'AUTOMOBILE' AND year(o_orderdate) = 1997
+        |  GROUP BY p_brand),
+        |c2 AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN (SELECT p_brand FROM color_brands)
+        |    AND c_mktsegment = 'BUILDING' AND year(o_orderdate) = 1997
+        |  GROUP BY p_brand),
+        |c3 AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN (SELECT p_brand FROM color_brands)
+        |    AND c_mktsegment = 'FURNITURE' AND year(o_orderdate) = 1997
+        |  GROUP BY p_brand)
+        |SELECT p_brand, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3) u
+        |GROUP BY p_brand
+        |ORDER BY total_sales ASC NULLS LAST, p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q57-style: q47's lag/lead neighborhood with the RANK-of-
+    //      deviation selection instead of the threshold screen — the top-3
+    //      most deviant months per supplier nation, with their neighbors
+    //      (reference q57 ranks by avg-deviation and keeps the head) ----
+    "tpcds_q57_top_deviations" -> Q.sqlSame(
+      """SELECT n_name, mo, rev, ROUND(prev_rev, 2) AS prev_rev,
+        |  ROUND(next_rev, 2) AS next_rev, dev_rank
+        |FROM (
+        |  SELECT n_name, mo, rev, prev_rev, next_rev,
+        |    RANK() OVER (PARTITION BY n_name
+        |                 ORDER BY abs(rev - avg_rev) DESC, mo ASC) AS dev_rank
+        |  FROM (
+        |    SELECT n_name, mo, rev,
+        |      LAG(rev) OVER (PARTITION BY n_name ORDER BY mo) AS prev_rev,
+        |      LEAD(rev) OVER (PARTITION BY n_name ORDER BY mo) AS next_rev,
+        |      CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (PARTITION BY n_name) AS DOUBLE)
+        |        / COUNT(*) OVER (PARTITION BY n_name) AS avg_rev
+        |    FROM (
+        |      SELECT n_name, month(o_orderdate) AS mo,
+        |        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS rev
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN nation ON n_nationkey = s_nationkey
+        |      WHERE year(o_orderdate) = 1997
+        |      GROUP BY n_name, month(o_orderdate)) m) w) d
+        |WHERE dev_rank <= 3
+        |ORDER BY n_name ASC NULLS LAST, dev_rank ASC NULLS LAST, mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q60-style: the third dim-filtered union — type set derived
+    //      from an agg-of-agg HAVING (types with above-par average retail
+    //      price), channels by order status, re-agg by type ----
+    "tpcds_q60_type_union" -> Q.sqlSame(
+      """WITH rich_types AS (
+        |  SELECT p_type FROM part GROUP BY p_type
+        |  HAVING CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) > 949.5),
+        |c1 AS (
+        |  SELECT p_type, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type IN (SELECT p_type FROM rich_types)
+        |    AND o_orderstatus = 'F' AND year(o_orderdate) = 1996
+        |  GROUP BY p_type),
+        |c2 AS (
+        |  SELECT p_type, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type IN (SELECT p_type FROM rich_types)
+        |    AND o_orderstatus = 'O' AND year(o_orderdate) = 1996
+        |  GROUP BY p_type),
+        |c3 AS (
+        |  SELECT p_type, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type IN (SELECT p_type FROM rich_types)
+        |    AND o_orderstatus = 'P' AND year(o_orderdate) = 1996
+        |  GROUP BY p_type)
+        |SELECT p_type, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3) u
+        |GROUP BY p_type
+        |ORDER BY total_sales DESC NULLS LAST, p_type ASC NULLS LAST""".stripMargin),
+
+    // ---- q61-style: the promotional-share scalar pair — two independent
+    //      single-row aggregates over the same slice (one promo-screened,
+    //      one not) cross-joined into a percentage (reference q61's
+    //      promotional_sales / all_sales comma join) ----
+    "tpcds_q61_promo_share" -> Q.sqlSame(
+      """SELECT promotions, total,
+        |  ROUND(promotions * 100 / total, 6) AS promo_pct
+        |FROM (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS promotions
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |    AND p_type = 'PROMO'
+        |    AND year(o_orderdate) = 1997 AND quarter(o_orderdate) = 4) p
+        |CROSS JOIN (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |    AND year(o_orderdate) = 1997 AND quarter(o_orderdate) = 4) t""".stripMargin),
+
+    // ---- q62-style: q99's latency bucket matrix at finer grain — by
+    //      line status × month with the reference's 15/30/60 day edges ----
+    "tpcds_q62_status_latency" -> Q.sql(
+      spark = """SELECT l_linestatus, month(o_orderdate) AS mo,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS d15,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 15 AND datediff(l_shipdate, o_orderdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 30 AND datediff(l_shipdate, o_orderdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN datediff(l_shipdate, o_orderdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY l_linestatus, month(o_orderdate)
+        |ORDER BY l_linestatus ASC NULLS LAST, mo ASC NULLS LAST""".stripMargin,
+      duck = """SELECT l_linestatus, month(o_orderdate) AS mo,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS d15,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 15 AND date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30 AND date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY l_linestatus, month(o_orderdate)
+        |ORDER BY l_linestatus ASC NULLS LAST, mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q63-style: the PROFIT deviation sibling (q53 screens revenue
+    //      by quarter, q89 revenue by month; q63 screens the margin
+    //      measure) ----
+    "tpcds_q63_profit_deviation" -> Q.sqlSame(
+      """SELECT p_type, mo, profit, ROUND(avg_profit, 6) AS avg_profit
+        |FROM (
+        |  SELECT p_type, mo, profit,
+        |    CAST(SUM(CAST(profit AS DECIMAL(30,8))) OVER (PARTITION BY p_type) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_type) AS avg_profit
+        |  FROM (
+        |    SELECT p_type, month(o_orderdate) AS mo,
+        |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 100.0 * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN part ON p_partkey = l_partkey
+        |    WHERE year(o_orderdate) = 1997
+        |    GROUP BY p_type, month(o_orderdate)) m) d
+        |WHERE abs(avg_profit) > 0 AND abs(profit - avg_profit) / abs(avg_profit) > 0.1
+        |ORDER BY p_type ASC NULLS LAST, mo ASC NULLS LAST""".stripMargin),
+
+    // ---- q70-style: q36's rollup ranking restricted to the top nations
+    //      by a pre-computed window rank (reference q70's IN-subquery
+    //      selecting states whose in-country rank ≤ 5) ----
+    "tpcds_q70_ranked_rollup" -> Q.sqlSame(
+      """SELECT lochierarchy, r_name, n_name, total_rev,
+        |  RANK() OVER (PARTITION BY lochierarchy
+        |               ORDER BY total_rev DESC, r_name ASC NULLS FIRST,
+        |                        n_name ASC NULLS FIRST) AS rank_within_parent
+        |FROM (
+        |  SELECT r_name, n_name,
+        |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE year(l_shipdate) = 1997
+        |    AND n_name IN (
+        |      SELECT n_name FROM (
+        |        SELECT rr.r_name AS rn, nn.n_name AS n_name,
+        |          RANK() OVER (PARTITION BY rr.r_name
+        |                       ORDER BY CAST(SUM(CAST(l2.l_extendedprice * (1 - l2.l_discount) AS DECIMAL(30,8))) AS DOUBLE) DESC,
+        |                                nn.n_name ASC) AS rnk
+        |        FROM lineitem l2
+        |        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |        JOIN nation nn ON nn.n_nationkey = s2.s_nationkey
+        |        JOIN region rr ON rr.r_regionkey = nn.n_regionkey
+        |        WHERE year(l2.l_shipdate) = 1997
+        |        GROUP BY rr.r_name, nn.n_name) ranked
+        |      WHERE rnk <= 3)
+        |  GROUP BY ROLLUP (r_name, n_name)) t
+        |ORDER BY lochierarchy DESC NULLS LAST, r_name ASC NULLS LAST, n_name ASC NULLS LAST""".stripMargin),
+
+    // ---- q73-style: q34's count-band join-back at the narrow band —
+    //      rare order shapes (1–2 lines) under a priority screen, the
+    //      P-status slice (reference q73's 1-and-5 band vs q34's 15-20) ----
+    "tpcds_q73_narrow_band" -> Q.sqlSame(
+      """SELECT c_name, c_custkey, o_orderkey, cnt
+        |FROM (
+        |  SELECT l_orderkey AS okey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING COUNT(*) BETWEEN 1 AND 2) ln
+        |JOIN orders ON o_orderkey = okey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE o_orderstatus = 'P' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY cnt DESC NULLS LAST, c_name ASC NULLS LAST, o_orderkey ASC NULLS LAST
+        |LIMIT 200""".stripMargin),
+
+    // ---- q74-style: the orders-only growth tower (q4/q11 over the fact;
+    //      q74 needs no lineitem join at all — two priority-band channels
+    //      of o_totalprice, 1996 vs 1997, ratio-compared) ----
+    "tpcds_q74_orders_growth" -> Q.sqlSame(
+      """WITH yr_totals AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi' ELSE 'lo' END AS chan,
+        |    SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS total
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey, year(o_orderdate),
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi' ELSE 'lo' END)
+        |SELECT h1.o_custkey AS custkey, c_name,
+        |  ROUND(CAST(h2.total AS DOUBLE) / CAST(h1.total AS DOUBLE), 6) AS hi_ratio,
+        |  ROUND(CAST(l2.total AS DOUBLE) / CAST(l1.total AS DOUBLE), 6) AS lo_ratio
+        |FROM yr_totals h1 JOIN yr_totals h2 ON h1.o_custkey = h2.o_custkey
+        |JOIN yr_totals l1 ON h1.o_custkey = l1.o_custkey
+        |JOIN yr_totals l2 ON h1.o_custkey = l2.o_custkey
+        |JOIN customer ON c_custkey = h1.o_custkey
+        |WHERE h1.chan = 'hi' AND h1.yr = 1996 AND h2.chan = 'hi' AND h2.yr = 1997
+        |  AND l1.chan = 'lo' AND l1.yr = 1996 AND l2.chan = 'lo' AND l2.yr = 1997
+        |  AND CAST(h2.total AS DOUBLE) / CAST(h1.total AS DOUBLE)
+        |    > CAST(l2.total AS DOUBLE) / CAST(l1.total AS DOUBLE)
+        |ORDER BY custkey ASC NULLS LAST""".stripMargin),
+
+    // ---- q76-style: the null-channel report — three UNION ALL channels
+    //      each screened on an IS NULL attribute, counted and summed per
+    //      (channel, column, year). The driver schema is NOT NULL
+    //      throughout, so the nullable attributes are NULLIF-derived —
+    //      real NULLs by the time the screen runs (reference q76 screens
+    //      genuinely-null surrogate keys) ----
+    "tpcds_q76_null_channels" -> Q.sqlSame(
+      """SELECT channel, col_name, yr, CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+        |  CAST(SUM(amt) AS DOUBLE) AS sales_amt
+        |FROM (
+        |  SELECT 'line_return' AS channel, 'l_returnflag' AS col_name,
+        |    year(l_shipdate) AS yr, CAST(l_extendedprice AS DECIMAL(30,8)) AS amt
+        |  FROM lineitem WHERE NULLIF(l_returnflag, 'N') IS NULL
+        |  UNION ALL
+        |  SELECT 'order_status' AS channel, 'o_orderstatus' AS col_name,
+        |    year(o_orderdate) AS yr, CAST(o_totalprice AS DECIMAL(30,8)) AS amt
+        |  FROM orders WHERE NULLIF(o_orderstatus, 'P') IS NULL
+        |  UNION ALL
+        |  SELECT 'line_status' AS channel, 'l_linestatus' AS col_name,
+        |    year(l_shipdate) AS yr, CAST(l_extendedprice AS DECIMAL(30,8)) AS amt
+        |  FROM lineitem WHERE NULLIF(l_linestatus, 'F') IS NULL) u
+        |GROUP BY channel, col_name, yr
+        |ORDER BY channel ASC NULLS LAST, col_name ASC NULLS LAST, yr ASC NULLS LAST""".stripMargin),
+
+    // ---- q79-style: the aggregated city-pair profit report (q46/q68
+    //      emit order-level rows; q79 aggregates per (customer, nation)
+    //      with a profit HAVING over a weekday slice) ----
+    "tpcds_q79_pair_profit" -> Q.sqlSame(
+      """SELECT c_name, sn.n_name AS bought_nation,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 100.0 * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |WHERE cn.n_name <> sn.n_name AND o_orderpriority = '2-HIGH'
+        |  AND day(o_orderdate) % 7 IN (1, 2)
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY c_name, sn.n_name
+        |HAVING SUM(CAST(l_extendedprice * (1 - l_discount) - 100.0 * l_quantity AS DECIMAL(30,8))) > 0
+        |ORDER BY profit DESC NULLS LAST, c_name ASC NULLS LAST, bought_nation ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q81-style: the third above-average returns screen — the TAX
+    //      measure on 'A'-flag returns with nation detail in the output
+    //      (q1 revenue / q30 quantity / q81 tax completes the reference
+    //      triplet) ----
+    "tpcds_q81_tax_returns" -> Q.sqlSame(
+      """WITH ret AS (
+        |  SELECT c_custkey AS ctr_custkey, c_nationkey AS ctr_nationkey,
+        |    SUM(CAST(l_extendedprice * l_tax AS DECIMAL(30,8))) AS ctr_tax
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  WHERE l_returnflag = 'A'
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT c_custkey, c_name, n_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+        |  CAST(ctr_tax AS DOUBLE) AS ctr_tax
+        |FROM ret ctr1 JOIN customer ON c_custkey = ctr_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE CAST(ctr_tax AS DOUBLE) > (
+        |  SELECT CAST(SUM(ctr2.ctr_tax) AS DOUBLE) / COUNT(*) * 1.2
+        |  FROM ret ctr2 WHERE ctr2.ctr_nationkey = ctr1.ctr_nationkey)
+        |ORDER BY c_custkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q82-style: q37's band screen with the supplier leg — parts in
+    //      a size band whose demand from a nation set clears a quantity
+    //      bar (reference q82 adds the item-supplier join to q37) ----
+    "tpcds_q82_supplier_band" -> Q.sqlSame(
+      """SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        |FROM part
+        |WHERE p_size BETWEEN 25 AND 35
+        |  AND p_partkey IN (
+        |    SELECT l_partkey FROM lineitem
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+        |      AND l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+        |    GROUP BY l_partkey HAVING SUM(l_quantity) >= 50)
+        |ORDER BY p_partkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q83-style: the three-slice returns ratio join — returned
+    //      quantity per brand over three disjoint channel slices, each
+    //      restricted by a NESTED date-IN subquery (reference q83's
+    //      d_date IN (SELECT … WHERE d_week_seq IN (SELECT …))), 3-way
+    //      joined on brand with each slice's share of the three-way mean ----
+    "tpcds_q83_returns_ratio" -> Q.sqlSame(
+      """WITH mset AS (
+        |  SELECT month(o_orderdate) AS m FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) IN (DATE '1996-06-30', DATE '1996-09-27', DATE '1996-11-17')
+        |  GROUP BY month(o_orderdate)),
+        |r1 AS (
+        |  SELECT p_brand, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS q1
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'R' AND l_linenumber <= 2
+        |    AND month(l_shipdate) IN (SELECT m FROM mset)
+        |  GROUP BY p_brand),
+        |r2 AS (
+        |  SELECT p_brand, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS q2
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'R' AND l_linenumber BETWEEN 3 AND 4
+        |    AND month(l_shipdate) IN (SELECT m FROM mset)
+        |  GROUP BY p_brand),
+        |r3 AS (
+        |  SELECT p_brand, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS q3
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'R' AND l_linenumber >= 5
+        |    AND month(l_shipdate) IN (SELECT m FROM mset)
+        |  GROUP BY p_brand)
+        |SELECT r1.p_brand AS p_brand,
+        |  CAST(q1 AS DOUBLE) AS qty1,
+        |  ROUND(CAST(q1 AS DOUBLE) * 100 / ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)) / 3), 2) AS dev1,
+        |  CAST(q2 AS DOUBLE) AS qty2,
+        |  ROUND(CAST(q2 AS DOUBLE) * 100 / ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)) / 3), 2) AS dev2,
+        |  CAST(q3 AS DOUBLE) AS qty3,
+        |  ROUND(CAST(q3 AS DOUBLE) * 100 / ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)) / 3), 2) AS dev3,
+        |  ROUND((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)) / 3, 2) AS average
+        |FROM r1 JOIN r2 ON r1.p_brand = r2.p_brand
+        |JOIN r3 ON r1.p_brand = r3.p_brand
+        |ORDER BY p_brand ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q84-style: the no-fact dim-chain lookup — customer → nation →
+    //      region joined through an INLINE income-band VALUES table on an
+    //      acctbal BETWEEN (reference q84's income_band join), semi-joined
+    //      to having-returned customers, concat display name ----
+    "tpcds_q84_dim_chain" -> Q.sqlSame(
+      """SELECT c_custkey, concat(c_name, ' / ', n_name) AS customername
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |JOIN (VALUES (0.0, 2500.0), (2500.0, 5000.0)) AS ib(ib_lo, ib_hi)
+        |  ON c_acctbal >= ib_lo AND c_acctbal < ib_hi
+        |WHERE r_name = 'ASIA'
+        |  AND c_custkey IN (
+        |    SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE l_returnflag = 'R')
+        |ORDER BY c_custkey ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q85-style: the triple-OR band select over RETURNS with reason
+    //      grouping — each OR arm pairs a segment, a balance band and a
+    //      quantity band (reference q85's marital/education/sales-price
+    //      towers over web returns, grouped by return reason) ----
+    "tpcds_q85_returns_bands" -> Q.sqlSame(
+      """SELECT o_orderpriority,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        |  ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6) AS avg_tax
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+        |  AND ((c_mktsegment = 'AUTOMOBILE' AND c_acctbal BETWEEN 0 AND 3000
+        |        AND l_quantity BETWEEN 1 AND 15)
+        |    OR (c_mktsegment = 'BUILDING' AND c_acctbal BETWEEN 3000 AND 6000
+        |        AND l_quantity BETWEEN 16 AND 35)
+        |    OR (c_mktsegment = 'HOUSEHOLD' AND c_acctbal BETWEEN 6000 AND 10000
+        |        AND l_quantity BETWEEN 36 AND 50))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin),
+
+    // ---- q86-style: q36's ranked rollup over the ITEM hierarchy with no
+    //      base-table dims beyond the fact join (reference q86 is q36
+    //      minus the store leg) ----
+    "tpcds_q86_item_rollup" -> Q.sqlSame(
+      """SELECT lochierarchy, p_type, p_brand, total_rev,
+        |  RANK() OVER (PARTITION BY lochierarchy
+        |               ORDER BY total_rev DESC, p_type ASC NULLS FIRST,
+        |                        p_brand ASC NULLS FIRST) AS rank_within_parent
+        |FROM (
+        |  SELECT p_type, p_brand,
+        |    GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE year(l_shipdate) = 1997
+        |  GROUP BY ROLLUP (p_type, p_brand)) t
+        |ORDER BY lochierarchy DESC NULLS LAST, p_type ASC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q91-style: the call-center monthly returns-loss report — loss
+    //      by (priority-band "call center", month) over a customer screen
+    //      that ORs a negative balance with a segment (reference q91's
+    //      cd_marital/cd_education OR with hd_buy_potential) ----
+    "tpcds_q91_callcenter_loss" -> Q.sqlSame(
+      """SELECT o_orderpriority AS call_center, month(o_orderdate) AS mo,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS returns_loss
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997
+        |  AND (c_acctbal < 0 OR c_mktsegment = 'AUTOMOBILE')
+        |GROUP BY o_orderpriority, month(o_orderdate)
+        |ORDER BY returns_loss DESC NULLS LAST, call_center ASC NULLS LAST, mo ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q96-style: the single-count hour-band probe over the events
+    //      stream table (reference q96 counts store_sales at 8:30–9:00 for
+    //      one demographic; hour() dialects aligned per the q90 pattern) ----
+    "tpcds_q96_hour_count" -> Q.sql(
+      spark = """SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE hour(ts) BETWEEN 15 AND 17 AND event_type IN ('view', 'click')""".stripMargin,
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events
+        |WHERE hour(CAST(ts AS TIMESTAMP)) BETWEEN 15 AND 17 AND event_type IN ('view', 'click')""".stripMargin),
   )
 }
 

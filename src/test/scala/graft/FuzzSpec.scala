@@ -52,10 +52,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(q.oracle.contains(graft.functions.FunctionFuzzer.generate(seed, 42)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
     }
+    assert(Registry.all("fuzz_date_bank_1").oracle
+      .contains(graft.functions.FunctionFuzzer.generateDates(404L, 42)),
+      "fuzz_date_bank_1's oracle SQL is not the seed-404 regeneration")
   }
 
   test("banks execute in Spark with the declared shape") {
-    for (name <- Seq("fuzz_expr_bank_1", "fuzz_expr_bank_2", "fuzz_expr_bank_3")) {
+    for (name <- Seq("fuzz_expr_bank_1", "fuzz_expr_bank_2", "fuzz_expr_bank_3",
+        "fuzz_date_bank_1")) {
       val df = Registry.all(name).fn(spark, sfDir)
       val rows = df.collect()
       assert(rows.length == 25, s"$name: expected the 25 nation rows")

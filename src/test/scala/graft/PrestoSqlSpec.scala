@@ -100,6 +100,29 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("PREPARE / EXECUTE ... USING / DEALLOCATE session surface") {
+    val ps = new PrestoSql.Prepared(spark)
+    ps.statement("PREPARE pq FROM SELECT o_orderpriority, count(*) AS n FROM orders " +
+      "WHERE o_totalprice > ? GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    assert(ps.statement("EXECUTE pq USING 100000").collect().nonEmpty)
+    // arity mismatch mirrors the reference's error text
+    val e1 = intercept[IllegalArgumentException] { ps.statement("EXECUTE pq USING 1, 2") }
+    assert(e1.getMessage.contains("Incorrect number of parameters"))
+    // '?' inside a string literal is NOT a parameter marker
+    ps.statement("PREPARE pq2 FROM SELECT count(*) AS n FROM orders " +
+      "WHERE o_orderpriority <> '?' AND o_totalprice > ?")
+    assert(ps.statement("EXECUTE pq2 USING 0").collect()(0).getLong(0) > 0)
+    // parameterless EXECUTE routes through the dialect shim (quoted
+    // identifiers + FETCH FIRST)
+    ps.statement("PREPARE pq3 FROM SELECT \"o_orderpriority\" FROM orders " +
+      "GROUP BY \"o_orderpriority\" ORDER BY \"o_orderpriority\" FETCH FIRST 2 ROWS ONLY")
+    assert(ps.statement("EXECUTE pq3").collect().length == 2)
+    // deallocate, then execute → the reference's not-found error
+    ps.statement("DEALLOCATE PREPARE pq")
+    val e2 = intercept[IllegalArgumentException] { ps.statement("EXECUTE pq") }
+    assert(e2.getMessage.contains("Prepared statement not found"))
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
