@@ -285,4 +285,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "the mixture solve is a single aggregation, no join anywhere")
   }
+
+  test("tpcds q16 nation-exclusive screen lowers to semi + anti, no nested loop") {
+    val p = executedPlan("tpcds_q16_nation_exclusive")
+    assert(p.contains("LeftSemi"), "EXISTS must lower to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must lower to an anti join")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpcds q33/q56/q60 dim-filtered unions: IN-subquery dims semi-join, no nested loop") {
+    for (name <- Seq("tpcds_q33_dim_filtered_union", "tpcds_q56_color_union",
+        "tpcds_q60_type_union")) {
+      val p = executedPlan(name)
+      assert(p.contains("LeftSemi"), s"$name: the dim IN-subquery must lower to a semi join")
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
+    }
+  }
+
+  test("tpcds q70 rank-restricted rollup: nation pre-filter semi-joins, window above agg") {
+    val p = executedPlan("tpcds_q70_ranked_rollup")
+    assert(p.contains("LeftSemi"), "the ranked nation set must arrive as a semi join")
+    assert(p.contains("Expand"), "ROLLUP lowers to Expand")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q84 dim chain: inline band table broadcasts; returns semi-join; no cartesian") {
+    // the 2-row VALUES income-band join is range-conditioned, so a
+    // BROADCAST nested loop over 2 rows is the correct plan — what must
+    // never appear is a cartesian product or a shuffled nested loop
+    val p = executedPlan("tpcds_q84_dim_chain")
+    assert(p.contains("LeftSemi"), "the having-returned IN-subquery must lower to a semi join")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("tpcds q11/q74 growth screens: grouped CTE self-joins stay hash joins") {
+    for (name <- Seq("tpcds_q11_channel_growth", "tpcds_q74_orders_growth")) {
+      val p = executedPlan(name)
+      assert(p.contains("HashAggregate"), s"$name")
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
+    }
+  }
 }
