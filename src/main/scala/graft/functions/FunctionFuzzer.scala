@@ -32,10 +32,10 @@ package graft.functions
   */
 object FunctionFuzzer {
 
-  /** One fuzz bank: `SELECT n_nationkey AS k, e1, ..., eN FROM nation`. */
-  def generate(seed: Long, nCols: Int): String = {
-    val rnd = new scala.util.Random(seed)
-
+  /** The shared expression grammar: draw order depends only on the call
+    * sequence, so each bank's SQL is a pure function of its seed.
+    */
+  private final class ExprGen(rnd: scala.util.Random) {
     def intLeaf(): String = rnd.nextInt(5) match {
       case 0 => "CAST(n_nationkey AS BIGINT)"
       case 1 => "CAST(n_regionkey AS BIGINT)"
@@ -95,12 +95,16 @@ object FunctionFuzzer {
         case 5 => s"(n_name LIKE '${Seq("NATION_1%", "%1%", "%_5", "N%9")(rnd.nextInt(4))}')"
         case _ => s"(${intExpr(d - 1)} IS NULL)"
       }
+  }
 
+  /** One fuzz bank: `SELECT n_nationkey AS k, e1, ..., eN FROM nation`. */
+  def generate(seed: Long, nCols: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
     val cols = (1 to nCols).map { i =>
       val e = i % 3 match {
-        case 1 => s"CAST(${intExpr(3)} AS BIGINT)"
-        case 2 => strExpr(3)
-        case _ => boolExpr(2)
+        case 1 => s"CAST(${g.intExpr(3)} AS BIGINT)"
+        case 2 => g.strExpr(3)
+        case _ => g.boolExpr(2)
       }
       s"  $e AS e$i"
     }
@@ -165,5 +169,39 @@ object FunctionFuzzer {
        |${cols.mkString(",\n")}
        |FROM nation
        |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
+  /** An aggregation bank: randomized GROUPED aggregates over [[ExprGen]]
+    * integer/boolean expressions — this differentials the partial-agg
+    * merge paths (Spark's map-side combine vs DuckDB's single pass), not
+    * just scalar kernels. Subset rules:
+    *  - SUM is CAST to BIGINT on both sides (DuckDB promotes SUM(BIGINT)
+    *    to HUGEINT where Spark stays BIGINT — the cast pins dtype parity;
+    *    depth-2 operands keep |value| ≤ ~1e8, 25 rows ⇒ no overflow);
+    *  - AVG runs over exact integer sums (integers are exact in double
+    *    far beyond these magnitudes, so partial-agg order cannot perturb
+    *    the one terminal division), then ROUND(…, 6);
+    *  - conditional aggregation goes through CASE (NULLs ignored by both
+    *    engines' SUM/COUNT/MIN/MAX identically);
+    *  - no string MIN/MAX (collation ordering is out of the common
+    *    subset; string EQUALITY is exercised inside the CASE guards).
+    */
+  def generateAggs(seed: Long, nAggs: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
+    val cols = (1 to nAggs).map { i =>
+      val e = i % 5 match {
+        case 1 => s"CAST(SUM(CASE WHEN ${g.boolExpr(1)} THEN ${g.intExpr(2)} END) AS BIGINT)"
+        case 2 => s"CAST(COUNT(CASE WHEN ${g.boolExpr(1)} THEN 1 END) AS BIGINT)"
+        case 3 => s"CAST(MIN(${g.intExpr(2)}) AS BIGINT)"
+        case 4 => s"CAST(MAX(${g.intExpr(2)}) AS BIGINT)"
+        case _ => s"ROUND(AVG(CAST(${g.intExpr(2)} AS DOUBLE)), 6)"
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_regionkey AS g,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |GROUP BY n_regionkey
+       |ORDER BY g ASC NULLS LAST""".stripMargin
   }
 }

@@ -314,6 +314,7 @@ object Functions {
     "fuzz_expr_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(202L, 42)),
     "fuzz_expr_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(303L, 42)),
     "fuzz_date_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDates(404L, 42)),
+    "fuzz_agg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateAggs(505L, 40)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----

@@ -55,6 +55,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Registry.all("fuzz_date_bank_1").oracle
       .contains(graft.functions.FunctionFuzzer.generateDates(404L, 42)),
       "fuzz_date_bank_1's oracle SQL is not the seed-404 regeneration")
+    assert(Registry.all("fuzz_agg_bank_1").oracle
+      .contains(graft.functions.FunctionFuzzer.generateAggs(505L, 40)),
+      "fuzz_agg_bank_1's oracle SQL is not the seed-505 regeneration")
   }
 
   test("banks execute in Spark with the declared shape") {
@@ -66,6 +69,13 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.columns.length == 43, s"$name: expected k + 42 expression columns")
       assert(df.columns.head == "k")
     }
+  }
+
+  test("the agg bank groups to the 5 regions with 40 aggregate columns") {
+    val df = Registry.all("fuzz_agg_bank_1").fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 5, "expected one row per region")
+    assert(df.columns.length == 41 && df.columns.head == "g")
   }
 
   test("the guarded % exercises real three-valued logic (some null, not all)") {
