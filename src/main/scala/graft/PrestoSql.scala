@@ -159,8 +159,17 @@ object PrestoSql {
     private val deallocRe =
       "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
 
-    /** Route one statement: PREPARE/EXECUTE/DEALLOCATE handled here, any
-      * other text falls through to `PrestoSql.sql`.
+    private val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES\\s*;?\\s*$".r
+    private val showSchemasRe = "(?is)^\\s*SHOW\\s+SCHEMAS\\s*;?\\s*$".r
+    private val showColumnsRe =
+      "(?is)^\\s*SHOW\\s+COLUMNS\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+    private val showFunctionsRe = "(?is)^\\s*SHOW\\s+FUNCTIONS\\s*;?\\s*$".r
+
+    /** Route one statement: PREPARE/EXECUTE/DEALLOCATE and the SHOW
+      * metadata statements handled here (the reference rewrites SHOW into
+      * information_schema queries — sql/rewrite/ShowQueriesRewrite.java;
+      * here they read Spark's catalog), any other text falls through to
+      * `PrestoSql.sql`.
       */
     def statement(text: String): DataFrame = text match {
       case prepareRe(name, body) =>
@@ -171,6 +180,19 @@ object PrestoSql {
         spark.sql(s"SELECT 'DEALLOCATE' AS result")
       case executeRe(name, usingList) =>
         execute(name, Option(usingList).map(splitTopLevel).getOrElse(Nil))
+      case showTablesRe() =>
+        import spark.implicits._
+        spark.catalog.listTables().map(_.name).toDF("Table").orderBy("Table")
+      case showSchemasRe() =>
+        import spark.implicits._
+        spark.catalog.listDatabases().map(_.name).toDF("Schema").orderBy("Schema")
+      case showColumnsRe(table) =>
+        import spark.implicits._
+        spark.table(table).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString)).toDF("Column", "Type")
+      case showFunctionsRe() =>
+        import spark.implicits._
+        spark.catalog.listFunctions().map(_.name).toDF("Function").orderBy("Function")
       case other => PrestoSql.sql(spark, other)
     }
 

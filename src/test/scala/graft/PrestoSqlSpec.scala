@@ -123,6 +123,17 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("Prepared statement not found"))
   }
 
+  test("SHOW metadata statements read the catalog") {
+    val ps = new PrestoSql.Prepared(spark)
+    val tables = ps.statement("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("orders"), s"registered views must list; got ${tables.mkString(",")}")
+    val cols = ps.statement("SHOW COLUMNS FROM orders").collect().map(_.getString(0))
+    assert(cols.contains("o_orderkey") && cols.contains("o_totalprice"))
+    val fns = ps.statement("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("approx_distinct"), "registered compat functions must list")
+    assert(ps.statement("SHOW SCHEMAS").collect().nonEmpty)
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
