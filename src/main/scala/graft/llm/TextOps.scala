@@ -213,4 +213,22 @@ object TextOps {
       when(s === best && s > 0 && acc === "und", lit(lang)).otherwise(acc)
     }
   }
+
+  /** PII scrubbing for training corpora: emails, IPv4 literals, then
+    * phone-like digit runs → typed placeholder tags. Email runs first —
+    * the local part is a digit run the phone pattern would bite into —
+    * and the placeholders contain no digits, so later passes cannot
+    * re-match earlier replacements. A pure codegen'd regexp_replace chain
+    * (per-row, no shuffle); the patterns stay inside the RE2-compatible
+    * subset, so engines on RE2 (as the reference's re2j-backed functions,
+    * presto-main/.../type/Re2JRegexpType.java) agree with Java's
+    * semantics here.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+      "\\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>")
 }

@@ -55,6 +55,35 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last)
     },
 
+    // ---- PII scrubbing (TextOps.redactPii): the corpus text gets a
+    //      deterministic PII suffix injected IN-QUERY (the synthetic
+    //      corpus contains none), then the email/IP/phone chain redacts
+    //      it; DuckDB re-runs the same RE2-subset patterns ('g' flag —
+    //      DuckDB replaces first-match by default where Spark replaces
+    //      all) ----
+    "llm_pii_redact" -> Q.df(
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat(substr(text, 1, 40), ' contact u', CAST(doc_id AS VARCHAR),
+        |               '@ex.org or +1 555-01', CAST(doc_id % 100 AS VARCHAR),
+        |               ' at 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val injected = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex.org or +1 555-01"), (col("doc_id") % 100).cast("string"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      d.select(col("doc_id"), TextOps.redactPii(injected).as("redacted"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- BPE-ish token counting (TextOps.tokenCountRegex) ----
     "llm_token_count" -> Q.df(
       """SELECT doc_id,

@@ -34,6 +34,19 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def docs: DataFrame = Tables.t(spark, sfDir, "documents")
   private def embs: DataFrame = Tables.t(spark, sfDir, "embeddings")
 
+  test("redactPii scrubs emails, phones, and IPs; order protects the email local part") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      "mail a.b+x@c-corp.io call +1 650 555-0199 from 192.168.0.1",
+      "no pii here at all",
+      "double first.last@a.io second@b.org and 10.0.0.1").toDF("t")
+      .select(llm.TextOps.redactPii(org.apache.spark.sql.functions.col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "mail <EMAIL> call <PHONE> from <IP>")
+    assert(rows(1) == "no pii here at all")
+    assert(rows(2) == "double <EMAIL> <EMAIL> and <IP>")
+  }
+
   test("minhash-lsh recall: finds every exact pair at its threshold") {
     val elems = TextOps.tokenSet(col("text"))
     val exact = Dedup.jaccardPairs(docs, "doc_id", elems, 0.9)
