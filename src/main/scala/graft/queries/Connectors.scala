@@ -202,5 +202,31 @@ object Connectors {
           sum(col("n_chars")).cast("long").as("chars_sum"),
           sum(length(col("text"))).cast("long").as("text_len_sum"))
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+    },
+
+    // SequenceFile connector roundtrip (HiveStorageFormat.SEQUENCEFILE +
+    // LazySimpleSerDe line framing): supplier → ctrl-A-delimited Text
+    // values in a SequenceFile container → declared-schema read-back →
+    // aggregate. Oracle re-derived from the parquet source (the ORC/JDBC/
+    // Avro pattern): a value the serde framing mangles breaks the hash.
+    "src_sequencefile_roundtrip" -> Q.df(
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS acctbal,
+        |  CAST(SUM(length(s_name)) AS BIGINT) AS name_len_sum
+        |FROM supplier GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/supplier_seq")
+      Sources.writeSequenceFile(
+        Tables.t(s, dir, "supplier"), s"$scratch/supplier_seq")
+      Sources.sequenceFile(s, s"$scratch/supplier_seq", StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType))))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"),
+          sum(length(col("s_name"))).cast("long").as("name_len_sum"))
+        .orderBy(col("s_nationkey").asc_nulls_last)
     })
 }

@@ -55,6 +55,58 @@ object Sources {
   /** Whole-line text (decoders layer on top via the function registry). */
   def text(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
 
+  /** Hive-style SequenceFile sink (HiveStorageFormat.SEQUENCEFILE with
+    * LazySimpleSerDe framing: each value is one ctrl-A(\u0001)-delimited text
+    * record, keys are null — `presto-hive/.../HiveStorageFormat.java:53`
+    * pairs SequenceFileOutputFormat with LazySimpleSerDe). SQL NULL is
+    * encoded as the serde's `\N` marker. Splittable at sync markers, so
+    * it parallelizes like the other container formats.
+    */
+  def writeSequenceFile(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io.{NullWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
+    val n = df.schema.length
+    df.rdd.map { row =>
+      val line = (0 until n).map(i =>
+        if (row.isNullAt(i)) "\\N" else row.get(i).toString).mkString("\u0001")
+      (NullWritable.get(), new Text(line))
+    }.saveAsNewAPIHadoopFile(path, classOf[NullWritable], classOf[Text],
+      classOf[SequenceFileOutputFormat[NullWritable, Text]])
+  }
+
+  /** SequenceFile scan under the declared-schema rule (csv/jsonLines
+    * analog). The Hadoop reader REUSES its Writable instances, so the
+    * value is copied out before anything else touches the record — the
+    * same bridge rule as the Avro connector.
+    */
+  def sequenceFile(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.hadoop.io.{NullWritable, Text}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lines = spark.sparkContext
+      .sequenceFile(path, classOf[NullWritable], classOf[Text])
+      .map { case (_, v) => v.toString }
+    val fields = schema.fields
+    val rows = lines.map { line =>
+      val parts = line.split("\u0001", -1)
+      Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>
+        val raw = if (i < parts.length) parts(i) else "\\N"
+        if (raw == "\\N") null
+        else f.dataType match {
+          case LongType => raw.toLong
+          case IntegerType => raw.toInt
+          case DoubleType => raw.toDouble
+          case FloatType => raw.toFloat
+          case BooleanType => raw.toBoolean
+          case StringType => raw
+          case other => throw new IllegalArgumentException(
+            s"no SequenceFile mapping for $other — extend Sources.sequenceFile")
+        }
+      }.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Parallel JDBC read — presto-base-jdbc's split generation: Spark
     * issues `numPartitions` range predicates on `partitionColumn` so the
     * table streams through that many concurrent connections.

@@ -96,6 +96,19 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.getString(1) == "beta")
   }
 
+  test("sequencefile round-trip preserves values and the \\N null marker") {
+    val p = s"$dir/seq_rt"
+    Sources.writeSequenceFile(sample, p)
+    val got = Sources.sequenceFile(spark, p, sampleSchema)
+    assert(got.schema == sampleSchema)
+    val rows = got.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("alpha"), Some("beta"), Some("gamma"), None),
+      "the null name must survive the \\N serde marker")
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5, 3.5, 4.5))
+  }
+
   test("text source reads whole lines for decoder layering") {
     val p = s"$dir/text_rt"
     sample.select(concat_ws(",", col("id"), col("score")).as("value"))
