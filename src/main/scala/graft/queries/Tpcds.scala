@@ -2275,6 +2275,118 @@ object Tpcds {
         |ORDER BY returns_loss DESC NULLS LAST, call_center ASC NULLS LAST, mo ASC NULLS LAST
         |LIMIT 100""".stripMargin),
 
+    // ---- q14_2-style: the second q14 file — same three-channel INTERSECT
+    //      part set, but the scalar-bar HAVING is replaced by the
+    //      this-period vs last-period side-by-side compare (reference
+    //      q14_2.sql's this_year/last_year week join) ----
+    "tpcds_q14_2_period_compare" -> Q.sqlSame(
+      """WITH cross_parts AS (
+        |  SELECT l_partkey AS pk FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority = '2-HIGH'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority = '3-MEDIUM'),
+        |cur AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE year(o_orderdate) = 1997 AND l_partkey IN (SELECT pk FROM cross_parts)
+        |  GROUP BY p_brand),
+        |prev AS (
+        |  SELECT p_brand, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS sales
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE year(o_orderdate) = 1996 AND l_partkey IN (SELECT pk FROM cross_parts)
+        |  GROUP BY p_brand)
+        |SELECT cur.p_brand AS p_brand,
+        |  CAST(cur.sales AS DOUBLE) AS cur_sales,
+        |  CAST(prev.sales AS DOUBLE) AS prev_sales
+        |FROM cur JOIN prev ON cur.p_brand = prev.p_brand
+        |WHERE cur.sales > prev.sales
+        |ORDER BY p_brand ASC NULLS LAST""".stripMargin),
+
+    // ---- q23_2-style: the second q23 file — the same frequent-item ∩
+    //      best-customer funnel, reported PER CUSTOMER instead of as one
+    //      global total (reference q23_2 groups by last/first name) ----
+    "tpcds_q23_2_per_customer" -> Q.sqlSame(
+      """WITH frequent_parts AS (
+        |  SELECT l_partkey AS fp FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(*) > 30),
+        |best_customers AS (
+        |  SELECT o_custkey AS bc
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 1000)
+        |SELECT c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sales
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE l_partkey IN (SELECT fp FROM frequent_parts)
+        |  AND o_custkey IN (SELECT bc FROM best_customers)
+        |  AND year(o_orderdate) = 1997
+        |GROUP BY c_name
+        |ORDER BY sales DESC NULLS LAST, c_name ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q24_2-style: the second q24 file — the identical ssales CTE
+    //      with the OTHER screen attribute (reference q24_1 'pale' vs
+    //      q24_2 'chiffon'; here the Brand#1 tier) and the size attribute
+    //      carried into the report ----
+    "tpcds_q24_2_netpaid_sized" -> Q.sqlSame(
+      """WITH ssales AS (
+        |  SELECT c_name, s_name, sn.n_name AS nat, p_brand, p_size,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS netpaid
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  WHERE l_returnflag = 'R' AND c_nationkey = s_nationkey
+        |  GROUP BY c_name, s_name, sn.n_name, p_brand, p_size)
+        |SELECT c_name, s_name, p_size,
+        |  CAST(SUM(CAST(netpaid AS DECIMAL(30,8))) AS DOUBLE) AS paid
+        |FROM ssales
+        |WHERE p_brand LIKE 'Brand#1%'
+        |GROUP BY c_name, s_name, p_size
+        |HAVING CAST(SUM(CAST(netpaid AS DECIMAL(30,8))) AS DOUBLE) > (
+        |  SELECT 0.05 * CAST(SUM(CAST(netpaid AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) FROM ssales)
+        |ORDER BY c_name ASC NULLS LAST, s_name ASC NULLS LAST, p_size ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
+    // ---- q39_2-style: the second q39 file — the volatility stats
+    //      self-joined on CONSECUTIVE periods with the high-cov screen on
+    //      the first period (reference q39_2 pairs d_moy with d_moy+1 and
+    //      keeps cov ≥ 1.5; quarters here, same closed-form stddev as
+    //      q39_1 so the screen is bit-deterministic) ----
+    "tpcds_q39_2_consecutive_cov" -> Q.sqlSame(
+      """WITH inv AS (
+        |  SELECT l_partkey, quarter(l_shipdate) AS qtr, month(l_shipdate) AS mth,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) = 1996
+        |  GROUP BY l_partkey, quarter(l_shipdate), month(l_shipdate)),
+        |stats AS (
+        |  SELECT l_partkey, qtr,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(qty AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(qty * qty AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        |  FROM inv GROUP BY l_partkey, qtr)
+        |SELECT s1.l_partkey AS l_partkey, s1.qtr AS q1,
+        |  ROUND(s1.sx / s1.n, 4) AS mean1,
+        |  ROUND(SQRT((s1.sxx - s1.sx * s1.sx / s1.n) / (s1.n - 1)) / (s1.sx / s1.n), 4) AS cov1,
+        |  s2.qtr AS q2,
+        |  ROUND(s2.sx / s2.n, 4) AS mean2,
+        |  ROUND(SQRT((s2.sxx - s2.sx * s2.sx / s2.n) / (s2.n - 1)) / (s2.sx / s2.n), 4) AS cov2
+        |FROM stats s1 JOIN stats s2
+        |  ON s1.l_partkey = s2.l_partkey AND s2.qtr = s1.qtr + 1
+        |WHERE s1.n >= 3 AND s2.n >= 3 AND s1.sx > 0 AND s2.sx > 0
+        |  AND SQRT((s1.sxx - s1.sx * s1.sx / s1.n) / (s1.n - 1)) / (s1.sx / s1.n) > 0.5
+        |ORDER BY l_partkey ASC NULLS LAST, q1 ASC NULLS LAST
+        |LIMIT 100""".stripMargin),
+
     // ---- q96-style: the single-count hour-band probe over the events
     //      stream table (reference q96 counts store_sales at 8:30–9:00 for
     //      one demographic; hour() dialects aligned per the q90 pattern) ----
