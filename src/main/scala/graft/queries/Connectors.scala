@@ -228,5 +228,30 @@ object Connectors {
           sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"),
           sum(length(col("s_name"))).cast("long").as("name_len_sum"))
         .orderBy(col("s_nationkey").asc_nulls_last)
+    },
+
+    // RCFile connector roundtrip (HiveStorageFormat.RCTEXT: columnar row
+    // groups, text-encoded fields): part → RCFile → declared-schema
+    // read-back → aggregate, oracle re-derived from the parquet source.
+    "src_rcfile_roundtrip" -> Q.df(
+      """SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(p_size) AS BIGINT) AS size_sum,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum
+        |FROM part GROUP BY p_type
+        |ORDER BY p_type ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      reset(s"$scratch/part_rc")
+      Sources.writeRcText(Tables.t(s, dir, "part"), s"$scratch/part_rc")
+      Sources.rcText(s, s"$scratch/part_rc", StructType(Seq(
+          StructField("p_partkey", LongType),
+          StructField("p_name", StringType),
+          StructField("p_brand", StringType),
+          StructField("p_type", StringType),
+          StructField("p_size", IntegerType),
+          StructField("p_retailprice", DoubleType))))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("p_size")).cast("long").as("size_sum"),
+          sum(col("p_retailprice").cast("decimal(30,8)")).cast("double").as("price_sum"))
+        .orderBy(col("p_type").asc_nulls_last)
     })
 }

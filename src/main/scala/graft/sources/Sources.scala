@@ -90,20 +90,94 @@ object Sources {
     val rows = lines.map { line =>
       val parts = line.split("\u0001", -1)
       Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>
-        val raw = if (i < parts.length) parts(i) else "\\N"
-        if (raw == "\\N") null
-        else f.dataType match {
-          case LongType => raw.toLong
-          case IntegerType => raw.toInt
-          case DoubleType => raw.toDouble
-          case FloatType => raw.toFloat
-          case BooleanType => raw.toBoolean
-          case StringType => raw
-          case other => throw new IllegalArgumentException(
-            s"no SequenceFile mapping for $other — extend Sources.sequenceFile")
-        }
+        decodeTextField(f.dataType, if (i < parts.length) parts(i) else "\\N")
       }.toSeq)
     }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode one serde text field under the declared-schema rule (shared
+    * by the SequenceFile and RCFile readers; `\N` is SQL NULL).
+    */
+  private def decodeTextField(
+      dt: org.apache.spark.sql.types.DataType, raw: String): Any = {
+    import org.apache.spark.sql.types._
+    if (raw == "\\N") null
+    else dt match {
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case StringType => raw
+      case other => throw new IllegalArgumentException(
+        s"no text-serde mapping for $other — extend Sources.decodeTextField")
+    }
+  }
+
+  /** RCFile columnar sink in the text encoding (HiveStorageFormat.RCTEXT:
+    * RCFileOutputFormat + ColumnarSerDe — `presto-hive/.../
+    * HiveStorageFormat.java:53-93`; the reference reads it through
+    * ColumnarTextHiveRecordCursor). Each row group stores columns
+    * contiguously — the reference's page-oriented layout argument — and
+    * fields travel as UTF-8 bytes with the `\N` null marker.
+    */
+  def writeRcText(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.hive.ql.io.{RCFile, RCFileOutputFormat}
+    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+    val n = df.schema.length
+    // Hive's own write path (RCFileOutputFormat.getHiveRecordWriter) takes
+    // the final path explicitly rather than MapReduce's task work dir —
+    // mirrored here with one container file per task. The mapPartitions is
+    // the same foreign-writer codec boundary as the multimodal decoder: no
+    // Catalyst sink speaks this container.
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val conf = new Configuration()
+      RCFileOutputFormat.setColumnNumber(conf, n)
+      val p = new Path(path, f"part-$idx%05d.rc")
+      val w = new RCFile.Writer(p.getFileSystem(conf), conf, p)
+      it.foreach { row =>
+        val braw = new BytesRefArrayWritable(n)
+        var i = 0
+        while (i < n) {
+          val s = if (row.isNullAt(i)) "\\N" else row.get(i).toString
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          braw.set(i, new BytesRefWritable(b, 0, b.length))
+          i += 1
+        }
+        w.append(braw)
+      }
+      w.close()
+      Iterator.empty[Int]
+    }.count()
+    ()
+  }
+
+  /** RCFile scan under the declared-schema rule. Field bytes are copied
+    * out of the REUSED `BytesRefArrayWritable` before anything else runs
+    * (the same bridge rule as the Avro and SequenceFile readers).
+    */
+  def rcText(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.hadoop.hive.ql.io.RCFileInputFormat
+    import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+    import org.apache.hadoop.io.LongWritable
+    import org.apache.spark.sql.Row
+    val fields = schema.fields
+    val rows = spark.sparkContext.hadoopFile(
+        path, classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+        classOf[LongWritable], classOf[BytesRefArrayWritable])
+      .map { case (_, v) =>
+        val vals = (0 until v.size()).map { i =>
+          val r = v.get(i)
+          new String(r.getData, r.getStart, r.getLength,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>
+          decodeTextField(f.dataType, if (i < vals.length) vals(i) else "\\N")
+        }.toSeq)
+      }
     spark.createDataFrame(rows, schema)
   }
 

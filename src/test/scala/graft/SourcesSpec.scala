@@ -109,6 +109,18 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5, 3.5, 4.5))
   }
 
+  test("rcfile round-trip preserves values and nulls through the columnar layout") {
+    val p = s"$dir/rc_rt"
+    Sources.writeRcText(sample, p)
+    val got = Sources.rcText(spark, p, sampleSchema)
+    assert(got.schema == sampleSchema)
+    val rows = got.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("alpha"), Some("beta"), Some("gamma"), None))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5, 3.5, 4.5))
+  }
+
   test("text source reads whole lines for decoder layering") {
     val p = s"$dir/text_rt"
     sample.select(concat_ws(",", col("id"), col("score")).as("value"))
