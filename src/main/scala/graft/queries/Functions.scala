@@ -313,8 +313,11 @@ object Functions {
     "fuzz_expr_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(101L, 42)),
     "fuzz_expr_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(202L, 42)),
     "fuzz_expr_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(303L, 42)),
+    "fuzz_expr_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generate(606L, 42)),
     "fuzz_date_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDates(404L, 42)),
+    "fuzz_date_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDates(707L, 42)),
     "fuzz_agg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateAggs(505L, 40)),
+    "fuzz_agg_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateAggs(808L, 40)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----
@@ -352,6 +355,58 @@ object Functions {
         |  CAST(NULL AS INT) AS bad_k
         |FROM events WHERE event_id < 300
         |ORDER BY event_id ASC NULLS LAST""".stripMargin),
+
+    // ---- raw (fixed-offset binary) record decode — the reference's
+    //      raw/RawColumnDecoder.java: each column is a byte slice
+    //      [start:end) of the message, interpreted big-endian
+    //      two's-complement at the declared width (getLong/getBoolean
+    //      switch at RawColumnDecoder.java:233-264), varchar fields
+    //      truncate-to-length (getSlice:288-291 via
+    //      Varchars.truncateToLength), and a slice past the message end
+    //      decodes to NULL (isNull:226-229, size == 0). The query packs a
+    //      message per nation row (hex/unhex — codegen'd built-ins), then
+    //      decodes BYTE@0, signed SHORT@1:3, INT@3:7, LONG@7:15 (two
+    //      4-byte halves recombined with shiftleft|or, so no 2^63
+    //      overflow), a varchar(8) tail, and a past-the-end NULL field;
+    //      the oracle re-derives every field from the parquet source ----
+    "fn_record_decode_raw" -> Q.sql(
+      spark = """WITH enc AS (
+        |  SELECT n_nationkey,
+        |    unhex(concat(
+        |      lpad(hex(n_nationkey), 2, '0'),
+        |      lpad(hex((n_nationkey - 12 + 65536) % 65536), 4, '0'),
+        |      lpad(hex(n_nationkey * 1000), 8, '0'),
+        |      lpad(hex(CAST(n_regionkey AS BIGINT) * 1000000000), 16, '0'),
+        |      hex(encode(n_name, 'UTF-8')))) AS msg
+        |  FROM nation),
+        |dec AS (
+        |  SELECT n_nationkey,
+        |    CAST(conv(hex(substring(msg, 1, 1)), 16, 10) AS INT) AS u_byte,
+        |    CAST(conv(hex(substring(msg, 2, 2)), 16, 10) AS INT) AS u_short,
+        |    CAST(conv(hex(substring(msg, 4, 4)), 16, 10) AS BIGINT) AS u_int,
+        |    CAST(conv(hex(substring(msg, 8, 4)), 16, 10) AS BIGINT) AS hi,
+        |    CAST(conv(hex(substring(msg, 12, 4)), 16, 10) AS BIGINT) AS lo,
+        |    decode(substring(msg, 16, 127), 'UTF-8') AS tail,
+        |    nullif(hex(substring(msg, 100, 4)), '') AS missing_hex
+        |  FROM enc)
+        |SELECT n_nationkey,
+        |  CAST(IF(u_byte >= 128, u_byte - 256, u_byte) AS INT) AS f_byte,
+        |  CAST(IF(u_short >= 32768, u_short - 65536, u_short) AS INT) AS f_short,
+        |  CAST(IF(u_int >= 2147483648, u_int - 4294967296, u_int) AS INT) AS f_int,
+        |  shiftleft(hi, 32) | lo AS f_long,
+        |  left(tail, 8) AS f_name,
+        |  CAST(conv(missing_hex, 16, 10) AS INT) AS f_missing
+        |FROM dec
+        |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin,
+      duck = """SELECT n_nationkey,
+        |  CAST(n_nationkey AS INT) AS f_byte,
+        |  CAST(n_nationkey - 12 AS INT) AS f_short,
+        |  CAST(n_nationkey * 1000 AS INT) AS f_int,
+        |  CAST(n_regionkey AS BIGINT) * 1000000000 AS f_long,
+        |  left(n_name, 8) AS f_name,
+        |  CAST(NULL AS INT) AS f_missing
+        |FROM nation
+        |ORDER BY n_nationkey ASC NULLS LAST""".stripMargin),
 
     // ---- Presto JSONPath edge semantics (PrestoJson.scala / reference
     //      JsonExtract.java): the oracle hardcodes the reference's

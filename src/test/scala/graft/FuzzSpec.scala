@@ -46,23 +46,25 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("registry banks are exact regenerations (oracle hash cannot drift)") {
     val expected = Map(
       "fuzz_expr_bank_1" -> 101L, "fuzz_expr_bank_2" -> 202L,
-      "fuzz_expr_bank_3" -> 303L)
+      "fuzz_expr_bank_3" -> 303L, "fuzz_expr_bank_4" -> 606L)
     expected.foreach { case (name, seed) =>
       val q = Registry.all(name)
       assert(q.oracle.contains(graft.functions.FunctionFuzzer.generate(seed, 42)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
     }
-    assert(Registry.all("fuzz_date_bank_1").oracle
-      .contains(graft.functions.FunctionFuzzer.generateDates(404L, 42)),
-      "fuzz_date_bank_1's oracle SQL is not the seed-404 regeneration")
-    assert(Registry.all("fuzz_agg_bank_1").oracle
-      .contains(graft.functions.FunctionFuzzer.generateAggs(505L, 40)),
-      "fuzz_agg_bank_1's oracle SQL is not the seed-505 regeneration")
+    for ((name, seed) <- Seq("fuzz_date_bank_1" -> 404L, "fuzz_date_bank_2" -> 707L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateDates(seed, 42)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+    for ((name, seed) <- Seq("fuzz_agg_bank_1" -> 505L, "fuzz_agg_bank_2" -> 808L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateAggs(seed, 40)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
   test("banks execute in Spark with the declared shape") {
     for (name <- Seq("fuzz_expr_bank_1", "fuzz_expr_bank_2", "fuzz_expr_bank_3",
-        "fuzz_date_bank_1")) {
+        "fuzz_expr_bank_4", "fuzz_date_bank_1", "fuzz_date_bank_2")) {
       val df = Registry.all(name).fn(spark, sfDir)
       val rows = df.collect()
       assert(rows.length == 25, s"$name: expected the 25 nation rows")
