@@ -204,4 +204,68 @@ object FunctionFuzzer {
        |GROUP BY n_regionkey
        |ORDER BY g ASC NULLS LAST""".stripMargin
   }
+
+  /** A window-function bank: randomized windowed aggregates / ranking /
+    * value functions — this differentials the window operator (frame
+    * evaluation, partition state, peer handling), a whole operator class
+    * beyond the scalar and partial-agg banks. Subset rules:
+    *  - every ORDER BY inside an OVER clause ends in the unique
+    *    `n_nationkey`, so rank/lag/first_value are total-order
+    *    deterministic in both engines (ties would otherwise make
+    *    row_number engine-dependent);
+    *  - ROWS frames only: RANGE peer semantics agree too, but ROWS over
+    *    a unique ordering pins one row set per frame with no overlap in
+    *    interpretation; frame bounds are literal PRECEDING/FOLLOWING;
+    *  - aggregate inputs are [[ExprGen]] BIGINT expressions (same
+    *    overflow/modulo guards as [[generate]]);
+    *  - lag/lead carry explicit offset + NULL default (both engines'
+    *    documented default, spelled out so neither dialect guesses);
+    *  - ntile/percent_rank/cume_dist are CAST/ROUND-pinned to stable
+    *    dtypes (INT, DOUBLE with 6-digit round).
+    */
+  def generateWindows(seed: Long, nCols: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
+    val rnd = new scala.util.Random(seed ^ 0x5DEECE66DL)
+
+    def over(partitioned: Boolean, framed: Boolean): String = {
+      val part = if (partitioned) "PARTITION BY n_regionkey " else ""
+      val frame =
+        if (!framed) ""
+        else rnd.nextInt(3) match {
+          case 0 => " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+          case 1 => s" ROWS BETWEEN ${rnd.nextInt(4) + 1} PRECEDING AND CURRENT ROW"
+          case _ => s" ROWS BETWEEN ${rnd.nextInt(3) + 1} PRECEDING AND ${rnd.nextInt(3) + 1} FOLLOWING"
+        }
+      s"OVER (${part}ORDER BY n_nationkey ASC$frame)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val e = i % 6 match {
+        case 1 =>
+          val fn = Seq("SUM", "MIN", "MAX")(rnd.nextInt(3))
+          s"CAST($fn(${g.intExpr(2)}) ${over(rnd.nextBoolean(), framed = true)} AS BIGINT)"
+        case 2 =>
+          val fn = Seq("row_number()", "rank()", "dense_rank()")(rnd.nextInt(3))
+          s"CAST($fn ${over(rnd.nextBoolean(), framed = false)} AS BIGINT)"
+        case 3 =>
+          val fn = Seq("lag", "lead")(rnd.nextInt(2))
+          s"CAST($fn(${g.intExpr(2)}, ${rnd.nextInt(3) + 1}, NULL) ${over(rnd.nextBoolean(), framed = false)} AS BIGINT)"
+        case 4 =>
+          s"CAST(COUNT(CASE WHEN ${g.boolExpr(1)} THEN 1 END) ${over(rnd.nextBoolean(), framed = true)} AS BIGINT)"
+        case 5 =>
+          val fn = Seq("first_value", "last_value")(rnd.nextInt(2))
+          s"CAST($fn(${g.intExpr(2)}) ${over(rnd.nextBoolean(), framed = true)} AS BIGINT)"
+        case _ => rnd.nextInt(3) match {
+          case 0 => s"CAST(ntile(${rnd.nextInt(5) + 2}) ${over(rnd.nextBoolean(), framed = false)} AS INT)"
+          case 1 => s"ROUND(percent_rank() ${over(rnd.nextBoolean(), framed = false)}, 6)"
+          case _ => s"ROUND(cume_dist() ${over(rnd.nextBoolean(), framed = false)}, 6)"
+        }
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
 }

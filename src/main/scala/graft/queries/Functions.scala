@@ -318,6 +318,8 @@ object Functions {
     "fuzz_date_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDates(707L, 42)),
     "fuzz_agg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateAggs(505L, 40)),
     "fuzz_agg_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateAggs(808L, 40)),
+    "fuzz_window_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateWindows(909L, 30)),
+    "fuzz_window_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateWindows(1010L, 30)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----

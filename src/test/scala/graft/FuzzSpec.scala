@@ -60,15 +60,23 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateAggs(seed, 40)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for ((name, seed) <- Seq("fuzz_window_bank_1" -> 909L, "fuzz_window_bank_2" -> 1010L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateWindows(seed, 30)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
   test("banks execute in Spark with the declared shape") {
-    for (name <- Seq("fuzz_expr_bank_1", "fuzz_expr_bank_2", "fuzz_expr_bank_3",
-        "fuzz_expr_bank_4", "fuzz_date_bank_1", "fuzz_date_bank_2")) {
+    val widths = Map(
+      "fuzz_expr_bank_1" -> 42, "fuzz_expr_bank_2" -> 42,
+      "fuzz_expr_bank_3" -> 42, "fuzz_expr_bank_4" -> 42,
+      "fuzz_date_bank_1" -> 42, "fuzz_date_bank_2" -> 42,
+      "fuzz_window_bank_1" -> 30, "fuzz_window_bank_2" -> 30)
+    for ((name, n) <- widths) {
       val df = Registry.all(name).fn(spark, sfDir)
       val rows = df.collect()
       assert(rows.length == 25, s"$name: expected the 25 nation rows")
-      assert(df.columns.length == 43, s"$name: expected k + 42 expression columns")
+      assert(df.columns.length == n + 1, s"$name: expected k + $n expression columns")
       assert(df.columns.head == "k")
     }
   }
