@@ -268,4 +268,123 @@ object FunctionFuzzer {
        |FROM nation
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
+
+  /** A join bank: one randomized nation⋈region join — the operator class
+    * where engines disagree most subtly. Each bank draws:
+    *  - a join type (INNER/LEFT/RIGHT/FULL);
+    *  - NULL injection into either side's join key (`NULLIF(key, k)`) —
+    *    ANSI null keys never match, so outer padding appears on real rows;
+    *  - optionally an extra ON-clause predicate — for outer joins ON-filter
+    *    vs WHERE-filter placement changes which rows get padded, exactly
+    *    the semantics worth differencing;
+    *  - optionally a WHERE clause: a scalar predicate, an IN subquery over
+    *    a list that may CONTAIN NULL (ANSI: match → TRUE, else NULL →
+    *    filtered), a NOT IN over a non-null list, or a correlated EXISTS
+    *    on the nullable key (padding killer).
+    * Subset rules: projected expressions run over COALESCE-pinned leaves
+    * (outer padding makes every column nullable; Spark's concat is
+    * null-in-null-out where DuckDB's skips nulls, and least/greatest null
+    * handling is version-dependent — coalesced leaves shut both off) while
+    * IS NULL probes read the RAW nullable columns, so padding and
+    * null-key semantics still flow into the differential. Row sets are
+    * total-order deterministic: each l-row matches ≤1 region row, so
+    * (k1 NULLS LAST, k2 NULLS LAST) is a total order. IN-subquery bounds
+    * are drawn so the list is never empty and the filter never vacuous.
+    */
+  def generateJoins(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    // java.util.Random's first draws are correlated across nearby seeds
+    // (every small seed's first nextInt(4) lands on the same value);
+    // burning two longs decorrelates the join-type draw
+    rnd.nextLong(); rnd.nextLong()
+    val joinType = Seq("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN")(rnd.nextInt(4))
+    val nullL = if (rnd.nextBoolean()) rnd.nextInt(5).toString else "99"
+    val nullR = if (rnd.nextBoolean()) rnd.nextInt(5).toString else "99"
+
+    def cmp(): String = Seq("<", "<=", "=", "<>", ">", ">=")(rnd.nextInt(6))
+
+    def intLeaf(): String = rnd.nextInt(6) match {
+      case 0 => "CAST(COALESCE(l.lk, -9) AS BIGINT)"
+      case 1 => "CAST(COALESCE(l.lrk, -1) AS BIGINT)"
+      case 2 => "CAST(COALESCE(r.rk, -2) AS BIGINT)"
+      case 3 => "CAST(COALESCE(r.rrk, -3) AS BIGINT)"
+      case 4 => s"CAST(${rnd.nextInt(201) - 100} AS BIGINT)"
+      case _ => "CAST(length(COALESCE(l.lname, 'L')) AS BIGINT)"
+    }
+
+    def strLeaf(): String = rnd.nextInt(3) match {
+      case 0 => "COALESCE(l.lname, 'LNULL')"
+      case 1 => "COALESCE(r.rname, 'RNULL')"
+      case _ => s"'J_${rnd.nextInt(50)}'"
+    }
+
+    def intExpr(d: Int): String =
+      if (d <= 0) intLeaf()
+      else rnd.nextInt(7) match {
+        case 0 => s"(${intExpr(d - 1)} + ${intExpr(d - 1)})"
+        case 1 => s"(${intExpr(d - 1)} - ${intExpr(d - 1)})"
+        case 2 => s"(${intLeaf()} * ${intLeaf()})"
+        case 3 => s"(${intExpr(d - 1)} % NULLIF(${intExpr(d - 1)}, 0))"
+        case 4 => s"abs(${intExpr(d - 1)})"
+        case 5 => s"(CASE WHEN ${boolExpr(d - 1)} THEN ${intExpr(d - 1)} ELSE ${intExpr(d - 1)} END)"
+        case _ => s"CAST(length(${strExpr(d - 1)}) AS BIGINT)"
+      }
+
+    def strExpr(d: Int): String =
+      if (d <= 0) strLeaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"upper(${strExpr(d - 1)})"
+        case 1 => s"substr(${strExpr(d - 1)}, ${rnd.nextInt(3) + 1}, ${rnd.nextInt(8) + 1})"
+        case 2 => s"concat(${strExpr(d - 1)}, ${strExpr(d - 1)})"
+        case _ => s"lower(${strExpr(d - 1)})"
+      }
+
+    def boolExpr(d: Int): String =
+      if (d <= 0) rnd.nextInt(4) match {
+        case 0 => s"(${intLeaf()} ${cmp()} ${intLeaf()})"
+        case 1 => "(l.lrk IS NULL)"
+        case 2 => "(r.rk IS NULL)"
+        case _ => "(r.rrk IS NULL)"
+      }
+      else rnd.nextInt(4) match {
+        case 0 => s"(${intExpr(d - 1)} ${cmp()} ${intExpr(d - 1)})"
+        case 1 => s"(${boolExpr(d - 1)} AND ${boolExpr(d - 1)})"
+        case 2 => s"(${boolExpr(d - 1)} OR ${boolExpr(d - 1)})"
+        case _ => s"(NOT ${boolExpr(d - 1)})"
+      }
+
+    val onExtra = rnd.nextInt(3) match {
+      case 0 => ""
+      case _ => s" AND (COALESCE(l.lk, -9) % ${rnd.nextInt(3) + 2} <> 0)"
+    }
+    val where = rnd.nextInt(5) match {
+      case 0 => ""
+      case 1 => s"\nWHERE ${boolExpr(1)}"
+      case 2 =>
+        // bounded (op, lit) pairs keep the subquery list non-empty
+        val (op, lit) = Seq(("<=", 4), (">=", 0), ("<>", rnd.nextInt(5)))(rnd.nextInt(3))
+        s"\nWHERE (COALESCE(l.lk, 0) % 5) IN (SELECT r_regionkey FROM region WHERE r_regionkey $op $lit)"
+      case 3 =>
+        s"\nWHERE (COALESCE(l.lk, 0) % 7) NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey <> ${rnd.nextInt(5)})"
+      case _ =>
+        "\nWHERE EXISTS (SELECT 1 FROM region x WHERE x.r_regionkey = l.lrk)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val e = i % 3 match {
+        case 1 => s"CAST(${intExpr(2)} AS BIGINT)"
+        case 2 => strExpr(2)
+        case _ => boolExpr(2)
+      }
+      s"  $e AS e$i"
+    }
+    s"""WITH l AS (SELECT n_nationkey AS lk, n_name AS lname,
+       |            NULLIF(n_regionkey, $nullL) AS lrk FROM nation),
+       |     r AS (SELECT r_regionkey AS rk, r_name AS rname,
+       |            NULLIF(r_regionkey, $nullR) AS rrk FROM region)
+       |SELECT l.lk AS k1, r.rk AS k2,
+       |${cols.mkString(",\n")}
+       |FROM l $joinType r ON l.lrk = r.rrk$onExtra$where
+       |ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""".stripMargin
+  }
 }

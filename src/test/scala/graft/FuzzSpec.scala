@@ -64,6 +64,33 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateWindows(seed, 30)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for ((name, seed) <- Seq("fuzz_join_bank_1" -> 501L, "fuzz_join_bank_2" -> 33L,
+        "fuzz_join_bank_3" -> 22L, "fuzz_join_bank_4" -> 66L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateJoins(seed, 12)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+  }
+
+  test("the four join banks cover all four join types and padded rows appear") {
+    val types = Seq("fuzz_join_bank_1", "fuzz_join_bank_2", "fuzz_join_bank_3",
+      "fuzz_join_bank_4").map { name =>
+      val sql = Registry.all(name).oracle.get
+      val df = Registry.all(name).fn(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name: vacuous join bank")
+      assert(df.columns.take(2).sameElements(Array("k1", "k2")))
+      "(?m)^FROM l ((?:LEFT |RIGHT |FULL )?JOIN) r ".r
+        .findFirstMatchIn(sql).map(_.group(1))
+        .getOrElse(fail(s"$name: no join clause found"))
+    }
+    assert(types.toSet == Set("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"),
+      s"join banks do not cover all four types: $types")
+    // at least one bank pads: some k1 or k2 NULL from outer non-match
+    val padded = Seq("fuzz_join_bank_2", "fuzz_join_bank_4").exists { name =>
+      Registry.all(name).fn(spark, sfDir).collect()
+        .exists(r => r.isNullAt(0) || r.isNullAt(1))
+    }
+    assert(padded, "no outer-join padding visible in the left/full banks")
   }
 
   test("banks execute in Spark with the declared shape") {
