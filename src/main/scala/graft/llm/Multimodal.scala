@@ -119,4 +119,52 @@ object Multimodal {
   def resizeFeatures(features: DataFrame, newDim: Int): DataFrame =
     features.withColumn("feature",
       slice(col("feature"), 1, newDim))
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("stride", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private def stubDecodeVideo(payload: Array[Byte]): (Int, Int) = {
+    val h = bytesHash(payload)
+    val nFrames = 30 + math.abs(h % 271).toInt // 30..300 ⇒ always ≥ k below
+    (nFrames, 30)
+  }
+
+  /** Video decode + strided frame sampling: one input blob EXPLODES into
+    * `k` frame rows (every ⌊n/k⌋-th frame, so samples span the whole
+    * clip) — the flatMap shape at the codec boundary, vs the 1:1 map of
+    * [[imageFeatures]]/[[audioFrames]]. Row count and timestamps are
+    * pure arithmetic over the decoded frame count (ts = idx·1000/fps),
+    * so the pipeline contract stays oracle-checkable even though the
+    * decode itself is the documented stub. Repartition by media_id
+    * before decoding: video blobs skew hardest of all media, and the
+    * explosion multiplies whatever skew survives the scan.
+    */
+  def videoFrames(media: DataFrame, k: Int = 8, partitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val rdd = src
+      .select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (nFrames, fps) = stubDecodeVideo(payload)
+          val stride = math.max(1, nFrames / k)
+          val h = bytesHash(payload)
+          (0 until math.min(k, nFrames)).iterator.map { i =>
+            val idx = i * stride
+            val feature = Array.tabulate(12)(j =>
+              (((h >> ((idx + j * 5) % 56)) & 0xFF) / 255.0f) * 2.0f - 1.0f)
+            Row(r.getLong(0), nFrames, fps, stride, idx,
+              idx.toLong * 1000L / fps, feature.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, videoFrameSchema)
+  }
 }

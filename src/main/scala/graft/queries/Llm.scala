@@ -794,6 +794,37 @@ object Llm {
         .orderBy(col("media_id").asc_nulls_last)
     },
 
+    // Video frame-sample: the codec-boundary EXPLODE (one blob → k
+    // strided frame rows). The sampled count, stride arithmetic, and
+    // frame timestamps are contract-checkable: always exactly k=8 rows
+    // (stub clips have ≥ 30 frames), indices {0, s, …, 7s} with
+    // s = ⌊n/8⌋ < n, ts = idx·1000 DIV 30.
+    "llm_multimodal_video" -> Q.df(
+      """SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_sampled,
+        |  0 AS first_idx, true AS stride_uniform, true AS ts_ok,
+        |  true AS feat_ok
+        |FROM documents
+        |ORDER BY media_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val media = graft.llm.Multimodal.mediaFromText(
+        Tables.t(s, dir, "documents"), "doc_id", "text", "video")
+      graft.llm.Multimodal.videoFrames(media, k = 8, partitions = 8)
+        .groupBy(col("media_id"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          min(col("frame_idx")).as("first_idx"),
+          expr("""bool_and(frame_idx % stride = 0)
+                 |AND max(frame_idx) = 7 * max(stride)
+                 |AND count(DISTINCT frame_idx) = 8
+                 |AND max(frame_idx) < max(n_frames)""".stripMargin)
+            .as("stride_uniform"),
+          expr("bool_and(ts_ms = CAST(frame_idx AS BIGINT) * 1000 DIV 30)")
+            .as("ts_ok"),
+          expr("""bool_and(size(feature) = 12)
+                 |AND bool_and(forall(feature, x -> x >= -1.0 AND x <= 1.0))"""
+            .stripMargin).as("feat_ok"))
+        .orderBy(col("media_id").asc_nulls_last)
+    },
+
     "llm_multimodal_audio" -> Q.df(
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 4 AS n_frames,
         |  true AS frame_shape_ok, true AS samples_in_range

@@ -259,6 +259,24 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Int]("sample_rate") == 16000)
   }
 
+  test("multimodal video frames: explode shape, determinism across partitionings") {
+    val media = Multimodal.mediaFromText(docs.limit(40), "doc_id", "text", "video")
+    val f1 = Multimodal.videoFrames(media, k = 8, partitions = 4)
+    assert(f1.schema == Multimodal.videoFrameSchema)
+    assert(f1.count() == 40 * 8, "each blob must explode to exactly k frame rows")
+    val f2 = Multimodal.videoFrames(media, k = 8, partitions = 9)
+    val s1 = f1.orderBy("media_id", "frame_idx").collect().map(_.toString)
+    val s2 = f2.orderBy("media_id", "frame_idx").collect().map(_.toString)
+    assert(s1.sameElements(s2), "decode must be deterministic across partitionings")
+    val one = f1.filter(col("media_id") === 0).orderBy("frame_idx").collect()
+    val stride = one.head.getAs[Int]("stride")
+    assert(one.map(_.getAs[Int]("frame_idx")).sameElements((0 until 8).map(_ * stride)),
+      "frames must be the k strided indices spanning the clip")
+    assert(one.forall(r => r.getAs[Int]("frame_idx") < r.getAs[Int]("n_frames")))
+    assert(one.forall(r =>
+      r.getAs[Long]("ts_ms") == r.getAs[Int]("frame_idx").toLong * 1000L / 30L))
+  }
+
   test("clean-corpus pipeline invariants") {
     val kept = Registry.all("llm_pipeline_clean_corpus").fn(spark, sfDir)
     val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
