@@ -338,6 +338,43 @@ object Compat {
         |  current_database() IS NOT NULL AS has_database,
         |  current_catalog() IS NOT NULL AS has_catalog,
         |  CAST(current_timestamp AS DATE) = current_date AS ts_on_current_date,
-        |  year(current_date) BETWEEN 2020 AND 2100 AS date_plausible""".stripMargin)
+        |  year(current_date) BETWEEN 2020 AND 2100 AS date_plausible""".stripMargin),
+
+    // ---- timestamp-with-time-zone compat surface (the reference's
+    //      TimestampWithTimeZoneType.java + DateTimeFunctions.java
+    //      at_timezone/with_timezone/timezone_hour/timezone_minute; the
+    //      repo models TSTZ as instant + zone-aware functions, SURVEY
+    //      §7.4.1). Cross-engine differential over real IANA zones:
+    //      at_timezone ≡ from_utc_timestamp ≡ DuckDB
+    //      timezone(tz, instant); with_timezone⁻¹ roundtrip
+    //      to_utc∘from_utc = identity; timezone_hour/minute derived from
+    //      the epoch delta (floor-div — Spark CAST truncates where DuckDB
+    //      CAST rounds, so floor() pins both). The +6-month column pushes
+    //      America/Los_Angeles across the DST boundary (-8 winter /
+    //      -7 summer both asserted); Asia/Kathmandu exercises the +5:45
+    //      fractional offset (timezone_minute = 45) ----
+    "compat_timestamp_tz" -> Q.sql(
+      spark = """SELECT event_id,
+        |  from_utc_timestamp(ts, 'America/Los_Angeles') AS la_wall,
+        |  from_utc_timestamp(ts + INTERVAL 6 MONTH, 'America/Los_Angeles') AS la_wall_summer,
+        |  from_utc_timestamp(ts, 'Asia/Kathmandu') AS ktm_wall,
+        |  to_utc_timestamp(from_utc_timestamp(ts, 'Europe/Paris'), 'Europe/Paris') AS roundtrip,
+        |  CAST(floor((unix_timestamp(from_utc_timestamp(ts, 'America/Los_Angeles')) - unix_timestamp(ts)) / 3600.0) AS INT) AS la_tz_hour,
+        |  CAST(floor((unix_timestamp(from_utc_timestamp(ts + INTERVAL 6 MONTH, 'America/Los_Angeles')) - unix_timestamp(ts + INTERVAL 6 MONTH)) / 3600.0) AS INT) AS la_tz_hour_summer,
+        |  CAST(floor((unix_timestamp(from_utc_timestamp(ts, 'Asia/Kathmandu')) - unix_timestamp(ts)) / 3600.0) AS INT) AS ktm_tz_hour,
+        |  CAST(((unix_timestamp(from_utc_timestamp(ts, 'Asia/Kathmandu')) - unix_timestamp(ts)) % 3600) / 60 AS INT) AS ktm_tz_minute
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+      duck = """SELECT event_id,
+        |  timezone('America/Los_Angeles', timezone('UTC', CAST(ts AS TIMESTAMP))) AS la_wall,
+        |  timezone('America/Los_Angeles', timezone('UTC', CAST(ts AS TIMESTAMP) + INTERVAL 6 MONTH)) AS la_wall_summer,
+        |  timezone('Asia/Kathmandu', timezone('UTC', CAST(ts AS TIMESTAMP))) AS ktm_wall,
+        |  CAST(ts AS TIMESTAMP) AS roundtrip,
+        |  CAST(floor((epoch(timezone('America/Los_Angeles', timezone('UTC', CAST(ts AS TIMESTAMP)))) - epoch(CAST(ts AS TIMESTAMP))) / 3600.0) AS INT) AS la_tz_hour,
+        |  CAST(floor((epoch(timezone('America/Los_Angeles', timezone('UTC', CAST(ts AS TIMESTAMP) + INTERVAL 6 MONTH))) - epoch(CAST(ts AS TIMESTAMP) + INTERVAL 6 MONTH)) / 3600.0) AS INT) AS la_tz_hour_summer,
+        |  CAST(floor((epoch(timezone('Asia/Kathmandu', timezone('UTC', CAST(ts AS TIMESTAMP)))) - epoch(CAST(ts AS TIMESTAMP))) / 3600.0) AS INT) AS ktm_tz_hour,
+        |  CAST((CAST(epoch(timezone('Asia/Kathmandu', timezone('UTC', CAST(ts AS TIMESTAMP)))) - epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) % 3600) / 60 AS INT) AS ktm_tz_minute
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id ASC NULLS LAST""".stripMargin)
   )
 }
