@@ -387,4 +387,44 @@ object FunctionFuzzer {
        |FROM l $joinType r ON l.lrk = r.rrk$onExtra$where
        |ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""".stripMargin
   }
+
+  /** A set-operation bank: two branches over nation combined by a drawn
+    * UNION / UNION ALL / INTERSECT [ALL] / EXCEPT [ALL]. Both branches
+    * share ONE generated expression list (so a key present in both
+    * branches produces byte-identical rows) and differ only in
+    * overlapping key-range filters (`k < hi` vs `k >= lo` with lo < hi),
+    * which keeps INTERSECT/EXCEPT non-vacuous by construction. Columns
+    * are NULL-injected by key residue — set operations match NULLs as
+    * "not distinct" (unlike `=`), which is exactly the semantics this
+    * bank differences; the unique key `k` keeps the sorted output a
+    * total order (UNION ALL's cross-branch duplicates are full-row
+    * identical, so ties don't perturb the hash).
+    */
+  def generateSetOps(seed: Long, nCols: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
+    val rnd = new scala.util.Random(seed ^ 0x9E3779B97F4A7CL)
+    rnd.nextLong(); rnd.nextLong() // decorrelate the op draw (see generateJoins)
+    val op = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+      "INTERSECT ALL", "EXCEPT ALL")(rnd.nextInt(6))
+    val hi = 10 + rnd.nextInt(13) // 10..22
+    val lo = 3 + rnd.nextInt(7)   // 3..9 ⇒ overlap lo..hi-1 is never empty
+    val cols = (1 to nCols).map { i =>
+      val e = i % 3 match {
+        case 1 => s"(CASE WHEN n_nationkey % ${rnd.nextInt(5) + 3} = ${rnd.nextInt(3)} " +
+          s"THEN NULL ELSE CAST(${g.intExpr(2)} AS BIGINT) END)"
+        case 2 => s"(CASE WHEN n_nationkey % ${rnd.nextInt(5) + 3} = ${rnd.nextInt(3)} " +
+          s"THEN NULL ELSE ${g.strExpr(2)} END)"
+        case _ => g.boolExpr(1)
+      }
+      s"  $e AS e$i"
+    }.mkString(",\n")
+    s"""SELECT n_nationkey AS k,
+       |$cols
+       |FROM nation WHERE n_nationkey < $hi
+       |$op
+       |SELECT n_nationkey AS k,
+       |$cols
+       |FROM nation WHERE n_nationkey >= $lo
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
 }

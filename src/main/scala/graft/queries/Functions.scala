@@ -326,6 +326,15 @@ object Functions {
     "fuzz_join_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoins(33L, 12)),
     "fuzz_join_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoins(22L, 12)),
     "fuzz_join_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoins(66L, 12)),
+    // seeds 600-605 happen to draw all six set ops in order (INTERSECT,
+    // UNION ALL, UNION, EXCEPT ALL, INTERSECT ALL, EXCEPT), each with
+    // non-vacuous output and NULL-bearing rows at both SFs
+    "fuzz_setop_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(600L, 9)),
+    "fuzz_setop_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(601L, 9)),
+    "fuzz_setop_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(602L, 9)),
+    "fuzz_setop_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(603L, 9)),
+    "fuzz_setop_bank_5" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(604L, 9)),
+    "fuzz_setop_bank_6" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(605L, 9)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----

@@ -69,6 +69,27 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateJoins(seed, 12)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for (i <- 1 to 6)
+      assert(Registry.all(s"fuzz_setop_bank_$i").oracle
+        .contains(graft.functions.FunctionFuzzer.generateSetOps(599L + i, 9)),
+        s"fuzz_setop_bank_$i's oracle SQL is not the seed-${599 + i} regeneration")
+  }
+
+  test("the six set-op banks cover all six operators, non-vacuously, with NULL rows") {
+    val ops = (1 to 6).map { i =>
+      val name = s"fuzz_setop_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.nonEmpty, s"$name: vacuous set-op bank")
+      assert(rows.exists(r => (0 until r.length).exists(r.isNullAt)),
+        s"$name: no NULL cells — the not-distinct matching path is unexercised")
+      "(?m)^(UNION ALL|UNION|INTERSECT ALL|INTERSECT|EXCEPT ALL|EXCEPT)$".r
+        .findFirstIn(sql)
+        .getOrElse(fail(s"$name: no set operator found"))
+    }
+    assert(ops.toSet == Set("UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+      "INTERSECT ALL", "EXCEPT ALL"),
+      s"set-op banks do not cover all six operators: $ops")
   }
 
   test("the four join banks cover all four join types and padded rows appear") {
