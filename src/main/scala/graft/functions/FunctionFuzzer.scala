@@ -427,4 +427,49 @@ object FunctionFuzzer {
        |FROM nation WHERE n_nationkey >= $lo
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
+
+  /** A grouping-sets bank: a drawn ROLLUP / CUBE / GROUPING SETS shape
+    * over two derived keys, with [[generateAggs]]-style aggregates — the
+    * subtotal-row semantics the flat agg banks can't reach (NULL as
+    * roll-up marker, per-set aggregate recomputation, `grouping()`
+    * provenance). Subset rules on top of [[generateAggs]]'s:
+    *  - grouping keys repeat VERBATIM in SELECT, GROUP BY, and ORDER BY
+    *    (Spark matches grouping expressions textually; aliases in
+    *    GROUP BY are not dialect-common);
+    *  - both `grouping()` flags are selected and lead the ORDER BY:
+    *    data keys are non-null here, so (f_a, f_b, g_a, g_b) totally
+    *    orders the output across grouping sets (a subtotal's NULL key
+    *    can never collide with a data row's);
+    *  - `grouping()` is CAST to INT (Spark returns TINYINT, DuckDB
+    *    BIGINT).
+    */
+  def generateGroupingSets(seed: Long, nAggs: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
+    val rnd = new scala.util.Random(seed ^ 0x2545F4914F6CDDL)
+    rnd.nextLong(); rnd.nextLong() // decorrelate the shape draw (see generateJoins)
+    val keyA = "n_regionkey"
+    val keyB = s"(n_nationkey % ${2 + rnd.nextInt(5)})"
+    val spec = rnd.nextInt(4) match {
+      case 0 => s"ROLLUP($keyA, $keyB)"
+      case 1 => s"CUBE($keyA, $keyB)"
+      case 2 => s"GROUPING SETS (($keyA, $keyB), ($keyA), ($keyB), ())"
+      case _ => s"GROUPING SETS (($keyA), ($keyB))"
+    }
+    val cols = (1 to nAggs).map { i =>
+      val e = i % 5 match {
+        case 1 => s"CAST(SUM(CASE WHEN ${g.boolExpr(1)} THEN ${g.intExpr(2)} END) AS BIGINT)"
+        case 2 => s"CAST(COUNT(CASE WHEN ${g.boolExpr(1)} THEN 1 END) AS BIGINT)"
+        case 3 => s"CAST(MIN(${g.intExpr(2)}) AS BIGINT)"
+        case 4 => s"CAST(MAX(${g.intExpr(2)}) AS BIGINT)"
+        case _ => s"ROUND(AVG(CAST(${g.intExpr(2)} AS DOUBLE)), 6)"
+      }
+      s"  $e AS e$i"
+    }.mkString(",\n")
+    s"""SELECT CAST(GROUPING($keyA) AS INT) AS f_a, CAST(GROUPING($keyB) AS INT) AS f_b,
+       |  $keyA AS g_a, $keyB AS g_b,
+       |$cols
+       |FROM nation
+       |GROUP BY $spec
+       |ORDER BY f_a ASC, f_b ASC, g_a ASC NULLS LAST, g_b ASC NULLS LAST""".stripMargin
+  }
 }

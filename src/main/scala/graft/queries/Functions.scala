@@ -335,6 +335,12 @@ object Functions {
     "fuzz_setop_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(603L, 9)),
     "fuzz_setop_bank_5" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(604L, 9)),
     "fuzz_setop_bank_6" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSetOps(605L, 9)),
+    // seeds 700-703 draw the four grouping shapes in order (GROUPING SETS
+    // ((a),(b)), ROLLUP, CUBE, GROUPING SETS with the () grand total)
+    "fuzz_groupingsets_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(700L, 15)),
+    "fuzz_groupingsets_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(701L, 15)),
+    "fuzz_groupingsets_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(702L, 15)),
+    "fuzz_groupingsets_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(703L, 15)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----

@@ -73,6 +73,28 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(s"fuzz_setop_bank_$i").oracle
         .contains(graft.functions.FunctionFuzzer.generateSetOps(599L + i, 9)),
         s"fuzz_setop_bank_$i's oracle SQL is not the seed-${599 + i} regeneration")
+    for (i <- 1 to 4)
+      assert(Registry.all(s"fuzz_groupingsets_bank_$i").oracle
+        .contains(graft.functions.FunctionFuzzer.generateGroupingSets(699L + i, 15)),
+        s"fuzz_groupingsets_bank_$i's oracle SQL is not the seed-${699 + i} regeneration")
+  }
+
+  test("the grouping-sets banks cover all four shapes and emit subtotal rows") {
+    val shapes = (1 to 4).map { i =>
+      val name = s"fuzz_groupingsets_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.nonEmpty, s"$name: vacuous grouping bank")
+      // f_a/f_b are the first two columns; any flag=1 row is a subtotal
+      assert(rows.exists(r => r.getInt(0) == 1 || r.getInt(1) == 1),
+        s"$name: no subtotal rows — the roll-up path is unexercised")
+      if (sql.contains("ROLLUP(")) "ROLLUP"
+      else if (sql.contains("CUBE(")) "CUBE"
+      else if (sql.contains("()")) "GS_TOTAL"
+      else "GS_PLAIN"
+    }
+    assert(shapes.toSet == Set("ROLLUP", "CUBE", "GS_TOTAL", "GS_PLAIN"),
+      s"grouping banks do not cover all four shapes: $shapes")
   }
 
   test("the six set-op banks cover all six operators, non-vacuously, with NULL rows") {
