@@ -472,4 +472,45 @@ object FunctionFuzzer {
        |GROUP BY $spec
        |ORDER BY f_a ASC, f_b ASC, g_a ASC NULLS LAST, g_b ASC NULLS LAST""".stripMargin
   }
+
+  /** A scalar-subquery bank: every output column is a correlated or
+    * uncorrelated scalar subquery over `region` — this differentials the
+    * DECORRELATION rewrite (Spark plans each as a left outer aggregate
+    * join; DuckDB runs its own flattening), not scalar kernels. Shapes:
+    *  - correlated aggregate on key equality, including correlation
+    *    through an expression (`r_regionkey = (n_nationkey % m)`);
+    *  - `m ∈ {5,7}` overshoots region's key range, so some rows
+    *    correlate to an EMPTY group — MAX/MIN/SUM must yield NULL there
+    *    while COUNT yields 0 (the classic decorrelation bug class:
+    *    a naive inner-join rewrite silently drops those rows);
+    *  - an uncorrelated scalar (constant-folding/reuse path);
+    *  - correlation plus an extra uncorrelated conjunct.
+    * Correlated predicates stay EQUALITY-shaped (the dialect- and
+    * planner-common subset); aggregates are CAST to BIGINT as in
+    * [[generateAggs]].
+    */
+  def generateScalarSubqueries(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+    def cmp(): String = Seq("<", "<=", "=", "<>", ">", ">=")(rnd.nextInt(6))
+    def corr(): String =
+      Seq("n_regionkey", "(n_nationkey % 5)", "(n_nationkey % 7)")(rnd.nextInt(3))
+    val cols = (1 to nCols).map { i =>
+      val e = i % 4 match {
+        case 1 => s"(SELECT CAST(MAX(r_regionkey * ${rnd.nextInt(9) + 2}) AS BIGINT) " +
+          s"FROM region WHERE r_regionkey = ${corr()})"
+        case 2 => s"(SELECT CAST(COUNT(*) AS BIGINT) FROM region " +
+          s"WHERE r_regionkey ${cmp()} ${rnd.nextInt(5)})"
+        case 3 => s"(SELECT CAST(SUM(r_regionkey + ${rnd.nextInt(20)}) AS BIGINT) " +
+          s"FROM region WHERE r_regionkey = ${corr()} AND r_regionkey ${cmp()} ${rnd.nextInt(5)})"
+        case _ => s"(SELECT CAST(MIN(length(r_name)) AS BIGINT) " +
+          s"FROM region WHERE r_regionkey = ${corr()})"
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
 }

@@ -341,6 +341,8 @@ object Functions {
     "fuzz_groupingsets_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(701L, 15)),
     "fuzz_groupingsets_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(702L, 15)),
     "fuzz_groupingsets_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(703L, 15)),
+    "fuzz_scalarsubq_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(801L, 12)),
+    "fuzz_scalarsubq_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(802L, 12)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----

@@ -77,6 +77,20 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(s"fuzz_groupingsets_bank_$i").oracle
         .contains(graft.functions.FunctionFuzzer.generateGroupingSets(699L + i, 15)),
         s"fuzz_groupingsets_bank_$i's oracle SQL is not the seed-${699 + i} regeneration")
+    for (i <- 1 to 2)
+      assert(Registry.all(s"fuzz_scalarsubq_bank_$i").oracle
+        .contains(graft.functions.FunctionFuzzer.generateScalarSubqueries(800L + i, 12)),
+        s"fuzz_scalarsubq_bank_$i's oracle SQL is not the seed-${800 + i} regeneration")
+  }
+
+  test("the scalar-subquery banks hit empty correlation groups (NULL cells appear)") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_scalarsubq_bank_$i"
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.length == 25, s"$name: expected the 25 nation rows")
+      assert(rows.exists(r => (1 until r.length).exists(r.isNullAt)),
+        s"$name: no NULL cells — empty-group decorrelation is unexercised")
+    }
   }
 
   test("the grouping-sets banks cover all four shapes and emit subtotal rows") {
