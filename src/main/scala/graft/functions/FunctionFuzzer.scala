@@ -513,4 +513,54 @@ object FunctionFuzzer {
        |FROM nation
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
+
+  /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
+    * multi-row correlated form the scalar-subquery grammar can't reach
+    * (top-n-per-row is the shape Presto plans as a correlated
+    * LateralJoin). Three drawn shapes:
+    *  - comma-LATERAL top-n: inner ORDER BY + LIMIT under a correlated
+    *    inequality — outer rows whose lateral comes back empty DISAPPEAR
+    *    (cross semantics);
+    *  - LEFT JOIN LATERAL … ON true: same inner, but empty laterals PAD
+    *    with NULLs — the cross-vs-left distinction is the semantics
+    *    differenced;
+    *  - aggregate lateral: a single-row (COUNT/MAX) inner — the
+    *    EnforceSingleRow-ish degenerate case.
+    * The inner orders by the unique region key before LIMIT, so the
+    * selected row set is deterministic; (k, lk) totally orders the
+    * output (≤ limit distinct region keys per outer row, one NULL-padded
+    * row per empty lateral).
+    */
+  def generateLaterals(seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate the shape draw (see generateJoins)
+    val shape = rnd.nextInt(3)
+    val corrCmp = Seq("<", "<=", "=", ">=", ">")(rnd.nextInt(5))
+    val extra = if (rnd.nextBoolean()) s" AND r_regionkey ${Seq("<=", "<>", ">=")(rnd.nextInt(3))} ${rnd.nextInt(5)}" else ""
+    val c = rnd.nextInt(9) + 2
+    val d = rnd.nextInt(50)
+    val inner =
+      if (shape == 2)
+        s"""(
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS rv,
+           |    CAST(COALESCE(MAX(r_regionkey), -1) AS BIGINT) AS rk
+           |  FROM region
+           |  WHERE r_regionkey $corrCmp n.n_regionkey$extra) t"""
+      else
+        s"""(
+           |  SELECT r_regionkey AS rk, (r_regionkey * $c + $d) AS rv
+           |  FROM region
+           |  WHERE r_regionkey $corrCmp n.n_regionkey$extra
+           |  ORDER BY r_regionkey ${if (rnd.nextBoolean()) "ASC" else "DESC"}
+           |  LIMIT ${rnd.nextInt(3) + 1}) t"""
+    val joinForm = shape match {
+      case 1 => s"LEFT JOIN LATERAL $inner ON true"
+      case _ => s", LATERAL $inner"
+    }
+    s"""SELECT n.n_nationkey AS k, CAST(t.rk AS BIGINT) AS lk,
+       |  CAST(t.rv AS BIGINT) AS lv,
+       |  CAST(n.n_regionkey AS BIGINT) + COALESCE(CAST(t.rk AS BIGINT), -1) AS mix
+       |FROM nation n $joinForm
+       |ORDER BY k ASC NULLS LAST, lk ASC NULLS LAST""".stripMargin
+  }
 }

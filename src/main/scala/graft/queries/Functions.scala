@@ -343,6 +343,12 @@ object Functions {
     "fuzz_groupingsets_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(703L, 15)),
     "fuzz_scalarsubq_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(801L, 12)),
     "fuzz_scalarsubq_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(802L, 12)),
+    // seeds picked for lateral-shape coverage: 900 comma-LATERAL top-n
+    // (5 outer rows vanish on empty laterals), 903 LEFT JOIN LATERAL
+    // (5 NULL-padded rows), 905 single-row aggregate lateral
+    "fuzz_lateral_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateLaterals(900L)),
+    "fuzz_lateral_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateLaterals(903L)),
+    "fuzz_lateral_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateLaterals(905L)),
 
     // ---- JSON family (JsonFunctions.java: json_extract_scalar →
     //      get_json_object; over the events.props JSON column) ----

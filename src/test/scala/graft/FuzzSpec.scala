@@ -81,6 +81,23 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(s"fuzz_scalarsubq_bank_$i").oracle
         .contains(graft.functions.FunctionFuzzer.generateScalarSubqueries(800L + i, 12)),
         s"fuzz_scalarsubq_bank_$i's oracle SQL is not the seed-${800 + i} regeneration")
+    for ((name, seed) <- Seq("fuzz_lateral_bank_1" -> 900L, "fuzz_lateral_bank_2" -> 903L,
+        "fuzz_lateral_bank_3" -> 905L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateLaterals(seed)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+  }
+
+  test("the lateral banks cover cross-drop, left-pad, and aggregate shapes") {
+    val cross = Registry.all("fuzz_lateral_bank_1").fn(spark, sfDir).collect()
+    assert(cross.length < 25 && cross.nonEmpty,
+      "comma-LATERAL bank must DROP outer rows whose lateral is empty")
+    val left = Registry.all("fuzz_lateral_bank_2").fn(spark, sfDir).collect()
+    assert(left.exists(_.isNullAt(1)),
+      "LEFT JOIN LATERAL bank must PAD empty laterals with NULLs")
+    val agg = Registry.all("fuzz_lateral_bank_3").fn(spark, sfDir).collect()
+    assert(agg.length == 25,
+      "aggregate-lateral bank must keep exactly one row per outer row")
   }
 
   test("the scalar-subquery banks hit empty correlation groups (NULL cells appear)") {
