@@ -269,6 +269,43 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A value-RANGE window bank: aggregates over RANGE frames with VALUE
+    * offsets (`RANGE BETWEEN n PRECEDING AND m FOLLOWING` on a numeric
+    * ORDER BY key) — the frame form [[generateWindows]] deliberately
+    * excludes (it is ROWS-only) and the one where Spark is a superset of
+    * the reference (Presto 323 rejects bounded RANGE PRECEDING,
+    * StatementAnalyzer.java:1519). The ORDER BY key is the unique dense
+    * `n_nationkey`, so the value-window row set is exact and identical
+    * in both engines; aggregate inputs reuse [[ExprGen]]'s guarded
+    * BIGINT grammar.
+    */
+  def generateRangeWindows(seed: Long, nCols: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
+    val rnd = new scala.util.Random(seed ^ 0x5DEECE66DL)
+    def frame(): String = rnd.nextInt(3) match {
+      case 0 => s"RANGE BETWEEN ${rnd.nextInt(6) + 1} PRECEDING AND CURRENT ROW"
+      case 1 => s"RANGE BETWEEN ${rnd.nextInt(4) + 1} PRECEDING AND ${rnd.nextInt(4) + 1} FOLLOWING"
+      case _ => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    }
+    def over(): String = {
+      val part = if (rnd.nextBoolean()) "PARTITION BY n_regionkey " else ""
+      s"OVER (${part}ORDER BY n_nationkey ASC ${frame()})"
+    }
+    val cols = (1 to nCols).map { i =>
+      val e = i % 4 match {
+        case 1 => s"CAST(SUM(${g.intExpr(2)}) ${over()} AS BIGINT)"
+        case 2 => s"CAST(MIN(${g.intExpr(2)}) ${over()} AS BIGINT)"
+        case 3 => s"CAST(MAX(${g.intExpr(2)}) ${over()} AS BIGINT)"
+        case _ => s"CAST(COUNT(CASE WHEN ${g.boolExpr(1)} THEN 1 END) ${over()} AS BIGINT)"
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
   /** A join bank: one randomized nation⋈region join — the operator class
     * where engines disagree most subtly. Each bank draws:
     *  - a join type (INNER/LEFT/RIGHT/FULL);

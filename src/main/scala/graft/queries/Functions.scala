@@ -320,6 +320,8 @@ object Functions {
     "fuzz_agg_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateAggs(808L, 40)),
     "fuzz_window_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateWindows(909L, 30)),
     "fuzz_window_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateWindows(1010L, 30)),
+    "fuzz_rangewindow_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateRangeWindows(1101L, 20)),
+    "fuzz_rangewindow_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateRangeWindows(1102L, 20)),
     // seeds picked for join-type coverage (501 INNER / 33 LEFT / 22 RIGHT /
     // 66 FULL) with non-vacuous, padding-exercising row sets at both SFs
     "fuzz_join_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoins(501L, 12)),

@@ -64,6 +64,14 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateWindows(seed, 30)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for ((name, seed) <- Seq("fuzz_rangewindow_bank_1" -> 1101L,
+        "fuzz_rangewindow_bank_2" -> 1102L)) {
+      val sql = Registry.all(name).oracle.get
+      assert(sql == graft.functions.FunctionFuzzer.generateRangeWindows(seed, 20),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+      assert(sql.contains("RANGE BETWEEN") && sql.contains("PRECEDING"),
+        s"$name: no value-RANGE frame in the generated SQL")
+    }
     for ((name, seed) <- Seq("fuzz_join_bank_1" -> 501L, "fuzz_join_bank_2" -> 33L,
         "fuzz_join_bank_3" -> 22L, "fuzz_join_bank_4" -> 66L))
       assert(Registry.all(name).oracle
