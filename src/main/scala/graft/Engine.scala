@@ -113,16 +113,24 @@ object Tables {
 
   /** Direct DataFrame access for API-style (non-SQL) queries.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as a long (legacy nanosAsLong conf)
-    * and floor-truncate to a µs timestamp — DuckDB's ns→µs cast truncates
-    * identically, keeping the oracle comparable (FIXTURES.md §C).
+    * `events.ts` normalizes to a session-zoned µs TIMESTAMP whichever way
+    * the fixture generation wrote it — parquet TIMESTAMP(NANOS) (read as a
+    * long under the legacy nanosAsLong conf and floor-truncated, exactly
+    * DuckDB's ns→µs cast) or plain TIMESTAMP(MICROS) (read natively as
+    * TIMESTAMP_NTZ; the UTC session makes the LTZ cast value-preserving).
+    * Every downstream events query and oracle sees one type either way
+    * (FIXTURES.md §C).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    } else df
   }
 }

@@ -19,14 +19,17 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events schema as written by the driver (ts arrives as raw
-    * parquet-nanos int64 under the nanosAsLong reading conf — converted
-    * to a microsecond timestamp exactly like Tables.t does for batch).
+  /** The events schema as staged for streaming. `ts`'s physical shape
+    * follows the fixture generation — parquet TIMESTAMP(NANOS) read as a
+    * raw int64 under the nanosAsLong conf, or plain TIMESTAMP(MICROS) read
+    * as TIMESTAMP_NTZ — so [[eventsStream]] peeks one footer (file streams
+    * need a declared schema) and normalizes exactly like Tables.t does for
+    * batch.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  def rawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(dir).schema
+  }
 
   final case class UserCount(user_id: Long, n: Long)
   final case class UserMilestone(user_id: Long, milestone: Long)
@@ -36,12 +39,15 @@ object Streams {
     * incremental state updates.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val schema = rawSchema(spark, dir)
+    val s = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    schema("ts").dataType match {
+      case LongType => s.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => s.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling event-time window counts with a watermark: late events

@@ -175,14 +175,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // passed — THE property that lets dedup-on-arrival run forever.
     val tmp = java.nio.file.Files.createTempDirectory("graft_bounded").toString
     val srcDir = new java.io.File(tmp, "events"); srcDir.mkdirs()
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") // ts stays long nanos
+    // raw physical shape (long nanos or µs timestamp) — shift via the
+    // normalized timestamp so the arithmetic is shape-independent, then
+    // stage; eventsStream re-normalizes whatever the writer produced
+    val raw = Tables.t(spark, "/root/testdata/sf0.001", "events")
     val epochRows = raw.count()
-    val dayNanos = 24L * 3600 * 1000 * 1000 * 1000
 
     var peaks = Vector.empty[Long]
     for (epoch <- 0 until 4) {
       val stageTmp = new java.io.File(tmp, s"stage$epoch")
-      raw.withColumn("ts", col("ts") + lit(epoch * 40L * dayNanos))
+      raw.withColumn("ts", col("ts") + expr(s"INTERVAL ${epoch * 40} DAYS"))
         .withColumn("event_id", col("event_id") + lit(epoch * 1000000L))
         .coalesce(1).write.mode("overwrite").parquet(stageTmp.toString)
       val part = stageTmp.listFiles().filter(_.getName.endsWith(".parquet")).head
