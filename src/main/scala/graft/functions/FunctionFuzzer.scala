@@ -551,6 +551,171 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A DISTINCT-aggregate bank: grouped aggregates where SEVERAL distinct
+    * aggregations over different expressions coexist with plain ones —
+    * the shape Spark plans through Expand (one row replica per distinct
+    * group, the MarkDistinct analog) while DuckDB runs per-aggregate hash
+    * tables; a differential over the whole distinct-planning path, not a
+    * kernel. Subset rules on top of [[generateAggs]]'s:
+    *  - SUM(DISTINCT …) is CAST to BIGINT (DuckDB promotes to HUGEINT);
+    *  - distinct inputs are [[ExprGen]] guarded-BIGINT or string
+    *    expressions (the % NULLIF guard injects NULLs, which both
+    *    engines' DISTINCT aggregation ignores identically);
+    *  - no AVG(DISTINCT) (dtype pinning under distinct differs).
+    */
+  def generateDistinctAggs(seed: Long, nAggs: Int): String = {
+    val g = new ExprGen(new scala.util.Random(seed))
+    val cols = (1 to nAggs).map { i =>
+      val e = i % 5 match {
+        case 1 => s"CAST(COUNT(DISTINCT ${g.intExpr(2)}) AS BIGINT)"
+        case 2 => s"CAST(SUM(DISTINCT ${g.intExpr(2)}) AS BIGINT)"
+        case 3 => s"CAST(COUNT(DISTINCT ${g.strExpr(2)}) AS BIGINT)"
+        case 4 => s"CAST(MIN(${g.intExpr(2)}) AS BIGINT)"
+        case _ => s"CAST(COUNT(CASE WHEN ${g.boolExpr(1)} THEN 1 END) AS BIGINT)"
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_regionkey AS g,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |GROUP BY n_regionkey
+       |ORDER BY g ASC NULLS LAST""".stripMargin
+  }
+
+  /** An array / higher-order-function bank — the first DUAL-DIALECT
+    * grammar: arrays and lambdas spell differently in the two engines
+    * (`transform`/`filter`/`aggregate`/`array(…)`/`size` vs
+    * `list_transform`/`list_filter`/`list_reduce`/`[…]`/`len`), so the
+    * generator builds every expression as a (spark, duck) PAIR in
+    * lockstep from one draw sequence and returns both texts; the
+    * registry wires them through `Q.sql(spark, duck)` instead of
+    * `sqlSame`. Dialect-subset rules:
+    *  - array elements are NULL-FREE bounded BIGINTs (no % guard):
+    *    DuckDB's `list_distinct` drops NULLs where Spark's
+    *    `array_distinct` keeps them — null-free elements shut that off;
+    *  - `array_distinct` is always wrapped in a sort (`array_sort` /
+    *    `list_sort`): DuckDB does not document dedup ORDER, Spark keeps
+    *    first occurrence — sorting pins one order in both engines;
+    *  - element access is OOB-safe on both sides (`try_element_at` vs
+    *    `l[i]`, both NULL out of bounds — indexes are 1-based in both);
+    *  - folds seed a BIGINT zero: Spark `aggregate(A, 0, +)` ≡ DuckDB
+    *    `list_reduce(list_prepend(0, A), +)` including the empty-array
+    *    case (both yield the seed);
+    *  - array-typed OUTPUT columns are serialized to strings
+    *    (`array_join` of the string-cast elements vs `array_to_string`):
+    *    the driver's comparator sorts rows by every column and
+    *    array-typed cells are unhashable there;
+    *  - lambda bodies use only +, −, ×literal, abs, least/greatest and
+    *    literal-divisor % (both engines truncate toward zero) — the
+    *    dialect-common scalar core.
+    */
+  def generateArrays(seed: Long, nCols: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds (see generateJoins)
+
+    // (spark, duck) expression pairs built in lockstep
+    type P = (String, String)
+    def same(s: String): P = (s, s)
+
+    // null-free bounded int scalar (NO modulo-null guard — array elements
+    // must stay null-free, see the subset rules)
+    def intLeaf(): P = rnd.nextInt(4) match {
+      case 0 => same("CAST(n_nationkey AS BIGINT)")
+      case 1 => same("CAST(n_regionkey AS BIGINT)")
+      case 2 => same(s"CAST(${rnd.nextInt(41) - 20} AS BIGINT)")
+      case _ => same("CAST(length(n_name) AS BIGINT)")
+    }
+    def intScalar(d: Int): P =
+      if (d <= 0) intLeaf()
+      else rnd.nextInt(5) match {
+        case 0 => val (a1, a2) = intScalar(d - 1); val (b1, b2) = intScalar(d - 1)
+          (s"($a1 + $b1)", s"($a2 + $b2)")
+        case 1 => val (a1, a2) = intScalar(d - 1); val (b1, b2) = intScalar(d - 1)
+          (s"($a1 - $b1)", s"($a2 - $b2)")
+        case 2 => val (a1, a2) = intLeaf(); val (b1, b2) = intLeaf()
+          (s"($a1 * $b1)", s"($a2 * $b2)")
+        case 3 => val (a1, a2) = intScalar(d - 1); (s"abs($a1)", s"abs($a2)")
+        case _ => val (a1, a2) = intScalar(d - 1); val (b1, b2) = intScalar(d - 1)
+          val fn = if (rnd.nextBoolean()) "least" else "greatest"
+          (s"$fn($a1, $b1)", s"$fn($a2, $b2)")
+      }
+
+    // lambda bodies over the bound variable x (identical spelling in both
+    // dialects — only the HOF names differ)
+    def lambdaInt(): String = rnd.nextInt(5) match {
+      case 0 => s"(x + ${rnd.nextInt(9) + 1})"
+      case 1 => s"(x * ${rnd.nextInt(3) + 2})"
+      case 2 => "abs(x - 7)"
+      case 3 => s"least(x, ${rnd.nextInt(15)})"
+      case _ => s"greatest(x, ${rnd.nextInt(15) - 7})"
+    }
+    def lambdaBool(): String = rnd.nextInt(4) match {
+      case 0 => s"(x % ${rnd.nextInt(3) + 2} = 0)"   // literal divisor: no null guard needed
+      case 1 => s"(x > ${rnd.nextInt(11) - 5})"
+      case 2 => s"(x <> ${rnd.nextInt(7)})"
+      case _ => s"(x <= ${rnd.nextInt(21) - 10})"
+    }
+
+    def arrExpr(d: Int): P =
+      if (d <= 0) rnd.nextInt(2) match {
+        case 0 =>
+          val k = rnd.nextInt(3) + 2
+          val elems = Seq.fill(k)(intScalar(1))
+          (s"array(${elems.map(_._1).mkString(", ")})",
+            s"[${elems.map(_._2).mkString(", ")}]")
+        case _ =>
+          val hi = s"CAST(n_nationkey % ${rnd.nextInt(3) + 3} + 2 AS BIGINT)"
+          (s"sequence(CAST(1 AS BIGINT), $hi)", s"generate_series(CAST(1 AS BIGINT), $hi)")
+      }
+      else rnd.nextInt(6) match {
+        case 0 => val (a1, a2) = arrExpr(d - 1); val f = lambdaInt()
+          (s"transform($a1, x -> $f)", s"list_transform($a2, x -> $f)")
+        case 1 => val (a1, a2) = arrExpr(d - 1); val f = lambdaBool()
+          (s"filter($a1, x -> $f)", s"list_filter($a2, x -> $f)")
+        case 2 => val (a1, a2) = arrExpr(d - 1)
+          (s"reverse($a1)", s"list_reverse($a2)")
+        case 3 => val (a1, a2) = arrExpr(d - 1)
+          (s"array_sort(array_distinct($a1))", s"list_sort(list_distinct($a2))")
+        case 4 => val (a1, a2) = arrExpr(d - 1); val (b1, b2) = arrExpr(d - 1)
+          (s"concat($a1, $b1)", s"list_concat($a2, $b2)")
+        case _ => val (a1, a2) = arrExpr(d - 1)
+          (s"array_sort($a1)", s"list_sort($a2)")
+      }
+
+    val cols = (1 to nCols).map { i =>
+      val (sp, dk) = i % 5 match {
+        case 1 => val (a1, a2) = arrExpr(2)
+          (s"CAST(size($a1) AS BIGINT)", s"CAST(len($a2) AS BIGINT)")
+        case 2 => val (a1, a2) = arrExpr(2)
+          (s"aggregate($a1, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+            s"list_reduce(list_prepend(CAST(0 AS BIGINT), $a2), (acc, x) -> acc + x)")
+        case 3 => val (a1, a2) = arrExpr(2); val ix = rnd.nextInt(3) + 1
+          (s"try_element_at($a1, $ix)", s"$a2[$ix]")
+        case 4 => val (a1, a2) = arrExpr(2); val (e1, e2) = intLeaf()
+          (s"array_contains($a1, $e1)", s"list_contains($a2, $e2)")
+        case _ => val (a1, a2) = arrExpr(2)
+          // empty-array serialization diverges: Spark's array_join yields
+          // '' where DuckDB's array_to_string (string_agg semantics)
+          // yields NULL — COALESCE pins the common ''. (Arrays themselves
+          // are never NULL here, so the COALESCE only fires on empty.)
+          (s"array_join(transform($a1, x -> CAST(x AS STRING)), ',')",
+            s"COALESCE(array_to_string($a2, ','), '')")
+      }
+      (s"  $sp AS e$i", s"  $dk AS e$i")
+    }
+    val spark =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._1).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    val duck =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._2).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    (spark, duck)
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

@@ -348,6 +348,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs at scale — the LSH twin of
+    * [[embeddingPairs]] (which is the quadratic verification baseline):
+    * multi-table random-hyperplane LSH generates candidates, exact cosine
+    * verifies them. The near-dup regime (re-encoded identical content,
+    * cosine ≈ 1) is where sign-LSH is sharpest: a pair at cosine c agrees
+    * on one hyperplane with p = 1 − arccos(c)/π, lands in the same bucket
+    * of one table with p^nPlanes, and is missed by ALL tables with
+    * (1 − p^nPlanes)^nTables — at the defaults and c = 0.9997 that is
+    * ~1e-11; recall is tunable by table count without touching the index
+    * granularity.
+    *
+    * Plan shape (the 100 TB path): ONE native kernel call computes all
+    * nTables·nPlanes sign bits per vector; tables are bit-slices of that
+    * signature, exploded into (table, bucket) rows. The candidate
+    * self-join shuffles on (table, bucket) — only colliding vectors ever
+    * meet — with oversized buckets STAR-LINKED exactly like
+    * [[minhashLsh]]'s hot buckets (clustered embeddings make bucket skew
+    * the known sign-LSH failure mode; the star bounds any bucket's
+    * candidate count at w−1 while greedy min-id clustering still removes
+    * the same duplicates). Verification joins the (small) surviving id
+    * set back to the vectors and re-ranks exactly, so false candidates
+    * cost one cosine each, never a shuffle of the corpus.
+    *
+    * @param threshold verified cosine threshold for emitted pairs
+    * @param nTables   independent LSH tables (recall knob)
+    * @param nPlanes   hyperplanes per table — 2^nPlanes buckets/table
+    *                  (granularity knob; production corpora want 14–18)
+    * @param dim       embedding dimensionality (vectors of any other
+    *                  length hash to bucket 0, matching lsh_sign_bucket)
+    * @param hotBucketCap buckets wider than this emit star pairs, not
+    *                  all pairs — see [[minhashLsh]]'s trade description
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nTables: Int = 6,
+      nPlanes: Int = 6,
+      dim: Int = 64,
+      hotBucketCap: Int = 100000): DataFrame = {
+    require(nTables * nPlanes <= 62, "nTables * nPlanes must fit one long signature")
+    val tableMask = (1L << nPlanes) - 1
+
+    // (id, vec, 62-bit signature) — hashed once, reused by the bucket
+    // explode and the verify join (two consumers; persist avoids a second
+    // full hashing pass over the corpus).
+    val hashed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.lshBucket(col(vecCol), nTables * nPlanes, dim).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // bit-slice the signature into per-table buckets; bucket width +
+    // representative ride the same (table, bucket) shuffle the candidate
+    // join needs (the minhashLsh window pattern)
+    val bw = Window.partitionBy(col("table"), col("bucket"))
+    val banded = hashed.select(col("id"),
+        explode(transform(sequence(lit(0), lit(nTables - 1)),
+          t => struct(t.as("table"),
+            call_function("shiftright", col("sig"), t * nPlanes)
+              .bitwiseAND(lit(tableMask)).as("bucket")))).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .withColumn("__bw", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(col("id")).over(bw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val normal = banded.filter(col("__bw") <= hotBucketCap)
+    // renamed right-side keys (see minhashLsh): unambiguous self-join
+    val left = normal.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val right = normal.select(
+      col("table").as("table_r"), col("bucket").as("bucket_r"), col("id").as("id_b"))
+    val allPairs = left.join(right,
+        col("table") === col("table_r") && col("bucket") === col("bucket_r") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val starPairs = banded
+      .filter(col("__bw") > hotBucketCap && col("id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+    val candidates = allPairs.unionByName(starPairs)
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verify: one cosine per surviving candidate
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Keep one representative per near-duplicate cluster: given verified
     * pairs, drop every id that appears as the larger member of a pair with
     * a smaller keeper (greedy min-id clustering — one pass, no iteration).

@@ -345,6 +345,19 @@ object Functions {
     "fuzz_groupingsets_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(703L, 15)),
     "fuzz_scalarsubq_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(801L, 12)),
     "fuzz_scalarsubq_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(802L, 12)),
+    // several DISTINCT aggregates over different expressions per query —
+    // exercises Spark's Expand-based multi-distinct planning end to end
+    "fuzz_distinctagg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDistinctAggs(1301L, 25)),
+    "fuzz_distinctagg_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDistinctAggs(1302L, 25)),
+    // dual-dialect array/HOF banks: the generator emits (spark, duck)
+    // texts in lockstep because lambdas/arrays spell differently
+    // (transform/array(…)/size vs list_transform/[…]/len)
+    "fuzz_array_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateArrays(1401L, 30); Q.sql(sp, dk) },
+    "fuzz_array_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateArrays(1402L, 30); Q.sql(sp, dk) },
+    "fuzz_array_bank_3" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateArrays(1403L, 30); Q.sql(sp, dk) },
     // seeds picked for lateral-shape coverage: 900 comma-LATERAL top-n
     // (5 outer rows vanish on empty laterals), 903 LEFT JOIN LATERAL
     // (5 NULL-padded rows), 905 single-row aggregate lateral

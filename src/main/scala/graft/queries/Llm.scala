@@ -647,6 +647,55 @@ object Llm {
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
     },
 
+    // ---- embedding cosine near-dup at scale (Dedup.embeddingNearDup) ----
+    // The fixture has no organic near-dup embeddings (max pairwise cosine
+    // < 0.6), so the near-dup regime is PLANTED inside the query, on both
+    // engines identically: every 5th vector gets a copy under a diagonal
+    // perturbation (component j scaled by 1 + 0.01·((j mod 5 − 2)/2),
+    // double arithmetic — cosine ≈ 0.99997, never exactly 1, so the LSH
+    // tables genuinely disagree on some planes). The oracle is the exact
+    // all-pairs join at the same threshold: green means candidate
+    // generation RECALLED every true pair (miss odds ~1e-11/pair at the
+    // 6×6 defaults) and the exact verify agreed with DuckDB bit-for-bit;
+    // false candidates are invisible because verification prunes them.
+    "llm_dedup_embedding" -> Q.df(
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |copies AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> v[i] * (1.0 + 0.01 * ((CAST((i - 1) % 5 AS DOUBLE) - 2.0) / 2.0))) AS v
+        |  FROM base WHERE vec_id % 5 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM copies)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+        |    / NULLIF(
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y)), 0.0), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+        |    / NULLIF(
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y)), 0.0) >= 0.98
+        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val base = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val copies = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(v, (x, j) -> x * (1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0)))").as("v"))
+      Dedup.embeddingNearDup(base.unionByName(copies), "vec_id", "v", threshold = 0.98)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+    },
+
     // ---- exact brute-force ANN top-k (Similarity.bruteForceTopK) ----
     "llm_ann_bruteforce" -> Q.df(
       """SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM (

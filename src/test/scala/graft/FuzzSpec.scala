@@ -94,6 +94,49 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateLaterals(seed)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for (i <- 1 to 2)
+      assert(Registry.all(s"fuzz_distinctagg_bank_$i").oracle
+        .contains(graft.functions.FunctionFuzzer.generateDistinctAggs(1300L + i, 25)),
+        s"fuzz_distinctagg_bank_$i's oracle SQL is not the seed-${1300 + i} regeneration")
+    for (i <- 1 to 3) {
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateArrays(1400L + i, 30)
+      assert(Registry.all(s"fuzz_array_bank_$i").oracle.contains(dk),
+        s"fuzz_array_bank_$i's oracle SQL is not the seed-${1400 + i} regeneration")
+      assert(sp != dk,
+        s"fuzz_array_bank_$i degenerated to one dialect — arrays/lambdas must differ")
+    }
+  }
+
+  test("the distinct-agg banks plan through Expand (multi-distinct) over 5 regions") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_distinctagg_bank_$i"
+      val q = Registry.all(name)
+      assert(q.oracle.get.contains("COUNT(DISTINCT") && q.oracle.get.contains("SUM(DISTINCT"),
+        s"$name: missing distinct aggregates in the generated SQL")
+      val df = q.fn(spark, sfDir)
+      assert(df.queryExecution.executedPlan.toString.contains("Expand"),
+        s"$name: multiple distinct groups must lower through Expand")
+      val rows = df.collect()
+      assert(rows.length == 5 && df.columns.length == 26,
+        s"$name: expected 5 region rows × (g + 25 aggregates)")
+    }
+  }
+
+  test("the array banks execute with the declared shape and both dialects' HOFs") {
+    for (i <- 1 to 3) {
+      val name = s"fuzz_array_bank_$i"
+      val dk = Registry.all(name).oracle.get
+      assert(dk.contains("list_reduce"), s"$name: duck text lost its fold form")
+      val df = Registry.all(name).fn(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.length == 25 && df.columns.length == 31,
+        s"$name: expected 25 nation rows × (k + 30 expression columns)")
+      // the serialized-array columns (i % 5 == 0) must be strings — the
+      // driver comparator cannot sort array cells
+      assert(df.schema.fields.forall(f =>
+        !f.dataType.typeName.startsWith("array")),
+        s"$name: an array-typed output column leaked past serialization")
+    }
   }
 
   test("the lateral banks cover cross-drop, left-pad, and aggregate shapes") {

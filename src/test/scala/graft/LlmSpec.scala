@@ -399,6 +399,46 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.dropDuplicates(d, "doc_id", pairs).count() == 1L)
   }
 
+  test("embedding near-dup: LSH recalls every exact pair on a planted corpus") {
+    // the fixture has no organic near-dups (max pairwise cosine < 0.6), so
+    // plant them: every 3rd vector gets a diagonally perturbed copy
+    // (cosine ≈ 0.99997 — close to but never exactly 1, so some planes do
+    // flip and recall is genuinely probabilistic, ~1e-11 miss/pair)
+    val base = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val planted = base.unionByName(base.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(v, (x, j) -> x * (1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0)))").as("v")))
+    val exact = Dedup.embeddingPairs(planted, "vec_id", "v", 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDup(planted, "vec_id", "v", threshold = 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted corpus should contain >=1 near-dup pair")
+    // exact verification makes LSH precise; the planted regime makes the
+    // probabilistic recall side effectively certain — demand equality
+    assert(lsh == exact, s"missed: ${exact -- lsh}; extra: ${lsh -- exact}")
+  }
+
+  test("embedding near-dup never compares all pairs (bucket-join plan)") {
+    val plan = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = 0.98)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), "candidate generation must not cross-join")
+  }
+
+  test("embedding near-dup hot-bucket cap star-links an all-identical corpus") {
+    val sp = spark; import sp.implicits._
+    // 300 identical vectors: every table's one bucket holds all 300, which
+    // uncapped would mean 300·299/2 ≈ 45k candidate pairs per table
+    val v = (0 until 64).map(i => math.sin(i + 1)).toArray
+    val d = (1L to 300L).map(i => (i, v)).toDF("vec_id", "v")
+    val pairs = Dedup.embeddingNearDup(d, "vec_id", "v",
+      threshold = 0.99, hotBucketCap = 50)
+    val got = pairs.collect()
+    assert(got.length == 299, s"expected 299 star pairs, got ${got.length}")
+    assert(got.forall(_.getLong(0) == 1L), "all pairs must link to the min-id representative")
+    assert(Dedup.dropDuplicates(d, "vec_id", pairs).count() == 1L)
+  }
+
   test("small buckets keep full pair enumeration under the cap") {
     val sp = spark; import sp.implicits._
     val d = Seq(
