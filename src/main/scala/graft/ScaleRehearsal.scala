@@ -266,6 +266,26 @@ object ScaleRehearsal {
         nlist = 256, nprobe = 16)
     }
 
+    // ---- embedding near-dup at 1× and 10× ----
+    // Near-dup structure must EXIST to be found: plant one perturbed copy
+    // per 20th vector at BOTH scales (the llm_dedup_embedding recipe), so
+    // true pairs scale with n (×10), never n² — measuring the banded
+    // join's cost, not an output explosion. nPlanes=8 sizes the per-table
+    // index to 256 buckets (~2k wide at 500k rows), the deployment shape.
+    def withCopies(d: DataFrame): DataFrame = d.unionByName(
+      d.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> x * CAST(1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0) AS FLOAT))")
+            .as("embedding")))
+    val tNd1 = time("embdedup @1x") {
+      llm.Dedup.embeddingNearDup(withCopies(Tables.t(spark, sfDir, "embeddings")),
+        "vec_id", "embedding", threshold = 0.98, nPlanes = 8)
+    }
+    val tNd = time("embdedup @10x") {
+      llm.Dedup.embeddingNearDup(withCopies(vecs),
+        "vec_id", "embedding", threshold = 0.98, nPlanes = 8)
+    }
+
     // ---- connected components on a DEEP graph ----
     // The near-dup pair graphs CC normally sees are stars/cliques of
     // diameter ≤ 3; the O(log diameter) pointer-doubling claim needs a
@@ -294,7 +314,7 @@ object ScaleRehearsal {
     println(f"[scale] cc_deep               $tDeep%8.2f s  edges=$nEdges components=$nComp (expect $expComp)")
     require(nComp == expComp, s"deep-graph CC found $nComp components, expected $expComp")
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "cc_deep": $tDeep%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "segcut_1x": $tCut1%.2f, "segcut": $tCut%.2f, "asof_1x": $tAsof1%.2f, "asof": $tAsof%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "cc_deep": $tDeep%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "segcut_1x": $tCut1%.2f, "segcut": $tCut%.2f, "asof_1x": $tAsof1%.2f, "asof": $tAsof%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f, "embdedup_1x": $tNd1%.2f, "embdedup": $tNd%.2f}""")
     spark.stop()
   }
 }

@@ -551,6 +551,125 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A timestamp bank: randomized TIMESTAMP expressions — the sub-day
+    * sibling of [[generateDates]] (hour/minute/second arithmetic,
+    * INTERVAL shifts, sub-day and day+ truncation). Subset rules beyond
+    * the date bank's:
+    *  - timestamps are BUILT (`make_timestamp` over bounded components,
+    *    day ≤ 28, identical signature and values in both engines under
+    *    the UTC session) or literal, never parsed;
+    *  - EVERY date_trunc is CAST to TIMESTAMP: DuckDB returns DATE for
+    *    day/month/year truncation of a timestamp but TIMESTAMP for
+    *    hour/minute (probed) — the cast pins one type for all units;
+    *  - INTERVAL shifts use literal counts of MINUTE/HOUR/DAY (identical
+    *    grammar both engines); no month/year intervals (end-of-month
+    *    clamping conventions differ);
+    *  - extractors (hour/minute/second/day/month/year) CAST to BIGINT.
+    */
+  def generateTimestamps(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    def tsLeaf(): String = rnd.nextInt(3) match {
+      case 0 => f"TIMESTAMP '${1992 + rnd.nextInt(9)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d'"
+      case 1 => s"make_timestamp(${1992 + rnd.nextInt(9)}, CAST(1 + (n_nationkey % 12) AS INT), ${1 + rnd.nextInt(28)}, CAST(n_nationkey % 24 AS INT), ${rnd.nextInt(60)}, ${rnd.nextInt(60)})"
+      case _ => s"make_timestamp(CAST(1992 + (n_regionkey % 7) AS INT), ${1 + rnd.nextInt(12)}, CAST(1 + (n_nationkey % 28) AS INT), ${rnd.nextInt(24)}, CAST((n_nationkey * 7) % 60 AS INT), ${rnd.nextInt(60)})"
+    }
+
+    def tsExpr(d: Int): String =
+      if (d <= 0) tsLeaf()
+      else rnd.nextInt(6) match {
+        case 0 =>
+          val unit = Seq("year", "month", "day", "hour", "minute")(rnd.nextInt(5))
+          s"CAST(date_trunc('$unit', ${tsExpr(d - 1)}) AS TIMESTAMP)"
+        case 1 =>
+          val u = Seq("MINUTE", "HOUR", "DAY")(rnd.nextInt(3))
+          s"(${tsExpr(d - 1)} + INTERVAL ${rnd.nextInt(48) + 1} $u)"
+        case 2 =>
+          val u = Seq("MINUTE", "HOUR")(rnd.nextInt(2))
+          s"(${tsExpr(d - 1)} - INTERVAL ${rnd.nextInt(90) + 1} $u)"
+        case 3 => s"greatest(${tsExpr(d - 1)}, ${tsExpr(d - 1)})"
+        case 4 => s"least(${tsExpr(d - 1)}, ${tsExpr(d - 1)})"
+        case _ => s"(CASE WHEN ${tsBool(d - 1)} THEN ${tsExpr(d - 1)} ELSE ${tsExpr(d - 1)} END)"
+      }
+
+    def tsBool(d: Int): String = {
+      val op = Seq("<", "<=", "=", "<>", ">", ">=")(rnd.nextInt(6))
+      s"(${tsExpr(d)} $op ${tsExpr(d)})"
+    }
+
+    def tsInt(d: Int): String = {
+      val ex = Seq("hour", "minute", "second", "day", "month", "year")(rnd.nextInt(6))
+      s"CAST($ex(${tsExpr(d)}) AS BIGINT)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val e = i % 3 match {
+        case 1 => tsInt(2)
+        case 2 => tsExpr(2)
+        case _ => tsBool(1)
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
+  /** A semi/anti-join bank: WHERE-clause subquery predicates in
+    * COMBINATION — the NULL-aware anti-join minefield the join grammar
+    * only samples singly. One drawn shape per bank:
+    *  - 0: IN ∧ correlated EXISTS (semi ∧ semi);
+    *  - 1: IN ∧ correlated NOT EXISTS on a NULLABLE correlation key
+    *    (semi ∧ anti; NULL keys make the inner empty → NOT EXISTS TRUE,
+    *    the padding-killer polarity flip);
+    *  - 2: NOT IN over a STATICALLY-nullable list (`NULLIF(r_regionkey,
+    *    9)` — 9 never occurs, so the list is non-null at runtime and the
+    *    output non-vacuous, but the planner must still choose a
+    *    null-aware anti join) ∧ EXISTS;
+    *  - 3: nested: EXISTS whose inner is itself filtered by an IN
+    *    subquery (subquery-in-subquery planning).
+    * The probe side is nation with a NULLIF-injected region key, so
+    * correlated predicates see NULL keys; projected columns COALESCE
+    * their leaves (the join-bank rule) while `lrk IS NULL` stays raw.
+    */
+  def generateSemiAnti(seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate the shape draw
+    val shape = rnd.nextInt(4)
+    val nullK = rnd.nextInt(5)
+    def cmp(): String = Seq("<", "<=", "<>", ">=", ">")(rnd.nextInt(5))
+    val c1 = rnd.nextInt(9) + 2
+    val d1 = rnd.nextInt(40)
+
+    val where = shape match {
+      case 0 =>
+        s"""WHERE (l.lk % 5) IN (SELECT r_regionkey FROM region WHERE r_regionkey ${cmp()} ${rnd.nextInt(4)})
+           |  AND EXISTS (SELECT 1 FROM region x WHERE x.r_regionkey = l.lrk AND x.r_regionkey ${cmp()} ${rnd.nextInt(5)})"""
+      case 1 =>
+        s"""WHERE (l.lk % 4) IN (SELECT r_regionkey FROM region WHERE r_regionkey ${cmp()} ${rnd.nextInt(4)})
+           |  AND NOT EXISTS (SELECT 1 FROM region x WHERE x.r_regionkey = l.lrk AND x.r_regionkey ${cmp()} ${rnd.nextInt(4)})"""
+      case 2 =>
+        s"""WHERE (l.lk % 5) NOT IN (SELECT NULLIF(r_regionkey, 9) FROM region WHERE r_regionkey ${cmp()} ${rnd.nextInt(4)})
+           |  AND EXISTS (SELECT 1 FROM region x WHERE x.r_regionkey = l.lrk)"""
+      case _ =>
+        s"""WHERE EXISTS (
+           |  SELECT 1 FROM region x
+           |  WHERE x.r_regionkey = l.lrk
+           |    AND x.r_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey ${cmp()} ${rnd.nextInt(5)}))"""
+    }
+    s"""WITH l AS (SELECT n_nationkey AS lk, n_name AS lname,
+       |            NULLIF(n_regionkey, $nullK) AS lrk FROM nation)
+       |SELECT l.lk AS k,
+       |  CAST(COALESCE(l.lrk, -1) * $c1 + $d1 AS BIGINT) AS e1,
+       |  (l.lrk IS NULL) AS e2,
+       |  upper(substr(l.lname, 1, ${rnd.nextInt(8) + 3})) AS e3
+       |FROM l
+       |$where
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
   /** A DISTINCT-aggregate bank: grouped aggregates where SEVERAL distinct
     * aggregations over different expressions coexist with plain ones —
     * the shape Spark plans through Expand (one row replica per distinct

@@ -345,6 +345,18 @@ object Functions {
     "fuzz_groupingsets_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateGroupingSets(703L, 15)),
     "fuzz_scalarsubq_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(801L, 12)),
     "fuzz_scalarsubq_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateScalarSubqueries(802L, 12)),
+    // sub-day sibling of the date banks: make_timestamp / INTERVAL
+    // shifts / hour-minute truncation / extractors
+    "fuzz_timestamp_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateTimestamps(1601L, 42)),
+    "fuzz_timestamp_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateTimestamps(1602L, 42)),
+    // seeds picked for shape coverage: 1506 semi∧semi, 1503 semi∧anti
+    // on a nullable correlation key, 1502 null-aware NOT IN ∧ semi,
+    // 1500 nested EXISTS(IN); each seed's predicates verifiably filter
+    // (FuzzSpec rejects a bank that keeps all 25 nation rows)
+    "fuzz_semianti_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1506L)),
+    "fuzz_semianti_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1503L)),
+    "fuzz_semianti_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1502L)),
+    "fuzz_semianti_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1500L)),
     // several DISTINCT aggregates over different expressions per query —
     // exercises Spark's Expand-based multi-distinct planning end to end
     "fuzz_distinctagg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDistinctAggs(1301L, 25)),

@@ -98,12 +98,51 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(s"fuzz_distinctagg_bank_$i").oracle
         .contains(graft.functions.FunctionFuzzer.generateDistinctAggs(1300L + i, 25)),
         s"fuzz_distinctagg_bank_$i's oracle SQL is not the seed-${1300 + i} regeneration")
+    for (i <- 1 to 2)
+      assert(Registry.all(s"fuzz_timestamp_bank_$i").oracle
+        .contains(graft.functions.FunctionFuzzer.generateTimestamps(1600L + i, 42)),
+        s"fuzz_timestamp_bank_$i's oracle SQL is not the seed-${1600 + i} regeneration")
+    for ((name, seed) <- Seq("fuzz_semianti_bank_1" -> 1506L, "fuzz_semianti_bank_2" -> 1503L,
+        "fuzz_semianti_bank_3" -> 1502L, "fuzz_semianti_bank_4" -> 1500L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateSemiAnti(seed)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
     for (i <- 1 to 3) {
       val (sp, dk) = graft.functions.FunctionFuzzer.generateArrays(1400L + i, 30)
       assert(Registry.all(s"fuzz_array_bank_$i").oracle.contains(dk),
         s"fuzz_array_bank_$i's oracle SQL is not the seed-${1400 + i} regeneration")
       assert(sp != dk,
         s"fuzz_array_bank_$i degenerated to one dialect — arrays/lambdas must differ")
+    }
+  }
+
+  test("the semi/anti banks cover all four shapes, non-vacuously") {
+    val shapes = (1 to 4).map { i =>
+      val name = s"fuzz_semianti_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.nonEmpty, s"$name: vacuous semi/anti bank")
+      assert(rows.length < 25, s"$name: the subquery predicates filtered nothing")
+      if (sql.contains("NOT IN")) "NULLAWARE_ANTI"
+      else if (sql.contains("NOT EXISTS")) "SEMI_ANTI"
+      else if (sql.contains("IN (SELECT r_regionkey FROM region WHERE r_regionkey IN")
+        || sql.contains("AND x.r_regionkey IN")) "NESTED"
+      else "SEMI_SEMI"
+    }
+    assert(shapes.toSet == Set("SEMI_SEMI", "SEMI_ANTI", "NULLAWARE_ANTI", "NESTED"),
+      s"semi/anti banks do not cover all four shapes: $shapes")
+  }
+
+  test("the timestamp banks execute with sub-day structure (minutes survive)") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_timestamp_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(sql.contains("make_timestamp") && sql.contains("INTERVAL"),
+        s"$name: missing construction or interval arithmetic")
+      val df = Registry.all(name).fn(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.length == 25 && df.columns.length == 43,
+        s"$name: expected 25 nation rows × (k + 42 expression columns)")
     }
   }
 
