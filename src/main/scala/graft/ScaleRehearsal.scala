@@ -272,11 +272,14 @@ object ScaleRehearsal {
     // true pairs scale with n (×10), never n² — measuring the banded
     // join's cost, not an output explosion. nPlanes=8 sizes the per-table
     // index to 256 buckets (~2k wide at 500k rows), the deployment shape.
-    def withCopies(d: DataFrame): DataFrame = d.unionByName(
-      d.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
-          expr("transform(embedding, (x, j) -> x * CAST(1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0) AS FLOAT))")
-            .as("embedding")))
+    def withCopies(d0: DataFrame): DataFrame = {
+      val d = d0.select("vec_id", "embedding") // drop label: copies have none
+      d.unionByName(
+        d.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+            expr("transform(embedding, (x, j) -> x * CAST(1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0) AS FLOAT))")
+              .as("embedding")))
+    }
     val tNd1 = time("embdedup @1x") {
       llm.Dedup.embeddingNearDup(withCopies(Tables.t(spark, sfDir, "embeddings")),
         "vec_id", "embedding", threshold = 0.98, nPlanes = 8)

@@ -670,6 +670,85 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** An aggregate-over-outer-join bank: GROUP BY above a null-EXTENDING
+    * join, with HAVING above the aggregate — the composition neither the
+    * join banks (no aggregation) nor the agg banks (no join) reach. The
+    * three stacked minefields:
+    *  - null-extended rows under aggregation: COUNT(*) counts them,
+    *    COUNT(rname) skips them, SUM(CASE…) over null-extended leaves
+    *    must propagate NULL identically before the skip;
+    *  - NULL group keys: unmatched preserved-side rows put a NULL in the
+    *    GROUP BY column, which is its own group ("not distinct"
+    *    grouping semantics, unlike `=`);
+    *  - HAVING evaluates aggregates of BOTH polarities (`COUNT(*) <>
+    *    COUNT(rname)` keeps exactly the groups with null-extension).
+    * The derived right side SHIFTS region keys by 0–2 and filters them,
+    * so LEFT/FULL joins null-extend nation rows (keys below the shift)
+    * while RIGHT/FULL null-extend shifted region rows with no nation
+    * match — both polarities reachable by one knob. Spec-locked: the
+    * four banks cover LEFT/RIGHT/FULL, at least one has a NULL group in
+    * its output, and each bank's HAVING verifiably drops groups (the
+    * spec re-runs the bank with the HAVING line stripped and compares).
+    */
+  def generateJoinAggs(seed: Long, nAggs: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate the join-type draw
+    val jt = Seq("LEFT", "RIGHT", "FULL")(rnd.nextInt(3))
+    val shift = rnd.nextInt(3)
+    val cmp = Seq("<", "<=", ">=", ">")(rnd.nextInt(4))
+    val bound = rnd.nextInt(5)
+
+    // null-extension-aware leaves: raw (nullable) on purpose — the
+    // aggregate skip/propagate rules are the subject under test
+    def intLeaf(): String = rnd.nextInt(5) match {
+      case 0 => "CAST(n_nationkey AS BIGINT)"
+      case 1 => "rk"
+      case 2 => s"CAST(${rnd.nextInt(41) - 20} AS BIGINT)"
+      case 3 => "CAST(length(rname) AS BIGINT)"
+      case _ => "CAST(length(n_name) AS BIGINT)"
+    }
+    def intExpr(d: Int): String =
+      if (d <= 0) intLeaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${intExpr(d - 1)} + ${intExpr(d - 1)})"
+        case 1 => s"(${intLeaf()} * ${rnd.nextInt(9) + 1})"
+        case 2 => s"abs(${intExpr(d - 1)})"
+        case _ => s"(CASE WHEN ${boolLeaf()} THEN ${intExpr(d - 1)} ELSE ${intExpr(d - 1)} END)"
+      }
+    def boolLeaf(): String = rnd.nextInt(4) match {
+      case 0 => "(rk IS NULL)"
+      case 1 => "(n_nationkey IS NULL)"
+      case 2 => s"(COALESCE(rk, -1) ${Seq("<", ">=", "<>")(rnd.nextInt(3))} ${rnd.nextInt(6)})"
+      case _ => s"(COALESCE(n_nationkey, 99) % ${rnd.nextInt(3) + 2} = 0)"
+    }
+
+    val aggs = (1 to nAggs).map { i =>
+      val e = i % 6 match {
+        case 1 => "CAST(COUNT(*) AS BIGINT)"
+        case 2 => "CAST(COUNT(rname) AS BIGINT)"
+        case 3 => s"CAST(SUM(COALESCE(rk, -${rnd.nextInt(9) + 1}) * ${rnd.nextInt(9) + 1}) AS BIGINT)"
+        case 4 => s"CAST(SUM(CASE WHEN ${boolLeaf()} THEN ${intExpr(1)} END) AS BIGINT)"
+        case 5 => s"CAST(MIN(${intExpr(1)}) AS BIGINT)"
+        case _ => s"CAST(MAX(${intExpr(1)}) AS BIGINT)"
+      }
+      s"  $e AS e$i"
+    }
+    val having = rnd.nextInt(4) match {
+      case 0 => s"HAVING COUNT(*) ${Seq("<", "<=", ">=", ">")(rnd.nextInt(4))} ${rnd.nextInt(5) + 2}"
+      case 1 => "HAVING COUNT(*) <> COUNT(rname)"
+      case 2 => s"HAVING COUNT(rname) ${Seq("<", ">=")(rnd.nextInt(2))} ${rnd.nextInt(4) + 1}"
+      case _ => "HAVING MIN(n_nationkey) IS NOT NULL"
+    }
+    s"""WITH r AS (SELECT r_regionkey + $shift AS rk, r_name AS rname
+       |           FROM region WHERE r_regionkey $cmp $bound)
+       |SELECT rk AS gk,
+       |${aggs.mkString(",\n")}
+       |FROM nation $jt JOIN r ON n_regionkey = rk
+       |GROUP BY rk
+       |$having
+       |ORDER BY gk ASC NULLS LAST""".stripMargin
+  }
+
   /** A DISTINCT-aggregate bank: grouped aggregates where SEVERAL distinct
     * aggregations over different expressions coexist with plain ones —
     * the shape Spark plans through Expand (one row replica per distinct

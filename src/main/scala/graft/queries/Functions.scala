@@ -357,6 +357,16 @@ object Functions {
     "fuzz_semianti_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1503L)),
     "fuzz_semianti_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1502L)),
     "fuzz_semianti_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateSemiAnti(1500L)),
+    // aggregation over null-extending outer joins with HAVING: seeds
+    // cover LEFT (1728: COUNT(rname) HAVING), RIGHT (1744: COUNT(*)
+    // HAVING), FULL (1803: MIN…IS NOT NULL HAVING, NULL group key in
+    // output), LEFT (1711: COUNT(*) <> COUNT(rname) — keeps exactly the
+    // null-extended groups); FuzzSpec re-runs each with HAVING stripped
+    // to prove the clause drops groups
+    "fuzz_joinagg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoinAggs(1728L, 12)),
+    "fuzz_joinagg_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoinAggs(1744L, 12)),
+    "fuzz_joinagg_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoinAggs(1803L, 12)),
+    "fuzz_joinagg_bank_4" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateJoinAggs(1711L, 12)),
     // several DISTINCT aggregates over different expressions per query —
     // exercises Spark's Expand-based multi-distinct planning end to end
     "fuzz_distinctagg_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDistinctAggs(1301L, 25)),

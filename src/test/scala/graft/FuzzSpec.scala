@@ -107,6 +107,11 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateSemiAnti(seed)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for ((name, seed) <- Seq("fuzz_joinagg_bank_1" -> 1728L, "fuzz_joinagg_bank_2" -> 1744L,
+        "fuzz_joinagg_bank_3" -> 1803L, "fuzz_joinagg_bank_4" -> 1711L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateJoinAggs(seed, 12)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
     for (i <- 1 to 3) {
       val (sp, dk) = graft.functions.FunctionFuzzer.generateArrays(1400L + i, 30)
       assert(Registry.all(s"fuzz_array_bank_$i").oracle.contains(dk),
@@ -131,6 +136,28 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(shapes.toSet == Set("SEMI_SEMI", "SEMI_ANTI", "NULLAWARE_ANTI", "NESTED"),
       s"semi/anti banks do not cover all four shapes: $shapes")
+  }
+
+  test("the join-agg banks: HAVING drops groups, join types covered, NULL group present") {
+    val joinTypes = scala.collection.mutable.Set[String]()
+    var sawNullGroup = false
+    for (i <- 1 to 4) {
+      val name = s"fuzz_joinagg_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      joinTypes += "FROM nation (LEFT|RIGHT|FULL) JOIN".r.findFirstMatchIn(sql).get.group(1)
+      val kept = Registry.all(name).fn(spark, sfDir).collect()
+      assert(kept.nonEmpty, s"$name: vacuous bank (HAVING dropped everything)")
+      // re-run with the HAVING line stripped: the clause must be doing work
+      val noHaving = sql.replaceAll("(?m)^HAVING .*\\n", "")
+      Tables.ensure(spark, sfDir)
+      val all = spark.sql(noHaving).collect()
+      assert(kept.length < all.length,
+        s"$name: HAVING kept all ${all.length} groups — vacuous predicate")
+      sawNullGroup ||= kept.exists(_.isNullAt(0))
+    }
+    assert(joinTypes == Set("LEFT", "RIGHT", "FULL"),
+      s"join-agg banks cover $joinTypes, want all three outer join types")
+    assert(sawNullGroup, "no bank surfaced a NULL group key — null-extension untested")
   }
 
   test("the timestamp banks execute with sub-day structure (minutes survive)") {
