@@ -914,6 +914,95 @@ object FunctionFuzzer {
     (spark, duck)
   }
 
+  /** A DUAL-DIALECT struct bank: randomized STRUCT construction, nested
+    * field access, and whole-struct equality — the row-type surface
+    * (Presto ROW / row-field dereference, `RowType.java`) the other
+    * grammars never touch. Construction spells differently per engine
+    * (`named_struct('a', x)` vs `{'a': x}` literals), so like the array
+    * grammar this emits (Spark, DuckDB) texts in lockstep. Subset rules:
+    *  - OUTPUT columns are always scalars — a field access or an
+    *    equality — never a bare struct (the driver's comparator sorts
+    *    rows by every column; a struct cell is unsortable on the pandas
+    *    side, the same rule that serializes array outputs);
+    *  - field values are null-free bounded ints / strings (struct
+    *    equality over NULL fields is three-valued and the engines'
+    *    NULL-vs-NULL field comparison conventions differ);
+    *  - access chains are parenthesized `(struct).f` in both dialects;
+    *  - equality compares structs with IDENTICAL field names and types
+    *    (anything else is an analysis error in Spark and a type mismatch
+    *    in DuckDB — not a differential worth fuzzing).
+    */
+  def generateStructs(seed: Long, nCols: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds (see generateJoins)
+
+    type P = (String, String)
+    def same(s: String): P = (s, s)
+
+    def intLeaf(): P = rnd.nextInt(4) match {
+      case 0 => same("CAST(n_nationkey AS BIGINT)")
+      case 1 => same("CAST(n_regionkey AS BIGINT)")
+      case 2 => same(s"CAST(${rnd.nextInt(41) - 20} AS BIGINT)")
+      case _ => same("CAST(length(n_name) AS BIGINT)")
+    }
+    def intScalar(d: Int): P =
+      if (d <= 0) intLeaf()
+      else rnd.nextInt(4) match {
+        case 0 => val (a1, a2) = intScalar(d - 1); val (b1, b2) = intScalar(d - 1)
+          (s"($a1 + $b1)", s"($a2 + $b2)")
+        case 1 => val (a1, a2) = intLeaf(); val (b1, b2) = intLeaf()
+          (s"($a1 * $b1)", s"($a2 * $b2)")
+        case 2 => val (a1, a2) = intScalar(d - 1); (s"abs($a1)", s"abs($a2)")
+        case _ => val (a1, a2) = intScalar(d - 1); val (b1, b2) = intScalar(d - 1)
+          val fn = if (rnd.nextBoolean()) "least" else "greatest"
+          (s"$fn($a1, $b1)", s"$fn($a2, $b2)")
+      }
+    def strLeaf(): P = rnd.nextInt(3) match {
+      case 0 => same("n_name")
+      case 1 => same(s"'S_${rnd.nextInt(50)}'")
+      case _ => same("CAST(n_nationkey AS STRING)")
+    }
+
+    // a 3-field struct (int a, string b, nested n.x) and its two spellings
+    def struct3(): P = {
+      val (as, ad) = intScalar(1); val (bs, bd) = strLeaf(); val (xs, xd) = intScalar(1)
+      (s"named_struct('a', $as, 'b', $bs, 'n', named_struct('x', $xs))",
+        s"{'a': $ad, 'b': $bd, 'n': {'x': $xd}}")
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val (sp, dk) = i % 4 match {
+        case 1 => // int field access
+          val (s3, d3) = struct3()
+          (s"CAST(($s3).a AS BIGINT)", s"CAST(($d3).a AS BIGINT)")
+        case 2 => // string field access through a string function
+          val (s3, d3) = struct3()
+          val n = rnd.nextInt(6) + 2
+          (s"upper(substr(($s3).b, 1, $n))", s"upper(substr(($d3).b, 1, $n))")
+        case 3 => // NESTED field access
+          val (s3, d3) = struct3()
+          (s"CAST(($s3).n.x AS BIGINT)", s"CAST(($d3).n.x AS BIGINT)")
+        case _ => // whole-struct equality, identical shape both operands
+          val (l1s, l1d) = intScalar(1); val (l2s, l2d) = intScalar(1)
+          val (r1s, r1d) = intScalar(1); val (r2s, r2d) = intScalar(1)
+          (s"(named_struct('p', $l1s, 'q', $l2s) = named_struct('p', $r1s, 'q', $r2s))",
+            s"({'p': $l1d, 'q': $l2d} = {'p': $r1d, 'q': $r2d})")
+      }
+      (s"  $sp AS e$i", s"  $dk AS e$i")
+    }
+    val spark =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._1).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    val duck =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._2).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    (spark, duck)
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

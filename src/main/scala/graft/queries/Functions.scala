@@ -380,6 +380,12 @@ object Functions {
       graft.functions.FunctionFuzzer.generateArrays(1402L, 30); Q.sql(sp, dk) },
     "fuzz_array_bank_3" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateArrays(1403L, 30); Q.sql(sp, dk) },
+    // dual-dialect struct/row banks: named_struct('a', x) vs {'a': x}
+    // literals; nested access and whole-struct equality, scalar outputs
+    "fuzz_struct_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateStructs(1901L, 24); Q.sql(sp, dk) },
+    "fuzz_struct_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateStructs(1902L, 24); Q.sql(sp, dk) },
     // seeds picked for lateral-shape coverage: 900 comma-LATERAL top-n
     // (5 outer rows vanish on empty laterals), 903 LEFT JOIN LATERAL
     // (5 NULL-padded rows), 905 single-row aggregate lateral

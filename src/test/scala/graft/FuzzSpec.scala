@@ -119,6 +119,25 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sp != dk,
         s"fuzz_array_bank_$i degenerated to one dialect — arrays/lambdas must differ")
     }
+    for (i <- 1 to 2) {
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateStructs(1900L + i, 24)
+      assert(Registry.all(s"fuzz_struct_bank_$i").oracle.contains(dk),
+        s"fuzz_struct_bank_$i's oracle SQL is not the seed-${1900 + i} regeneration")
+      assert(sp != dk,
+        s"fuzz_struct_bank_$i degenerated to one dialect — struct spellings must differ")
+    }
+  }
+
+  test("the struct banks execute in Spark with nested access and equality present") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_struct_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(sql.contains(".n.x") && sql.contains("= {'p'"),
+        s"$name: missing nested access or whole-struct equality")
+      val df = Registry.all(name).fn(spark, sfDir)
+      assert(df.collect().length == 25 && df.columns.length == 25,
+        s"$name: expected 25 nation rows x (k + 24 expression columns)")
+    }
   }
 
   test("the semi/anti banks cover all four shapes, non-vacuously") {
