@@ -1003,6 +1003,110 @@ object FunctionFuzzer {
     (spark, duck)
   }
 
+  /** A DUAL-DIALECT map bank: randomized MAP construction, hit-AND-miss
+    * key extraction, concat, cardinality, and key/value serialization —
+    * the map-type surface (`MapType`, Presto `map(K,V)` functions). The
+    * spellings differ structurally: Spark `map('k', v)` + `element_at`
+    * (scalar-or-NULL) vs DuckDB `MAP {'k': v}` + `m[k]` (LIST, so the
+    * scalar is `(m[k])[1]`, `[]` indexing to NULL on a miss). Subset
+    * rules:
+    *  - literal keys only, DISTINCT within a map and DISJOINT across
+    *    map_concat operands (duplicate-key policy is an ERROR in Spark's
+    *    default `mapKeyDedupPolicy` and last-wins in DuckDB — not a
+    *    differential, just a config trap);
+    *  - lookup keys mix guaranteed hits (a literal present key) and
+    *    data-driven hit-or-miss (`CAST(n_nationkey % 4 AS STRING)` vs
+    *    numeric-string keys) — the miss→NULL path is half the point;
+    *  - map_keys/map_values arrays are serialized with the array-bank
+    *    rule (construction order is preserved by BOTH engines for
+    *    literal maps, probed, so the joined string is deterministic);
+    *  - values are null-free bounded ints (see the array-bank rule).
+    */
+  def generateMaps(seed: Long, nCols: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds (see generateJoins)
+
+    type P = (String, String)
+    def same(s: String): P = (s, s)
+
+    def intLeaf(): P = rnd.nextInt(4) match {
+      case 0 => same("CAST(n_nationkey AS BIGINT)")
+      case 1 => same("CAST(n_regionkey AS BIGINT)")
+      case 2 => same(s"CAST(${rnd.nextInt(41) - 20} AS BIGINT)")
+      case _ => same("CAST(length(n_name) AS BIGINT)")
+    }
+    def intScalar(d: Int): P =
+      if (d <= 0) intLeaf()
+      else rnd.nextInt(3) match {
+        case 0 => val (a1, a2) = intScalar(d - 1); val (b1, b2) = intScalar(d - 1)
+          (s"($a1 + $b1)", s"($a2 + $b2)")
+        case 1 => val (a1, a2) = intScalar(d - 1); (s"abs($a1)", s"abs($a2)")
+        case _ => val (a1, a2) = intLeaf(); val (b1, b2) = intLeaf()
+          (s"($a1 * $b1)", s"($a2 * $b2)")
+      }
+
+    // numeric-string key pools: pool A for the left/only map, pool B for
+    // the right map_concat operand — disjoint by construction
+    def mapFromPool(pool: Seq[String]): (String, String, Seq[String]) = {
+      val n = rnd.nextInt(2) + 2
+      val keys = rnd.shuffle(pool).take(n)
+      val vals = Seq.fill(n)(intScalar(1))
+      (s"map(${keys.zip(vals).map { case (k, v) => s"'$k', ${v._1}" }.mkString(", ")})",
+        s"MAP {${keys.zip(vals).map { case (k, v) => s"'$k': ${v._2}" }.mkString(", ")}}",
+        keys)
+    }
+    val poolA = Seq("0", "1", "2", "3")
+    val poolB = Seq("7", "8", "9")
+
+    // a map expression: a pool-A literal, or a concat of disjoint maps
+    def mapExpr(): (String, String, Seq[String]) =
+      if (rnd.nextBoolean()) mapFromPool(poolA)
+      else {
+        val (l1, l2, lk) = mapFromPool(poolA); val (r1, r2, rk) = mapFromPool(poolB)
+        (s"map_concat($l1, $r1)", s"map_concat($l2, $r2)", lk ++ rk)
+      }
+
+    def lookupKey(present: Seq[String]): P =
+      rnd.nextInt(3) match {
+        case 0 => same(s"'${present(rnd.nextInt(present.length))}'") // guaranteed hit
+        case 1 => same("'z'")                                        // guaranteed miss
+        case _ => same(s"CAST(n_nationkey % ${rnd.nextInt(5) + 2} AS STRING)") // data-driven
+      }
+
+    val cols = (1 to nCols).map { i =>
+      val (sp, dk) = i % 4 match {
+        case 1 => // scalar extraction, hit or miss → BIGINT or NULL
+          // try_element_at: ANSI-mode element_at ERRORS on a missing map
+          // key; the try_ form is the NULL-on-miss the DuckDB side has
+          val (m1, m2, keys) = mapExpr(); val (k1, k2) = lookupKey(keys)
+          (s"try_element_at($m1, $k1)", s"($m2[$k2])[1]")
+        case 2 => // cardinality
+          val (m1, m2, _) = mapExpr()
+          (s"CAST(cardinality($m1) AS BIGINT)", s"CAST(cardinality($m2) AS BIGINT)")
+        case 3 => // key-set membership → BOOLEAN
+          val (m1, m2, keys) = mapExpr(); val (k1, k2) = lookupKey(keys)
+          (s"array_contains(map_keys($m1), $k1)", s"list_contains(map_keys($m2), $k2)")
+        case _ => // serialized keys or values → STRING
+          val (m1, m2, _) = mapExpr()
+          val fn = if (rnd.nextBoolean()) "map_keys" else "map_values"
+          (s"array_join(transform($fn($m1), x -> CAST(x AS STRING)), ',')",
+            s"array_to_string($fn($m2), ',')")
+      }
+      (s"  $sp AS e$i", s"  $dk AS e$i")
+    }
+    val spark =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._1).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    val duck =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._2).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    (spark, duck)
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

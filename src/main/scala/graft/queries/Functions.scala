@@ -386,6 +386,12 @@ object Functions {
       graft.functions.FunctionFuzzer.generateStructs(1901L, 24); Q.sql(sp, dk) },
     "fuzz_struct_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateStructs(1902L, 24); Q.sql(sp, dk) },
+    // dual-dialect map banks: map('k', v)/try_element_at vs
+    // MAP {'k': v}/(m[k])[1]; hit-and-miss lookups, concat, cardinality
+    "fuzz_map_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
+    "fuzz_map_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
     // seeds picked for lateral-shape coverage: 900 comma-LATERAL top-n
     // (5 outer rows vanish on empty laterals), 903 LEFT JOIN LATERAL
     // (5 NULL-padded rows), 905 single-row aggregate lateral

@@ -126,6 +126,25 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sp != dk,
         s"fuzz_struct_bank_$i degenerated to one dialect — struct spellings must differ")
     }
+    for (i <- 1 to 2) {
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateMaps(2000L + i, 24)
+      assert(Registry.all(s"fuzz_map_bank_$i").oracle.contains(dk),
+        s"fuzz_map_bank_$i's oracle SQL is not the seed-${2000 + i} regeneration")
+      assert(sp != dk,
+        s"fuzz_map_bank_$i degenerated to one dialect — map spellings must differ")
+    }
+  }
+
+  test("the map banks execute in Spark and exercise the miss->NULL path") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_map_bank_$i"
+      val df = Registry.all(name).fn(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.length == 25 && df.columns.length == 25,
+        s"$name: expected 25 nation rows x (k + 24 expression columns)")
+      val nulls = rows.map(r => (1 until r.length).count(r.isNullAt)).sum
+      assert(nulls > 0, s"$name: no NULL cells — the miss-lookup path went unexercised")
+    }
   }
 
   test("the struct banks execute in Spark with nested access and equality present") {
