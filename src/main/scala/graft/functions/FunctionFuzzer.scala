@@ -1107,6 +1107,81 @@ object FunctionFuzzer {
     (spark, duck)
   }
 
+  /** An ORDER BY / LIMIT / OFFSET bank: randomized multi-key sorts with
+    * MIXED directions and EXPLICIT NULLS FIRST/LAST on NULL-injected
+    * keys, then OFFSET+LIMIT. The driver's comparator re-sorts rows
+    * canonically, so plain ORDER BY output is not a differential — what
+    * IS differenced is the SELECTED ROW SET: which rows survive
+    * OFFSET/LIMIT under the declared total order. Engine defaults
+    * disagree here (Spark sorts NULLS FIRST for ASC, DuckDB NULLS LAST)
+    * — every key therefore spells its null placement explicitly, and the
+    * unique `k` closes the order so the surviving set is deterministic.
+    * Sort keys are integers (no collation surface) with NULLIF-injected
+    * NULLs and small moduli forcing duplicate key prefixes — ties must
+    * fall through to later keys to matter.
+    */
+  def generateOrderings(seed: Long, nKeys: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+    val keys = (1 to nKeys).map { j =>
+      val e = rnd.nextInt(3) match {
+        case 0 => s"NULLIF(n_regionkey, ${rnd.nextInt(5)})"
+        case 1 => s"CAST(n_nationkey * ${rnd.nextInt(7) + 2} % ${rnd.nextInt(4) + 3} AS BIGINT)"
+        case _ => s"NULLIF(CAST(n_nationkey % ${rnd.nextInt(5) + 2} AS BIGINT), ${rnd.nextInt(3)})"
+      }
+      (s"$e AS sk$j",
+        s"sk$j ${if (rnd.nextBoolean()) "ASC" else "DESC"} NULLS ${if (rnd.nextBoolean()) "FIRST" else "LAST"}")
+    }
+    val limit = rnd.nextInt(11) + 5
+    val offset = rnd.nextInt(9)
+    s"""WITH s AS (SELECT n_nationkey AS k,
+       |${keys.map("  " + _._1).mkString(",\n")}
+       |FROM nation)
+       |SELECT k, ${(1 to nKeys).map("sk" + _).mkString(", ")}
+       |FROM s
+       |ORDER BY ${keys.map(_._2).mkString(", ")}, k ASC NULLS LAST
+       |LIMIT $limit OFFSET $offset""".stripMargin
+  }
+
+  /** A CTE-reuse bank: ONE aggregated WITH-clause body referenced twice
+    * in a self-join with misaligned keys — the shape that catches an
+    * engine evaluating a CTE twice inconsistently, or a reuse/inlining
+    * rewrite (Spark decides per-plan whether to inline or materialize a
+    * CTE) changing semantics. The two references join on
+    * shifted-and-wrapped group keys, so neither reference is redundant
+    * and every group row is consumed by both sides under different keys;
+    * aggregates of aggregates (the outer projection combines a.c with
+    * b.s) would expose any drift between the two evaluations.
+    */
+  def generateCteReuse(seed: Long, nAggs: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+    val g = new ExprGen(new scala.util.Random(seed * 31 + 7))
+    val aggs = (1 to nAggs).map { i =>
+      val e = i % 4 match {
+        case 1 => s"CAST(SUM(${g.intExpr(1)}) AS BIGINT)"
+        case 2 => "CAST(COUNT(*) AS BIGINT)"
+        case 3 => s"CAST(MIN(${g.intExpr(1)}) AS BIGINT)"
+        case _ => s"CAST(MAX(${g.intExpr(1)}) AS BIGINT)"
+      }
+      s"  $e AS a$i"
+    }
+    val shift = rnd.nextInt(4) + 1
+    val outer = (1 to nAggs).flatMap { i =>
+      Seq(s"  l.a$i AS l$i", s"  r.a$i AS r$i",
+        s"  CAST(l.a$i + r.a$i AS BIGINT) AS t$i")
+    }
+    s"""WITH base AS (
+       |SELECT n_regionkey AS gk,
+       |${aggs.mkString(",\n")}
+       |FROM nation
+       |GROUP BY n_regionkey)
+       |SELECT l.gk AS k,
+       |${outer.mkString(",\n")}
+       |FROM base l JOIN base r ON r.gk = (l.gk + $shift) % 5
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

@@ -392,6 +392,17 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // ORDER BY/LIMIT/OFFSET selected-row-set banks: mixed directions,
+    // explicit NULLS FIRST/LAST on NULL-injected keys, duplicate key
+    // prefixes forcing tie fall-through; seeds picked so every bank has
+    // NULL sort keys, a nonzero OFFSET, and both NULLS FIRST and DESC
+    "fuzz_ordering_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateOrderings(2106L, 3)),
+    "fuzz_ordering_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateOrderings(2108L, 3)),
+    "fuzz_ordering_bank_3" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateOrderings(2115L, 3)),
+    // CTE-reuse banks: one aggregated WITH body referenced twice in a
+    // key-misaligned self-join — inline-vs-materialize must not drift
+    "fuzz_ctereuse_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateCteReuse(2201L, 8)),
+    "fuzz_ctereuse_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateCteReuse(2202L, 8)),
     // seeds picked for lateral-shape coverage: 900 comma-LATERAL top-n
     // (5 outer rows vanish on empty laterals), 903 LEFT JOIN LATERAL
     // (5 NULL-padded rows), 905 single-row aggregate lateral

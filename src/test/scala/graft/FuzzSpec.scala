@@ -133,6 +133,41 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sp != dk,
         s"fuzz_map_bank_$i degenerated to one dialect — map spellings must differ")
     }
+    for ((name, seed) <- Seq("fuzz_ordering_bank_1" -> 2106L,
+        "fuzz_ordering_bank_2" -> 2108L, "fuzz_ordering_bank_3" -> 2115L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateOrderings(seed, 3)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+    for ((name, seed) <- Seq("fuzz_ctereuse_bank_1" -> 2201L, "fuzz_ctereuse_bank_2" -> 2202L))
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateCteReuse(seed, 8)),
+        s"$name's oracle SQL is not the seed-$seed regeneration")
+  }
+
+  test("the ordering banks select a nontrivial row set under NULL sort keys") {
+    for (i <- 1 to 3) {
+      val name = s"fuzz_ordering_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(sql.contains("NULLS FIRST") && sql.contains("DESC")
+        && "OFFSET [1-9]".r.findFirstIn(sql).nonEmpty,
+        s"$name: missing NULLS FIRST, DESC, or a nonzero OFFSET")
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.nonEmpty && rows.length < 25,
+        s"$name: OFFSET/LIMIT selected ${rows.length} of 25 rows — not a proper subset")
+      assert(rows.exists(r => (1 until r.length).exists(r.isNullAt)),
+        s"$name: no NULL sort keys in the selected set")
+    }
+  }
+
+  test("the CTE-reuse banks consume both references with misaligned keys") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_ctereuse_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert("FROM base l JOIN base r".r.findFirstIn(sql).nonEmpty,
+        s"$name: the CTE is not self-joined")
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.length == 5, s"$name: expected all 5 wrapped region groups")
+    }
   }
 
   test("the map banks execute in Spark and exercise the miss->NULL path") {
