@@ -1182,6 +1182,79 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A DUAL-DIALECT unnest bank: data-driven arrays (some EMPTY by
+    * construction) unnested WITH position — the generator-operator
+    * differential. The spellings diverge structurally: Spark
+    * `LATERAL VIEW posexplode` (0-based pos, projected as `pos + 1`) vs
+    * DuckDB `generate_subscripts(arr, 1)` + `unnest(arr)` zipped in the
+    * SELECT list (1-based; DuckDB's WITH ORDINALITY is unimplemented,
+    * probed). What's differenced:
+    *  - CARDINALITY: each output row set is the concatenation of
+    *    per-row expansions, and rows with empty arrays VANISH from both
+    *    the flat and the aggregate-back shapes (the spec asserts a
+    *    proper subset of nation keys survives);
+    *  - ORDINALITY: position arithmetic enters the projected values, so
+    *    an off-by-one or order drift between the engines breaks the
+    *    hash;
+    *  - slices: Spark `slice(arr, 1, L)` (length) and DuckDB
+    *    `list_slice(arr, 1, L)` (end index) agree ONLY at start = 1 —
+    *    the start is pinned there by the grammar.
+    */
+  def generateUnnest(seed: Long): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+    val shape = rnd.nextInt(2)
+
+    // the array: a 1..n sequence truncated by a data-driven length that
+    // hits ZERO for some nation keys, under optional transform/filter
+    val n = rnd.nextInt(3) + 3
+    val m = rnd.nextInt(3) + 3
+    val baseS = s"slice(sequence(1, $n), 1, CAST(n_nationkey % $m AS INT))"
+    val baseD = s"list_slice(generate_series(1, $n), 1, n_nationkey % $m)"
+    val c1 = rnd.nextInt(7) + 2
+    val (arrS, arrD) = rnd.nextInt(3) match {
+      case 0 => (baseS, baseD)
+      case 1 => (s"transform($baseS, x -> x * $c1 + n_regionkey)",
+        s"list_transform($baseD, x -> x * $c1 + n_regionkey)")
+      case _ =>
+        val r = rnd.nextInt(2) + 2
+        (s"filter(transform($baseS, x -> x * $c1), x -> x % $r = 0)",
+          s"list_filter(list_transform($baseD, x -> x * $c1), x -> x % $r = 0)")
+    }
+
+    if (shape == 0) {
+      val spark =
+        s"""WITH t AS (SELECT n_nationkey AS k, $arrS AS arr FROM nation)
+           |SELECT k, CAST(pos + 1 AS BIGINT) AS p, CAST(x AS BIGINT) AS x
+           |FROM t LATERAL VIEW posexplode(t.arr) u AS pos, x
+           |ORDER BY k ASC NULLS LAST, p ASC NULLS LAST""".stripMargin
+      val duck =
+        s"""WITH t AS (SELECT n_nationkey AS k, $arrD AS arr FROM nation)
+           |SELECT k, CAST(generate_subscripts(arr, 1) AS BIGINT) AS p,
+           |  CAST(unnest(arr) AS BIGINT) AS x
+           |FROM t
+           |ORDER BY k ASC NULLS LAST, p ASC NULLS LAST""".stripMargin
+      (spark, duck)
+    } else {
+      val spark =
+        s"""WITH t AS (SELECT n_nationkey AS k, $arrS AS arr FROM nation)
+           |SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(x * (pos + 1)) AS BIGINT) AS s
+           |FROM t LATERAL VIEW posexplode(t.arr) u AS pos, x
+           |GROUP BY k
+           |ORDER BY k ASC NULLS LAST""".stripMargin
+      val duck =
+        s"""WITH t AS (SELECT n_nationkey AS k, $arrD AS arr FROM nation),
+           |un AS (SELECT k, generate_subscripts(arr, 1) AS p, unnest(arr) AS x FROM t)
+           |SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(x * p) AS BIGINT) AS s
+           |FROM un
+           |GROUP BY k
+           |ORDER BY k ASC NULLS LAST""".stripMargin
+      (spark, duck)
+    }
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

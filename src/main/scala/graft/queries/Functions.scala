@@ -392,6 +392,16 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // dual-dialect unnest banks: LATERAL VIEW posexplode (0-based + 1)
+    // vs generate_subscripts+unnest zipped (1-based); empty arrays drop
+    // rows from both shapes. Seeds: 2312 flat+transform, 2307
+    // flat+filter (post-filter empties), 2301 aggregate-back
+    "fuzz_unnest_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateUnnest(2312L); Q.sql(sp, dk) },
+    "fuzz_unnest_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateUnnest(2307L); Q.sql(sp, dk) },
+    "fuzz_unnest_bank_3" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateUnnest(2301L); Q.sql(sp, dk) },
     // ORDER BY/LIMIT/OFFSET selected-row-set banks: mixed directions,
     // explicit NULLS FIRST/LAST on NULL-injected keys, duplicate key
     // prefixes forcing tie fall-through; seeds picked so every bank has

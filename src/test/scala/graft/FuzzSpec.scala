@@ -144,6 +144,28 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
+  test("the unnest banks drop empty-array rows and keep ordinality arithmetic") {
+    val shapes = (1 to 3).map { i =>
+      val name = s"fuzz_unnest_bank_$i"
+      val q = Registry.all(name)
+      val dk = q.oracle.get
+      val rows = q.fn(spark, sfDir).collect()
+      assert(rows.nonEmpty, s"$name: vacuous unnest bank")
+      val ks = rows.map(_.get(0).asInstanceOf[Number].longValue).distinct.length
+      assert(ks < 25, s"$name: all 25 keys survived — no empty arrays were generated")
+      if (dk.contains("GROUP BY")) "AGG" else "FLAT"
+    }
+    assert(shapes.toSet == Set("FLAT", "AGG"),
+      s"unnest banks cover $shapes, want both the flat and aggregate-back shapes")
+    for (i <- 1 to 3) {
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateUnnest(
+        Seq(2312L, 2307L, 2301L)(i - 1))
+      assert(Registry.all(s"fuzz_unnest_bank_$i").oracle.contains(dk),
+        s"fuzz_unnest_bank_$i's oracle SQL is not its seed regeneration")
+      assert(sp != dk, s"fuzz_unnest_bank_$i degenerated to one dialect")
+    }
+  }
+
   test("the ordering banks select a nontrivial row set under NULL sort keys") {
     for (i <- 1 to 3) {
       val name = s"fuzz_ordering_bank_$i"
