@@ -1255,6 +1255,79 @@ object FunctionFuzzer {
     }
   }
 
+  /** A three-valued-logic predicate bank: BETWEEN over NULL-injected
+    * bounds, IN-lists CONTAINING NULL (`x IN (a, NULL)` is TRUE or
+    * NULL, never FALSE; `x NOT IN (a, NULL)` is FALSE or NULL, never
+    * TRUE — the rewrite direction engines get wrong), IS [NOT] DISTINCT
+    * FROM (the null-safe comparison that IS two-valued), and
+    * NULLIF/COALESCE chains feeding all of the above. The scalar
+    * grammar's guarded `%` produces incidental NULLs; this bank makes
+    * NULL the SUBJECT: every predicate is projected both raw (BOOLEAN
+    * column with NULLs intact) and decided (`COALESCE(p, false)`), so
+    * the oracle hash distinguishes UNKNOWN from FALSE on every row.
+    * Identical spelling in both engines — the semantics are the
+    * differential.
+    */
+  def generatePredicates(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    // int leaves, half of them NULL-injected
+    def leaf(): String = rnd.nextInt(6) match {
+      case 0 => "CAST(n_nationkey AS BIGINT)"
+      case 1 => "CAST(n_regionkey AS BIGINT)"
+      case 2 => s"NULLIF(CAST(n_regionkey AS BIGINT), ${rnd.nextInt(5)})"
+      case 3 => s"NULLIF(CAST(n_nationkey % ${rnd.nextInt(5) + 2} AS BIGINT), ${rnd.nextInt(3)})"
+      case 4 => s"CAST(${rnd.nextInt(21) - 10} AS BIGINT)"
+      case _ => s"COALESCE(NULLIF(CAST(n_nationkey % 3 AS BIGINT), ${rnd.nextInt(3)}), CAST(${rnd.nextInt(7)} AS BIGINT))"
+    }
+
+    def pred(): String = rnd.nextInt(6) match {
+      case 0 => // BETWEEN with possibly-NULL operand or bounds
+        val lo = rnd.nextInt(8); val hi = lo + rnd.nextInt(10)
+        rnd.nextInt(3) match {
+          case 0 => s"(${leaf()} BETWEEN $lo AND $hi)"
+          case 1 => s"(${leaf()} BETWEEN ${leaf()} AND $hi)"
+          case _ => s"(${leaf()} NOT BETWEEN $lo AND ${leaf()})"
+        }
+      case 1 => // IN-list containing NULL
+        val vals = Seq.fill(rnd.nextInt(3) + 1)(rnd.nextInt(10).toString) :+ "NULL"
+        s"(${leaf()} IN (${rnd.shuffle(vals).mkString(", ")}))"
+      case 2 => // NOT IN list containing NULL: never TRUE, only FALSE/NULL
+        val vals = Seq.fill(rnd.nextInt(2) + 1)(rnd.nextInt(10).toString) :+ "NULL"
+        s"(${leaf()} NOT IN (${rnd.shuffle(vals).mkString(", ")}))"
+      case 3 => // plain IN-list, no NULL (the two-valued control)
+        val vals = Seq.fill(rnd.nextInt(4) + 2)(rnd.nextInt(12).toString)
+        s"(${leaf()} IN (${vals.mkString(", ")}))"
+      case 4 =>
+        val neg = if (rnd.nextBoolean()) " NOT" else ""
+        s"(${leaf()} IS$neg DISTINCT FROM ${leaf()})"
+      case _ =>
+        val op = Seq("AND", "OR")(rnd.nextInt(2))
+        s"(${pred0()} $op ${pred0()})"
+    }
+    // non-recursive alternatives for the connective case
+    def pred0(): String = rnd.nextInt(3) match {
+      case 0 => s"(${leaf()} ${Seq("<", "<=", "=", "<>", ">", ">=")(rnd.nextInt(6))} ${leaf()})"
+      case 1 => s"(${leaf()} IN (${rnd.nextInt(5)}, NULL))"
+      case _ => s"(${leaf()} IS NULL)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val p = pred()
+      val e = i % 3 match {
+        case 1 => p                          // raw: TRUE / FALSE / NULL
+        case 2 => s"COALESCE($p, false)"     // decided: UNKNOWN -> FALSE
+        case _ => s"(CASE WHEN $p THEN ${rnd.nextInt(50)} WHEN NOT $p THEN ${rnd.nextInt(50) + 50} ELSE -1 END)" // three-way dispatch
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

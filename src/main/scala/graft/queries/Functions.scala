@@ -392,6 +392,11 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // three-valued-logic predicate banks: BETWEEN on NULL bounds,
+    // IN/NOT IN lists containing NULL, IS [NOT] DISTINCT FROM; every
+    // predicate projected raw (NULLs intact) and decided
+    "fuzz_predicate_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generatePredicates(2401L, 30)),
+    "fuzz_predicate_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generatePredicates(2402L, 30)),
     // dual-dialect unnest banks: LATERAL VIEW posexplode (0-based + 1)
     // vs generate_subscripts+unnest zipped (1-based); empty arrays drop
     // rows from both shapes. Seeds: 2312 flat+transform, 2307

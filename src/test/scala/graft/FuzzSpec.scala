@@ -144,6 +144,22 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
+  test("the predicate banks carry UNKNOWN through raw columns") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_predicate_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generatePredicates(2400L + i, 30)),
+        s"$name's oracle SQL is not the seed-${2400 + i} regeneration")
+      assert(sql.contains("NOT IN") && sql.contains("DISTINCT FROM")
+        && sql.contains("BETWEEN"), s"$name: missing a predicate family")
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.length == 25, s"$name: expected 25 nation rows")
+      val nulls = rows.map(r => (1 until r.length).count(r.isNullAt)).sum
+      assert(nulls > 0, s"$name: no NULL cells — UNKNOWN never surfaced raw")
+    }
+  }
+
   test("the unnest banks drop empty-array rows and keep ordinality arithmetic") {
     val shapes = (1 to 3).map { i =>
       val name = s"fuzz_unnest_bank_$i"
