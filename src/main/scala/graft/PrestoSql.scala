@@ -206,16 +206,49 @@ object PrestoSql {
       else {
         // constant-fold the USING expressions in one no-scan SELECT
         val bound = spark.sql(s"SELECT ${argExprs.mkString(", ")}").head()
-        spark.sql(translate(body), bound.toSeq.toArray)
+        if (withTiesRe.findFirstIn(body).isDefined) {
+          // WITH TIES desugars on the ANALYZED plan (PrestoSql.sql), which
+          // the positional-parameter API cannot reach — bind these bodies
+          // by exact typed literals at the scanned `?` positions instead,
+          // so EXECUTE ... USING and parameterless EXECUTE take the same
+          // dialect path
+          val sb = new StringBuilder(body)
+          paramPositions(body).zip(bound.toSeq).reverse.foreach { case (p, v) =>
+            sb.replace(p, p + 1, renderLiteral(v))
+          }
+          PrestoSql.sql(spark, sb.toString)
+        } else spark.sql(translate(body), bound.toSeq.toArray)
       }
+    }
+
+    /** One constant-folded USING value as exact SQL literal text. */
+    private def renderLiteral(v: Any): String = v match {
+      case null => "NULL"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case b: Boolean => if (b) "true" else "false"
+      case b: java.math.BigDecimal =>
+        s"CAST('${b.toPlainString}' AS DECIMAL(38,${b.scale.max(0).min(37)}))"
+      case b: scala.math.BigDecimal => renderLiteral(b.bigDecimal)
+      case d: java.sql.Date => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case d: Double => s"CAST('$d' AS DOUBLE)"
+      case f: Float => s"CAST('$f' AS FLOAT)"
+      case n: Number => n.toString
+      case other => throw new IllegalArgumentException(
+        s"EXECUTE USING value of unsupported type ${other.getClass.getName}")
     }
 
     private def notFound(name: String): Nothing =
       throw new IllegalArgumentException(s"Prepared statement not found: $name")
 
-    /** `?` markers outside string literals / double-quoted identifiers. */
-    private def countParams(sql: String): Int = {
-      var i = 0; var cnt = 0
+    /** Positions of `?` markers outside string literals, double-quoted
+      * identifiers, `--` line comments, and block comments (the
+      * reference's lexer drops comments before parameters are counted —
+      * a `?` inside one is text, not a marker).
+      */
+    private def paramPositions(sql: String): Seq[Int] = {
+      val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
       while (i < sql.length) {
         sql.charAt(i) match {
           case '\'' =>
@@ -226,12 +259,21 @@ object PrestoSql {
             i += 1
             while (i < sql.length && sql.charAt(i) != '"') i += 1
             i += 1
-          case '?' => cnt += 1; i += 1
+          case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+            while (i < sql.length && sql.charAt(i) != '\n') i += 1
+          case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+            i += 2
+            while (i + 1 < sql.length &&
+              !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+            i += 2
+          case '?' => pos += i; i += 1
           case _ => i += 1
         }
       }
-      cnt
+      pos.toSeq
     }
+
+    private def countParams(sql: String): Int = paramPositions(sql).length
 
     /** Split `USING a, b, c` on top-level commas (quotes and parens bind). */
     private def splitTopLevel(s: String): Seq[String] = {

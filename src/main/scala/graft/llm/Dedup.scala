@@ -379,6 +379,12 @@ object Dedup {
     *                  length hash to bucket 0, matching lsh_sign_bucket)
     * @param hotBucketCap buckets wider than this emit star pairs, not
     *                  all pairs — see [[minhashLsh]]'s trade description
+    *
+    * Cache ownership: like [[minhashLsh]], the hashed/banded frames are
+    * persisted for their multiple consumers inside the RETURNED lazy
+    * plan, so this function cannot release them itself — the caller
+    * frees them with `spark.catalog.clearCache()` between queries (as
+    * Bench does) or by unpersisting after materializing the result.
     */
   def embeddingNearDup(
       df: DataFrame,

@@ -347,7 +347,11 @@ object Compat {
     //      §7.4.1). Cross-engine differential over real IANA zones:
     //      at_timezone ≡ from_utc_timestamp ≡ DuckDB
     //      timezone(tz, instant); with_timezone⁻¹ roundtrip
-    //      to_utc∘from_utc = identity; timezone_hour/minute derived from
+    //      to_utc∘from_utc = identity — THROUGH THE DST-FREE Kathmandu
+    //      zone, because the identity is false in a DST zone's fall-back
+    //      hour (the ambiguous wall time resolves to one offset, shifting
+    //      instants from the other) and the fixture's ts values change
+    //      across driver regenerations; timezone_hour/minute derived from
     //      the epoch delta (floor-div — Spark CAST truncates where DuckDB
     //      CAST rounds, so floor() pins both). The +6-month column pushes
     //      America/Los_Angeles across the DST boundary (-8 winter /
@@ -358,7 +362,7 @@ object Compat {
         |  from_utc_timestamp(ts, 'America/Los_Angeles') AS la_wall,
         |  from_utc_timestamp(ts + INTERVAL 6 MONTH, 'America/Los_Angeles') AS la_wall_summer,
         |  from_utc_timestamp(ts, 'Asia/Kathmandu') AS ktm_wall,
-        |  to_utc_timestamp(from_utc_timestamp(ts, 'Europe/Paris'), 'Europe/Paris') AS roundtrip,
+        |  to_utc_timestamp(from_utc_timestamp(ts, 'Asia/Kathmandu'), 'Asia/Kathmandu') AS roundtrip,
         |  CAST(floor((unix_timestamp(from_utc_timestamp(ts, 'America/Los_Angeles')) - unix_timestamp(ts)) / 3600.0) AS INT) AS la_tz_hour,
         |  CAST(floor((unix_timestamp(from_utc_timestamp(ts + INTERVAL 6 MONTH, 'America/Los_Angeles')) - unix_timestamp(ts + INTERVAL 6 MONTH)) / 3600.0) AS INT) AS la_tz_hour_summer,
         |  CAST(floor((unix_timestamp(from_utc_timestamp(ts, 'Asia/Kathmandu')) - unix_timestamp(ts)) / 3600.0) AS INT) AS ktm_tz_hour,

@@ -132,25 +132,46 @@ object Sources {
     // the final path explicitly rather than MapReduce's task work dir —
     // mirrored here with one container file per task. The mapPartitions is
     // the same foreign-writer codec boundary as the multimodal decoder: no
-    // Catalyst sink speaks this container.
+    // Catalyst sink speaks this container. Each task writes to an
+    // attempt-unique dotfile and renames into place only after a clean
+    // close, so a failed or speculative attempt never leaves a truncated
+    // container at the final path; the session's Hadoop conf rides along
+    // so the path resolves against the session filesystem.
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.mapPartitionsWithIndex { (idx, it) =>
-      val conf = new Configuration()
+      val conf = new Configuration(confSer.value)
       RCFileOutputFormat.setColumnNumber(conf, n)
-      val p = new Path(path, f"part-$idx%05d.rc")
-      val w = new RCFile.Writer(p.getFileSystem(conf), conf, p)
-      it.foreach { row =>
-        val braw = new BytesRefArrayWritable(n)
-        var i = 0
-        while (i < n) {
-          val s = if (row.isNullAt(i)) "\\N" else row.get(i).toString
-          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          braw.set(i, new BytesRefWritable(b, 0, b.length))
-          i += 1
+      val finalP = new Path(path, f"part-$idx%05d.rc")
+      val fs = finalP.getFileSystem(conf)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
+        .getOrElse(java.util.UUID.randomUUID().toString)
+      val tmpP = new Path(path, f".part-$idx%05d.rc.$attempt.tmp")
+      var ok = false
+      val w = new RCFile.Writer(fs, conf, tmpP)
+      try {
+        it.foreach { row =>
+          val braw = new BytesRefArrayWritable(n)
+          var i = 0
+          while (i < n) {
+            val s = if (row.isNullAt(i)) "\\N" else row.get(i).toString
+            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            braw.set(i, new BytesRefWritable(b, 0, b.length))
+            i += 1
+          }
+          w.append(braw)
         }
-        w.append(braw)
+        w.close()
+        if (fs.exists(finalP)) fs.delete(finalP, false)
+        fs.rename(tmpP, finalP)
+        ok = true
+        Iterator.empty[Int]
+      } finally if (!ok) {
+        try w.close() catch { case _: Throwable => () }
+        fs.delete(tmpP, false)
+        ()
       }
-      w.close()
-      Iterator.empty[Int]
     }.count()
     ()
   }

@@ -24,11 +24,25 @@ object Streams {
     * raw int64 under the nanosAsLong conf, or plain TIMESTAMP(MICROS) read
     * as TIMESTAMP_NTZ — so [[eventsStream]] peeks one footer (file streams
     * need a declared schema) and normalizes exactly like Tables.t does for
-    * batch.
+    * batch. An EMPTY source directory (producers not started yet — the
+    * normal file-stream bootstrap) has no footer to peek; fall back to
+    * the µs-fixture schema so the stream STARTS and picks files up as
+    * they arrive rather than failing setup on schema inference.
     */
   def rawSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema
+    try spark.read.parquet(dir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("infer schema") =>
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+    }
   }
 
   final case class UserCount(user_id: Long, n: Long)

@@ -121,6 +121,20 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     ps.statement("DEALLOCATE PREPARE pq")
     val e2 = intercept[IllegalArgumentException] { ps.statement("EXECUTE pq") }
     assert(e2.getMessage.contains("Prepared statement not found"))
+    // '?' inside -- and /* */ comments is text, not a marker (the
+    // reference's lexer drops comments before parameters are counted)
+    ps.statement("PREPARE pq4 FROM SELECT count(*) AS n /* really? */ FROM orders " +
+      "WHERE o_totalprice > ? -- is this the final total?\n")
+    assert(ps.statement("EXECUTE pq4 USING 0").collect()(0).getLong(0) > 0)
+    // EXECUTE ... USING takes the same dialect path as parameterless
+    // EXECUTE: WITH TIES desugars with the bound values in place
+    ps.statement("PREPARE pq5 FROM SELECT o_orderpriority, count(*) AS n FROM orders " +
+      "WHERE o_totalprice > ? GROUP BY o_orderpriority " +
+      "ORDER BY n DESC FETCH FIRST 1 ROWS WITH TIES")
+    val tied = ps.statement("EXECUTE pq5 USING 50000").collect()
+    assert(tied.nonEmpty, "parameterized WITH TIES must execute, not throw")
+    assert(tied.map(_.getLong(1)).distinct.length == 1,
+      "WITH TIES keeps exactly the tied top group")
   }
 
   test("SHOW metadata statements read the catalog") {

@@ -48,6 +48,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def batchEvents = Tables.t(spark, "/root/testdata/sf0.001", "events")
 
+  test("eventsStream starts on an EMPTY source directory (declared-schema fallback)") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_stream").toString
+    // no footer to peek: rawSchema must fall back to the declared events
+    // schema instead of failing setup, so the stream can start and pick
+    // up files as producers write them
+    val stream = Streams.eventsStream(spark, emptyDir)
+    assert(stream.isStreaming, "empty-dir stream must construct")
+    assert(stream.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(stream.schema("ts").dataType.typeName.startsWith("timestamp"),
+      "fallback ts must normalize to a timestamp type")
+  }
+
   test("streaming tumbling counts equal batch after availableNow") {
     val stream = Streams.eventsStream(spark, eventsDir)
     Streams.runToMemory(Streams.tumblingCounts(stream), "tumbling_out", "append")
