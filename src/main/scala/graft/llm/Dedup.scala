@@ -139,6 +139,57 @@ object Dedup {
     *              bucket the output lists representative pairs, not all
     *              member-member pairs.
     */
+  /** The shared banded-LSH candidate machinery: given an exploded
+    * (group…, id[, payload…]) frame, emit the deduped candidate pair set
+    * — all (id_a < id_b) pairs within buckets up to `cap` wide, star
+    * pairs (min-id representative, member) within wider ones, so a
+    * degenerate bucket contributes w−1 candidates instead of w²/2. One
+    * definition serves the minhash, simhash, and embedding tiers: the
+    * hot-bucket bound, the renamed-right-side self-join (two distinct
+    * attributes — no lineage-ambiguity resolution), and the
+    * collapse-before-verify dedup cannot drift between them.
+    *
+    * @param grpCols bucket key columns (e.g. band/bucket, chunk_idx/chunk)
+    * @param payload columns carried through to the output as `<c>_a` /
+    *                `<c>_b` beside id (simhash rides its 64-bit hash
+    *                along so star pairs need no join back); the bucket
+    *                representative is min(struct(id, payload…)), which
+    *                orders by id first — identical to min(id)
+    * @return (id_a[, payload_a…], id_b[, payload_b…]) candidate pairs
+    */
+  private[llm] def bandedCandidates(
+      exploded: DataFrame,
+      grpCols: Seq[String],
+      payload: Seq[String],
+      cap: Int): DataFrame = {
+    val aCols = "id" +: payload
+    val bw = Window.partitionBy(grpCols.map(col): _*)
+    val rep =
+      if (payload.isEmpty) min(col("id")).over(bw)
+      else min(struct(aCols.map(col): _*)).over(bw)
+    // persisted: three consumers (both self-join sides + the star pairs)
+    // would otherwise each redo the explode + shuffle + sort
+    val banded = exploded
+      .withColumn("__bw", count(lit(1)).over(bw))
+      .withColumn("__bmin", rep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val normal = banded.filter(col("__bw") <= cap)
+    val left = normal.select(
+      grpCols.map(col) ++ aCols.map(c => col(c).as(s"${c}_a")): _*)
+    val right = normal.select(
+      grpCols.map(c => col(c).as(s"${c}_r")) ++ aCols.map(c => col(c).as(s"${c}_b")): _*)
+    val cond = grpCols.map(c => col(c) === col(s"${c}_r")).reduce(_ && _) &&
+      col("id_a") < col("id_b")
+    val allPairs = left.join(right, cond)
+      .select(aCols.map(c => col(s"${c}_a")) ++ aCols.map(c => col(s"${c}_b")): _*)
+    val repId = if (payload.isEmpty) col("__bmin") else col("__bmin.id")
+    val starPairs = banded.filter(col("__bw") > cap && col("id") =!= repId)
+      .select((if (payload.isEmpty) Seq(col("__bmin").as("id_a"))
+        else aCols.map(c => col(s"__bmin.$c").as(s"${c}_a"))) ++
+        aCols.map(c => col(c).as(s"${c}_b")): _*)
+    allPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+  }
+
   def minhashLsh(
       df: DataFrame,
       idCol: String,
@@ -157,41 +208,16 @@ object Dedup {
       .select(col(idCol).as("id"), TextOps.minhashSignature(elems, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Bucket width + representative in one window pass — the same
-    // (band, bucket) hash shuffle the candidate join needs anyway.
-    // Persisted: three consumers (both self-join sides + the star pairs)
-    // would otherwise each redo the explode + shuffle + sort.
-    val bw = Window.partitionBy(col("band"), col("bucket"))
-    val banded = sigs
-      .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .withColumn("__bw", count(lit(1)).over(bw))
-      .withColumn("__bmin", min(col("id")).over(bw))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Candidates: docs sharing any band bucket. Join on ids only — the
-    // element arrays would multiply the shuffle by the collision count —
-    // and collapse multi-band collisions BEFORE verification, so each
-    // candidate pair is screened exactly once. Buckets wider than the cap
-    // contribute star pairs (member, representative) instead of all pairs,
-    // bounding any bucket's candidate count at w−1 instead of w²/2.
-    val normal = banded.filter(col("__bw") <= hotBucketCap)
-    // right side's keys are renamed (band_r/bucket_r) so the self-join
-    // condition references two distinct attributes — no lineage-ambiguity
-    // resolution, no "trivially true equals predicate" warnings.
-    val left = normal.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val right = normal.select(
-      col("band").as("band_r"), col("bucket").as("bucket_r"), col("id").as("id_b"))
-    val allPairs = left
-      .join(right,
-        col("band") === col("band_r") && col("bucket") === col("bucket_r") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val starPairs = banded
-      .filter(col("__bw") > hotBucketCap && col("id") =!= col("__bmin"))
-      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
-    val candidates = allPairs.unionByName(starPairs)
-      .dropDuplicates("id_a", "id_b")
+    // Candidates: docs sharing any band bucket, via the shared
+    // bandedCandidates machinery — join on ids only (the element arrays
+    // would multiply the shuffle by the collision count), multi-band
+    // collisions collapsed BEFORE verification so each candidate pair is
+    // screened exactly once, hot buckets star-linked.
+    val candidates = bandedCandidates(
+      sigs
+        .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      grpCols = Seq("band", "bucket"), payload = Nil, cap = hotBucketCap)
 
     // Screen: estimated Jaccard = fraction of agreeing signature slots —
     // k integer compares per pair against the cached signatures. A 0.2
@@ -252,37 +278,17 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only up to hamming 3")
 
     val hashed = df.select(col(idCol).as("id"), TextOps.simhash64(elems).as("sim"))
-    // persist: the self-join would otherwise recompute every SimHash twice.
-    // Bucket width + representative ride the same (chunk_idx, chunk) window
-    // shuffle; min(struct(id, sim)) carries the representative's hash along
-    // so star pairs need no extra join back.
-    val bw = Window.partitionBy(col("chunk_idx"), col("chunk"))
+    // the shared bandedCandidates machinery over (chunk_idx, chunk)
+    // buckets; `sim` rides along as payload — min(struct(id, sim))
+    // carries the representative's hash so star pairs need no join back
     val chunked = hashed.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk_idx"),
           call_function("shiftright", col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk")))).as("cc"))
       .select(col("id"), col("sim"), col("cc.chunk_idx").as("chunk_idx"), col("cc.chunk").as("chunk"))
-      .withColumn("__bw", count(lit(1)).over(bw))
-      .withColumn("__bmin", min(struct(col("id"), col("sim"))).over(bw))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val normal = chunked.filter(col("__bw") <= hotChunkCap)
-    // renamed right-side keys (see minhashLsh): unambiguous self-join.
-    val left = normal.select(col("chunk_idx"), col("chunk"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val right = normal.select(col("chunk_idx").as("chunk_idx_r"), col("chunk").as("chunk_r"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    val allPairs = left.join(right,
-        col("chunk_idx") === col("chunk_idx_r") && col("chunk") === col("chunk_r") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("sim_a"), col("id_b"), col("sim_b"))
-    val starPairs = chunked
-      .filter(col("__bw") > hotChunkCap && col("id") =!= col("__bmin.id"))
-      .select(col("__bmin.id").as("id_a"), col("__bmin.sim").as("sim_a"),
-        col("id").as("id_b"), col("sim").as("sim_b"))
-
-    allPairs.unionByName(starPairs)
-      .dropDuplicates("id_a", "id_b")
+    bandedCandidates(chunked, grpCols = Seq("chunk_idx", "chunk"),
+        payload = Seq("sim"), cap = hotChunkCap)
       .withColumn("hamming", TextOps.hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -406,34 +412,16 @@ object Dedup {
         Similarity.lshBucket(col(vecCol), nTables * nPlanes, dim).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // bit-slice the signature into per-table buckets; bucket width +
-    // representative ride the same (table, bucket) shuffle the candidate
-    // join needs (the minhashLsh window pattern)
-    val bw = Window.partitionBy(col("table"), col("bucket"))
-    val banded = hashed.select(col("id"),
-        explode(transform(sequence(lit(0), lit(nTables - 1)),
-          t => struct(t.as("table"),
-            call_function("shiftright", col("sig"), t * nPlanes)
-              .bitwiseAND(lit(tableMask)).as("bucket")))).as("tb"))
-      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .withColumn("__bw", count(lit(1)).over(bw))
-      .withColumn("__bmin", min(col("id")).over(bw))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val normal = banded.filter(col("__bw") <= hotBucketCap)
-    // renamed right-side keys (see minhashLsh): unambiguous self-join
-    val left = normal.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val right = normal.select(
-      col("table").as("table_r"), col("bucket").as("bucket_r"), col("id").as("id_b"))
-    val allPairs = left.join(right,
-        col("table") === col("table_r") && col("bucket") === col("bucket_r") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val starPairs = banded
-      .filter(col("__bw") > hotBucketCap && col("id") =!= col("__bmin"))
-      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
-    val candidates = allPairs.unionByName(starPairs)
-      .dropDuplicates("id_a", "id_b")
+    // bit-slice the signature into per-table buckets; candidate pairs
+    // via the shared bandedCandidates machinery (the minhashLsh pattern)
+    val candidates = bandedCandidates(
+      hashed.select(col("id"),
+          explode(transform(sequence(lit(0), lit(nTables - 1)),
+            t => struct(t.as("table"),
+              call_function("shiftright", col("sig"), t * nPlanes)
+                .bitwiseAND(lit(tableMask)).as("bucket")))).as("tb"))
+        .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket")),
+      grpCols = Seq("table", "bucket"), payload = Nil, cap = hotBucketCap)
 
     // exact verify: one cosine per surviving candidate
     candidates
