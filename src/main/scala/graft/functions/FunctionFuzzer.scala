@@ -1328,6 +1328,47 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A DECIMAL-arithmetic bank: exact money math over lineitem's price
+    * columns under randomized (precision, scale) casts — the TPC-H
+    * revenue arithmetic the engines must agree on to the last digit.
+    * Every leaf is pinned to a drawn DECIMAL(p,s); +, -, and leaf-only ×
+    * keep intermediate precision inside both engines' 38-digit budget
+    * (p ≤ 18 leaves ⇒ product ≤ 37 digits), and every output column is
+    * CAST to one fixed DECIMAL(38,10), so the comparator sees identical
+    * scale and the differential is the ARITHMETIC (carry, rounding,
+    * scale alignment), not formatting. No division: the engines'
+    * intermediate-scale rules for decimal division legitimately differ
+    * (Spark's allowPrecisionLoss max(6,…) vs DuckDB's fixed quotient
+    * scale), a documented dialect exclusion like the libm
+    * transcendentals.
+    */
+  def generateDecimals(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    def leaf(): String = rnd.nextInt(5) match {
+      case 0 => s"CAST(l_extendedprice AS DECIMAL(${rnd.nextInt(5) + 12},2))"
+      case 1 => s"CAST(l_discount AS DECIMAL(${rnd.nextInt(4) + 8},${rnd.nextInt(3) + 2}))"
+      case 2 => s"CAST(l_tax AS DECIMAL(10,${rnd.nextInt(3) + 2}))"
+      case 3 => s"CAST(l_quantity AS DECIMAL(${rnd.nextInt(6) + 10},${rnd.nextInt(2) + 1}))"
+      case _ => s"CAST('${rnd.nextInt(900) + 100}.${rnd.nextInt(90) + 10}' AS DECIMAL(12,2))"
+    }
+    def expr(d: Int): String =
+      if (d <= 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => s"(${expr(d - 1)} + ${expr(d - 1)})"
+        case 1 => s"(${expr(d - 1)} - ${expr(d - 1)})"
+        case 2 => s"(${leaf()} * ${leaf()})" // leaf-only: precision stays ≤ 37
+        case _ => s"(${leaf()} * (CAST(1 AS DECIMAL(3,0)) - ${leaf()}))" // the q1 revenue shape
+      }
+
+    val cols = (1 to nCols).map(i => s"  CAST(${expr(2)} AS DECIMAL(38,10)) AS e$i")
+    s"""SELECT l_orderkey AS k1, l_linenumber AS k2,
+       |${cols.mkString(",\n")}
+       |FROM lineitem WHERE l_orderkey <= 64
+       |ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""".stripMargin
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

@@ -392,6 +392,11 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // decimal-arithmetic banks: exact money math to the last digit under
+    // randomized (p,s) casts, outputs pinned to DECIMAL(38,10); no
+    // division (intermediate-scale rules legitimately differ)
+    "fuzz_decimal_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimals(2501L, 20)),
+    "fuzz_decimal_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimals(2502L, 20)),
     // three-valued-logic predicate banks: BETWEEN on NULL bounds,
     // IN/NOT IN lists containing NULL, IS [NOT] DISTINCT FROM; every
     // predicate projected raw (NULLs intact) and decided

@@ -144,6 +144,23 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
+  test("the decimal banks regenerate and pin every output to DECIMAL(38,10)") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_decimal_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateDecimals(2500L + i, 20)),
+        s"$name's oracle SQL is not the seed-${2500 + i} regeneration")
+      assert(!sql.contains("/"), s"$name: division is a documented dialect exclusion")
+      val df = Registry.all(name).fn(spark, sfDir)
+      import org.apache.spark.sql.types.DecimalType
+      val pinned = df.schema.fields.filter(_.name.startsWith("e"))
+      assert(pinned.nonEmpty && pinned.forall(_.dataType == DecimalType(38, 10)),
+        s"$name: output columns must all be DECIMAL(38,10)")
+      assert(df.collect().nonEmpty)
+    }
+  }
+
   test("the predicate banks carry UNKNOWN through raw columns") {
     for (i <- 1 to 2) {
       val name = s"fuzz_predicate_bank_$i"
