@@ -1369,6 +1369,85 @@ object FunctionFuzzer {
        |ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""".stripMargin
   }
 
+  /** A string-function bank beyond the scalar grammar's basics:
+    * position(x IN y), left/right, repeat, translate, split_part
+    * (out-of-range index returns '' in BOTH engines — part of the
+    * differential), and prefix/suffix tests, composed over nested string
+    * expressions. Nearly the whole surface spells identically; the two
+    * exceptions are emitted dual-dialect (Spark `startswith`/`endswith`
+    * vs DuckDB `starts_with`/`ends_with`), so the generator returns
+    * (spark, duck) texts like the array/struct/map grammars. Subset
+    * rules: counts are positive literals (negative `left` lengths mean
+    * "drop from the end" in DuckDB but empty in Spark), `contains` is
+    * avoided (the registry rebinds it to Presto's array contains), and
+    * string leaves are non-null ASCII.
+    */
+  def generateStrings(seed: Long, nCols: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    type P = (String, String)
+    def same(s: String): P = (s, s)
+
+    def strLeaf(): P = rnd.nextInt(3) match {
+      case 0 => same("n_name")
+      case 1 => same(s"'STR_${rnd.nextInt(90) + 10}'")
+      case _ => same("CAST(n_nationkey AS STRING)")
+    }
+    def strExpr(d: Int): P =
+      if (d <= 0) strLeaf()
+      else rnd.nextInt(7) match {
+        case 0 => val (a1, a2) = strExpr(d - 1)
+          val n = rnd.nextInt(6) + 1
+          (s"left($a1, $n)", s"left($a2, $n)")
+        case 1 => val (a1, a2) = strExpr(d - 1)
+          val n = rnd.nextInt(6) + 1
+          (s"right($a1, $n)", s"right($a2, $n)")
+        case 2 => val (a1, a2) = strExpr(d - 1); val n = rnd.nextInt(3) + 1
+          (s"repeat($a1, $n)", s"repeat($a2, $n)")
+        case 3 => val (a1, a2) = strExpr(d - 1)
+          val from = s"${"ANT".substring(0, rnd.nextInt(2) + 1)}0"
+          val to = "xy0".substring(0, rnd.nextInt(2) + 2)
+          (s"translate($a1, '$from', '$to')", s"translate($a2, '$from', '$to')")
+        case 4 => val (a1, a2) = strExpr(d - 1)
+          val delim = "_AN0".charAt(rnd.nextInt(4))
+          val idx = rnd.nextInt(4) + 1 // deliberately often out of range
+          (s"split_part($a1, '$delim', $idx)", s"split_part($a2, '$delim', $idx)")
+        case 5 => val (a1, a2) = strExpr(d - 1); val (b1, b2) = strLeaf()
+          (s"concat($a1, $b1)", s"concat($a2, $b2)")
+        case _ => val (a1, a2) = strExpr(d - 1)
+          (s"lower($a1)", s"lower($a2)")
+      }
+
+    val cols = (1 to nCols).map { i =>
+      val (sp, dk) = i % 3 match {
+        case 1 => // position → BIGINT (1-based, 0 on miss, both engines)
+          val (h1, h2) = strExpr(2)
+          val needle = s"'${"NAT_01".charAt(rnd.nextInt(6))}'"
+          (s"CAST(position($needle IN $h1) AS BIGINT)",
+            s"CAST(position($needle IN $h2) AS BIGINT)")
+        case 2 => // prefix/suffix test — the dual-spelled pair
+          val (a1, a2) = strExpr(1); val p = s"'${"NS".charAt(rnd.nextInt(2))}'"
+          if (rnd.nextBoolean()) (s"startswith($a1, $p)", s"starts_with($a2, $p)")
+          else (s"endswith($a1, $p)", s"ends_with($a2, $p)")
+        case _ => // plain nested string expression
+          strExpr(2)
+      }
+      (s"  $sp AS e$i", s"  $dk AS e$i")
+    }
+    val spark =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._1).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    val duck =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._2).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    (spark, duck)
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

@@ -392,6 +392,13 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // string-function banks beyond the scalar grammar's basics:
+    // position/left/right/repeat/translate/split_part (out-of-range ->
+    // ''), dual-spelled startswith/starts_with prefix tests
+    "fuzz_string_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateStrings(2601L, 30); Q.sql(sp, dk) },
+    "fuzz_string_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateStrings(2602L, 30); Q.sql(sp, dk) },
     // decimal-arithmetic banks: exact money math to the last digit under
     // randomized (p,s) casts, outputs pinned to DECIMAL(38,10); no
     // division (intermediate-scale rules legitimately differ)

@@ -144,6 +144,19 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
+  test("the string banks regenerate, diverge per dialect, and cover the family") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_string_bank_$i"
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateStrings(2600L + i, 30)
+      assert(Registry.all(name).oracle.contains(dk),
+        s"$name's oracle SQL is not the seed-${2600 + i} regeneration")
+      assert(sp != dk, s"$name degenerated to one dialect — prefix tests must differ")
+      for (f <- Seq("split_part", "position", "translate", "repeat"))
+        assert(dk.contains(f), s"$name: $f missing from the bank")
+      assert(Registry.all(name).fn(spark, sfDir).collect().length == 25)
+    }
+  }
+
   test("the decimal banks regenerate and pin every output to DECIMAL(38,10)") {
     for (i <- 1 to 2) {
       val name = s"fuzz_decimal_bank_$i"
