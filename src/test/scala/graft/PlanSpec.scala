@@ -51,6 +51,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join strategy flip: broadcast and sort-merge give identical results") {
+    // At 100 TB a "small" dim can cross the broadcast threshold and the
+    // planner falls back to shuffle joins — results must not depend on
+    // which strategy won. Run q03 under the default threshold (dims
+    // broadcast) and with broadcasting disabled (forced shuffle join),
+    // and require the same rows from structurally different plans.
+    val name = "tpch_q03_shipping_priority"
+    val broadcastRows = Registry.all(name).fn(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Registry.all(name).fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // let AQE finalize
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "threshold -1 must force the non-broadcast strategy")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join, got:\n${p.linesIterator.take(12).mkString("\n")}")
+      val shuffleRows = df.collect().map(_.toString).sorted
+      assert(shuffleRows.sameElements(broadcastRows),
+        "join results must be identical across broadcast and shuffle strategies")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q06: single scan with pushed range filters, no shuffle except final agg") {
     val p = executedPlan("tpch_q06_forecast_revenue")
     assert(p.contains("PushedFilters: ["))
