@@ -76,6 +76,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE flip: adaptive re-planning must not change results") {
+    val name = "tpch_q05_local_supplier_volume"
+    val aqeRows = Registry.all(name).fn(spark, sfDir).collect().map(_.toString).sorted
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val rows = Registry.all(name).fn(spark, sfDir).collect().map(_.toString).sorted
+      assert(rows.sameElements(aqeRows),
+        "q05 results must be identical with AQE on and off")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("shuffle-partition invariance: partial-agg merge order cannot leak into results") {
+    // 2 vs 32 shuffle partitions changes how many partial aggregates
+    // merge and in what order — the exact-decimal-sum discipline exists
+    // so this flip is invisible. q01 carries the sums that would drift
+    // first if a float sum snuck back in.
+    val name = "tpch_q01_pricing_summary"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def rowsAt(n: String): Array[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      Registry.all(name).fn(spark, sfDir).collect().map(_.toString).sorted
+    }
+    try assert(rowsAt("2").sameElements(rowsAt("32")),
+      "q01 must be bit-identical at 2 and 32 shuffle partitions")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q06: single scan with pushed range filters, no shuffle except final agg") {
     val p = executedPlan("tpch_q06_forecast_revenue")
     assert(p.contains("PushedFilters: ["))
