@@ -1448,6 +1448,74 @@ object FunctionFuzzer {
     (spark, duck)
   }
 
+  /** A JSON-path bank: documents ASSEMBLED row-by-row (concat over
+    * data-driven scalars — JSON-safe because n_name is [A-Z_0-9]) and
+    * walked with randomized paths: drawn key names, array indexes that
+    * run past the end (NULL in both engines), nested object hops, a
+    * guaranteed-missing key, and array length. This differentials the
+    * repo's native Presto-JSONPath walker (functions/PrestoJson.scala —
+    * `json_extract_scalar`/`json_size`) against DuckDB's JSON extension
+    * (`json_extract_string`/`json_array_length`); both use 0-based array
+    * indexes and NULL off-path, which is exactly the contract under
+    * test. Emitted dual-dialect: only the function NAMES differ, the
+    * document SQL and the path strings are shared text.
+    */
+  def generateJson(seed: Long, nCols: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    def numSql(): String = rnd.nextInt(3) match {
+      case 0 => "CAST(n_nationkey AS STRING)"
+      case 1 => "CAST(n_regionkey AS STRING)"
+      case _ => s"'${rnd.nextInt(90) + 10}'"
+    }
+    def strSql(): String = if (rnd.nextBoolean()) "n_name" else s"'J_${rnd.nextInt(50)}'"
+
+    val cols = (1 to nCols).map { i =>
+      // one drawn document per column: {"<k1>": n, "arr": [..], "s": "..",
+      // "o": {"<k2>": n}}
+      val k1 = s"k${rnd.nextInt(5)}"
+      val k2 = s"n${rnd.nextInt(4)}"
+      val arrLen = rnd.nextInt(3) + 2
+      val arrElems = (1 to arrLen).map(_ => numSql())
+        .mkString("', ", ", ',', ", ", '")
+      val doc = s"""concat('{"$k1":', ${numSql()}, ',"arr":[$arrElems],"s":"', ${strSql()}, '","o":{"$k2":', ${numSql()}, '}}')"""
+      val (sp, dk) = i % 6 match {
+        case 1 => // top-level number
+          (s"CAST(json_extract_scalar($doc, '$$.$k1') AS BIGINT)",
+            s"CAST(json_extract_string($doc, '$$.$k1') AS BIGINT)")
+        case 2 => // string field through a string function
+          (s"upper(json_extract_scalar($doc, '$$.s'))",
+            s"upper(json_extract_string($doc, '$$.s'))")
+        case 3 => // array index, 0-based, often past the end -> NULL
+          val ix = rnd.nextInt(arrLen + 2)
+          (s"CAST(json_extract_scalar($doc, '$$.arr[$ix]') AS BIGINT)",
+            s"CAST(json_extract_string($doc, '$$.arr[$ix]') AS BIGINT)")
+        case 4 => // nested object hop
+          (s"CAST(json_extract_scalar($doc, '$$.o.$k2') AS BIGINT)",
+            s"CAST(json_extract_string($doc, '$$.o.$k2') AS BIGINT)")
+        case 5 => // guaranteed-missing key -> NULL in both
+          (s"(json_extract_scalar($doc, '$$.zz') IS NULL)",
+            s"(json_extract_string($doc, '$$.zz') IS NULL)")
+        case _ => // array length: Presto json_size vs json_array_length
+          (s"CAST(json_size($doc, '$$.arr') AS BIGINT)",
+            s"CAST(json_array_length($doc, '$$.arr') AS BIGINT)")
+      }
+      (s"  $sp AS e$i", s"  $dk AS e$i")
+    }
+    val spark =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._1).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    val duck =
+      s"""SELECT n_nationkey AS k,
+         |${cols.map(_._2).mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    (spark, duck)
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

@@ -392,6 +392,14 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // JSON-path banks: row-assembled documents walked by the native
+    // Presto-JSONPath walker vs DuckDB's JSON extension (names differ:
+    // json_extract_scalar/json_size vs json_extract_string/
+    // json_array_length); drawn keys, past-the-end indexes, missing keys
+    "fuzz_json_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateJson(2701L, 24); Q.sql(sp, dk) },
+    "fuzz_json_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateJson(2702L, 24); Q.sql(sp, dk) },
     // string-function banks beyond the scalar grammar's basics:
     // position/left/right/repeat/translate/split_part (out-of-range ->
     // ''), dual-spelled startswith/starts_with prefix tests

@@ -144,6 +144,22 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
+  test("the json banks regenerate and exercise miss/past-the-end NULLs") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_json_bank_$i"
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateJson(2700L + i, 24)
+      assert(Registry.all(name).oracle.contains(dk),
+        s"$name's oracle SQL is not the seed-${2700 + i} regeneration")
+      assert(sp != dk && sp.contains("json_extract_scalar")
+        && dk.contains("json_extract_string"),
+        s"$name: the dual dialect function names must differ")
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.length == 25)
+      assert(rows.exists(r => (1 until r.length).exists(r.isNullAt)),
+        s"$name: no NULLs — off-path extraction went unexercised")
+    }
+  }
+
   test("the string banks regenerate, diverge per dialect, and cover the family") {
     for (i <- 1 to 2) {
       val name = s"fuzz_string_bank_$i"
