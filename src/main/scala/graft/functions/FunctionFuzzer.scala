@@ -1516,6 +1516,53 @@ object FunctionFuzzer {
     (spark, duck)
   }
 
+  /** A TRY_CAST failure-semantics bank: per-row mixes of convertible and
+    * garbage values through TRY_CAST (spelled identically in both
+    * engines), so every column is a success/NULL interleave decided by
+    * the DATA, not the text: digit strings with junk injected by key
+    * residue, whitespace-padded ints (both trim), BIGINT overflow
+    * (NULL both), narrow-type downcasts driven past TINYINT/SMALLINT
+    * range, month-out-of-range dates (strict ISO both), TRUE/FALSE/'1'/
+    * '0'/garbage booleans, and 'NaN'/'1e3'/junk doubles. Excluded as
+    * documented dialect divergences: decimal STRINGS to integer types
+    * (Spark truncates '12.5'→12, DuckDB rounds →13) and hex strings
+    * ('0x1A' is 26 in DuckDB, NULL in Spark).
+    */
+  def generateTryCasts(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    // a string that is a valid integer on SOME rows, junk on others
+    def mixedIntStr(): String = rnd.nextInt(3) match {
+      case 0 => s"(CASE WHEN n_nationkey % ${rnd.nextInt(3) + 2} = 0 THEN '${"xq#"(rnd.nextInt(3))}' ELSE CAST(n_nationkey * ${rnd.nextInt(9) + 1} AS STRING) END)"
+      case 1 => s"concat('  ', CAST(n_nationkey + ${rnd.nextInt(50)} AS STRING), '  ')"
+      case _ => s"(CASE WHEN n_regionkey = ${rnd.nextInt(5)} THEN '' ELSE CAST(n_regionkey AS STRING) END)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val e = i % 6 match {
+        case 1 => s"TRY_CAST(${mixedIntStr()} AS BIGINT)"
+        case 2 => // overflow: huge digit strings on some rows
+          s"TRY_CAST((CASE WHEN n_nationkey % ${rnd.nextInt(3) + 2} = 0 THEN '99999999999999999999' ELSE CAST(n_nationkey AS STRING) END) AS BIGINT)"
+        case 3 => // narrow downcast driven past the type's range
+          val t = if (rnd.nextBoolean()) ("TINYINT", rnd.nextInt(15) + 8)
+            else ("SMALLINT", rnd.nextInt(2000) + 1400) // 24·1400 > 32767: top keys overflow
+          s"TRY_CAST(CAST(n_nationkey * ${t._2} AS INT) AS ${t._1})"
+        case 4 => // strict-ISO dates; months run past 12 by key residue
+          s"TRY_CAST(concat('199${rnd.nextInt(8)}-', lpad(CAST(1 + n_nationkey % ${rnd.nextInt(6) + 10} AS STRING), 2, '0'), '-${rnd.nextInt(18) + 10}') AS DATE)"
+        case 5 => // boolean spellings + garbage (CASE: array() is Spark-only)
+          s"TRY_CAST((CASE CAST(n_nationkey % 5 AS INT) WHEN 0 THEN 'TRUE' WHEN 1 THEN 'FALSE' WHEN 2 THEN '1' WHEN 3 THEN '0' ELSE 'tru${rnd.nextInt(10)}' END) AS BOOLEAN)"
+        case _ => // doubles: scientific, NaN, junk
+          s"TRY_CAST((CASE CAST(n_nationkey % 4 AS INT) WHEN 0 THEN '${rnd.nextInt(9) + 1}e${rnd.nextInt(4)}' WHEN 1 THEN 'NaN' WHEN 2 THEN 'x${rnd.nextInt(10)}' ELSE '${rnd.nextInt(100)}.25' END) AS DOUBLE)"
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
   /** A LATERAL bank: a per-outer-row subquery in the FROM clause — the
     * multi-row correlated form the scalar-subquery grammar can't reach
     * (top-n-per-row is the shape Presto plans as a correlated

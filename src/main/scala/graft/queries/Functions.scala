@@ -392,6 +392,12 @@ object Functions {
       graft.functions.FunctionFuzzer.generateMaps(2001L, 24); Q.sql(sp, dk) },
     "fuzz_map_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateMaps(2002L, 24); Q.sql(sp, dk) },
+    // TRY_CAST failure-semantics banks: per-row success/NULL interleaves
+    // decided by the data (junk strings, overflow, narrow downcasts,
+    // month>12 dates, boolean spellings, NaN doubles); decimal-string ->
+    // int and hex strings excluded as documented dialect divergences
+    "fuzz_trycast_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateTryCasts(2801L, 24)),
+    "fuzz_trycast_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateTryCasts(2802L, 24)),
     // JSON-path banks: row-assembled documents walked by the native
     // Presto-JSONPath walker vs DuckDB's JSON extension (names differ:
     // json_extract_scalar/json_size vs json_extract_string/

@@ -144,6 +144,20 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name's oracle SQL is not the seed-$seed regeneration")
   }
 
+  test("the trycast banks regenerate with both successes and failures per bank") {
+    for (i <- 1 to 2) {
+      val name = s"fuzz_trycast_bank_$i"
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateTryCasts(2800L + i, 24)),
+        s"$name's oracle SQL is not the seed-${2800 + i} regeneration")
+      val rows = Registry.all(name).fn(spark, sfDir).collect()
+      assert(rows.length == 25)
+      val cells = rows.flatMap(r => (1 until r.length).map(r.isNullAt))
+      assert(cells.contains(true) && cells.contains(false),
+        s"$name: TRY_CAST must produce BOTH successes and NULLs")
+    }
+  }
+
   test("the json banks regenerate and exercise miss/past-the-end NULLs") {
     for (i <- 1 to 2) {
       val name = s"fuzz_json_bank_$i"
