@@ -155,6 +155,42 @@ object Ddl {
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
 
+    // DELETE with a SUBQUERY predicate (DELETE FROM orders WHERE
+    // o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment =
+    // 'BUILDING')) — CowDelete.deleteWhereIn plans both halves as joins
+    // (semi for touched-file discovery, anti for the rewrite), so the
+    // key set streams through shuffles and is never a driver-side list.
+    // The oracle re-derives the surviving table with NOT IN over the
+    // same subquery (c_custkey is non-null, so NOT IN is two-valued
+    // here); cow_semi carries the mechanism claim: at least one file
+    // rewrote, and every partition directory the BUILDING customers'
+    // orders lived in was discovered via the semi join, not a scan of
+    // the key list.
+    "ddl_delete_subquery" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total,
+        |  true AS cow_semi
+        |FROM orders WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_cowdel_subq_orders"
+      drop(s, "g_cowdel_subq_orders", loc)
+      Tables.t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(loc)
+      val keys = Tables.t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val stats = CowDelete.deleteWhereIn(s, loc, keys, Seq("o_custkey"))
+      val semiScoped = stats.touched.nonEmpty
+      s.read.option("basePath", loc).parquet(loc)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
+        .withColumn("cow_semi", lit(semiScoped))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
+    },
+
     // Copy-on-write row-level UPDATE (sources/CowDelete.scala's CowUpdate;
     // the reference's UpdatablePageSource direction) — raise o_totalprice
     // by 10% for every third urgent order, rewriting only the files that

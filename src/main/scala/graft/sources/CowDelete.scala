@@ -55,6 +55,29 @@ object CowDelete {
     val s = CowCore.rewrite(spark, path, _.where(predicate))(_.where(not(predicate)))
     DeleteStats(s.touched, s.total, s.rewritten)
   }
+
+  /** The subquery-predicate form — `DELETE FROM t WHERE (k…) IN
+    * (SELECT …)` (the reference plans the IN/EXISTS DELETE as a
+    * semi-join above the row-id collection; here both halves are joins,
+    * never a driver-side key list): rows whose `keyCols` match any row
+    * of `keys` are deleted. Touched-file discovery is a LEFT SEMI join
+    * projected to the file-path metadata column and the rewrite filters
+    * the touched files with the complementary LEFT ANTI join, so the
+    * subquery result streams through two shuffles and is never
+    * collected — the shape that survives a subquery with 10^9 keys,
+    * where an `isin(...)` literal predicate would not.
+    */
+  def deleteWhereIn(spark: SparkSession, path: String,
+      keys: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): DeleteStats = {
+    require(keyCols.nonEmpty, "deleteWhereIn needs at least one key column")
+    require(keyCols.forall(keys.columns.contains),
+      s"keys must expose ${keyCols.mkString(", ")}; has ${keys.columns.mkString(", ")}")
+    val k = keys.select(keyCols.map(col): _*)
+    val s = CowCore.rewrite(spark, path,
+      _.join(k, keyCols, "left_semi"))(
+      _.join(k, keyCols, "left_anti"))
+    DeleteStats(s.touched, s.total, s.rewritten)
+  }
 }
 
 /** Copy-on-write row-level UPDATE — same touched-file discovery and swap

@@ -81,6 +81,41 @@ class CowDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("o_orderpriority=1-URGENT") && p.contains("part-cow-")))
   }
 
+  test("subquery-predicate delete: semi-join discovery scopes to the keys' files") {
+    // lay orders out partitioned by a custkey-derived bucket, then
+    // DELETE WHERE o_custkey IN (SELECT … WHERE c_custkey % 5 = 2):
+    // every matching row lives under ckb=2, so the semi-join discovery
+    // must touch exactly that directory and nothing else
+    val loc = Files.createTempDirectory("graft_cow_subq").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("ckb", col("o_custkey") % 5)
+      .write.mode("overwrite").partitionBy("ckb").parquet(loc)
+    val before = files(loc)
+    val keys = Tables.t(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_custkey") % 5 === 2 && col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    val table = spark.read.option("basePath", loc).parquet(loc)
+    val expected = table.join(keys, Seq("o_custkey"), "left_anti").count()
+    assert(expected > 0 && expected < table.count(),
+      "fixture must make the subquery delete non-vacuous")
+
+    val stats = CowDelete.deleteWhereIn(spark, loc, keys, Seq("o_custkey"))
+    val after = files(loc)
+
+    val surviving = spark.read.option("basePath", loc).parquet(loc)
+    assert(surviving.count() == expected)
+    assert(surviving.join(keys, Seq("o_custkey"), "left_semi").count() == 0,
+      "no row with a deleted customer key may survive")
+    // mechanism: discovery found only ckb=2 files; every ORIGINAL file
+    // outside the touched set kept its exact path and mtime
+    assert(stats.touched.nonEmpty && stats.touched.forall(_.contains("ckb=2")))
+    val untouchedBefore = before -- stats.touched
+    val untouchedAfter = after.view.filterKeys(untouchedBefore.keySet).toMap
+    assert(untouchedAfter == untouchedBefore,
+      "files with no matching customer keys must keep path AND mtime")
+    assert(untouchedBefore.nonEmpty, "scoping claim needs untouched files to exist")
+  }
+
   test("no-match predicate is a metadata-only no-op: zero files rewritten") {
     val loc = freshTable(partitioned = true)
     val before = files(loc)
