@@ -224,7 +224,12 @@ object PrestoSql {
     /** One constant-folded USING value as exact SQL literal text. */
     private def renderLiteral(v: Any): String = v match {
       case null => "NULL"
-      case s: String => "'" + s.replace("'", "''") + "'"
+      // Spark's default parser (unlike Presto's) interprets backslash
+      // escapes in string literals, so backslashes must double BEFORE
+      // quote-doubling or a value like "a\n" re-parses as a newline and a
+      // trailing backslash eats the closing quote — keeping this path
+      // bit-identical to the positional-parameter binding path.
+      case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
       case b: Boolean => if (b) "true" else "false"
       case b: java.math.BigDecimal =>
         s"CAST('${b.toPlainString}' AS DECIMAL(38,${b.scale.max(0).min(37)}))"

@@ -1330,39 +1330,160 @@ object FunctionFuzzer {
 
   /** A DECIMAL-arithmetic bank: exact money math over lineitem's price
     * columns under randomized (precision, scale) casts — the TPC-H
-    * revenue arithmetic the engines must agree on to the last digit.
-    * Every leaf is pinned to a drawn DECIMAL(p,s); +, -, and leaf-only ×
-    * keep intermediate precision inside both engines' 38-digit budget
-    * (p ≤ 18 leaves ⇒ product ≤ 37 digits), and every output column is
-    * CAST to one fixed DECIMAL(38,10), so the comparator sees identical
-    * scale and the differential is the ARITHMETIC (carry, rounding,
-    * scale alignment), not formatting. No division: the engines'
-    * intermediate-scale rules for decimal division legitimately differ
-    * (Spark's allowPrecisionLoss max(6,…) vs DuckDB's fixed quotient
-    * scale), a documented dialect exclusion like the libm
-    * transcendentals.
+    * revenue arithmetic the engines must agree on. Every leaf is pinned
+    * to a drawn DECIMAL(p,s); +, -, and leaf-only × keep intermediate
+    * precision inside both engines' 38-digit budget. The DIFFERENTIAL is
+    * the decimal arithmetic (carry, scale alignment, precision
+    * promotion); the OUTPUT is canonicalized to DOUBLE, because
+    * DECIMAL(38,10) is the one output type the driver's type-sensitive
+    * value hash presents asymmetrically (pyarrow decimal128 →
+    * decimal.Decimal vs DuckDB → float64 — the round-9 red). The DOUBLE
+    * is bit-identical on both engines BY CONSTRUCTION: the grammar
+    * bounds every expression so its exact value has unscaled magnitude
+    * < 2^53 and scale ≤ 8, and then decimal→double on both engines is
+    * the same IEEE computation — (double)unscaled (exact, < 2^53)
+    * divided by 10^scale (exact for scale ≤ 22), one correctly-rounded
+    * division (OpenJDK BigDecimal.doubleValue fast path; DuckDB
+    * CastDecimalToFloatingPoint). Magnitude bound: l_extendedprice
+    * (≤ ~1.1e5, the one "big" leaf) never multiplies another big leaf;
+    * products are big×small or small×small (small ≤ 1e3, scale ≤ 3, so
+    * every product and hence every aligned sum has scale ≤ 6); a
+    * depth-2 sum of four big×small products is ≤ 4·1.1e8 at scale ≤ 6 →
+    * unscaled ≤ 4.4e14 < 2^53 with ~20× margin. No division here: Spark keeps decimal
+    * (allowPrecisionLoss max(6,…) scale) while DuckDB's `/` on decimals
+    * returns DOUBLE outright — the exactness-engineered division bank is
+    * generateDecimalDivMod below.
     */
   def generateDecimals(seed: Long, nCols: Int): String = {
     val rnd = new scala.util.Random(seed)
     rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
 
-    def leaf(): String = rnd.nextInt(5) match {
-      case 0 => s"CAST(l_extendedprice AS DECIMAL(${rnd.nextInt(5) + 12},2))"
-      case 1 => s"CAST(l_discount AS DECIMAL(${rnd.nextInt(4) + 8},${rnd.nextInt(3) + 2}))"
-      case 2 => s"CAST(l_tax AS DECIMAL(10,${rnd.nextInt(3) + 2}))"
-      case 3 => s"CAST(l_quantity AS DECIMAL(${rnd.nextInt(6) + 10},${rnd.nextInt(2) + 1}))"
+    // "small" leaves: |value| ≤ ~1e3, scale ≤ 3 (so any product scale ≤ 6,
+    // keeping every sum's unscaled value ≤ ~4e8·10^6 < 2^53)
+    def smallLeaf(): String = rnd.nextInt(4) match {
+      case 0 => s"CAST(l_discount AS DECIMAL(${rnd.nextInt(4) + 8},${rnd.nextInt(2) + 2}))"
+      case 1 => s"CAST(l_tax AS DECIMAL(10,${rnd.nextInt(2) + 2}))"
+      case 2 => s"CAST(l_quantity AS DECIMAL(${rnd.nextInt(6) + 10},${rnd.nextInt(2) + 1}))"
       case _ => s"CAST('${rnd.nextInt(900) + 100}.${rnd.nextInt(90) + 10}' AS DECIMAL(12,2))"
     }
+    // the one "big" leaf: |value| ≤ ~1.1e5, scale 2
+    def bigLeaf(): String = s"CAST(l_extendedprice AS DECIMAL(${rnd.nextInt(5) + 12},2))"
+    def leaf(): String = if (rnd.nextInt(5) == 0) bigLeaf() else smallLeaf()
     def expr(d: Int): String =
       if (d <= 0) leaf()
       else rnd.nextInt(4) match {
         case 0 => s"(${expr(d - 1)} + ${expr(d - 1)})"
         case 1 => s"(${expr(d - 1)} - ${expr(d - 1)})"
-        case 2 => s"(${leaf()} * ${leaf()})" // leaf-only: precision stays ≤ 37
-        case _ => s"(${leaf()} * (CAST(1 AS DECIMAL(3,0)) - ${leaf()}))" // the q1 revenue shape
+        case 2 => s"(${leaf()} * ${smallLeaf()})" // never big×big: keeps unscaled < 2^53
+        case _ => s"(${bigLeaf()} * (CAST(1 AS DECIMAL(3,0)) - ${smallLeaf()}))" // the q1 revenue shape
       }
 
-    val cols = (1 to nCols).map(i => s"  CAST(${expr(2)} AS DECIMAL(38,10)) AS e$i")
+    val cols = (1 to nCols).map(i => s"  CAST(${expr(2)} AS DOUBLE) AS e$i")
+    s"""SELECT l_orderkey AS k1, l_linenumber AS k2,
+       |${cols.mkString(",\n")}
+       |FROM lineitem WHERE l_orderkey <= 64
+       |ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""".stripMargin
+  }
+
+  /** Decimal DIVISION and MODULUS banks — the scale-rule risk SURVEY
+    * §7.4.3 names (reference: presto-main DecimalOperators.java
+    * divideShortShortShort/divideLongLongLong rescale-then-divide, and
+    * the %% operators' truncated-division sign rule). The engines'
+    * division surfaces differ structurally — Spark produces a DECIMAL
+    * with scale max(6, s1+p2+1) (precision-loss clamped) while DuckDB's
+    * `/` on decimals returns DOUBLE outright — so the bank is
+    * exactness-engineered to make both paths land on the same double:
+    *
+    *  - every divisor is a 5-smooth literal ≥ 1 from {2, 4, 5, 8, 10,
+    *    16, 1.25, 2.5, 6.25} (2^i·5^j / 10^k), so the true quotient of
+    *    a scale-2 numerator terminates at scale ≤ 6 (… /16 adds 4
+    *    digits, the max);
+    *  - Spark's result scale max(6, 2+4+1)=7 ≥ 6 keeps the quotient
+    *    EXACT;
+    *  - DuckDB's double division is only ~1-ulp accurate (the scale-2
+    *    NUMERATOR is not double-exact — 1287.1/10 probed 1 ulp off
+    *    Spark), so each quotient is RE-SNAPPED to the scale-6 decimal
+    *    grid with CAST(q AS DECIMAL(20,6)) before the double cast: on
+    *    Spark that drops an exact trailing zero (scale 7→6, true scale
+    *    ≤ 6); on DuckDB it rounds the ~1e-11-accurate double to the
+    *    grid point it came from (half-grid distance 5e-7 ≫ the error).
+    *    Both then convert the same exact DECIMAL(20,6) value via the
+    *    same (double)unscaled / 10^6 computation (unscaled ≤ 8.4e10 <
+    *    2^53) — bit-identical.
+    *
+    * Modulus stays DECIMAL on both engines, is always exact (result
+    * scale max(s1,s2), no infinite expansion), and both follow the
+    * truncated-division sign rule (result takes the dividend's sign —
+    * probed: -7.19 % 2.5 = -2.19 on both). Divisors are non-zero
+    * literals; dividends are sign-mixed via (leaf - literal).
+    *
+    * Deliberately EXCLUDED, as documented dialect divergences (same
+    * status as the libm transcendentals): non-5-smooth division (DuckDB
+    * keeps ~15 significant digits of double where Spark rounds at its
+    * decimal result scale) and scale-REDUCING decimal casts (Spark
+    * rounds HALF_UP, DuckDB truncates — probed: 2.679→(10,2) gives 2.68
+    * vs 2.67). generateDecimalSaturate covers the cast family's
+    * non-divergent axis (precision overflow) instead.
+    */
+  def generateDecimalDivMod(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    val divisors = Seq("2", "4", "5", "8", "10", "16", "1.25", "2.5", "6.25")
+    // scale-2 numerators, sign-mixed; |value| ≤ ~1.1e5
+    def numerator(): String = rnd.nextInt(4) match {
+      case 0 => s"CAST(l_extendedprice AS DECIMAL(${rnd.nextInt(5) + 12},2))"
+      case 1 => s"CAST(l_quantity AS DECIMAL(10,2))"
+      case 2 => s"CAST('${rnd.nextInt(900) + 100}.${rnd.nextInt(90) + 10}' AS DECIMAL(12,2))"
+      case _ => s"(CAST(l_extendedprice AS DECIMAL(14,2)) - CAST(${rnd.nextInt(90000) + 5000} AS DECIMAL(12,0)))"
+    }
+    def col(): String = rnd.nextInt(3) match {
+      case 0 => // exact 5-smooth division, re-snapped to the scale-6 grid
+        s"CAST((${numerator()} / CAST(${divisors(rnd.nextInt(divisors.length))} AS DECIMAL(4,2))) AS DECIMAL(20,6))"
+      case 1 => // modulus by a non-zero literal (arbitrary digits: mod is always exact)
+        s"(${numerator()} % CAST(${rnd.nextInt(80) + 3}.${rnd.nextInt(9)} AS DECIMAL(6,2)))"
+      case _ => // quotient re-entering exact +/- decimal arithmetic is NOT portable
+                // (DuckDB's quotient is already double), so mix mod with + instead
+        s"((${numerator()} % CAST(${rnd.nextInt(40) + 7} AS DECIMAL(4,0))) + ${numerator()})"
+    }
+
+    val cols = (1 to nCols).map(i => s"  CAST(${col()} AS DOUBLE) AS e$i")
+    s"""SELECT l_orderkey AS k1, l_linenumber AS k2,
+       |${cols.mkString(",\n")}
+       |FROM lineitem WHERE l_orderkey <= 64
+       |ORDER BY k1 ASC NULLS LAST, k2 ASC NULLS LAST""".stripMargin
+  }
+
+  /** Decimal saturated/overflow-cast bank (reference:
+    * DecimalSaturatedFloorCasts.java; this engine's divergence is
+    * documented — Presto saturates to the type bound, Spark/DuckDB
+    * TRY_CAST return NULL — so the DIFFERENTIAL here is Spark vs DuckDB
+    * agreeing on WHERE the overflow boundary sits and what survives it).
+    * Each column TRY_CASTs a scale-2 money expression to a drawn
+    * DECIMAL(p,s) with s ≥ 2 (scale never REDUCES — scale-reducing
+    * casts round HALF_UP in Spark but truncate in DuckDB, a documented
+    * exclusion) and p-s ∈ {3..6} integer digits, so rows overflow →
+    * NULL or pass through EXACTLY, row-dependently (l_extendedprice
+    * spans ~900 .. ~110000: a (5,2) target nulls most rows, a (9,3)
+    * target none). Output canonicalized to DOUBLE under the same
+    * < 2^53 exactness bound as the sibling banks.
+    */
+  def generateDecimalSaturate(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    def src(): String = rnd.nextInt(3) match {
+      case 0 => s"CAST(l_extendedprice AS DECIMAL(${rnd.nextInt(5) + 12},2))"
+      case 1 => s"(CAST(l_extendedprice AS DECIMAL(14,2)) - CAST(${rnd.nextInt(60000) + 20000} AS DECIMAL(12,0)))"
+      case _ => s"(CAST(l_extendedprice AS DECIMAL(14,2)) + CAST(l_quantity AS DECIMAL(10,2)))"
+    }
+    def col(): String = {
+      val s = rnd.nextInt(3) + 2              // target scale 2..4, never below src scale 2
+      val p = s + rnd.nextInt(4) + 3          // 3..6 integer digits -> row-dependent overflow
+      s"TRY_CAST(${src()} AS DECIMAL($p,$s))"
+    }
+
+    val cols = (1 to nCols).map(i => s"  CAST(${col()} AS DOUBLE) AS e$i")
     s"""SELECT l_orderkey AS k1, l_linenumber AS k2,
        |${cols.mkString(",\n")}
        |FROM lineitem WHERE l_orderkey <= 64

@@ -273,6 +273,37 @@ object Ddl {
     // and the final HashAggregate's numOutputRows is exactly the group
     // count — which turns engine-internal metrics into an oracle-checked
     // contract rather than a trust-me string.
+    // View lifecycle (reference execution/CreateViewTask.java,
+    // DropViewTask.java; grammar SqlBase.g4:75-78): CREATE OR REPLACE
+    // VIEW over a two-table join, queried THROUGH the view with a
+    // predicate that must push into the parquet scan (plan-locked in
+    // DdlSpec along with the SHOW CREATE TABLE metadata shape). The view
+    // body scans parquet paths directly — Spark (correctly) refuses a
+    // permanent catalog view over session-temp views, and only catalog
+    // views have SHOW CREATE TABLE. The oracle re-derives the aggregate
+    // from the base tables, as every DDL oracle here does.
+    "ddl_view_roundtrip" -> Q.df(
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey <= 500
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      s.sql("DROP VIEW IF EXISTS g_view_custorders")
+      s.sql(
+        s"""CREATE OR REPLACE VIEW g_view_custorders AS
+           |SELECT c.c_mktsegment, o.o_orderpriority, o.o_totalprice, o.o_custkey
+           |FROM parquet.`$dir/orders.parquet` o
+           |JOIN parquet.`$dir/customer.parquet` c ON o.o_custkey = c.c_custkey""".stripMargin)
+      s.sql(
+        """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+          |FROM g_view_custorders
+          |WHERE o_custkey <= 500
+          |GROUP BY c_mktsegment, o_orderpriority
+          |ORDER BY c_mktsegment ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin)
+    },
+
     "ddl_explain_analyze" -> Q.df(
       """SELECT 'filtered' AS phase, COUNT(*) AS n
         |FROM orders WHERE o_orderkey < 10000

@@ -413,11 +413,25 @@ object Functions {
       graft.functions.FunctionFuzzer.generateStrings(2601L, 30); Q.sql(sp, dk) },
     "fuzz_string_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateStrings(2602L, 30); Q.sql(sp, dk) },
-    // decimal-arithmetic banks: exact money math to the last digit under
-    // randomized (p,s) casts, outputs pinned to DECIMAL(38,10); no
-    // division (intermediate-scale rules legitimately differ)
+    // decimal-arithmetic banks: exact money math under randomized (p,s)
+    // casts; outputs canonicalized to DOUBLE (bit-identical on both
+    // engines by the grammar's <2^53 unscaled bound — DECIMAL(38,10)
+    // output was the round-9 driver-hash red)
     "fuzz_decimal_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimals(2501L, 20)),
     "fuzz_decimal_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimals(2502L, 20)),
+    // decimal division/modulus banks: 5-smooth divisors keep the
+    // quotient exact in Spark's decimal result scale AND exactly
+    // double-representable operands on DuckDB's `/`-returns-DOUBLE
+    // path; modulus is always exact with the truncated-division sign
+    // rule both engines share
+    "fuzz_decimaldiv_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimalDivMod(2901L, 20)),
+    "fuzz_decimaldiv_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimalDivMod(2902L, 20)),
+    // decimal saturated/overflow-cast banks: TRY_CAST to drawn (p,s)
+    // with s >= source scale — rows overflow to NULL or pass exactly,
+    // row-dependently (scale-REDUCING casts are a documented exclusion:
+    // Spark HALF_UP vs DuckDB truncate)
+    "fuzz_decimalsat_bank_1" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimalSaturate(2951L, 20)),
+    "fuzz_decimalsat_bank_2" -> Q.sqlSame(graft.functions.FunctionFuzzer.generateDecimalSaturate(2952L, 20)),
     // three-valued-logic predicate banks: BETWEEN on NULL bounds,
     // IN/NOT IN lists containing NULL, IS [NOT] DISTINCT FROM; every
     // predicate projected raw (NULLs intact) and decided

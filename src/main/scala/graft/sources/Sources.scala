@@ -164,7 +164,13 @@ object Sources {
         }
         w.close()
         if (fs.exists(finalP)) fs.delete(finalP, false)
-        fs.rename(tmpP, finalP)
+        // rename may return false instead of throwing (e.g. HDFS when the
+        // destination reappears between the delete and the rename, or a
+        // missing parent) — a silent false would commit NOTHING while the
+        // job reports success, the truncated-output class this tmp-file
+        // protocol exists to prevent; throw so the task fails and retries
+        if (!fs.rename(tmpP, finalP))
+          throw new java.io.IOException(s"rename $tmpP -> $finalP failed")
         ok = true
         Iterator.empty[Int]
       } finally if (!ok) {

@@ -27,14 +27,25 @@ object Streams {
     * batch. An EMPTY source directory (producers not started yet — the
     * normal file-stream bootstrap) has no footer to peek; fall back to
     * the µs-fixture schema so the stream STARTS and picks files up as
-    * they arrive rather than failing setup on schema inference.
+    * they arrive rather than failing setup on schema inference. NOTE:
+    * bootstrapping on a missing/empty directory COMMITS the stream to the
+    * µs (TIMESTAMP_NTZ) shape for its lifetime — if the producer then
+    * writes the other documented fixture shape (TIMESTAMP(NANOS) int64,
+    * which batch Tables.t also accepts), arriving files mismatch the
+    * declared schema and the query fails mid-stream; producers feeding a
+    * cold-started stream must write µs timestamps. A NONEXISTENT
+    * directory (not just empty) is the same bootstrap condition — file
+    * streams watch paths that may not exist yet — so its path-not-found
+    * AnalysisException takes the same fallback rather than failing setup.
     */
   def rawSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try spark.read.parquet(dir).schema
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("infer schema") =>
+          if e.getMessage.contains("infer schema") ||
+            e.getMessage.contains("does not exist") ||
+            e.errorClass.exists(_.contains("PATH_NOT_FOUND")) =>
         StructType(Seq(
           StructField("event_id", LongType),
           StructField("ts", TimestampNTZType),
@@ -54,6 +65,14 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = rawSchema(spark, dir)
+    // Spark's stream-source resolution rejects a nonexistent path even
+    // with a declared schema (DataSource.sourceSchema PATH_NOT_FOUND), so
+    // a cold-start watcher creates its watch directory — making the
+    // not-yet-created and created-but-empty bootstrap conditions behave
+    // identically (both commit to the µs fallback shape, see rawSchema).
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.mkdirs(p)
     val s = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")

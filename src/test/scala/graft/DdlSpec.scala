@@ -57,6 +57,35 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("SELECT * FROM v_big_orders").collect())
   }
 
+  test("catalog view lifecycle: CREATE OR REPLACE / SHOW CREATE TABLE / pushdown / DROP") {
+    // the ddl_view_roundtrip companion: a PERMANENT (catalog) view — the
+    // kind SHOW CREATE TABLE renders — whose body scans parquet paths
+    // (Spark refuses permanent views over session-temp views)
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP VIEW IF EXISTS v_cat_orders")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW v_cat_orders AS
+         |SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    // SHOW CREATE TABLE must render a re-runnable CREATE VIEW statement
+    val ddl = spark.sql("SHOW CREATE TABLE v_cat_orders").collect()(0).getString(0)
+    assert(ddl.contains("CREATE VIEW") && ddl.contains("v_cat_orders"),
+      s"SHOW CREATE TABLE shape: $ddl")
+    assert(ddl.contains("SELECT"), s"view text missing from: $ddl")
+    // a predicate through the view must reach the parquet scan
+    val plan = spark.sql("SELECT * FROM v_cat_orders WHERE o_custkey <= 10")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+      s"filter through the view did not push into the scan:\n$plan")
+    // and the view recreates: REPLACE with a narrower body takes effect
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW v_cat_orders AS
+         |SELECT o_orderkey FROM parquet.`$dir/orders.parquet` WHERE o_orderkey <= 5""".stripMargin)
+    assert(spark.sql("SELECT * FROM v_cat_orders").columns.toSeq == Seq("o_orderkey"))
+    spark.sql("DROP VIEW v_cat_orders")
+    intercept[Exception](spark.sql("SELECT * FROM v_cat_orders").collect())
+  }
+
   test("DESCRIBE and SHOW surface") {
     val cols = spark.sql("DESCRIBE nation").collect().map(_.getString(0)).toSet
     assert(Set("n_nationkey", "n_name", "n_regionkey").subsetOf(cols))

@@ -187,20 +187,78 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("the decimal banks regenerate and pin every output to DECIMAL(38,10)") {
+  test("the decimal banks regenerate, keep a decimal payload, and canonicalize to DOUBLE") {
+    import org.apache.spark.sql.types.DoubleType
     for (i <- 1 to 2) {
       val name = s"fuzz_decimal_bank_$i"
       val sql = Registry.all(name).oracle.get
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateDecimals(2500L + i, 20)),
         s"$name's oracle SQL is not the seed-${2500 + i} regeneration")
-      assert(!sql.contains("/"), s"$name: division is a documented dialect exclusion")
+      assert(!sql.contains("/"), s"$name: division lives in the divmod banks, not here")
+      assert(sql.contains("DECIMAL("), s"$name: the decimal-arithmetic payload vanished")
       val df = Registry.all(name).fn(spark, sfDir)
-      import org.apache.spark.sql.types.DecimalType
       val pinned = df.schema.fields.filter(_.name.startsWith("e"))
-      assert(pinned.nonEmpty && pinned.forall(_.dataType == DecimalType(38, 10)),
-        s"$name: output columns must all be DECIMAL(38,10)")
+      // DOUBLE output is the driver-hash-stable canonical form (the
+      // round-9 red: DECIMAL(38,10) hashes asymmetrically — pyarrow
+      // decimal.Decimal vs DuckDB float64)
+      assert(pinned.nonEmpty && pinned.forall(_.dataType == DoubleType),
+        s"$name: output columns must all be DOUBLE (driver-hash-stable)")
       assert(df.collect().nonEmpty)
+    }
+  }
+
+  test("the decimal division/modulus banks regenerate with exact-friendly divisors") {
+    import org.apache.spark.sql.types.DoubleType
+    for (i <- 1 to 2) {
+      val name = s"fuzz_decimaldiv_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateDecimalDivMod(2900L + i, 20)),
+        s"$name's oracle SQL is not the seed-${2900 + i} regeneration")
+      assert(sql.contains("/") && sql.contains("%"),
+        s"$name: must exercise both division and modulus")
+      // every division's divisor must come from the 5-smooth literal set
+      // (exactness contract: DuckDB's `/` on decimals returns DOUBLE, so
+      // only terminating quotients of exactly-representable operands
+      // land on the same bits as Spark's exact decimal quotient)
+      val okDiv = Set("2", "4", "5", "8", "10", "16", "1.25", "2.5", "6.25")
+      val divisorRe = """/ CAST\(([0-9.]+) AS DECIMAL""".r
+      val found = divisorRe.findAllMatchIn(sql).map(_.group(1)).toSeq
+      assert(found.nonEmpty, s"$name: no division divisors found")
+      assert(found.forall(okDiv.contains),
+        s"$name: non-5-smooth divisor leaked: ${found.filterNot(okDiv.contains)}")
+      val df = Registry.all(name).fn(spark, sfDir)
+      val pinned = df.schema.fields.filter(_.name.startsWith("e"))
+      assert(pinned.nonEmpty && pinned.forall(_.dataType == DoubleType))
+      assert(df.collect().nonEmpty)
+    }
+  }
+
+  test("the decimal saturate banks regenerate and overflow row-dependently to NULL") {
+    import org.apache.spark.sql.types.DoubleType
+    for (i <- 1 to 2) {
+      val name = s"fuzz_decimalsat_bank_$i"
+      val sql = Registry.all(name).oracle.get
+      assert(Registry.all(name).oracle
+        .contains(graft.functions.FunctionFuzzer.generateDecimalSaturate(2950L + i, 20)),
+        s"$name's oracle SQL is not the seed-${2950 + i} regeneration")
+      assert(sql.contains("TRY_CAST"), s"$name: the overflow payload is TRY_CAST")
+      // target scale never drops below the source scale 2 (scale-reducing
+      // casts are the documented HALF_UP-vs-truncate divergence)
+      val tgtRe = """TRY_CAST\(.*AS DECIMAL\((\d+),(\d+)\)\)""".r
+      val scales = tgtRe.findAllMatchIn(sql).map(_.group(2).toInt).toSeq
+      assert(scales.nonEmpty && scales.forall(_ >= 2),
+        s"$name: scale-reducing TRY_CAST leaked (scales: $scales)")
+      val df = Registry.all(name).fn(spark, sfDir)
+      val pinned = df.schema.fields.filter(_.name.startsWith("e"))
+      assert(pinned.nonEmpty && pinned.forall(_.dataType == DoubleType))
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // the overflow boundary must actually split: some nulls, some values
+      val cells = for (r <- rows; f <- pinned) yield r.getAs[Any](f.name)
+      assert(cells.exists(_ == null), s"$name: no row overflowed — boundary untested")
+      assert(cells.exists(_ != null), s"$name: everything overflowed — boundary untested")
     }
   }
 

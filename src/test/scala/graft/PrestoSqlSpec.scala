@@ -137,6 +137,40 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH TIES keeps exactly the tied top group")
   }
 
+  test("EXECUTE USING string values bind identically on both paths (backslashes)") {
+    val ps = new PrestoSql.Prepared(spark)
+    // Presto treats backslash as a literal character in strings; the
+    // positional-parameter path binds it natively, and the WITH TIES
+    // splice path must render it so Spark's escape-interpreting parser
+    // round-trips the same bytes (incl. a trailing backslash, which
+    // unescaped would eat the closing quote)
+    val tricky = """pre\nfix\"""
+    ps.statement("PREPARE bs1 FROM SELECT ? AS v FROM nation WHERE n_nationkey = 0")
+    assert(ps.statement(s"EXECUTE bs1 USING '${tricky.replace("\\", "\\\\")}'")
+      .collect()(0).getString(0) == tricky)
+    // same value through the WITH TIES (renderLiteral splice) path
+    ps.statement("PREPARE bs2 FROM SELECT n_name, ? AS v FROM nation " +
+      "ORDER BY n_nationkey FETCH FIRST 1 ROWS WITH TIES")
+    assert(ps.statement(s"EXECUTE bs2 USING '${tricky.replace("\\", "\\\\")}'")
+      .collect()(0).getString(1) == tricky)
+  }
+
+  test("Presto CREATE VIEW / DROP VIEW surface runs through the dialect shim") {
+    // reference grammar SqlBase.g4:75-78 — CREATE [OR REPLACE] VIEW is
+    // surface-identical in Spark; double-quoted identifiers still rewrite
+    val dir = "/root/testdata/sf0.001"
+    PrestoSql.sql(spark, "DROP VIEW IF EXISTS v_presto_nations")
+    PrestoSql.sql(spark,
+      s"""CREATE OR REPLACE VIEW v_presto_nations AS
+         |SELECT "n_name", "n_regionkey" FROM parquet.`$dir/nation.parquet`""".stripMargin)
+    val rows = PrestoSql.sql(spark,
+      "SELECT \"n_name\" FROM v_presto_nations WHERE \"n_regionkey\" = 1").collect()
+    assert(rows.length == 5)
+    PrestoSql.sql(spark, "DROP VIEW v_presto_nations")
+    intercept[Exception](
+      PrestoSql.sql(spark, "SELECT * FROM v_presto_nations").collect())
+  }
+
   test("SHOW metadata statements read the catalog") {
     val ps = new PrestoSql.Prepared(spark)
     val tables = ps.statement("SHOW TABLES").collect().map(_.getString(0))

@@ -61,6 +61,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fallback ts must normalize to a timestamp type")
   }
 
+  test("eventsStream starts on a NONEXISTENT source directory (same bootstrap fallback)") {
+    // a watched path that does not exist yet is the other cold-start
+    // condition; its path-not-found AnalysisException must take the same
+    // declared-schema fallback as the empty directory, not fail setup
+    val ghost = java.nio.file.Files.createTempDirectory("graft_ghost").toString + "/not_yet"
+    val stream = Streams.eventsStream(spark, ghost)
+    assert(stream.isStreaming, "nonexistent-dir stream must construct")
+    assert(stream.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
   test("streaming tumbling counts equal batch after availableNow") {
     val stream = Streams.eventsStream(spark, eventsDir)
     Streams.runToMemory(Streams.tumblingCounts(stream), "tumbling_out", "append")

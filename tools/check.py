@@ -13,10 +13,40 @@ strings), then cell values compared dtype-sensitively (int64 vs
 float64 is a mismatch, like the driver's value hash; DuckDB HUGEINT
 becomes float64 in pandas and must be CAST to BIGINT in oracle SQL).
 """
-import json, sys, math
+import glob, json, sys, math
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow.types as pat
+
+
+def unstable_dtypes(out_path, rel):
+    """Driver-hash-unstable output types (round-9 lesson: this replica
+    reads BOTH sides through DuckDB, so representational divergence the
+    driver sees is invisible here unless we flag it structurally).
+
+    The driver reads the Spark parquet via pyarrow (decimal128 ->
+    decimal.Decimal, an 'other' kind) but the DuckDB oracle side via
+    .df() (DECIMAL -> float64). So ANY decimal-typed output column on
+    either side hashes asymmetrically even when the values are
+    numerically identical — exactly what red-flagged
+    fuzz_decimal_bank_1/2 in CORRECTNESS_r09 while this replica said
+    pass. Same class as the HUGEINT note above: canonicalize in the
+    query (CAST AS DOUBLE, or a fixed-format string), don't ship the
+    raw wide type. Returns [(col, side, type), ...]."""
+    bad = []
+    files = glob.glob(f"{out_path}/*.parquet")
+    if files:
+        schema = pq.read_schema(files[0])
+        for f in schema:
+            if pat.is_decimal(f.type):
+                bad.append((f.name, "spark", str(f.type)))
+    if rel is not None:
+        for name, t in zip(rel.columns, rel.types):
+            if "DECIMAL" in str(t).upper():
+                bad.append((name, "oracle", str(t)))
+    return bad
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -76,7 +106,15 @@ def main():
             n_fail += 1
             continue
         try:
-            exp = canon(con.sql(sql).df())
+            rel = con.sql(sql)
+            unstable = unstable_dtypes(f"{out_dir}/{name}", rel)
+            if unstable:
+                det = ", ".join(f"{c} [{s}] {t}" for c, s, t in unstable)
+                print(f"FAIL {name}: driver-hash-unstable dtype (decimal output "
+                      f"hashes pyarrow-Decimal vs duckdb-float64): {det}")
+                n_fail += 1
+                continue
+            exp = canon(rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle error/unsortable: {str(e).splitlines()[0]}")
             n_fail += 1
