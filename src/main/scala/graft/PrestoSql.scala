@@ -164,6 +164,12 @@ object PrestoSql {
     private val showColumnsRe =
       "(?is)^\\s*SHOW\\s+COLUMNS\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
     private val showFunctionsRe = "(?is)^\\s*SHOW\\s+FUNCTIONS\\s*;?\\s*$".r
+    // reference grammar SqlBase.g4:104-106 (START TRANSACTION / COMMIT
+    // [WORK] / ROLLBACK [WORK], execution/StartTransactionTask.java) —
+    // rejected explicitly so a migrating client gets the divergence
+    // message, not a bare parse error (README "Known divergences")
+    private val txnRe =
+      "(?is)^\\s*(START\\s+TRANSACTION\\b[^;]*|COMMIT(?:\\s+WORK)?|ROLLBACK(?:\\s+WORK)?)\\s*;?\\s*$".r
 
     /** Route one statement: PREPARE/EXECUTE/DEALLOCATE and the SHOW
       * metadata statements handled here (the reference rewrites SHOW into
@@ -193,6 +199,12 @@ object PrestoSql {
       case showFunctionsRe() =>
         import spark.implicits._
         spark.catalog.listFunctions().map(_.name).toDF("Function").orderBy("Function")
+      case txnRe(stmt) =>
+        throw new UnsupportedOperationException(
+          s"'${stmt.trim}' is not supported: this engine runs with single-statement " +
+            "semantics only (Spark SQL has no multi-statement transactions). Each " +
+            "DML statement is individually atomic via staged-file rename; see " +
+            "README 'Known divergences'.")
       case other => PrestoSql.sql(spark, other)
     }
 

@@ -23,13 +23,42 @@ import org.apache.spark.sql.functions._
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleRehearsal"
   *
   * `runMain graft.ScaleRehearsal curve40` instead runs the straight-line
-  * plans (q18, minhash, segment dedup) at R=40 on the full heap, two
-  * passes each (prewarm + measured, per-plan min) — the 40× point of the
-  * 1×→10×→40× warm curve in SCALE_r09.md.
+  * plans (q18, minhash, segment dedup, as-of, embedding near-dup) at
+  * R=40 on the full heap, two passes each (prewarm + measured, per-plan
+  * min) — the 40× point of the 1×→10×→40× warm curve in SCALE_r10.md.
   */
 object ScaleRehearsal {
 
   private val R = 10
+
+  /** The as-of plan both the 10× and 40× rehearsals time: clicks joined
+    * to the last prior view per user via ONE shuffle (union + window). */
+  private def asofPlan(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "view", col("event_id")).as("view_marker"),
+        when(col("event_type") === "click", lit(1)).otherwise(lit(0)).as("is_click"))
+      .withColumn("last_view", last(col("view_marker"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("last_view"), lit(-1L)).as("view_id"))
+  }
+
+  /** Plant one 1%-perturbed copy per 20th vector (the llm_dedup_embedding
+    * recipe): near-dup structure must EXIST to be found, and planting at
+    * every scale keeps true pairs ∝ n — the rehearsal then measures the
+    * banded join's cost, never an output explosion. */
+  private def withCopies(d0: DataFrame): DataFrame = {
+    val d = d0.select("vec_id", "embedding") // drop label: copies have none
+    d.unionByName(
+      d.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> x * CAST(1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0) AS FLOAT))")
+            .as("embedding")))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,7 +142,40 @@ object ScaleRehearsal {
       val tS = best2("segdedup @40x") {
         llm.Dedup.segmentDuplication(docs40, "doc_id", col("text"), segWords = 16)
       }
-      println(f"""[scale] {"mode": "curve40", "q18": $tQ%.2f, "minhash": $tM%.2f, "segdedup": $tS%.2f}""")
+      // as-of at 40×: each replica brings NEW users, so per-key window
+      // state is constant and wall should track shuffle volume linearly.
+      val ev40 = repN(Rc, "events")((d, i) => d
+        .withColumn("user_id", col("user_id") + lit(i * keyOff))
+        .withColumn("event_id", col("event_id") + lit(i * keyOff)))
+      val tA = best2("asof @40x")(asofPlan(ev40))
+      // embeddings at 40×: per-replica ±1 diagonal maps (orthogonal —
+      // norms and intra-replica angles preserved). The 10× run's
+      // single-bit reflections yield only 12 distinct patterns, so 40
+      // replicas draw seeded pseudo-random sign vectors instead: any two
+      // differ in ~32 of 64 dims, cross-replica cosines stay far below
+      // threshold, and planted true pairs remain ∝ n.
+      val vecs40 = repN(Rc, "embeddings")((d, i) => d
+        .withColumn("vec_id", col("vec_id") + lit(i * keyOff))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else {
+            val rnd = new scala.util.Random(i)
+            zip_with(col("embedding"),
+              typedLit((0 until 64).map(_ => if (rnd.nextBoolean()) -1.0f else 1.0f)),
+              (x, f) => x * f)
+          }))
+      // fixed index (nPlanes=8, the 10× deployment shape — buckets grow
+      // to ~8k wide at 2M vectors) AND a sized index (nPlanes=10: 1024
+      // buckets/table keeps expected width ~2k, the buckets-∝-n rule)
+      val tE8 = best2("embdedup @40x fixed") {
+        llm.Dedup.embeddingNearDup(withCopies(vecs40), "vec_id", "embedding",
+          threshold = 0.98, nPlanes = 8)
+      }
+      val tE10 = best2("embdedup @40x sized") {
+        llm.Dedup.embeddingNearDup(withCopies(vecs40), "vec_id", "embedding",
+          threshold = 0.98, nPlanes = 10)
+      }
+      println(f"""[scale] {"mode": "curve40", "q18": $tQ%.2f, "minhash": $tM%.2f, "segdedup": $tS%.2f, "asof": $tA%.2f, "embdedup_fixed": $tE8%.2f, "embdedup_sized": $tE10%.2f}""")
       spark.stop()
       return
     }
@@ -209,19 +271,6 @@ object ScaleRehearsal {
     // One shuffle on user_id; window state ∝ events per user, which the
     // replication keeps CONSTANT (each replica brings new users) — the
     // scaling knob that matters for the union+window as-of form.
-    def asofPlan(ev: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("event_id"), col("ts"),
-          when(col("event_type") === "view", col("event_id")).as("view_marker"),
-          when(col("event_type") === "click", lit(1)).otherwise(lit(0)).as("is_click"))
-        .withColumn("last_view", last(col("view_marker"), ignoreNulls = true).over(w))
-        .filter(col("is_click") === 1)
-        .select(col("user_id"), col("event_id"),
-          coalesce(col("last_view"), lit(-1L)).as("view_id"))
-    }
     val tAsof1 = time("asof @1x") { asofPlan(Tables.t(spark, sfDir, "events")) }
     val ev10 = rep("events")((d, i) => d
       .withColumn("user_id", col("user_id") + lit(i * keyOff))
@@ -272,14 +321,6 @@ object ScaleRehearsal {
     // true pairs scale with n (×10), never n² — measuring the banded
     // join's cost, not an output explosion. nPlanes=8 sizes the per-table
     // index to 256 buckets (~2k wide at 500k rows), the deployment shape.
-    def withCopies(d0: DataFrame): DataFrame = {
-      val d = d0.select("vec_id", "embedding") // drop label: copies have none
-      d.unionByName(
-        d.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
-            expr("transform(embedding, (x, j) -> x * CAST(1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0) AS FLOAT))")
-              .as("embedding")))
-    }
     val tNd1 = time("embdedup @1x") {
       llm.Dedup.embeddingNearDup(withCopies(Tables.t(spark, sfDir, "embeddings")),
         "vec_id", "embedding", threshold = 0.98, nPlanes = 8)

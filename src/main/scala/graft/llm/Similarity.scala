@@ -209,7 +209,29 @@ object Similarity {
       .withColumn("bucket", row_number().over(
         Window.orderBy(col("__h").asc, col("cell_src").asc)).cast("long"))
       .select(col("bucket"), col("centroid"))
+    ivfFrom(queries, corpus, idCol, vecCol, k, centroids, nprobe, hotBucketCap)
+  }
 
+  /** IVF probe over TRAINED cells: same plan as [[ivfTopK]] but the cell
+    * table comes from [[Kmeans.train]] (columns (cluster, centroid, …))
+    * instead of a hashed corpus sample — centroids adapted to the data
+    * distribution, the standard train-then-probe inverted-file build.
+    */
+  def ivfTopKTrained(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int = 4,
+      hotBucketCap: Int = 100000): DataFrame =
+    ivfFrom(queries, corpus, idCol, vecCol, k,
+      centroids.select(col("cluster").cast("long").as("bucket"),
+        col("centroid").cast("array<double>").as("centroid")),
+      nprobe, hotBucketCap)
+
+  private def ivfFrom(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int,
+      hotBucketCap: Int): DataFrame = {
     // deterministic tie-break: equal-cos cells (duplicate sampled
     // centroids happen on duplicate-heavy corpora) resolve to the highest
     // bucket id, never to partial-agg arrival order

@@ -182,6 +182,18 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.statement("SHOW SCHEMAS").collect().nonEmpty)
   }
 
+  test("transaction statements are rejected with the divergence message, not a parse error") {
+    // reference grammar SqlBase.g4:104-106; README "Known divergences"
+    val ps = new PrestoSql.Prepared(spark)
+    for (stmt <- Seq("START TRANSACTION", "START TRANSACTION ISOLATION LEVEL SERIALIZABLE",
+        "COMMIT", "COMMIT WORK", "ROLLBACK", "rollback work;")) {
+      val e = intercept[UnsupportedOperationException](ps.statement(stmt))
+      assert(e.getMessage.contains("single-statement"), s"$stmt: ${e.getMessage}")
+    }
+    // ...and a column merely NAMED commit must still fall through to SQL
+    assert(ps.statement("SELECT 1 AS commit_count").collect().head.getInt(0) == 1)
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
