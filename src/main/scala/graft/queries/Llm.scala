@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Dedup, Kmeans, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the training-data pipeline operators
@@ -931,6 +931,110 @@ object Llm {
         .agg(count(lit(1)).as("n"),
           (count(lit(1)) === sum(when(col("pos") === col("pos_b"), 1).otherwise(0)))
             .as("stable"))
+    },
+
+    // ---- k-means assignment (Kmeans.assign) ----
+    // Planted 4-cluster corpus (see kmeansCorpus): INTEGER-valued vectors
+    // make every dot product and norm² an exact integer in DOUBLE, so the
+    // cosines are bit-equal across engines (sqrt and division are
+    // correctly rounded on identical inputs) and the argmax can never
+    // flip on float noise — the oracle independently recomputes the full
+    // n×k scoring and takes the same (cos DESC, cluster DESC) argmax.
+    "llm_kmeans_assign" -> Q.df(
+      s"""WITH $duckKmeansCorpus,
+         |cents AS (
+         |  SELECT c + 1 AS cluster, list_transform(generate_series(0, 15), j -> CAST(
+         |    (CASE WHEN j % 4 = c THEN 40 ELSE 0 END) + (c * 7 + j * 3) % 10 AS DOUBLE)) AS cen
+         |  FROM generate_series(0, 3) g(c))
+         |SELECT vec_id, cluster, ROUND(cos, 6) AS cos FROM (
+         |  SELECT corpus.vec_id, cents.cluster, ${duckCos16("vec", "cen")} AS cos,
+         |    row_number() OVER (PARTITION BY corpus.vec_id
+         |      ORDER BY ${duckCos16("vec", "cen")} DESC, cents.cluster DESC) AS rn
+         |  FROM corpus CROSS JOIN cents) t
+         |WHERE rn = 1
+         |ORDER BY vec_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val cents = s.range(4).select((col("id") + 1).as("cluster"), expr(
+        """transform(sequence(0, 15), j -> CAST(
+          |  (CASE WHEN j % 4 = id THEN 40 ELSE 0 END) + (id * 7 + j * 3) % 10 AS DOUBLE))""".stripMargin)
+        .as("centroid"))
+      Kmeans.assign(kmeansCorpus(s, dir), "vec_id", "vec", cents)
+        .select(col("id").as("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_id").asc_nulls_last)
+    },
+
+    // ---- k-means training, two full Lloyd rounds (Kmeans.train) ----
+    // initByLowestId puts the init centroids at vec_id 0..3 (one per
+    // planted cluster); the oracle REPLAYS both rounds in SQL — assign by
+    // (cos DESC, cluster DESC) argmax, recompute centroids as elementwise
+    // SUMS (cosine is scale-invariant, so sums and means assign
+    // identically, and integer sums are exact in any order) — and checks
+    // the final per-cluster membership count and centroid norm².
+    "llm_kmeans_train" -> Q.df(
+      s"""WITH $duckKmeansCorpus,
+         |c0 AS (SELECT vec_id + 1 AS cluster, vec AS cen FROM corpus WHERE vec_id < 4),
+         |a1 AS (SELECT vec_id, vec, cluster FROM (
+         |    SELECT corpus.vec_id, corpus.vec, c0.cluster,
+         |      row_number() OVER (PARTITION BY corpus.vec_id
+         |        ORDER BY ${duckCos16("vec", "cen")} DESC, c0.cluster DESC) AS rn
+         |    FROM corpus CROSS JOIN c0) t WHERE rn = 1),
+         |c1 AS (SELECT cluster, list(s ORDER BY j) AS cen FROM (
+         |    SELECT cluster, j, SUM(vec[j + 1]) AS s
+         |    FROM a1 CROSS JOIN generate_series(0, 15) g(j)
+         |    GROUP BY cluster, j) t GROUP BY cluster),
+         |a2 AS (SELECT vec_id, vec, cluster FROM (
+         |    SELECT corpus.vec_id, corpus.vec, c1.cluster,
+         |      row_number() OVER (PARTITION BY corpus.vec_id
+         |        ORDER BY ${duckCos16("vec", "cen")} DESC, c1.cluster DESC) AS rn
+         |    FROM corpus CROSS JOIN c1) t WHERE rn = 1),
+         |c2 AS (SELECT cluster, list(s ORDER BY j) AS cen FROM (
+         |    SELECT cluster, j, SUM(vec[j + 1]) AS s
+         |    FROM a2 CROSS JOIN generate_series(0, 15) g(j)
+         |    GROUP BY cluster, j) t GROUP BY cluster)
+         |SELECT c2.cluster, n.n, ${duckDot16("cen", "cen")} AS norm2
+         |FROM c2 JOIN (SELECT cluster, COUNT(*) AS n FROM a2 GROUP BY cluster) n
+         |  ON c2.cluster = n.cluster
+         |ORDER BY c2.cluster ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      Kmeans.train(kmeansCorpus(s, dir), "vec_id", "vec",
+          k = 4, iters = 2, dim = 16, initByLowestId = true)
+        .select(col("cluster"), col("n"),
+          aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x).as("norm2"))
+        .orderBy(col("cluster").asc_nulls_last)
     }
   )
+
+  /** Planted 4-cluster corpus for the k-means oracles: component j of the
+    * vector for id v is anchor(v % 4)[j] + noise(v, j), all SMALL INTEGERS
+    * held in DOUBLE — dots, norms², and centroid sums are exact (hence
+    * order-independent) on both engines, and the anchor blocks (+40 on
+    * dims where j % 4 = c) keep inter-cluster margins far beyond any
+    * rounding, so Lloyd assignment is bit-deterministic.
+    */
+  private def kmeansCorpus(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") < 400)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 15), j -> CAST(
+          |  (CASE WHEN j % 4 = vec_id % 4 THEN 40 ELSE 0 END)
+          |  + ((vec_id % 4) * 7 + j * 3) % 10
+          |  + ((vec_id * 31 + j * 17) % 7) - 3 AS DOUBLE))""".stripMargin).as("vec"))
+
+  /** The same corpus in DuckDB list functions (a WITH clause body).
+    * (def, not val: `qs` above interpolates it at class-init time.) */
+  private def duckKmeansCorpus: String =
+    """corpus AS (
+      |  SELECT vec_id, list_transform(generate_series(0, 15), j -> CAST(
+      |    (CASE WHEN j % 4 = vec_id % 4 THEN 40 ELSE 0 END)
+      |    + ((vec_id % 4) * 7 + j * 3) % 10
+      |    + ((vec_id * 31 + j * 17) % 7) - 3 AS DOUBLE)) AS vec
+      |  FROM embeddings WHERE vec_id < 400)""".stripMargin
+
+  /** Exact 16-dim dot product / cosine over two list columns in DuckDB —
+    * same sequential fold and same sqrt(na)*sqrt(nb) denominator as the
+    * native CosineSimilarityExpr kernel, so doubles match bit for bit.
+    */
+  private def duckDot16(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, 16), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def duckCos16(a: String, b: String): String =
+    s"(${duckDot16(a, b)} / NULLIF(sqrt(${duckDot16(a, a)}) * sqrt(${duckDot16(b, b)}), 0.0))"
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Kmeans, Similarity}
+
+/** Kmeans.train / Kmeans.assign / Similarity.ivfTopKTrained.
+  *
+  * The planted corpus mirrors the llm_kmeans_* oracle queries: 4 integer-
+  * valued anchor clusters with margins far beyond float noise, so cluster
+  * recovery is a hard assertion, not a statistical one.
+  */
+class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 4 planted clusters over ids 0..n-1 (cluster = id % 4), dim 16. */
+  private def planted(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"), expr(
+      """transform(sequence(0, 15), j -> CAST(
+        |  (CASE WHEN j % 4 = id % 4 THEN 40 ELSE 0 END)
+        |  + ((id % 4) * 7 + j * 3) % 10
+        |  + ((id * 31 + j * 17) % 7) - 3 AS DOUBLE))""".stripMargin).as("vec"))
+
+  test("train recovers the planted clusters exactly (membership and counts)") {
+    val corpus = planted(400)
+    val model = Kmeans.train(corpus, "vec_id", "vec", k = 4, iters = 3,
+      dim = 16, initByLowestId = true)
+    val byCluster = model.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byCluster == Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L))
+    // init ids 0..3 land one per planted cluster, so cluster c+1 must hold
+    // exactly the ids with id % 4 = c
+    val wrong = Kmeans.assign(corpus, "vec_id", "vec", model)
+      .filter(col("cluster") =!= col("id") % 4 + 1).count()
+    assert(wrong == 0, s"$wrong vectors assigned across planted boundaries")
+  }
+
+  test("train is partitioning-independent") {
+    def run(parts: Int) = Kmeans.train(planted(200).repartition(parts),
+        "vec_id", "vec", k = 4, iters = 2, dim = 16, initByLowestId = true)
+      .select(col("cluster"), col("n"),
+        aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x).as("norm2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(3) == run(7))
+  }
+
+  test("empty cells keep their previous centroid and report n = 0") {
+    // every vector identical -> every assignment ties -> the highest
+    // cluster id wins every row (the documented tie-break); cells 1 and 2
+    // stay empty and must carry their init centroid through, not crash
+    val same = spark.range(30).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> CAST(1 AS DOUBLE))").as("vec"))
+    val model = Kmeans.train(same, "vec_id", "vec", k = 3, iters = 2, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(model.map(_._1).toSet == Set(1L, 2L, 3L))
+    val byC = model.map(t => t._1 -> t).toMap
+    assert(byC(3L)._3 == 30L && byC(1L)._3 == 0L && byC(2L)._3 == 0L)
+    assert(byC(1L)._2 == Seq.fill(16)(1.0), "empty cell must keep init centroid")
+  }
+
+  test("assign drops rows with no meaningful cell (zero norm, wrong dim)") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(0.0, 0.0, 0.0)),       // zero norm -> NULL cosine
+      (3L, Seq(1.0, 2.0))             // wrong dimension -> NULL cosine
+    ).toDF("vec_id", "vec")
+    val cents = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("cluster", "centroid")
+    val out = Kmeans.assign(corpus, "vec_id", "vec", cents).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getLong(1) == 1L && math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("ivfTopKTrained with nprobe = k equals exact brute force") {
+    val corpus = planted(120)
+    val model = Kmeans.train(corpus, "vec_id", "vec", k = 4, iters = 2,
+      dim = 16, initByLowestId = true)
+    val queries = corpus.filter(col("vec_id") < 6)
+    def key(df: DataFrame) = df
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopKTrained(queries, corpus, "vec_id", "vec",
+      k = 3, centroids = model, nprobe = 4)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "vec", k = 3)
+    assert(key(ivf) == key(exact))
+  }
+
+  test("ivfTopKTrained with nprobe = 1 stays within the query's planted cluster") {
+    val corpus = planted(120)
+    val model = Kmeans.train(corpus, "vec_id", "vec", k = 4, iters = 2,
+      dim = 16, initByLowestId = true)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val crossed = Similarity.ivfTopKTrained(queries, corpus, "vec_id", "vec",
+        k = 3, centroids = model, nprobe = 1)
+      .filter(col("neighbor_id") % 4 =!= col("query_id") % 4).count()
+    assert(crossed == 0, "nprobe=1 on separated clusters must stay in-cell")
+  }
+}
