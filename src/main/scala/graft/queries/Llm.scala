@@ -138,6 +138,78 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last)
     },
 
+    // ---- BM25 relevance search (Relevance.bm25Search) ----
+    // Bag-of-words retrieval over the corpus: the curation/triage scorer
+    // a pipeline runs before expensive decontamination checks. The term
+    // list mixes the corpus's one rare token ('dup', df≈5% of docs) with
+    // common ones so idf actually discriminates. Oracle-hash discipline:
+    // ln appears once per TERM (≤4 evaluations), per-doc contributions
+    // are rounded to 9dp, decimal-summed (associative), then ROUND(…,6);
+    // the ORDER BY is total (score DESC, doc_id ASC), so the LIMIT-20
+    // set is engine-stable.
+    "llm_bm25_search" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS text, len(string_split(lower(text),' ')) AS dl
+        |  FROM documents WHERE length(text) > 0),
+        |scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+        |toks AS (SELECT doc_id, dl, unnest(string_split(text,' ')) AS term FROM d),
+        |posting AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+        |  FROM toks WHERE term IN ('dup','join','filter','scan')
+        |  GROUP BY doc_id, term),
+        |stats AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+        |contrib AS (
+        |  SELECT p.doc_id,
+        |    ln(1.0 + (s2.n_docs - s.df + 0.5) / (s.df + 0.5))
+        |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s2.avgdl)) AS c
+        |  FROM posting p JOIN stats s USING (term) CROSS JOIN scalars s2)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS matched_terms,
+        |  ROUND(CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(24,9))) AS DOUBLE), 6) AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.llm.Relevance.bm25Search(Tables.t(s, dir, "documents"),
+        "doc_id", "text", Seq("dup", "join", "filter", "scan"), topK = 20)
+    },
+
+    // ---- TF-IDF top terms per document (Relevance.tfIdf) ----
+    // The per-document keyword extraction pass (topic labels for mixture
+    // buckets). Window orders by the 9dp-ROUNDED tf-idf with a term
+    // tiebreak, so a final-ulp ln() difference between libm and
+    // java.lang.Math cannot reorder ranks.
+    "llm_tfidf_terms" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents WHERE length(text) > 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM d),
+        |posting AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |stats AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d),
+        |tfidf AS (
+        |  SELECT p.doc_id, p.term,
+        |    ROUND(p.tf * ln(CAST(n.n_docs AS DOUBLE) / s.df), 9) AS tfidf
+        |  FROM posting p JOIN stats s USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM tfidf WHERE doc_id < 30)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = graft.llm.Relevance.tfIdf(
+        Tables.t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 30)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tfidf")
+        .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
+    },
+
     // ---- corpus-statistics quality scoring (token rarity) ----
     // The corpus-level companion of llm_text_quality's per-document
     // metrics: every document scored by the CORPUS frequency of its
