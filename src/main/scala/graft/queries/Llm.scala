@@ -210,6 +210,41 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
     },
 
+    // ---- BPE tokenizer training (Bpe.train) ----
+    // Six merge rounds over the corpus vocabulary. The working set after
+    // the one corpus pass is the distinct-word table, so every round is a
+    // vocab-sized pair aggregation + a 1-row argmax collect. The oracle
+    // re-learns the merges from scratch in chained DuckDB CTEs (pair
+    // explode → weighted count → argmax with the same count-DESC/pair-ASC
+    // tiebreak → doubled-delimiter replace), so the differential covers
+    // the full training algorithm, not just its output shape.
+    "llm_bpe_train" -> Q.df(duckBpeTrain(6)) { (s, dir) =>
+      graft.llm.Bpe.trainDf(s, Tables.t(s, dir, "documents"), "text", 6)
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy(col("rank").asc_nulls_last)
+    },
+
+    // ---- BPE encoding (Bpe.encodeTokenCounts) ----
+    // Tokenize-and-count under a FIXED literal merge list — the map-only
+    // pass that runs over the full corpus at 100 TB (no shuffle: the
+    // merge chain is literal replaces inside a higher-order fold;
+    // BpeSpec locks the zero-Exchange plan). Integer outputs end to end.
+    "llm_bpe_encode" -> Q.df(
+      s"""SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(list_sum(list_transform(ws,
+         |    w -> len(string_split(${duckBpeEncodeChain("w")}, ' ')))), 0) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id,
+         |        list_filter(string_split(lower(text),' '),
+         |          w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+         |      FROM documents WHERE doc_id < 100)
+         |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.llm.Bpe.encodeTokenCounts(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", bpeEncodeMerges)
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- corpus-statistics quality scoring (token rarity) ----
     // The corpus-level companion of llm_text_quality's per-document
     // metrics: every document scored by the CORPUS frequency of its
@@ -1081,6 +1116,68 @@ object Llm {
     * dims where j % 4 = c) keep inter-cluster margins far beyond any
     * rounding, so Lloyd assignment is bit-deterministic.
     */
+  /** The fixed merge list the encode query bakes in as literals (training
+    * drift cannot break encoding — any merge list is a valid tokenizer).
+    * Ordered: later merges consume earlier merges' output symbols.
+    * (def, not val: `qs` above interpolates at class-init time.)
+    */
+  private[queries] def bpeEncodeMerges: Seq[(String, String)] = Seq(
+    ("e r", "er"), ("e _", "e_"), ("n _", "n_"),
+    ("er _", "er_"), ("o w", "ow"), ("ow _", "ow_"))
+
+  /** One BPE merge application in DuckDB — the doubled-delimiter replace,
+    * byte-for-byte the same algorithm as Bpe.applyMergeOnce.
+    */
+  private def duckApplyMerge(s: String, needle: String, merged: String): String =
+    s"""trim(replace(replace(' ' || replace($s,' ','  ') || ' ',
+       |      ' ' || replace($needle, ' ', '  ') || ' ',
+       |      ' ' || replace($merged, ' ', '') || ' '),
+       |      '  ', ' '))""".stripMargin
+
+  /** The full DuckDB replay of Bpe.train over the documents corpus:
+    * chained CTEs — wK (vocab after k merges) → pK (weighted adjacent
+    * pairs) → mK (argmax with the count-DESC, pair-ASC tiebreak) — ending
+    * in the UNION of the learned merge rows. Self-contained: the oracle
+    * LEARNS the merges itself, it does not trust the Spark side's.
+    */
+  private def duckBpeTrain(nMerges: Int): String = {
+    def pairs(w: String) =
+      s"""  SELECT pair, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(string_split(syms,' '))-1),
+         |      i -> string_split(syms,' ')[i] || ' ' || string_split(syms,' ')[i+1])) AS pair
+         |    FROM $w)
+         |  GROUP BY pair""".stripMargin
+    def argmax(p: String) =
+      s"SELECT pair, cnt FROM $p ORDER BY cnt DESC, pair ASC LIMIT 1"
+    def applied(prev: String, m: String) =
+      s"""  SELECT word, freq,
+         |    ${duckApplyMerge("syms", s"(SELECT pair FROM $m)", s"(SELECT pair FROM $m)")} AS syms
+         |  FROM $prev""".stripMargin
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """w0 AS (
+        |  SELECT word, COUNT(*) AS freq,
+        |    regexp_replace(word, '(.)', '\1 ', 'g') || '_' AS syms
+        |  FROM (SELECT unnest(string_split(lower(text),' ')) AS word
+        |        FROM documents WHERE length(text) > 0)
+        |  WHERE regexp_matches(word, '^[a-z]+$')
+        |  GROUP BY word)""".stripMargin)
+    for (i <- 1 to nMerges) {
+      ctes += s"p$i AS (\n${pairs(s"w${i - 1}")})"
+      ctes += s"m$i AS (${argmax(s"p$i")})"
+      if (i < nMerges) ctes += s"w$i AS (\n${applied(s"w${i - 1}", s"m$i")})"
+    }
+    val finals = (1 to nMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, pair, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\nSELECT * FROM ($finals) ORDER BY rank ASC NULLS LAST"
+  }
+
+  /** The literal-merge encode chain over a DuckDB lambda variable. */
+  private def duckBpeEncodeChain(w: String): String =
+    bpeEncodeMerges.foldLeft(s"regexp_replace($w, '(.)', '\\1 ', 'g') || '_'") {
+      case (s, (l, r)) => duckApplyMerge(s, s"'$l $r'", s"'$l $r'")
+    }
+
   private def kmeansCorpus(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.t(s, dir, "embeddings")
       .filter(col("vec_id") < 400)
