@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Oracle-checked queries exercising the Presto-named gap-fill functions
   * registered by [[graft.functions.Rewrites]]/[[graft.functions.Udfs]]
@@ -357,6 +358,59 @@ object Compat {
     //      America/Los_Angeles across the DST boundary (-8 winter /
     //      -7 summer both asserted); Asia/Kathmandu exercises the +5:45
     //      fractional offset (timezone_minute = 45) ----
+    // ---- timestamp with time zone as a packed VALUE type ----
+    // The reference's DateTimeEncoding.java representation (millisUtc<<12
+    // | zoneKey over a bounded zone dictionary), carried in a BIGINT:
+    // pack, unpack, at_timezone (instant-preserving rezone), wall-clock
+    // field extraction and the canonical CAST-AS-VARCHAR presentation.
+    // The oracle recomputes the packing arithmetic and the per-zone wall
+    // times independently (epoch_ms × 4096 + key; ICU timezone()), so
+    // the encoding and the zone semantics are both differentially
+    // checked. Zones are assigned per row (user_id % 16) across the full
+    // 16-entry dictionary, DST-observing zones included.
+    "compat_tstz_type" -> Q.df(
+      {
+        val zoneValues = graft.functions.TimestampTz.zoneKeys
+          .map { case (k, z) => s"($k, '$z')" }.mkString(", ")
+        s"""WITH zones(zkey, zone) AS (VALUES $zoneValues),
+           |e AS (
+           |  SELECT event_id,
+           |    make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS ts,
+           |    CAST(user_id % 16 AS INT) AS zkey
+           |  FROM events WHERE event_id < 2000),
+           |p AS (
+           |  SELECT event_id, ts, z.zone, z.zkey,
+           |    epoch_ms(ts) * 4096 + z.zkey AS packed
+           |  FROM e JOIN zones z USING (zkey))
+           |SELECT event_id, packed,
+           |  strftime(timezone(zone, timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S.%g')
+           |    || ' ' || zone AS canonical,
+           |  epoch_ms(ts) AS instant_ms,
+           |  zone AS zid,
+           |  CAST(hour(timezone(zone, timezone('UTC', ts))) AS BIGINT) AS hour_at_zone,
+           |  strftime(ts, '%Y-%m-%d %H:%M:%S.%g') || ' UTC' AS at_utc,
+           |  TRUE AS instant_eq_cross_zone
+           |FROM p
+           |ORDER BY event_id ASC NULLS LAST""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.{TimestampTz => Tz}
+      val e = Tables.t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .withColumn("zone", Tz.zoneName(col("user_id") % 16))
+        .withColumn("packed", Tz.pack(col("ts"), col("zone")))
+      e.select(
+        col("event_id"),
+        col("packed"),
+        Tz.toVarchar(col("packed")).as("canonical"),
+        Tz.instantMillis(col("packed")).as("instant_ms"),
+        Tz.zoneId(col("packed")).as("zid"),
+        Tz.extract("hour", col("packed")).as("hour_at_zone"),
+        Tz.toVarchar(Tz.atTimezone(col("packed"), lit("UTC"))).as("at_utc"),
+        (Tz.instantMillis(Tz.pack(col("ts"), lit("UTC"))) ===
+          Tz.instantMillis(col("packed"))).as("instant_eq_cross_zone"))
+        .orderBy(col("event_id").asc_nulls_last)
+    },
+
     "compat_timestamp_tz" -> Q.sql(
       spark = """SELECT event_id,
         |  from_utc_timestamp(ts, 'America/Los_Angeles') AS la_wall,
