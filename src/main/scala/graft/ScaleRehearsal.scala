@@ -330,6 +330,42 @@ object ScaleRehearsal {
         "vec_id", "embedding", threshold = 0.98, nPlanes = 8)
     }
 
+    // ---- SemDeDup semantic dedup at 1× and 10× (round-10 tier) ----
+    // Same planted-copy recipe as embdedup (true pairs ∝ n). Centroids
+    // trained on the corpus itself (k-means is part of the measured
+    // pipeline: train is iters × (map-only assign + one mergeable agg)).
+    // Two 10× variants mirror the ann/embdedup fixed/sized discipline:
+    // k FIXED at the 1× setting means clusters grow 10× wide and the
+    // hotClusterCap star-linking must absorb the width; k sized ∝ n
+    // (the SemDeDup deployment rule) keeps cluster widths constant.
+    def semdedup(corpus: DataFrame, k: Int): DataFrame = {
+      val planted = withCopies(corpus)
+      val cents = llm.Kmeans.train(planted, "vec_id", "embedding",
+        k = k, iters = 2, dim = 64)
+      llm.Dedup.semanticDedup(planted, "vec_id", "embedding", cents,
+        threshold = 0.98)
+    }
+    val tSd1 = time("semdedup @1x k=64") {
+      semdedup(Tables.t(spark, sfDir, "embeddings"), k = 64)
+    }
+    val tSdF = time("semdedup @10x fixed") { semdedup(vecs, k = 64) }
+    val tSdS = time("semdedup @10x sized") { semdedup(vecs, k = 256) }
+
+    // ---- bigram-LM scoring at 1× and 10× (round-10 tier) ----
+    // Train on the even-id half, score EVERY document: the full CCNet
+    // pipeline shape — one bigram-count shuffle, then count-table joins
+    // back onto the doc-bigram stream. Replica ids preserve parity
+    // (keyOff is even), so the train fraction stays 1/2 at 10×.
+    val tLm1 = time("ngram_lm @1x") {
+      val d1 = Tables.t(spark, sfDir, "documents")
+      llm.NgramLm.bigramCrossEntropy(d1, "doc_id", "text",
+        ref = d1.filter(col("doc_id") % 2 === 0))
+    }
+    val tLm = time("ngram_lm @10x") {
+      llm.NgramLm.bigramCrossEntropy(docs, "doc_id", "text",
+        ref = docs.filter(col("doc_id") % 2 === 0))
+    }
+
     // ---- connected components on a DEEP graph ----
     // The near-dup pair graphs CC normally sees are stars/cliques of
     // diameter ≤ 3; the O(log diameter) pointer-doubling claim needs a
@@ -358,7 +394,7 @@ object ScaleRehearsal {
     println(f"[scale] cc_deep               $tDeep%8.2f s  edges=$nEdges components=$nComp (expect $expComp)")
     require(nComp == expComp, s"deep-graph CC found $nComp components, expected $expComp")
 
-    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "cc_deep": $tDeep%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "segcut_1x": $tCut1%.2f, "segcut": $tCut%.2f, "asof_1x": $tAsof1%.2f, "asof": $tAsof%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f, "embdedup_1x": $tNd1%.2f, "embdedup": $tNd%.2f}""")
+    println(f"""[scale] {"q18": $tQ18%.2f, "minhash": $tMin%.2f, "cc": $tCc%.2f, "cc_deep": $tDeep%.2f, "simhash_1x": $tSim1%.2f, "simhash": $tSim%.2f, "segdedup_1x": $tSeg1%.2f, "segdedup": $tSeg%.2f, "segcut_1x": $tCut1%.2f, "segcut": $tCut%.2f, "asof_1x": $tAsof1%.2f, "asof": $tAsof%.2f, "ann_fixed": $tAnn%.2f, "ann_sized": $tAnnSized%.2f, "ivf_fixed": $tIvf%.2f, "ivf_sized": $tIvfSized%.2f, "embdedup_1x": $tNd1%.2f, "embdedup": $tNd%.2f, "semdedup_1x": $tSd1%.2f, "semdedup_fixed": $tSdF%.2f, "semdedup_sized": $tSdS%.2f, "ngram_lm_1x": $tLm1%.2f, "ngram_lm": $tLm%.2f}""")
     spark.stop()
   }
 }

@@ -432,6 +432,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with k-means, then
+    * prune near-duplicates WITHIN each cluster — the partitioning trick
+    * that turns an O(n²) all-pairs cosine into Σ cᵢ² intra-cluster work,
+    * with k sized ∝ n so cluster widths stay roughly constant as the
+    * corpus grows.
+    *
+    * Spark shape, stage by stage:
+    *  1. assignment is [[Kmeans.assign]]'s MAP-ONLY kernel (centroids
+    *     travel as literals, no join, no shuffle);
+    *  2. a cluster id is just a bucket key, so candidate pairs come from
+    *     the SAME shared [[bandedCandidates]] machinery as the minhash /
+    *     simhash / embedding-LSH tiers — clusters wider than
+    *     `hotClusterCap` degrade to star pairs around the min-id member
+    *     instead of exploding quadratically;
+    *  3. exact cosine verification touches candidates only.
+    *
+    * Survivor rule: a row is dropped iff it has ANY verified neighbor
+    * with a smaller id (`dup_of` = the smallest such id); survivors have
+    * `dup_of` NULL. This is the engine's deterministic min-id greedy
+    * convention ([[dropDuplicates]]) rather than the paper's
+    * keep-lowest-centroid-similarity rule — documented divergence: the
+    * paper's rule needs the per-cluster argmin as a second pass, the
+    * min-id rule is one aggregation and retry-stable.
+    *
+    * Output: (id, cluster, keep, dup_of) — integer/boolean only, no
+    * floating column, so the result is oracle-hash-stable by construction.
+    *
+    * Cache ownership: the projected vector frame is persisted for its two
+    * consumers (assign + verify); the caller releases with
+    * `spark.catalog.clearCache()` as for [[embeddingNearDup]].
+    *
+    * @param centroids     small (cluster, centroid) frame, e.g.
+    *                      [[Kmeans.train]]'s output — collected driver-side
+    *                      bounded by k
+    * @param threshold     verified cosine at-or-above which two members of
+    *                      one cluster are semantic duplicates
+    * @param hotClusterCap clusters wider than this star-link to their
+    *                      min-id member (connectivity preserved
+    *                      approximately, cost linearly)
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      hotClusterCap: Int = 1000): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Kmeans.assign(vecs, "id", "__v", centroids)
+    val candidates = bandedCandidates(
+      assigned.select(col("id"), col("cluster")),
+      grpCols = Seq("cluster"), payload = Nil, cap = hotClusterCap)
+    val verified = candidates
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("v_b")), "id_b")
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val dupOf = verified.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   /** Keep one representative per near-duplicate cluster: given verified
     * pairs, drop every id that appears as the larger member of a pair with
     * a smaller keeper (greedy min-id clustering — one pass, no iteration).

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality filtering (Wenzek et al.
+  * 2020, arXiv:1911.00359): train bigram counts on a reference sub-corpus,
+  * then score every document by its smoothed bigram cross-entropy — the
+  * classic perplexity filter that ranks documents by how much they look
+  * like the reference distribution (low cross-entropy = fluent/in-domain,
+  * high = boilerplate, lists, wrong language). The reference engine has no
+  * LM scoring; this sits beside [[Relevance]] (same posting-list shapes)
+  * and [[TextOps.qualityScore]] (the model-free heuristics it upgrades).
+  *
+  * Scale shape (100 TB):
+  *  - training is ONE explode + groupBy shuffle keyed (w1, w2) with
+  *    map-side combine; context counts c(w1) are DERIVED from the bigram
+  *    table by a second, vocabulary-sized aggregation — the corpus is
+  *    never re-read;
+  *  - the vocabulary size |V| is a 1-row distinct-count aggregate,
+  *    cross-joined in (AQE broadcasts single-row frames);
+  *  - scoring joins doc-bigrams to the count tables on (w1, w2) / w1 —
+  *    shuffle joins whose build sides are count tables (sublinear in
+  *    corpus size, broadcastable for bounded vocabularies); stop-word
+  *    bigrams are the classic skew keys and AQE's skew-join split covers
+  *    them;
+  *  - oracle-hash discipline: `ln` is the one transcendental — its INPUT
+  *    is exact (integer counts + α = 0.5 arithmetic is exact in doubles),
+  *    its output is rounded to 9 dp, cast to DECIMAL and summed
+  *    associatively, so partial-aggregation order cannot perturb bits
+  *    (the [[Relevance]] / Q.scala §7.5 rule).
+  */
+object NgramLm {
+
+  /** Laplace-style additive smoothing constant — 0.5 is exact in binary,
+    * so (c + α) arithmetic stays bit-deterministic. */
+  val Alpha = 0.5
+
+  private def tokensOf(text: Column): Column = split(lower(text), " ")
+
+  /** Adjacent-token pairs of a document as an array of (w1, w2) structs —
+    * zip of the token array against itself shifted by one; empty for
+    * documents of fewer than two tokens.
+    */
+  def bigramsOf(text: Column): Column = {
+    val ws = tokensOf(text)
+    val n = greatest(size(ws) - 1, lit(0))
+    zip_with(slice(ws, lit(1), n), slice(ws, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** `(w1, w2, c12)` bigram counts over the reference corpus. */
+  def trainBigrams(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(bigramsOf(col(textCol))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** Score every document against a bigram LM trained on `ref`:
+    * cross-entropy = −mean over the document's bigrams of
+    * ln((c(w1,w2) + α) / (c(w1) + α·|V|)), unseen bigrams/contexts
+    * falling back to the smoothed floor. Output:
+    * (id, n_bigrams, oov_bigrams, xent) — xent ROUND(…, 6); documents
+    * with fewer than two tokens are dropped (no bigram to score).
+    */
+  def bigramCrossEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, alpha: Double = Alpha): DataFrame = {
+    val big = trainBigrams(ref, textCol)
+    val ctx = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = ref
+      .select(explode(tokensOf(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), explode(bigramsOf(col(textCol))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .select(col("id"), col("c12"),
+        log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))).as("lp"))
+    scored
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("c12").isNull, 1)).as("oov_bigrams"),
+        round(-(sum(round(col("lp"), 9).cast("decimal(24,9)")).cast("double"))
+          / count(lit(1)), 6).as("xent"))
+  }
+}

@@ -210,6 +210,51 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
     },
 
+    // ---- CCNet-style bigram-LM cross-entropy scoring (NgramLm) ----
+    // Train bigram counts on the even-doc_id half of the corpus, score
+    // the first 200 documents (both halves — the odd half is genuinely
+    // held out) by smoothed bigram cross-entropy. The oracle retrains
+    // and rescores the same LM in SQL: lateral generate_series produces
+    // the adjacent-pair explode, ln inputs are exact count arithmetic,
+    // and per-doc sums follow the ROUND(lp,9) → DECIMAL(24,9) → DOUBLE
+    // associative-sum discipline (the BM25/tf-idf ln-parity rule).
+    "llm_ngram_lm_score" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE length(text) > 0),
+        |refbg AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+        |  FROM (SELECT unnest(list_zip(ws, ws[2:])) AS p
+        |        FROM d WHERE doc_id % 2 = 0)
+        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM refbg GROUP BY w1),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 2 = 0)),
+        |db AS (
+        |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS p
+        |        FROM d WHERE doc_id < 200)
+        |  WHERE p[2] IS NOT NULL),
+        |sc AS (
+        |  SELECT db.doc_id, refbg.c12,
+        |    ln((COALESCE(refbg.c12, 0) + 0.5) / (COALESCE(ctx.c1, 0) + 0.5 * voc.v)) AS lp
+        |  FROM db LEFT JOIN refbg USING (w1, w2)
+        |  LEFT JOIN ctx USING (w1) CROSS JOIN voc)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(*) FILTER (c12 IS NULL) AS BIGINT) AS oov_bigrams,
+        |  ROUND(-CAST(SUM(CAST(ROUND(lp, 9) AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*), 6) AS xent
+        |FROM sc GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      graft.llm.NgramLm.bigramCrossEntropy(
+          docs.filter(col("doc_id") < 200), "doc_id", "text",
+          ref = docs.filter(col("doc_id") % 2 === 0))
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("oov_bigrams"), col("xent"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- BPE tokenizer training (Bpe.train) ----
     // Six merge rounds over the corpus vocabulary. The working set after
     // the one corpus pass is the distinct-word table, so every round is a
@@ -801,6 +846,55 @@ object Llm {
       Dedup.embeddingNearDup(base.unionByName(copies), "vec_id", "v", threshold = 0.98)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+    },
+
+    // ---- SemDeDup semantic dedup (Dedup.semanticDedup) ----
+    // Cluster-then-prune over the planted 4-cluster k-means corpus plus
+    // 1%-perturbed copies of every 10th vector. At threshold 0.9995 the
+    // duplicate structure is exactly the vec_id mod 28 pattern groups
+    // (the corpus formula repeats with period 28) together with the
+    // planted copies (cos ≈ 0.99997); the widest NON-dup intra-cluster
+    // cosine is 0.99491 — a ≥4e-4 margin on both sides of the threshold,
+    // so a final-ulp cosine difference cannot flip membership. The oracle
+    // replays assign → intra-cluster pairs → min-id survivor in SQL;
+    // output is integer/boolean only (no floating column to hash).
+    "llm_dedup_semantic" -> Q.df(
+      s"""WITH $duckKmeansCorpus,
+         |copies AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_transform(generate_series(1, 16),
+         |      i -> vec[i] * (1.0 + 0.01 * ((CAST((i - 1) % 5 AS DOUBLE) - 2.0) / 2.0))) AS vec
+         |  FROM corpus WHERE vec_id % 10 = 0),
+         |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM copies),
+         |cents AS (
+         |  SELECT c + 1 AS cluster, list_transform(generate_series(0, 15), j -> CAST(
+         |    (CASE WHEN j % 4 = c THEN 40 ELSE 0 END) + (c * 7 + j * 3) % 10 AS DOUBLE)) AS cen
+         |  FROM generate_series(0, 3) g(c)),
+         |a AS (SELECT vec_id, vec, cluster FROM (
+         |    SELECT u.vec_id, u.vec, cents.cluster,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${duckCos16("u.vec", "cen")} DESC, cents.cluster DESC) AS rn
+         |    FROM u CROSS JOIN cents) t WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a1.vec_id AS ia, a2.vec_id AS ib
+         |  FROM a a1 JOIN a a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+         |  WHERE ${duckCos16("a1.vec", "a2.vec")} >= 0.9995),
+         |dup AS (SELECT ib AS vec_id, MIN(ia) AS dup_of FROM pairs GROUP BY ib)
+         |SELECT a.vec_id, a.cluster, dup.dup_of IS NULL AS keep, dup.dup_of
+         |FROM a LEFT JOIN dup USING (vec_id)
+         |ORDER BY vec_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val base = kmeansCorpus(s, dir)
+      val copies = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(vec, (x, j) -> x * (1.0 + 0.01 * ((CAST(j % 5 AS DOUBLE) - 2.0) / 2.0)))").as("vec"))
+      val cents = s.range(4).select((col("id") + 1).as("cluster"), expr(
+        """transform(sequence(0, 15), j -> CAST(
+          |  (CASE WHEN j % 4 = id THEN 40 ELSE 0 END) + (id * 7 + j * 3) % 10 AS DOUBLE))""".stripMargin)
+        .as("centroid"))
+      Dedup.semanticDedup(base.unionByName(copies), "vec_id", "vec",
+          cents, threshold = 0.9995)
+        .select(col("id").as("vec_id"), col("cluster"), col("keep"), col("dup_of"))
+        .orderBy(col("vec_id").asc_nulls_last)
     },
 
     // ---- exact brute-force ANN top-k (Similarity.bruteForceTopK) ----

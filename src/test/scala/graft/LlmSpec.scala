@@ -517,4 +517,67 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(label == members.keys.min, s"cluster $label label is not its min member")
     }
   }
+
+  test("semanticDedup prunes within clusters only, min-id survivor rule") {
+    val sp = spark; import sp.implicits._
+    // two well-separated clusters on axes; ids 1,2 identical (dup pair in
+    // cluster A), id 3 near-dup of 1; id 10 alone in cluster B, id 11 a
+    // dup of 10; id 12 orthogonal-ish but still closest to B's centroid.
+    val corpus = Seq(
+      (1L, Seq(10.0, 0.0, 0.1, 0.0)),
+      (2L, Seq(10.0, 0.0, 0.1, 0.0)),
+      (3L, Seq(10.0, 0.0, 0.1001, 0.0)),
+      (10L, Seq(0.0, 10.0, 0.0, 0.2)),
+      (11L, Seq(0.0, 10.0, 0.0, 0.2)),
+      (12L, Seq(0.0, 10.0, 0.0, 3.0)))
+      .toDF("id", "vec")
+    val cents = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cluster", "centroid")
+    val out = Dedup.semanticDedup(corpus, "id", "vec", cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(1L) == ((1L, true, None)))
+    assert(out(2L) == ((1L, false, Some(1L))))
+    assert(out(3L) == ((1L, false, Some(1L))), "near-dup must link to min id")
+    assert(out(10L) == ((2L, true, None)))
+    assert(out(11L) == ((2L, false, Some(10L))))
+    assert(out(12L)._2, "dissimilar member of the same cluster must survive")
+    spark.catalog.clearCache()
+  }
+
+  test("semanticDedup hot-cluster cap star-links instead of exploding") {
+    val sp = spark; import sp.implicits._
+    // 50 identical vectors in one cluster, cap 5: star pairs around the
+    // min id still drop every non-min member, with 49 candidate pairs
+    // instead of 1225.
+    val corpus = (1L to 50L).map(i => (i, Seq(5.0, 1.0, 0.0))).toDF("id", "vec")
+    val cents = Seq((1L, Seq(1.0, 0.0, 0.0))).toDF("cluster", "centroid")
+    val out = Dedup.semanticDedup(corpus, "id", "vec", cents,
+        threshold = 0.999, hotClusterCap = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && (2L to 50L).forall(!out(_)))
+    spark.catalog.clearCache()
+  }
+
+  test("bigram LM cross-entropy: hand-computed smoothing, oov, holdout") {
+    val sp = spark; import sp.implicits._
+    val ref = Seq((0L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigram counts: (a,b)=3, (b,a)=2, (b,c)=1; c1: a=3, b=3; V=3
+    val score = Seq((1L, "a b z"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.llm.NgramLm.bigramCrossEntropy(score, "doc_id", "text", ref)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L), "empty docs have no bigram to score")
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 2)
+    assert(r1.getAs[Long]("oov_bigrams") == 1, "(b,z) is unseen")
+    def lp(c12: Long, c1: Long) =
+      BigDecimal(math.log((c12 + 0.5) / (c1 + 0.5 * 3)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (-(lp(3, 3) + lp(0, 3)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("xent") == expected)
+  }
 }

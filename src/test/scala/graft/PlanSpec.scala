@@ -331,6 +331,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus side must not shuffle to meet the rate table")
   }
 
+  test("semantic dedup: map-only assignment, hash joins only within clusters") {
+    val p = executedPlan("llm_dedup_semantic")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the intra-cluster self-join must key on the cluster id, never go quadratic")
+    assert(p.contains("cosine_similarity"),
+      "assignment and verify must ride the native codegen'd cosine kernel")
+  }
+
+  test("ngram LM scoring: the only nested loop is the 1-row vocabulary cross") {
+    val p = executedPlan("llm_ngram_lm_score")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1,
+      s"count-table joins must hash on (w1, w2)/w1 — found $bnlj nested loops")
+  }
+
   test("mixture weights is one map-side-combined aggregation") {
     val p = executedPlan("llm_mixture_weights")
     assert(p.contains("HashAggregate"))
