@@ -118,6 +118,35 @@ object Kmeans {
     } finally vecs.unpersist()
   }
 
+  /** [[assign]] for LARGE centroid tables: a broadcast join + map-side
+    * argmax instead of a literal expression array. The literal form's
+    * expression tree grows with k (codegen method-size limits bite around
+    * k ≈ 1000); this form broadcasts the centroid frame, computes one
+    * cosine per (row, centroid) in the streamed nested-loop join, and
+    * reduces to the per-row argmax with `max_by` — PARTIAL aggregation
+    * runs map-side, so the shuffle carries one row per corpus vector,
+    * never the n × k join output. Same (cos DESC, cluster DESC ties →
+    * highest cluster wins) convention as [[assign]], spec-locked equal.
+    * Compute is inherently n × k cosines either way; this variant removes
+    * the expression-size ceiling, not the arithmetic.
+    */
+  def assignByJoin(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("cluster").cast("long").as("__c"),
+        col("centroid").cast("array<double>").as("__cen")))
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(cents)
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("__cen")))
+      .filter(col("__cos").isNotNull)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__cos").as("cos"), col("__c").as("cluster"))).as("__best"))
+      .select(col("id"), col("__best.cluster").as("cluster"),
+        col("__best.cos").as("cos"))
+  }
+
   /** (cluster, centroid) rows → bounded driver-side list, cluster-sorted. */
   private def collectCentroids(
       centroids: DataFrame, maxK: Int): Seq[(Long, Seq[Double])] = {

@@ -102,6 +102,33 @@ class KmeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(key(ivf) == key(exact))
   }
 
+  test("assignByJoin equals the literal-expression assign, row for row") {
+    val corpus = planted(200)
+    val model = Kmeans.train(corpus, "vec_id", "vec", k = 4, iters = 2,
+      dim = 16, initByLowestId = true)
+    val lit = Kmeans.assign(corpus, "vec_id", "vec", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val join = Kmeans.assignByJoin(corpus, "vec_id", "vec", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(join == lit, "the two assignment forms must agree bit-for-bit")
+  }
+
+  test("assignByJoin aggregates map-side: shuffle carries one row per vector") {
+    val corpus = planted(100)
+    val model = Kmeans.train(corpus, "vec_id", "vec", k = 4, iters = 1,
+      dim = 16, initByLowestId = true)
+    val df = Kmeans.assignByJoin(corpus, "vec_id", "vec", model)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast into the streamed join")
+    // struct-typed max buffers plan as SortAggregate/ObjectHashAggregate,
+    // not HashAggregate — any flavor qualifies, but the partial/final PAIR
+    // must exist so the shuffle carries one row per vector, not n × k
+    val aggs = "(Sort|(Object)?Hash)Aggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"argmax must have a partial (map-side) aggregate below the shuffle:\n$p")
+  }
+
   test("ivfTopKTrained with nprobe = 1 stays within the query's planted cluster") {
     val corpus = planted(120)
     val model = Kmeans.train(corpus, "vec_id", "vec", k = 4, iters = 2,
