@@ -64,4 +64,44 @@ object Sampling {
     */
   def deterministicShuffle(df: DataFrame, idCol: Column, seed: Long): DataFrame =
     df.orderBy(xxhash64(idCol, lit(seed)), idCol)
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws a reproducible uniform u(id, seed)
+    * and the k rows with the largest u^(1/w) win — equivalently the
+    * largest ln(u)/w, which is what is ranked (w > 0 required; rows with
+    * larger weight win proportionally more often, exactly the weighted
+    * reservoir semantics a curation pass wants for quality- or
+    * domain-weighted subcorpus draws).
+    *
+    * Determinism + cross-engine parity: u is built from md5 (identical on
+    * every engine) — the first 13 hex chars as a 52-bit integer, then
+    * (i + 0.5) / 2^52, strictly inside (0,1) so ln is finite. The rank
+    * key is ROUND(ln(u)/w, 9) with the id as tiebreak, so a final-ulp
+    * ln difference between libm implementations cannot reorder
+    * (the [[graft.llm.Relevance]] discipline).
+    *
+    * Scale shape: the key is map-side arithmetic; `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject — per-partition top-k, then a single
+    * bounded merge — never a global sort materialization. The final
+    * row_number window runs over k rows only.
+    *
+    * Output: (id, weight, rank), rank 1..k.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: Long): DataFrame = {
+    val hex13 = substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 13)
+    val u = (conv(hex13, 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    val key = round(log(u) / weight.cast("double"), 9)
+    val top = df
+      .select(col(idCol).as("id"), weight.cast("long").as("weight"), key.as("__k"))
+      .orderBy(col("__k").desc, col("id").asc)
+      .limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__k").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("weight"), col("rank"))
+  }
 }

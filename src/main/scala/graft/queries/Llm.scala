@@ -1111,6 +1111,33 @@ object Llm {
         .orderBy(col("lang").asc_nulls_last)
     },
 
+    // ---- weighted sampling without replacement (Sampling.weightedSample)
+    // Efraimidis–Spirakis: rank by ROUND(ln(u)/w, 9) with u a
+    // reproducible md5-derived uniform (md5 is engine-independent — the
+    // only cross-engine-safe hash in both dialects) and w = token count.
+    // The oracle re-derives the identical keys and ranking in DuckDB, so
+    // the differential covers the u construction, the key algebra, and
+    // the top-k ordering; output is integer-only.
+    "llm_sample_weighted" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE length(text) > 0),
+        |keyed AS (
+        |  SELECT doc_id, w,
+        |    ROUND(ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 13)) AS BIGINT) + 0.5)
+        |          / 4503599627370496.0) / w, 9) AS k
+        |  FROM d),
+        |top AS (SELECT doc_id, w, k FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+        |SELECT doc_id AS id, CAST(w AS BIGINT) AS weight,
+        |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank
+        |FROM top
+        |ORDER BY rank ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.weightedSample(
+          Tables.t(s, dir, "documents").filter(length(col("text")) > 0),
+          "doc_id", size(split(lower(col("text")), " ")), k = 50, seed = 7)
+        .orderBy(col("rank").asc_nulls_last)
+    },
+
     // Reproducible epoch shuffle (llm/Sampling.scala): two independent
     // evaluations of the same seeded permutation must assign every doc
     // the same position — the oracle re-derives the contract as trivially

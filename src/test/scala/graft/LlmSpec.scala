@@ -562,6 +562,21 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("weighted sampling favors heavy weights and is partitioning-independent") {
+    val sp = spark; import sp.implicits._
+    // 50 heavy rows (w=500) vs 950 light rows (w=1): heavies should own
+    // most of a k=20 draw; any light majority means weights are ignored
+    val rows = (1L to 1000L).map(i => (i, if (i <= 50) 500L else 1L)).toDF("doc_id", "w")
+    def draw(parts: Int) = graft.llm.Sampling.weightedSample(
+        rows.repartition(parts, col("doc_id")), "doc_id", col("w"), k = 20, seed = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val a = draw(3)
+    assert(a == draw(11), "same seed must draw the same sample at any partitioning")
+    val heavies = a.count(_._2 == 500L)
+    assert(heavies >= 15, s"w=500 rows must dominate the draw, got $heavies/20")
+    assert(a.map(_._3) == (1L to 20L).toList, "ranks must be 1..k")
+  }
+
   test("bigram LM cross-entropy: hand-computed smoothing, oov, holdout") {
     val sp = spark; import sp.implicits._
     val ref = Seq((0L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
