@@ -162,8 +162,12 @@ object PrestoSql {
     private val showTablesRe = "(?is)^\\s*SHOW\\s+TABLES\\s*;?\\s*$".r
     private val showSchemasRe = "(?is)^\\s*SHOW\\s+SCHEMAS\\s*;?\\s*$".r
     private val showColumnsRe =
-      "(?is)^\\s*SHOW\\s+COLUMNS\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+      "(?is)^\\s*(?:SHOW\\s+COLUMNS\\s+FROM|DESCRIBE|DESC)\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
     private val showFunctionsRe = "(?is)^\\s*SHOW\\s+FUNCTIONS\\s*;?\\s*$".r
+    private val showCatalogsRe = "(?is)^\\s*SHOW\\s+CATALOGS\\s*;?\\s*$".r
+    private val showSessionRe = "(?is)^\\s*SHOW\\s+SESSION\\s*;?\\s*$".r
+    private val showStatsRe =
+      "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
     // reference grammar SqlBase.g4:104-106 (START TRANSACTION / COMMIT
     // [WORK] / ROLLBACK [WORK], execution/StartTransactionTask.java) —
     // rejected explicitly so a migrating client gets the divergence
@@ -199,6 +203,15 @@ object PrestoSql {
       case showFunctionsRe() =>
         import spark.implicits._
         spark.catalog.listFunctions().map(_.name).toDF("Function").orderBy("Function")
+      case showCatalogsRe() =>
+        import spark.implicits._
+        spark.catalog.listCatalogs().map(_.name).toDF("Catalog").orderBy("Catalog")
+      case showSessionRe() =>
+        // the reference lists session properties name/value (SHOW SESSION,
+        // ShowQueriesRewrite); here the session surface is Spark's conf
+        import spark.implicits._
+        spark.conf.getAll.toSeq.toDF("Name", "Value").orderBy("Name")
+      case showStatsRe(table) => showStats(table)
       case txnRe(stmt) =>
         throw new UnsupportedOperationException(
           s"'${stmt.trim}' is not supported: this engine runs with single-statement " +
@@ -206,6 +219,61 @@ object PrestoSql {
             "DML statement is individually atomic via staged-file rename; see " +
             "README 'Known divergences'.")
       case other => PrestoSql.sql(spark, other)
+    }
+
+    /** Reference `SHOW STATS FOR t` (sql/rewrite/ShowStatsRewrite.java:217
+      * — columns column_name, data_size, distinct_values_count,
+      * nulls_fraction, row_count, low_value, high_value; one row per
+      * visible column with NULL row_count, plus a summary row carrying
+      * only row_count). The reference serves STORED statistics; this
+      * engine computes them live in ONE aggregation pass over the table —
+      * same shape, values as fresh as the data, exact where the reference
+      * may be estimated. Unsupported (nested/binary) column types get the
+      * reference's empty stats row.
+      */
+    private def showStats(table: String): DataFrame = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val df = spark.table(table)
+      val fields = df.schema.fields.toSeq
+      def supported(dt: DataType): Boolean = dt match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }
+      val aggs = fields.filter(f => supported(f.dataType)).flatMap { f =>
+        val c = col(f.name)
+        val ds =
+          if (f.dataType == StringType) sum(octet_length(c)).cast("double")
+          else lit(null).cast("double")
+        Seq(
+          ds.as(s"__ds_${f.name}"),
+          count_distinct(c).cast("double").as(s"__ndv_${f.name}"),
+          count(when(c.isNull, 1)).cast("double").as(s"__nn_${f.name}"),
+          min(c).cast("string").as(s"__lo_${f.name}"),
+          max(c).cast("string").as(s"__hi_${f.name}"))
+      } :+ count(lit(1)).cast("double").as("__rc")
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      val rows = fields.map { f =>
+        if (supported(f.dataType))
+          struct(lit(f.name).as("column_name"),
+            col(s"__ds_${f.name}").as("data_size"),
+            col(s"__ndv_${f.name}").as("distinct_values_count"),
+            when(col("__rc") > 0, col(s"__nn_${f.name}") / col("__rc"))
+              .as("nulls_fraction"),
+            nullD.as("row_count"),
+            col(s"__lo_${f.name}").as("low_value"),
+            col(s"__hi_${f.name}").as("high_value"))
+        else
+          struct(lit(f.name).as("column_name"), nullD.as("data_size"),
+            nullD.as("distinct_values_count"), nullD.as("nulls_fraction"),
+            nullD.as("row_count"), nullS.as("low_value"), nullS.as("high_value"))
+      } :+ struct(nullS.as("column_name"), nullD.as("data_size"),
+        nullD.as("distinct_values_count"), nullD.as("nulls_fraction"),
+        col("__rc").as("row_count"), nullS.as("low_value"),
+        nullS.as("high_value"))
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
     }
 
     def execute(name: String, argExprs: Seq[String]): DataFrame = {

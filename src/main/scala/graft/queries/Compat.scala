@@ -332,6 +332,36 @@ object Compat {
       ps.statement("EXECUTE part_band USING 20 + 5, 'PROMO'")
     },
 
+    // ---- SHOW STATS FOR (ShowStatsRewrite.java:217 shape) ----
+    // The reference serves stored table statistics; this engine computes
+    // the same seven-column shape live in one aggregation pass. The
+    // oracle recomputes every cell per column (data_size = byte length
+    // sum for strings, exact NDV, nulls fraction, min/max rendered as
+    // strings) plus the row_count summary row.
+    "compat_show_stats" -> Q.df(
+      {
+        def colRow(c: String, str: Boolean) =
+          s"""SELECT '$c' AS column_name,
+             |  ${if (str) s"CAST(SUM(strlen($c)) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS data_size,
+             |  CAST(COUNT(DISTINCT $c) AS DOUBLE) AS distinct_values_count,
+             |  CAST(COUNT(*) FILTER ($c IS NULL) AS DOUBLE) / COUNT(*) AS nulls_fraction,
+             |  CAST(NULL AS DOUBLE) AS row_count,
+             |  CAST(MIN($c) AS VARCHAR) AS low_value,
+             |  CAST(MAX($c) AS VARCHAR) AS high_value
+             |FROM nation""".stripMargin
+        Seq(colRow("n_nationkey", str = false), colRow("n_name", str = true),
+          colRow("n_regionkey", str = false))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"""
+            |UNION ALL
+            |SELECT NULL, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            |  CAST(NULL AS DOUBLE), CAST(COUNT(*) AS DOUBLE),
+            |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM nation)
+            |ORDER BY column_name ASC NULLS LAST""".stripMargin)
+      }) { (s, _) =>
+      new graft.PrestoSql.Prepared(s).statement("SHOW STATS FOR nation")
+        .orderBy(col("column_name").asc_nulls_last)
+    },
+
     "compat_session_fns" -> Q.sqlSame(
       """SELECT
         |  current_user IS NOT NULL AS has_user,

@@ -180,6 +180,31 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fns = ps.statement("SHOW FUNCTIONS").collect().map(_.getString(0))
     assert(fns.contains("approx_distinct"), "registered compat functions must list")
     assert(ps.statement("SHOW SCHEMAS").collect().nonEmpty)
+    // DESCRIBE / DESC are the reference's aliases for SHOW COLUMNS FROM
+    val desc = ps.statement("DESCRIBE orders").collect().map(_.getString(0))
+    assert(desc.toSeq == cols.toSeq, "DESCRIBE must equal SHOW COLUMNS FROM")
+    assert(ps.statement("DESC orders").collect().length == cols.length)
+    assert(ps.statement("SHOW CATALOGS").collect().map(_.getString(0))
+      .contains("spark_catalog"))
+    val session = ps.statement("SHOW SESSION").collect()
+    assert(session.map(_.getString(0)).contains("spark.sql.session.timeZone"))
+  }
+
+  test("SHOW STATS FOR computes the reference's seven-column shape live") {
+    val ps = new PrestoSql.Prepared(spark)
+    val rows = ps.statement("SHOW STATS FOR nation").collect()
+    val byCol = rows.map(r => Option(r.getString(0)) -> r).toMap
+    // one row per column + the summary row (ShowStatsRewrite.java:217)
+    assert(rows.length == spark.table("nation").schema.length + 1)
+    val summary = byCol(None)
+    assert(summary.getDouble(4) == 25.0, "summary row carries row_count")
+    assert(summary.isNullAt(2) && summary.isNullAt(5))
+    val key = byCol(Some("n_nationkey"))
+    assert(key.getDouble(2) == 25.0, "exact NDV")
+    assert(key.getDouble(3) == 0.0, "nulls fraction")
+    assert(key.getString(5) == "0" && key.getString(6) == "24", "low/high rendered")
+    assert(key.isNullAt(1), "data_size reported for strings only")
+    assert(byCol(Some("n_name")).getDouble(1) > 0, "string data_size = byte sum")
   }
 
   test("transaction statements are rejected with the divergence message, not a parse error") {
