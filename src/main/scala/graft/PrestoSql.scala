@@ -164,6 +164,11 @@ object PrestoSql {
     private val showColumnsRe =
       "(?is)^\\s*(?:SHOW\\s+COLUMNS\\s+FROM|DESCRIBE|DESC)\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
     private val showFunctionsRe = "(?is)^\\s*SHOW\\s+FUNCTIONS\\s*;?\\s*$".r
+    // DESCRIBE INPUT/OUTPUT must route before the DESCRIBE-table alias
+    private val descInputRe =
+      "(?is)^\\s*DESCRIBE\\s+INPUT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+    private val descOutputRe =
+      "(?is)^\\s*DESCRIBE\\s+OUTPUT\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
     private val showCatalogsRe = "(?is)^\\s*SHOW\\s+CATALOGS\\s*;?\\s*$".r
     private val showSessionRe = "(?is)^\\s*SHOW\\s+SESSION\\s*;?\\s*$".r
     private val showStatsRe =
@@ -196,6 +201,8 @@ object PrestoSql {
       case showSchemasRe() =>
         import spark.implicits._
         spark.catalog.listDatabases().map(_.name).toDF("Schema").orderBy("Schema")
+      case descInputRe(name) => describeInput(name)
+      case descOutputRe(name) => describeOutput(name)
       case showColumnsRe(table) =>
         import spark.implicits._
         spark.table(table).schema.fields.toSeq
@@ -219,6 +226,63 @@ object PrestoSql {
             "DML statement is individually atomic via staged-file rename; see " +
             "README 'Known divergences'.")
       case other => PrestoSql.sql(spark, other)
+    }
+
+    /** Reference `DESCRIBE INPUT name` (sql/rewrite/DescribeInputRewrite
+      * .java:114-131): one (Position, Type) row per `?` parameter of the
+      * prepared statement, ordered by position; zero rows when the
+      * statement has no parameters. Divergence: the reference infers a
+      * coerced type per parameter where the analysis determines one and
+      * falls back to 'unknown'; this engine does not run type inference
+      * over parameter markers, so every position reports 'unknown' (a
+      * value the reference's own clients must already handle).
+      */
+    private def describeInput(name: String): DataFrame = {
+      import spark.implicits._
+      val body = stmts.getOrElse(name, notFound(name))
+      (1 to countParams(body)).map(p => (p.toLong, "unknown"))
+        .toDF("Position", "Type")
+    }
+
+    /** Reference `DESCRIBE OUTPUT name` (DescribeOutputRewrite.java:116
+      * -126 — columns Column Name, Catalog, Schema, Table, Type, Type
+      * Size, Aliased). The output schema comes from ANALYZING the
+      * prepared body with parameter markers bound to NULL (type-only —
+      * nothing executes). Type Size follows the reference's
+      * FixedWidthType rule (bytes for fixed-width types, 0 otherwise);
+      * Catalog/Schema/Table provenance and the Aliased flag are not
+      * tracked through Spark's schema and report NULL (documented
+      * divergence).
+      */
+    private def describeOutput(name: String): DataFrame = {
+      import spark.implicits._
+      val body = stmts.getOrElse(name, notFound(name))
+      val sb = new StringBuilder(body)
+      paramPositions(body).reverse.foreach(p => sb.replace(p, p + 1, "NULL"))
+      val schema = PrestoSql.sql(spark, sb.toString).schema
+      import org.apache.spark.sql.types._
+      def prestoName(dt: DataType): String = dt match {
+        case StringType => "varchar"
+        case IntegerType => "integer"
+        case FloatType => "real"
+        case BinaryType => "varbinary"
+        case other => other.simpleString
+      }
+      def fixedSize(dt: DataType): Long = dt match {
+        case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+        case IntegerType | FloatType | DateType => 4L
+        case ShortType => 2L
+        case BooleanType | ByteType => 1L
+        case d: DecimalType if d.precision <= 18 => 8L
+        case _: DecimalType => 16L
+        case _ => 0L
+      }
+      schema.fields.toSeq
+        .map(f => (f.name, null.asInstanceOf[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], prestoName(f.dataType), fixedSize(f.dataType),
+          null.asInstanceOf[java.lang.Boolean]))
+        .toDF("Column Name", "Catalog", "Schema", "Table", "Type", "Type Size",
+          "Aliased")
     }
 
     /** Reference `SHOW STATS FOR t` (sql/rewrite/ShowStatsRewrite.java:217

@@ -332,6 +332,26 @@ object Compat {
       ps.statement("EXECUTE part_band USING 20 + 5, 'PROMO'")
     },
 
+    // ---- DESCRIBE OUTPUT (DescribeOutputRewrite.java:116-126 shape) ----
+    // The JDBC-client metadata surface: a prepared statement's output
+    // schema, parameter markers bound to NULL at analysis time, nothing
+    // executed. Type names in the reference's spelling, Type Size by the
+    // FixedWidthType rule. The oracle pins the exact seven-column shape.
+    "compat_describe_output" -> Q.df(
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), 'bigint', CAST(8 AS BIGINT), CAST(NULL AS BOOLEAN)),
+        |  ('o_totalprice', NULL, NULL, NULL, 'double', 8, NULL),
+        |  ('o_orderpriority', NULL, NULL, NULL, 'varchar', 0, NULL))
+        |  t("Column Name", "Catalog", "Schema", "Table", "Type", "Type Size", "Aliased")
+        |ORDER BY "Column Name" ASC NULLS LAST""".stripMargin) { (s, _) =>
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement("PREPARE describe_probe FROM SELECT o_orderkey, o_totalprice, " +
+        "o_orderpriority FROM orders WHERE o_totalprice > ?")
+      ps.statement("DESCRIBE OUTPUT describe_probe")
+        .orderBy(col("Column Name").asc_nulls_last)
+    },
+
     // ---- SHOW STATS FOR (ShowStatsRewrite.java:217 shape) ----
     // The reference serves stored table statistics; this engine computes
     // the same seven-column shape live in one aggregation pass. The

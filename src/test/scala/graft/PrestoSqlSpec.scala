@@ -190,6 +190,27 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(session.map(_.getString(0)).contains("spark.sql.session.timeZone"))
   }
 
+  test("DESCRIBE INPUT / OUTPUT describe a prepared statement without executing it") {
+    val ps = new PrestoSql.Prepared(spark)
+    ps.statement("PREPARE dq FROM SELECT o_orderkey, o_totalprice > ? AS big, " +
+      "\"o_orderpriority\" FROM orders WHERE o_custkey = ?")
+    val in = ps.statement("DESCRIBE INPUT dq").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(in == Seq((1L, "unknown"), (2L, "unknown")))
+    val out = ps.statement("DESCRIBE OUTPUT dq").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("o_orderkey", "big", "o_orderpriority"))
+    val byName = out.map(r => r.getString(0) -> ((r.getString(4), r.getLong(5)))).toMap
+    assert(byName("o_orderkey") == (("bigint", 8L)))
+    assert(byName("big") == (("boolean", 1L)), "? bound to NULL must still type the comparison")
+    assert(byName("o_orderpriority") == (("varchar", 0L)), "varchar is not fixed-width")
+    // parameterless statement: DESCRIBE INPUT returns zero rows
+    ps.statement("PREPARE dq2 FROM SELECT 1 AS x")
+    assert(ps.statement("DESCRIBE INPUT dq2").collect().isEmpty)
+    // unknown statement: the reference's not-found error
+    val e = intercept[IllegalArgumentException] { ps.statement("DESCRIBE OUTPUT nope") }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("SHOW STATS FOR computes the reference's seven-column shape live") {
     val ps = new PrestoSql.Prepared(spark)
     val rows = ps.statement("SHOW STATS FOR nation").collect()
