@@ -231,4 +231,32 @@ object TextOps {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
       "\\+?[0-9][0-9 -]{6,}[0-9]", "<PHONE>")
+
+  /** Overlapping fixed-width token chunking (the RAG/embedding-prep
+    * split: window tokens per chunk, stride tokens between chunk starts,
+    * stride < window ⇒ adjacent chunks overlap by window − stride).
+    * Chunk starts are 0, stride, 2·stride, … < n, so every token appears
+    * in ≥ 1 chunk and the trailing chunk may be short — the standard
+    * fixed-stride rule, deterministic at any partitioning.
+    *
+    * Map-only: tokenize → explode the start offsets → slice. No shuffle;
+    * output rows ≈ corpus tokens / stride. Output:
+    * (id, chunk_idx, n_tokens, chunk_text).
+    */
+  def chunkOverlap(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("id"), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - 1, lit(stride))).as("__s"))
+      .select(col("id"),
+        (col("__s") / stride).cast("long").as("chunk_idx"),
+        slice(col("__ws"), col("__s") + 1, lit(window)).as("__c"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
 }

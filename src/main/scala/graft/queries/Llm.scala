@@ -210,6 +210,28 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
     },
 
+    // ---- overlapping token chunking (TextOps.chunkOverlap) ----
+    // The RAG/embedding-prep split: 64-token windows at stride 48 (25%
+    // overlap). Map-only — tokenize, explode start offsets, slice. The
+    // oracle re-chunks with DuckDB's list machinery (scalar range() +
+    // expression slicing) and md5-fingerprints each chunk text so the
+    // hash gate covers the exact reconstructed text without shipping it.
+    "llm_chunk_overlap" -> Q.df(
+      """SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_idx,
+        |  CAST(len(ws[s + 1 : s + 64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ws[s + 1 : s + 64], ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents WHERE doc_id < 100))
+        |ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.llm.TextOps.chunkOverlap(
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", window = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id").asc_nulls_last, col("chunk_idx").asc_nulls_last)
+    },
+
     // ---- CCNet-style bigram-LM cross-entropy scoring (NgramLm) ----
     // Train bigram counts on the even-doc_id half of the corpus, score
     // the first 200 documents (both halves — the odd half is genuinely

@@ -562,6 +562,17 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("chunkOverlap: fixed-stride starts, truncated tail, full coverage") {
+    val sp = spark; import sp.implicits._
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.chunkOverlap(doc, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    // starts 0,3,6,9 → t1-t4, t4-t7, t7-t10, t10
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out(0)._3 == "t1 t2 t3 t4" && out(1)._3 == "t4 t5 t6 t7" && out(3)._3 == "t10")
+  }
+
   test("weighted sampling favors heavy weights and is partitioning-independent") {
     val sp = spark; import sp.implicits._
     // 50 heavy rows (w=500) vs 950 light rows (w=1): heavies should own
