@@ -269,6 +269,76 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A dual-dialect IGNORE NULLS window bank: lag/lead/first_value/
+    * last_value/nth_value over a NULL-injected value series, in both
+    * null-treatment polarities. The two dialects place the modifier
+    * differently — Spark after the argument list (`lag(v, 2) IGNORE
+    * NULLS OVER …`), DuckDB after the LAST argument inside it
+    * (`lag(v, 2 IGNORE NULLS) OVER …`) — so the generator emits paired
+    * texts; the VALUE semantics (n-th non-null in frame/offset order) are
+    * what the differential then checks. ORDER BY the unique dense
+    * n_nationkey keeps every window total-ordered, so results are exact.
+    */
+  def generateIgnoreNullsWindows(seed: Long, nCols: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    // row-dependent NULL injection: (key·a + b) % m is NULL where it hits r
+    def valueLeaf(): String = {
+      val a = rnd.nextInt(7) + 1
+      val b = rnd.nextInt(10)
+      val m = rnd.nextInt(7) + 3
+      val r = rnd.nextInt(m)
+      s"NULLIF(CAST((n_nationkey * $a + $b) % $m AS BIGINT), $r)"
+    }
+
+    def over(framed: Boolean): String = {
+      val part = if (rnd.nextBoolean()) "PARTITION BY n_regionkey " else ""
+      val frame =
+        if (!framed) ""
+        else rnd.nextInt(4) match {
+          case 0 => " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+          case 1 => s" ROWS BETWEEN ${rnd.nextInt(4) + 1} PRECEDING AND CURRENT ROW"
+          case 2 => s" ROWS BETWEEN ${rnd.nextInt(3) + 1} PRECEDING AND ${rnd.nextInt(3) + 1} FOLLOWING"
+          case _ => " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        }
+      s"OVER (${part}ORDER BY n_nationkey ASC$frame)"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val v = valueLeaf()
+      val (sp, dk) = i % 4 match {
+        case 1 =>
+          val fn = if (rnd.nextBoolean()) "lag" else "lead"
+          val n = rnd.nextInt(3) + 1
+          val w = over(framed = false)
+          (s"$fn($v, $n) IGNORE NULLS $w", s"$fn($v, $n IGNORE NULLS) $w")
+        case 2 =>
+          val fn = if (rnd.nextBoolean()) "first_value" else "last_value"
+          val w = over(framed = true)
+          (s"$fn($v) IGNORE NULLS $w", s"$fn($v IGNORE NULLS) $w")
+        case 3 =>
+          val n = rnd.nextInt(3) + 1
+          val w = over(framed = true)
+          (s"nth_value($v, $n) IGNORE NULLS $w", s"nth_value($v, $n IGNORE NULLS) $w")
+        case _ =>
+          // default (RESPECT NULLS) polarity over the same injected
+          // series — locks that the modifier CHANGES the answer
+          val fn = Seq("first_value", "last_value")(rnd.nextInt(2))
+          val w = over(framed = true)
+          val t = s"$fn($v) $w"
+          (t, t)
+      }
+      (s"  CAST($sp AS BIGINT) AS e$i", s"  CAST($dk AS BIGINT) AS e$i")
+    }
+    def assemble(cs: Seq[String]): String =
+      s"""SELECT n_nationkey AS k,
+         |${cs.mkString(",\n")}
+         |FROM nation
+         |ORDER BY k ASC NULLS LAST""".stripMargin
+    (assemble(cols.map(_._1)), assemble(cols.map(_._2)))
+  }
+
   /** A value-RANGE window bank: aggregates over RANGE frames with VALUE
     * offsets (`RANGE BETWEEN n PRECEDING AND m FOLLOWING` on a numeric
     * ORDER BY key) — the frame form [[generateWindows]] deliberately

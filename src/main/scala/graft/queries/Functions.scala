@@ -413,6 +413,13 @@ object Functions {
       graft.functions.FunctionFuzzer.generateStrings(2601L, 30); Q.sql(sp, dk) },
     "fuzz_string_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateStrings(2602L, 30); Q.sql(sp, dk) },
+    // IGNORE NULLS window value functions, both null-treatment polarities
+    // (dual-dialect: the modifier sits outside the parens in Spark,
+    // inside after the last argument in DuckDB)
+    "fuzz_ignorenulls_bank_1" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateIgnoreNullsWindows(2801L, 24); Q.sql(sp, dk) },
+    "fuzz_ignorenulls_bank_2" -> { val (sp, dk) =
+      graft.functions.FunctionFuzzer.generateIgnoreNullsWindows(2802L, 24); Q.sql(sp, dk) },
     // decimal-arithmetic banks: exact money math under randomized (p,s)
     // casts; outputs canonicalized to DOUBLE (bit-identical on both
     // engines by the grammar's <2^53 unscaled bound — DECIMAL(38,10)

@@ -142,6 +142,13 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Registry.all(name).oracle
         .contains(graft.functions.FunctionFuzzer.generateCteReuse(seed, 8)),
         s"$name's oracle SQL is not the seed-$seed regeneration")
+    for (i <- 1 to 2) {
+      val (sp, dk) = graft.functions.FunctionFuzzer.generateIgnoreNullsWindows(2800L + i, 24)
+      assert(Registry.all(s"fuzz_ignorenulls_bank_$i").oracle.contains(dk),
+        s"fuzz_ignorenulls_bank_$i's oracle SQL is not the seed-${2800 + i} regeneration")
+      assert(sp != dk && sp.contains("IGNORE NULLS OVER") && dk.contains("IGNORE NULLS)"),
+        s"fuzz_ignorenulls_bank_$i: the dialects must place the modifier differently")
+    }
   }
 
   test("the trycast banks regenerate with both successes and failures per bank") {
