@@ -34,6 +34,48 @@ object Events {
         .orderBy(col("wstart").asc_nulls_last, col("event_type").asc_nulls_last)
     },
 
+    // ---- 3-step conversion funnel (view → click → purchase) ----
+    // Strictly-ordered steps per user, each within 7 days of the prior
+    // step's FIRST occurrence — the standard funnel definition. Three
+    // co-keyed aggregations chained by joins: every shuffle keys on
+    // user_id, so the exchanges line up (AQE reuse) and per-user state is
+    // one timestamp per stage — the plan a 100 TB event store wants
+    // (never a per-user sort, never a cross of step events). Integer
+    // outputs; the oracle replays the same chained-CTE funnel.
+    "events_funnel_3step" -> Q.df(
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 7 DAY
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 7 DAY
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_view_click,
+        |  (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 7 DAY"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 7 DAY"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+
     // Sliding 2-hour windows advancing hourly — every event lands in two
     // windows; the duck oracle unnests the two containing window starts.
     "events_sliding_window" -> Q.df(
