@@ -483,7 +483,13 @@ object Dedup {
     val vecs = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = Kmeans.assign(vecs, "id", "__v", centroids)
+    // literal-expression assignment up to the codegen-friendly k; past it,
+    // the broadcast-join form (same result, spec-locked) — the centroid
+    // count is a bounded metadata probe, not a corpus action
+    val assigned =
+      if (centroids.limit(1001).count() > 1000)
+        Kmeans.assignByJoin(vecs, "id", "__v", centroids)
+      else Kmeans.assign(vecs, "id", "__v", centroids)
     val candidates = bandedCandidates(
       assigned.select(col("id"), col("cluster")),
       grpCols = Seq("cluster"), payload = Nil, cap = hotClusterCap)

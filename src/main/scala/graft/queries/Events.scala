@@ -76,6 +76,39 @@ object Events {
         .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
     },
 
+    // ---- weekly retention cohorts ----
+    // Cohort = ISO week of each user's first event; the matrix counts
+    // distinct users active again k weeks later (periods 0–3). Week
+    // starts are Monday-aligned in both engines, so day-difference / 7
+    // is an exact integer. Two co-keyed shuffles (first-week aggregate +
+    // join back) and a sub-million-row matrix aggregate — per-user state
+    // is one date, the cohort-report plan an event store runs at any n.
+    "events_retention_cohorts" -> Q.df(
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+        |coh AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, cwk,
+        |    CAST(date_diff('day', cwk, wk) / 7 AS BIGINT) AS period
+        |  FROM e JOIN coh USING (user_id))
+        |SELECT CAST(cwk AS TIMESTAMP) AS cohort_week, period, COUNT(*) AS n_users
+        |FROM act WHERE period <= 3
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week ASC NULLS LAST, period ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val coh = e.groupBy("user_id").agg(min("wk").as("cwk"))
+      val act = e.join(coh, "user_id")
+        .select(col("user_id"), col("cwk"),
+          (datediff(col("wk"), col("cwk")) / 7).cast("long").as("period"))
+        .distinct()
+      act.filter(col("period") <= 3)
+        .groupBy(col("cwk"), col("period"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cwk").cast("timestamp_ntz").as("cohort_week"),
+          col("period"), col("n_users"))
+        .orderBy(col("cohort_week").asc_nulls_last, col("period").asc_nulls_last)
+    },
+
     // Sliding 2-hour windows advancing hourly — every event lands in two
     // windows; the duck oracle unnests the two containing window starts.
     "events_sliding_window" -> Q.df(

@@ -548,6 +548,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedup auto-switches to join assignment past the literal-k ceiling") {
+    val sp = spark; import sp.implicits._
+    // 1200 centroids (> the 1000 literal ceiling) on distinct rays; two
+    // corpus points per first ray, exact duplicates — the join-assign
+    // path must produce the same assign-then-prune outcome
+    val cents = (1L to 1200L)
+      .map(c => (c, Seq(1.0, c.toDouble / 1200.0, 0.0))).toDF("cluster", "centroid")
+    val corpus = Seq(
+      (1L, Seq(1.0, 1.0 / 1200.0, 0.0)), (2L, Seq(1.0, 1.0 / 1200.0, 0.0)))
+      .toDF("id", "vec")
+    val out = Dedup.semanticDedup(corpus, "id", "vec", cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)))
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup hot-cluster cap star-links instead of exploding") {
     val sp = spark; import sp.implicits._
     // 50 identical vectors in one cluster, cap 5: star pairs around the
