@@ -173,6 +173,13 @@ object PrestoSql {
     private val showSessionRe = "(?is)^\\s*SHOW\\s+SESSION\\s*;?\\s*$".r
     private val showStatsRe =
       "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+    // the grammar's #showStatsForQuery form: SHOW STATS FOR (SELECT …)
+    private val showStatsQueryRe =
+      "(?is)^\\s*SHOW\\s+STATS\\s+FOR\\s*\\((.+)\\)\\s*;?\\s*$".r
+    private val setSessionRe =
+      "(?is)^\\s*SET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*(.+?)\\s*;?\\s*$".r
+    private val resetSessionRe =
+      "(?is)^\\s*RESET\\s+SESSION\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
     // reference grammar SqlBase.g4:104-106 (START TRANSACTION / COMMIT
     // [WORK] / ROLLBACK [WORK], execution/StartTransactionTask.java) —
     // rejected explicitly so a migrating client gets the divergence
@@ -218,7 +225,18 @@ object PrestoSql {
         // ShowQueriesRewrite); here the session surface is Spark's conf
         import spark.implicits._
         spark.conf.getAll.toSeq.toDF("Name", "Value").orderBy("Name")
-      case showStatsRe(table) => showStats(table)
+      case showStatsQueryRe(query) => showStatsOf(PrestoSql.sql(spark, query))
+      case showStatsRe(table) => showStatsOf(spark.table(table))
+      case setSessionRe(name, valueExpr) =>
+        // constant-fold the value expression (the reference accepts any
+        // literal expression here), then set it on Spark's conf — an
+        // unmodifiable key surfaces Spark's own error, not a silent no-op
+        val v = spark.sql(s"SELECT $valueExpr").head().get(0)
+        spark.conf.set(name, String.valueOf(v))
+        spark.sql("SELECT 'SET SESSION' AS result")
+      case resetSessionRe(name) =>
+        spark.conf.unset(name)
+        spark.sql("SELECT 'RESET SESSION' AS result")
       case txnRe(stmt) =>
         throw new UnsupportedOperationException(
           s"'${stmt.trim}' is not supported: this engine runs with single-statement " +
@@ -295,10 +313,9 @@ object PrestoSql {
       * may be estimated. Unsupported (nested/binary) column types get the
       * reference's empty stats row.
       */
-    private def showStats(table: String): DataFrame = {
+    private def showStatsOf(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
-      val df = spark.table(table)
       val fields = df.schema.fields.toSeq
       def supported(dt: DataType): Boolean = dt match {
         case _: ArrayType | _: MapType | _: StructType | BinaryType => false

@@ -228,6 +228,20 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byCol(Some("n_name")).getDouble(1) > 0, "string data_size = byte sum")
   }
 
+  test("SHOW STATS FOR (query), SET SESSION, RESET SESSION") {
+    val ps = new PrestoSql.Prepared(spark)
+    // the grammar's #showStatsForQuery form — stats of a derived relation
+    val rows = ps.statement(
+      "SHOW STATS FOR (SELECT n_name FROM nation WHERE n_nationkey < 5)").collect()
+    assert(rows.length == 2, "one column row + the summary row")
+    assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "n_name"))
+    assert(rows.find(_.isNullAt(0)).get.getDouble(4) == 5.0, "filtered row_count")
+    ps.statement("SET SESSION spark.graft.probe = 'on'")
+    assert(spark.conf.get("spark.graft.probe") == "on")
+    ps.statement("RESET SESSION spark.graft.probe")
+    assert(spark.conf.getOption("spark.graft.probe").isEmpty)
+  }
+
   test("transaction statements are rejected with the divergence message, not a parse error") {
     // reference grammar SqlBase.g4:104-106; README "Known divergences"
     val ps = new PrestoSql.Prepared(spark)
