@@ -192,4 +192,23 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanOrd.nonEmpty && aggOrd.nonEmpty && aggOrd.get < scanOrd.get,
       "final aggregate must sit above the scan in pre-order")
   }
+
+  test("catalog table lifecycle: ALTER TABLE RENAME / COMMENT ON / DROP (the native-DDL audit claims)") {
+    // locks the README statement-family audit rows that claim Spark-native
+    // support for the reference's ALTER TABLE RENAME TO (SqlBase.g4:52)
+    // and COMMENT ON TABLE (SqlBase.g4:53)
+    spark.sql("DROP TABLE IF EXISTS t_lifecycle")
+    spark.sql("DROP TABLE IF EXISTS t_lifecycle2")
+    spark.sql("CREATE TABLE t_lifecycle USING parquet AS SELECT 1 AS a, 'x' AS b")
+    spark.sql("COMMENT ON TABLE t_lifecycle IS 'graft lifecycle probe'")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED t_lifecycle").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Comment").exists(_.contains("graft lifecycle probe")),
+      "COMMENT ON TABLE must land in the catalog")
+    spark.sql("ALTER TABLE t_lifecycle RENAME TO t_lifecycle2")
+    assert(spark.sql("SELECT a FROM t_lifecycle2").collect()(0).getInt(0) == 1)
+    intercept[Exception](spark.sql("SELECT * FROM t_lifecycle").collect())
+    spark.sql("DROP TABLE t_lifecycle2")
+    intercept[Exception](spark.sql("SELECT * FROM t_lifecycle2").collect())
+  }
 }
