@@ -187,6 +187,51 @@ object TextOps {
     (lenScore + wordScore + stopScore + punctScore) / 4.0
   }
 
+  /** The Gopher document-quality rules (Rae et al. 2021, Appendix A —
+    * the repetition-free subset; cross-document repetition lives in the
+    * [[Dedup]] tier). Every rule is INTEGER arithmetic (counts compared
+    * by cross-multiplication, never a float ratio), so the verdicts are
+    * bit-stable across engines and partitionings. Returns a struct of
+    * per-rule booleans plus the conjunction:
+    *  - word_count: 50 ≤ n ≤ 100,000;
+    *  - word_length: mean word length in [3, 10] (3n ≤ Σlen ≤ 10n);
+    *  - symbol_ratio: ('#' + '…') occurrences ≤ 0.1 per word;
+    *  - bullet_lines: ≤ 10% of lines start with a bullet;
+    *  - ellipsis_lines: < 30% of lines end with an ellipsis;
+    *  - alpha_words: ≥ 80% of words contain a letter;
+    *  - stop_words: ≥ 2 distinct hits from the paper's 8-word list.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(text: Column): Column = {
+    val ws = tokens(text)
+    val n = size(ws)
+    val sumLen = aggregate(ws, lit(0), (a, w) => a + length(w))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
+        startswith(ltrim(l), lit("•"))))
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(gopherStopwords.map(lit): _*)))
+    val rules = Seq(
+      "word_count" -> (n >= 50 && n <= 100000),
+      "word_length" -> (lit(3) * n <= sumLen && sumLen <= lit(10) * n),
+      "symbol_ratio" -> (lit(10) * (hashes + ellipses) <= n),
+      "bullet_lines" -> (lit(10) * bulletLines <= nLines),
+      "ellipsis_lines" -> (lit(10) * ellipsisLines < lit(3) * nLines),
+      "alpha_words" -> (lit(10) * alphaWords >= lit(8) * n),
+      "stop_words" -> (stopHits >= 2))
+    struct(rules.map { case (name, c) => c.as(name) } :+
+      rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Language-ID by stopword-list hits — the n-gram-free heuristic tier.
     * Scores each candidate language by distinct-token overlap with its
     * stopword list and picks the argmax (ties break by list order).

@@ -210,6 +210,51 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
     },
 
+    // ---- Gopher document-quality rules (TextOps.gopherRules) ----
+    // The Rae et al. 2021 Appendix-A filter set, all INTEGER arithmetic
+    // (ratios compared by cross-multiplication) so every verdict is
+    // bit-stable. The oracle recomputes each rule from scratch with
+    // DuckDB's list machinery; output is doc_id + 8 booleans.
+    "llm_gopher_rules" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS ws,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (SELECT doc_id,
+        |    len(ws) AS n,
+        |    COALESCE(list_sum(list_transform(ws, w -> strlen(w))), 0) AS sumlen,
+        |    len(lines) AS nlines,
+        |    len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS bullets,
+        |    len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+        |      OR ends_with(rtrim(l), '…'))) AS elines,
+        |    strlen(text) - strlen(replace(text, '#', '')) AS hashes,
+        |    (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS ells,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alphas,
+        |    len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with'])) AS stops
+        |  FROM d)
+        |SELECT doc_id,
+        |  n >= 50 AND n <= 100000 AS word_count,
+        |  3 * n <= sumlen AND sumlen <= 10 * n AS word_length,
+        |  10 * (hashes + ells) <= n AS symbol_ratio,
+        |  10 * bullets <= nlines AS bullet_lines,
+        |  10 * elines < 3 * nlines AS ellipsis_lines,
+        |  10 * alphas >= 8 * n AS alpha_words,
+        |  stops >= 2 AS stop_words,
+        |  (n >= 50 AND n <= 100000) AND (3 * n <= sumlen AND sumlen <= 10 * n)
+        |    AND (10 * (hashes + ells) <= n) AND (10 * bullets <= nlines)
+        |    AND (10 * elines < 3 * nlines) AND (10 * alphas >= 8 * n)
+        |    AND (stops >= 2) AS keep
+        |FROM m
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      Tables.t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), graft.llm.TextOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- overlapping token chunking (TextOps.chunkOverlap) ----
     // The RAG/embedding-prep split: 64-token windows at stride 48 (25%
     // overlap). Map-only — tokenize, explode start offsets, slice. The

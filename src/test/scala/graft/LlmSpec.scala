@@ -578,6 +578,28 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("gopherRules: each rule fires on its own planted violation") {
+    val sp = spark; import sp.implicits._
+    val good = (("the quick brown fox jumps with the energy of a dozen " +
+      "that have come and gone to be first ") * 3).trim // 54 plain words
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short to pass"),                              // word_count
+      (3L, good + " " + ("# " * 30).trim),                    // symbol_ratio
+      (4L, good + "\n- a\n- b\n* c\n• d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"), // bullet_lines
+      (5L, ("0 1 2 3 4 5 6 7 8 9 " * 6).trim))                // alpha_words (+stop_words)
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(col("text"))
+    val rows = docs.select(col("doc_id"), out.as("g")).select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), "the clean doc must pass every rule")
+    assert(!rows(2L).getAs[Boolean]("word_count"))
+    assert(!rows(3L).getAs[Boolean]("symbol_ratio") && rows(3L).getAs[Boolean]("word_count"))
+    assert(!rows(4L).getAs[Boolean]("bullet_lines"))
+    assert(!rows(5L).getAs[Boolean]("alpha_words") && !rows(5L).getAs[Boolean]("stop_words"))
+    assert(Seq(2L, 3L, 4L, 5L).forall(i => !rows(i).getAs[Boolean]("keep")))
+  }
+
   test("chunkOverlap: fixed-stride starts, truncated tail, full coverage") {
     val sp = spark; import sp.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
