@@ -136,6 +136,44 @@ object StressRehearsal {
         spark.catalog.clearCache()
         val spillAfterMin = (tally.memSpilled, tally.diskSpilled)
 
+        // round-10 tier under the same pressure: the bigram-LM build —
+        // vocabulary-scale hash-aggregate state plus a corpus-wide
+        // explode through the count joins — must complete by spilling,
+        // never OOM (its hash state is the biggest of the LLM tier's)
+        val tLm = timed {
+          llm.NgramLm.bigramCrossEntropy(docs, "doc_id", "text",
+              ref = docs.filter(col("doc_id") % 2 === 0))
+            .write.format("noop").mode("overwrite").save()
+        }
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        spark.catalog.clearCache()
+        val spillAfterLm = (tally.memSpilled, tally.diskSpilled)
+
+        // ...and SemDeDup end to end (train + assign + intra-cluster
+        // prune): the persisted vector frame plus per-cluster windows
+        // compete with execution memory under the small heap
+        val vecs = rep("embeddings")((d, i) => d
+          .withColumn("vec_id", col("vec_id") + lit(i * keyOff))
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else {
+              val neg = if (i >= 6) -1.0f else 1.0f
+              zip_with(col("embedding"),
+                typedLit((0 until 64).map(dim =>
+                  (if (((dim >> (i % 6)) & 1) == 1) -1.0f else 1.0f) * neg)),
+                (x, f) => x * f)
+            }))
+        val tSem = timed {
+          val cents = llm.Kmeans.train(vecs, "vec_id", "embedding",
+            k = 64, iters = 2, dim = 64)
+          llm.Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+              threshold = 0.98)
+            .write.format("noop").mode("overwrite").save()
+        }
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        spark.catalog.clearCache()
+        val spillAfterSem = (tally.memSpilled, tally.diskSpilled)
+
         // The guaranteed-pressure case: a full 6-key distributed sort of
         // the replicated fact (the reference's OrderByOperator +
         // FileSingleStreamSpiller path). R×600k rows of ~100-byte rows
@@ -149,10 +187,10 @@ object StressRehearsal {
             .write.format("noop").mode("overwrite").save()
         }
         org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
-        val sortMem = tally.memSpilled - spillAfterMin._1
-        val sortDisk = tally.diskSpilled - spillAfterMin._2
+        val sortMem = tally.memSpilled - spillAfterSem._1
+        val sortDisk = tally.diskSpilled - spillAfterSem._2
 
-        println(f"""[stress] {"mode":"spill","heap_gb":$heapG%.1f,"replicas":$R%d,"q18_sec":$tQ18%.2f,"q18_spill_mem_mb":${spillAfterQ18._1 / 1048576}%d,"minhash_sec":$tMin%.2f,"minhash_spill_mem_mb":${(spillAfterMin._1 - spillAfterQ18._1) / 1048576}%d,"sort_sec":$tSort%.2f,"sort_spill_mem_mb":${sortMem / 1048576}%d,"sort_spill_disk_mb":${sortDisk / 1048576}%d,"total_spill_mem_mb":${tally.memSpilled / 1048576}%d,"total_spill_disk_mb":${tally.diskSpilled / 1048576}%d}""")
+        println(f"""[stress] {"mode":"spill","heap_gb":$heapG%.1f,"replicas":$R%d,"q18_sec":$tQ18%.2f,"q18_spill_mem_mb":${spillAfterQ18._1 / 1048576}%d,"minhash_sec":$tMin%.2f,"minhash_spill_mem_mb":${(spillAfterMin._1 - spillAfterQ18._1) / 1048576}%d,"ngram_sec":$tLm%.2f,"ngram_spill_mem_mb":${(spillAfterLm._1 - spillAfterMin._1) / 1048576}%d,"semdedup_sec":$tSem%.2f,"semdedup_spill_mem_mb":${(spillAfterSem._1 - spillAfterLm._1) / 1048576}%d,"sort_sec":$tSort%.2f,"sort_spill_mem_mb":${sortMem / 1048576}%d,"sort_spill_disk_mb":${sortDisk / 1048576}%d,"total_spill_mem_mb":${tally.memSpilled / 1048576}%d,"total_spill_disk_mb":${tally.diskSpilled / 1048576}%d}""")
 
       case "skew" =>
         // ~10% of the 10× fact rides ONE hot order key; the rest spread
