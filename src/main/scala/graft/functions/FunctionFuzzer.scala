@@ -269,6 +269,55 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A LIKE-pattern bank: LIKE / NOT LIKE / ILIKE over drawn patterns —
+    * contains/prefix/suffix shapes, `_` single-char wildcards, and
+    * literal-wildcard matching through an ESCAPE character (`!`, chosen
+    * so neither dialect's string-literal escaping is involved). Patterns
+    * apply to n_name and to composed strings that PROVABLY contain `%`
+    * (concat with a literal), so the escaped-wildcard rows decide both
+    * ways. Identical text runs on both engines.
+    */
+  def generateLikePatterns(seed: Long, nCols: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+    val frags = Seq("A", "AN", "IA", "ST", "RA", "UN", "ED", "IN", "E", "R")
+
+    def subject(): String = rnd.nextInt(4) match {
+      case 0 => "n_name"
+      case 1 => "concat(n_name, '%')"
+      case 2 => "concat('#', n_name)"
+      case _ => "concat(n_name, '_', CAST(n_nationkey AS STRING))"
+    }
+    def frag(): String = frags(rnd.nextInt(frags.length))
+    def pattern(): String = rnd.nextInt(6) match {
+      case 0 => s"%${frag()}%"
+      case 1 => s"${frag()}%"
+      case 2 => s"%${frag()}"
+      case 3 => s"${frag()}_%"
+      case 4 => s"%${frag()}_${frag()}%"
+      case _ => s"_%${frag()}%"
+    }
+
+    val cols = (1 to nCols).map { i =>
+      val e = i % 4 match {
+        case 1 => s"(${subject()} LIKE '${pattern()}')"
+        case 2 => s"(${subject()} NOT LIKE '${pattern()}')"
+        case 3 => s"(${subject()} ILIKE '${pattern().toLowerCase}')"
+        case _ => rnd.nextInt(2) match {
+          // literal '%' through ESCAPE: true exactly for the concat('%')
+          // subjects, false for bare names — row-decided both ways
+          case 0 => s"(${subject()} LIKE '%!%' ESCAPE '!')"
+          case _ => s"(${subject()} LIKE '!%%' ESCAPE '!')"
+        }
+      }
+      s"  $e AS e$i"
+    }
+    s"""SELECT n_nationkey AS k,
+       |${cols.mkString(",\n")}
+       |FROM nation
+       |ORDER BY k ASC NULLS LAST""".stripMargin
+  }
+
   /** A dual-dialect IGNORE NULLS window bank: lag/lead/first_value/
     * last_value/nth_value over a NULL-injected value series, in both
     * null-treatment polarities. The two dialects place the modifier

@@ -420,6 +420,11 @@ object Functions {
       graft.functions.FunctionFuzzer.generateIgnoreNullsWindows(2801L, 24); Q.sql(sp, dk) },
     "fuzz_ignorenulls_bank_2" -> { val (sp, dk) =
       graft.functions.FunctionFuzzer.generateIgnoreNullsWindows(2802L, 24); Q.sql(sp, dk) },
+    // LIKE / NOT LIKE / ILIKE / ESCAPE pattern matching (same text both)
+    "fuzz_like_bank_1" -> Q.sqlSame(
+      graft.functions.FunctionFuzzer.generateLikePatterns(2901L, 28)),
+    "fuzz_like_bank_2" -> Q.sqlSame(
+      graft.functions.FunctionFuzzer.generateLikePatterns(2902L, 28)),
     // decimal-arithmetic banks: exact money math under randomized (p,s)
     // casts; outputs canonicalized to DOUBLE (bit-identical on both
     // engines by the grammar's <2^53 unscaled bound — DECIMAL(38,10)

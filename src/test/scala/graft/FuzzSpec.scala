@@ -149,6 +149,13 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sp != dk && sp.contains("IGNORE NULLS OVER") && dk.contains("IGNORE NULLS)"),
         s"fuzz_ignorenulls_bank_$i: the dialects must place the modifier differently")
     }
+    for (i <- 1 to 2) {
+      val sql = graft.functions.FunctionFuzzer.generateLikePatterns(2900L + i, 28)
+      assert(Registry.all(s"fuzz_like_bank_$i").oracle.contains(sql),
+        s"fuzz_like_bank_$i's oracle SQL is not the seed-${2900 + i} regeneration")
+      assert(sql.contains("ESCAPE '!'") && sql.contains("ILIKE") && sql.contains("NOT LIKE"),
+        s"fuzz_like_bank_$i must cover the ESCAPE, ILIKE, and negated shapes")
+    }
   }
 
   test("the trycast banks regenerate with both successes and failures per bank") {
