@@ -232,6 +232,20 @@ object TextOps {
       rules.map(_._2).reduce(_ && _).as("keep"): _*)
   }
 
+  /** Within-document duplicate-line removal (the boilerplate cleaner:
+    * repeated headers/footers/navigation lines collapse to their first
+    * occurrence, original order preserved). Map-only — a first-occurrence
+    * index filter over the line array; O(lines²) per DOCUMENT, which is
+    * bounded and tiny, never corpus-quadratic. The cross-document analog
+    * is [[Dedup.segmentCut]].
+    */
+  def dedupLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === (i + 1).cast("long")),
+      "\n")
+  }
+
   /** Language-ID by stopword-list hits — the n-gram-free heuristic tier.
     * Scores each candidate language by distinct-token overlap with its
     * stopword list and picks the argmax (ties break by list order).

@@ -210,6 +210,45 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last, col("rk").asc_nulls_last)
     },
 
+    // ---- within-document duplicate-line removal (TextOps.dedupLines) ----
+    // The boilerplate cleaner: repeated lines collapse to their first
+    // occurrence, order preserved. The corpus text is single-line, so the
+    // query first reshapes each document into 6-word lines and PLANTS a
+    // duplicate of line 1, guaranteeing the removal path decides on every
+    // document; natural within-doc repetition adds more. The oracle
+    // replays reshape → plant → first-occurrence filter and md5s the
+    // cleaned text.
+    "llm_dedup_lines" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 200 AND length(text) > 0),
+        |c AS (SELECT doc_id,
+        |    list_transform(range(0, len(ws), 6),
+        |      s -> array_to_string(ws[s + 1 : s + 6], ' ')) AS chunks
+        |  FROM d),
+        |l AS (SELECT doc_id, list_prepend(chunks[1], chunks) AS lines FROM c),
+        |k AS (SELECT doc_id, len(lines) AS n_in,
+        |    list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(n_in AS BIGINT) AS n_lines_in,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_out,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val chunks = transform(sequence(lit(0), size(ws) - 1, lit(6)),
+        st => array_join(slice(ws, st + 1, lit(6)), " "))
+      val lines = concat(array(element_at(chunks, 1)), chunks)
+      val cleaned = graft.llm.TextOps.dedupLines(array_join(lines, "\n"))
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 200 && length(col("text")) > 0)
+        .select(col("doc_id"),
+          size(lines).cast("long").as("n_lines_in"),
+          size(split(cleaned, "\n")).cast("long").as("n_lines_out"),
+          md5(cleaned).as("clean_md5"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- Gopher document-quality rules (TextOps.gopherRules) ----
     // The Rae et al. 2021 Appendix-A filter set, all INTEGER arithmetic
     // (ratios compared by cross-multiplication) so every verdict is

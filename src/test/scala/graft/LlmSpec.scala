@@ -578,6 +578,13 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("dedupLines keeps first occurrences in order, drops later repeats") {
+    val sp = spark; import sp.implicits._
+    val out = Seq("hdr\nbody a\nhdr\nbody b\nhdr\nbody a").toDF("text")
+      .select(TextOps.dedupLines(col("text")).as("c")).collect()(0).getString(0)
+    assert(out == "hdr\nbody a\nbody b")
+  }
+
   test("gopherRules: each rule fires on its own planted violation") {
     val sp = spark; import sp.implicits._
     val good = (("the quick brown fox jumps with the energy of a dozen " +
