@@ -396,6 +396,42 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last)
     },
 
+    // ---- corpus token-distribution report (Zipf head coverage) ----
+    // The vocabulary-sizing diagnostic a tokenizer/mixture design needs:
+    // how much of the corpus the top-10/100/1000 token types cover. One
+    // tokenize-explode-count shuffle (map-side combined) builds the
+    // vocabulary-sized type-count table; the rank window runs over that
+    // table, never the corpus (vocab ≪ corpus — the same sublinearity
+    // argument as TF-IDF's stats frame). Ties rank by (count DESC, token
+    // ASC), so the report is deterministic; all-integer output.
+    "llm_token_distribution" -> Q.sql(
+      spark = """WITH toks AS (
+        |  SELECT explode(split(lower(text), ' ')) AS w
+        |  FROM documents WHERE length(text) > 0),
+        |counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |ranked AS (SELECT c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk
+        |  FROM counts)
+        |SELECT COUNT(*) AS n_types,
+        |  SUM(c) AS n_tokens,
+        |  SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS top10_tokens,
+        |  SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS top100_tokens,
+        |  SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS top1000_tokens
+        |FROM ranked""".stripMargin,
+      duck = """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE length(text) > 0),
+        |counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        |ranked AS (SELECT c,
+        |    ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk
+        |  FROM counts)
+        |SELECT COUNT(*) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10_tokens,
+        |  CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS BIGINT) AS top100_tokens,
+        |  CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS BIGINT) AS top1000_tokens
+        |FROM ranked""".stripMargin),
+
     // ---- corpus-statistics quality scoring (token rarity) ----
     // The corpus-level companion of llm_text_quality's per-document
     // metrics: every document scored by the CORPUS frequency of its
