@@ -459,6 +459,9 @@ object Dedup {
     *
     * Output: (id, cluster, keep, dup_of) — integer/boolean only, no
     * floating column, so the result is oracle-hash-stable by construction.
+    * ONE ROW PER CORPUS ROW, always: vectors with no assignable cell
+    * (zero-norm or wrong-dimension — cosine NULL against every centroid)
+    * come back with cluster NULL and keep=true instead of being dropped.
     *
     * Cache ownership: the projected vector frame is persisted for its two
     * consumers (assign + verify); the caller releases with
@@ -500,7 +503,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val dupOf = verified.groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("dup_of"))
-    assigned.select(col("id"), col("cluster"))
+    // every corpus row survives to the output: rows whose cosine is NULL
+    // against every centroid (zero-norm or wrong-dimension vectors) have
+    // no cell to be deduplicated in, so they emit cluster NULL with
+    // keep=true rather than silently vanishing — a downstream join on
+    // this result never loses documents
+    vecs.select(col("id"))
+      .join(assigned.select(col("id"), col("cluster")), Seq("id"), "left")
       .join(dupOf, Seq("id"), "left")
       .select(col("id"), col("cluster"),
         col("dup_of").isNull.as("keep"), col("dup_of"))

@@ -65,9 +65,13 @@ object NgramLm {
   def bigramCrossEntropy(
       docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, alpha: Double = Alpha): DataFrame = {
-    val big = trainBigrams(ref, textCol)
+    // empty-text ref rows are excluded BEFORE training, mirroring the
+    // scored side's filter: an empty document would otherwise contribute
+    // an '' token to |V| (split('') = ['']) and shift every xent value
+    val ref_ = ref.filter(length(col(textCol)) > 0)
+    val big = trainBigrams(ref_, textCol)
     val ctx = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = ref
+    val vocab = ref_
       .select(explode(tokensOf(col(textCol))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val scored = docs

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *    pattern without materializing an index;
   *  - term statistics (document frequency) aggregate to a frame bounded
   *    by |query terms| (search) or |vocabulary| (tfIdf) — both sublinear
-  *    in corpus size — and join back via broadcast;
+  *    in corpus size — and join back: hint-broadcast for the
+  *    query-bounded search frame, AQE-chosen for the vocabulary-sized
+  *    tfIdf frame (a web-corpus vocabulary can exceed broadcast limits);
   *  - corpus scalars (N, avgdl) are a 1-row aggregate cross-joined in
   *    (AQE broadcasts single-row frames; no driver collect);
   *  - oracle-hash discipline: `ln` (the one transcendental) is evaluated
@@ -66,7 +68,12 @@ object Relevance {
     val dt = docTermFreqs(docs, idCol, textCol)
     val df_ = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val n = corpusStats(docs, textCol).select("n_docs")
-    dt.join(broadcast(df_), "term")
+    // no broadcast hint on the df frame: it is VOCABULARY-sized, and a
+    // web-corpus vocabulary exceeds broadcast/driver limits at 100 TB —
+    // AQE picks broadcast when the measured size fits, shuffle-join on
+    // term otherwise (the hint stays only in bm25Search, where the frame
+    // is bounded by |queryTerms|)
+    dt.join(df_, "term")
       .crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9)

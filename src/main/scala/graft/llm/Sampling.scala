@@ -68,7 +68,8 @@ object Sampling {
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): each row draws a reproducible uniform u(id, seed)
     * and the k rows with the largest u^(1/w) win — equivalently the
-    * largest ln(u)/w, which is what is ranked (w > 0 required; rows with
+    * largest ln(u)/w, which is what is ranked (rows with w ≤ 0 carry no
+    * sampling mass and are EXCLUDED before ranking; rows with
     * larger weight win proportionally more often, exactly the weighted
     * reservoir semantics a curation pass wants for quality- or
     * domain-weighted subcorpus draws).
@@ -85,7 +86,8 @@ object Sampling {
     * bounded merge — never a global sort materialization. The final
     * row_number window runs over k rows only.
     *
-    * Output: (id, weight, rank), rank 1..k.
+    * Output: (id, weight DOUBLE — the exact value the key used, rank),
+    * rank 1..k.
     */
   def weightedSample(
       df: DataFrame, idCol: String, weight: Column, k: Int,
@@ -94,8 +96,13 @@ object Sampling {
     val u = (conv(hex13, 16, 10).cast("long").cast("double") + lit(0.5)) /
       lit(4503599627370496.0) // 2^52
     val key = round(log(u) / weight.cast("double"), 9)
+    // weight is emitted as DOUBLE — the same value the ranking key used
+    // (a long truncation would misreport fractional quality weights);
+    // non-positive weights have no Efraimidis–Spirakis mass (ln(u)/w
+    // flips sign or divides by zero) and are excluded, not ranked
     val top = df
-      .select(col(idCol).as("id"), weight.cast("long").as("weight"), key.as("__k"))
+      .select(col(idCol).as("id"), weight.cast("double").as("weight"), key.as("__k"))
+      .filter(col("weight") > 0)
       .orderBy(col("__k").desc, col("id").asc)
       .limit(k)
     top

@@ -216,7 +216,10 @@ object TextOps {
     val ellipsisLines = size(filter(lines, l =>
       endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
     val hashes = length(text) - length(regexp_replace(text, "#", ""))
-    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    // both ellipsis spellings count, as the docstring (and the Gopher
+    // rule) says: ASCII '...' (3 chars each) plus Unicode '…' (1 char)
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3 +
+      (length(text) - length(replace(text, lit("…"), lit(""))))
     val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
     val stopHits = size(array_intersect(array_distinct(ws),
       array(gopherStopwords.map(lit): _*)))

@@ -269,7 +269,8 @@ object Llm {
         |    len(list_filter(lines, l -> ends_with(rtrim(l), '...')
         |      OR ends_with(rtrim(l), '…'))) AS elines,
         |    strlen(text) - strlen(replace(text, '#', '')) AS hashes,
-        |    (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS ells,
+        |    (strlen(text) - strlen(replace(text, '...', ''))) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS ells,
         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alphas,
         |    len(list_intersect(list_distinct(ws),
         |      ['the','be','to','of','and','that','have','with'])) AS stops
@@ -1259,7 +1260,8 @@ object Llm {
     // only cross-engine-safe hash in both dialects) and w = token count.
     // The oracle re-derives the identical keys and ranking in DuckDB, so
     // the differential covers the u construction, the key algebra, and
-    // the top-k ordering; output is integer-only.
+    // the top-k ordering; weight rides as the exact DOUBLE the key used
+    // (an integer count here, so double-exact on both engines).
     "llm_sample_weighted" -> Q.df(
       """WITH d AS (
         |  SELECT doc_id, len(string_split(lower(text), ' ')) AS w
@@ -1269,8 +1271,8 @@ object Llm {
         |    ROUND(ln((CAST(('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 13)) AS BIGINT) + 0.5)
         |          / 4503599627370496.0) / w, 9) AS k
         |  FROM d),
-        |top AS (SELECT doc_id, w, k FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
-        |SELECT doc_id AS id, CAST(w AS BIGINT) AS weight,
+        |top AS (SELECT doc_id, w, k FROM keyed WHERE w > 0 ORDER BY k DESC, doc_id LIMIT 50)
+        |SELECT doc_id AS id, CAST(w AS DOUBLE) AS weight,
         |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank
         |FROM top
         |ORDER BY rank ASC NULLS LAST""".stripMargin) { (s, dir) =>
