@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *    bounded-collect discipline as Kmeans' k-row centroid fetch);
   *  - merge application is a literal `replace` chain — whole-stage
   *    codegen'd string kernels, no UDF anywhere;
-  *  - encoding is MAP-ONLY (no shuffle, no state): the learned merges are
-  *    baked into the expression as literals, so tokenizing 100 TB is one
-  *    embarrassingly-parallel pass, exactly how production tokenizers run.
+  *  - encoding has two tiers: [[encodeTokenCounts]] bakes the merges in
+  *    as a literal replace chain — MAP-ONLY (no shuffle), but each merge
+  *    adds ~6 expression nodes, so it holds only to a few hundred merges
+  *    before JVM/codegen method-size limits; [[encodeTokenCountsJoined]]
+  *    keeps the merges as a TABLE and encodes the DISTINCT-word
+  *    vocabulary iteratively (rounds bounded by word length, not merge
+  *    count), then joins token counts back to the corpus — the form that
+  *    holds at a production tokenizer's ~30k merges.
   *
   * Merge-application semantics (the cross-engine subtlety): BPE replaces
   * occurrences of the top pair LEFT-TO-RIGHT, non-overlapping — "a a a"
@@ -63,13 +68,21 @@ object Bpe {
   }
 
   /** Apply one merge to a syms string via the doubled-delimiter replace. */
-  def applyMergeOnce(syms: Column, left: String, right: String): Column = {
-    val needle = s" $left  $right "
-    val merged = s" $left$right "
+  def applyMergeOnce(syms: Column, left: String, right: String): Column =
+    applyMergeCol(syms, lit(s"$left $right"))
+
+  /** [[applyMergeOnce]] with the pair as a COLUMN value ("left right") —
+    * the kernel the join-based encoder needs, where the pair to apply
+    * arrives from the merge table rather than as a plan-time literal.
+    * Identical algorithm (the literal form delegates here).
+    */
+  def applyMergeCol(syms: Column, pair: Column): Column = {
+    val needle = concat(lit(" "), replace(pair, lit(" "), lit("  ")), lit(" "))
+    val merged = concat(lit(" "), replace(pair, lit(" "), lit("")), lit(" "))
     trim(replace(
       replace(
         concat(lit(" "), replace(syms, lit(" "), lit("  ")), lit(" ")),
-        lit(needle), lit(merged)),
+        needle, merged),
       lit("  "), lit(" ")))
   }
 
@@ -81,8 +94,14 @@ object Bpe {
 
   /** Train `nMerges` BPE merges. Each round is one aggregation over the
     * vocabulary table plus a 1-row collect; the corpus is read once.
+    * persist+count truncates EXECUTION each round, but the analyzed plan
+    * tree still deepens by one withColumn per round — a localCheckpoint
+    * every `checkpointEvery` rounds pins the (vocabulary-sized) working
+    * set and resets the tree, so analysis time stays flat when nMerges
+    * reaches the hundreds.
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 25): Seq[Merge] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var wf = wordFreqs(docs, textCol).persist(lvl)
     wf.count()
@@ -101,10 +120,10 @@ object Bpe {
         val cnt = top(0).getLong(1)
         out += Merge(r, pair, cnt)
         val Array(l, rt) = pair.split(" ", 2)
-        val next = wf
-          .withColumn("syms", applyMergeOnce(col("syms"), l, rt))
-          .persist(lvl)
-        next.count()
+        val applied = wf.withColumn("syms", applyMergeOnce(col("syms"), l, rt))
+        val next =
+          if (r % checkpointEvery == 0) applied.localCheckpoint(true)
+          else { val p = applied.persist(lvl); p.count(); p }
         wf.unpersist()
         wf = next
         r += 1
@@ -137,4 +156,92 @@ object Bpe {
           transform(col("ws"),
             w => size(split(encodeWord(w, merges), " ")).cast("long")),
           lit(0L), (acc, x) => acc + x).as("n_tokens"))
+
+  /** Encode a DISTINCT-word frame against a merge TABLE — the encoder
+    * that survives production merge counts. [[encodeWord]] folds the
+    * merge list into one literal replace chain: ~6 expression nodes per
+    * merge, so a real tokenizer's ~30k merges exceed JVM/codegen
+    * method-size limits long before execution. This form keeps the merge
+    * list as DATA:
+    *
+    *  - each round, every word's adjacent symbol pairs join the
+    *    (broadcast — bounded by nMerges, the k-centroid argument of
+    *    [[Kmeans.assignByJoin]]) merge table and the word applies its
+    *    LOWEST-RANK applicable merge via [[applyMergeCol]];
+    *  - rounds repeat until no word has an applicable pair. Per round a
+    *    word's applied rank strictly increases (a merge can only create
+    *    pairs involving its own output token, which BPE training can
+    *    only have learned at a HIGHER rank), so this greedy min-rank
+    *    loop replays [[encodeWord]]'s rank-order fold EXACTLY — byte
+    *    equality is locked in BpeSpec — while the round count is bounded
+    *    by the longest word's symbol count (≈ word length), NOT by
+    *    nMerges: 30k merges still converge in ≲ 25 rounds on natural
+    *    words;
+    *  - each round ends in a localCheckpoint, so the logical plan stays
+    *    one round deep and per-round cost is a (vocabulary-sized) scan +
+    *    broadcast join — never corpus-sized.
+    *
+    * Precondition: `merges` is rank-ordered with every pair's two tokens
+    * predating it (any [[train]] output satisfies this — it is the
+    * definition of a BPE merge list).
+    *
+    * Input: any frame with a `word` column (deduplicated here).
+    * Output: (word, syms, n_tokens).
+    */
+  def encodeVocab(words: DataFrame, merges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val m = broadcast(
+      merges.select(col("rank").cast("long").as("__rank"), col("pair").as("__pair")))
+    var state = words.select(col("word")).distinct()
+      .withColumn("syms", initSymbols(col("word")))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val best = state
+        .select(col("word"), explode(array_distinct(adjacentPairs(col("syms")))).as("__pair"))
+        .join(m, "__pair")
+        .groupBy(col("word"))
+        .agg(min(struct(col("__rank"), col("__pair"))).as("__b"))
+        .select(col("word"), col("__b.__pair").as("__mp"))
+      val next = state.join(best, Seq("word"), "left")
+        .select(col("word"),
+          when(col("__mp").isNull, col("syms"))
+            .otherwise(applyMergeCol(col("syms"), col("__mp"))).as("syms"),
+          col("__mp").isNotNull.as("__active"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__active")).isEmpty
+      state = next.select(col("word"), col("syms"))
+      rounds += 1
+    }
+    require(converged,
+      s"BPE encode did not converge in $maxRounds rounds — a word longer " +
+        "than maxRounds symbols keeps merging; raise maxRounds")
+    state.withColumn("n_tokens", size(split(col("syms"), " ")).cast("long"))
+  }
+
+  /** [[encodeTokenCounts]] against a merge TABLE: per-document word and
+    * BPE token counts at production merge counts. The corpus is read
+    * once and never carries the merge chain — words explode to (id,
+    * word), join the [[encodeVocab]]-encoded vocabulary (vocabulary-
+    * sized; AQE broadcasts it when it fits), and one aggregation keyed
+    * by id folds the counts back. Same output contract as the literal
+    * form, including (id, 0, 0) rows for documents with no encodable
+    * word — locked byte-equal in BpeSpec.
+    */
+  def encodeTokenCountsJoined(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val base = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), " "), w => w.rlike("^[a-z]+$")).as("ws"))
+    val words = base.select(col(idCol), explode(col("ws")).as("word"))
+    val encoded = encodeVocab(words.select(col("word")), merges)
+      .select(col("word"), col("n_tokens").as("__wt"))
+    val sums = words.join(encoded, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("__wt")).as("__t"))
+    base.select(col(idCol), size(col("ws")).cast("long").as("n_words"))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("__t"), lit(0L)).as("n_tokens"))
+  }
 }

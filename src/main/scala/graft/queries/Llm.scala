@@ -397,6 +397,32 @@ object Llm {
         .orderBy(col("doc_id").asc_nulls_last)
     },
 
+    // ---- BPE encoding via the merge TABLE (Bpe.encodeTokenCountsJoined)
+    // The production-merge-count encoder: merges ride as data (vocabulary
+    // encoded iteratively by lowest applicable rank, token counts joined
+    // back per document), so nothing grows with nMerges in the plan. The
+    // oracle is the SAME literal-chain replay as llm_bpe_encode — the
+    // differential pins the join-based applier byte-equal to the fold.
+    "llm_bpe_encode_joined" -> Q.df(
+      s"""SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(list_sum(list_transform(ws,
+         |    w -> len(string_split(${duckBpeEncodeChain("w")}, ' ')))), 0) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id,
+         |        list_filter(string_split(lower(text),' '),
+         |          w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+         |      FROM documents WHERE doc_id < 100)
+         |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val mergesDf = bpeEncodeMerges.zipWithIndex
+        .map { case ((l, r), i) => ((i + 1).toLong, s"$l $r") }
+        .toDF("rank", "pair")
+      graft.llm.Bpe.encodeTokenCountsJoined(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", mergesDf)
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- corpus token-distribution report (Zipf head coverage) ----
     // The vocabulary-sizing diagnostic a tokenizer/mixture design needs:
     // how much of the corpus the top-10/100/1000 token types cover. One

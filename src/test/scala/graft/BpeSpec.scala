@@ -76,6 +76,56 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.isEmpty, s"expected no shuffle, found: $exchanges")
   }
 
+  test("join-based vocabulary encoder is byte-equal to the literal fold on trained merges") {
+    val sp = spark; import sp.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val learned = Bpe.train(docs, "text", 8)
+    val mergesDf = learned.map(m => (m.rank, m.pair)).toDF("rank", "pair")
+    val asPairs = learned.map(m => { val Array(l, r) = m.pair.split(" ", 2); (l, r) })
+    val vocab = Bpe.wordFreqs(docs, "text").select("word")
+    val literal = vocab
+      .select(col("word"), Bpe.encodeWord(col("word"), asPairs).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val joined = Bpe.encodeVocab(vocab, mergesDf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(joined.keySet == literal.keySet)
+    val diffs = literal.collect { case (w, s) if joined(w) != s => (w, s, joined(w)) }
+    assert(diffs.isEmpty, s"joined encoder diverged from literal fold on: ${diffs.take(5)}")
+  }
+
+  test("join-based encoder handles the adversarial greedy cases like the literal fold") {
+    val sp = spark; import sp.implicits._
+    // the same cases the literal-fold test pins, plus a no-merge word
+    val cases = Seq(
+      ("aaa", Seq(("a", "a"))),
+      ("abab", Seq(("a", "b"), ("ab", "ab"))),
+      ("ab", Seq(("a", "b"), ("ab", "_"))),
+      ("zq", Seq(("a", "b"))))
+    cases.foreach { case (word, merges) =>
+      val mergesDf = merges.zipWithIndex
+        .map { case ((l, r), i) => ((i + 1).toLong, s"$l $r") }.toDF("rank", "pair")
+      val got = Bpe.encodeVocab(Seq(word).toDF("word"), mergesDf)
+        .collect()(0).getString(1)
+      assert(got == onWord(word, merges), s"word=$word merges=$merges")
+    }
+  }
+
+  test("encodeTokenCountsJoined matches encodeTokenCounts, including zero-word documents") {
+    val sp = spark; import sp.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "12345 ??? 678")).toDF("doc_id", "text")) // no encodable word
+    val learned = Bpe.train(docs, "text", 6)
+    val mergesDf = learned.map(m => (m.rank, m.pair)).toDF("rank", "pair")
+    val asPairs = learned.map(m => { val Array(l, r) = m.pair.split(" ", 2); (l, r) })
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lit_ = key(Bpe.encodeTokenCounts(docs, "doc_id", "text", asPairs))
+    val join_ = key(Bpe.encodeTokenCountsJoined(docs, "doc_id", "text", mergesDf))
+    assert(lit_ == join_)
+    assert(lit_.exists { case (id, w, t) => id == 900001L && w == 0L && t == 0L })
+  }
+
   test("each merge is monotonic: token counts never increase, and strictly drop where the pair occurs") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val learned = Bpe.train(docs, "text", 4)
