@@ -147,6 +147,91 @@ object Kmeans {
         col("__best.cos").as("cos"))
   }
 
+  /** [[assign]] rung 3, for centroid tables in the TENS OF THOUSANDS:
+    * an IVF probe over the centroid table itself, composing the
+    * [[Similarity]] tier's inverted-file construction with [[assign]]'s
+    * literal-expression kernel. Rungs, by k:
+    *
+    *  1. [[assign]] — k literal cosines per row, codegen ceiling ≈ 1000;
+    *  2. [[assignByJoin]] — broadcast join lifts the expression ceiling,
+    *     but compute stays n × k cosines (flop-bound once k ≳ 4096 — the
+    *     SemDeDup "k ∝ n" rule makes this the binding constraint);
+    *  3. this — a deterministic coarse quantizer of `nlist` cells over
+    *     the centroids (the [[Similarity.ivfTopK]] hashed-sample rule);
+    *     each VECTOR scores only the centroids in its `nprobe` best
+    *     cells: n × (nlist + k·nprobe/nlist) cosines, √(n·k)-ish when
+    *     nlist ≈ √k.
+    *
+    * Everything before the final aggregation is MAP-ONLY: the coarse
+    * cells travel as literals (bounded by nlist, the [[assign]]
+    * argument), per-row probe selection is an array sort over nlist
+    * entries, and centroid cell membership is a k-row frame salted on
+    * hot cells ([[Similarity]]'s hotBucketCap discipline) and joined on
+    * cell id. The one corpus-wide shuffle is the same one row per vector
+    * [[assignByJoin]] pays (map-side-combined max). Ties resolve (cos,
+    * cluster) to the HIGHEST cluster — the shared convention, so with
+    * nprobe = nlist the output is EXACTLY [[assignByJoin]]'s
+    * (spec-locked); at nprobe < nlist it is approximate with recall
+    * measured in KmeansSpec. Vectors with no valid cosine (zero-norm /
+    * wrong dimension) are dropped, as in [[assign]].
+    */
+  def assignByAnn(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame,
+      nlist: Int = 64, nprobe: Int = 8, hotCellCap: Int = 100000): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val cents = centroids.select(col("cluster").cast("long").as("cluster"),
+      col("centroid").cast("array<double>").as("cen"))
+    // coarse quantizer: the nlist centroids with the smallest
+    // xxhash64(cluster) — a deterministic pseudo-random sample, collected
+    // driver-side (bounded by nlist) and applied as literals
+    val coarseSeq: Seq[(Long, Seq[Double])] = cents
+      .withColumn("__h", xxhash64(col("cluster")))
+      .orderBy(col("__h").asc, col("cluster").asc)
+      .limit(nlist).collect()
+      .zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](1).toIndexedSeq) }
+    require(coarseSeq.nonEmpty, "assignByAnn needs a non-empty centroid table")
+    // each centroid lives in its best coarse cell (map-only literal argmax;
+    // ties -> highest cell id, the shared convention)
+    val members = cents
+      .withColumn("__best", bestOf(col("cen"), coarseSeq))
+      .filter(col("__best.cos").isNotNull)
+      .select(col("__best.cluster").as("cell"), col("cluster"), col("cen"))
+    // cell-width table (≤ nlist rows, broadcast): hot cells split into
+    // ⌈w/cap⌉ salt values; probes replicate across them, so no join
+    // partition exceeds ~cap centroids while candidates stay identical
+    val cellSizes = members.groupBy("cell").agg(count(lit(1)).as("__w"))
+      .withColumn("__nsplit",
+        greatest(ceil(col("__w").cast("double") / hotCellCap), lit(1L)).cast("bigint"))
+      .select(col("cell"), col("__nsplit"))
+    val mSalted = members.join(broadcast(cellSizes), "cell")
+      .withColumn("__salt", pmod(xxhash64(col("cluster")), col("__nsplit")))
+      .drop("__nsplit")
+    // per-vector probe list, map-side: score all nlist cells as a literal
+    // struct array, sort, keep the nprobe best (cos DESC, cell DESC) —
+    // no window, no shuffle of the n × nlist scored rows
+    val scoredCells = array(coarseSeq.map { case (cell, cen) =>
+      struct(Similarity.cosine(col("__v"), typedLit(cen)).as("cos"), lit(cell).as("cell"))
+    }: _*)
+    val probes = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell",
+        explode(slice(reverse(array_sort(filter(scoredCells, s => s.getField("cos").isNotNull))),
+          1, nprobe).getField("cell")))
+    val pSalted = probes.join(broadcast(cellSizes), "cell")
+      .withColumn("__salt", explode(sequence(lit(0L), col("__nsplit") - 1)))
+      .drop("__nsplit")
+    pSalted
+      .join(mSalted.withColumnRenamed("cell", "__cell_r").withColumnRenamed("__salt", "__salt_r"),
+        col("cell") === col("__cell_r") && col("__salt") === col("__salt_r"))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("cen")))
+      .filter(col("__cos").isNotNull)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__cos").as("cos"), col("cluster").as("cluster"))).as("__best"))
+      .select(col("id"), col("__best.cluster").as("cluster"), col("__best.cos").as("cos"))
+  }
+
   /** (cluster, centroid) rows → bounded driver-side list, cluster-sorted. */
   private def collectCentroids(
       centroids: DataFrame, maxK: Int): Seq[(Long, Seq[Double])] = {

@@ -1360,6 +1360,38 @@ object Llm {
         .orderBy(col("vec_id").asc_nulls_last)
     },
 
+    // ---- IVF-accelerated k-means assignment (Kmeans.assignByAnn) ----
+    // Rung 3 of the assignment ladder: a coarse quantizer over a
+    // 64-centroid table, probed exhaustively (nprobe = nlist = 16) so the
+    // result is EXACTLY the n×k argmax — the whole inverted-file plumbing
+    // (hashed coarse sample, per-row literal probe ranking, salted cell
+    // join, map-side max) runs under a DuckDB oracle that recomputes the
+    // exact argmax over all 64 centroids. The approximate regime
+    // (nprobe < nlist) is recall-measured in KmeansSpec; integer-valued
+    // vectors and centroids keep every cosine bit-equal cross-engine.
+    "llm_kmeans_assign_ann" -> Q.df(
+      s"""WITH $duckKmeansCorpus,
+         |cents AS (
+         |  SELECT c + 1 AS cluster, list_transform(generate_series(0, 15), j -> CAST(
+         |    (CASE WHEN j % 16 = c % 16 THEN 40 ELSE 0 END) + (c * 7 + j * 3) % 10 AS DOUBLE)) AS cen
+         |  FROM generate_series(0, 63) g(c))
+         |SELECT vec_id, cluster, ROUND(cos, 6) AS cos FROM (
+         |  SELECT corpus.vec_id, cents.cluster, ${duckCos16("vec", "cen")} AS cos,
+         |    row_number() OVER (PARTITION BY corpus.vec_id
+         |      ORDER BY ${duckCos16("vec", "cen")} DESC, cents.cluster DESC) AS rn
+         |  FROM corpus CROSS JOIN cents) t
+         |WHERE rn = 1
+         |ORDER BY vec_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val cents = s.range(64).select((col("id") + 1).as("cluster"), expr(
+        """transform(sequence(0, 15), j -> CAST(
+          |  (CASE WHEN j % 16 = id % 16 THEN 40 ELSE 0 END) + (id * 7 + j * 3) % 10 AS DOUBLE))""".stripMargin)
+        .as("centroid"))
+      Kmeans.assignByAnn(kmeansCorpus(s, dir), "vec_id", "vec", cents,
+          nlist = 16, nprobe = 16)
+        .select(col("id").as("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("vec_id").asc_nulls_last)
+    },
+
     // ---- k-means training, two full Lloyd rounds (Kmeans.train) ----
     // initByLowestId puts the init centroids at vec_id 0..3 (one per
     // planted cluster); the oracle REPLAYS both rounds in SQL — assign by
