@@ -736,6 +736,133 @@ object FunctionFuzzer {
        |ORDER BY k ASC NULLS LAST""".stripMargin
   }
 
+  /** A `timestamp with time zone` bank over the packed value type
+    * ([[TimestampTz]]) — the fuzz net for the r10 type addition. Unlike
+    * the string grammars, the SPARK side is returned as named COLUMNS
+    * built from the TimestampTz helpers themselves (the surface under
+    * test: pack/unpack bit arithmetic, at_timezone rezoning, wall-clock
+    * presentation/extraction), while the DuckDB side independently
+    * recomputes each value from the raw instant with ICU timezone
+    * arithmetic (`epoch_ms(i) * 4096 + key`; `timezone(zone,
+    * timezone('UTC', i))`) — the encoding never round-trips through
+    * itself on the oracle side.
+    *
+    * Shape rules:
+    *  - instants derive from the events fixture (2024-01-01..06) shifted
+    *    by hours/months — wall-clock shapes (varchar presentation, field
+    *    extraction) stay inside 2022-2025 where both engines' tzdata
+    *    agree for all 16 dictionary zones (the green compat_tstz_type
+    *    precedent);
+    *  - PRE-1970 instants (−55..−79 years → 1945..1969) flow only
+    *    through INSTANT-domain shapes — pack/unpack roundtrips, rezone
+    *    invariance, cross-zone ordering — which exercise the
+    *    arithmetic-shift edge (`millis << 12 >> 12` on negative epochs)
+    *    without betting on wartime-era zone rules that differ across
+    *    tzdata versions;
+    *  - zones draw from the full 16-entry dictionary, per-column literal
+    *    or per-row (`user_id` rotation), DST observers included;
+    *  - every output is BIGINT, STRING, or BOOLEAN — no raw timestamp
+    *    column rides the compare (ms-precision strings instead).
+    */
+  def generateTstz(seed: Long, nCols: Int): (String, Seq[(String, org.apache.spark.sql.Column)]) = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TimestampTz => Tz}
+    val rnd = new scala.util.Random(seed)
+    rnd.nextLong(); rnd.nextLong() // decorrelate draws across nearby seeds
+
+    val duckZoneArr = "[" + Tz.zoneKeys.map { case (_, z) => s"'$z'" }.mkString(", ") + "]"
+
+    // (spark instant, duck instant) — ms-precision UTC
+    def instant(allowPre1970: Boolean, forcePre: Boolean = false): (Column, String) =
+      (if (forcePre) 3 else rnd.nextInt(if (allowPre1970) 4 else 3)) match {
+        case 0 => (col("__ts"), "ts")
+        case 1 =>
+          val h = rnd.nextInt(601) - 300
+          // duck spells signed offsets as n * INTERVAL (its INTERVAL
+          // literal grammar rejects a bare negative count)
+          (col("__ts") + expr(s"INTERVAL '$h' HOUR"), s"(ts + ($h) * INTERVAL 1 HOUR)")
+        case 2 =>
+          val m = rnd.nextInt(12); val h = rnd.nextInt(49) - 24
+          (col("__ts") + expr(s"INTERVAL '$m' MONTH") + expr(s"INTERVAL '$h' HOUR"),
+            s"(ts + ($m) * INTERVAL 1 MONTH + ($h) * INTERVAL 1 HOUR)")
+        case _ =>
+          val y = rnd.nextInt(25) + 55 // 1945..1969: pre-epoch instants
+          (col("__ts") - expr(s"INTERVAL '$y' YEAR"), s"(ts - ($y) * INTERVAL 1 YEAR)")
+      }
+
+    // (spark zone string col, duck zone expr, duck dictionary-key expr)
+    def zone(): (Column, String, String) =
+      if (rnd.nextBoolean()) {
+        val (k, z) = Tz.zoneKeys(rnd.nextInt(Tz.zoneKeys.length))
+        (lit(z), s"'$z'", s"CAST($k AS BIGINT)")
+      } else {
+        val off = rnd.nextInt(16)
+        (Tz.zoneName(pmod(col("user_id") + lit(off), lit(16))),
+          s"$duckZoneArr[CAST((user_id + $off) % 16 AS INT) + 1]",
+          s"CAST((user_id + $off) % 16 AS BIGINT)")
+      }
+
+    // first 7 columns cycle through every shape (guaranteed coverage per
+    // bank), the rest draw randomly
+    def column(i: Int): (String, Column, String) =
+      (if (i <= 7) i - 1 else rnd.nextInt(7)) match {
+      case 0 => // packed value: spark shifts/ORs, duck multiplies/adds
+        val (si, di) = instant(true); val (sz, _, dk) = zone()
+        (s"e$i", Tz.pack(si, sz), s"(epoch_ms($di) * 4096 + $dk)")
+      case 1 => // instant through pack -> rezone -> unpack (shift edge);
+        // the forced column (i = 2) pins a pre-1970 instant so every
+        // bank exercises the negative-epoch arithmetic-shift path
+        val (si, di) = instant(true, forcePre = i == 2)
+        val (sz, _, _) = zone(); val (sz2, _, _) = zone()
+        (s"e$i", Tz.instantMillis(Tz.atTimezone(Tz.pack(si, sz), sz2)),
+          s"epoch_ms($di)")
+      case 2 => // zone id after a rezone: the NEW zone, instant discarded
+        val (si, _) = instant(true)
+        val (sz, _, _) = zone(); val (sz2, dz2, _) = zone()
+        (s"e$i", Tz.zoneId(Tz.atTimezone(Tz.pack(si, sz), sz2)), dz2)
+      case 3 => // canonical varchar presentation (wall-safe instants)
+        val (si, di) = instant(false); val (sz, dz, _) = zone()
+        (s"e$i", Tz.toVarchar(Tz.pack(si, sz)),
+          s"(strftime(timezone($dz, timezone('UTC', $di)), '%Y-%m-%d %H:%M:%S.%g') || ' ' || $dz)")
+      case 4 => // field extraction in the value's own zone
+        val f = Seq("hour", "minute", "day", "month", "year")(rnd.nextInt(5))
+        val (si, di) = instant(false); val (sz, dz, _) = zone()
+        (s"e$i", Tz.extract(f, Tz.pack(si, sz)),
+          s"CAST($f(timezone($dz, timezone('UTC', $di))) AS BIGINT)")
+      case 5 => // instant ordering across MIXED zones (zone must not leak)
+        val (s1, d1) = instant(true); val (s2, d2) = instant(true)
+        val (z1, _, _) = zone(); val (z2, _, _) = zone()
+        val (op, dop) = Seq(("<", "<"), (">=", ">="), ("=", "="))(rnd.nextInt(3))
+        val l = Tz.instantMillis(Tz.pack(s1, z1))
+        val r = Tz.instantMillis(Tz.pack(s2, z2))
+        val c = op match {
+          case "<" => l < r
+          case ">=" => l >= r
+          case _ => l === r
+        }
+        (s"e$i", c, s"(epoch_ms($d1) $dop epoch_ms($d2))")
+      case _ => // rezone there-and-back is the identity on the PACKED value
+        val (si, _) = instant(true)
+        val (sz, _, _) = zone(); val (sz2, _, _) = zone()
+        (s"e$i",
+          Tz.atTimezone(Tz.atTimezone(Tz.pack(si, sz), sz2), sz) === Tz.pack(si, sz),
+          "TRUE")
+    }
+
+    val cols = (1 to nCols).map(column)
+    val duck =
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS ts
+         |  FROM events WHERE event_id < 2000)
+         |SELECT event_id,
+         |${cols.map { case (n, _, d) => s"  $d AS $n" }.mkString(",\n")}
+         |FROM e
+         |ORDER BY event_id ASC NULLS LAST""".stripMargin
+    (duck, cols.map { case (n, c, _) => (n, c) })
+  }
+
   /** A semi/anti-join bank: WHERE-clause subquery predicates in
     * COMBINATION — the NULL-aware anti-join minefield the join grammar
     * only samples singly. One drawn shape per bank:

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, timestamp_millis, unix_millis}
 
 /** Oracle-checked queries exercising the Presto-named gap-fill functions
   * registered by [[graft.functions.Rewrites]]/[[graft.functions.Udfs]]
@@ -461,6 +461,16 @@ object Compat {
         .orderBy(col("event_id").asc_nulls_last)
     },
 
+    // ---- packed-tstz fuzz banks (FunctionFuzzer.generateTstz) ----
+    // The property net for the timestamp-with-time-zone value type: the
+    // Spark side drives the TimestampTz HELPERS as columns (pack bit
+    // arithmetic, at_timezone, wall presentation/extraction, instant
+    // ordering, pre-1970 shift edges); the oracle recomputes every value
+    // from the raw instant with ICU arithmetic, never through the
+    // encoding. Seeded, regeneration-locked in FuzzSpec.
+    "fuzz_tstz_bank_1" -> tstzBank(3101L, 18),
+    "fuzz_tstz_bank_2" -> tstzBank(3102L, 18),
+
     "compat_timestamp_tz" -> Q.sql(
       spark = """SELECT event_id,
         |  from_utc_timestamp(ts, 'America/Los_Angeles') AS la_wall,
@@ -485,4 +495,19 @@ object Compat {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id ASC NULLS LAST""".stripMargin)
   )
+
+  /** One generated tstz bank: the fuzzer's named Columns over the
+    * ms-normalized events base (`__ts` mirrors the oracle's
+    * make_timestamp(epoch_ms × 1000) truncation).
+    */
+  private def tstzBank(seed: Long, nCols: Int): Q = {
+    val (duck, cols) = graft.functions.FunctionFuzzer.generateTstz(seed, nCols)
+    Q.df(duck) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .withColumn("__ts", timestamp_millis(unix_millis(col("ts"))))
+        .select(col("event_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("event_id").asc_nulls_last)
+    }
+  }
 }

@@ -158,6 +158,25 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the tstz banks regenerate (oracle AND helper columns) and cover the surface") {
+    for (i <- 1 to 2) {
+      val seed = 3100L + i
+      val (dk, cols) = graft.functions.FunctionFuzzer.generateTstz(seed, 18)
+      assert(Registry.all(s"fuzz_tstz_bank_$i").oracle.contains(dk),
+        s"fuzz_tstz_bank_$i's oracle SQL is not the seed-$seed regeneration")
+      // the Spark side regenerates to identical expression trees
+      val (_, cols2) = graft.functions.FunctionFuzzer.generateTstz(seed, 18)
+      assert(cols.map { case (n, c) => (n, c.toString) } ==
+        cols2.map { case (n, c) => (n, c.toString) },
+        s"fuzz_tstz_bank_$i's Spark columns must be a pure function of the seed")
+      // surface coverage: packing arithmetic, wall presentation, pre-1970
+      assert(dk.contains("* 4096 +"), "a packed-value shape must be drawn")
+      assert(dk.contains("timezone("), "a wall-clock shape must be drawn")
+      assert(dk.contains("INTERVAL 1 YEAR"), "a pre-1970 instant must be drawn")
+      assert(cols.size == 18)
+    }
+  }
+
   test("the trycast banks regenerate with both successes and failures per bank") {
     for (i <- 1 to 2) {
       val name = s"fuzz_trycast_bank_$i"
