@@ -653,6 +653,69 @@ object Llm {
         .limit(100)
     },
 
+    // ---- BM25-triaged decontamination (Relevance → Dedup composed) ----
+    // The end-to-end pipeline the Relevance header promises: a CHEAP
+    // BM25 candidate cut (term filter between explode and shuffle — the
+    // inverted-index access pattern — over the corpus half) feeds the
+    // EXPENSIVE shingle-containment verify, which now runs only on the
+    // topK-bounded candidate set (broadcast-joined into the corpus scan)
+    // instead of every corpus document. At 100 TB the verify's shingle
+    // explode is the dominant cost, so the triage turns a corpus-wide
+    // pass into a 200-document one. The oracle replays both stages —
+    // the BM25 formula AND the shingle join — end to end in SQL.
+    "llm_decontaminate_triaged" -> Q.df(
+      """WITH corp AS (
+        |  SELECT doc_id, lower(text) AS ltext, len(string_split(lower(text),' ')) AS dl
+        |  FROM documents WHERE doc_id >= 30 AND length(text) > 0),
+        |scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM corp),
+        |toks AS (SELECT doc_id, dl, unnest(string_split(ltext,' ')) AS term FROM corp),
+        |posting AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+        |  FROM toks WHERE term IN ('dup','join','filter','scan')
+        |  GROUP BY doc_id, term),
+        |stats AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+        |contrib AS (
+        |  SELECT p.doc_id,
+        |    ln(1.0 + (s2.n_docs - s.df + 0.5) / (s.df + 0.5))
+        |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s2.avgdl)) AS c
+        |  FROM posting p JOIN stats s USING (term) CROSS JOIN scalars s2),
+        |cand AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(24,9))) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY doc_id
+        |  ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST
+        |  LIMIT 200),
+        |ev AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS sh
+        |  FROM documents WHERE doc_id < 30),
+        |docsh AS (
+        |  SELECT d.doc_id, cand.score, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(d.text, ' ')) - 2, 1)),
+        |      i -> array_to_string((string_split(d.text, ' '))[i:i+2], ' ')))) AS sh
+        |  FROM documents d JOIN cand USING (doc_id))
+        |SELECT doc_id, score, CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        |FROM docsh JOIN ev USING (sh)
+        |GROUP BY doc_id, score
+        |ORDER BY shared_shingles DESC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val cand = graft.llm.Relevance.bm25Search(
+          d.filter(col("doc_id") >= 30), "doc_id", "text",
+          Seq("dup", "join", "filter", "scan"), topK = 200)
+        .select(col("doc_id"), col("score"))
+      val sh3 = array_distinct(transform(
+        TextOps.wordShingles(col("text"), 3), e => xxhash64(e)))
+      val ev = d.filter(col("doc_id") < 30)
+        .select(explode(sh3).as("sh")).distinct()
+      d.join(broadcast(cand), Seq("doc_id"))
+        .select(col("doc_id"), col("score"), explode(sh3).as("sh"))
+        .join(broadcast(ev), Seq("sh"))
+        .groupBy(col("doc_id"), col("score"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .orderBy(col("shared_shingles").desc_nulls_last, col("doc_id").asc_nulls_last)
+    },
+
     // ---- exact dedup on canonical vocabulary key (Dedup.exact) ----
     // members serialized to a comma string: the driver's pandas comparator
     // cannot sort array-typed cells.

@@ -286,6 +286,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("llm_decontaminate_triaged: term filter sits below the posting shuffle; candidate cut and eval shingles broadcast into the verify") {
+    val p = executedPlan("llm_decontaminate_triaged")
+    // inverted-index access without an index: the BM25 posting build must
+    // filter tokens to the query list BEFORE the (doc_id, term) shuffle
+    val gen = p.linesIterator.filter(_.contains("Generate explode")).mkString("\n")
+    assert(p.contains("IN (dup,join,filter,scan)"),
+      s"query-term filter must appear on the exploded token stream:\n$gen")
+    assert(p.contains("HashAggregate"), "posting build must aggregate")
+    // the verify stage must consume the topK-bounded candidate set and
+    // the eval shingle set as BROADCASTS — the corpus never shuffles on
+    // shingle content
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "candidate cut and eval shingles must both broadcast into the verify")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
   test("tpcds q75 delta: one aggregate feeds both self-join legs' shapes, no nested loop") {
     val p = executedPlan("tpcds_q75_brand_decline")
     assert(p.contains("HashAggregate"))
