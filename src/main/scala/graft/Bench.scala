@@ -49,20 +49,28 @@ object Bench {
     }
 
     names.foreach(run)  // prewarm pass: JVM, codegen, parquet footer caches
-    val pass1 = names.map(n => n -> run(n)).toMap
-    val pass2 = names.map(n => n -> run(n)).toMap
-    // Per-query best-of-2; a pass where the query failed (-1) defers to
-    // the other pass, so one transient failure doesn't zero the timing.
+    // Measured passes (default 2, SPARK_GRAFT_BENCH_PASSES to raise): the
+    // per-query minimum is the headline, and EVERY pass's per-query vector
+    // rides in the artifact — driver pass-1 contention (BENCH_r08..r10
+    // pass_totals ~2× the warm pass) is then visibly a cold pass, never
+    // mistakable for a regression in one query.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = (1 to nPasses).map(_ => names.map(n => n -> run(n)).toMap)
+    // Per-query best-of; a pass where the query failed (-1) defers to the
+    // others, so one transient failure doesn't zero the timing.
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val ok = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def vec(p: Map[String, Double]) = names
+      .map(n => "\"" + n + "\":" + f"${p(n)}%.3f").mkString("{", ",", "}")
+    val qs = vec(results.toMap)
     val total = results.map(_._2).filter(_ >= 0).sum
     def passTotal(p: Map[String, Double]) = p.values.filter(_ >= 0).sum
+    val totals = passes.map(p => f"${passTotal(p)}%.3f").mkString("[", ",", "]")
+    val passVecs = passes.map(vec).mkString("[", ",", "]")
     val json =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_totals":[${passTotal(pass1)}%.3f,${passTotal(pass2)}%.3f],"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"pass_totals":$totals,"passes":$passVecs,"sf":"$sfDir"}"""
     // The artifact must survive sbt log noise: persist it as a file AND
     // print it as the very last stdout line (after spark.stop(), so no
     // executor shutdown logging can trail it).
