@@ -91,6 +91,35 @@ object ScaleRehearsal {
       println(f"[scale] $what%-22s $dt%8.2f s")
       dt
     }
+    def best2(what: String)(df: => DataFrame): Double = {
+      val a = time(s"$what pass1")(df)
+      val b = time(s"$what pass2")(df)
+      math.min(a, b)
+    }
+    def q18of(li: String, ord: String, cust: String): DataFrame = spark.sql(
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+         |FROM $cust JOIN $ord ON c_custkey = o_custkey
+         |JOIN $li ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM $li GROUP BY l_orderkey
+         |  HAVING SUM(l_quantity) > 300)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+         |LIMIT 100""".stripMargin)
+    /** n distinct seeded pseudo-random sign maps (orthogonal: norms and
+      * intra-replica angles preserved; any two maps differ in ~32 of 64
+      * dims, so cross-replica cosines stay far below threshold). */
+    def vecsN(n: Int): DataFrame = repN(n, "embeddings")((d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * keyOff))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else {
+          val rnd = new scala.util.Random(i)
+          zip_with(col("embedding"),
+            typedLit((0 until 64).map(_ => if (rnd.nextBoolean()) -1.0f else 1.0f)),
+            (x, f) => x * f)
+        }))
 
     // ---- curve40 mode: the 40× warm point of the 1×→10×→40× series.
     // Two passes per plan on the full heap; pass 1 warms page cache and
@@ -118,22 +147,6 @@ object ScaleRehearsal {
             val cshift = "rstln".drop((i / 10) % 5) + "rstln".take((i / 10) % 5)
             v + cshift
           })))
-      def q18of(li: String, ord: String, cust: String): DataFrame = spark.sql(
-        s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
-           |FROM $cust JOIN $ord ON c_custkey = o_custkey
-           |JOIN $li ON o_orderkey = l_orderkey
-           |WHERE o_orderkey IN (
-           |  SELECT l_orderkey FROM $li GROUP BY l_orderkey
-           |  HAVING SUM(l_quantity) > 300)
-           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-           |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
-           |LIMIT 100""".stripMargin)
-      def best2(what: String)(df: => DataFrame): Double = {
-        val a = time(s"$what pass1")(df)
-        val b = time(s"$what pass2")(df)
-        math.min(a, b)
-      }
       val tQ = best2("q18 @40x")(q18of("li40", "ord40", "cust40"))
       val tM = best2("minhash @40x") {
         llm.Dedup.minhashLsh(docs40, "doc_id",
@@ -148,22 +161,8 @@ object ScaleRehearsal {
         .withColumn("user_id", col("user_id") + lit(i * keyOff))
         .withColumn("event_id", col("event_id") + lit(i * keyOff)))
       val tA = best2("asof @40x")(asofPlan(ev40))
-      // embeddings at 40×: per-replica ±1 diagonal maps (orthogonal —
-      // norms and intra-replica angles preserved). The 10× run's
-      // single-bit reflections yield only 12 distinct patterns, so 40
-      // replicas draw seeded pseudo-random sign vectors instead: any two
-      // differ in ~32 of 64 dims, cross-replica cosines stay far below
-      // threshold, and planted true pairs remain ∝ n.
-      val vecs40 = repN(Rc, "embeddings")((d, i) => d
-        .withColumn("vec_id", col("vec_id") + lit(i * keyOff))
-        .withColumn("embedding",
-          if (i == 0) col("embedding")
-          else {
-            val rnd = new scala.util.Random(i)
-            zip_with(col("embedding"),
-              typedLit((0 until 64).map(_ => if (rnd.nextBoolean()) -1.0f else 1.0f)),
-              (x, f) => x * f)
-          }))
+      // embeddings at 40×: seeded pseudo-random sign maps (see vecsN)
+      val vecs40 = vecsN(Rc)
       // fixed index (nPlanes=8, the 10× deployment shape — buckets grow
       // to ~8k wide at 2M vectors) AND a sized index (nPlanes=10: 1024
       // buckets/table keeps expected width ~2k, the buckets-∝-n rule)
@@ -176,6 +175,114 @@ object ScaleRehearsal {
           threshold = 0.98, nPlanes = 10)
       }
       println(f"""[scale] {"mode": "curve40", "q18": $tQ%.2f, "minhash": $tM%.2f, "segdedup": $tS%.2f, "asof": $tA%.2f, "embdedup_fixed": $tE8%.2f, "embdedup_sized": $tE10%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- curve100 mode: the 100× point for the three strongest 40×
+    // stories (q18, minhash LSH, embedding near-dup sized-index) — the
+    // last decade of extrapolation evidence the 128 GiB sandbox affords.
+    // 60M lineitem rows / 500k docs / 5.25M vectors. Document replicas
+    // use 100 SEEDED ALPHABET PERMUTATIONS (identity for replica 0):
+    // every letter remaps, so replicas share essentially no vocabulary —
+    // cleaner than the curve40 rotation stack, whose axes only yield 40
+    // distinct maps. The near-dup index follows the deployment sizing
+    // rule nPlanes ≈ log₂(n/width): log₂(5.25M/2048) ≈ 11.
+    if (args.headOption.contains("curve100")) {
+      val Rc = 100
+      val li100 = repN(Rc, "lineitem")((d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
+      val ord100 = repN(Rc, "orders")((d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * keyOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * keyOff)))
+      val cust100 = repN(Rc, "customer")((d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * keyOff)))
+      li100.createOrReplaceTempView("li100"); ord100.createOrReplaceTempView("ord100")
+      cust100.createOrReplaceTempView("cust100")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val docs100 = repN(Rc, "documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), alpha,
+            new scala.util.Random(1000 + i).shuffle(alpha.toList).mkString)))
+      val tQ = best2("q18 @100x")(q18of("li100", "ord100", "cust100"))
+      val tM = best2("minhash @100x") {
+        llm.Dedup.minhashLsh(docs100, "doc_id",
+          llm.TextOps.wordShingles(col("text"), 2), k = 32, bands = 8, threshold = 0.8)
+      }
+      val tE = best2("embdedup @100x sized") {
+        llm.Dedup.embeddingNearDup(withCopies(vecsN(Rc)), "vec_id", "embedding",
+          threshold = 0.98, nPlanes = 11)
+      }
+      println(f"""[scale] {"mode": "curve100", "q18": $tQ%.2f, "minhash": $tM%.2f, "embdedup_sized": $tE%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- curve40r10 mode: 40× points for the round-10 operators
+    // (SemDeDup fixed-k, bigram-LM), completing their 1×→10×→40× curves.
+    if (args.headOption.contains("curve40r10")) {
+      val Rc = 40
+      val rotc = "aeiou"
+      val docs40 = repN(Rc, "documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        .withColumn("text", translate(col("text"),
+          rotc + "rstln", {
+            val r = rotc.drop(i % 5) + rotc.take(i % 5)
+            val v = if ((i / 5) % 2 == 0) r else r.reverse
+            val cshift = "rstln".drop((i / 10) % 5) + "rstln".take((i / 10) % 5)
+            v + cshift
+          })))
+      val vecs40 = vecsN(Rc)
+      val tSd = best2("semdedup @40x fixed") {
+        val planted = withCopies(vecs40)
+        val cents = llm.Kmeans.train(planted, "vec_id", "embedding",
+          k = 64, iters = 2, dim = 64)
+        llm.Dedup.semanticDedup(planted, "vec_id", "embedding", cents,
+          threshold = 0.98)
+      }
+      val tLm = best2("ngram_lm @40x") {
+        llm.NgramLm.bigramCrossEntropy(docs40, "doc_id", "text",
+          ref = docs40.filter(col("doc_id") % 2 === 0))
+      }
+      println(f"""[scale] {"mode": "curve40r10", "semdedup_fixed": $tSd%.2f, "ngram_lm": $tLm%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- skewlm mode: the bigram-LM ADVERSARIAL-SKEW rehearsal. The
+    // 10× corpus is salted with synthetic documents of a single repeated
+    // token, sized so ONE bigram key ("zz","zz") carries ≈20% of all
+    // bigram mass — the stop-word regime. Broadcast is disabled to
+    // emulate the 100 TB count-table regime (the scored join becomes a
+    // sort-merge join on (w1,w2) with the hot key on one reducer); AQE's
+    // OptimizeSkewedJoin cannot split this plan shape (the count side is
+    // an aggregate reusing the join partitioning — see NgramLm header /
+    // PlanSpec), so the comparison is the ENGINE's count-table-driven
+    // salting ON (saltRows ≈ hot-key/16) vs OFF on identical data.
+    // Skew doc ids are hash-scattered so hot-partition shuffle bytes
+    // scale with rows rather than collapsing under lz4.
+    if (args.headOption.contains("skewlm")) {
+      val rot = "aeiou"
+      val docs10 = rep("documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        .withColumn("text", translate(col("text"), rot, {
+          val r = rot.drop(i % 5) + rot.take(i % 5)
+          if (i < 5) r else r.reverse
+        })))
+      // ≈20% of mass on one bigram: sf0.1 × 10 ≈ 5.1M natural bigrams,
+      // so plant ~6.4k docs × 200 "zz" tokens ≈ 1.27M ("zz","zz") pairs
+      val skewDocs = spark.range(6400)
+        .select(xxhash64(col("id")).as("doc_id"),
+          concat_ws(" ", array_repeat(lit("zz"), 200)).as("text"))
+      val corpus = docs10.select(col("doc_id"), col("text")).unionByName(skewDocs)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def lm(saltRows: Long) = llm.NgramLm.bigramCrossEntropy(corpus, "doc_id",
+        "text", ref = corpus, saltRows = saltRows)
+      val tOn = best2("ngram_lm salt=on")(lm(80000L))
+      val tOff = best2("ngram_lm salt=off")(lm(Long.MaxValue))
+      println(f"""[scale] {"mode": "skewlm", "salt_on": $tOn%.2f, "salt_off": $tOff%.2f}""")
       spark.stop()
       return
     }

@@ -22,8 +22,20 @@ import org.apache.spark.sql.functions._
   *  - scoring joins doc-bigrams to the count tables on (w1, w2) / w1 —
   *    shuffle joins whose build sides are count tables (sublinear in
   *    corpus size, broadcastable for bounded vocabularies); stop-word
-  *    bigrams are the classic skew keys and AQE's skew-join split covers
-  *    them;
+  *    bigrams are the classic skew keys, and the ENGINE owns their
+  *    mitigation: AQE's OptimizeSkewedJoin cannot split these joins —
+  *    its pattern requires Sort-over-shuffle on BOTH sides, but the
+  *    count-table side here is an aggregate whose grouping partitioning
+  *    the join reuses (Sort(HashAggregate(stage))), so the rule never
+  *    matches (measured: the rule's debug log fires on a plain join,
+  *    never on this plan; PlanSpec locks the salted shape instead).
+  *    [[bigramCrossEntropy]] therefore salts hot keys itself, driven by
+  *    the count tables it already has: any key whose count exceeds
+  *    `saltRows` splits into ⌈count/saltRows⌉ salt cells — stream rows
+  *    pick a deterministic cell (xxhash64 of the doc id), count rows
+  *    replicate across cells — so no join partition carries more than
+  *    ~saltRows rows of any one key, with the candidate/join semantics
+  *    EXACTLY preserved (each stream row still meets its one count row);
   *  - oracle-hash discipline: `ln` is the one transcendental — its INPUT
   *    is exact (integer counts + α = 0.5 arithmetic is exact in doubles),
   *    its output is rounded to 9 dp, cast to DECIMAL and summed
@@ -55,16 +67,49 @@ object NgramLm {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
 
+  /** The salted left join of the header's stop-word rule: keys of `table`
+    * whose `cntCol` exceeds `saltRows` split into ⌈cnt/saltRows⌉ cells;
+    * each stream row picks one cell deterministically (xxhash64 of
+    * `saltSrc`), each table row replicates across its cells. The hot-key
+    * frame is bounded by the Zipf head (keys with > saltRows
+    * occurrences) and broadcasts into both sides; semantics are exactly
+    * a left join on `keys` — every stream row meets its one table row.
+    */
+  private def saltedLeftJoin(
+      stream: DataFrame, table: DataFrame, keys: Seq[String],
+      cntCol: String, saltSrc: Column, saltRows: Long): DataFrame = {
+    val hot = table.filter(col(cntCol) > saltRows)
+      .select(keys.map(col) :+
+        ceil(col(cntCol).cast("double") / saltRows).cast("int").as("__ns"): _*)
+    val streamS = stream.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__ns").isNull, lit(0))
+          .otherwise(pmod(xxhash64(saltSrc), col("__ns")).cast("int")))
+      .drop("__ns")
+    val tableS = table.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__ns"), lit(1)).cast("int") - 1)))
+      .drop("__ns")
+    streamS.join(tableS, keys :+ "__salt", "left").drop("__salt")
+  }
+
   /** Score every document against a bigram LM trained on `ref`:
     * cross-entropy = −mean over the document's bigrams of
     * ln((c(w1,w2) + α) / (c(w1) + α·|V|)), unseen bigrams/contexts
     * falling back to the smoothed floor. Output:
     * (id, n_bigrams, oov_bigrams, xent) — xent ROUND(…, 6); documents
     * with fewer than two tokens are dropped (no bigram to score).
+    *
+    * @param saltRows hot-key salting threshold for the two count-table
+    *   joins (see the header's stop-word rule — AQE cannot split these).
+    *   A key with more than saltRows stream occurrences splits into
+    *   count-proportional salt cells; the default only engages at
+    *   genuinely skewed volumes, so small-corpus plans stay flat.
     */
   def bigramCrossEntropy(
       docs: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, alpha: Double = Alpha): DataFrame = {
+      ref: DataFrame, alpha: Double = Alpha,
+      saltRows: Long = 4000000L): DataFrame = {
     // empty-text ref rows are excluded BEFORE training, mirroring the
     // scored side's filter: an empty document would otherwise contribute
     // an '' token to |V| (split('') = ['']) and shift every xent value
@@ -74,12 +119,14 @@ object NgramLm {
     val vocab = ref_
       .select(explode(tokensOf(col(textCol))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    val scored = docs
+    val stream = docs
       .filter(length(col(textCol)) > 0)
       .select(col(idCol).as("id"), explode(bigramsOf(col(textCol))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .join(big, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
+    val scored =
+      saltedLeftJoin(
+        saltedLeftJoin(stream, big, Seq("w1", "w2"), "c12", col("id"), saltRows),
+        ctx, Seq("w1"), "c1", col("id"), saltRows)
       .crossJoin(vocab)
       .select(col("id"), col("c12"),
         log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /

@@ -302,6 +302,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("bigram-LM scored joins: hot stop-word keys salt into cells; values unchanged") {
+    import org.apache.spark.sql.functions.{array_repeat, col, concat_ws, lit, xxhash64}
+    // Planted stop-word regime: one bigram ("zz","zz") dominates the
+    // (w1, w2) join key distribution. AQE's OptimizeSkewedJoin CANNOT
+    // split these joins — its pattern needs Sort-over-shuffle-stage on
+    // both sides, but the count-table side is an aggregate whose grouping
+    // partitioning the join reuses (Sort(HashAggregate(stage))), so the
+    // rule never matches (measured: its debug log fires for a plain
+    // skewed join, never for this plan). The engine therefore salts hot
+    // keys itself from the count table (NgramLm.saltedLeftJoin); this
+    // locks the salted shape and its value-neutrality.
+    val d = Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val skew = spark.range(4000)
+      .select(xxhash64(col("id")).as("doc_id"),
+        concat_ws(" ", array_repeat(lit("zz"), 60)).as("text"))
+    val corpus = d.unionByName(skew)
+    def run(saltRows: Long) = {
+      val df = graft.llm.NgramLm.bigramCrossEntropy(
+        corpus, "doc_id", "text", ref = corpus, saltRows = saltRows)
+      // collect() drives df's OWN QueryExecution so the adaptive plan
+      // finalizes in place (a noop write plans a separate execution)
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    val (p, salted) = run(saltRows = 1000L) // (zz,zz) count ≈ 236k ≫ 1000
+    assert(p.contains("__salt"),
+      s"hot keys must salt: no __salt join key in:\n${p.take(3000)}")
+    val (_, plain) = run(saltRows = Long.MaxValue) // salting disengaged
+    assert(salted == plain, "salting must not change any xent value")
+  }
+
   test("tpcds q75 delta: one aggregate feeds both self-join legs' shapes, no nested loop") {
     val p = executedPlan("tpcds_q75_brand_decline")
     assert(p.contains("HashAggregate"))
