@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * plans (q18, minhash, segment dedup, as-of, embedding near-dup) at
   * R=40 on the full heap, two passes each (prewarm + measured, per-plan
   * min) — the 40× point of the 1×→10×→40× warm curve in SCALE_r10.md.
+  *
+  * Round-11 modes (each a separate run, best-of-2 per plan):
+  *  - `curve100`  — the 100× point for q18 / minhash / sized embedding
+  *    near-dup (60M lineitem rows, 500k docs, 5.25M vectors);
+  *  - `curve40r10` — 40× points for SemDeDup (fixed k) and bigram-LM;
+  *  - `skewlm`    — bigram-LM under a planted 20%-mass stop-word bigram:
+  *    engine salting ON vs OFF with broadcast disabled;
+  *  - `bpe`       — join-based encoder at 2,000 synthetic merges vs the
+  *    literal fold's codegen ceiling, plus train-loop checkpoint deltas.
   */
 object ScaleRehearsal {
 
@@ -283,6 +292,72 @@ object ScaleRehearsal {
       val tOn = best2("ngram_lm salt=on")(lm(80000L))
       val tOff = best2("ngram_lm salt=off")(lm(Long.MaxValue))
       println(f"""[scale] {"mode": "skewlm", "salt_on": $tOn%.2f, "salt_off": $tOff%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- bpe mode: the literal-fold codegen ceiling vs the join-based
+    // encoder (round-11 item). A SYNTHETIC but BPE-valid merge table of
+    // 2,000 merges (100 words × 20 prefix-chain merges — each merge's
+    // left token is the previous merge's output, the validity invariant
+    // train() output satisfies) over a 200k-document corpus drawn from
+    // those words. The joined encoder's rounds are bounded by WORD LENGTH
+    // (21), not merge count, so 2,000 merges cost the same ~21 rounds as
+    // 20 would; the literal fold is attempted at 250 and 2,000 merges on
+    // a bounded thread — at production counts it stalls in analysis/
+    // codegen long before executing, which is the measured point.
+    // Also measured here: train-loop plan growth at nMerges=200 with the
+    // every-25-rounds localCheckpoint vs without (the r10 finding #2).
+    if (args.headOption.contains("bpe")) {
+      val words: Seq[String] = (0 until 100).map { i =>
+        val prefix = s"${('a' + i / 10).toChar}${('a' + i % 10).toChar}"
+        prefix + (2 until 21).map(j => ('a' + (i * 7 + j * 3) % 26).toChar).mkString
+      }
+      val merges: Seq[(String, String)] = words.flatMap { w =>
+        (1 until 21).map(j => (w.take(j).mkString, w.charAt(j).toString))
+      }.distinct
+      println(s"[scale] bpe synthetic merges: ${merges.length}")
+      import spark.implicits._
+      val mergesDf = merges.zipWithIndex
+        .map { case ((l, r), i) => ((i + 1).toLong, s"$l $r") }.toDF("rank", "pair")
+      val corpus = spark.range(200000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(k =>
+          element_at(typedLit(words), (pmod(col("id") * 31 + lit(k * 13), lit(100)) + 1).cast("int"))): _*)
+          .as("text"))
+      val tJoined = best2("bpe_encode_joined n=2000") {
+        llm.Bpe.encodeTokenCountsJoined(corpus, "doc_id", "text", mergesDf)
+      }
+      // literal fold on a bounded thread: record wall or the failure mode
+      def literalAttempt(n: Int, timeoutMs: Long): String = {
+        @volatile var outcome = s"timeout >${timeoutMs / 1000}s (abandoned)"
+        val t = new Thread(() => {
+          outcome = try {
+            val t0 = System.nanoTime()
+            llm.Bpe.encodeTokenCounts(corpus.limit(100), "doc_id", "text",
+                merges.take(n))
+              .write.format("noop").mode("overwrite").save()
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s"
+          } catch { case e: Throwable => s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}" }
+        })
+        t.setDaemon(true); t.start(); t.join(timeoutMs)
+        println(s"[scale] bpe_encode_literal n=$n (100 docs): $outcome")
+        outcome
+      }
+      val lit250 = literalAttempt(250, 300000)
+      val lit2000 = literalAttempt(2000, 300000)
+      // train-loop plan growth at nMerges=200, sf0.001 corpus
+      val docsSmall = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      def trainWall(ckpt: Int): Double = {
+        val t0 = System.nanoTime()
+        val m = llm.Bpe.train(docsSmall, "text", 200, checkpointEvery = ckpt)
+        require(m.length == 200)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tCk = trainWall(25)
+      println(f"[scale] bpe_train n=200 ckpt=25   $tCk%8.2f s")
+      val tNoCk = trainWall(Int.MaxValue)
+      println(f"[scale] bpe_train n=200 no-ckpt   $tNoCk%8.2f s")
+      println(f"""[scale] {"mode": "bpe", "encode_joined_2000": $tJoined%.2f, "literal_250": "$lit250", "literal_2000": "$lit2000", "train200_ckpt": $tCk%.2f, "train200_nockpt": $tNoCk%.2f}""")
       spark.stop()
       return
     }
