@@ -625,10 +625,10 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = (1L to 1000L).map(i => (i, if (i <= 50) 500L else 1L)).toDF("doc_id", "w")
     def draw(parts: Int) = graft.llm.Sampling.weightedSample(
         rows.repartition(parts, col("doc_id")), "doc_id", col("w"), k = 20, seed = 13)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
     val a = draw(3)
     assert(a == draw(11), "same seed must draw the same sample at any partitioning")
-    val heavies = a.count(_._2 == 500L)
+    val heavies = a.count(_._2 == 500.0)
     assert(heavies >= 15, s"w=500 rows must dominate the draw, got $heavies/20")
     assert(a.map(_._3) == (1L to 20L).toList, "ranks must be 1..k")
   }
