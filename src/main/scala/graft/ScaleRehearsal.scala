@@ -80,6 +80,13 @@ object ScaleRehearsal {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE posts the FULL physicalPlanDescription string on every plan
+      // update; for the deliberately-deep plans rehearsed here (the BPE
+      // train loop) unbounded plan strings OOM the driver before the
+      // measured work does. 1 MB keeps the diagnostics and bounds the
+      // failure mode — the deployment default belongs in any job that
+      // runs iterative-lineage plans.
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(spark)
@@ -286,12 +293,26 @@ object ScaleRehearsal {
         .select(xxhash64(col("id")).as("doc_id"),
           concat_ws(" ", array_repeat(lit("zz"), 200)).as("text"))
       val corpus = docs10.select(col("doc_id"), col("text")).unionByName(skewDocs)
+      // TWO regimes, because the threshold question has two sides:
+      //  - warm (≈20% mass, ~1.3M hot rows): the straggler excess is only
+      //    ~1.2M rows of one reducer's stream — below the cost of the salt
+      //    plumbing itself (two broadcast probes + cell replication). If
+      //    salting LOSES here, the high default saltRows is justified.
+      //  - hot (≈70% mass, ~12.8M hot rows): one reducer carries 70% of
+      //    the shuffle while 31 idle — the regime the mechanism exists
+      //    for, scaled down; salting must WIN here or it is dead code.
+      val skewHeavy = spark.range(64000)
+        .select(xxhash64(col("id")).as("doc_id"),
+          concat_ws(" ", array_repeat(lit("zz"), 200)).as("text"))
+      val corpusHeavy = docs10.select(col("doc_id"), col("text")).unionByName(skewHeavy)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def lm(saltRows: Long) = llm.NgramLm.bigramCrossEntropy(corpus, "doc_id",
-        "text", ref = corpus, saltRows = saltRows)
-      val tOn = best2("ngram_lm salt=on")(lm(80000L))
-      val tOff = best2("ngram_lm salt=off")(lm(Long.MaxValue))
-      println(f"""[scale] {"mode": "skewlm", "salt_on": $tOn%.2f, "salt_off": $tOff%.2f}""")
+      def lm(c: DataFrame, saltRows: Long) = llm.NgramLm.bigramCrossEntropy(
+        c, "doc_id", "text", ref = c, saltRows = saltRows)
+      val tOn = best2("ngram_lm warm salt=on")(lm(corpus, 80000L))
+      val tOff = best2("ngram_lm warm salt=off")(lm(corpus, Long.MaxValue))
+      val tHOn = best2("ngram_lm hot salt=on")(lm(corpusHeavy, 400000L))
+      val tHOff = best2("ngram_lm hot salt=off")(lm(corpusHeavy, Long.MaxValue))
+      println(f"""[scale] {"mode": "skewlm", "warm_salt_on": $tOn%.2f, "warm_salt_off": $tOff%.2f, "hot_salt_on": $tHOn%.2f, "hot_salt_off": $tHOff%.2f}""")
       spark.stop()
       return
     }
@@ -345,7 +366,18 @@ object ScaleRehearsal {
       }
       val lit250 = literalAttempt(250, 300000)
       val lit2000 = literalAttempt(2000, 300000)
-      // train-loop plan growth at nMerges=200, sf0.001 corpus
+      println(f"""[scale] {"mode": "bpe", "encode_joined_2000": $tJoined%.2f, "literal_250": "$lit250", "literal_2000": "$lit2000"}""")
+      spark.stop()
+      return
+    }
+
+    // ---- bpetrain mode: train-loop plan growth at nMerges=200 (the r10
+    // finding #2), in its OWN JVM: the growth being measured is DRIVER
+    // state (lineage depth, AQE plan-description strings), so it must not
+    // share a heap with the encode rehearsal's leftovers — the first
+    // combined run OOM'd in AQE's generateTreeString before the slow
+    // variant even ran, which is the finding, not a measurement.
+    if (args.headOption.contains("bpetrain")) {
       val docsSmall = Tables.t(spark, "/root/testdata/sf0.001", "documents")
       def trainWall(ckpt: Int): Double = {
         val t0 = System.nanoTime()
@@ -357,7 +389,7 @@ object ScaleRehearsal {
       println(f"[scale] bpe_train n=200 ckpt=25   $tCk%8.2f s")
       val tNoCk = trainWall(Int.MaxValue)
       println(f"[scale] bpe_train n=200 no-ckpt   $tNoCk%8.2f s")
-      println(f"""[scale] {"mode": "bpe", "encode_joined_2000": $tJoined%.2f, "literal_250": "$lit250", "literal_2000": "$lit2000", "train200_ckpt": $tCk%.2f, "train200_nockpt": $tNoCk%.2f}""")
+      println(f"""[scale] {"mode": "bpetrain", "train200_ckpt": $tCk%.2f, "train200_nockpt": $tNoCk%.2f}""")
       spark.stop()
       return
     }

@@ -1492,8 +1492,85 @@ object Llm {
         .select(col("cluster"), col("n"),
           aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x).as("norm2"))
         .orderBy(col("cluster").asc_nulls_last)
+    },
+
+    // ---- DSIR importance weighting (Dsir.importanceWeights) ----
+    // Target model = English even-id docs, raw model = the whole corpus;
+    // every document scored by the hashed-ngram log-likelihood ratio
+    // (Xie 2023). The oracle re-fits BOTH models and recomputes every
+    // bucket hash (positional char-code mod 1024), ratio, and per-doc
+    // decimal sum from the raw text — the full pipeline, not its output
+    // shape. Presented for doc_id < 300.
+    "llm_dsir_weights" -> Q.df(
+      s"""$duckDsirWeights
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         |  ROUND(CAST(SUM(CAST(lr AS DECIMAL(24,9)) * c) AS DOUBLE), 6) AS logw
+         |FROM doc JOIN r USING (b)
+         |WHERE doc_id < 300
+         |GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      graft.llm.Dsir.importanceWeights(d, "doc_id", "text",
+          target = d.filter(col("lang") === "en" && col("doc_id") % 2 === 0))
+        .filter(col("id") < 300)
+        .select(col("id").as("doc_id"), col("n_feats"), col("logw"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
+    // ---- DSIR selection (Dsir.selectTopK): the deterministic top-k by
+    //      importance weight — one global TakeOrderedAndProject, ties
+    //      broken by id so the k-boundary is bit-deterministic. ----
+    "llm_dsir_select" -> Q.df(
+      s"""$duckDsirWeights,
+         |w AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(lr AS DECIMAL(24,9)) * c) AS DOUBLE), 6) AS logw
+         |  FROM doc JOIN r USING (b) GROUP BY doc_id)
+         |SELECT doc_id, logw FROM w
+         |ORDER BY logw DESC NULLS LAST, doc_id ASC NULLS LAST
+         |LIMIT 50""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val w = graft.llm.Dsir.importanceWeights(d, "doc_id", "text",
+        target = d.filter(col("lang") === "en" && col("doc_id") % 2 === 0))
+      graft.llm.Dsir.selectTopK(w, 50)
+        .select(col("id").as("doc_id"), col("logw"))
     }
   )
+
+  /** Shared CTE prefix of the DSIR oracles: feature hashing (positional
+    * char-code bucket, unigrams + b1·31+b2 bigrams, mod 1024), both
+    * smoothed models, the per-bucket log-ratio table, and per-doc bucket
+    * counts — the DuckDB replay of Dsir.featureBuckets/logRatios.
+    * (α = 0.5, so α·B = 512.0 exactly.)
+    */
+  private def duckDsirWeights: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE length(text) > 0),
+      |ub AS (
+      |  SELECT doc_id, lang,
+      |    list_transform(ws, w ->
+      |      COALESCE(list_sum(list_transform(generate_series(1, length(w)),
+      |        i -> ord(substr(w, i, 1)) * i)), 0) % 1024) AS us
+      |  FROM d),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    list_concat(us, list_transform(generate_series(1, greatest(len(us) - 1, 0)),
+      |      j -> (us[j] * 31 + us[j + 1]) % 1024)) AS bs
+      |  FROM ub),
+      |p AS (SELECT b, COUNT(*) AS cp
+      |  FROM (SELECT unnest(bs) AS b FROM fb WHERE lang = 'en' AND doc_id % 2 = 0)
+      |  GROUP BY b),
+      |q AS (SELECT b, COUNT(*) AS cq FROM (SELECT unnest(bs) AS b FROM fb) GROUP BY b),
+      |tots AS (SELECT (SELECT SUM(cp) FROM p) AS tp, (SELECT SUM(cq) FROM q) AS tq),
+      |r AS (
+      |  SELECT COALESCE(p.b, q.b) AS b,
+      |    ROUND(ln((COALESCE(cp, 0) + 0.5) / (tp + 512.0)) -
+      |          ln((COALESCE(cq, 0) + 0.5) / (tq + 512.0)), 9) AS lr
+      |  FROM p FULL JOIN q ON p.b = q.b CROSS JOIN tots),
+      |doc AS (
+      |  SELECT doc_id, b, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(bs) AS b FROM fb) GROUP BY doc_id, b)""".stripMargin
 
   /** Planted 4-cluster corpus for the k-means oracles: component j of the
     * vector for id v is anchor(v % 4)[j] + noise(v, j), all SMALL INTEGERS
