@@ -122,6 +122,111 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Sliding-window EXACT-SUBSTRING duplicate spans (the ExactSubstr rule
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, at token-window granularity): every
+    * `windowTokens`-token window is fingerprinted at EVERY offset — contrast
+    * [[segmentDuplication]]'s fixed 16-word grid, which cannot see a
+    * duplicated passage that straddles a grid boundary. A window occurrence
+    * is DUPLICATED when the same fingerprint occurs earlier in corpus order
+    * (doc id, then offset); the first occurrence is canonical and is never
+    * marked, so exactly one copy of every repeated passage survives a cut.
+    * Per document, duplicated window starts merge into maximal contiguous
+    * covered intervals (gaps-and-islands over a running max-end), giving one
+    * row per duplicated SPAN.
+    *
+    * Scale shape (100 TB):
+    *  - the window stream is one row per corpus token (the magnitude
+    *    [[NgramLm]] shuffles for bigrams); window TEXT never travels —
+    *    the xxhash64 fingerprint is computed below the shuffle and only
+    *    (fp, id, p) rows are keyed;
+    *  - canonical selection is groupBy(fp).min(struct(id, p)) — a map-side
+    *    combinable aggregation, NOT row_number over the fp partition, so a
+    *    degenerate fingerprint (one boilerplate window repeated millions of
+    *    times) costs one combiner cell, never one hot sorted partition; the
+    *    canon table is pre-filtered to fingerprints seen more than once, so
+    *    the mark join's build side carries only the duplicated minority and
+    *    unique windows (the bulk of a corpus) never survive the inner join;
+    *  - island merging is a per-document window function whose state is one
+    *    document's dup-window list — bounded by document length, never
+    *    corpus size.
+    *
+    * @return (id, span_start, span_end, span_tokens) — 1-based inclusive
+    *         token positions, one row per maximal duplicated span
+    */
+  def substringSpans(
+      df: DataFrame,
+      idCol: String,
+      text: org.apache.spark.sql.Column,
+      windowTokens: Int = 16): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val W = windowTokens
+    val base = tokenized(df, idCol, text).filter(size(col("w")) >= W)
+    val wins = base
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("w")) - (W - 1))).as("p"), col("w"))
+      .select(col("id"), col("p"),
+        xxhash64(array_join(slice(col("w"), col("p"), lit(W)), " ")).as("fp"))
+    val canon = wins.groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("p"))).as("c"))
+      .filter(col("cnt") > 1)
+      .select(col("fp"), col("c"))
+    val dup = wins.join(canon, "fp")
+      .filter(!(col("c.id") === col("id") && col("c.p") === col("p")))
+      .select("id", "p")
+    val wDoc = Window.partitionBy("id").orderBy("p")
+    val prevEnd = max(col("p") + lit(W - 1))
+      .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("new_isl",
+        when(col("p") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("new_isl"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "island")
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + lit(W - 1)).as("span_end"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"))
+  }
+
+  /** The transform twin of [[substringSpans]]: cut every duplicated span
+    * out of each affected document and rebuild its text from the surviving
+    * token positions, order preserved (canonical first occurrences stay by
+    * the span rule, so the corpus keeps exactly one copy of each repeated
+    * passage). Emits only documents that had at least one span — untouched
+    * documents need no rewrite. A document whose every position is covered
+    * rebuilds to the empty string (kept, clean_words = 0 — callers drop or
+    * threshold).
+    *
+    * The rebuild joins the spans (per-doc bounded arrays) back to the
+    * tokenized corpus on id and filters positions with a per-row `exists`
+    * over the document's own span list — no shuffle carries text except
+    * the final per-doc rebuild itself.
+    *
+    * @return (id, clean_text, clean_words)
+    */
+  def substringCut(
+      df: DataFrame,
+      idCol: String,
+      text: org.apache.spark.sql.Column,
+      windowTokens: Int = 16): DataFrame = {
+    val W = windowTokens
+    val base = tokenized(df, idCol, text).filter(size(col("w")) >= W)
+    val spAgg = substringSpans(df, idCol, text, W)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("sps"))
+    base.join(spAgg, "id")
+      .select(col("id"),
+        transform(
+          filter(sequence(lit(1), size(col("w"))),
+            p => !exists(col("sps"),
+              sp => p >= sp.getField("s") && p <= sp.getField("e"))),
+          p => element_at(col("w"), p)).as("kept"))
+      .select(col("id"), array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("clean_words"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * @param elems column expression producing the document's element array

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.llm.{Dedup, Kmeans, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the training-data pipeline operators
@@ -1534,8 +1535,122 @@ object Llm {
         target = d.filter(col("lang") === "en" && col("doc_id") % 2 === 0))
       graft.llm.Dsir.selectTopK(w, 50)
         .select(col("id").as("doc_id"), col("logw"))
+    },
+
+    // ---- sliding-window exact-substring spans (Dedup.substringSpans) ----
+    // The ExactSubstr tier (Lee et al. 2021) the fixed-grid segment
+    // operators cannot express: duplicated passages are found at EVERY
+    // token offset and merged into maximal spans. The corpus is planted
+    // (plantedDocs: two fixed boilerplate sentences spliced mid-doc and
+    // at the tail of every document) so the gaps-and-islands merge decides
+    // on every document — natural duplication at sf0.01 only produces
+    // whole-prefix spans. The oracle replays fingerprint → first-occurrence
+    // rule → island merge on raw window strings (the engine ships xxhash64
+    // fingerprints instead of strings below its shuffle; same spans).
+    "llm_dedup_substring_spans" -> Q.df(
+      s"""$duckSubstringSpans
+         |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         |  CAST(MAX(p) + 7 AS BIGINT) AS span_end,
+         |  CAST(MAX(p) + 7 - MIN(p) + 1 AS BIGINT) AS span_tokens
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id ASC NULLS LAST, span_start ASC NULLS LAST
+         |LIMIT 300""".stripMargin) { (s, dir) =>
+      Dedup.substringSpans(plantedDocs(s, dir), "doc_id", col("text"), 8)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"))
+        .orderBy(col("doc_id").asc_nulls_last, col("span_start").asc_nulls_last)
+        .limit(300)
+    },
+
+    // ---- exact-substring cut (Dedup.substringCut) ----
+    // The transform twin: covered positions removed, text rebuilt from the
+    // survivors in order; first occurrences stay (one copy of every
+    // repeated passage survives corpus-wide). md5 of the rebuilt text must
+    // agree byte-for-byte — one boundary off by one flips the hash.
+    "llm_dedup_substring_cut" -> Q.df(
+      s"""$duckSubstringSpans,
+         |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 7 AS e
+         |  FROM isl2 GROUP BY doc_id, island),
+         |sp_agg AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps
+         |  FROM spans GROUP BY doc_id),
+         |rebuilt AS (
+         |  SELECT t.doc_id,
+         |    list_transform(
+         |      list_filter(generate_series(1, len(t.w)),
+         |        p -> len(list_filter(a.sps, sp -> p >= sp.s AND p <= sp.e)) = 0),
+         |      p -> t.w[p]) AS kept
+         |  FROM toks t JOIN sp_agg a USING (doc_id))
+         |SELECT doc_id, md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5,
+         |  CAST(len(kept) AS BIGINT) AS clean_words
+         |FROM rebuilt ORDER BY doc_id ASC NULLS LAST
+         |LIMIT 200""".stripMargin) { (s, dir) =>
+      Dedup.substringCut(plantedDocs(s, dir), "doc_id", col("text"), 8)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("clean_words"))
+        .orderBy(col("doc_id").asc_nulls_last)
+        .limit(200)
     }
   )
+
+  /** Fixed boilerplate the substring-span queries splice into every
+    * document (the llm_dedup_lines plant precedent): a mid-doc snippet and
+    * a tail snippet shared across all documents guarantee duplicated
+    * windows away from position 1, multi-island documents, and a canonical
+    * first occurrence that must survive the cut.
+    */
+  private val PlantMid =
+    "subscribe to our newsletter for weekly updates and exclusive offers today"
+  private val PlantTail =
+    "all rights reserved contact support for license terms and conditions"
+
+  /** The planted corpus both substring-span queries run on: text split in
+    * half, [[PlantMid]] spliced between the halves, [[PlantTail]] appended.
+    * Both dialects build the identical string (single-space joins).
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 16)
+      .withColumn("half", floor(size(col("w")) / lit(2)).cast("int"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          array_join(slice(col("w"), lit(1), col("half")), " "),
+          lit(PlantMid),
+          array_join(slice(col("w"), col("half") + 1,
+            size(col("w")) - col("half")), " "),
+          lit(PlantTail)).as("text"))
+  }
+
+  /** Shared CTE prefix of the substring-span oracles: the planted corpus,
+    * its token arrays, the per-offset 8-token window strings, the
+    * first-occurrence rule (row_number over the window string — the oracle
+    * groups raw strings where the engine ships xxhash64 fingerprints), and
+    * the gaps-and-islands merge of duplicated window starts.
+    */
+  private def duckSubstringSpans: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    array_to_string(w[1:half], ' ') ||
+      |    ' subscribe to our newsletter for weekly updates and exclusive offers today ' ||
+      |    array_to_string(w[(half+1):len(w)], ' ') ||
+      |    ' all rights reserved contact support for license terms and conditions' AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+      |          CAST(floor(len(string_split(text, ' ')) / 2) AS BIGINT) AS half
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 16)),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |wins AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p FROM toks),
+      |fps AS (SELECT doc_id, p, array_to_string(w[p:(p+7)], ' ') AS seg FROM wins),
+      |marked AS (SELECT doc_id, p,
+      |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, p) AS rn FROM fps),
+      |dup AS (SELECT doc_id, p FROM marked WHERE rn > 1),
+      |isl AS (SELECT doc_id, p,
+      |    CASE WHEN p > COALESCE(MAX(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+      |  FROM dup),
+      |isl2 AS (SELECT doc_id, p,
+      |    SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl)""".stripMargin
 
   /** Shared CTE prefix of the DSIR oracles: feature hashing (positional
     * char-code bucket, unigrams + b1·31+b2 bigrams, mod 1024), both

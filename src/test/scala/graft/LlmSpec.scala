@@ -163,6 +163,42 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(4L), "fully-duplicated doc drops entirely")
   }
 
+  test("substring spans: first occurrence canonical, overlaps merge, islands split") {
+    val sp = spark; import sp.implicits._
+    val base = Seq(
+      (1L, "a b c d e f g h"),            // the canonical source — no spans
+      (2L, "x1 x2 a b c d e y1 y2"),      // one copied passage mid-doc
+      (3L, "p q r s p q r s"),            // within-doc repeat: second copy marked
+      (4L, "a b c z1 z2 d e f"))          // two copied passages, a gap between
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(base, "doc_id", col("text"), windowTokens = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+    assert(!spans.contains(1L), "every window of doc 1 is canonical")
+    assert(spans(2L) == List((3L, 7L, 5L)), "overlapping dup windows merge to one span")
+    assert(spans(3L) == List((5L, 8L, 4L)), "a document's own repeat IS a duplicate " +
+      "(the ExactSubstr rule — contrast segmentCut, which keeps own repeats)")
+    assert(spans(4L) == List((1L, 3L, 3L), (6L, 8L, 3L)), "a gap splits islands")
+  }
+
+  test("substring cut rebuilds survivors in order; full coverage yields empty") {
+    val sp = spark; import sp.implicits._
+    val base = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x1 x2 a b c d e y1 y2"),
+      (3L, "p q r s p q r s"),
+      (4L, "a b c z1 z2 d e f"),
+      (5L, "a b c d e f g h"))            // exact copy of doc 1 — fully covered
+      .toDF("doc_id", "text")
+    val out = Dedup.substringCut(base, "doc_id", col("text"), windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!out.contains(1L), "untouched documents are not rewritten")
+    assert(out(2L) == (("x1 x2 y1 y2", 4L)))
+    assert(out(3L) == (("p q r s", 4L)), "exactly one copy of the repeat survives")
+    assert(out(4L) == (("z1 z2", 2L)))
+    assert(out(5L) == (("", 0L)), "fully-duplicated doc rebuilds empty, stays visible")
+  }
+
   test("mixture permille downsamples overrepresented classes to the target") {
     val sp = spark; import sp.implicits._
     val base = Seq(
