@@ -123,4 +123,38 @@ object Relevance {
       .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_last)
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    * number of independently-ranked candidate lists into one ranking by
+    * `score(d) = Σ_lists 1/(rrfK + rank_list(d))` — the standard hybrid
+    * retrieval combiner (BM25 lexical ranks ⊕ embedding-cosine semantic
+    * ranks) because it needs no score calibration between lists, only
+    * ranks.
+    *
+    * Each input frame must carry `(idCol, rankCol)` with ranks 1-based;
+    * lists are typically topK-truncated, so the union is Σ topK rows —
+    * the fuse aggregation is bounded by candidate count, never corpus
+    * size, and its output broadcasts into whatever join follows.
+    *
+    * Oracle-hash discipline: each reciprocal contribution is ROUND(…, 9)
+    * and cast to DECIMAL(18,9) before the sum, so the per-document score
+    * is an exact decimal sum (order-proof); presented as ROUND(double, 6).
+    *
+    * @return (id, n_lists, rrf_score) — n_lists = how many input lists
+    *         surfaced the document (its coverage); callers join per-list
+    *         ranks back on id for provenance columns
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(rrfK >= 0, "rrfK must be >= 0")
+    ranked.map(df => df.select(col(idCol).as("id"), col(rankCol).as("rank")))
+      .reduce(_ unionByName _)
+      .select(col("id"),
+        round(lit(1.0) / (lit(rrfK) + col("rank")), 9)
+          .cast("decimal(18,9)").as("contrib"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        round(sum(col("contrib")).cast("double"), 6).as("rrf_score"))
+  }
 }

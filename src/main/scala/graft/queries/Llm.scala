@@ -1589,8 +1589,92 @@ object Llm {
           col("clean_words"))
         .orderBy(col("doc_id").asc_nulls_last)
         .limit(200)
+    },
+
+    // ---- hybrid retrieval via reciprocal-rank fusion (Relevance.rrfFuse) ----
+    // BM25 lexical top-30 ⊕ embedding-cosine semantic top-30 (query = the
+    // probe terms / vector 0 over the same ids), fused by
+    // Σ 1/(60 + rank) — no score calibration crosses the lists, only
+    // ranks, so the fuse is exact decimal arithmetic over integers and
+    // hash-stable by construction. The oracle recomputes BOTH retrievals
+    // (the llm_bm25_search CTE chain; the ann-bruteforce cosine) and the
+    // fusion; per-list ranks ride along as provenance columns.
+    "llm_retrieval_hybrid" -> Q.df(
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(text) AS text, len(string_split(lower(text),' ')) AS dl
+         |  FROM documents WHERE length(text) > 0),
+         |scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+         |toks AS (SELECT doc_id, dl, unnest(string_split(text,' ')) AS term FROM d),
+         |posting AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+         |  FROM toks WHERE term IN ('dup','join','filter','scan')
+         |  GROUP BY doc_id, term),
+         |stats AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+         |contrib AS (
+         |  SELECT p.doc_id,
+         |    ln(1.0 + (s2.n_docs - s.df + 0.5) / (s.df + 0.5))
+         |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s2.avgdl)) AS c
+         |  FROM posting p JOIN stats s USING (term) CROSS JOIN scalars s2),
+         |bm AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(24,9))) AS DOUBLE), 6) AS score
+         |  FROM contrib GROUP BY doc_id
+         |  ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 30),
+         |bmr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM bm),
+         |sem0 AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY $duckCosAB DESC, b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id = 0),
+         |semr AS (SELECT doc_id, rank FROM sem0 WHERE rank <= 30),
+         |u AS (SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM semr),
+         |f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+         |    ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE)/(60+rank), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf_score
+         |  FROM u GROUP BY doc_id)
+         |SELECT f.doc_id, CAST(br.rank AS BIGINT) AS lex_rank,
+         |  CAST(sr.rank AS BIGINT) AS sem_rank, f.n_lists, f.rrf_score
+         |FROM f LEFT JOIN bmr br USING (doc_id) LEFT JOIN semr sr USING (doc_id)
+         |ORDER BY rrf_score DESC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.t(s, dir, "documents")
+        val e = Tables.t(s, dir, "embeddings")
+        val lex = graft.llm.Relevance.bm25Search(d, "doc_id", "text",
+            Seq("dup", "join", "filter", "scan"), topK = 30)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("doc_id", "rank")
+        val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+            "vec_id", "embedding", 30)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.llm.Relevance.rrfFuse(Seq(lex, sem), "doc_id")
+          .join(lex.select(col("doc_id").as("id"),
+            col("rank").cast("long").as("lex_rank")), Seq("id"), "left")
+          .join(sem.select(col("doc_id").as("id"),
+            col("rank").cast("long").as("sem_rank")), Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("lex_rank"), col("sem_rank"),
+            col("n_lists"), col("rrf_score"))
+          .orderBy(col("rrf_score").desc_nulls_last, col("doc_id").asc_nulls_last)
     }
   )
+
+  /** The ann-bruteforce cosine of `a.embedding` · `b.embedding` in DuckDB
+    * list primitives (float components cast to DOUBLE, left-to-right
+    * reduce — the same association order as the engine's kernel).
+    */
+  private def duckCosAB: String =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)
+      |    / NULLIF(
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(generate_series(1, len(a.embedding)),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x, y) -> x + y)) *
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(generate_series(1, len(b.embedding)),
+      |          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)), 0.0)""".stripMargin
 
   /** Fixed boilerplate the substring-span queries splice into every
     * document (the llm_dedup_lines plant precedent): a mid-doc snippet and

@@ -85,4 +85,20 @@ class RelevanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(found(plan), "expected Filter(term IN …) directly over the Generate")
   }
+
+  test("rrfFuse sums 1/(k+rank) across lists; coverage counts lists, not rows") {
+    val sp = spark; import sp.implicits._
+    val listA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val listB = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Relevance.rrfFuse(Seq(listA, listB), "doc_id", rrfK = 60)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def c(rank: Int): BigDecimal =
+      BigDecimal(1.0 / (60 + rank)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def s6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == ((1L, s6(c(1)))))
+    assert(out(20L) == ((2L, s6(c(2) + c(1)))), "both lists contribute to doc 20")
+    assert(out(30L) == ((1L, s6(c(3)))))
+    assert(out(40L) == ((1L, s6(c(2)))))
+  }
 }
