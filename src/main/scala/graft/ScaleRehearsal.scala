@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   *  - `skewlm`    — bigram-LM under a planted 20%-mass stop-word bigram:
   *    engine salting ON vs OFF with broadcast disabled;
   *  - `bpe`       — join-based encoder at 2,000 synthetic merges vs the
-  *    literal fold's codegen ceiling, plus train-loop checkpoint deltas.
+  *    literal fold's codegen ceiling, plus train-loop checkpoint deltas;
+  *  - `kmeansassign` — the assignment-ladder flop trade at k = 4096 on
+  *    the 10× corpus: rung 2 (broadcast-join, n·k cosines) vs rung 3
+  *    (IVF probe, ≈ n·(nlist + k·nprobe/nlist));
+  *  - `substr`    — exact-substring span dedup at 1×/10×/40× (alphabet-
+  *    permuted replicas keep dup structure ∝ n), cut at 40×.
   */
 object ScaleRehearsal {
 
@@ -227,9 +232,13 @@ object ScaleRehearsal {
         llm.Dedup.minhashLsh(docs100, "doc_id",
           llm.TextOps.wordShingles(col("text"), 2), k = 32, bands = 8, threshold = 0.8)
       }
+      // sizing rule nPlanes ≈ log₂(5.25M/2048) ≈ 11; the 62-bit packed
+      // signature then affords 5 tables (5 × 11 = 55 ≤ 62) — recall is
+      // the (1−p^planes)^tables trade the header derives, and the WIDTH
+      // control is what the fixed-index antithesis run measures
       val tE = best2("embdedup @100x sized") {
         llm.Dedup.embeddingNearDup(withCopies(vecsN(Rc)), "vec_id", "embedding",
-          threshold = 0.98, nPlanes = 11)
+          threshold = 0.98, nTables = 5, nPlanes = 11)
       }
       println(f"""[scale] {"mode": "curve100", "q18": $tQ%.2f, "minhash": $tM%.2f, "embdedup_sized": $tE%.2f}""")
       spark.stop()
@@ -263,6 +272,64 @@ object ScaleRehearsal {
           ref = docs40.filter(col("doc_id") % 2 === 0))
       }
       println(f"""[scale] {"mode": "curve40r10", "semdedup_fixed": $tSd%.2f, "ngram_lm": $tLm%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- kmeansassign mode: the assignment-ladder flop trade, measured.
+    // k = 4096 centroids (the flop-bound regime the assignByAnn scaladoc
+    // names) over the 10× corpus: rung 2 (assignByJoin) pays n × k
+    // cosines; rung 3 (assignByAnn, nlist 64 / nprobe 8) pays
+    // n × (nlist + k·nprobe/nlist) ≈ n × 576 — 7× fewer flops on
+    // identical data, same output convention. The centroid table is a
+    // 4096-row slice of the corpus itself (assignment cost does not care
+    // whether centroids were trained; training at this k is rehearsed
+    // separately by the Lloyd-round shuffle-shape argument).
+    if (args.headOption.contains("kmeansassign")) {
+      val corpus = vecsN(R)
+      val cents = corpus.filter(col("vec_id") < 4096)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("centroid"))
+      val tJoin = best2("assignByJoin k=4096") {
+        llm.Kmeans.assignByJoin(corpus, "vec_id", "embedding", cents)
+      }
+      val tAnn = best2("assignByAnn k=4096") {
+        llm.Kmeans.assignByAnn(corpus, "vec_id", "embedding", cents,
+          nlist = 64, nprobe = 8)
+      }
+      println(f"""[scale] {"mode": "kmeansassign", "k": 4096, "join": $tJoin%.2f, "ann_64_8": $tAnn%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- substr mode: the sliding-window exact-substring span curve.
+    // Replicas use seeded alphabet permutations (the curve100 recipe), so
+    // replicas share no vocabulary and duplicated-window structure stays
+    // ∝ n — the rehearsal measures the fingerprint shuffle + first-
+    // occurrence aggregation, not an output explosion. The cut rides the
+    // 40× point (it re-runs the span plan and adds the rebuild join).
+    if (args.headOption.contains("substr")) {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def docsN(n: Int) = repN(n, "documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), alpha,
+            new scala.util.Random(2000 + i).shuffle(alpha.toList).mkString)))
+      val t1 = best2("substr_spans @1x") {
+        llm.Dedup.substringSpans(Tables.t(spark, sfDir, "documents"),
+          "doc_id", col("text"), 16)
+      }
+      val t10 = best2("substr_spans @10x") {
+        llm.Dedup.substringSpans(docsN(10), "doc_id", col("text"), 16)
+      }
+      val t40 = best2("substr_spans @40x") {
+        llm.Dedup.substringSpans(docsN(40), "doc_id", col("text"), 16)
+      }
+      val tCut40 = best2("substr_cut @40x") {
+        llm.Dedup.substringCut(docsN(40), "doc_id", col("text"), 16)
+      }
+      println(f"""[scale] {"mode": "substr", "spans_1x": $t1%.2f, "spans_10x": $t10%.2f, "spans_40x": $t40%.2f, "cut_40x": $tCut40%.2f}""")
       spark.stop()
       return
     }

@@ -111,4 +111,71 @@ object Sampling {
           .orderBy(col("__k").desc, col("id").asc)).cast("long"))
       .select(col("id"), col("weight"), col("rank"))
   }
+
+  /** Leakage-safe train/validation split: near-duplicate documents MUST
+    * land on the same side, or validation loss silently measures
+    * memorization of training near-copies (the split analog of
+    * benchmark decontamination). Every near-dup cluster (transitive
+    * closure over `pairs` via [[Dedup.connectedComponents]]) is collapsed
+    * to its min-id representative; the split decision hashes the
+    * REPRESENTATIVE, so all members inherit one verdict by construction.
+    * Unpaired documents are their own representative. The hash is the
+    * [[weightedSample]] md5-hex trick (salt ":split"), so the val set is
+    * a deterministic function of content relationships — re-runs and
+    * late-arriving replicas of a clustered doc cannot flip sides.
+    *
+    * Scale: the labels frame is bounded by pair-touched documents (the
+    * near-dup minority), joined back on id (AQE broadcasts when it fits);
+    * bucketing is map-only. CC is O(log diameter) rounds on the pair
+    * graph, not the corpus.
+    *
+    * @param pairs near-dup pair frame `(id_a, id_b)` from any [[Dedup]]
+    *              tier (minhash, simhash, embedding, semantic)
+    * @return (id, rep, bucket, split) — bucket in [0,1000), split =
+    *         'val' iff bucket < valPermille
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valPermille: Int = 100): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      "valPermille must be in [0, 1000]")
+    val labels = Dedup.connectedComponents(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("rep"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("rep").cast("string"), lit(":split"))),
+          1, 13), 16, 10).cast("long"), lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < valPermille, lit("val")).otherwise(lit("train")))
+  }
+
+  /** Per-class quality pruning (the "keep the best keepPermille‰ of every
+    * source" curation rule): rank documents within each class by
+    * (score DESC, id ASC) and keep `rank <= ceil(n_class ·
+    * keepPermille / 1000)` — integer arithmetic end to end, so the keep
+    * boundary is bit-deterministic and a tie at the bar resolves by id,
+    * never by float luck.
+    *
+    * Scale: one shuffle on the class key; rank and class count share the
+    * same window partition (one sort, two window functions). The exact
+    * per-class total order is the cost of exact permille semantics — for
+    * a single monster class at 100 TB, take the map-only path instead:
+    * solve an approximate score threshold per class (approx_percentile)
+    * and filter, accepting the sketch's rank error at the boundary.
+    *
+    * @return (id, class, score, rk, n_cls) for kept rows
+    */
+  def qualityPrune(df: DataFrame, idCol: String, classCol: String,
+      score: Column, keepPermille: Int): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      "keepPermille must be in [0, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val byCls = Window.partitionBy(col("cls"))
+    df.select(col(idCol).as("id"), col(classCol).as("cls"), score.as("score"))
+      .withColumn("rk", row_number()
+        .over(byCls.orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .withColumn("n_cls", count(lit(1)).over(byCls).cast("long"))
+      .filter(col("rk") <=
+        floor((col("n_cls") * keepPermille + lit(999)) / lit(1000)).cast("long"))
+  }
 }

@@ -1657,6 +1657,80 @@ object Llm {
           .select(col("id").as("doc_id"), col("lex_rank"), col("sem_rank"),
             col("n_lists"), col("rrf_score"))
           .orderBy(col("rrf_score").desc_nulls_last, col("doc_id").asc_nulls_last)
+    },
+
+    // ---- leakage-safe split (Sampling.leakageSafeSplit) ----
+    // Near-dup clusters (transitive closure over exact-Jaccard 0.9 pairs,
+    // the llm_dedup_clusters graph) collapse to their min-id
+    // representative; the train/val verdict hashes the REPRESENTATIVE, so
+    // every member of a cluster provably lands on one side. The oracle
+    // recomputes the closure with a recursive CTE and the same md5-hex
+    // bucket arithmetic as the weighted-sampling oracle.
+    "llm_split_leakage_safe" -> Q.df(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 500),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |labels AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |alldocs AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+        |rep AS (SELECT a.doc_id, COALESCE(l.cluster_id, a.doc_id) AS rep
+        |  FROM alldocs a LEFT JOIN labels l USING (doc_id)),
+        |b AS (SELECT doc_id, rep,
+        |    CAST(('0x' || substr(md5(rep::VARCHAR || ':split'), 1, 13)) AS BIGINT)
+        |      % 1000 AS bucket
+        |  FROM rep)
+        |SELECT doc_id, CAST(rep AS BIGINT) AS rep, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 100 THEN 'val' ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.jaccardPairs(d, "doc_id",
+        transform(TextOps.wordShingles(col("text"), 2), e => xxhash64(e)), 0.9)
+      graft.llm.Sampling.leakageSafeSplit(d, "doc_id", pairs, valPermille = 100)
+        .select(col("id").as("doc_id"), col("rep"), col("bucket"), col("split"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
+    // ---- per-source quality pruning (Sampling.qualityPrune) ----
+    // Keep the best 600‰ of every source by the shared quality formula —
+    // integer rank arithmetic against ceil(n·q/1000), ties at the bar
+    // resolved by doc_id, so the keep boundary cannot drift on floats.
+    "llm_quality_prune" -> Q.df(
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, ROUND($duckQuality, 6) AS score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id ASC) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_cls
+         |  FROM scored)
+         |SELECT doc_id, source, score, CAST(rk AS BIGINT) AS rk,
+         |  CAST(n_cls AS BIGINT) AS n_cls
+         |FROM ranked
+         |WHERE rk <= (n_cls * 600 + 999) // 1000
+         |ORDER BY source ASC NULLS LAST, rk ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      graft.llm.Sampling.qualityPrune(d, "doc_id", "source",
+          round(TextOps.qualityScore(col("text")), 6), keepPermille = 600)
+        .select(col("id").as("doc_id"), col("cls").as("source"), col("score"),
+          col("rk"), col("n_cls"))
+        .orderBy(col("source").asc_nulls_last, col("rk").asc_nulls_last)
     }
   )
 

@@ -199,6 +199,36 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) == (("", 0L)), "fully-duplicated doc rebuilds empty, stays visible")
   }
 
+  test("leakage-safe split: every near-dup cluster lands on one side") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 (one cluster via transitivity), pair 10-11, isolates rest
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.llm.Sampling.leakageSafeSplit(docs, "doc_id", pairs, 250)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out.size == 40)
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L,
+      "transitive closure collapses the chain to min-id rep 1")
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1,
+      "cluster {1,2,3} must be entirely train or entirely val")
+    assert(out(10L)._2 == out(11L)._2, "pair {10,11} splits together")
+    assert(out(20L)._1 == 20L, "unpaired docs are their own representative")
+    val valFrac = out.values.count(_._2 == "val").toDouble / out.size
+    assert(valFrac > 0.0 && valFrac < 1.0, s"split is degenerate: valFrac=$valFrac")
+  }
+
+  test("quality prune keeps ceil(n*q/1000) per class; bar ties resolve by id") {
+    val sp = spark; import sp.implicits._
+    // class a: 5 rows scores 5,4,3,2,1 -> keep ceil(5*600/1000)=3 (ids 1,2,3)
+    // class b: 3 rows all score 7 (tied) -> keep ceil(3*600/1000)=2, ids 11,12
+    val rows = Seq(
+      (1L, "a", 5.0), (2L, "a", 4.0), (3L, "a", 3.0), (4L, "a", 2.0), (5L, "a", 1.0),
+      (11L, "b", 7.0), (12L, "b", 7.0), (13L, "b", 7.0)).toDF("id0", "cls0", "q")
+    val kept = graft.llm.Sampling.qualityPrune(rows, "id0", "cls0", col("q"), 600)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 11L, 12L))
+  }
+
   test("mixture permille downsamples overrepresented classes to the target") {
     val sp = spark; import sp.implicits._
     val base = Seq(

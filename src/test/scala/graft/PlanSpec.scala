@@ -445,4 +445,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         !p.contains("BroadcastNestedLoopJoin"), s"$name: no nested loop")
     }
   }
+
+  test("substring spans: fingerprints shuffle, not window strings; canon agg combines map-side") {
+    val p = executedPlan("llm_dedup_substring_spans")
+    assert(p.contains("xxhash64"),
+      "window fingerprints must travel as 64-bit hashes, not 16-token strings")
+    assert(p.contains("partial_min"),
+      "canonical selection must be a map-side-combinable min(struct), not a sorted row_number")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("quality prune: rank and class count share one shuffle") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = Tables.t(spark, sfDir, "documents")
+    val df = llm.Sampling.qualityPrune(d, "doc_id", "source", length(col("text")), 600)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"row_number and count must ride ONE cls-partition exchange, found $shuffles")
+  }
 }
