@@ -731,4 +731,201 @@ object Dedup {
       "— raise maxIter only after checking the pair graph for unexpected long chains")
     labels
   }
+
+  /** Exact all-pairs containment above a threshold — the quadratic
+    * verification baseline for [[containmentPairs]], same role
+    * [[jaccardPairs]] plays for [[minhashLsh]] (guarded).
+    *
+    * Containment C(a,b) = |A∩B| / min(|A|,|B|): the subset-duplicate
+    * measure — a wire story embedded verbatim in a long page has tiny
+    * Jaccard (the page's extra text inflates the union) but containment
+    * ≈ 1, so a Jaccard-only dedup pass keeps both copies.
+    */
+  def containmentPairsExact(
+      df: DataFrame,
+      idCol: String,
+      elems: org.apache.spark.sql.Column,
+      threshold: Double,
+      maxRows: Long = 100000): DataFrame = {
+    val s = guardQuadratic(
+      df.select(col(idCol).as("id"), array_distinct(elems).as("elems")),
+      "containmentPairsExact", "containmentPairs", maxRows)
+    val a = s.select(col("id").as("id_a"), col("elems").as("elems_a"))
+    val b = s.select(col("id").as("id_b"), col("elems").as("elems_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("elems_a"), col("elems_b"))).cast("double") /
+          least(size(col("elems_a")), size(col("elems_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Containment near-duplicates at scale — an inverted-index self-join
+    * in the all-pairs-similarity-search shape (Bayardo, Ma & Srikant,
+    * WWW'07): explode distinct elements (as xxhash64 longs), join postings
+    * on the element so only docs SHARING an element ever meet, count
+    * co-occurrences per pair as the candidate screen, then verify the
+    * survivors exactly. No signature approximation anywhere — the index
+    * join is exact on elements, so unlike minhashLsh the only recall loss
+    * is the explicit stop-element prune.
+    *
+    * Two bounds keep the index join corpus-scale:
+    *  - stop elements: an element appearing in more than `maxDf` docs is
+    *    dropped from the index (its posting list alone would emit ~df²/2
+    *    candidate rows — boilerplate shingles are the skew key of this
+    *    plan). A true pair is missed only if EVERY shared element is that
+    *    hot; the same bounded-recall deployment knob as minhashLsh's
+    *    hotBucketCap.
+    *  - sound count screen: C ≥ t implies |A∩B| ≥ ⌈t·min(|A|,|B|)⌉, and
+    *    the indexed overlap understates |A∩B| by at most min(sA,sB) stop
+    *    elements (sX = how many of X's elements were pruned), so
+    *    candidates keep only pairs with indexed overlap ≥ ⌈t·min⌉ −
+    *    min(sA,sB) — no true pair with ≥ 1 indexed shared element is
+    *    screened out.
+    *
+    * Verification re-joins the (small) surviving id set back to the full
+    * element arrays — broadcast-semi, one exact intersect per candidate,
+    * never a shuffle of the corpus. Returns (id_a, id_b, containment).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      elems: org.apache.spark.sql.Column,
+      threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // one pass: hashed distinct elements + full size per doc; persisted for
+    // the posting explode and the verification joins
+    val base = df
+      .select(col(idCol).as("id"),
+        array_distinct(transform(elems, e => xxhash64(e))).as("elems"))
+      .withColumn("sz", size(col("elems")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = base.select(col("id"), col("sz"), explode(col("elems")).as("el"))
+    val dfc = postings.groupBy(col("el")).agg(count(lit(1)).as("__df"))
+    val indexed = postings.join(dfc.filter(col("__df") <= maxDf), "el")
+    // per-doc pruned-element count: sz − indexed size (0 when no prune fires)
+    val idxSz = indexed.groupBy(col("id"), col("sz"))
+      .agg(count(lit(1)).as("isz"))
+      .select(col("id"), (col("sz") - col("isz")).as("stops"))
+    val lhs = indexed.select(col("el"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val rhs = indexed.select(col("el").as("el_r"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = lhs
+      .join(rhs, col("el") === col("el_r") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("ov"))
+      .join(idxSz.select(col("id").as("id_a"), col("stops").as("st_a")), "id_a")
+      .join(idxSz.select(col("id").as("id_b"), col("stops").as("st_b")), "id_b")
+      .filter(col("ov") >=
+        ceil(lit(threshold) * least(col("sz_a"), col("sz_b"))) -
+          least(col("st_a"), col("st_b")))
+      .select(col("id_a"), col("id_b"))
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+    val candElems = base
+      .join(broadcast(candIds), col("id") === col("__cid"))
+      .select(col("id"), col("elems"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates
+      .join(candElems.select(col("id").as("id_a"),
+        col("elems").as("elems_a"), col("sz").as("sz_a")), "id_a")
+      .join(candElems.select(col("id").as("id_b"),
+        col("elems").as("elems_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("elems_a"), col("elems_b"))).cast("double") /
+          least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Incremental dedup of a NEW batch against a FROZEN kept corpus — the
+    * production cadence (crawl snapshots arrive; the corpus only grows;
+    * re-deduplicating the whole corpus per snapshot is the O(total²)
+    * mistake this avoids). Within-batch duplicates are [[minhashLsh]]'s
+    * job; this operator answers only "is each batch doc already IN the
+    * corpus", so every join here is batch×corpus, never corpus×corpus.
+    *
+    * Two layers, mirroring the full-corpus family:
+    *  - exact: the batch key left-joins the corpus's (key → min id) table
+    *    — one shuffle on the key hash, `exact_of` = the matching corpus id;
+    *  - near: MinHash band buckets, CROSS-frame — batch band rows join
+    *    corpus band rows on (band, bucket), so only colliding docs meet.
+    *    Hot CORPUS buckets (boilerplate bands) collapse to their min-id
+    *    representative before the join — each batch doc in such a bucket
+    *    is checked against the representative only, the cross-frame analog
+    *    of bandedCandidates' star link and the same bounded-recall trade.
+    *    Signature screen (est ≥ threshold − 0.2, ~3σ at k=32) then exact
+    *    Jaccard on hashed elements verify the survivors; `dup_of` = the
+    *    minimum corpus id whose VERIFIED jaccard ≥ threshold.
+    *
+    * In deployment the corpus side of `sigs`/`bands` is precomputed once
+    * and persisted with the corpus (signatures are append-only state);
+    * computing it here keeps the operator self-contained.
+    *
+    * Returns one row per batch doc: (id, exact_of, dup_of) — both nullable
+    * corpus ids; a doc is fresh iff both are null.
+    */
+  def incremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      key: org.apache.spark.sql.Column,
+      elems: org.apache.spark.sql.Column,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      hotBucketCap: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val exactOf = corpus
+      .select(key.as("__key"), col(idCol).as("cid"))
+      .groupBy(col("__key")).agg(min(col("cid")).as("exact_of"))
+
+    val sigsB = batch
+      .select(col(idCol).as("id"), TextOps.minhashSignature(elems, k).as("sig"))
+      .persist(lvl)
+    val sigsC = corpus
+      .select(col(idCol).as("id"), TextOps.minhashSignature(elems, k).as("sig"))
+      .persist(lvl)
+    def bandRows(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // hot corpus buckets reduce to one representative row pre-join
+    val bw = Window.partitionBy(col("band"), col("bucket"))
+    val corpusBands = bandRows(sigsC)
+      .withColumn("__bw", count(lit(1)).over(bw))
+      .withColumn("__bmin", min(col("id")).over(bw))
+      .filter(col("__bw") <= hotBucketCap || col("id") === col("__bmin"))
+      .select(col("band"), col("bucket"), col("id").as("id_c"))
+    val candidates = bandRows(sigsB)
+      .join(corpusBands, Seq("band", "bucket"))
+      .select(col("id").as("id_b"), col("id_c"))
+      .dropDuplicates("id_b", "id_c")
+    val screened = candidates
+      .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigsC.select(col("id").as("id_c"), col("sig").as("sig_c")), "id_c")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est") >= threshold - 0.2)
+      .select(col("id_b"), col("id_c"))
+    def candElems(src: DataFrame, ids: DataFrame): DataFrame = src
+      .join(broadcast(ids), col(idCol) === col("__cid"))
+      .select(col("__cid").as("id"), transform(elems, e => xxhash64(e)).as("elems"))
+      .persist(lvl)
+    val elB = candElems(batch, screened.select(col("id_b").as("__cid")).distinct())
+    val elC = candElems(corpus, screened.select(col("id_c").as("__cid")).distinct())
+    val dupOf = screened
+      .join(elB.select(col("id").as("id_b"), col("elems").as("elems_b")), "id_b")
+      .join(elC.select(col("id").as("id_c"), col("elems").as("elems_c")), "id_c")
+      .filter(TextOps.jaccard(col("elems_b"), col("elems_c")) >= threshold)
+      .groupBy(col("id_b")).agg(min(col("id_c")).as("dup_of"))
+
+    batch.select(col(idCol).as("id"), key.as("__key"))
+      .join(exactOf, Seq("__key"), "left")
+      .join(dupOf, col("id") === col("id_b"), "left")
+      .select(col("id"), col("exact_of"), col("dup_of"))
+  }
 }

@@ -139,4 +139,51 @@ object NgramLm {
         round(-(sum(round(col("lp"), 9).cast("decimal(24,9)")).cast("double"))
           / count(lit(1)), 6).as("xent"))
   }
+
+  /** CCNet head/middle/tail perplexity buckets, exact-rank tier (Wenzek
+    * 2020 §4.3: per-language documents are ranked by LM score and cut into
+    * thirds; training mixes keep head+middle and drop or down-weight tail).
+    * ntile(3) within each class over (xent asc, id asc) — a total order,
+    * so bucket assignment is deterministic and integer-exact: this is the
+    * DIFFERENTIAL tier, the role jaccardPairs plays for minhashLsh. The
+    * per-class window is one sort of the scored frame; at 100 TB use
+    * [[perplexityBucketsByCuts]], which never ranks the corpus.
+    *
+    * Returns `scored` plus (tercile, bucket).
+    */
+  def perplexityBucketsExact(
+      scored: DataFrame, idCol: String, classCol: String,
+      xentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col(xentCol).asc, col(idCol).asc)
+    scored
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+  }
+
+  /** The 100 TB bucket path: per-class cut points from ONE aggregation
+    * (percentile at 1/3 and 2/3 — swap in `percentile_approx` over a
+    * per-class sample in deployment, exactly CCNet's procedure: its cuts
+    * come from a histogram of a sample, not a global sort), broadcast
+    * back, assignment map-only. The corpus is never sorted or ranked.
+    * Bucket semantics at the cut values differ from the rank-exact tier
+    * only by tie handling at the boundary quantiles (ntile splits ties by
+    * id; a value cut sends equal xents to one side) — the sampled-cut
+    * path trades that edge for scale, which is why the exact tier above
+    * exists as its verification baseline.
+    */
+  def perplexityBucketsByCuts(
+      scored: DataFrame, classCol: String, xentCol: String): DataFrame = {
+    val cuts = scored.groupBy(col(classCol))
+      .agg(
+        expr(s"percentile($xentCol, 1.0D/3.0D)").as("__c1"),
+        expr(s"percentile($xentCol, 2.0D/3.0D)").as("__c2"))
+    scored.join(broadcast(cuts), Seq(classCol))
+      .withColumn("bucket",
+        when(col(xentCol) <= col("__c1"), "head")
+          .when(col(xentCol) <= col("__c2"), "middle").otherwise("tail"))
+      .drop("__c1", "__c2")
+  }
 }

@@ -1731,7 +1731,236 @@ object Llm {
         .select(col("id").as("doc_id"), col("cls").as("source"), col("score"),
           col("rk"), col("n_cls"))
         .orderBy(col("source").asc_nulls_last, col("rk").asc_nulls_last)
-    }
+    },
+
+    // ---- CCNet perplexity buckets (NgramLm.perplexityBucketsExact) ----
+    // The rank-exact head/middle/tail cut over the bigram-LM scores, per
+    // source class (CCNet buckets per language; the driver corpus's
+    // class column is `source`). The oracle re-derives the xent values
+    // with the full llm_ngram_lm_score SQL and then applies the SAME
+    // total-order NTILE — a two-operator differential (LM scoring feeding
+    // window bucketing). The 100 TB path is perplexityBucketsByCuts
+    // (sampled percentile cuts, map-only assign — never ranks the
+    // corpus); LlmSpec pins the two tiers' agreement away from cut ties.
+    "llm_ppl_buckets" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE length(text) > 0),
+        |refbg AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+        |  FROM (SELECT unnest(list_zip(ws, ws[2:])) AS p
+        |        FROM d WHERE doc_id % 2 = 0)
+        |  WHERE p[2] IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM refbg GROUP BY w1),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 2 = 0)),
+        |db AS (
+        |  SELECT doc_id, source, p[1] AS w1, p[2] AS w2
+        |  FROM (SELECT doc_id, source, unnest(list_zip(ws, ws[2:])) AS p
+        |        FROM d WHERE doc_id < 200)
+        |  WHERE p[2] IS NOT NULL),
+        |sc AS (
+        |  SELECT db.doc_id, db.source,
+        |    ln((COALESCE(refbg.c12, 0) + 0.5) / (COALESCE(ctx.c1, 0) + 0.5 * voc.v)) AS lp
+        |  FROM db LEFT JOIN refbg USING (w1, w2)
+        |  LEFT JOIN ctx USING (w1) CROSS JOIN voc),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    ROUND(-CAST(SUM(CAST(ROUND(lp, 9) AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*), 6) AS xent
+        |  FROM sc GROUP BY doc_id, source)
+        |SELECT doc_id, source, xent,
+        |  CASE NTILE(3) OVER (PARTITION BY source ORDER BY xent ASC, doc_id ASC)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val scored = graft.llm.NgramLm.bigramCrossEntropy(
+          docs.filter(col("doc_id") < 200), "doc_id", "text",
+          ref = docs.filter(col("doc_id") % 2 === 0))
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      graft.llm.NgramLm.perplexityBucketsExact(scored, "id", "source", "xent")
+        .select(col("id").as("doc_id"), col("source"), col("xent"), col("bucket"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
+    // ---- containment near-dup (Dedup.containmentPairs) ----
+    // The subset-duplicate tier Jaccard cannot see: C = |A∩B|/min(|A|,|B|)
+    // over 2-word shingles. Same differential contract as llm_dedup_minhash:
+    // the exact quadratic baseline runs on the doc_id < 500 slice (hashed
+    // shingles) and LEFT-joins the scale path's verdicts — `idx_found`
+    // asserts the inverted-index path (Bayardo all-pairs shape: postings
+    // join + sound count screen + exact verify) finds every exact pair,
+    // which on this slice is recall-exact by construction (maxDf = 1000 >
+    // slice size, so the stop-element prune cannot fire).
+    "llm_dedup_containment" -> Q.df(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / least(len(a.sh), len(b.sh)), 6) AS containment,
+        |  true AS idx_found
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / least(len(a.sh), len(b.sh)) >= 0.9
+        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 500)
+      val sh = TextOps.wordShingles(col("text"), 2)
+      val hashed = transform(sh, e => xxhash64(e))
+      val scale = Dedup.containmentPairs(d, "doc_id", sh, threshold = 0.9,
+          maxDf = 1000)
+        .select(col("id_a"), col("id_b"), lit(true).as("found"))
+      Dedup.containmentPairsExact(d, "doc_id", hashed, 0.9)
+        .join(scale, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"),
+          coalesce(col("found"), lit(false)).as("idx_found"))
+        .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+    },
+
+    // ---- incremental dedup vs a frozen corpus (Dedup.incremental) ----
+    // The production cadence: a new snapshot (doc_id ≥ 300) deduped
+    // against the kept corpus (doc_id < 300) without ever joining corpus
+    // to corpus. The oracle recomputes both layers exhaustively in DuckDB
+    // — exact_of by byte-equal text, dup_of as the minimum corpus id at
+    // true shingle-Jaccard ≥ 0.9 — so the differential asserts the
+    // cross-frame LSH (k=64/bands=16: per-pair miss ~(1−0.9⁴)¹⁶ ≈ 4e-8)
+    // recalls every qualifying batch→corpus edge on this slice.
+    "llm_dedup_incremental" -> Q.df(
+      """WITH corp AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents WHERE doc_id < 300),
+        |bat AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents WHERE doc_id >= 300),
+        |ex AS (
+        |  SELECT b.doc_id, MIN(c.doc_id) AS exact_of
+        |  FROM bat b JOIN corp c ON b.text = c.text GROUP BY b.doc_id),
+        |nr AS (
+        |  SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+        |  FROM bat b JOIN corp c
+        |    ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.9
+        |  GROUP BY b.doc_id)
+        |SELECT bat.doc_id AS id, ex.exact_of, nr.dup_of
+        |FROM bat LEFT JOIN ex ON bat.doc_id = ex.doc_id
+        |LEFT JOIN nr ON bat.doc_id = nr.doc_id
+        |ORDER BY id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      Dedup.incremental(
+          batch = d.filter(col("doc_id") >= 300),
+          corpus = d.filter(col("doc_id") < 300),
+          idCol = "doc_id", key = col("text"),
+          elems = TextOps.wordShingles(col("text"), 2),
+          k = 64, bands = 16, threshold = 0.9)
+        .orderBy(col("id").asc_nulls_last)
+    },
+
+    // ---- quality-aware near-dup survivors (clusters + max-quality) ----
+    // Upgrades the min-id survivor rule: within each transitive near-dup
+    // cluster keep the HIGHEST-quality member (ties to the smaller id) —
+    // the policy a curation pipeline actually wants (the canonical copy,
+    // not the accidentally-smallest id). Composes connectedComponents
+    // with the quality score; the oracle re-derives the clusters via the
+    // recursive-CTE closure AND the keeper via the same
+    // (quality DESC, id ASC) argmax.
+    "llm_dedup_keep_best" -> Q.df(
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+         |  FROM documents WHERE doc_id < 500),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id, ROUND($duckQuality, 6) AS quality FROM documents),
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.quality DESC, l.doc_id ASC) AS rk,
+         |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS sz
+         |  FROM labels l JOIN q ON l.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS keeper, quality AS best_quality,
+         |  CAST(sz AS BIGINT) AS sz
+         |FROM ranked WHERE rk = 1
+         |ORDER BY cluster_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(d.filter(col("doc_id") < 500), "doc_id",
+        transform(TextOps.wordShingles(col("text"), 2), e => xxhash64(e)), 0.9)
+      val quality = d.select(col("doc_id").as("id"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("id").asc)
+      Dedup.connectedComponents(pairs)
+        .join(quality, "id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+        .filter(col("rk") === 1)
+        .select(col("cluster").as("cluster_id"), col("id").as("keeper"),
+          col("quality").as("best_quality"), col("sz").cast("long").as("sz"))
+        .orderBy(col("cluster_id").asc_nulls_last)
+    },
+
+    // ---- token-budget training plan (epochs per source) ----
+    // The mixing table a training run is configured from (the Llama/
+    // Gopher "epochs over the dataset" column): given a token budget
+    // split uniformly across sources, how many passes over each source
+    // realize its share — epochs > 1 flags oversampling (repeated data),
+    // effective_toks is the no-repeat alternative. One aggregation over
+    // the corpus; everything downstream is arithmetic on the per-source
+    // table (row count = |sources|, never corpus-sized).
+    "llm_token_budget_plan" -> Q.sql(
+      spark = """WITH per_src AS (
+        |  SELECT source, CAST(SUM(size(split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |plan AS (
+        |  SELECT source, toks,
+        |    CAST(FLOOR(CAST(50000 AS DOUBLE) / COUNT(*) OVER ()) AS BIGINT) AS target_toks
+        |  FROM per_src)
+        |SELECT source, toks, target_toks,
+        |  ROUND(CAST(target_toks AS DOUBLE) / toks, 4) AS epochs,
+        |  target_toks > toks AS oversampled,
+        |  LEAST(toks, target_toks) AS effective_toks
+        |FROM plan
+        |ORDER BY source ASC NULLS LAST""".stripMargin,
+      duck = """WITH per_src AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |plan AS (
+        |  SELECT source, toks,
+        |    CAST(FLOOR(CAST(50000 AS DOUBLE) / COUNT(*) OVER ()) AS BIGINT) AS target_toks
+        |  FROM per_src)
+        |SELECT source, toks, target_toks,
+        |  ROUND(CAST(target_toks AS DOUBLE) / toks, 4) AS epochs,
+        |  target_toks > toks AS oversampled,
+        |  LEAST(toks, target_toks) AS effective_toks
+        |FROM plan
+        |ORDER BY source ASC NULLS LAST""".stripMargin)
   )
 
   /** The ann-bruteforce cosine of `a.embedding` · `b.embedding` in DuckDB

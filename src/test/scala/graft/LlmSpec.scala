@@ -717,4 +717,87 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r1.getAs[Double]("xent") == expected)
   }
+
+  test("containment: index path ≡ exact baseline; stop-prune only narrows") {
+    val elems = TextOps.wordShingles(col("text"), 2)
+    val hashed = transform(elems, e => xxhash64(e))
+    def pairSet(df: DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.containmentPairsExact(docs, "doc_id", hashed, 0.9))
+    // maxDf above the corpus size: the prune cannot fire, recall is exact
+    val full = pairSet(Dedup.containmentPairs(docs, "doc_id", elems, 0.9,
+      maxDf = 100000))
+    assert(exact.nonEmpty, "test corpus should contain >=1 containment pair")
+    assert(full == exact, s"index path diverged: missing ${exact -- full}, " +
+      s"extra ${full -- exact}")
+    // a small doc fully inside a big one is containment's reason to exist:
+    // verify at least one emitted pair sits BELOW the jaccard threshold
+    val jac = pairSet(Dedup.jaccardPairs(docs, "doc_id", hashed, 0.9))
+    assert(jac.subsetOf(exact), "jaccard >= t implies containment >= t")
+    // aggressive stop-prune: still precise (verify is exact), never wider
+    val pruned = pairSet(Dedup.containmentPairs(docs, "doc_id", elems, 0.9,
+      maxDf = 5))
+    assert(pruned.subsetOf(exact), "stop-prune may narrow recall, not precision")
+  }
+
+  test("incremental dedup: batch-only rows, exact layer, near recall") {
+    val d = docs
+    val corpus = d.filter(col("doc_id") < 25)
+    val batch = d.filter(col("doc_id") >= 25)
+    val elems = TextOps.wordShingles(col("text"), 2)
+    val out = Dedup.incremental(batch, corpus, "doc_id", col("text"), elems,
+        k = 64, bands = 16, threshold = 0.9)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == batchIds, "one row per batch doc, no corpus rows")
+    // exact layer vs a direct text join
+    val expectExact = batch.select(col("doc_id"), col("text"))
+      .join(corpus.select(col("text"), col("doc_id").as("cid")), "text")
+      .groupBy("doc_id").agg(min("cid").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.collect { case (id, Some(e), _) => id -> e }.toMap == expectExact)
+    // near layer: every id the operator points at must be a true >=0.9
+    // jaccard corpus neighbor, and the MIN such neighbor (exhaustive check
+    // against the quadratic cross baseline)
+    val hashed = transform(elems, e => xxhash64(e))
+    val b = batch.select(col("doc_id").as("id_b"), hashed.as("eb"))
+    val c = corpus.select(col("doc_id").as("id_c"), hashed.as("ec"))
+    val expectNear = b.crossJoin(c)
+      .filter(TextOps.jaccard(col("eb"), col("ec")) >= 0.9)
+      .groupBy("id_b").agg(min("id_c").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotNear = out.collect { case (id, _, Some(n)) => id -> n }.toMap
+    assert(gotNear == expectNear,
+      s"missing ${expectNear.toSet -- gotNear.toSet}, extra ${gotNear.toSet -- expectNear.toSet}")
+    assert(expectNear.nonEmpty, "slice should contain >=1 cross near-dup")
+  }
+
+  test("perplexity buckets: cut path agrees with rank path off-boundary") {
+    val sp = spark; import sp.implicits._
+    val frame = (1 to 90).map(i => (i.toLong, "s" + (i % 3), i.toDouble))
+      .toDF("id", "cls", "xent")
+    val exact = graft.llm.NgramLm
+      .perplexityBucketsExact(frame, "id", "cls", "xent")
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cuts = graft.llm.NgramLm.perplexityBucketsByCuts(frame, "cls", "xent")
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // distinct xent per class and n divisible by 3: the two tiers agree
+    // everywhere except possibly AT an interpolated cut — on this frame
+    // percentile lands between ranks, so assignment must be identical
+    assert(exact == cuts, s"diverged at ${exact.toSet -- cuts.toSet}")
+    // rank tier: each class splits 10/10/10
+    val sizes = graft.llm.NgramLm.perplexityBucketsExact(frame, "id", "cls", "xent")
+      .groupBy("cls", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sizes.values.forall(_ == 10), s"uneven terciles: $sizes")
+    // monotonicity inside a class: max(head) < min(middle) < ... by xent
+    val byBucket = graft.llm.NgramLm.perplexityBucketsExact(frame, "id", "cls", "xent")
+      .filter(col("cls") === "s0")
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Double]("xent"))
+    def maxOf(b: String) = byBucket.filter(_._1 == b).map(_._2).max
+    def minOf(b: String) = byBucket.filter(_._1 == b).map(_._2).min
+    assert(maxOf("head") < minOf("middle") && maxOf("middle") < minOf("tail"))
+  }
 }
