@@ -94,14 +94,25 @@ object Bpe {
 
   /** Train `nMerges` BPE merges. Each round is one aggregation over the
     * vocabulary table plus a 1-row collect; the corpus is read once.
-    * persist+count truncates EXECUTION each round, but the analyzed plan
-    * tree still deepens by one withColumn per round — a localCheckpoint
-    * every `checkpointEvery` rounds pins the (vocabulary-sized) working
-    * set and resets the tree, so analysis time stays flat when nMerges
-    * reaches the hundreds.
+    *
+    * Every round ends in an EAGER localCheckpoint (default
+    * `checkpointEvery = 1`), keeping the logical plan exactly one round
+    * deep. The persist-chain alternative (checkpointEvery > 1: persist +
+    * count between checkpoints) truncates EXECUTION but not the PLAN, and
+    * the growth is worse than the linear lineage it looks like: round r's
+    * InMemoryRelation embeds round r−1's entire cached plan, so
+    * plan-DESCRIPTION strings compound MULTIPLICATIVELY — by round ~20 at
+    * even a toy vocabulary, AQE's per-job physicalPlanDescription events
+    * were traversing billion-character trees (measured in the round-11
+    * rehearsal: 1.6e9-char plan strings before round 25; the run was
+    * abandoned, which is the measurement). `spark.sql.maxPlanStringLength`
+    * bounds what is STORED, not the traversal. Materialization cost is a
+    * wash (persist+count already ran a job per round), so per-round
+    * checkpointing is strictly better; the parameter survives only so the
+    * rehearsal can measure the legacy chain.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-      checkpointEvery: Int = 25): Seq[Merge] = {
+      checkpointEvery: Int = 1): Seq[Merge] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var wf = wordFreqs(docs, textCol).persist(lvl)
     wf.count()
