@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   *    (IVF probe, ≈ n·(nlist + k·nprobe/nlist));
   *  - `substr`    — exact-substring span dedup at 1×/10×/40× (alphabet-
   *    permuted replicas keep dup structure ∝ n), cut at 40×.
+  *
+  * Round-13 modes:
+  *  - `cut`        — the rebuild-join decade curve: segmentCut and
+  *    substringCut at 1×/10×/40×;
+  *  - `semdedup40` — sized-k (k ∝ n = 5120) SemDeDup at 40× through the
+  *    rung-3 ANN assignment, with a rung-2 control on identical data;
+  *  - `hotbucket`  — minhash with ONE planted band bucket spanning 20%
+  *    of the 10× corpus: the map-side bucket-width + star-link cap
+  *    acceptance probe.
   */
 object ScaleRehearsal {
 
@@ -228,14 +237,16 @@ object ScaleRehearsal {
           else translate(col("text"), alpha,
             new scala.util.Random(1000 + i).shuffle(alpha.toList).mkString)))
       // `curve100 noq18` skips the q18 point: its first execution measured
-      // 981.56 s/pass — dominated not by the engine but by the rehearsal
+      // ~982 s/pass — dominated not by the engine but by the rehearsal
       // HARNESS at this scale (the 100-branch union × two lineitem
       // instances is a ~12M-char plan that AQE re-plans per stage; real
       // 100× data is ONE table and q18's engine scaling is the 1×→40×
       // curve) — so re-runs spend the wall on the operators whose 100×
-      // point is informative.
-      val tQ = if (args.lift(1).contains("noq18")) 981.56
-        else best2("q18 @100x")(q18of("li100", "ord100", "cust100"))
+      // point is informative. A skipped point emits `null`, never a
+      // stale constant: the artifact records only what THIS run measured
+      // (provenance for the historical q18 wall lives in SCALE_r11.md).
+      val tQ: Option[Double] = if (args.lift(1).contains("noq18")) None
+        else Some(best2("q18 @100x")(q18of("li100", "ord100", "cust100")))
       val tM = best2("minhash @100x") {
         llm.Dedup.minhashLsh(docs100, "doc_id",
           llm.TextOps.wordShingles(col("text"), 2), k = 32, bands = 8, threshold = 0.8)
@@ -248,7 +259,8 @@ object ScaleRehearsal {
         llm.Dedup.embeddingNearDup(withCopies(vecsN(Rc)), "vec_id", "embedding",
           threshold = 0.98, nTables = 5, nPlanes = 11)
       }
-      println(f"""[scale] {"mode": "curve100", "q18": $tQ%.2f, "minhash": $tM%.2f, "embdedup_sized": $tE%.2f}""")
+      val qJson = tQ.map(t => f"$t%.2f").getOrElse("null")
+      println(f"""[scale] {"mode": "curve100", "q18": $qJson%s, "minhash": $tM%.2f, "embdedup_sized": $tE%.2f}""")
       spark.stop()
       return
     }
@@ -338,6 +350,115 @@ object ScaleRehearsal {
         llm.Dedup.substringCut(docsN(40), "doc_id", col("text"), 16)
       }
       println(f"""[scale] {"mode": "substr", "spans_1x": $t1%.2f, "spans_10x": $t10%.2f, "spans_40x": $t40%.2f, "cut_40x": $tCut40%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- cut mode: the REBUILD-join decade curve for both cut
+    // operators (round-12 verdict stretch ask — spans DETECTION has a
+    // 40× curve in SCALE_r11; the cut's extra work, kept-index/span
+    // aggregation + join back onto the tokenized corpus + reslice, did
+    // not). Same alphabet-permuted replicas as `substr`: duplicated
+    // structure ∝ n, and no exchange ever carries segment text — only
+    // (id, hash/index) rows shuffle; the rebuilt text is born in the
+    // final per-doc projection.
+    if (args.headOption.contains("cut")) {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      def docsN(n: Int) = repN(n, "documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), alpha,
+            new scala.util.Random(2000 + i).shuffle(alpha.toList).mkString)))
+      val base1 = Tables.t(spark, sfDir, "documents")
+      val tSeg1 = best2("segcut @1x") {
+        llm.Dedup.segmentCut(base1, "doc_id", col("text"), segWords = 16)
+      }
+      val tSeg10 = best2("segcut @10x") {
+        llm.Dedup.segmentCut(docsN(10), "doc_id", col("text"), segWords = 16)
+      }
+      val tSeg40 = best2("segcut @40x") {
+        llm.Dedup.segmentCut(docsN(40), "doc_id", col("text"), segWords = 16)
+      }
+      val tSub1 = best2("substrcut @1x") {
+        llm.Dedup.substringCut(base1, "doc_id", col("text"), 16)
+      }
+      val tSub10 = best2("substrcut @10x") {
+        llm.Dedup.substringCut(docsN(10), "doc_id", col("text"), 16)
+      }
+      val tSub40 = best2("substrcut @40x") {
+        llm.Dedup.substringCut(docsN(40), "doc_id", col("text"), 16)
+      }
+      println(f"""[scale] {"mode": "cut", "segcut_1x": $tSeg1%.2f, "segcut_10x": $tSeg10%.2f, "segcut_40x": $tSeg40%.2f, "substrcut_1x": $tSub1%.2f, "substrcut_10x": $tSub10%.2f, "substrcut_40x": $tSub40%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- semdedup40 mode: sized-k SemDeDup at 40× through the rung-3
+    // ANN assignment — the round-11/12 composition ask, measured. k ∝ n
+    // (the SemDeDup deployment rule: 128 per 1× replica → 5120 at 40×)
+    // crosses semanticDedup's annKCap = 4096, so assignment rides
+    // [[Kmeans.assignByAnn]] (nlist = ⌈√5120⌉ = 72, nprobe = 9). The
+    // centroid table is a hashed 5120-row sample of the corpus itself,
+    // collected ONCE outside the timers (the kmeansassign discipline:
+    // assignment cost does not care whether centroids were trained;
+    // Lloyd's per-round shuffle shape is rehearsed separately). The
+    // rung-2 control runs the IDENTICAL pipeline with annKCap lifted, so
+    // the only delta is the assignment rung; the cross-round reference
+    // is SCALE_r10's fixed-k past-regime point (62.8 s: k = 64 at 40×,
+    // clusters 40× wide, star-link dominated).
+    if (args.headOption.contains("semdedup40")) {
+      val k = 5120
+      val planted = withCopies(vecsN(40))
+      val sample = planted
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("cen"))
+        .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toSeq
+      val cents = spark.createDataFrame(sample).toDF("cluster", "centroid")
+      val tAnn = best2("semdedup @40x sized r3") {
+        llm.Dedup.semanticDedup(planted, "vec_id", "embedding", cents,
+          threshold = 0.98)
+      }
+      val tJoin = best2("semdedup @40x sized r2") {
+        llm.Dedup.semanticDedup(planted, "vec_id", "embedding", cents,
+          threshold = 0.98, annKCap = 1 << 24)
+      }
+      println(f"""[scale] {"mode": "semdedup40", "k": $k, "sized_rung3": $tAnn%.2f, "sized_rung2": $tJoin%.2f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- hotbucket mode: ONE planted degenerate band bucket over 20%
+    // of the 10× corpus (every 5th doc's text replaced by a shared
+    // boilerplate string — all 8 bands collide for those docs). The
+    // round-12 verdict's acceptance probe for the map-side bucket-width
+    // rewrite: the 100k-wide bucket must be measured by a combining
+    // aggregate and star-linked by the cap, never sorted onto one task
+    // by a count-over-window. Reported: wall, and the pair count (the
+    // star link bounds it at ~w per band family, not w²/2 ≈ 5e9).
+    if (args.headOption.contains("hotbucket")) {
+      val rotc = "aeiou"
+      val boiler = (1 to 40).map(i => s"boilerplate clause $i repeated verbatim")
+        .mkString(" ")
+      val docs10 = rep("documents")((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+        .withColumn("text", translate(col("text"),
+          rotc, rotc.drop(i % 5) + rotc.take(i % 5))))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, lit(boiler)).otherwise(col("text")))
+      var nPairs = -1L
+      val tHot = {
+        val t0 = System.nanoTime()
+        nPairs = llm.Dedup.minhashLsh(docs10, "doc_id",
+          llm.TextOps.wordShingles(col("text"), 2),
+          k = 32, bands = 8, threshold = 0.8).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(f"[scale] minhash hotbucket@10x $dt%8.2f s ($nPairs pairs)")
+        dt
+      }
+      println(f"""[scale] {"mode": "hotbucket", "wall": $tHot%.2f, "pairs": $nPairs}""")
       spark.stop()
       return
     }
@@ -468,20 +589,23 @@ object ScaleRehearsal {
     // outcomes are expected to be "abandoned".)
     if (args.headOption.contains("bpetrain")) {
       val docsSmall = Tables.t(spark, "/root/testdata/sf0.001", "documents")
-      @volatile var nLearned = -1
-      def trainWall(ckpt: Int): Double = {
+      // (wall seconds, merges learned) — the round count rides the return
+      // value, not a cross-thread mutable channel: the bounded daemon
+      // threads below may still be writing when the main thread reads,
+      // and a shared @volatile would race the abandoned variants' late
+      // writes against the ckpt=1 result
+      def trainWall(ckpt: Int): (Double, Int) = {
         val t0 = System.nanoTime()
         val m = llm.Bpe.train(docsSmall, "text", 200, checkpointEvery = ckpt)
         require(m.nonEmpty) // sf0.001 may CONVERGE under 200 merges —
-        nLearned = m.length // round count is identical across variants
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, m.length) // count identical across variants
       }
-      val tCk1 = trainWall(1)
+      val (tCk1, nLearned) = trainWall(1)
       println(f"[scale] bpe_train n<=200 (learned $nLearned) ckpt=1 $tCk1%8.2f s")
       def bounded(label: String, ckpt: Int, timeoutMs: Long): String = {
         @volatile var outcome = s"abandoned >${timeoutMs / 1000}s"
         val t = new Thread(() => {
-          outcome = try f"${trainWall(ckpt)}%.2f s"
+          outcome = try f"${trainWall(ckpt)._1}%.2f s"
           catch { case e: Throwable => s"${e.getClass.getSimpleName}" }
         })
         t.setDaemon(true); t.start(); t.join(timeoutMs)
@@ -489,8 +613,13 @@ object ScaleRehearsal {
         outcome
       }
       val ck25 = bounded("ckpt=25", 25, 240000)
+      // The no-ckpt probe runs AFTER the abandoned ckpt=25 thread, which
+      // keeps burning driver CPU inside AQE tree-string construction
+      // until the JVM exits — so its wall (or abandonment) is measured
+      // under contamination. The artifact says so about itself rather
+      // than recording the number as a clean measurement.
       val noCk = bounded("no-ckpt", Int.MaxValue, 240000)
-      println(f"""[scale] {"mode": "bpetrain", "train200_ckpt1": $tCk1%.2f, "train200_ckpt25": "$ck25", "train200_nockpt": "$noCk"}""")
+      println(f"""[scale] {"mode": "bpetrain", "train200_ckpt1": $tCk1%.2f, "train200_ckpt25": "$ck25", "train200_nockpt": "$noCk", "train200_nockpt_confounded": true}""")
       spark.stop()
       return
     }

@@ -114,6 +114,23 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, nMerges: Int,
       checkpointEvery: Int = 1): Seq[Merge] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Deterministic reclamation of a superseded round's blocks. For a
+    // persist()ed frame, Dataset.unpersist suffices; for a
+    // localCheckpoint(true)'d frame it is a NO-OP — the blocks belong to
+    // the internal checkpointed RDD (pinned inside the LogicalRDD leaf),
+    // not to the cache-manager entry — so the ~vocabulary-sized block set
+    // of every retired round would otherwise linger until the
+    // ContextCleaner GC'd the RDD reference. Unpersisting at the RDD
+    // level frees each generation as soon as its successor is
+    // materialized: at most TWO generations of blocks live at any point
+    // in a 2,000-merge train. The retired frame is never referenced
+    // again (its lineage is truncated, so a recompute after unpersist
+    // would fail loudly, not silently).
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
     var wf = wordFreqs(docs, textCol).persist(lvl)
     wf.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -132,15 +149,23 @@ object Bpe {
         out += Merge(r, pair, cnt)
         val Array(l, rt) = pair.split(" ", 2)
         val applied = wf.withColumn("syms", applyMergeOnce(col("syms"), l, rt))
+        // RDD-level release only when the successor is CHECKPOINTED
+        // (self-contained — its blocks reference no predecessor); a
+        // merely-persisted successor (the legacy checkpointEvery > 1
+        // chains the rehearsal measures) still carries lineage through
+        // wf, so a lost-block recompute must find wf's blocks intact —
+        // there, plain unpersist (a no-op on a checkpointed wf, the
+        // pre-existing GC-driven behavior that chain already pays for)
+        val nextCheckpointed = r % checkpointEvery == 0
         val next =
-          if (r % checkpointEvery == 0) applied.localCheckpoint(true)
+          if (nextCheckpointed) applied.localCheckpoint(true)
           else { val p = applied.persist(lvl); p.count(); p }
-        wf.unpersist()
+        if (nextCheckpointed) release(wf) else wf.unpersist()
         wf = next
         r += 1
       }
     }
-    wf.unpersist()
+    release(wf)
     out.toSeq
   }
 

@@ -268,15 +268,29 @@ object Dedup {
       payload: Seq[String],
       cap: Int): DataFrame = {
     val aCols = "id" +: payload
-    val bw = Window.partitionBy(grpCols.map(col): _*)
     val rep =
-      if (payload.isEmpty) min(col("id")).over(bw)
-      else min(struct(aCols.map(col): _*)).over(bw)
+      if (payload.isEmpty) min(col("id"))
+      else min(struct(aCols.map(col): _*))
+    // Bucket width + representative via a map-side-combinable GROUP BY,
+    // not count(1).over(Window.partitionBy(bucket)): the window form
+    // sorts every bucket onto one task BEFORE the cap can act, so a
+    // degenerate bucket (one band value over 20% of the corpus) becomes
+    // a single-task sort of w rows — the exact hot-spot the cap exists
+    // to bound. The aggregate combines partial counts map-side (O(1)
+    // state per bucket per task), and the join back hashes on the same
+    // (band, bucket) key the window needed anyway — a streaming hash
+    // probe, no sort, no single-task accumulation. Same shape as
+    // [[substringSpans]]' canonical-window selection. Width-1 buckets —
+    // the vast majority of any banded corpus — are dropped by the
+    // `__bw > 1` filter before the join, so they never reach the
+    // self-join at all.
+    val stats = exploded
+      .groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("__bw"), rep.as("__bmin"))
+      .filter(col("__bw") > 1)
     // persisted: three consumers (both self-join sides + the star pairs)
-    // would otherwise each redo the explode + shuffle + sort
-    val banded = exploded
-      .withColumn("__bw", count(lit(1)).over(bw))
-      .withColumn("__bmin", rep)
+    // would otherwise each redo the explode + shuffle + join
+    val banded = exploded.join(stats, grpCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val normal = banded.filter(col("__bw") <= cap)
     val left = normal.select(
@@ -580,6 +594,16 @@ object Dedup {
     * @param hotClusterCap clusters wider than this star-link to their
     *                      min-id member (connectivity preserved
     *                      approximately, cost linearly)
+    * @param litKCap       centroid count up to which assignment uses the
+    *                      literal-expression rung ([[Kmeans.assign]];
+    *                      codegen method-size ceiling ≈ 1000)
+    * @param annKCap       centroid count up to which assignment uses the
+    *                      broadcast-join rung ([[Kmeans.assignByJoin]]);
+    *                      past it, the IVF rung ([[Kmeans.assignByAnn]],
+    *                      nlist ≈ √k, nprobe = nlist/8) — SemDeDup's
+    *                      k ∝ n sizing makes this the 100-TB path.
+    *                      Defaults are production values; tests lower
+    *                      them to pin rung behavior on small tables
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -587,15 +611,41 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame,
       threshold: Double,
-      hotClusterCap: Int = 1000): DataFrame = {
+      hotClusterCap: Int = 1000,
+      litKCap: Int = 1000,
+      annKCap: Int = 4096): DataFrame = {
+    require(litKCap >= 1 && annKCap >= litKCap,
+      "rung thresholds must satisfy 1 <= litKCap <= annKCap")
     val vecs = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // literal-expression assignment up to the codegen-friendly k; past it,
-    // the broadcast-join form (same result, spec-locked) — the centroid
-    // count is a bounded metadata probe, not a corpus action
+    // Assignment climbs the [[Kmeans]] rung ladder on the centroid count
+    // (a probe bounded by annKCap+1, then an exact count only once past
+    // it — both actions on the k-row centroid frame, never the corpus):
+    //  1. k ≤ litKCap: literal-expression argmax (codegen ceiling ≈ 1000);
+    //  2. k ≤ annKCap: broadcast join + map-side max_by — lifts the
+    //     expression ceiling but stays n × k cosines, flop-bound once
+    //     k ≳ 4096 (SemDeDup sizes k ∝ n, so a fixed rung 2 is the
+    //     measured past-regime cliff: 62.8 s at 40× in SCALE_r10);
+    //  3. past annKCap: [[Kmeans.assignByAnn]] — IVF over the CENTROID
+    //     table, nlist ≈ √k coarse cells, each vector scoring only its
+    //     nprobe best cells: n × (√k + k·nprobe/√k) cosines. nprobe =
+    //     nlist/8 (the SCALE_r11-measured 64/8 shape at k = 4096,
+    //     12.73 s vs rung 2's 19.15 s). Rung 3 is approximate in
+    //     ASSIGNMENT only — a vector probed into a near-miss cell can
+    //     lose its true cluster (recall bounded in KmeansSpec; exact at
+    //     nprobe = nlist, spec-locked equal to rung 2) — while PRECISION
+    //     is untouched: every emitted pair still passes the exact cosine
+    //     verify below, the same bounded-recall/exact-precision trade as
+    //     the hot-bucket star link.
+    val kProbe = centroids.limit(annKCap + 1).count()
     val assigned =
-      if (centroids.limit(1001).count() > 1000)
+      if (kProbe > annKCap) {
+        val k = centroids.count()
+        val nlist = math.max(16, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val nprobe = math.max(2, nlist / 8)
+        Kmeans.assignByAnn(vecs, "id", "__v", centroids, nlist = nlist, nprobe = nprobe)
+      } else if (kProbe > litKCap)
         Kmeans.assignByJoin(vecs, "id", "__v", centroids)
       else Kmeans.assign(vecs, "id", "__v", centroids)
     val candidates = bandedCandidates(
@@ -892,11 +942,15 @@ object Dedup {
     def bandRows(sigs: DataFrame): DataFrame = sigs
       .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // hot corpus buckets reduce to one representative row pre-join
-    val bw = Window.partitionBy(col("band"), col("bucket"))
-    val corpusBands = bandRows(sigsC)
-      .withColumn("__bw", count(lit(1)).over(bw))
-      .withColumn("__bmin", min(col("id")).over(bw))
+    // hot corpus buckets reduce to one representative row pre-join —
+    // width via a map-side-combinable groupBy + join back on the same
+    // (band, bucket) key, not a window count, for the same degenerate-
+    // bucket reason as [[bandedCandidates]]: a boilerplate band over 20%
+    // of the corpus must not sort onto one task just to be measured
+    val cb = bandRows(sigsC)
+    val cstats = cb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bw"), min(col("id")).as("__bmin"))
+    val corpusBands = cb.join(cstats, Seq("band", "bucket"))
       .filter(col("__bw") <= hotBucketCap || col("id") === col("__bmin"))
       .select(col("band"), col("bucket"), col("id").as("id_c"))
     val candidates = bandRows(sigsB)

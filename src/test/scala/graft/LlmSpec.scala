@@ -630,6 +630,37 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedup rung 3: ANN assignment past annKCap matches the exact rungs") {
+    val sp = spark; import sp.implicits._
+    // 8 well-separated axis centroids; every corpus vector EQUALS one
+    // centroid (cos = 1.0 with its true cell), so the IVF probe's top
+    // cell is the true centroid's own cell and rung 3's assignment is
+    // deterministic-equal to rung 1's even at nprobe < nlist. Lowered
+    // caps force the rung: kProbe = 8 > annKCap = 4 rides assignByAnn
+    // (nlist = max(16, ceil(sqrt(8))) = 16 >= k, every centroid its own
+    // coarse cell).
+    val cents = (1L to 8L)
+      .map(c => (c, (0 until 8).map(d => if (d == c - 1) 10.0 else 0.0)))
+      .toDF("cluster", "centroid")
+    val corpus = (1L to 16L)
+      .map(i => (i, (0 until 8).map(d => if (d == ((i - 1) % 8).toInt) 10.0 else 0.0)))
+      .toDF("id", "vec")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    val viaAnn = key(Dedup.semanticDedup(corpus, "id", "vec", cents,
+      threshold = 0.999, litKCap = 2, annKCap = 4))
+    spark.catalog.clearCache()
+    val viaLit = key(Dedup.semanticDedup(corpus, "id", "vec", cents, threshold = 0.999))
+    assert(viaAnn == viaLit, s"rung 3 diverged from rung 1: $viaAnn vs $viaLit")
+    // and the dedup outcome itself: ids 9..16 duplicate ids 1..8
+    (1L to 8L).foreach(i => assert(viaAnn(i) == ((i, true, None))))
+    (9L to 16L).foreach(i =>
+      assert(viaAnn(i) == ((i - 8, false, Some(i - 8)))))
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup hot-cluster cap star-links instead of exploding") {
     val sp = spark; import sp.implicits._
     // 50 identical vectors in one cluster, cap 5: star pairs around the

@@ -148,6 +148,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.optimizedPlan.toString
     assert(!p.toLowerCase.contains("cartesian"), "candidate generation must never cross-join")
     assert(p.contains("band") && p.contains("bucket"))
+    // bucket width must be a map-side-combinable aggregate + join back,
+    // never count(1).over(partitionBy(band, bucket)) — the window form
+    // sorts a degenerate bucket onto ONE task before the cap can act
+    assert(!p.contains("Window"),
+      "no window sort on the raw banded frame — bucket width must aggregate map-side")
   }
 
   test("tpcds q88 pivot: eight single-row buckets join as broadcast, one scan each") {
@@ -386,6 +391,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the intra-cluster self-join must key on the cluster id, never go quadratic")
     assert(p.contains("cosine_similarity"),
       "assignment and verify must ride the native codegen'd cosine kernel")
+    assert(!p.contains("Window"),
+      "cluster width must aggregate map-side, never a window sort over the cluster")
   }
 
   test("ngram LM scoring: the only nested loop is the 1-row vocabulary cross") {
