@@ -48,7 +48,12 @@ import org.apache.spark.sql.functions._
   *    rung-3 ANN assignment, with a rung-2 control on identical data;
   *  - `hotbucket`  — minhash with ONE planted band bucket spanning 20%
   *    of the 10× corpus: the map-side bucket-width + star-link cap
-  *    acceptance probe.
+  *    acceptance probe;
+  *  - `recall`     — quality evidence for the approximate tiers: rung-3
+  *    assignment recall + cosine ratio vs the exact rung-2 ground truth
+  *    at k = 4096 on the 10× corpus, LSH/IVF top-k recall@10 vs
+  *    brute force at 1×, and the end-to-end SemDeDup dup-flag recall of
+  *    rung 3 vs rung 2 at sized k on identical data.
   */
 object ScaleRehearsal {
 
@@ -459,6 +464,104 @@ object ScaleRehearsal {
         dt
       }
       println(f"""[scale] {"mode": "hotbucket", "wall": $tHot%.2f, "pairs": $nPairs}""")
+      spark.stop()
+      return
+    }
+
+    // ---- recall mode: QUALITY evidence for the approximate tiers. The
+    // speed curves (kmeansassign, semdedup40, curve100) establish that the
+    // bounded-work paths are fast; this mode measures what they give up —
+    // every "recall bounded in KmeansSpec" claim gets a number at
+    // production shape on the real embedding table. Three probes, each a
+    // distributed join + scalar aggregate (only counts ever reach the
+    // driver):
+    //  1. rung-3 assignment recall at k = 4096 on the 10× corpus:
+    //     assignByAnn (nlist = 64, nprobe = 8 — semanticDedup's sizing
+    //     rule at this k) against the exact assignByJoin ground truth.
+    //     Reported both as cluster agreement AND as the cosine ratio
+    //     ann.cos / exact.cos — a vector probed into a near-miss cell
+    //     still lands in a nearly-as-close cluster, and for SemDeDup it
+    //     is the CLOSENESS that matters, not the label.
+    //  2. ANN top-k recall@10 at 1× against bruteForceTopK ground truth
+    //     (1,000 hash-sampled queries × 55k corpus = 55M exact pairs,
+    //     inside the brute-force guard): lshTopK with the sized-planes
+    //     rule (log₂(n/2048) ≈ 5) and ivfTopK at the 16/4 default.
+    //  3. the consequence probe: SemDeDup outcomes at 10× with sized
+    //     k = 1280, rung 3 (annKCap lowered to force the ANN arm) vs the
+    //     rung-2 exact control on identical data — dup-flag recall is the
+    //     end-to-end number a pipeline owner actually cares about
+    //     (precision needs no probe: both rungs verify every emitted pair
+    //     with the exact cosine, so a rung-3 "duplicate" is never wrong,
+    //     only possibly missed).
+    if (args.headOption.contains("recall")) {
+      val k = 4096
+      val planted10 = withCopies(vecsN(R))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sample = planted10
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("cen"))
+        .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toSeq
+      val cents = spark.createDataFrame(sample).toDF("cluster", "centroid")
+      val exact = llm.Kmeans.assignByJoin(planted10, "vec_id", "embedding", cents)
+        .select(col("id"), col("cluster").as("c_ex"), col("cos").as("cos_ex"))
+      val ann = llm.Kmeans.assignByAnn(planted10, "vec_id", "embedding", cents,
+          nlist = 64, nprobe = 8)
+        .select(col("id"), col("cluster").as("c_ann"), col("cos").as("cos_ann"))
+      val aRow = exact.join(ann, "id")
+        .agg(avg(when(col("c_ex") === col("c_ann"), 1.0).otherwise(0.0)).as("recall"),
+          avg(when(col("cos_ex") > 0, col("cos_ann") / col("cos_ex"))).as("ratio"))
+        .head()
+      val (aRec, aRatio) = (aRow.getDouble(0), aRow.getDouble(1))
+      println(f"[scale] assign recall@k=$k%d   $aRec%.4f (cos ratio $aRatio%.5f)")
+
+      val corpus1 = withCopies(Tables.t(spark, sfDir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = corpus1.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(1000)
+      val gt = llm.Similarity.bruteForceTopK(queries, corpus1, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nGt = gt.count().toDouble
+      // Two denominators, deliberately: ALL top-10 ground-truth pairs —
+      // on isotropic synthetic embeddings these are cos ≈ 0.4 arbitrary
+      // neighbors, the adversarial case for any bucketed index — and the
+      // NEAR-DUP subset (cos ≥ 0.95, the planted copies), which is the
+      // pair class a dedup/retrieval pipeline actually consumes.
+      val gtHigh = gt.filter(col("cos") >= 0.95)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nHigh = gtHigh.count().toDouble
+      def recallOf(approx: DataFrame): (Double, Double) = {
+        val a = approx.select(col("query_id"), col("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val all = a.join(gt, Seq("query_id", "neighbor_id")).count() / nGt
+        val high = if (nHigh == 0) 1.0
+          else a.join(gtHigh, Seq("query_id", "neighbor_id")).count() / nHigh
+        a.unpersist()
+        (all, high)
+      }
+      val (lshRec, lshHigh) = recallOf(llm.Similarity.lshTopK(
+        queries, corpus1, "vec_id", "embedding", k = 10, nPlanes = 5))
+      val (ivfRec, ivfHigh) = recallOf(llm.Similarity.ivfTopK(
+        queries, corpus1, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4))
+      println(f"[scale] topk recall@10       lsh $lshRec%.4f (neardup $lshHigh%.4f)  ivf $ivfRec%.4f (neardup $ivfHigh%.4f)")
+
+      val k10 = 1280
+      val cents10 = spark.createDataFrame(sample.take(k10)).toDF("cluster", "centroid")
+      def dups(annKCap: Int): DataFrame =
+        llm.Dedup.semanticDedup(planted10, "vec_id", "embedding", cents10,
+            threshold = 0.98, annKCap = annKCap)
+          .filter(!col("keep")).select(col("id"))
+      val d2 = dups(annKCap = 1 << 24)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val d3 = dups(annKCap = 1024)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n2 = d2.count()
+      val n3 = d3.count()
+      val nBoth = d3.join(d2, "id").count()
+      val dRec = if (n2 == 0) 1.0 else nBoth.toDouble / n2
+      println(f"[scale] semdedup dup recall  r3/r2 $dRec%.4f ($nBoth of $n2; r3 flags $n3)")
+      println(f"""[scale] {"mode": "recall", "assign_recall_k4096": $aRec%.4f, "assign_cos_ratio": $aRatio%.5f, "lsh_recall_at10": $lshRec%.4f, "lsh_neardup_recall": $lshHigh%.4f, "ivf_recall_at10": $ivfRec%.4f, "ivf_neardup_recall": $ivfHigh%.4f, "semdedup_dups_rung2": $n2%d, "semdedup_dups_rung3": $n3%d, "semdedup_dup_recall": $dRec%.4f}""")
       spark.stop()
       return
     }
