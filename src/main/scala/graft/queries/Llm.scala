@@ -1212,6 +1212,33 @@ object Llm {
         .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
     },
 
+    // ---- IVF ANN over TRAINED centroids (Kmeans.train +
+    //      Similarity.ivfTopKTrained) — the standard train-then-probe
+    //      inverted-file build: cells adapt to the data distribution
+    //      where ivfTopK's hashed corpus sample does not. Same
+    //      differencing oracle as llm_ann_ivf: a full top-3 per query,
+    //      every neighbor inside the exact brute-force top-20
+    //      (recall@3-in-20); probing half the cells (nprobe 8 of
+    //      nlist 16) holds that contract on the near-isotropic corpus,
+    //      the hard case for any bucketed index. ----
+    "llm_ann_ivf_trained" -> Q.df(
+      """SELECT a.vec_id AS query_id, r.r AS rank, true AS in_exact_top20
+        |FROM embeddings a, generate_series(1, 3) r(r)
+        |WHERE a.vec_id < 20
+        |ORDER BY query_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      val cents = Kmeans.train(e, "vec_id", "embedding", k = 16, iters = 2)
+      val ivf = Similarity.ivfTopKTrained(queries, e, "vec_id", "embedding",
+        k = 3, centroids = cents, nprobe = 8)
+      val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact"))
+      ivf.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact_top20"))
+        .orderBy(col("query_id").asc_nulls_last, col("rank").asc_nulls_last)
+    },
+
     // ---- end-to-end corpus cleaning: quality filter → near-dup removal →
     //      kept docs with metrics. The composition a real training-data
     //      job runs. Oracle form: DuckDB re-derives the ENTIRE pipeline
@@ -1274,6 +1301,30 @@ object Llm {
           (col("width").between(64, 1920) && col("height").between(64, 1080))
             .as("dims_in_range"),
           forall(col("feature"), x => x.between(-1.0f, 1.0f)).as("feat_in_range"))
+        .orderBy(col("media_id").asc_nulls_last)
+    },
+
+    // ---- feature resize (Multimodal.resizeFeatures): the post-decode
+    //      dimension cut. Stub-decoded feature VALUES are not
+    //      DuckDB-derivable, so the oracle checks the contract — one row
+    //      per doc, the new length, the value range, and that the resized
+    //      vector is exactly the original's prefix (verified in-plan by
+    //      re-deriving the original features: the stub decoder is
+    //      deterministic on payload bytes, locked by LlmSpec). ----
+    "llm_multimodal_resize" -> Q.df(
+      """SELECT doc_id AS media_id, 8 AS feat_len, true AS in_range,
+        |  true AS is_prefix
+        |FROM documents
+        |ORDER BY media_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val media = graft.llm.Multimodal.mediaFromText(
+        Tables.t(s, dir, "documents"), "doc_id", "text", "image")
+      val feats = graft.llm.Multimodal.imageFeatures(media, partitions = 8)
+      graft.llm.Multimodal.resizeFeatures(feats, 8)
+        .join(feats.select(col("media_id"), col("feature").as("orig")), "media_id")
+        .select(col("media_id"),
+          size(col("feature")).as("feat_len"),
+          forall(col("feature"), x => x.between(-1.0f, 1.0f)).as("in_range"),
+          (col("feature") === slice(col("orig"), 1, 8)).as("is_prefix"))
         .orderBy(col("media_id").asc_nulls_last)
     },
 
@@ -1867,6 +1918,22 @@ object Llm {
 
     // ---- quality-aware near-dup survivors (clusters + max-quality) ----
     // Upgrades the min-id survivor rule: within each transitive near-dup
+    // ---- first-per-key dedup (Dedup.keepFirst): the row_number() ≤ 1
+    //      pattern — Spark plans the rank-1 filter as WindowGroupLimit
+    //      (the TopNRowNumber analog), so no partition ever materializes
+    //      past its first row. The oracle replays the same window. ----
+    "llm_dedup_keep_first" -> Q.df(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1
+        |ORDER BY doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      Dedup.keepFirst(Tables.t(s, dir, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // cluster keep the HIGHEST-quality member (ties to the smaller id) —
     // the policy a curation pipeline actually wants (the canonical copy,
     // not the accidentally-smallest id). Composes connectedComponents
