@@ -395,6 +395,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cluster width must aggregate map-side, never a window sort over the cluster")
   }
 
+  test("trained IVF: bounded centroid crosses only, candidates hash on the cell id") {
+    // the raw OPERATOR plan (the registry entry wraps it in the
+    // brute-force differencing oracle, whose non-equi join is
+    // legitimately a nested loop over the 20-query slice)
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    val cents = graft.llm.Kmeans.train(e, "vec_id", "embedding", k = 16, iters = 2)
+    val df = graft.llm.Similarity.ivfTopKTrained(
+      e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+      k = 3, centroids = cents, nprobe = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+    // every nested loop must be a Cross against the bounded k-row
+    // centroid table (the corpus/query cell-scoring broadcasts; the
+    // pre-AQE tree duplicates the corpus-side subplan under the
+    // bucket-width derivation, so up to 4 copies appear) — the
+    // candidate join itself must hash on (bucket, salt), never cross
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toList
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.length <= 4,
+      s"only the k-row centroid table may cross — found: $bnlj")
+    assert(p.contains("cosine_similarity"),
+      "cell scoring and re-rank must ride the native codegen'd cosine kernel")
+  }
+
+  test("keepFirst plans as WindowGroupLimit: no partition materializes past rank 1") {
+    val p = executedPlan("llm_dedup_keep_first")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=1 filter must lower to WindowGroupLimit (TopNRowNumber), " +
+        "not a full window sort over every group")
+  }
+
   test("ngram LM scoring: the only nested loop is the 1-row vocabulary cross") {
     val p = executedPlan("llm_ngram_lm_score")
     assert(!p.toLowerCase.contains("cartesianproduct"))
