@@ -60,6 +60,22 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("minhash-lsh all-unique corpus: every bucket a singleton, zero pairs, no crash") {
+    val sp = spark; import sp.implicits._
+    // vocabulary-disjoint docs — no two share a shingle, so every
+    // (band, bucket) is width 1 and the `__bw > 1` stats filter drops
+    // the ENTIRE banded frame before the self-join (the path the
+    // map-side bucket-width rewrite introduced: singletons never reach
+    // the join at all)
+    val uniq = (1L to 40L)
+      .map(i => (i, s"token${i}a token${i}b token${i}c token${i}d"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(uniq, "doc_id", TextOps.tokenSet(col("text")),
+      k = 32, bands = 8, threshold = 0.5)
+    assert(pairs.count() === 0L, "no shared shingles must mean no candidate pairs")
+    spark.catalog.clearCache()
+  }
+
   test("minhash-lsh never compares all pairs (bucket-join plan)") {
     val plan = Dedup.minhashLsh(docs, "doc_id", TextOps.tokenSet(col("text")))
       .queryExecution.optimizedPlan.toString
