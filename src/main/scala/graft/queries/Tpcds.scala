@@ -1013,7 +1013,13 @@ object Tpcds {
     //      to a UNION ALL, per-channel per-nation aggregates, then a
     //      GROUP BY ROLLUP (channel, id) grand-total report (reference
     //      q5.sql's ssr/csr/wsr CTEs; channels here are order-priority
-    //      bands since the driver schema has one fact table) ----
+    //      bands since the driver schema has one fact table).
+    //      The money sums ROUND to 2 dp before the final DOUBLE cast:
+    //      the rollup grand total reaches 19 significant digits at
+    //      sf0.1 (1.1e10 with 8 decimals), past DOUBLE's 17, and the
+    //      two engines' wide-decimal→double conversions can then differ
+    //      in the last ulp; a 13-digit cent-rounded value converts
+    //      identically everywhere. ----
     "tpcds_q5_channel_rollup" -> Q.sqlSame(
       """WITH salesreturns AS (
         |  SELECT o_orderpriority AS pri, s_nationkey AS nk,
@@ -1036,17 +1042,17 @@ object Tpcds {
         |              WHEN pri = '3-MEDIUM' THEN 'standard channel'
         |              ELSE 'economy channel' END AS channel,
         |    n_name AS id,
-        |    CAST(SUM(CAST(sales_price AS DECIMAL(30,8))) AS DOUBLE) AS sales,
-        |    CAST(SUM(CAST(return_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
-        |    CAST(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |    CAST(ROUND(SUM(CAST(sales_price AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |    CAST(ROUND(SUM(CAST(return_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |    CAST(ROUND(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
         |  FROM salesreturns JOIN nation ON n_nationkey = nk
         |  GROUP BY CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
         |                WHEN pri = '3-MEDIUM' THEN 'standard channel'
         |                ELSE 'economy channel' END, n_name)
         |SELECT channel, id,
-        |  CAST(SUM(CAST(sales AS DECIMAL(30,8))) AS DOUBLE) AS sales,
-        |  CAST(SUM(CAST(returns_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
-        |  CAST(SUM(CAST(profit AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |  CAST(ROUND(SUM(CAST(sales AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |  CAST(ROUND(SUM(CAST(returns_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |  CAST(ROUND(SUM(CAST(profit AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
         |FROM chan
         |GROUP BY ROLLUP (channel, id)
         |ORDER BY channel ASC NULLS LAST, id ASC NULLS LAST
@@ -1086,17 +1092,17 @@ object Tpcds {
         |              WHEN pri = '3-MEDIUM' THEN 'standard channel'
         |              ELSE 'economy channel' END AS channel,
         |    brand AS id,
-        |    CAST(SUM(CAST(sales_price AS DECIMAL(30,8))) AS DOUBLE) AS sales,
-        |    CAST(SUM(CAST(return_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
-        |    CAST(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |    CAST(ROUND(SUM(CAST(sales_price AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |    CAST(ROUND(SUM(CAST(return_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |    CAST(ROUND(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
         |  FROM salesreturns
         |  GROUP BY CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
         |                WHEN pri = '3-MEDIUM' THEN 'standard channel'
         |                ELSE 'economy channel' END, brand)
         |SELECT channel, id,
-        |  CAST(SUM(CAST(sales AS DECIMAL(30,8))) AS DOUBLE) AS sales,
-        |  CAST(SUM(CAST(returns_amt AS DECIMAL(30,8))) AS DOUBLE) AS returns_amt,
-        |  CAST(SUM(CAST(profit AS DECIMAL(30,8))) AS DOUBLE) AS profit
+        |  CAST(ROUND(SUM(CAST(sales AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |  CAST(ROUND(SUM(CAST(returns_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |  CAST(ROUND(SUM(CAST(profit AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
         |FROM chan
         |GROUP BY ROLLUP (channel, id)
         |ORDER BY channel ASC NULLS LAST, id ASC NULLS LAST
