@@ -53,7 +53,10 @@ import org.apache.spark.sql.functions._
   *    assignment recall + cosine ratio vs the exact rung-2 ground truth
   *    at k = 4096 on the 10× corpus, LSH/IVF top-k recall@10 vs
   *    brute force at 1×, and the end-to-end SemDeDup dup-flag recall of
-  *    rung 3 vs rung 2 at sized k on identical data.
+  *    rung 3 vs rung 2 at sized k on identical data;
+  *  - `semknob`    — the rung-3 recall/cost dial: SemDeDup dup recall
+  *    and wall per nprobe ∈ {1 … nlist} at sized k, rung-2 exact
+  *    ground truth, nprobe = nlist locked at recall 1.0.
   */
 object ScaleRehearsal {
 
@@ -562,6 +565,52 @@ object ScaleRehearsal {
       val dRec = if (n2 == 0) 1.0 else nBoth.toDouble / n2
       println(f"[scale] semdedup dup recall  r3/r2 $dRec%.4f ($nBoth of $n2; r3 flags $n3)")
       println(f"""[scale] {"mode": "recall", "assign_recall_k4096": $aRec%.4f, "assign_cos_ratio": $aRatio%.5f, "lsh_recall_at10": $lshRec%.4f, "lsh_neardup_recall": $lshHigh%.4f, "ivf_recall_at10": $ivfRec%.4f, "ivf_neardup_recall": $ivfHigh%.4f, "semdedup_dups_rung2": $n2%d, "semdedup_dups_rung3": $n3%d, "semdedup_dup_recall": $dRec%.4f}""")
+      spark.stop()
+      return
+    }
+
+    // ---- semknob mode: the rung-3 recall/cost DIAL, measured end to
+    // end. The recall mode prices ONE operating point (the nprobe =
+    // nlist/8 default); this sweeps nprobe through the full range on
+    // identical data — sized k = 1280 at 10× (nlist = 36, the auto
+    // sizing), annKCap lowered so every point rides the ANN arm, the
+    // rung-2 exact dup set computed once as ground truth. nprobe =
+    // nlist is the exactness anchor: recall must be 1.0 there (the
+    // full-probe argmax is spec-locked equal to rung 2), and the curve
+    // below it is what a deployment buys at each probe budget.
+    if (args.headOption.contains("semknob")) {
+      val k10 = 1280
+      val nlist = 36 // = ceil(sqrt(1280)), the auto rule, pinned for the sweep
+      val planted10 = withCopies(vecsN(R))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sample = planted10
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("cen"))
+        .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+        .limit(k10).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toSeq
+      val cents = spark.createDataFrame(sample).toDF("cluster", "centroid")
+      val d2 = llm.Dedup.semanticDedup(planted10, "vec_id", "embedding", cents,
+          threshold = 0.98, annKCap = 1 << 24)
+        .filter(!col("keep")).select(col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n2 = d2.count()
+      val points = Seq(1, 2, 4, 9, 18, nlist).map { np =>
+        val t0 = System.nanoTime()
+        val d3 = llm.Dedup.semanticDedup(planted10, "vec_id", "embedding", cents,
+            threshold = 0.98, annKCap = 1024, annNlist = nlist, annNprobe = np)
+          .filter(!col("keep")).select(col("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n3 = d3.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val nBoth = d3.join(d2, "id").count()
+        d3.unpersist()
+        val rec = if (n2 == 0) 1.0 else nBoth.toDouble / n2
+        println(f"[scale] semknob nprobe=$np%2d  $wall%6.2f s  recall $rec%.4f ($nBoth/$n2, flags $n3)")
+        (np, wall, rec)
+      }
+      val pj = points.map { case (np, w, r) =>
+        f"""{"nprobe": $np%d, "wall": $w%.2f, "recall": $r%.4f}""" }.mkString(", ")
+      println(s"""[scale] {"mode": "semknob", "k": $k10, "nlist": $nlist, "exact_dups": $n2, "points": [$pj]}""")
       spark.stop()
       return
     }

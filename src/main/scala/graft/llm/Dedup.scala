@@ -604,6 +604,14 @@ object Dedup {
     *                      k ∝ n sizing makes this the 100-TB path.
     *                      Defaults are production values; tests lower
     *                      them to pin rung behavior on small tables
+    * @param annNlist      rung-3 coarse-cell count override (0 = auto,
+    *                      ⌈√k⌉ floored at 16)
+    * @param annNprobe     rung-3 probed-cell count override (0 = auto,
+    *                      nlist/8 floored at 2; clamped to nlist). THE
+    *                      recall/cost dial: nprobe = nlist is exact
+    *                      (spec-locked equal to rung 2); the end-to-end
+    *                      dup-recall curve per setting is measured in
+    *                      SCALE_r13.md's knob sweep
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -613,7 +621,9 @@ object Dedup {
       threshold: Double,
       hotClusterCap: Int = 1000,
       litKCap: Int = 1000,
-      annKCap: Int = 4096): DataFrame = {
+      annKCap: Int = 4096,
+      annNlist: Int = 0,
+      annNprobe: Int = 0): DataFrame = {
     require(litKCap >= 1 && annKCap >= litKCap,
       "rung thresholds must satisfy 1 <= litKCap <= annKCap")
     val vecs = corpus
@@ -642,8 +652,10 @@ object Dedup {
     val assigned =
       if (kProbe > annKCap) {
         val k = centroids.count()
-        val nlist = math.max(16, math.ceil(math.sqrt(k.toDouble)).toInt)
-        val nprobe = math.max(2, nlist / 8)
+        val nlist = if (annNlist > 0) annNlist
+          else math.max(16, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val nprobe = if (annNprobe > 0) math.min(annNprobe, nlist)
+          else math.max(2, nlist / 8)
         Kmeans.assignByAnn(vecs, "id", "__v", centroids, nlist = nlist, nprobe = nprobe)
       } else if (kProbe > litKCap)
         Kmeans.assignByJoin(vecs, "id", "__v", centroids)
