@@ -56,7 +56,16 @@ import org.apache.spark.sql.functions._
   *    rung 3 vs rung 2 at sized k on identical data;
   *  - `semknob`    — the rung-3 recall/cost dial: SemDeDup dup recall
   *    and wall per nprobe ∈ {1 … nlist} at sized k, rung-2 exact
-  *    ground truth, nprobe = nlist locked at recall 1.0.
+  *    ground truth, nprobe = nlist locked at recall 1.0;
+  *  - `cc`         — connectedComponents decade curve (edge sets ∝
+  *    1×/10×/40×) over the three component shapes the dedup tiers emit
+  *    (64-deep chains, 1000-wide star links, isolated pairs), each
+  *    point an exact acceptance check (component count and max width
+  *    are known by construction);
+  *  - `minhashrecall` — minhash-LSH dup recall per true-Jaccard bucket
+  *    vs banding theory 1−(1−J^r)^b, on planted word-perturbed copies
+  *    with exact per-pair ground truth (one equi-join, never
+  *    all-pairs).
   */
 object ScaleRehearsal {
 
@@ -611,6 +620,134 @@ object ScaleRehearsal {
       val pj = points.map { case (np, w, r) =>
         f"""{"nprobe": $np%d, "wall": $w%.2f, "recall": $r%.4f}""" }.mkString(", ")
       println(s"""[scale] {"mode": "semknob", "k": $k10, "nlist": $nlist, "exact_dups": $n2, "points": [$pj]}""")
+      spark.stop()
+      return
+    }
+
+    // ---- cc mode: the connectedComponents decade curve — the ONE
+    // operator with a driver-side iteration loop, so the 100 TB question
+    // is not shuffle volume but round count × per-round action overhead.
+    // Synthetic edge sets ∝ mult with the three component shapes the
+    // dedup tiers actually emit: 64-deep chains (diameter 63 — forces
+    // the pointer-doubling arm through ~⌈log₂63⌉ label rounds, the
+    // worst case the star-link cap is designed to prevent), 1000-wide
+    // stars (the hotClusterCap output shape, diameter 2), and isolated
+    // pairs (bulk component count). Component count and max width are
+    // exact by construction, so every timed point doubles as an
+    // acceptance check: a wrong label count fails loudly, never records
+    // a wall for broken output. Graphs are spark.range-generated (no IO
+    // warmup concern); best-of-2 per point covers JIT.
+    if (args.headOption.contains("cc")) {
+      val chainLen = 64L
+      val starW = 1000L
+      // Column `/` is DOUBLE division — `div` keeps the id arithmetic in
+      // the integer domain (the acceptance check below caught the float
+      // form: every edge became its own 2-vertex component).
+      def idiv(c: org.apache.spark.sql.Column, d: Long) = floor(c / d).cast("long")
+      def graphOf(mult: Int): (DataFrame, Long, Long) = {
+        val nChains = 1500L * mult
+        val nStars = 50L * mult
+        val nPairs = 60000L * mult
+        val chains = spark.range(nChains * (chainLen - 1)).select(
+          (idiv(col("id"), chainLen - 1) * chainLen + (col("id") % (chainLen - 1))).as("id_a"),
+          (idiv(col("id"), chainLen - 1) * chainLen + (col("id") % (chainLen - 1)) + 1).as("id_b"))
+        val stars = spark.range(nStars * starW).select(
+          (lit(1000000000000L) + idiv(col("id"), starW) * (starW + 1)).as("id_a"),
+          (lit(1000000000000L) + idiv(col("id"), starW) * (starW + 1) + (col("id") % starW) + 1).as("id_b"))
+        val pairs = spark.range(nPairs).select(
+          (lit(2000000000000L) + col("id") * 2).as("id_a"),
+          (lit(2000000000000L) + col("id") * 2 + 1).as("id_b"))
+        (chains.unionByName(stars).unionByName(pairs),
+          nChains + nStars + nPairs, starW + 1)
+      }
+      val pts = Seq(1, 10, 40).map { m =>
+        val (g, nComp, wMax) = graphOf(m)
+        val nE = g.count()
+        def onePass(): Double = {
+          val t0 = System.nanoTime()
+          val labels = llm.Dedup.connectedComponents(g, maxIter = 30)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val sizes = labels.groupBy("cluster").count()
+            .agg(count(lit(1)).as("n"), max(col("count")).as("w")).collect()(0)
+          labels.unpersist()
+          require(sizes.getLong(0) == nComp && sizes.getLong(1) == wMax,
+            s"cc@${m}x: ${sizes.getLong(0)} components (want $nComp), " +
+              s"max width ${sizes.getLong(1)} (want $wMax)")
+          wall
+        }
+        val wall = math.min(onePass(), onePass())
+        println(f"[scale] cc @$m%2dx  edges $nE%9d  components $nComp%7d  $wall%7.2f s")
+        (m, nE, wall)
+      }
+      val pj = pts.map { case (m, e, w) =>
+        f"""{"mult": $m%d, "edges": $e%d, "wall": $w%.2f}""" }.mkString(", ")
+      println(s"""[scale] {"mode": "cc", "chain_len": $chainLen, "star_width": $starW, "points": [$pj]}""")
+      spark.stop()
+      return
+    }
+
+    // ---- minhashrecall mode: the banding S-curve, measured end to end.
+    // The recall probe priced the EMBEDDING tiers; this prices the text
+    // tier. Plant one perturbed copy of every 5th document at five word-
+    // replacement rates (1%–5% of positions swapped for junk tokens,
+    // deterministically by xxhash64(doc_id, position, rate)), so planted
+    // pairs populate the whole true-Jaccard band above the 0.8 threshold.
+    // Ground truth is EXACT and cheap: one equi-join per planted pair
+    // (n/5 pairs per rate — never all-pairs), true Jaccard computed on
+    // the same 2-word shingles the operator hashes. Recall per true-J
+    // bucket is then compared against banding theory 1−(1−J^r)^b
+    // (r = 4, b = 8): the measured curve must sit ON the theory line —
+    // above it means the estimate screen is leaking sub-threshold pairs,
+    // materially below it means the screen or the hot-bucket cap is
+    // eating true positives. Precision needs no probe: every emitted
+    // pair is exact-verified ≥ threshold by construction.
+    if (args.headOption.contains("minhashrecall")) {
+      val docs = Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val rates = Seq(1, 2, 3, 4, 5)
+      def copiesAt(r: Int): DataFrame = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("orig_id"),
+          (col("doc_id") + lit(r * 1000000000L)).as("copy_id"),
+          array_join(expr(
+            s"transform(split(text, ' '), (w, p) -> IF(pmod(xxhash64(doc_id, p, $r), 100) < $r, concat('zq', p), w))"),
+            " ").as("copy_text"))
+      val corpus = docs.unionByName(rates.map(r => copiesAt(r)
+          .select(col("copy_id").as("doc_id"), col("copy_text").as("text")))
+        .reduce(_ unionByName _))
+      def sh2(c: org.apache.spark.sql.Column) = llm.TextOps.wordShingles(c, 2)
+      val truth = rates.map(copiesAt).reduce(_ unionByName _)
+        .join(docs.select(col("doc_id").as("orig_id"), col("text").as("orig_text")), "orig_id")
+        .select(col("orig_id"), col("copy_id"),
+          llm.TextOps.jaccard(sh2(col("copy_text")), sh2(col("orig_text"))).as("truej"))
+        .filter(col("truej") >= 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flagged = llm.Dedup.minhashLsh(corpus, "doc_id", sh2(col("text")),
+          k = 32, bands = 8, threshold = 0.8)
+        .select(col("id_a").as("orig_id"), col("id_b").as("copy_id"))
+      // bucket by true J in 0.05 steps; J = 1.0 (short docs that drew no
+      // replacement) folds into the top bucket
+      val bkt = least(floor((col("truej") - lit(0.8)) / 0.05), lit(3.0)) * 0.05 + 0.8
+      val perBucket = truth.withColumn("b", bkt)
+        .join(flagged.withColumn("hit", lit(1)), Seq("orig_id", "copy_id"), "left")
+        .groupBy(col("b")).agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .orderBy(col("b"))
+        .collect() // ≤ 4 rows
+      val pts = perBucket.map { row =>
+        val (b, n, h) = (row.getDouble(0), row.getLong(1), row.getLong(2))
+        val mid = b + 0.025
+        val theory = 1.0 - math.pow(1.0 - math.pow(mid, 4), 8)
+        val rec = h.toDouble / n
+        println(f"[scale] minhashrecall J∈[$b%.2f,${b + 0.05}%.2f)  n=$n%6d  recall $rec%.4f  theory(mid) $theory%.4f")
+        (b, n, rec, theory)
+      }
+      val overall = {
+        val n = perBucket.map(_.getLong(1)).sum
+        val h = perBucket.map(_.getLong(2)).sum
+        h.toDouble / n
+      }
+      val pj = pts.map { case (b, n, r, t) =>
+        f"""{"j_lo": $b%.2f, "n": $n%d, "recall": $r%.4f, "theory_mid": $t%.4f}""" }.mkString(", ")
+      println(f"""[scale] {"mode": "minhashrecall", "k": 32, "bands": 8, "threshold": 0.8, "overall_recall": $overall%.4f, "buckets": [$pj]}""")
+      truth.unpersist()
       spark.stop()
       return
     }
