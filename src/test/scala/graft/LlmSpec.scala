@@ -585,6 +585,34 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: a 70-deep chain converges across batches via pointer doubling") {
+    // diameter 69 — far past one 3-round batch, so this exercises the
+    // batch boundary (checkpoint + convergence probe + unpersist
+    // bookkeeping) and the doubling arm's O(log diameter) round count
+    // (maxIter = 20 < 69 plain label-propagation rounds: without
+    // doubling this CANNOT converge). Ids DESCEND along the chain so
+    // the min label must propagate against edge orientation.
+    val n = 70
+    val pairs = spark.createDataFrame(
+        (0 until n - 1).map(i => (1000L - i, 1000L - i - 1)))
+      .toDF("id_a", "id_b").repartition(7)
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1000L - (n - 1)),
+      s"all $n chain members must carry the min id ${1000L - (n - 1)}")
+  }
+
+  test("connected components fail loudly instead of spinning past maxIter") {
+    val pairs = spark.createDataFrame(
+        (0 until 69).map(i => (1000L - i, 1000L - i - 1)))
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components subsume the greedy star on real slice pairs") {
     val elems = TextOps.tokenSet(col("text"))
     val pairs = Dedup.jaccardPairs(docs.filter(col("doc_id") < 200), "doc_id", elems, 0.8)
