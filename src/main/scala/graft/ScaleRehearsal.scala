@@ -65,7 +65,10 @@ import org.apache.spark.sql.functions._
   *  - `minhashrecall` — minhash-LSH dup recall per true-Jaccard bucket
   *    vs banding theory 1−(1−J^r)^b, on planted word-perturbed copies
   *    with exact per-pair ground truth (one equi-join, never
-  *    all-pairs).
+  *    all-pairs);
+  *  - `cowdml` — copy-on-write DML write amplification: clustered vs
+  *    scattered 1% deletes on a 10× key-clustered table, exact
+  *    touched-byte accounting.
   */
 object ScaleRehearsal {
 
@@ -748,6 +751,74 @@ object ScaleRehearsal {
         f"""{"j_lo": $b%.2f, "n": $n%d, "recall": $r%.4f, "theory_mid": $t%.4f}""" }.mkString(", ")
       println(f"""[scale] {"mode": "minhashrecall", "k": 32, "bands": 8, "threshold": 0.8, "overall_recall": $overall%.4f, "buckets": [$pj]}""")
       truth.unpersist()
+      spark.stop()
+      return
+    }
+
+    // ---- cowdml mode: write amplification of the copy-on-write DML
+    // path, measured. CowDelete's scale claim is "write cost bounded by
+    // the deleted data's LOCALITY, not the table size" — this prices
+    // both ends of that claim on a 10× (6M-row) key-clustered table:
+    // a clustered 1% delete (one contiguous key range → few touched
+    // files) and a scattered 1% delete (hash-spread keys → every file
+    // contains matches, the honest worst case where CoW degrades to a
+    // full rewrite). Amplification = bytes rewritten / bytes logically
+    // deleted; the clustered case must stay near 1×, and the scattered
+    // case documents the cliff that motivates clustering DML keys (or a
+    // merge-on-read format) at 100 TB.
+    if (args.headOption.contains("cowdml")) {
+      val nFiles = 200
+      val tableDir = "/tmp/graft_cowdml_table"
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(p))
+      }
+      def freshTable(): (Long, Long) = {
+        val d = new java.io.File(tableDir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+        if (d.exists()) rm(d)
+        rep("lineitem")((t, i) =>
+            t.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
+          .repartitionByRange(nFiles, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.parquet(tableDir)
+        val n = spark.read.parquet(tableDir).count()
+        (n, dirBytes(tableDir))
+      }
+      def listFiles(p: String): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getAbsolutePath -> f.length()).toMap
+      }
+      def probe(what: String, predicate: org.apache.spark.sql.Column): String = {
+        val (n0, bytes0) = freshTable()
+        val sizes = listFiles(tableDir)
+        val matched = spark.read.parquet(tableDir).filter(predicate).count()
+        val t0 = System.nanoTime()
+        val stats = sources.CowDelete.delete(spark, tableDir, predicate)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val n1 = spark.read.parquet(tableDir).count()
+        require(n1 == n0 - matched, s"cowdml $what: $n1 rows survive, want ${n0 - matched}")
+        // exact accounting: bytes rewritten = the touched originals' sizes
+        // (each was re-read and re-written minus its deleted rows)
+        val touchedBytes = stats.touched.map(f => sizes.getOrElse(f, 0L)).sum
+        val delBytes = bytes0.toDouble * matched / n0 // logical bytes removed
+        val amp = touchedBytes / delBytes
+        println(f"[scale] cowdml $what%-9s touched ${stats.touched.size}%3d/${stats.total}%d files  " +
+          f"$wall%6.2f s  del $matched%d rows (${delBytes / 1e6}%.0f MB logical, ${touchedBytes / 1e6}%.0f MB rewritten)  amp $amp%5.1fx")
+        f"""{"case": "$what", "touched": ${stats.touched.size}%d, "files": ${stats.total}%d, "wall": $wall%.2f, "deleted_rows": $matched%d, "logical_mb": ${delBytes / 1e6}%.1f, "rewritten_mb": ${touchedBytes / 1e6}%.1f, "amplification": $amp%.2f}"""
+      }
+      // clustered: the lowest ~1% of the key space — row-group stats
+      // exclude every other file from even being decoded in discovery
+      val a = probe("clustered", col("l_orderkey") < 60000)
+      // scattered: ~1% of rows hash-spread across the whole key space —
+      // every file contains matches, CoW's worst case
+      val b = probe("scattered", pmod(xxhash64(col("l_orderkey")), lit(100)) === 7)
+      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b]}""")
       spark.stop()
       return
     }
