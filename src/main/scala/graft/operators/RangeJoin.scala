@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval join — the scale path for the range-predicate
+  * joins the reference executes as a nested loop
+  * (`presto-main/.../operator/NestedLoopJoinOperator.java`, with the range
+  * filter applied post-product) and Spark likewise plans as
+  * BroadcastNestedLoopJoin. A nested loop is O(|points| × |intervals|)
+  * regardless of selectivity — correct and fine for a 25-row dimension,
+  * a cluster-killer when both sides are large.
+  *
+  * The bucket trick turns it into one EQUI join: quantize the domain into
+  * buckets of width `w`; an interval [lo, hi] is replicated into the
+  * ⌈span/w⌉+1 buckets it overlaps, a point belongs to exactly ONE bucket,
+  * the join runs hash-partitioned on the bucket id, and the exact
+  * `lo ≤ p ≤ hi` predicate verifies survivors. Because a point has a
+  * single bucket, each qualifying (point, interval) pair is emitted
+  * exactly once — no dedup pass. Cost: shuffle ∝ |points| +
+  * |intervals| × avg(span)/w, then per-bucket hash probes; both sides
+  * scale out with ordinary shuffle parallelism, and AQE's skew split
+  * applies to hot buckets like any other shuffle join.
+  *
+  * Bucket width defaults to the intervals' AVERAGE span (computed with one
+  * bounded 1-row aggregate on the interval table — the same scalar-stats
+  * discipline as the LSH index sizing), which keeps expected interval
+  * replication ≈ 2 rows. `maxBucketsPerInterval` refuses a pathological
+  * width choice loudly (one domain-spanning interval with a tiny `w` would
+  * replicate into millions of rows) rather than letting the explode run
+  * away — the [[graft.llm.Dedup.guardQuadratic]] stance applied to
+  * interval replication.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to every row of `intervals` whose
+    * [`loCol`, `hiCol`] contains `pointCol` (both bounds inclusive, the
+    * SQL BETWEEN contract; intervals with hi < lo match nothing, and NULL
+    * bounds or points never match). Output columns = points' ++ intervals'
+    * (names must be disjoint).
+    *
+    * @param bucketWidth           quantization width; <= 0 means auto
+    *                              (average interval span)
+    * @param maxBucketsPerInterval loud upper bound on the replication of
+    *                              one interval
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double = 0.0,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"pointInInterval output flattens both sides; rename overlapping columns first: ${overlap.mkString(", ")}")
+
+    val iv = intervals.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+      col(loCol) <= col(hiCol))
+
+    // One bounded 1-row stats action on the INTERVAL table (never the
+    // points): average span sizes the bucket, max span guards replication.
+    val stats = iv.agg(
+      avg(col(hiCol).cast("double") - col(loCol).cast("double")).as("avg_span"),
+      max(col(hiCol).cast("double") - col(loCol).cast("double")).as("max_span"))
+      .collect()(0)
+    if (stats.isNullAt(0)) return emptyResult(points, iv) // no valid intervals
+    val w =
+      if (bucketWidth > 0) bucketWidth
+      else math.max(stats.getDouble(0), Double.MinPositiveValue)
+    val worst = stats.getDouble(1) / w
+    require(worst <= maxBucketsPerInterval,
+      f"pointInInterval: an interval spans $worst%.0f buckets at width $w%s " +
+        f"(cap $maxBucketsPerInterval%d) — raise bucketWidth or split the interval")
+
+    val ivB = iv.withColumn("__rj_bucket",
+      explode(sequence(
+        floor(col(loCol).cast("double") / w).cast("long"),
+        floor(col(hiCol).cast("double") / w).cast("long"))))
+    val ptB = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__rj_bucket", floor(col(pointCol).cast("double") / w).cast("long"))
+    ptB.join(ivB, Seq("__rj_bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__rj_bucket")
+  }
+
+  /** Zero-row frame with the joined schema (points' ++ intervals' columns). */
+  private def emptyResult(points: DataFrame, intervals: DataFrame): DataFrame =
+    points.limit(0).crossJoin(intervals.limit(0))
+}

@@ -142,6 +142,35 @@ object Relational {
         | AND n1.n_regionkey = n2.n_regionkey
         |ORDER BY a ASC NULLS LAST, b ASC NULLS LAST""".stripMargin),
 
+    // Point-in-interval range join on the BUCKETED scale path
+    // (operators/RangeJoin.scala): the same BETWEEN predicate the oracle
+    // executes as a nested loop runs here as ONE hash join on quantized
+    // buckets + exact verify — the shape that survives two large sides at
+    // 100 TB, where join_non_equi's nested loop cannot. Auto bucket width
+    // (= avg interval span, 200.0 here) exercises the 1-row stats sizing.
+    "join_range_bucketed" -> Q.df(
+      """SELECT p_partkey, COUNT(*) AS n_in_band,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty_in_band
+        |FROM part JOIN lineitem
+        |  ON l_extendedprice BETWEEN p_retailprice * 10 - 100
+        |                         AND p_retailprice * 10 + 100
+        |WHERE p_partkey <= 200
+        |GROUP BY p_partkey
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val bands = Tables.t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 10 - 100).as("band_lo"),
+          (col("p_retailprice") * 10 + 100).as("band_hi"))
+      val points = Tables.t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_quantity"))
+      graft.operators.RangeJoin.pointInInterval(
+          points, "l_extendedprice", bands, "band_lo", "band_hi")
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_in_band"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty_in_band"))
+        .orderBy(col("p_partkey").asc_nulls_last)
+    },
+
     // ================= set operations =================
 
     "setop_union_all" -> Q.sqlSame(

@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("bucketed range join plans a hash join on buckets, never a nested loop") {
+    val p = executedPlan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.toLowerCase.contains("cartesianproduct"),
+      "the BETWEEN predicate must ride the bucket equi-join, not a nested loop:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("__rj_bucket"), "join keys must include the quantized bucket id")
+  }
+
   test("q06: single scan with pushed range filters, no shuffle except final agg") {
     val p = executedPlan("tpch_q06_forecast_revenue")
     assert(p.contains("PushedFilters: ["))

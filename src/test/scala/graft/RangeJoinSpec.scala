@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.RangeJoin
+
+/** The bucketed point-in-interval join must be VALUE-IDENTICAL to the
+  * naive theta join it replaces (same contract as every other scale-path
+  * vs baseline pair: minhashLsh↔jaccardPairs, assignByAnn↔assignByJoin),
+  * across bucket widths, boundary values, invalid intervals, and nulls.
+  */
+class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pts(rows: Seq[(Long, Double)]) =
+    spark.createDataFrame(rows).toDF("pid", "x")
+  private def ivs(rows: Seq[(Long, Double, Double)]) =
+    spark.createDataFrame(rows).toDF("iid", "lo", "hi")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("matches the naive theta join on a seeded random workload, auto and explicit widths") {
+    val rnd = new scala.util.Random(42)
+    val p = pts((0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)))
+    val i = ivs((0 until 80).map { j =>
+      val lo = rnd.nextDouble() * 900 - 200
+      (j.toLong, lo, lo + rnd.nextDouble() * 60)
+    })
+    val naive = pairsOf(p.join(i, col("x") >= col("lo") && col("x") <= col("hi")))
+    assert(naive.nonEmpty, "seeded workload must produce matches")
+    for (w <- Seq(0.0, 1.0, 30.0, 5000.0)) { // auto, narrow, ~span, one-bucket-for-everything
+      val got = pairsOf(RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = w))
+      assert(got == naive, s"bucketWidth=$w diverges from the theta join")
+    }
+  }
+
+  test("BETWEEN contract: inclusive bounds, hi<lo and null bounds/points match nothing") {
+    val p = pts(Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)))
+      .unionByName(spark.sql("SELECT 4L AS pid, CAST(NULL AS DOUBLE) AS x"))
+    val i = ivs(Seq((100L, 10.0, 20.0), (200L, 30.0, 25.0)))
+      .unionByName(spark.sql("SELECT 300L AS iid, CAST(NULL AS DOUBLE) AS lo, 99.0 AS hi"))
+    val got = pairsOf(RangeJoin.pointInInterval(p, "x", i, "lo", "hi"))
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 100L)),
+      "both endpoints are inclusive; inverted/null intervals and null points drop")
+  }
+
+  test("empty interval table yields an empty result with the joined schema") {
+    val p = pts(Seq((1L, 10.0)))
+    val got = RangeJoin.pointInInterval(p, "x", ivs(Nil), "lo", "hi")
+    assert(got.columns.toSeq == Seq("pid", "x", "iid", "lo", "hi"))
+    assert(got.count() == 0)
+  }
+
+  test("a domain-spanning interval with a tiny width fails loudly, not quadratically") {
+    val p = pts(Seq((1L, 10.0)))
+    val i = ivs(Seq((100L, 0.0, 1e9)))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = 1.0)
+    }
+    assert(e.getMessage.contains("raise bucketWidth"))
+  }
+
+  test("overlapping column names are refused up front") {
+    val p = pts(Seq((1L, 10.0)))
+    val i = ivs(Seq((100L, 0.0, 20.0))).withColumnRenamed("iid", "pid")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, "x", i, "lo", "hi")
+    }
+    assert(e.getMessage.contains("rename overlapping columns"))
+  }
+
+  test("each qualifying pair is emitted exactly once even when an interval spans many buckets") {
+    val p = pts(Seq((1L, 55.0)))
+    val i = ivs(Seq((100L, 0.0, 100.0)))
+    // width 10 → the interval replicates into 11 buckets; the point must
+    // still match once (it lives in exactly one bucket)
+    val got = RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = 10.0)
+    assert(got.count() == 1)
+  }
+}
