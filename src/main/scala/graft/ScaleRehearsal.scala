@@ -68,7 +68,9 @@ import org.apache.spark.sql.functions._
   *    all-pairs);
   *  - `cowdml` — copy-on-write DML write amplification: clustered vs
   *    scattered 1% deletes on a 10× key-clustered table, exact
-  *    touched-byte accounting.
+  *    touched-byte accounting;
+  *  - `rangejoin` — bucketed point-in-interval join vs the nested loop
+  *    on identical 10× data, match counts asserted equal before timing.
   */
 object ScaleRehearsal {
 
@@ -819,6 +821,41 @@ object ScaleRehearsal {
       // every file contains matches, CoW's worst case
       val b = probe("scattered", pmod(xxhash64(col("l_orderkey")), lit(100)) === 7)
       println(s"""[scale] {"mode": "cowdml", "points": [$a, $b]}""")
+      spark.stop()
+      return
+    }
+
+    // ---- rangejoin mode: the bucketed point-in-interval join vs the
+    // nested loop it replaces, on identical 10× data (6M points × 2,000
+    // intervals = 12G raw predicate evaluations for the loop; the
+    // bucketed path shuffles 6M + ~4k rows and hash-probes per bucket).
+    // Equivalence is asserted on the exact match count before any wall
+    // is recorded — same value-lock discipline as RangeJoinSpec, at
+    // rehearsal scale.
+    if (args.headOption.contains("rangejoin")) {
+      val points = rep("lineitem")((d, _) => d).select(col("l_extendedprice"))
+      val nPts = points.count()
+      // two interval-table sizes: the loop's cost grows ∝ intervals, the
+      // bucketed path's only with the match count — the gap must WIDEN
+      val pts = Seq(2000, 20000).map { nIvMax =>
+        val bands = Tables.t(spark, sfDir, "part")
+          .filter(col("p_partkey") <= nIvMax)
+          .select(col("p_partkey"),
+            (col("p_retailprice") * 10 - 100).as("lo"),
+            (col("p_retailprice") * 10 + 100).as("hi"))
+        def bucketed = operators.RangeJoin.pointInInterval(
+          points, "l_extendedprice", bands, "lo", "hi")
+        def nested = points.join(bands,
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+        val nIv = bands.count()
+        val nB = bucketed.count()
+        val nN = nested.count()
+        require(nB == nN, s"rangejoin@$nIv: bucketed $nB matches vs nested loop $nN")
+        val tB = best2(s"rangejoin bkt@$nIv")(bucketed)
+        val tN = best2(s"rangejoin nlj@$nIv")(nested)
+        f"""{"intervals": $nIv%d, "matches": $nB%d, "bucketed_wall": $tB%.2f, "nestedloop_wall": $tN%.2f, "speedup": ${tN / tB}%.1f}"""
+      }
+      println(s"""[scale] {"mode": "rangejoin", "points": $nPts, "points_list": [${pts.mkString(", ")}]}""")
       spark.stop()
       return
     }
