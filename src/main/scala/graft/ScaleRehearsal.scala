@@ -66,9 +66,9 @@ import org.apache.spark.sql.functions._
   *    vs banding theory 1−(1−J^r)^b, on planted word-perturbed copies
   *    with exact per-pair ground truth (one equi-join, never
   *    all-pairs);
-  *  - `cowdml` — copy-on-write DML write amplification: clustered vs
-  *    scattered 1% deletes on a 10× key-clustered table, exact
-  *    touched-byte accounting;
+  *  - `cowdml` — copy-on-write DML write amplification: a contiguous
+  *    key-range delete (4% of rows) vs a hash-scattered 1% delete on a
+  *    10× key-clustered table, exact touched-byte accounting;
   *  - `rangejoin` — bucketed point-in-interval join vs the nested loop
   *    on identical 10× data, match counts asserted equal before timing.
   */
@@ -761,8 +761,8 @@ object ScaleRehearsal {
     // path, measured. CowDelete's scale claim is "write cost bounded by
     // the deleted data's LOCALITY, not the table size" — this prices
     // both ends of that claim on a 10× (6M-row) key-clustered table:
-    // a clustered 1% delete (one contiguous key range → few touched
-    // files) and a scattered 1% delete (hash-spread keys → every file
+    // a clustered delete (one contiguous key range, ~4% of rows → few
+    // touched files) and a scattered 1% delete (hash-spread keys → every file
     // contains matches, the honest worst case where CoW degrades to a
     // full rewrite). Amplification = bytes rewritten / bytes logically
     // deleted; the clustered case must stay near 1×, and the scattered
