@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ASOF (backward) join as a first-class operator — for every left row,
+  * attach the payload of the LATEST right row with the same key and
+  * `rightTime ≤ leftTime` (inclusive), or nulls when no prior right row
+  * exists (LEFT semantics). The time-series lookup every event pipeline
+  * needs; the reference has no ASOF at all (Presto 323 predates it), and
+  * a naive formulation is a per-key range join — quadratic per key on
+  * exactly the hot keys that matter.
+  *
+  * Spark shape (the `events_asof_join` pattern, generalized): union the
+  * two sides with a side tag, ONE window per key ordered by
+  * (time, side, tiebreak) carrying `last(payload, ignoreNulls)` over the
+  * unbounded-preceding frame, keep the left rows. Cost: one shuffle on
+  * the key columns, per-key state is a single struct — never a
+  * click×view product. Right rows sort BEFORE left rows at equal
+  * timestamps, which is what makes the join inclusive; among right rows
+  * tied on the timestamp, `rightTiebreak` (ascending, last wins — i.e.
+  * the MAX) makes the pick deterministic where SQL ASOF is free to
+  * return any tied row.
+  *
+  * Null contract (SQL equality, not GROUP BY): right rows with a null
+  * key or null time can never match and are dropped; left rows with a
+  * null key or null time come back unmatched (payload nulls), never
+  * silently dropped — one row out per row in, the same contract as
+  * [[graft.llm.Dedup.semanticDedup]].
+  */
+object AsofJoin {
+
+  /** @param on            equi-key column names (present on both sides)
+    * @param leftTime      left probe-time column
+    * @param rightTime     right event-time column (must be
+    *                      order-comparable with leftTime)
+    * @param payload       right columns to attach; names must not collide
+    *                      with left's
+    * @param rightTiebreak payload field names resolving right rows tied
+    *                      on (key, time): ascending order, last (max) wins
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    require(on.nonEmpty, "asof join needs at least one key column")
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    require(rightTiebreak.forall(payload.contains),
+      "rightTiebreak fields must be payload columns")
+    val overlap = left.columns.toSet.intersect(payload.toSet)
+    require(overlap.isEmpty,
+      s"payload columns collide with left's; rename first: ${overlap.mkString(", ")}")
+
+    val payStruct = struct(payload.map(col): _*)
+    val payType = right.select(payStruct.as("p")).schema("p").dataType
+    val rowStruct = struct(left.columns.toSeq.map(col): _*)
+    val rowType = left.select(rowStruct.as("r")).schema("r").dataType
+    val payFields = payType.asInstanceOf[org.apache.spark.sql.types.StructType]
+
+    def keyedCond(time: String): Column =
+      (on.map(col) :+ col(time)).map(_.isNotNull).reduce(_ && _)
+
+    val rT = right.filter(keyedCond(rightTime)).select(
+      on.map(col) ++ Seq(
+        col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        payStruct.as("__asof_pay"),
+        lit(null).cast(rowType).as("__asof_row")): _*)
+    val lT = left.filter(keyedCond(leftTime)).select(
+      on.map(col) ++ Seq(
+        col(leftTime).as("__asof_t"),
+        lit(1).as("__asof_side"),
+        lit(null).cast(payType).as("__asof_pay"),
+        rowStruct.as("__asof_row")): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(Seq(col("__asof_t").asc, col("__asof_side").asc) ++
+        rightTiebreak.map(f => col("__asof_pay").getField(f).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rT.unionByName(lT)
+      .withColumn("__asof_match", last(col("__asof_pay"), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 1)
+      .select(left.columns.toSeq.map(c => col("__asof_row").getField(c).as(c)) ++
+        payload.map(f => col("__asof_match").getField(f).as(f)): _*)
+
+    // left rows that can never match (null key or time) bypass the
+    // window and come back unmatched — one row out per row in
+    val unmatched = left.filter(!keyedCond(leftTime)).select(
+      left.columns.toSeq.map(col) ++
+        payload.map(f => lit(null).cast(payFields(f).dataType).as(f)): _*)
+    matched.unionByName(unmatched)
+  }
+}

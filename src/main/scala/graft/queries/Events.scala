@@ -211,18 +211,19 @@ object Events {
     // As-of join: each click paired with the user's most recent view at
     // or before it — the time-series lookup the prompt-level surveys file
     // under "as-of join" (DuckDB runs its native ASOF LEFT JOIN as the
-    // oracle). The Spark plan is the SCALABLE as-of form: union both
-    // sides, one window per user ordered by time carrying the last
-    // non-null view id — never the click×view range product a naive
-    // range join materializes (quadratic per user), and one shuffle on
-    // user_id total. Views order before clicks at equal timestamps so
-    // the join is inclusive (≤), matching ASOF semantics; -1 marks
-    // clicks with no prior view (keeps the column int64 both engines).
-    // Tied view timestamps per user are resolved deterministically on
-    // BOTH sides: the window also orders by event_id so `last` picks the
-    // max event_id among equal-ts views, and the oracle pre-dedupes
-    // views to max(event_id) per (user_id, vts) before its ASOF join
-    // (ASOF is otherwise free to pick any tied row).
+    // oracle). Rides the first-class operators/AsofJoin.backward —
+    // the SCALABLE as-of form: union both sides, one window per user
+    // ordered by (time, side, tiebreak) carrying the last non-null view
+    // id — never the click×view range product a naive range join
+    // materializes (quadratic per user), and one shuffle on user_id
+    // total. Views order before clicks at equal timestamps so the join
+    // is inclusive (≤), matching ASOF semantics; -1 marks clicks with
+    // no prior view (keeps the column int64 both engines). Tied view
+    // timestamps per user are resolved deterministically on BOTH sides:
+    // the operator's tiebreak picks the max view_id among equal-ts
+    // views, and the oracle pre-dedupes views to max(event_id) per
+    // (user_id, vts) before its ASOF join (ASOF is otherwise free to
+    // pick any tied row).
     "events_asof_join" -> Q.df(
       """WITH clicks AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
@@ -236,18 +237,18 @@ object Events {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.vts <= c.cts
         |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("is_click").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.t(s, dir, "events")
-        .filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("event_id"), col("ts"),
-          when(col("event_type") === "view", col("event_id")).as("view_marker"),
-          when(col("event_type") === "click", lit(1)).otherwise(lit(0)).as("is_click"))
-        .withColumn("last_view", last(col("view_marker"), ignoreNulls = true).over(w))
-        .filter(col("is_click") === 1)
+      val ev = Tables.t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+      // tiebreak = max view_id among equal-ts views, matching the oracle's
+      // pre-dedupe of views to MAX(event_id) per (user_id, vts)
+      graft.operators.AsofJoin.backward(clicks, views,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "vts",
+          payload = Seq("view_id"), rightTiebreak = Seq("view_id"))
         .select(col("user_id"), col("event_id"),
-          coalesce(col("last_view"), lit(-1L)).as("view_id"))
+          coalesce(col("view_id"), lit(-1L)).as("view_id"))
         .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
     },
 

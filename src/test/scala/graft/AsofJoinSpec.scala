@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.AsofJoin
+
+/** The windowed as-of operator must be VALUE-IDENTICAL to the naive
+  * per-row formulation (left-join on key + range predicate, then max by
+  * (time, tiebreak) per left row) it replaces — the same scale-path vs
+  * baseline lock as RangeJoinSpec, plus the edge contract: inclusive
+  * bounds, deterministic ties, null keys/times, empty right side.
+  */
+class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def lhs(rows: Seq[(Long, Long, Long)]) = // (k, lid, lt)
+    spark.createDataFrame(rows).toDF("k", "lid", "lt")
+  private def rhs(rows: Seq[(Long, Long, Long)]) = // (k, rt, v)
+    spark.createDataFrame(rows).toDF("k", "rt", "v")
+
+  /** Naive baseline: theta left-join + per-left-row argmax on (rt, v). */
+  private def naive(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Long])] =
+    l.join(r, l("k") === r("k") && col("rt") <= col("lt"), "left")
+      .groupBy(l("k").as("k"), col("lid"), col("lt"))
+      .agg(max(struct(col("rt"), col("v"))).as("m"))
+      .select(col("k"), col("lid"), col("m").getField("v").as("v"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+
+  private def got(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): Set[(Long, Long, Option[Long])] =
+    AsofJoin.backward(l, r, on = Seq("k"), leftTime = "lt", rightTime = "rt",
+        payload = Seq("v"), rightTiebreak = Seq("v"))
+      .select("k", "lid", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+
+  test("matches the naive per-row argmax on a seeded random workload") {
+    val rnd = new scala.util.Random(7)
+    val l = lhs((0 until 400).map(i =>
+      (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(100).toLong)))
+    val r = rhs((0 until 300).map(j =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, j.toLong + 1000)))
+    val n = naive(l, r)
+    assert(n.exists(_._3.isDefined) && n.exists(_._3.isEmpty),
+      "workload must exercise both matched and unmatched rows")
+    assert(got(l, r) == n)
+  }
+
+  test("inclusive bound and deterministic max-tiebreak on tied timestamps") {
+    val l = lhs(Seq((1L, 10L, 50L)))
+    val r = rhs(Seq((1L, 50L, 7L), (1L, 50L, 9L), (1L, 49L, 8L)))
+    // rt == lt matches (inclusive); among the two rt=50 rows the larger v wins
+    assert(got(l, r) == Set((1L, 10L, Some(9L))))
+  }
+
+  test("null left key/time rows come back unmatched, never dropped; null right rows never match") {
+    val l = spark.sql(
+      """SELECT * FROM VALUES (1L, 10L, 50L), (CAST(NULL AS BIGINT), 11L, 50L),
+        |(1L, 12L, CAST(NULL AS BIGINT)) AS t(k, lid, lt)""".stripMargin)
+    val r = spark.sql(
+      """SELECT * FROM VALUES (1L, 40L, 5L), (1L, CAST(NULL AS BIGINT), 6L),
+        |(CAST(NULL AS BIGINT), 40L, 7L) AS t(k, rt, v)""".stripMargin)
+    val out = AsofJoin.backward(l, r, Seq("k"), "lt", "rt", Seq("v"), Seq("v"))
+      .select("lid", "v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(out == Map(10L -> Some(5L), 11L -> None, 12L -> None),
+      "one row out per row in; only the valid (key, time) pair matches the valid right row")
+  }
+
+  test("empty right side preserves every left row with a null payload") {
+    val l = lhs(Seq((1L, 10L, 50L), (2L, 11L, 60L)))
+    assert(got(l, rhs(Nil)) == Set((1L, 10L, None), (2L, 11L, None)))
+  }
+
+  test("colliding payload names are refused up front") {
+    val l = lhs(Seq((1L, 10L, 50L)))
+    val r = rhs(Seq((1L, 40L, 5L))).withColumnRenamed("v", "lid")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, Seq("k"), "lt", "rt", Seq("lid"))
+    }
+    assert(e.getMessage.contains("rename first"))
+  }
+}

@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("asof join plans one window over the union — no join operator at all") {
+    val p = executedPlan("events_asof_join")
+    assert(!p.contains("Join"),
+      "the as-of lookup must ride the union+window shape, never a per-key range join:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("Window"), "the last-prior-view carry must be a window")
+  }
+
   test("bucketed range join plans a hash join on buckets, never a nested loop") {
     val p = executedPlan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.toLowerCase.contains("cartesianproduct"),
