@@ -814,13 +814,40 @@ object ScaleRehearsal {
           f"$wall%6.2f s  del $matched%d rows (${delBytes / 1e6}%.0f MB logical, ${touchedBytes / 1e6}%.0f MB rewritten)  amp $amp%5.1fx")
         f"""{"case": "$what", "touched": ${stats.touched.size}%d, "files": ${stats.total}%d, "wall": $wall%.2f, "deleted_rows": $matched%d, "logical_mb": ${delBytes / 1e6}%.1f, "rewritten_mb": ${touchedBytes / 1e6}%.1f, "amplification": $amp%.2f}"""
       }
-      // clustered: the lowest ~1% of the key space — row-group stats
-      // exclude every other file from even being decoded in discovery
+      // clustered: the lowest ~4% of rows in one contiguous key range —
+      // row-group stats exclude every other file from even being decoded
       val a = probe("clustered", col("l_orderkey") < 60000)
       // scattered: ~1% of rows hash-spread across the whole key space —
       // every file contains matches, CoW's worst case
       val b = probe("scattered", pmod(xxhash64(col("l_orderkey")), lit(100)) === 7)
-      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b]}""")
+      // the same scattered delete through MERGE-ON-READ (MorDelete): the
+      // engine's answer to the 100× row above — delete cost = tombstone
+      // bytes, read cost = one anti-join, the rewrite deferred to compact
+      val c = {
+        val (n0, bytes0) = freshTable()
+        val pred = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) === 7
+        val matched = spark.read.parquet(tableDir).filter(pred).count()
+        val t0 = System.nanoTime()
+        sources.MorDelete.delete(spark, tableDir, pred, Seq("l_orderkey", "l_linenumber"))
+        val delWall = (System.nanoTime() - t0) / 1e9
+        val sidecarBytes = dirBytes(sources.MorDelete.sidecarDir(tableDir))
+        def aggOf(df: DataFrame) = df.groupBy(col("l_returnflag")).count()
+        val tMor = best2("cowdml mor read")(aggOf(sources.MorDelete.read(spark, tableDir)))
+        val tRaw = best2("cowdml raw read")(aggOf(spark.read.parquet(tableDir)))
+        val n1 = sources.MorDelete.read(spark, tableDir).count()
+        require(n1 == n0 - matched, s"cowdml mor: $n1 rows visible, want ${n0 - matched}")
+        val t1 = System.nanoTime()
+        val cs = sources.MorDelete.compact(spark, tableDir)
+        val compactWall = (System.nanoTime() - t1) / 1e9
+        require(spark.read.parquet(tableDir).count() == n0 - matched,
+          "compaction must preserve the visible rows")
+        val delBytes = bytes0.toDouble * matched / n0
+        println(f"[scale] cowdml mor        touched   0/${cs.total}%d files at delete  " +
+          f"$delWall%6.2f s  del $matched%d rows (${delBytes / 1e6}%.0f MB logical, ${sidecarBytes / 1e6.toDouble}%.1f MB sidecar)  " +
+          f"amp ${sidecarBytes / delBytes}%5.2fx  read $tMor%.2f vs raw $tRaw%.2f s  compact ${cs.touched.size}%d files $compactWall%.2f s")
+        f"""{"case": "mor_scattered", "touched_at_delete": 0, "files": ${cs.total}%d, "delete_wall": $delWall%.2f, "deleted_rows": $matched%d, "logical_mb": ${delBytes / 1e6}%.1f, "sidecar_mb": ${sidecarBytes / 1e6.toDouble}%.2f, "amplification": ${sidecarBytes / delBytes}%.3f, "mor_read_wall": $tMor%.2f, "raw_read_wall": $tRaw%.2f, "compact_touched": ${cs.touched.size}%d, "compact_wall": $compactWall%.2f}"""
+      }
+      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c]}""")
       spark.stop()
       return
     }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{ExplainAnalyze, Q, Tables}
-import graft.sources.{CowDelete, CowMerge, CowUpdate}
+import graft.sources.{CowDelete, CowMerge, CowUpdate, MorDelete}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the writer/DML surface (TableWriter/TableFinish,
@@ -199,6 +199,59 @@ object Ddl {
     // on both engines), and the row count doubles as the no-row-lost
     // invariant. cow_scoped pins that every touched file lived under the
     // targeted partition.
+    // Merge-on-read DELETE (sources/MorDelete.scala — the engine's answer
+    // to the measured CoW write-amplification cliff, SCALE_r13 `cowdml`):
+    // two scattered delete batches tombstone keys into the sidecar
+    // WITHOUT touching a table file, the anti-join read applies them, and
+    // compact() folds them in via the CoW machinery. The in-query require
+    // pins read-before-compact ≡ read-after-compact (MoR ≡ CoW on
+    // identical deletes). The oracle re-derives the survivors with the
+    // EQUALITY-DELETE contract spelled out — a key anti-join, not a row
+    // predicate: the synthetic lineitem does NOT enforce the TPC-H
+    // (l_orderkey, l_linenumber) primary key (45,832 distinct combos per
+    // 60,000 sf0.01 rows), so a tombstoned key removes every row sharing
+    // it, exactly like an Iceberg equality delete. A NOT-(predicate)
+    // oracle would silently assume row identity the table doesn't have.
+    "ddl_mor_delete_roundtrip" -> Q.df(
+      """SELECT l.l_returnflag AS l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+        |  true AS mor_zero_touch
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem d
+        |  WHERE d.l_orderkey = l.l_orderkey AND d.l_linenumber = l.l_linenumber
+        |    AND (d.l_orderkey % 100 = 7 OR d.l_partkey % 97 = 3))
+        |GROUP BY l.l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_mor_lineitem"
+      drop(s, "g_mor_lineitem", loc)
+      drop(s, "g_mor_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      Tables.t(s, dir, "lineitem").write.mode("overwrite").parquet(loc)
+      val filesBefore = new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+      MorDelete.delete(s, loc, col("l_orderkey") % 100 === 7,
+        Seq("l_orderkey", "l_linenumber"))
+      MorDelete.delete(s, loc, col("l_partkey") % 97 === 3,
+        Seq("l_orderkey", "l_linenumber"))
+      val filesAfter = new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+      val zeroTouch = filesBefore == filesAfter
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+      val preCompact = agg(MorDelete.read(s, loc)).localCheckpoint(true)
+      MorDelete.compact(s, loc)
+      val postCompact = agg(MorDelete.read(s, loc))
+      require(preCompact.exceptAll(postCompact).isEmpty &&
+        postCompact.exceptAll(preCompact).isEmpty,
+        "merge-on-read and compacted reads must agree")
+      preCompact.unpersist()
+      postCompact
+        .withColumn("mor_zero_touch", lit(zeroTouch))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
     "ddl_update_rowlevel" -> Q.df(
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0

@@ -1,0 +1,116 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.MorDelete
+
+/** Merge-on-read DELETE (sources/MorDelete.scala): correctness of the
+  * anti-join read AND the mechanism claims — DELETE touches ZERO table
+  * files (the write-amplification answer to SCALE_r13's cowdml cliff),
+  * batches accumulate, compact() folds tombstones in via the CoW path
+  * and clears the sidecar, and reads agree before and after compaction.
+  */
+class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def files(dir: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified())
+      .toMap
+  }
+
+  private def freshTable(): String = {
+    val loc = Files.createTempDirectory("graft_mor").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .repartition(4).write.mode("overwrite").parquet(loc)
+    loc
+  }
+
+  private def keys(loc: String): Set[Long] =
+    MorDelete.read(spark, loc).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+
+  test("delete touches zero table files; reads apply tombstones; batches accumulate") {
+    val loc = freshTable()
+    val before = files(loc)
+    val all = keys(loc)
+
+    val s1 = MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    assert(s1.keysWritten > 0)
+    assert(files(loc) == before, "a MoR delete must not touch any table file")
+    assert(keys(loc) == all.filterNot(_ % 10 == 3))
+
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 7, Seq("o_orderkey"))
+    assert(files(loc) == before, "the second batch must not touch table files either")
+    assert(keys(loc) == all.filterNot(k => k % 10 == 3 || k % 10 == 7),
+      "tombstone batches accumulate")
+  }
+
+  test("equality-delete contract: one tombstoned key removes every row sharing it") {
+    val loc = Files.createTempDirectory("graft_mor").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .write.mode("overwrite").parquet(loc)
+    val victim = 7L
+    MorDelete.delete(spark, loc, col("l_orderkey") === victim, Seq("l_orderkey"))
+    assert(MorDelete.read(spark, loc)
+      .filter(col("l_orderkey") === victim).count() == 0,
+      "every lineitem of the tombstoned order must disappear")
+  }
+
+  test("compact folds tombstones in via CoW, clears the sidecar, and preserves the read") {
+    val loc = freshTable()
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val preCompact = keys(loc)
+    val stats = MorDelete.compact(spark, loc)
+    assert(stats.touched.nonEmpty, "the scattered tombstones live in some file")
+    assert(!new File(MorDelete.sidecarDir(loc)).exists(), "sidecar must be cleared")
+    assert(keys(loc) == preCompact, "compaction must not change the visible rows")
+    // post-compaction the table is physically clean: a raw read agrees too
+    assert(spark.read.parquet(loc).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == preCompact)
+    // and compacting again is a no-op
+    val again = MorDelete.compact(spark, loc)
+    assert(again.touched.isEmpty && again.rewritten == 0L)
+  }
+
+  test("a second batch with a different key set is refused until compaction") {
+    val loc = freshTable()
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val e = intercept[IllegalArgumentException] {
+      MorDelete.delete(spark, loc, col("o_custkey") === 1, Seq("o_custkey"))
+    }
+    assert(e.getMessage.contains("compact() before changing the key set"))
+    MorDelete.compact(spark, loc)
+    // after compaction the sidecar is empty, so a new key set is fine
+    MorDelete.delete(spark, loc, col("o_custkey") % 50 === 1, Seq("o_custkey"))
+    assert(MorDelete.read(spark, loc)
+      .filter(col("o_custkey") % 50 === 1).count() == 0)
+  }
+
+  test("read without any tombstones is the raw table") {
+    val loc = freshTable()
+    assert(MorDelete.read(spark, loc).count() ==
+      spark.read.parquet(loc).count())
+  }
+}
