@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{ExplainAnalyze, Q, Tables}
-import graft.sources.{CowDelete, CowMerge, CowUpdate, MorDelete}
+import graft.sources.{CowDelete, CowMerge, CowUpdate, MorDelete, MorUpsert}
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the writer/DML surface (TableWriter/TableFinish,
@@ -250,6 +250,69 @@ object Ddl {
       postCompact
         .withColumn("mor_zero_touch", lit(zeroTouch))
         .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
+    // Merge-on-read MERGE (MorUpsert): 25 updates (suppkeys 0–24 exist)
+    // + 25 inserts (suppkeys 1000+), all derived from nation so both
+    // engines can rebuild the source identically. Zero existing files
+    // touched at upsert time (checked in-query, carried as a column);
+    // the sequence rule lets the replacement rows survive their own
+    // tombstones. Oracle = survivors-by-NOT-EXISTS ∪ source, the
+    // equality-merge contract spelled out.
+    "ddl_mor_upsert_roundtrip" -> Q.df(
+      """WITH src AS (
+        |  SELECT n_nationkey AS s_suppkey, 'upd_' || n_name AS s_name,
+        |         n_regionkey AS s_nationkey,
+        |         CAST(1000 + n_nationkey AS DOUBLE) AS s_acctbal
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, 'new_' || n_name, n_regionkey,
+        |         CAST(2000 + n_nationkey AS DOUBLE)
+        |  FROM nation),
+        |final AS (
+        |  SELECT * FROM supplier s
+        |  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.s_suppkey = s.s_suppkey)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal,
+        |  true AS mor_zero_touch
+        |FROM final GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_mor_supplier"
+      drop(s, "g_mor_supplier", loc)
+      drop(s, "g_mor_supplier_sidecar", MorDelete.sidecarDir(loc))
+      Tables.t(s, dir, "supplier").write.mode("overwrite").parquet(loc)
+      val nation = Tables.t(s, dir, "nation")
+      val updates = nation.select(
+        col("n_nationkey").as("s_suppkey"),
+        concat(lit("upd_"), col("n_name")).as("s_name"),
+        col("n_regionkey").as("s_nationkey"),
+        (lit(1000) + col("n_nationkey")).cast("double").as("s_acctbal"))
+      val inserts = nation.select(
+        (col("n_nationkey") + 1000).as("s_suppkey"),
+        concat(lit("new_"), col("n_name")).as("s_name"),
+        col("n_regionkey").as("s_nationkey"),
+        (lit(2000) + col("n_nationkey")).cast("double").as("s_acctbal"))
+      val filesBefore = new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+      MorUpsert.upsert(s, loc, updates.unionByName(inserts), Seq("s_suppkey"))
+      val untouched = filesBefore.forall { case (name, m) =>
+        val f = new java.io.File(loc, name); f.exists() && f.lastModified == m
+      }
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+      val preCompact = agg(MorDelete.read(s, loc)).localCheckpoint(true)
+      MorDelete.compact(s, loc)
+      val postCompact = agg(MorDelete.read(s, loc))
+      require(preCompact.exceptAll(postCompact).isEmpty &&
+        postCompact.exceptAll(preCompact).isEmpty,
+        "merge-on-read and compacted reads must agree after an upsert")
+      preCompact.unpersist()
+      postCompact
+        .withColumn("mor_zero_touch", lit(untouched))
+        .orderBy(col("s_nationkey").asc_nulls_last)
     },
 
     "ddl_update_rowlevel" -> Q.df(

@@ -271,9 +271,11 @@ private[sources] object CowCore {
   /** Move a stage's parts into `base` (the TableFinish/commit analog):
     * the stage is fully written and closed before anything moves, so a
     * crash before this point leaves the table intact and only orphans the
-    * stage directory. Returns the number of parts moved.
+    * stage directory. Returns the number of parts moved. `prefix` names
+    * the committed parts — MorUpsert embeds its sequence number there.
     */
-  def moveIn(stageDir: java.nio.file.Path, base: java.nio.file.Path): Long = {
+  def moveIn(stageDir: java.nio.file.Path, base: java.nio.file.Path,
+      prefix: String = "part-cow-"): Long = {
     val staged = walk(stageDir.toFile).filter(_.getName.endsWith(".parquet"))
     var moved = 0L
     staged.foreach { f =>
@@ -281,7 +283,7 @@ private[sources] object CowCore {
       val destDir = if (rel.getParent == null) base else base.resolve(rel.getParent)
       Files.createDirectories(destDir)
       Files.move(f.toPath,
-        destDir.resolve(s"part-cow-${UUID.randomUUID().toString.take(8)}-${f.getName}"),
+        destDir.resolve(s"$prefix${UUID.randomUUID().toString.take(8)}-${f.getName}"),
         StandardCopyOption.ATOMIC_MOVE)
       moved += 1
     }

@@ -51,6 +51,15 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     MorDelete.read(spark, loc).select("o_orderkey")
       .collect().map(_.getLong(0)).toSet
 
+  /** One representative row per o_orderkey (max of every other column) —
+    * a cardinality-legal MERGE source over a table with duplicate keys. */
+  private def oneRowPerKey(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("o_orderkey").agg(
+      df.columns.filterNot(_ == "o_orderkey").toSeq
+        .map(c => max(col(c)).as(c)).head,
+      df.columns.filterNot(_ == "o_orderkey").toSeq
+        .map(c => max(col(c)).as(c)).tail: _*)
+
   test("delete touches zero table files; reads apply tombstones; batches accumulate") {
     val loc = freshTable()
     val before = files(loc)
@@ -112,5 +121,51 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loc = freshTable()
     assert(MorDelete.read(spark, loc).count() ==
       spark.read.parquet(loc).count())
+  }
+
+  test("upsert: replacements survive their own tombstones, old copies die, inserts append") {
+    val loc = freshTable()
+    val before = files(loc)
+    val orders = MorDelete.read(spark, loc)
+    val nBefore = orders.count()
+    // source: 5 existing keys with a changed priority + 3 brand-new keys
+    // (one representative row per key, built generically off the schema —
+    // the synthetic orders table carries a subset of the TPC-H columns)
+    val updates = oneRowPerKey(spark.read.parquet(loc)
+      .filter(col("o_orderkey").isin(1L, 2L, 3L, 4L, 5L)))
+      .withColumn("o_orderpriority", lit("9-UPSERTED"))
+    val inserts = updates.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+    val src = updates.unionByName(inserts)
+    val dupBefore = spark.read.parquet(loc)
+      .filter(col("o_orderkey").isin(1L, 2L, 3L, 4L, 5L)).count()
+    val stats = graft.sources.MorUpsert.upsert(spark, loc, src, Seq("o_orderkey"))
+    assert(stats.keysTombstoned == 5, "only the matched keys tombstone")
+    assert(stats.filesAppended > 0)
+    assert(before.forall { case (p, m) => files(loc).get(p).contains(m) },
+      "every pre-existing table file survives an upsert untouched")
+    val after = MorDelete.read(spark, loc)
+    assert(after.count() == nBefore - dupBefore + 5 + 3,
+      "all old copies of upserted keys die; one replacement each; three inserts")
+    val upserted = after.filter(col("o_orderkey").isin(1L, 2L, 3L, 4L, 5L))
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSeq
+    assert(upserted == Seq("9-UPSERTED"), "reads must see the replacement rows win")
+    assert(after.filter(col("o_orderkey") > 900000000L).count() == 3)
+  }
+
+  test("sequencing: a later delete removes an earlier upsert's replacement; compact folds all") {
+    val loc = freshTable()
+    val one = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 1L))
+      .withColumn("o_orderpriority", lit("9-UPSERTED"))
+    graft.sources.MorUpsert.upsert(spark, loc, one, Seq("o_orderkey"))
+    assert(MorDelete.read(spark, loc).filter(col("o_orderkey") === 1L).count() == 1)
+    MorDelete.delete(spark, loc, col("o_orderkey") === 1L, Seq("o_orderkey"))
+    assert(MorDelete.read(spark, loc).filter(col("o_orderkey") === 1L).count() == 0,
+      "the higher-sequence tombstone must delete the replacement row too")
+    val preCompact = keys(loc)
+    MorDelete.compact(spark, loc)
+    assert(keys(loc) == preCompact, "compaction preserves the sequenced view")
+    assert(spark.read.parquet(loc).filter(col("o_orderkey") === 1L).count() == 0,
+      "post-compaction the physical table agrees")
   }
 }
