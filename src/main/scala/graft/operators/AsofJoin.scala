@@ -47,7 +47,36 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, on, leftTime, rightTime, payload, rightTiebreak,
+      forward = false)
+
+  /** The forward variant: for every left row, the EARLIEST right row with
+    * `rightTime ≥ leftTime` (inclusive) — "the first click after each
+    * impression". Same single-shuffle union+window shape, with the time
+    * ordering reversed; ties on (key, time) still resolve to the MAX
+    * tiebreak.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, on, leftTime, rightTime, payload, rightTiebreak,
+      forward = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTiebreak: Seq[String],
+      forward: Boolean): DataFrame = {
     require(on.nonEmpty, "asof join needs at least one key column")
     require(payload.nonEmpty, "asof join needs at least one payload column")
     require(rightTiebreak.forall(payload.contains),
@@ -78,8 +107,15 @@ object AsofJoin {
         lit(null).cast(payType).as("__asof_pay"),
         rowStruct.as("__asof_row")): _*)
 
+    // Backward scans time ascending (last prior right row wins); forward
+    // scans DESCENDING, so the unbounded-preceding prefix holds the
+    // future and `last` lands on the nearest following right row. Right
+    // rows sort before left at equal time either way (inclusive bound),
+    // and tied right rows keep tiebreak-ascending order so `last` picks
+    // the max.
+    val tOrd = if (forward) col("__asof_t").desc else col("__asof_t").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(Seq(col("__asof_t").asc, col("__asof_side").asc) ++
+      .orderBy(Seq(tOrd, col("__asof_side").asc) ++
         rightTiebreak.map(f => col("__asof_pay").getField(f).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -252,6 +252,39 @@ object Events {
         .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
     },
 
+    // The FORWARD as-of direction — each view paired with the user's
+    // FIRST click at or after it (time-to-conversion shape). DuckDB's
+    // ASOF accepts the <= inequality natively; the Spark side is
+    // AsofJoin.forward, the same one-shuffle union+window with the time
+    // ordering reversed. Same tie discipline as the backward query:
+    // clicks pre-deduped to MAX(event_id) per (user, ts) in the oracle,
+    // the operator's tiebreak picking the max click_id among equal-ts.
+    "events_asof_forward" -> Q.df(
+      """WITH views AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT v.user_id AS user_id, v.event_id AS event_id,
+        |  COALESCE(c.click_id, -1) AS click_id
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.vts <= c.cts
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin.forward(views, clicks,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "cts",
+          payload = Seq("click_id"), rightTiebreak = Seq("click_id"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+    },
+
     "events_props_json" -> Q.sql(
       spark = """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(json_extract_scalar(props, '$.k') AS INT) AS DECIMAL(30,8))) AS DOUBLE) AS sum_k,

@@ -91,6 +91,36 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(l, rhs(Nil)) == Set((1L, 10L, None), (2L, 11L, None)))
   }
 
+  test("forward matches the naive per-row argmin on a seeded random workload") {
+    val rnd = new scala.util.Random(11)
+    val l = lhs((0 until 400).map(i =>
+      (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(100).toLong)))
+    val r = rhs((0 until 300).map(j =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, j.toLong + 1000)))
+    // naive forward: earliest rt >= lt; ties by MAX v → min over (rt, -v)
+    val naive = l.join(r, l("k") === r("k") && col("rt") >= col("lt"), "left")
+      .groupBy(l("k").as("k"), col("lid"), col("lt"))
+      .agg(min(struct(col("rt"), (-col("v")).as("nv"))).as("m"))
+      .select(col("k"), col("lid"), (-col("m.nv")).as("v"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+    val fwd = AsofJoin.forward(l, r, Seq("k"), "lt", "rt", Seq("v"), Seq("v"))
+      .select("k", "lid", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+    assert(naive.exists(_._3.isDefined) && naive.exists(_._3.isEmpty))
+    assert(fwd == naive)
+  }
+
+  test("forward is inclusive and resolves ties to the max tiebreak") {
+    val l = lhs(Seq((1L, 10L, 50L)))
+    val r = rhs(Seq((1L, 50L, 7L), (1L, 50L, 9L), (1L, 51L, 8L)))
+    val got = AsofJoin.forward(l, r, Seq("k"), "lt", "rt", Seq("v"), Seq("v"))
+      .select("lid", "v").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(10L -> 9L), "rt == lt matches; max v wins among the tied rt=50 rows")
+  }
+
   test("colliding payload names are refused up front") {
     val l = lhs(Seq((1L, 10L, 50L)))
     val r = rhs(Seq((1L, 40L, 5L))).withColumnRenamed("v", "lid")
