@@ -86,6 +86,58 @@ object RangeJoin {
       .drop("__rj_bucket")
   }
 
+  /** Interval-overlap join — every (left, right) pair whose closed
+    * intervals intersect: `lLo ≤ rHi AND rLo ≤ lHi`. Both sides
+    * replicate into their covering buckets, so one true pair can collide
+    * in SEVERAL buckets; the classic dedup rule makes each pair emit
+    * exactly once without a distinct pass: the overlap's START,
+    * `greatest(lLo, rLo)`, lies inside both intervals, so both copies
+    * exist in its bucket and ONLY that bucket's collision is kept. Width
+    * auto-sizes to the average span across both sides (one 1-row stats
+    * aggregate); the same replication cap guards pathological widths.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      bucketWidth: Double = 0.0,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"intervalOverlap output flattens both sides; rename overlapping columns first: ${overlapCols.mkString(", ")}")
+
+    def valid(lo: String, hi: String) =
+      col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi)
+    val l = left.filter(valid(lLo, lHi))
+    val r = right.filter(valid(rLo, rHi))
+
+    val spans = l.select((col(lHi).cast("double") - col(lLo).cast("double")).as("s"))
+      .unionByName(r.select((col(rHi).cast("double") - col(rLo).cast("double")).as("s")))
+    val stats = spans.agg(avg(col("s")).as("a"), max(col("s")).as("m")).collect()(0)
+    if (stats.isNullAt(0)) return left.limit(0).crossJoin(right.limit(0))
+    val w =
+      if (bucketWidth > 0) bucketWidth
+      else math.max(stats.getDouble(0), Double.MinPositiveValue)
+    val worst = stats.getDouble(1) / w
+    require(worst <= maxBucketsPerInterval,
+      f"intervalOverlap: an interval spans $worst%.0f buckets at width $w%s " +
+        f"(cap $maxBucketsPerInterval%d) — raise bucketWidth or split the interval")
+
+    def buckets(lo: String, hi: String) = explode(sequence(
+      floor(col(lo).cast("double") / w).cast("long"),
+      floor(col(hi).cast("double") / w).cast("long")))
+    val lB = l.withColumn("__rj_bucket", buckets(lLo, lHi))
+    val rB = r.withColumn("__rj_bucket", buckets(rLo, rHi))
+    lB.join(rB, Seq("__rj_bucket"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(floor(greatest(col(lLo), col(rLo)).cast("double") / w).cast("long") ===
+        col("__rj_bucket"))
+      .drop("__rj_bucket")
+  }
+
   /** Zero-row frame with the joined schema (points' ++ intervals' columns). */
   private def emptyResult(points: DataFrame, intervals: DataFrame): DataFrame =
     points.limit(0).crossJoin(intervals.limit(0))

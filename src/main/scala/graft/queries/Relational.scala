@@ -171,6 +171,41 @@ object Relational {
         .orderBy(col("p_partkey").asc_nulls_last)
     },
 
+    // Interval-overlap join on the bucketed scale path: two interval
+    // tables (price bands off part, balance bands off supplier), pairs
+    // wherever the closed intervals intersect. The oracle runs the raw
+    // overlap theta join; the Spark side buckets BOTH sides and dedups
+    // by the overlap-start rule (RangeJoin.intervalOverlap) — one hash
+    // shuffle, no nested loop, each true pair emitted exactly once.
+    "join_interval_overlap" -> Q.df(
+      """WITH a AS (
+        |  SELECT p_partkey, p_retailprice * 10 - 150 AS a_lo,
+        |         p_retailprice * 10 + 150 AS a_hi
+        |  FROM part WHERE p_partkey <= 400),
+        |b AS (
+        |  SELECT s_suppkey, s_nationkey, s_acctbal AS b_lo,
+        |         s_acctbal + 400 AS b_hi
+        |  FROM supplier)
+        |SELECT s_nationkey, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p_partkey) AS n_parts
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val a = Tables.t(s, dir, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 10 - 150).as("a_lo"),
+          (col("p_retailprice") * 10 + 150).as("a_hi"))
+      val b = Tables.t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal").as("b_lo"),
+          (col("s_acctbal") + 400).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_partkey")).as("n_parts"))
+        .orderBy(col("s_nationkey").asc_nulls_last)
+    },
+
     // ================= set operations =================
 
     "setop_union_all" -> Q.sqlSame(

@@ -94,4 +94,36 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = 10.0)
     assert(got.count() == 1)
   }
+
+  private def ivsB(rows: Seq[(Long, Double, Double)]) =
+    spark.createDataFrame(rows).toDF("jid", "lo2", "hi2")
+
+  test("interval overlap matches the naive theta join across widths, each pair exactly once") {
+    val rnd = new scala.util.Random(13)
+    val a = ivs((0 until 150).map { j =>
+      val lo = rnd.nextDouble() * 800 - 100
+      (j.toLong, lo, lo + rnd.nextDouble() * 80)
+    })
+    val b = ivsB((0 until 120).map { j =>
+      val lo = rnd.nextDouble() * 800 - 100
+      (j.toLong, lo, lo + rnd.nextDouble() * 40)
+    })
+    val naive = a.join(b, col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive.nonEmpty && naive.size == naive.toSet.size)
+    for (w <- Seq(0.0, 5.0, 60.0, 3000.0)) {
+      val got = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2", bucketWidth = w)
+        .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size == got.toSet.size, s"width $w emitted a duplicate pair")
+      assert(got.toSet == naive.toSet, s"width $w diverges from the theta join")
+    }
+  }
+
+  test("interval overlap includes touching endpoints and drops inverted intervals") {
+    val a = ivs(Seq((1L, 0.0, 10.0), (2L, 50.0, 40.0)))
+    val b = ivsB(Seq((7L, 10.0, 20.0), (8L, 11.0, 20.0)))
+    val got = RangeJoin.intervalOverlap(a, "lo", "hi", b, "lo2", "hi2")
+      .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 7L)), "hi == lo2 touches (closed intervals); inverted a#2 never matches")
+  }
 }
