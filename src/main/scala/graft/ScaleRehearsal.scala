@@ -882,7 +882,27 @@ object ScaleRehearsal {
         val tN = best2(s"rangejoin nlj@$nIv")(nested)
         f"""{"intervals": $nIv%d, "matches": $nB%d, "bucketed_wall": $tB%.2f, "nestedloop_wall": $tN%.2f, "speedup": ${tN / tB}%.1f}"""
       }
-      println(s"""[scale] {"mode": "rangejoin", "points": $nPts, "points_list": [${pts.mkString(", ")}]}""")
+      // interval×interval overlap at rehearsal scale: 600k bands (1×
+      // lineitem prices) against 20k bands (part prices) — the theta
+      // join is 12G predicate evaluations, the bucketed path one shuffle
+      val lBands = Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("lk"),
+          (col("l_extendedprice") - 50).as("llo"),
+          (col("l_extendedprice") + 50).as("lhi"))
+      val rBands = Tables.t(spark, sfDir, "part")
+        .select(col("p_partkey").as("rk"),
+          (col("p_retailprice") * 10 - 50).as("rlo"),
+          (col("p_retailprice") * 10 + 50).as("rhi"))
+      def ovB = operators.RangeJoin.intervalOverlap(lBands, "llo", "lhi", rBands, "rlo", "rhi")
+      def ovN = lBands.join(rBands, col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      val nL = lBands.count()
+      val nR = rBands.count()
+      val nOvB = ovB.count()
+      val nOvN = ovN.count()
+      require(nOvB == nOvN, s"overlap: bucketed $nOvB vs nested loop $nOvN")
+      val tOvB = best2("overlap bucketed")(ovB)
+      val tOvN = best2("overlap nestedloop")(ovN)
+      println(s"""[scale] {"mode": "rangejoin", "points": $nPts, "points_list": [${pts.mkString(", ")}], "overlap": {"left": $nL, "right": $nR, "matches": $nOvB, "bucketed_wall": ${f"$tOvB%.2f"}, "nestedloop_wall": ${f"$tOvN%.2f"}}}""")
       spark.stop()
       return
     }

@@ -119,6 +119,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("__rj_bucket"), "join keys must include the quantized bucket id")
   }
 
+  test("interval-overlap join plans a hash join on buckets, never a nested loop") {
+    val p = executedPlan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.toLowerCase.contains("cartesianproduct"),
+      "the overlap predicate must ride the bucket equi-join:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("__rj_bucket"), "join keys must include the quantized bucket id")
+  }
+
   test("q06: single scan with pushed range filters, no shuffle except final agg") {
     val p = executedPlan("tpch_q06_forecast_revenue")
     assert(p.contains("PushedFilters: ["))
