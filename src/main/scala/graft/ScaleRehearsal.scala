@@ -778,10 +778,12 @@ object ScaleRehearsal {
         walk(new java.io.File(p))
       }
       def freshTable(): (Long, Long) = {
-        val d = new java.io.File(tableDir)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-        if (d.exists()) rm(d)
+        // the tombstone sidecar must reset WITH the table — a stale
+        // sidecar from an aborted earlier run silently deletes extra rows
+        Seq(tableDir, sources.MorDelete.sidecarDir(tableDir))
+          .map(new java.io.File(_)).filter(_.exists()).foreach(rm)
         rep("lineitem")((t, i) =>
             t.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
           .repartitionByRange(nFiles, col("l_orderkey"))
@@ -847,7 +849,27 @@ object ScaleRehearsal {
           f"amp ${sidecarBytes / delBytes}%5.2fx  read $tMor%.2f vs raw $tRaw%.2f s  compact ${cs.touched.size}%d files $compactWall%.2f s")
         f"""{"case": "mor_scattered", "touched_at_delete": 0, "files": ${cs.total}%d, "delete_wall": $delWall%.2f, "deleted_rows": $matched%d, "logical_mb": ${delBytes / 1e6}%.1f, "sidecar_mb": ${sidecarBytes / 1e6.toDouble}%.2f, "amplification": ${sidecarBytes / delBytes}%.3f, "mor_read_wall": $tMor%.2f, "raw_read_wall": $tRaw%.2f, "compact_touched": ${cs.touched.size}%d, "compact_wall": $compactWall%.2f}"""
       }
-      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c]}""")
+      // tombstone ACCUMULATION: the anti-join read's cost as scattered
+      // delete batches pile up un-compacted — the curve that prices the
+      // compaction cadence decision. 10 batches of ~0.1% each.
+      val d = {
+        freshTable()
+        def aggOf(df: DataFrame) = df.groupBy(col("l_returnflag")).count()
+        val walls = (1 to 10).flatMap { bIdx =>
+          sources.MorDelete.delete(spark, tableDir,
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(1000)) === bIdx,
+            Seq("l_orderkey", "l_linenumber"))
+          if (Seq(1, 5, 10).contains(bIdx)) {
+            val wall = best2(s"cowdml mor read @$bIdx batches")(
+              aggOf(sources.MorDelete.read(spark, tableDir)))
+            Some(f"""{"batches": $bIdx%d, "read_wall": $wall%.2f}""")
+          } else None
+        }
+        val tombRows = spark.read.parquet(
+          sources.MorDelete.sidecarDir(tableDir)).count()
+        f"""{"case": "mor_accumulation", "tombstones": $tombRows%d, "reads": [${walls.mkString(", ")}]}"""
+      }
+      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c, $d]}""")
       spark.stop()
       return
     }

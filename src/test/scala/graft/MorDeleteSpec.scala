@@ -27,6 +27,11 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the production environment: the Presto-compat layer re-registers
+    // SQL functions (e.g. `contains` → array semantics), and engine code
+    // resolving through the registry must survive it — a fileSeq draft
+    // using Column.contains failed ONLY under this registration
+    functions.GraftFunctions.register(spark)
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
