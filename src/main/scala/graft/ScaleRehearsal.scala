@@ -66,11 +66,15 @@ import org.apache.spark.sql.functions._
   *    vs banding theory 1−(1−J^r)^b, on planted word-perturbed copies
   *    with exact per-pair ground truth (one equi-join, never
   *    all-pairs);
-  *  - `cowdml` — copy-on-write DML write amplification: a contiguous
-  *    key-range delete (4% of rows) vs a hash-scattered 1% delete on a
-  *    10× key-clustered table, exact touched-byte accounting;
+  *  - `cowdml` — DML write amplification: a contiguous key-range
+  *    delete (4% of rows) vs a hash-scattered 1% delete on a 10×
+  *    key-clustered table (exact touched-byte accounting), the same
+  *    scattered delete through merge-on-read (tombstone bytes, read
+  *    overhead, compaction), and the tombstone-accumulation read curve
+  *    across 10 un-compacted batches;
   *  - `rangejoin` — bucketed point-in-interval join vs the nested loop
-  *    on identical 10× data, match counts asserted equal before timing.
+  *    at two interval-table sizes, plus the interval-overlap variant;
+  *    match counts asserted equal before any timing.
   */
 object ScaleRehearsal {
 
@@ -869,7 +873,42 @@ object ScaleRehearsal {
           sources.MorDelete.sidecarDir(tableDir)).count()
         f"""{"case": "mor_accumulation", "tombstones": $tombRows%d, "reads": [${walls.mkString(", ")}]}"""
       }
-      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c, $d]}""")
+      // scattered MERGE both ways: CowMerge must rewrite every file the
+      // source's keys touch (all 200 under hash-scattered keys);
+      // MorUpsert writes tombstones + new part files only
+      val e = {
+        val (n0, bytes0) = freshTable()
+        def src = {
+          val aggs = spark.read.parquet(tableDir).columns.toSeq
+            .filterNot(Seq("l_orderkey", "l_linenumber").contains)
+            .map(c => max(col(c)).as(c))
+          spark.read.parquet(tableDir)
+            .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) === 7)
+            .groupBy(col("l_orderkey"), col("l_linenumber"))
+            .agg(aggs.head, aggs.tail: _*)
+            .withColumn("l_quantity", lit(99.0))
+        }
+        val srcN = src.count()
+        val t0 = System.nanoTime()
+        val cs = sources.CowMerge.merge(spark, tableDir, src,
+          Seq("l_orderkey", "l_linenumber"),
+          whenMatchedSet = Seq("l_quantity" -> lit(99.0)))
+        val cowWall = (System.nanoTime() - t0) / 1e9
+        val cowTouched = cs.touched.size
+        val (n1, bytes1) = freshTable()
+        val t1 = System.nanoTime()
+        val ms = sources.MorUpsert.upsert(spark, tableDir, src,
+          Seq("l_orderkey", "l_linenumber"))
+        val morWall = (System.nanoTime() - t1) / 1e9
+        val morVisible = sources.MorDelete.read(spark, tableDir)
+          .filter(col("l_quantity") === 99.0).count()
+        require(morVisible >= srcN,
+          s"cowdml merge: $morVisible q=99 rows visible, want >= $srcN")
+        println(f"[scale] cowdml merge      cow touched $cowTouched%3d/200 files $cowWall%6.2f s   " +
+          f"mor touched 0 files $morWall%6.2f s (${ms.keysTombstoned}%d tombstones, ${ms.filesAppended}%d appended)")
+        f"""{"case": "merge_scattered", "source_rows": $srcN%d, "cow_touched": $cowTouched%d, "cow_wall": $cowWall%.2f, "mor_touched": 0, "mor_wall": $morWall%.2f, "mor_tombstones": ${ms.keysTombstoned}%d, "mor_appended_files": ${ms.filesAppended}%d}"""
+      }
+      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c, $d, $e]}""")
       spark.stop()
       return
     }
