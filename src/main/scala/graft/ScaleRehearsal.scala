@@ -877,7 +877,7 @@ object ScaleRehearsal {
       // source's keys touch (all 200 under hash-scattered keys);
       // MorUpsert writes tombstones + new part files only
       val e = {
-        val (n0, bytes0) = freshTable()
+        freshTable()
         def src = {
           val aggs = spark.read.parquet(tableDir).columns.toSeq
             .filterNot(Seq("l_orderkey", "l_linenumber").contains)
@@ -895,7 +895,7 @@ object ScaleRehearsal {
           whenMatchedSet = Seq("l_quantity" -> lit(99.0)))
         val cowWall = (System.nanoTime() - t0) / 1e9
         val cowTouched = cs.touched.size
-        val (n1, bytes1) = freshTable()
+        freshTable()
         val t1 = System.nanoTime()
         val ms = sources.MorUpsert.upsert(spark, tableDir, src,
           Seq("l_orderkey", "l_linenumber"))
