@@ -122,6 +122,32 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("o_custkey") % 50 === 1).count() == 0)
   }
 
+  test("partitioned layout: tombstones, reads, and compaction keep partition columns intact") {
+    val loc = Files.createTempDirectory("graft_mor").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(loc)
+    val all = spark.read.option("basePath", loc).parquet(loc)
+    val nAll = all.count()
+    val nUrgent = all.filter(col("o_orderpriority") === "1-URGENT").count()
+    // predicate on the PARTITION column, keys on a data column
+    MorDelete.delete(spark, loc, col("o_orderpriority") === "1-URGENT", Seq("o_orderkey"))
+    val visible = MorDelete.read(spark, loc)
+    assert(visible.filter(col("o_orderpriority") === "1-URGENT").count() == 0)
+    // equality semantics: urgent ORDER KEYS are tombstoned, so any
+    // same-key rows in other partitions die too — count via the key set
+    val urgentKeys = all.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").distinct()
+    val collateral = all.join(urgentKeys, Seq("o_orderkey"), "left_semi").count()
+    assert(visible.count() == nAll - collateral)
+    assert(collateral >= nUrgent)
+    val stats = MorDelete.compact(spark, loc)
+    assert(stats.touched.nonEmpty)
+    val after = spark.read.option("basePath", loc).parquet(loc)
+    assert(after.count() == nAll - collateral)
+    assert(after.columns.contains("o_orderpriority"),
+      "partition-directory column must survive the compaction rewrite")
+  }
+
   test("read without any tombstones is the raw table") {
     val loc = freshTable()
     assert(MorDelete.read(spark, loc).count() ==
