@@ -39,6 +39,14 @@ object AsofJoin {
     *                      with left's
     * @param rightTiebreak payload field names resolving right rows tied
     *                      on (key, time): ascending order, last (max) wins
+    * @param within        optional tolerance (the pandas merge_asof
+    *                      analog): a predicate over (leftTime,
+    *                      matchedRightTime) — a match failing it comes
+    *                      back as unmatched (payload nulls), the row is
+    *                      never dropped. Evaluated on the NEAREST match
+    *                      only, exactly merge_asof's contract: a nearer
+    *                      out-of-tolerance right row hides farther
+    *                      in-tolerance ones
     */
   def backward(
       left: DataFrame,
@@ -47,9 +55,10 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      within: Option[(Column, Column) => Column] = None): DataFrame =
     join(left, right, on, leftTime, rightTime, payload, rightTiebreak,
-      forward = false)
+      within, forward = false)
 
   /** The forward variant: for every left row, the EARLIEST right row with
     * `rightTime ≥ leftTime` (inclusive) — "the first click after each
@@ -64,9 +73,10 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      within: Option[(Column, Column) => Column] = None): DataFrame =
     join(left, right, on, leftTime, rightTime, payload, rightTiebreak,
-      forward = true)
+      within, forward = true)
 
   private def join(
       left: DataFrame,
@@ -76,16 +86,21 @@ object AsofJoin {
       rightTime: String,
       payload: Seq[String],
       rightTiebreak: Seq[String],
+      within: Option[(Column, Column) => Column],
       forward: Boolean): DataFrame = {
     require(on.nonEmpty, "asof join needs at least one key column")
     require(payload.nonEmpty, "asof join needs at least one payload column")
     require(rightTiebreak.forall(payload.contains),
       "rightTiebreak fields must be payload columns")
+    require(!payload.contains("__asof_rt"), "__asof_rt is reserved")
     val overlap = left.columns.toSet.intersect(payload.toSet)
     require(overlap.isEmpty,
       s"payload columns collide with left's; rename first: ${overlap.mkString(", ")}")
 
-    val payStruct = struct(payload.map(col): _*)
+    // the matched right row's time rides inside the payload struct so a
+    // `within` tolerance can be evaluated after the window resolves the
+    // nearest match
+    val payStruct = struct(payload.map(col) :+ col(rightTime).as("__asof_rt"): _*)
     val payType = right.select(payStruct.as("p")).schema("p").dataType
     val rowStruct = struct(left.columns.toSeq.map(col): _*)
     val rowType = left.select(rowStruct.as("r")).schema("r").dataType
@@ -119,11 +134,17 @@ object AsofJoin {
         rightTiebreak.map(f => col("__asof_pay").getField(f).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val kept = within match {
+      case None => col("__asof_match")
+      case Some(p) => when(col("__asof_match").isNotNull &&
+        p(col("__asof_t"), col("__asof_match").getField("__asof_rt")),
+        col("__asof_match"))
+    }
     val matched = rT.unionByName(lT)
       .withColumn("__asof_match", last(col("__asof_pay"), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
       .select(left.columns.toSeq.map(c => col("__asof_row").getField(c).as(c)) ++
-        payload.map(f => col("__asof_match").getField(f).as(f)): _*)
+        payload.map(f => kept.getField(f).as(f)): _*)
 
     // left rows that can never match (null key or time) bypass the
     // window and come back unmatched — one row out per row in

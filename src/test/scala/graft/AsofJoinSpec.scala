@@ -121,6 +121,27 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(10L -> 9L), "rt == lt matches; max v wins among the tied rt=50 rows")
   }
 
+  test("within tolerance: out-of-tolerance matches come back unmatched, not dropped") {
+    val l = lhs(Seq((1L, 10L, 50L), (1L, 11L, 90L)))
+    val r = rhs(Seq((1L, 47L, 5L), (1L, 60L, 6L)))
+    // backward with |lt - rt| <= 5: lid 10 matches rt=47 (gap 3); lid 11's
+    // nearest prior is rt=60 (gap 30) — nulled, the row survives
+    val got = AsofJoin.backward(l, r, Seq("k"), "lt", "rt", Seq("v"), Seq("v"),
+        within = Some((lt, rt) => lt - rt <= 5))
+      .select("lid", "v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(10L -> Some(5L), 11L -> None))
+    // merge_asof contract: the NEAREST match is judged — a nearer
+    // out-of-tolerance row hides a farther in-tolerance one
+    val r2 = rhs(Seq((1L, 44L, 7L), (1L, 49L, 8L)))
+    val got2 = AsofJoin.backward(l.filter(col("lid") === 10L), r2,
+        Seq("k"), "lt", "rt", Seq("v"), Seq("v"),
+        within = Some((lt, rt) => lt - rt <= 3))
+      .select("lid", "v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got2 == Map(10L -> Some(8L)), "rt=49 (gap 1) is nearest and in tolerance")
+  }
+
   test("colliding payload names are refused up front") {
     val l = lhs(Seq((1L, 10L, 50L)))
     val r = rhs(Seq((1L, 40L, 5L))).withColumnRenamed("v", "lid")
