@@ -104,11 +104,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("asof join plans one window over the union — no join operator at all") {
-    val p = executedPlan("events_asof_join")
-    assert(!p.contains("Join"),
-      "the as-of lookup must ride the union+window shape, never a per-key range join:\n" +
-        p.linesIterator.take(30).mkString("\n"))
-    assert(p.contains("Window"), "the last-prior-view carry must be a window")
+    for (q <- Seq("events_asof_join", "events_asof_forward")) {
+      val p = executedPlan(q)
+      assert(!p.contains("Join"),
+        s"$q must ride the union+window shape, never a per-key range join:\n" +
+          p.linesIterator.take(30).mkString("\n"))
+      assert(p.contains("Window"), s"$q's nearest-event carry must be a window")
+    }
   }
 
   test("bucketed range join plans a hash join on buckets, never a nested loop") {

@@ -36,18 +36,20 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("matches the naive theta join on a seeded random workload, auto and explicit widths") {
-    val rnd = new scala.util.Random(42)
-    val p = pts((0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)))
-    val i = ivs((0 until 80).map { j =>
-      val lo = rnd.nextDouble() * 900 - 200
-      (j.toLong, lo, lo + rnd.nextDouble() * 60)
-    })
-    val naive = pairsOf(p.join(i, col("x") >= col("lo") && col("x") <= col("hi")))
-    assert(naive.nonEmpty, "seeded workload must produce matches")
-    for (w <- Seq(0.0, 1.0, 30.0, 5000.0)) { // auto, narrow, ~span, one-bucket-for-everything
-      val got = pairsOf(RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = w))
-      assert(got == naive, s"bucketWidth=$w diverges from the theta join")
+  test("matches the naive theta join on seeded random workloads, auto and explicit widths") {
+    for (seed <- Seq(42, 7, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val p = pts((0 until 500).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)))
+      val i = ivs((0 until 80).map { j =>
+        val lo = rnd.nextDouble() * 900 - 200
+        (j.toLong, lo, lo + rnd.nextDouble() * 60)
+      })
+      val naive = pairsOf(p.join(i, col("x") >= col("lo") && col("x") <= col("hi")))
+      assert(naive.nonEmpty, s"seed $seed must produce matches")
+      for (w <- Seq(0.0, 1.0, 30.0, 5000.0)) { // auto, narrow, ~span, one-bucket-for-everything
+        val got = pairsOf(RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = w))
+        assert(got == naive, s"seed $seed width $w diverges from the theta join")
+      }
     }
   }
 
