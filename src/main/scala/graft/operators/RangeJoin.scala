@@ -51,7 +51,37 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       bucketWidth: Double = 0.0,
-      maxBucketsPerInterval: Int = 10000): DataFrame = {
+      maxBucketsPerInterval: Int = 10000): DataFrame =
+    pointInIntervalJoin(points, pointCol, intervals, loCol, hiCol,
+      bucketWidth, maxBucketsPerInterval, leftOuter = false)
+
+  /** LEFT OUTER enrichment variant: points matching no interval (and
+    * points with a NULL value) come back once with null interval columns
+    * instead of dropping — the lookup-table shape (IP→geo, price→band)
+    * where the unmatched rows must survive. Same bucket mechanics: a
+    * point has exactly one bucket, so matched points emit once per
+    * containing interval and unmatched points exactly once.
+    */
+  def pointInIntervalLeft(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double = 0.0,
+      maxBucketsPerInterval: Int = 10000): DataFrame =
+    pointInIntervalJoin(points, pointCol, intervals, loCol, hiCol,
+      bucketWidth, maxBucketsPerInterval, leftOuter = true)
+
+  private def pointInIntervalJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int,
+      leftOuter: Boolean): DataFrame = {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"pointInInterval output flattens both sides; rename overlapping columns first: ${overlap.mkString(", ")}")
@@ -65,7 +95,11 @@ object RangeJoin {
       avg(col(hiCol).cast("double") - col(loCol).cast("double")).as("avg_span"),
       max(col(hiCol).cast("double") - col(loCol).cast("double")).as("max_span"))
       .collect()(0)
-    if (stats.isNullAt(0)) return emptyResult(points, iv) // no valid intervals
+    if (stats.isNullAt(0)) { // no valid intervals
+      return if (!leftOuter) emptyResult(points, iv)
+      else points.select(points.columns.toSeq.map(col) ++
+        intervals.schema.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    }
     val w =
       if (bucketWidth > 0) bucketWidth
       else math.max(stats.getDouble(0), Double.MinPositiveValue)
@@ -78,12 +112,26 @@ object RangeJoin {
       explode(sequence(
         floor(col(loCol).cast("double") / w).cast("long"),
         floor(col(hiCol).cast("double") / w).cast("long"))))
-    val ptB = points
-      .filter(col(pointCol).isNotNull)
-      .withColumn("__rj_bucket", floor(col(pointCol).cast("double") / w).cast("long"))
-    ptB.join(ivB, Seq("__rj_bucket"))
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("__rj_bucket")
+    if (!leftOuter) {
+      val ptB = points
+        .filter(col(pointCol).isNotNull)
+        .withColumn("__rj_bucket", floor(col(pointCol).cast("double") / w).cast("long"))
+      ptB.join(ivB, Seq("__rj_bucket"))
+        .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+        .drop("__rj_bucket")
+    } else {
+      // the range predicate rides IN the join condition so an unmatched
+      // (or null-valued) point emits exactly one null-extended row; a
+      // null point gets a null bucket, which matches nothing
+      val ivB2 = ivB.withColumnRenamed("__rj_bucket", "__rj_bucket_r")
+      points
+        .withColumn("__rj_bucket", floor(col(pointCol).cast("double") / w).cast("long"))
+        .join(ivB2,
+          col("__rj_bucket") === col("__rj_bucket_r") &&
+            col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol),
+          "left_outer")
+        .drop("__rj_bucket", "__rj_bucket_r")
+    }
   }
 
   /** Interval-overlap join — every (left, right) pair whose closed

@@ -171,6 +171,31 @@ object Relational {
         .orderBy(col("p_partkey").asc_nulls_last)
     },
 
+    // The LEFT OUTER enrichment form of the bucketed range join: every
+    // point survives, unmatched ones once with null band columns (the
+    // lookup-table shape). The oracle runs the raw LEFT JOIN BETWEEN;
+    // the unmatched bulk collapses under band_key = -1.
+    "join_range_bucketed_left" -> Q.df(
+      """SELECT COALESCE(p_partkey, -1) AS band_key, COUNT(*) AS n
+        |FROM lineitem LEFT JOIN (
+        |  SELECT p_partkey, p_retailprice * 10 - 100 AS band_lo,
+        |         p_retailprice * 10 + 100 AS band_hi
+        |  FROM part WHERE p_partkey <= 200) bands
+        |ON l_extendedprice BETWEEN band_lo AND band_hi
+        |GROUP BY COALESCE(p_partkey, -1)
+        |ORDER BY band_key ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val bands = Tables.t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 10 - 100).as("band_lo"),
+          (col("p_retailprice") * 10 + 100).as("band_hi"))
+      val points = Tables.t(s, dir, "lineitem").select(col("l_extendedprice"))
+      graft.operators.RangeJoin.pointInIntervalLeft(
+          points, "l_extendedprice", bands, "band_lo", "band_hi")
+        .groupBy(coalesce(col("p_partkey"), lit(-1L)).as("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("band_key").asc_nulls_last)
+    },
+
     // Interval-overlap join on the bucketed scale path: two interval
     // tables (price bands off part, balance bands off supplier), pairs
     // wherever the closed intervals intersect. The oracle runs the raw

@@ -97,6 +97,29 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == 1)
   }
 
+  test("left-outer variant: unmatched and null points survive once with null interval columns") {
+    val rnd = new scala.util.Random(42)
+    val p = pts((0 until 300).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)))
+      .unionByName(spark.sql("SELECT 999L AS pid, CAST(NULL AS DOUBLE) AS x"))
+    val i = ivs((0 until 40).map { j =>
+      val lo = rnd.nextDouble() * 900 - 200
+      (j.toLong, lo, lo + rnd.nextDouble() * 60)
+    })
+    val naive = p.join(i, col("x") >= col("lo") && col("x") <= col("hi"), "left")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    for (w <- Seq(0.0, 25.0)) {
+      val got = RangeJoin.pointInIntervalLeft(p, "x", i, "lo", "hi", bucketWidth = w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got.sorted == naive.sorted, s"width $w diverges from the naive left join")
+    }
+    // empty interval table: every point survives, nulls across
+    val none = RangeJoin.pointInIntervalLeft(p, "x", ivs(Nil), "lo", "hi")
+    assert(none.count() == p.count())
+    assert(none.filter(col("iid").isNotNull).count() == 0)
+  }
+
   private def ivsB(rows: Seq[(Long, Double, Double)]) =
     spark.createDataFrame(rows).toDF("jid", "lo2", "hi2")
 
