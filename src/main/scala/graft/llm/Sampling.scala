@@ -36,6 +36,33 @@ object Sampling {
     df.filter(pmod(idCol, lit(1000)) < bar)
   }
 
+  /** Exact-COUNT class-balanced sample: the first `k` rows per class
+    * under the caller's deterministic ordering — "take 10k docs per
+    * language", the fixed-budget counterpart of [[stratified]]'s
+    * rate-based cut (a rate can only approximate a count, and
+    * overshoots/undershoots per class). Pass a seeded hash as the first
+    * `by` column for a uniform draw (`xxhash64(id, lit(seed))`; declared
+    * queries use `md5(cast(id as string))` so DuckDB can reproduce the
+    * order), and a unique tiebreak column last for retry-stability.
+    *
+    * Scale shape: row_number-then-filter lowers to WindowGroupLimit
+    * (plan-locked in PlanSpec) — every map task pre-prunes to its local
+    * top-k per class BEFORE the exchange, so the shuffle carries
+    * O(partitions × classes × k) rows and per-class reducer state is k
+    * rows, never the class. No per-class skew: a 90%-of-corpus class
+    * costs the same as a 1% class after the map-side prune.
+    */
+  def takePerClass(df: DataFrame, classCol: String, k: Int,
+      by: Seq[Column]): DataFrame = {
+    require(k >= 1, "takePerClass needs k >= 1")
+    require(by.nonEmpty, "takePerClass needs a deterministic ordering")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(by.map(_.asc): _*)
+    df.withColumn("__tpc_rn", row_number().over(w))
+      .filter(col("__tpc_rn") <= k)
+      .drop("__tpc_rn")
+  }
+
   /** Mixture-weight solver for corpus composition: given a target token
     * budget PER CLASS (source, domain, language …), compute the integer
     * permille sampling rate that `stratified` needs to realize that mix —

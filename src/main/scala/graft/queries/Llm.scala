@@ -1395,6 +1395,34 @@ object Llm {
         .orderBy(col("lang").asc_nulls_last)
     },
 
+    // Exact-COUNT class-balanced sampling (Sampling.takePerClass): the
+    // 40 md5-smallest docs per language — the fixed-budget counterpart
+    // of the rate-based stratified cut. md5(doc_id) is the
+    // engine-independent draw (same construction as llm_sample_weighted);
+    // id_sum pins the exact member SET per class, not just the count.
+    // Plan lowers to WindowGroupLimit: map-side top-k per class prunes
+    // below the exchange (locked in PlanSpec).
+    "llm_sample_per_class" -> Q.df(
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(30,8))) AS DOUBLE) AS chars_kept
+        |FROM r WHERE rn <= 40
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.takePerClass(Tables.t(s, dir, "documents"), "lang", 40,
+          by = Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars").cast("decimal(30,8)")).cast("double").as("chars_kept"))
+        .orderBy(col("lang").asc_nulls_last)
+    },
+
     // ---- weighted sampling without replacement (Sampling.weightedSample)
     // Efraimidis–Spirakis: rank by ROUND(ln(u)/w, 9) with u a
     // reproducible md5-derived uniform (md5 is engine-independent — the

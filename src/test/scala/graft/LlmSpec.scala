@@ -245,6 +245,21 @@ class LlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 2L, 3L, 11L, 12L))
   }
 
+  test("takePerClass: exactly k per big class, whole small classes, partitioning-invariant") {
+    val sp = spark; import sp.implicits._
+    val rows = ((1L to 20L).map(i => (i, "big")) ++ Seq((101L, "tiny"), (102L, "tiny")))
+      .toDF("id0", "cls0")
+    def draw(parts: Int) = graft.llm.Sampling.takePerClass(
+        rows.repartition(parts), "cls0", k = 5,
+        by = Seq(md5(col("id0").cast("string")), col("id0")))
+      .collect().map(r => r.getLong(0)).toSet
+    val got = draw(3)
+    assert(got.count(_ <= 20L) == 5, "exactly k from the 20-row class")
+    assert(got.intersect(Set(101L, 102L)) == Set(101L, 102L),
+      "classes smaller than k keep every row")
+    assert(draw(7) == got, "the draw is deterministic under any partitioning")
+  }
+
   test("mixture permille downsamples overrepresented classes to the target") {
     val sp = spark; import sp.implicits._
     val base = Seq(

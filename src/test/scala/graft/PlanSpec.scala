@@ -113,6 +113,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("llm_sample_per_class pre-prunes map-side via WindowGroupLimit") {
+    val p = executedPlan("llm_sample_per_class")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-class top-k must prune below the exchange:\n" +
+        p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("bucketed range join plans a hash join on buckets, never a nested loop") {
     val p = executedPlan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.toLowerCase.contains("cartesianproduct"),
