@@ -315,6 +315,123 @@ object Ddl {
         .orderBy(col("s_nationkey").asc_nulls_last)
     },
 
+    // Snapshot-pinned MoR read (the reference anchors a write's visibility
+    // on TableFinishOperator's commit point; here the analog is the
+    // tombstone batch's atomic directory rename plus sequence pinning): a
+    // reader that captured currentSeq BEFORE a delete and a merge landed
+    // reads THROUGH both commits and must still see the pre-DML table —
+    // hash-matched against DuckDB over the untouched source. The
+    // snapshot_pinned flag carries the negative control: the UNPINNED
+    // read does differ.
+    "ddl_mor_snapshot_read" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+        |  true AS snapshot_pinned
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morsnap_lineitem"
+      drop(s, "g_morsnap_lineitem", loc)
+      drop(s, "g_morsnap_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      val li = Tables.t(s, dir, "lineitem")
+      li.write.mode("overwrite").parquet(loc)
+      val snap0 = MorDelete.currentSeq(s, loc)
+      val pinned = MorDelete.readAt(s, loc, snap0)
+      MorDelete.delete(s, loc, col("l_orderkey") % 100 === 7,
+        Seq("l_orderkey", "l_linenumber"))
+      val aggs = li.columns.toSeq
+        .filterNot(Seq("l_orderkey", "l_linenumber").contains)
+        .map(c => max(col(c)).as(c))
+      val src = li.filter(col("l_orderkey") % 100 === 11)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("l_quantity", lit(99.0))
+      MorUpsert.upsert(s, loc, src, Seq("l_orderkey", "l_linenumber"))
+      // negative control: the unpinned (current) read reflects both commits
+      val changed = MorDelete.read(s, loc).count() != pinned.count()
+      pinned
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+        .withColumn("snapshot_pinned", lit(changed))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
+    // Merge-on-read MERGE with the full clause surface (MorUpsert.merge —
+    // WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED AND cond THEN
+    // UPDATE / WHEN NOT MATCHED THEN INSERT): matched suppkeys divisible
+    // by 3 tombstone WITHOUT a re-append, matched keys with source
+    // balance > 1010 replace, matched keys passing neither clause keep
+    // all their rows, unmatched source keys insert. The oracle spells the
+    // routing out as three EXISTS-guarded legs; zero table files touched
+    // at merge time (mor_zero_touch), and the pre/post-compaction reads
+    // must agree.
+    "ddl_mor_merge_delete" -> Q.df(
+      """WITH src AS (
+        |  SELECT n_nationkey AS s_suppkey, 'mrg_' || n_name AS s_name,
+        |         n_regionkey AS s_nationkey,
+        |         CAST(1000 + n_nationkey AS DOUBLE) AS s_acctbal
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, 'new_' || n_name, n_regionkey,
+        |         CAST(2000 + n_nationkey AS DOUBLE)
+        |  FROM nation),
+        |final AS (
+        |  SELECT s.* FROM supplier s
+        |  WHERE NOT EXISTS (SELECT 1 FROM src
+        |    WHERE src.s_suppkey = s.s_suppkey
+        |      AND (src.s_suppkey % 3 = 0 OR src.s_acctbal > 1010))
+        |  UNION ALL
+        |  SELECT src.* FROM src
+        |  WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = src.s_suppkey)
+        |    AND src.s_suppkey % 3 <> 0 AND src.s_acctbal > 1010
+        |  UNION ALL
+        |  SELECT src.* FROM src
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = src.s_suppkey))
+        |SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal,
+        |  true AS mor_zero_touch
+        |FROM final GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_mormrg_supplier"
+      drop(s, "g_mormrg_supplier", loc)
+      drop(s, "g_mormrg_supplier_sidecar", MorDelete.sidecarDir(loc))
+      Tables.t(s, dir, "supplier").write.mode("overwrite").parquet(loc)
+      val nation = Tables.t(s, dir, "nation")
+      val src = nation.select(
+          col("n_nationkey").as("s_suppkey"),
+          concat(lit("mrg_"), col("n_name")).as("s_name"),
+          col("n_regionkey").as("s_nationkey"),
+          (lit(1000) + col("n_nationkey")).cast("double").as("s_acctbal"))
+        .unionByName(nation.select(
+          (col("n_nationkey") + 1000).as("s_suppkey"),
+          concat(lit("new_"), col("n_name")).as("s_name"),
+          col("n_regionkey").as("s_nationkey"),
+          (lit(2000) + col("n_nationkey")).cast("double").as("s_acctbal")))
+      val filesBefore = new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+      val stats = MorUpsert.merge(s, loc, src, Seq("s_suppkey"),
+        deleteWhen = Some(col("s_suppkey") % 3 === 0),
+        updateWhen = Some(col("src_s_acctbal") > 1010))
+      val untouched = filesBefore.forall { case (name, m) =>
+        val f = new java.io.File(loc, name); f.exists() && f.lastModified == m
+      } && stats.keysDeleted > 0 && stats.keysUpdated > 0 && stats.rowsInserted > 0
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+      val preCompact = agg(MorDelete.read(s, loc)).localCheckpoint(true)
+      MorDelete.compact(s, loc)
+      val postCompact = agg(MorDelete.read(s, loc))
+      require(preCompact.exceptAll(postCompact).isEmpty &&
+        postCompact.exceptAll(preCompact).isEmpty,
+        "merge-on-read and compacted reads must agree after a clause merge")
+      preCompact.unpersist()
+      postCompact
+        .withColumn("mor_zero_touch", lit(untouched))
+        .orderBy(col("s_nationkey").asc_nulls_last)
+    },
+
     "ddl_update_rowlevel" -> Q.df(
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0

@@ -209,10 +209,17 @@ private[sources] object CowCore {
   /** @param matching selects the table rows that will change — a predicate
     *   filter for DELETE/UPDATE, a key semi-join for MERGE. Only the
     *   `_metadata.file_path` column of its result is ever materialized.
+    * @param prefix name prefix for the committed replacement parts
+    *   (MorDelete.compact embeds its sequence number there)
+    * @param fileFilter driver-side narrowing of the touched-file list
+    *   (MorDelete's density-targeted compaction); files it drops are left
+    *   exactly as they are
     */
   def rewrite(spark: SparkSession, path: String,
       matching: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
-      transformTouched: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Stats = {
+      transformTouched: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      prefix: String = "part-cow-",
+      fileFilter: Seq[String] => Seq[String] = identity): Stats = {
     val table = spark.read.option("basePath", path).parquet(path)
 
     // Touched-file discovery: a metadata-only projection under the
@@ -221,13 +228,14 @@ private[sources] object CowCore {
     // MERGE's semi-join would lose it. distinct() keeps the exchange on
     // the (tiny) file-path column; the collect is bounded by the
     // touched-file count.
-    val touched = matching(table.withColumn("__cow_fp", col("_metadata.file_path")))
-      .select(col("__cow_fp"))
-      .distinct()
-      .collect()
-      .map(r => localPath(r.getString(0)))
-      .sorted
-      .toSeq
+    val touched = fileFilter(
+      matching(table.withColumn("__cow_fp", col("_metadata.file_path")))
+        .select(col("__cow_fp"))
+        .distinct()
+        .collect()
+        .map(r => localPath(r.getString(0)))
+        .sorted
+        .toSeq)
     // File count comes from the FileIndex the read already built — zero
     // Spark jobs — not a distributed distinct over the metadata column
     // (which would scan the table just to count its files, on every DML).
@@ -242,7 +250,7 @@ private[sources] object CowCore {
     val partitionCols = partitionColsOf(spark, table, touched.head)
     val rewritten = transformTouched(
       spark.read.option("basePath", path).parquet(touched: _*))
-    val moved = stageAndMove(spark, base, partitionCols, rewritten)
+    val moved = moveIn(stage(spark, base, partitionCols, rewritten), base, prefix)
     touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
     Stats(touched, total, moved)
   }

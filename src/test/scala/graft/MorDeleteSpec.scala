@@ -184,6 +184,194 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.filter(col("o_orderkey") > 900000000L).count() == 3)
   }
 
+  test("delete predicates see the RESOLVED view, not superseded raw rows") {
+    val loc = freshTable()
+    val raw = spark.read.parquet(loc)
+    // key 1's pre-upsert priority: after the upsert replaces the row, a
+    // delete matching only that OLD value must not touch key 1 — a
+    // raw-table predicate would extract key 1 from the dead row and
+    // tombstone the live replacement at a higher sequence
+    val oldPriority = raw.filter(col("o_orderkey") === 1L)
+      .select("o_orderpriority").head().getString(0)
+    val one = oneRowPerKey(raw.filter(col("o_orderkey") === 1L))
+      .withColumn("o_orderpriority", lit("9-UPSERTED"))
+    graft.sources.MorUpsert.upsert(spark, loc, one, Seq("o_orderkey"))
+    MorDelete.delete(spark, loc, col("o_orderpriority") === oldPriority, Seq("o_orderkey"))
+    val visible = MorDelete.read(spark, loc)
+    assert(visible.filter(col("o_orderkey") === 1L).count() == 1,
+      "the live replacement row must survive a delete matching only its dead predecessor")
+    assert(visible.filter(col("o_orderpriority") === oldPriority).count() == 0,
+      "every key whose LIVE row matches the predicate must still die")
+  }
+
+  test("a zero-match delete commits nothing and later DML still works") {
+    val loc = freshTable()
+    val s0 = MorDelete.delete(spark, loc, col("o_orderkey") === -999L, Seq("o_orderkey"))
+    assert(s0.keysWritten == 0 && s0.sidecarFiles == 0)
+    assert(!new File(MorDelete.sidecarDir(loc)).exists(),
+      "a no-op delete must not create an empty batch (it would lock in the key set)")
+    // the regression this pins: an empty sidecar file made max(__mor_seq)
+    // NULL and every subsequent delete/upsert crashed until compact()
+    val all = keys(loc)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    assert(keys(loc) == all.filterNot(_ % 10 == 3))
+    val one = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 2L))
+      .withColumn("o_orderpriority", lit("9-UPSERTED"))
+    graft.sources.MorUpsert.upsert(spark, loc, one, Seq("o_orderkey"))
+    assert(MorDelete.read(spark, loc).filter(col("o_orderkey") === 2L)
+      .select("o_orderpriority").head().getString(0) == "9-UPSERTED")
+  }
+
+  test("readAt pins a snapshot across later deletes and merges") {
+    val loc = freshTable()
+    val all = keys(loc)
+    val snap0 = MorDelete.currentSeq(spark, loc)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val snap1 = MorDelete.currentSeq(spark, loc)
+    val one = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 2L))
+      .withColumn("o_orderpriority", lit("9-UPSERTED"))
+    graft.sources.MorUpsert.upsert(spark, loc, one, Seq("o_orderkey"))
+    assert(snap1 > snap0)
+    assert(MorDelete.currentSeq(spark, loc) > snap1)
+    // the pre-DML snapshot: the original rows, bit for bit
+    assert(MorDelete.readAt(spark, loc, snap0).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == all,
+      "a reader pinned before the DML must see the pre-DML rows")
+    // the mid-DML snapshot: delete applied, upsert not yet
+    val at1 = MorDelete.readAt(spark, loc, snap1)
+    assert(at1.select("o_orderkey").collect().map(_.getLong(0)).toSet ==
+      all.filterNot(_ % 10 == 3))
+    assert(at1.filter(col("o_orderpriority") === "9-UPSERTED").count() == 0)
+    // the unpinned read is the latest snapshot
+    assert(MorDelete.readAt(spark, loc, MorDelete.currentSeq(spark, loc))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet ==
+      keys(loc))
+  }
+
+  test("read-during-compact: still-visible tombstones are no-ops against compacted parts") {
+    val loc = freshTable()
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val tombKeys = spark.read.parquet(
+        new File(MorDelete.sidecarDir(loc)).listFiles()
+          .filter(_.getName.startsWith("batch-")).map(_.toString).toSeq: _*)
+      .drop("__mor_seq").localCheckpoint(true)
+    MorDelete.compact(spark, loc)
+    val afterCompact = keys(loc)
+    // compacted parts must carry the pre-compaction max sequence in their
+    // name — that is what makes the window below safe
+    assert(files(loc).keys.exists(_.contains("part-mor1-")),
+      "compacted survivors must be sequence-named")
+    // simulate the reader-visible window between "files swapped" and
+    // "sidecar cleared": re-apply the very tombstones compact() folded in
+    MorDelete.appendTombstones(spark, loc, tombKeys, Seq("o_orderkey"), seq = 1L)
+    assert(keys(loc) == afterCompact,
+      "a read overlapping the post-swap/pre-clear window must see the compacted rows")
+    MorDelete.compact(spark, loc) // cleanup: fold the simulated leftovers
+    assert(keys(loc) == afterCompact)
+  }
+
+  test("single-writer lock: a held lock fails DML loudly; release restores it") {
+    val loc = freshTable()
+    val lock = new File(MorDelete.sidecarDir(loc) + ".lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    }
+    assert(e.getMessage.contains("SINGLE-WRITER"))
+    assert(lock.delete())
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    assert(keys(loc).forall(_ % 10 != 3))
+  }
+
+  test("an uncommitted (crashed) stage directory is invisible to readers") {
+    val loc = freshTable()
+    val all = keys(loc)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val expected = all.filterNot(_ % 10 == 3)
+    // a writer that crashed mid-stage leaves `.stage-*` garbage with MORE
+    // tombstones; the commit is the batch-directory rename, so none of
+    // those keys may disappear from reads
+    spark.createDataFrame(
+        java.util.Arrays.asList(expected.filter(_ % 10 == 5).toSeq.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType))))
+      .withColumn("__mor_seq", lit(2L))
+      .write.parquet(MorDelete.sidecarDir(loc) + "/.stage-crashed")
+    assert(keys(loc) == expected,
+      "an unrenamed stage directory must never act as committed tombstones")
+  }
+
+  test("merge clauses: conditional delete, conditional update, untouched remainder, insert") {
+    val loc = freshTable()
+    val raw = spark.read.parquet(loc)
+    val nRowsPerKey = raw.filter(col("o_orderkey").isin(1L to 6L map (identity): _*))
+      .groupBy("o_orderkey").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // source: keys 1-3 priced negative (delete clause), 4-5 at 500
+    // (update clause), 6 at 5000 (matched, neither clause -> untouched),
+    // +3 unmatched inserts
+    val base = oneRowPerKey(raw.filter(col("o_orderkey").isin(1L to 6L map (identity): _*)))
+    val src = base
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") <= 3L, lit(-1.0))
+          .when(col("o_orderkey") <= 5L, lit(500.0))
+          .otherwise(lit(5000.0)))
+      .unionByName(base.limit(3)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L)))
+    val stats = graft.sources.MorUpsert.merge(spark, loc, src, Seq("o_orderkey"),
+      deleteWhen = Some(col("src_o_totalprice") < 0),
+      updateWhen = Some(col("src_o_totalprice").between(0, 1000)))
+    assert(stats.keysDeleted == 3 && stats.keysUpdated == 2 && stats.rowsInserted == 3)
+    val after = MorDelete.read(spark, loc)
+    assert(after.filter(col("o_orderkey").between(1L, 3L)).count() == 0,
+      "delete clause tombstones")
+    assert(after.filter(col("o_orderkey").isin(4L, 5L))
+      .select("o_totalprice").collect().map(_.getDouble(0)).toSeq == Seq(500.0, 500.0),
+      "update clause replaces (one row per key)")
+    assert(after.filter(col("o_orderkey") === 6L).count() == nRowsPerKey(6L),
+      "a matched key claimed by neither clause keeps ALL its rows")
+    assert(after.filter(col("o_orderkey") > 900000000L).count() == 3, "inserts append")
+
+    // clause conditions can read the TARGET row's columns too: delete
+    // key 6 only if its live row still carries its original priority
+    val p6 = after.filter(col("o_orderkey") === 6L)
+      .select("o_orderpriority").head().getString(0)
+    val src6 = oneRowPerKey(after.filter(col("o_orderkey") === 6L))
+    val s2 = graft.sources.MorUpsert.merge(spark, loc, src6, Seq("o_orderkey"),
+      deleteWhen = Some(col("o_orderpriority") === p6),
+      insertUnmatched = false)
+    assert(s2.keysDeleted == 1 && s2.keysUpdated == 0 && s2.rowsInserted == 0)
+    assert(MorDelete.read(spark, loc).filter(col("o_orderkey") === 6L).count() == 0)
+  }
+
+  test("targeted compaction rewrites only dense files and keeps reads exact") {
+    val loc = Files.createTempDirectory("graft_mor").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .repartitionByRange(4, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(loc)
+    val ks = spark.read.parquet(loc).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+    val cut = ks(ks.length / 4) // ~ the first range file's upper edge
+    val maxK = ks.last
+    // doomed rows: all of file 1 (dense) plus one key in the last file
+    MorDelete.delete(spark, loc,
+      col("o_orderkey") < cut || col("o_orderkey") === maxK, Seq("o_orderkey"))
+    val expected = keys(loc)
+    val partial = MorDelete.compact(spark, loc, minDoomedFraction = 0.5)
+    assert(partial.touched.size == 1,
+      s"only the dense file should rewrite, got ${partial.touched}")
+    assert(new File(MorDelete.sidecarDir(loc)).exists(),
+      "partial compaction must retain the sidecar (tombstones may still matter)")
+    assert(keys(loc) == expected, "reads are exact after a partial compaction")
+    // the dense file is physically clean now: its doomed rows are gone
+    // from disk even though the tombstones remain
+    assert(spark.read.parquet(loc).filter(col("o_orderkey") < cut).count() == 0)
+    val full = MorDelete.compact(spark, loc)
+    assert(!new File(MorDelete.sidecarDir(loc)).exists())
+    assert(keys(loc) == expected)
+    assert(full.touched.nonEmpty, "the sparse file still held one doomed key")
+  }
+
   test("sequencing: a later delete removes an earlier upsert's replacement; compact folds all") {
     val loc = freshTable()
     val one = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 1L))
