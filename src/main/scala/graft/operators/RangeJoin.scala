@@ -90,23 +90,42 @@ object RangeJoin {
       col(loCol) <= col(hiCol))
 
     // One bounded 1-row stats action on the INTERVAL table (never the
-    // points): average span sizes the bucket, max span guards replication.
+    // points): average span sizes the bucket, max span guards replication,
+    // max |bound| guards bucket-id overflow.
     val stats = iv.agg(
       avg(col(hiCol).cast("double") - col(loCol).cast("double")).as("avg_span"),
-      max(col(hiCol).cast("double") - col(loCol).cast("double")).as("max_span"))
+      max(col(hiCol).cast("double") - col(loCol).cast("double")).as("max_span"),
+      max(greatest(abs(col(loCol).cast("double")), abs(col(hiCol).cast("double"))))
+        .as("max_abs"))
       .collect()(0)
     if (stats.isNullAt(0)) { // no valid intervals
       return if (!leftOuter) emptyResult(points, iv)
       else points.select(points.columns.toSeq.map(col) ++
         intervals.schema.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     }
+    if (bucketWidth <= 0 && stats.getDouble(0) == 0.0) {
+      // All valid intervals are zero-span — exact keys in interval
+      // clothing (equality-as-interval lookups). There is no data-derived
+      // width; the old Double.MinPositiveValue floor collapsed every
+      // value into one or two buckets (a silent near-cross join that
+      // still passed the replication guard, max_span/w = 0). A zero-span
+      // interval IS its bound, so run the plain equi join instead.
+      val cond = points(pointCol) === iv(loCol)
+      return if (!leftOuter) points.filter(col(pointCol).isNotNull).join(iv, cond)
+      else points.join(iv, cond, "left_outer")
+    }
     val w =
       if (bucketWidth > 0) bucketWidth
-      else math.max(stats.getDouble(0), Double.MinPositiveValue)
+      else stats.getDouble(0)
     val worst = stats.getDouble(1) / w
     require(worst <= maxBucketsPerInterval,
       f"pointInInterval: an interval spans $worst%.0f buckets at width $w%s " +
         f"(cap $maxBucketsPerInterval%d) — raise bucketWidth or split the interval")
+    // a tiny width against a wide domain silently saturates the LONG cast
+    // (every bucket id becomes Long.MaxValue — one giant bucket); refuse
+    require(stats.getDouble(2) / w < 4.0e18,
+      f"pointInInterval: bucket ids overflow at width $w%s over a domain " +
+        f"reaching ${stats.getDouble(2)}%s — pass a larger explicit bucketWidth")
 
     val ivB = iv.withColumn("__rj_bucket",
       explode(sequence(
@@ -162,17 +181,29 @@ object RangeJoin {
     val l = left.filter(valid(lLo, lHi))
     val r = right.filter(valid(rLo, rHi))
 
-    val spans = l.select((col(lHi).cast("double") - col(lLo).cast("double")).as("s"))
-      .unionByName(r.select((col(rHi).cast("double") - col(rLo).cast("double")).as("s")))
-    val stats = spans.agg(avg(col("s")).as("a"), max(col("s")).as("m")).collect()(0)
+    val spans = l.select((col(lHi).cast("double") - col(lLo).cast("double")).as("s"),
+        greatest(abs(col(lLo).cast("double")), abs(col(lHi).cast("double"))).as("b"))
+      .unionByName(r.select((col(rHi).cast("double") - col(rLo).cast("double")).as("s"),
+        greatest(abs(col(rLo).cast("double")), abs(col(rHi).cast("double"))).as("b")))
+    val stats = spans.agg(avg(col("s")).as("a"), max(col("s")).as("m"),
+      max(col("b")).as("max_abs")).collect()(0)
     if (stats.isNullAt(0)) return left.limit(0).crossJoin(right.limit(0))
+    if (bucketWidth <= 0 && stats.getDouble(0) == 0.0) {
+      // every interval on BOTH sides is zero-span: two point sets overlap
+      // iff equal — the equi join, not an arbitrary quantization (see
+      // pointInIntervalJoin's zero-span note)
+      return l.join(r, l(lLo) === r(rLo))
+    }
     val w =
       if (bucketWidth > 0) bucketWidth
-      else math.max(stats.getDouble(0), Double.MinPositiveValue)
+      else stats.getDouble(0)
     val worst = stats.getDouble(1) / w
     require(worst <= maxBucketsPerInterval,
       f"intervalOverlap: an interval spans $worst%.0f buckets at width $w%s " +
         f"(cap $maxBucketsPerInterval%d) — raise bucketWidth or split the interval")
+    require(stats.getDouble(2) / w < 4.0e18,
+      f"intervalOverlap: bucket ids overflow at width $w%s over a domain " +
+        f"reaching ${stats.getDouble(2)}%s — pass a larger explicit bucketWidth")
 
     def buckets(lo: String, hi: String) = explode(sequence(
       floor(col(lo).cast("double") / w).cast("long"),

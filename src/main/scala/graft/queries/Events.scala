@@ -224,7 +224,7 @@ object Events {
     // views, and the oracle pre-dedupes views to max(event_id) per
     // (user_id, vts) before its ASOF join (ASOF is otherwise free to
     // pick any tied row).
-    "events_asof_join" -> Q.df(
+    "events_asof_join" -> Q.df(duck =
       """WITH clicks AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
         |  FROM events WHERE event_type = 'click'),
@@ -236,7 +236,8 @@ object Events {
         |  COALESCE(v.view_id, -1) AS view_id
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.vts <= c.cts
-        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+      headline = true) { (s, dir) =>
       val ev = Tables.t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
@@ -317,6 +318,35 @@ object Events {
         .select(col("user_id"), col("event_id"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
         .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+    },
+
+    // Range join on a TEMPORAL domain end-to-end: event timestamps joined
+    // into half-open-by-construction session windows (each hour's first
+    // 30 minutes) through the bucketed point-in-interval path — timestamps
+    // double-cast to epoch seconds for quantization, the exact BETWEEN
+    // verified on the timestamp values themselves. The oracle runs the
+    // raw theta join; events in an hour's back half match no window and
+    // drop (inner semantics), which keeps the match signal honest.
+    "events_time_in_window" -> Q.df(
+      """SELECT w_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CAST(ts AS TIMESTAMP) AS ets, value FROM events) e
+        |JOIN (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |        date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS w_end
+        |      FROM events) w
+        |  ON e.ets >= w.w_start AND e.ets <= w.w_end
+        |GROUP BY w_start
+        |ORDER BY w_start ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val points = ev.select(col("ts").as("ets"), col("value"))
+      val windows = ev
+        .select(date_trunc("hour", col("ts")).as("w_start")).distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 30 MINUTES"))
+      graft.operators.RangeJoin.pointInInterval(points, "ets", windows, "w_start", "w_end")
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,8)")).cast("double").as("sum_value"))
+        .orderBy(col("w_start").asc_nulls_last)
     },
 
     "events_props_json" -> Q.sql(

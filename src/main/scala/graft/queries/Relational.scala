@@ -148,7 +148,7 @@ object Relational {
     // buckets + exact verify — the shape that survives two large sides at
     // 100 TB, where join_non_equi's nested loop cannot. Auto bucket width
     // (= avg interval span, 200.0 here) exercises the 1-row stats sizing.
-    "join_range_bucketed" -> Q.df(
+    "join_range_bucketed" -> Q.df(duck =
       """SELECT p_partkey, COUNT(*) AS n_in_band,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty_in_band
         |FROM part JOIN lineitem
@@ -156,7 +156,8 @@ object Relational {
         |                         AND p_retailprice * 10 + 100
         |WHERE p_partkey <= 200
         |GROUP BY p_partkey
-        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+        |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+      headline = true) { (s, dir) =>
       val bands = Tables.t(s, dir, "part").filter(col("p_partkey") <= 200)
         .select(col("p_partkey"),
           (col("p_retailprice") * 10 - 100).as("band_lo"),

@@ -144,6 +144,58 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zero-span intervals under auto width run as an equi join, not one giant bucket") {
+    // equality-as-interval: every interval is a point. The old auto width
+    // floored at Double.MinPositiveValue, collapsing EVERY value into one
+    // or two buckets — a silent near-cross join. Now: plain equi join.
+    val p = pts(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 10.0)))
+    val i = ivs(Seq((100L, 10.0, 10.0), (200L, 20.0, 20.0), (300L, 99.0, 99.0)))
+    val got = RangeJoin.pointInInterval(p, "x", i, "lo", "hi")
+    assert(pairsOf(got) == Set((1L, 100L), (4L, 100L), (2L, 200L)))
+    assert(got.queryExecution.executedPlan.toString.contains("HashedRelation") ||
+      !got.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "the fallback must be a hash join, not a nested loop")
+    // left-outer variant keeps unmatched points
+    val left = RangeJoin.pointInIntervalLeft(p, "x", i, "lo", "hi")
+    assert(left.count() == 4)
+    assert(left.filter(col("pid") === 3L && col("iid").isNull).count() == 1)
+    // overlap variant: two point sets overlap iff equal
+    val b = ivsB(Seq((7L, 10.0, 10.0), (8L, 50.0, 50.0)))
+    val ov = RangeJoin.intervalOverlap(i, "lo", "hi", b, "lo2", "hi2")
+      .select("iid", "jid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ov == Set((100L, 7L)))
+  }
+
+  test("a tiny explicit width over a wide domain refuses on bucket-id overflow") {
+    // 1e-300-wide buckets over values ~1e3: every floor(x/w) saturates the
+    // long cast to Long.MaxValue — one giant bucket, silently quadratic.
+    // Zero-span intervals so the replication cap (which fires first on any
+    // spanning interval) stays quiet and the overflow guard is what trips.
+    val p = pts(Seq((1L, 500.0)))
+    val i = ivs(Seq((100L, 500.0, 500.0)))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, "x", i, "lo", "hi", bucketWidth = 1e-300)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("timestamp domains: event times into session windows, auto width") {
+    // the temporal shape of the declared events_time_in_window query:
+    // double-cast timestamps bucket as epoch seconds
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(mins: Long) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val p = spark.createDataFrame(
+      (0 until 200).map(m => (m.toLong, ts(m.toLong)))).toDF("pid", "t")
+    val i = spark.createDataFrame(Seq(
+      (100L, ts(10), ts(40)), (200L, ts(35), ts(60)), (300L, ts(180), ts(500))))
+      .toDF("iid", "w_lo", "w_hi")
+    val naive = p.join(i, col("t") >= col("w_lo") && col("t") <= col("w_hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RangeJoin.pointInInterval(p, "t", i, "w_lo", "w_hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("interval overlap includes touching endpoints and drops inverted intervals") {
     val a = ivs(Seq((1L, 0.0, 10.0), (2L, 50.0, 40.0)))
     val b = ivsB(Seq((7L, 10.0, 20.0), (8L, 11.0, 20.0)))
