@@ -870,8 +870,41 @@ object ScaleRehearsal {
           } else None
         }
         val tombRows = spark.read.parquet(
-          sources.MorDelete.sidecarDir(tableDir)).count()
+          new java.io.File(sources.MorDelete.sidecarDir(tableDir)).listFiles()
+            .filter(_.getName.startsWith("batch-")).map(_.toString).toSeq: _*).count()
         f"""{"case": "mor_accumulation", "tombstones": $tombRows%d, "reads": [${walls.mkString(", ")}]}"""
+      }
+      // TARGETED compaction: a mixed tombstone pattern — every row of the
+      // lowest ~2% key range (dense in the handful of range-clustered
+      // files that hold it) plus a 0.1% hash-scattered tail (a sliver of
+      // every file). Full compaction rewrites all 200 files for the tail;
+      // the density threshold rewrites only the dense files and leaves
+      // the tail on the read-side anti-join — bounded write amplification
+      // under a long tombstone tail, with the read staying exact (and
+      // cheap: the sidecar is still one broadcast anti-join).
+      val g = {
+        val (n0, _) = freshTable()
+        sources.MorDelete.delete(spark, tableDir,
+          col("l_orderkey") < 30000 ||
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(1000)) === 7,
+          Seq("l_orderkey", "l_linenumber"))
+        val matched = n0 - sources.MorDelete.read(spark, tableDir).count()
+        def aggOf(df: DataFrame) = df.groupBy(col("l_returnflag")).count()
+        val t0 = System.nanoTime()
+        val ps = sources.MorDelete.compact(spark, tableDir, minDoomedFraction = 0.5)
+        val partialWall = (System.nanoTime() - t0) / 1e9
+        val readWall = best2("cowdml partial read")(
+          aggOf(sources.MorDelete.read(spark, tableDir)))
+        require(sources.MorDelete.read(spark, tableDir).count() == n0 - matched,
+          "partial compaction must preserve the visible rows")
+        val t1 = System.nanoTime()
+        val fs = sources.MorDelete.compact(spark, tableDir)
+        val fullWall = (System.nanoTime() - t1) / 1e9
+        require(spark.read.parquet(tableDir).count() == n0 - matched,
+          "full compaction after partial must converge")
+        println(f"[scale] cowdml targeted   partial ${ps.touched.size}%3d/${ps.total}%d files $partialWall%6.2f s  " +
+          f"read $readWall%.2f s  then full ${fs.touched.size}%3d files $fullWall%6.2f s")
+        f"""{"case": "targeted_compaction", "deleted_rows": $matched%d, "partial_touched": ${ps.touched.size}%d, "files": ${ps.total}%d, "partial_wall": $partialWall%.2f, "read_wall": $readWall%.2f, "full_touched": ${fs.touched.size}%d, "full_wall": $fullWall%.2f}"""
       }
       // scattered MERGE both ways: CowMerge must rewrite every file the
       // source's keys touch (all 200 under hash-scattered keys);
@@ -908,7 +941,66 @@ object ScaleRehearsal {
           f"mor touched 0 files $morWall%6.2f s (${ms.keysTombstoned}%d tombstones, ${ms.filesAppended}%d appended)")
         f"""{"case": "merge_scattered", "source_rows": $srcN%d, "cow_touched": $cowTouched%d, "cow_wall": $cowWall%.2f, "mor_touched": 0, "mor_wall": $morWall%.2f, "mor_tombstones": ${ms.keysTombstoned}%d, "mor_appended_files": ${ms.filesAppended}%d}"""
       }
-      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c, $d, $e]}""")
+      println(s"""[scale] {"mode": "cowdml", "points": [$a, $b, $c, $d, $e, $g]}""")
+      spark.stop()
+      return
+    }
+
+    // ---- asofskew mode: the first-class as-of operator's decade curve
+    // (1×/10×/40×, no skew) plus the planted-hot-key probe at 40×: user 0
+    // carries ~20% of ALL events, so the single-window arm serializes a
+    // fifth of the corpus onto one task's sort. The two-phase sliced arm
+    // (AsofJoin.backwardSliced — per-(key, time-slice) window + a tiny
+    // per-key boundary carry) runs on identical data; match totals are
+    // asserted equal before any wall is recorded (the RangeJoinSpec
+    // value-lock discipline at rehearsal scale).
+    if (args.headOption.contains("asofskew")) {
+      import graft.operators.AsofJoin
+      def eventsN(n: Int, hot: Boolean): DataFrame =
+        repN(n, "events")((d, i) => d
+          .withColumn("event_id", col("event_id") + lit(i * keyOff))
+          .withColumn("user_id",
+            if (!hot) col("user_id") + lit(i * 100000L)
+            else when(pmod(col("event_id"), lit(5)) === 0, lit(0L))
+              .otherwise(col("user_id") + lit(i * 100000L))))
+      def asofOf(ev: DataFrame, sliceWidth: Option[Double]): DataFrame = {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+        sliceWidth match {
+          case None => AsofJoin.backward(clicks, views, Seq("user_id"),
+            "ts", "vts", Seq("view_id"), rightTiebreak = Seq("view_id"))
+          case Some(w) => AsofJoin.backwardSliced(clicks, views, Seq("user_id"),
+            "ts", "vts", Seq("view_id"), sliceWidth = w,
+            rightTiebreak = Seq("view_id"))
+        }
+      }
+      // slice width off the 1-row time-span stats (the LSH index-sizing
+      // discipline): ~256 slices over the event history
+      val span = Tables.t(spark, sfDir, "events")
+        .agg((max(col("ts").cast("double")) - min(col("ts").cast("double"))).as("s"))
+        .collect()(0).getDouble(0)
+      val width = math.max(span / 256.0, 1.0)
+      val curve = Seq(1, 10, 40).map { n =>
+        val w = best2(s"asof ${n}x")(asofOf(eventsN(n, hot = false), None))
+        f"""{"replicas": $n%d, "wall": $w%.2f}"""
+      }
+      val hot40 = eventsN(40, hot = true)
+      def matched(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), count(col("view_id"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val mSingle = matched(asofOf(hot40, None))
+      val mSliced = matched(asofOf(hot40, Some(width)))
+      require(mSingle == mSliced,
+        s"sliced arm diverged on the hot corpus: $mSingle vs $mSliced")
+      val wSingle = best2("asof hot 40x single")(asofOf(hot40, None))
+      val wSliced = best2("asof hot 40x sliced")(asofOf(hot40, Some(width)))
+      println(f"[scale] asofskew hot40 single $wSingle%.2f s vs sliced $wSliced%.2f s " +
+        f"(rows ${mSingle._1}%d, matched ${mSingle._2}%d, width $width%.0f s)")
+      println(s"""[scale] {"mode": "asofskew", "curve": [${curve.mkString(", ")}], """ +
+        f""""hot40": {"rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f, "slice_width_s": $width%.1f}}""")
       spark.stop()
       return
     }

@@ -78,6 +78,124 @@ object AsofJoin {
     join(left, right, on, leftTime, rightTime, payload, rightTiebreak,
       within, forward = true)
 
+  /** The skew arm of [[backward]]: identical semantics, two-phase plan.
+    * The single-window shape serializes each key's FULL history onto one
+    * task (inherent to a per-key ordered scan); when one key carries a
+    * large share of both sides — the planted-hot-key rehearsal — that
+    * task becomes the straggler. This arm decomposes the scan by
+    * (key, time-slice), the same decomposition the bucketed range join
+    * applies to intervals:
+    *
+    *  1. IN-SLICE pass: the [[backward]] union+window, partitioned by
+    *     (key, slice) where slice = ⌊time/sliceWidth⌋ — a hot key's
+    *     history spreads over history/sliceWidth tasks. Each left row
+    *     resolves its nearest prior right row WITHIN its own slice.
+    *  2. BOUNDARY pass: one row per (key, slice) — the slice's FINAL
+    *     right payload (max_by over (time, tiebreak)) — then a small
+    *     per-key window over slice ids carries the last non-null payload
+    *     forward across slice boundaries. This frame is |keys| × |active
+    *     slices|, orders of magnitude below the row count.
+    *  3. A left row's nearest prior match = its in-slice match, else the
+    *     boundary carry (every earlier-slice right row is strictly
+    *     older than every in-slice one, so the coalesce IS the nearest).
+    *
+    * `within` tolerance and the null contract behave exactly as in
+    * [[backward]] (spec-locked equivalent on seeded corpora).
+    *
+    * @param sliceWidth time-slice width in the time column's double-cast
+    *   units (epoch seconds for timestamps). Pick ≈ history span / (10 ×
+    *   cores): wide enough that the boundary frame stays tiny, narrow
+    *   enough to break the hot key up.
+    */
+  def backwardSliced(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      sliceWidth: Double,
+      rightTiebreak: Seq[String] = Nil,
+      within: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(on.nonEmpty, "asof join needs at least one key column")
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    require(sliceWidth > 0, "sliceWidth must be positive")
+    require(rightTiebreak.forall(payload.contains),
+      "rightTiebreak fields must be payload columns")
+    require(!payload.contains("__asof_rt"), "__asof_rt is reserved")
+    val overlap = left.columns.toSet.intersect(payload.toSet)
+    require(overlap.isEmpty,
+      s"payload columns collide with left's; rename first: ${overlap.mkString(", ")}")
+
+    def slice(time: Column): Column =
+      floor(time.cast("double") / sliceWidth).cast("long")
+    def keyedCond(time: String): Column =
+      (on.map(col) :+ col(time)).map(_.isNotNull).reduce(_ && _)
+
+    val payStruct = struct(payload.map(col) :+ col(rightTime).as("__asof_rt"): _*)
+    val payType = right.select(payStruct.as("p")).schema("p").dataType
+    val payFields = payType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val rowStruct = struct(left.columns.toSeq.map(col): _*)
+    val rowType = left.select(rowStruct.as("r")).schema("r").dataType
+
+    val rT = right.filter(keyedCond(rightTime)).select(
+      on.map(col) ++ Seq(
+        col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        payStruct.as("__asof_pay"),
+        lit(null).cast(rowType).as("__asof_row")): _*)
+    val lT = left.filter(keyedCond(leftTime)).select(
+      on.map(col) ++ Seq(
+        col(leftTime).as("__asof_t"),
+        lit(1).as("__asof_side"),
+        lit(null).cast(payType).as("__asof_pay"),
+        rowStruct.as("__asof_row")): _*)
+
+    // phase 1: the backward window, partitioned by (key, slice)
+    val sliced = rT.unionByName(lT).withColumn("__asof_slice", slice(col("__asof_t")))
+    val wIn = Window.partitionBy((on :+ "__asof_slice").map(col): _*)
+      .orderBy(Seq(col("__asof_t").asc, col("__asof_side").asc) ++
+        rightTiebreak.map(f => col("__asof_pay").getField(f).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSlice = sliced
+      .withColumn("__asof_in", last(col("__asof_pay"), ignoreNulls = true).over(wIn))
+      .filter(col("__asof_side") === 1)
+
+    // phase 2: per-(key, slice) final right payload, carried forward over
+    // strictly earlier slices of the same key
+    val ord = struct(col("__asof_t") +:
+      rightTiebreak.map(f => col("__asof_pay").getField(f)): _*)
+    val sliceFinal = rT.withColumn("__asof_slice", slice(col("__asof_t")))
+      .groupBy((on :+ "__asof_slice").map(col): _*)
+      .agg(max_by(col("__asof_pay"), ord).as("__asof_fin"))
+    val leftSlices = lT.withColumn("__asof_slice", slice(col("__asof_t")))
+      .select((on :+ "__asof_slice").map(col): _*).distinct()
+    val wCarry = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__asof_slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = leftSlices
+      .join(sliceFinal, on :+ "__asof_slice", "full_outer")
+      .withColumn("__asof_carry", last(col("__asof_fin"), ignoreNulls = true).over(wCarry))
+      .select((on :+ "__asof_slice").map(col) :+ col("__asof_carry"): _*)
+
+    // phase 3: nearest = in-slice if present, else the boundary carry
+    val joined = inSlice.join(boundary, on :+ "__asof_slice", "left_outer")
+      .withColumn("__asof_match", coalesce(col("__asof_in"), col("__asof_carry")))
+    val kept = within match {
+      case None => col("__asof_match")
+      case Some(p) => when(col("__asof_match").isNotNull &&
+        p(col("__asof_t"), col("__asof_match").getField("__asof_rt")),
+        col("__asof_match"))
+    }
+    val matched = joined.select(
+      left.columns.toSeq.map(c => col("__asof_row").getField(c).as(c)) ++
+        payload.map(f => kept.getField(f).as(f)): _*)
+    val unmatched = left.filter(!keyedCond(leftTime)).select(
+      left.columns.toSeq.map(col) ++
+        payload.map(f => lit(null).cast(payFields(f).dataType).as(f)): _*)
+    matched.unionByName(unmatched)
+  }
+
   private def join(
       left: DataFrame,
       right: DataFrame,

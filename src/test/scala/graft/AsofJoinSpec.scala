@@ -142,6 +142,54 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == Map(10L -> Some(8L)), "rt=49 (gap 1) is nearest and in tolerance")
   }
 
+  /** Null-key-safe extractor: (k?, lid, v?) — the equivalence corpus below
+    * deliberately includes null-key left rows, which `got` cannot hold. */
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Option[Long], Long, Option[Long])] =
+    df.select("k", "lid", "v").collect()
+      .map(x => (if (x.isNullAt(0)) None else Some(x.getLong(0)), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+
+  test("two-phase sliced arm ≡ the single-window arm across slice widths") {
+    val rnd = new scala.util.Random(99)
+    // hot key 0 carries ~half of both sides — the skew shape the sliced
+    // arm exists for — plus nulls on both sides and tie-dense times
+    def key() = if (rnd.nextBoolean()) 0L else rnd.nextInt(10).toLong + 1L
+    val l = lhs((0 until 600).map(i => (key(), i.toLong, rnd.nextInt(50).toLong)))
+      .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) k, 9999L lid, 5L lt"))
+      .unionByName(spark.sql("SELECT 3L k, 9998L lid, CAST(NULL AS BIGINT) lt"))
+    val r = rhs((0 until 400).map(j => (key(), rnd.nextInt(50).toLong, j.toLong)))
+      .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) k, 7L rt, 777L v"))
+    val expected = rowsOf(AsofJoin.backward(l, r, on = Seq("k"),
+      leftTime = "lt", rightTime = "rt", payload = Seq("v"),
+      rightTiebreak = Seq("v")))
+    // widths: sub-unit (every time its own slice), mid, and wider than
+    // the whole 0..49 domain (degenerates to the single-window plan)
+    for (w <- Seq(1.0, 7.0, 1000.0)) {
+      val sliced = rowsOf(AsofJoin.backwardSliced(l, r, on = Seq("k"),
+        leftTime = "lt", rightTime = "rt", payload = Seq("v"),
+        sliceWidth = w, rightTiebreak = Seq("v")))
+      assert(sliced == expected, s"sliceWidth $w diverges")
+    }
+  }
+
+  test("sliced arm honors the within tolerance on the resolved nearest match") {
+    val l = lhs(Seq((1L, 10L, 100L), (1L, 11L, 30L)))
+    val r = rhs(Seq((1L, 95L, 5L), (1L, 10L, 6L)))
+    val within = Some((lt: org.apache.spark.sql.Column,
+        rt: org.apache.spark.sql.Column) => lt - rt <= 10L)
+    val base = AsofJoin.backward(l, r, Seq("k"), "lt", "rt", Seq("v"),
+        within = within)
+      .select("lid", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    val sliced = AsofJoin.backwardSliced(l, r, Seq("k"), "lt", "rt", Seq("v"),
+        sliceWidth = 20.0, within = within)
+      .select("lid", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(base == Set((10L, Some(5L)), (11L, None)),
+      "lid 11's nearest (rt=6, 24 back) is out of tolerance -> unmatched")
+    assert(sliced == base)
+  }
+
   test("colliding payload names are refused up front") {
     val l = lhs(Seq((1L, 10L, 50L)))
     val r = rhs(Seq((1L, 40L, 5L))).withColumnRenamed("v", "lid")
