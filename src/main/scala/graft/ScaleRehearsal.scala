@@ -986,21 +986,35 @@ object ScaleRehearsal {
         val w = best2(s"asof ${n}x")(asofOf(eventsN(n, hot = false), None))
         f"""{"replicas": $n%d, "wall": $w%.2f}"""
       }
-      val hot40 = eventsN(40, hot = true)
       def matched(df: DataFrame): (Long, Long) = {
         val r = df.agg(count(lit(1)), count(col("view_id"))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
-      val mSingle = matched(asofOf(hot40, None))
-      val mSliced = matched(asofOf(hot40, Some(width)))
-      require(mSingle == mSliced,
-        s"sliced arm diverged on the hot corpus: $mSingle vs $mSliced")
-      val wSingle = best2("asof hot 40x single")(asofOf(hot40, None))
-      val wSliced = best2("asof hot 40x sliced")(asofOf(hot40, Some(width)))
-      println(f"[scale] asofskew hot40 single $wSingle%.2f s vs sliced $wSliced%.2f s " +
-        f"(rows ${mSingle._1}%d, matched ${mSingle._2}%d, width $width%.0f s)")
+      // hot probes at two scales: the sliced arm pays two extra small
+      // shuffles (boundary build + join-back), so it only wins once the
+      // hot key's single-task sort outweighs that constant — measure the
+      // crossover, don't assert it
+      // three skew points: 20% on one key at two scales, and the cliff —
+      // ONE key owning the ENTIRE stream (constant-key as-of: market data
+      // for one symbol, global-config lookups), where the single-window
+      // arm degenerates to a single task
+      val hotPoints = Seq((40, "hot20"), (200, "hot20"), (200, "hot100")).map {
+        case (n, kind) =>
+          val hot =
+            if (kind == "hot100") eventsN(n, hot = false).withColumn("user_id", lit(0L))
+            else eventsN(n, hot = true)
+          val mSingle = matched(asofOf(hot, None))
+          val mSliced = matched(asofOf(hot, Some(width)))
+          require(mSingle == mSliced,
+            s"sliced arm diverged on the $kind ${n}x corpus: $mSingle vs $mSliced")
+          val wSingle = best2(s"asof $kind ${n}x single")(asofOf(hot, None))
+          val wSliced = best2(s"asof $kind ${n}x sliced")(asofOf(hot, Some(width)))
+          println(f"[scale] asofskew $kind%s@$n%dx single $wSingle%.2f s vs sliced $wSliced%.2f s " +
+            f"(rows ${mSingle._1}%d, matched ${mSingle._2}%d, width $width%.0f s)")
+          f"""{"kind": "$kind%s", "replicas": $n%d, "rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f}"""
+      }
       println(s"""[scale] {"mode": "asofskew", "curve": [${curve.mkString(", ")}], """ +
-        f""""hot40": {"rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f, "slice_width_s": $width%.1f}}""")
+        f""""hot": [${hotPoints.mkString(", ")}], "slice_width_s": $width%.1f}""")
       spark.stop()
       return
     }

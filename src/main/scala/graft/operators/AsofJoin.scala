@@ -151,35 +151,43 @@ object AsofJoin {
         lit(null).cast(payType).as("__asof_pay"),
         rowStruct.as("__asof_row")): _*)
 
-    // phase 1: the backward window, partitioned by (key, slice)
+    // phase 1: the backward window, partitioned by (key, slice). BOTH
+    // window columns share one partition+order spec, so Spark computes
+    // them in a single WindowExec over ONE shuffle of the union — the
+    // running frame resolves each left row's in-slice match, the full
+    // frame tags every row with its slice's FINAL right payload (the
+    // boundary-carry source), and the scan is evaluated exactly once.
     val sliced = rT.unionByName(lT).withColumn("__asof_slice", slice(col("__asof_t")))
-    val wIn = Window.partitionBy((on :+ "__asof_slice").map(col): _*)
+    val pw = Window.partitionBy((on :+ "__asof_slice").map(col): _*)
       .orderBy(Seq(col("__asof_t").asc, col("__asof_side").asc) ++
         rightTiebreak.map(f => col("__asof_pay").getField(f).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inSlice = sliced
-      .withColumn("__asof_in", last(col("__asof_pay"), ignoreNulls = true).over(wIn))
-      .filter(col("__asof_side") === 1)
+    val frame = sliced
+      .withColumn("__asof_in", last(col("__asof_pay"), ignoreNulls = true)
+        .over(pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__asof_fin", last(col("__asof_pay"), ignoreNulls = true)
+        .over(pw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 
-    // phase 2: per-(key, slice) final right payload, carried forward over
-    // strictly earlier slices of the same key
-    val ord = struct(col("__asof_t") +:
-      rightTiebreak.map(f => col("__asof_pay").getField(f)): _*)
-    val sliceFinal = rT.withColumn("__asof_slice", slice(col("__asof_t")))
-      .groupBy((on :+ "__asof_slice").map(col): _*)
-      .agg(max_by(col("__asof_pay"), ord).as("__asof_fin"))
-    val leftSlices = lT.withColumn("__asof_slice", slice(col("__asof_t")))
-      .select((on :+ "__asof_slice").map(col): _*).distinct()
+    // phase 2: one row per (key, slice) — __asof_fin is constant within a
+    // partition, and the groupBy keys match the window's partitioning, so
+    // this aggregation runs in place with no further exchange. The carry
+    // window then walks each key's slice ids (a frame orders of magnitude
+    // below the row count) pulling the last non-null final payload from
+    // STRICTLY earlier slices.
+    val slices = frame.groupBy((on :+ "__asof_slice").map(col): _*)
+      .agg(first(col("__asof_fin")).as("__asof_fin"))
     val wCarry = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__asof_slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val boundary = leftSlices
-      .join(sliceFinal, on :+ "__asof_slice", "full_outer")
+    val boundary = slices
       .withColumn("__asof_carry", last(col("__asof_fin"), ignoreNulls = true).over(wCarry))
       .select((on :+ "__asof_slice").map(col) :+ col("__asof_carry"): _*)
 
     // phase 3: nearest = in-slice if present, else the boundary carry
-    val joined = inSlice.join(boundary, on :+ "__asof_slice", "left_outer")
+    // (every earlier-slice right row is strictly older than any in-slice
+    // one, so the coalesce IS the nearest); the big side keeps its
+    // (key, slice) partitioning, only the small boundary frame moves
+    val joined = frame.filter(col("__asof_side") === 1)
+      .join(boundary, on :+ "__asof_slice", "left_outer")
       .withColumn("__asof_match", coalesce(col("__asof_in"), col("__asof_carry")))
     val kept = within match {
       case None => col("__asof_match")

@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("__rj_bucket"), "join keys must include the quantized bucket id")
   }
 
+  test("timestamp range join plans the bucket equi-join on the temporal domain") {
+    val p = executedPlan("events_time_in_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.toLowerCase.contains("cartesianproduct"),
+      "timestamp containment must ride the bucket equi-join, not a nested loop:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("__rj_bucket"), "join keys must include the quantized bucket id")
+  }
+
   test("interval-overlap join plans a hash join on buckets, never a nested loop") {
     val p = executedPlan("join_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.toLowerCase.contains("cartesianproduct"),
