@@ -315,6 +315,45 @@ object Ddl {
         .orderBy(col("s_nationkey").asc_nulls_last)
     },
 
+    // Density-TARGETED merge-on-read compaction (the long-tombstone-tail
+    // answer rehearsed in SCALE_r14 cowdml): a key-clustered layout takes
+    // a delete that is DENSE in the low key range (most of the first
+    // range files) plus a thin scattered tail; compact(minDoomedFraction
+    // = 0.5) rewrites only the dense files, retains the sidecar, and the
+    // anti-join read must still hash-match the oracle's equality-delete
+    // semantics. partial_scoped carries the mechanism: some but NOT all
+    // files rewrote, and the sidecar survived the partial compaction.
+    "ddl_mor_partial_compact" -> Q.df(
+      """SELECT l.l_returnflag AS l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+        |  true AS partial_scoped
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem d
+        |  WHERE d.l_orderkey = l.l_orderkey AND d.l_linenumber = l.l_linenumber
+        |    AND (d.l_orderkey < 15000 OR d.l_partkey % 211 = 5))
+        |GROUP BY l.l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morpart_lineitem"
+      drop(s, "g_morpart_lineitem", loc)
+      drop(s, "g_morpart_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      Tables.t(s, dir, "lineitem")
+        .repartitionByRange(8, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(loc)
+      MorDelete.delete(s, loc,
+        col("l_orderkey") < 15000 || col("l_partkey") % 211 === 5,
+        Seq("l_orderkey", "l_linenumber"))
+      val ps = MorDelete.compact(s, loc, minDoomedFraction = 0.5)
+      val scoped = ps.touched.nonEmpty && ps.touched.size < ps.total &&
+        new java.io.File(MorDelete.sidecarDir(loc)).exists()
+      MorDelete.read(s, loc)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+        .withColumn("partial_scoped", lit(scoped))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
     // Snapshot-pinned MoR read (the reference anchors a write's visibility
     // on TableFinishOperator's commit point; here the analog is the
     // tombstone batch's atomic directory rename plus sequence pinning): a
