@@ -116,7 +116,40 @@ object AsofJoin {
       payload: Seq[String],
       sliceWidth: Double,
       rightTiebreak: Seq[String] = Nil,
-      within: Option[(Column, Column) => Column] = None): DataFrame = {
+      within: Option[(Column, Column) => Column] = None): DataFrame =
+    slicedJoin(left, right, on, leftTime, rightTime, payload, sliceWidth,
+      rightTiebreak, within, forward = false)
+
+  /** The forward counterpart of [[backwardSliced]] — [[forward]]'s
+    * semantics through the same per-(key, time-slice) decomposition: the
+    * in-slice window scans time DESCENDING (the running prefix holds the
+    * future, `last` lands on the nearest following right row) and the
+    * boundary carry walks slice ids descending, pulling each slice's
+    * EARLIEST right payload from strictly later slices. */
+  def forwardSliced(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      sliceWidth: Double,
+      rightTiebreak: Seq[String] = Nil,
+      within: Option[(Column, Column) => Column] = None): DataFrame =
+    slicedJoin(left, right, on, leftTime, rightTime, payload, sliceWidth,
+      rightTiebreak, within, forward = true)
+
+  private def slicedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      sliceWidth: Double,
+      rightTiebreak: Seq[String],
+      within: Option[(Column, Column) => Column],
+      forward: Boolean): DataFrame = {
     require(on.nonEmpty, "asof join needs at least one key column")
     require(payload.nonEmpty, "asof join needs at least one payload column")
     require(sliceWidth > 0, "sliceWidth must be positive")
@@ -158,8 +191,9 @@ object AsofJoin {
     // frame tags every row with its slice's FINAL right payload (the
     // boundary-carry source), and the scan is evaluated exactly once.
     val sliced = rT.unionByName(lT).withColumn("__asof_slice", slice(col("__asof_t")))
+    val tOrd = if (forward) col("__asof_t").desc else col("__asof_t").asc
     val pw = Window.partitionBy((on :+ "__asof_slice").map(col): _*)
-      .orderBy(Seq(col("__asof_t").asc, col("__asof_side").asc) ++
+      .orderBy(Seq(tOrd, col("__asof_side").asc) ++
         rightTiebreak.map(f => col("__asof_pay").getField(f).asc): _*)
     val frame = sliced
       .withColumn("__asof_in", last(col("__asof_pay"), ignoreNulls = true)
@@ -176,7 +210,7 @@ object AsofJoin {
     val slices = frame.groupBy((on :+ "__asof_slice").map(col): _*)
       .agg(first(col("__asof_fin")).as("__asof_fin"))
     val wCarry = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__asof_slice").asc)
+      .orderBy(if (forward) col("__asof_slice").desc else col("__asof_slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val boundary = slices
       .withColumn("__asof_carry", last(col("__asof_fin"), ignoreNulls = true).over(wCarry))

@@ -353,6 +353,36 @@ object Events {
         .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
     },
 
+    // The forward SLICED arm under the same forward-ASOF oracle — both
+    // directions of the skew decomposition are driver-gated, not just
+    // the backward one.
+    "events_asof_fwd_sliced" -> Q.df(
+      """WITH views AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT v.user_id AS user_id, v.event_id AS event_id,
+        |  COALESCE(c.click_id, -1) AS click_id
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.vts <= c.cts
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin.forwardSliced(views, clicks,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "cts",
+          payload = Seq("click_id"), sliceWidth = 6 * 3600.0,
+          rightTiebreak = Seq("click_id"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+    },
+
     // Range join on a TEMPORAL domain end-to-end: event timestamps joined
     // into half-open-by-construction session windows (each hour's first
     // 30 minutes) through the bucketed point-in-interval path — timestamps

