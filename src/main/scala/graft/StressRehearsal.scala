@@ -192,6 +192,56 @@ object StressRehearsal {
 
         println(f"""[stress] {"mode":"spill","heap_gb":$heapG%.1f,"replicas":$R%d,"q18_sec":$tQ18%.2f,"q18_spill_mem_mb":${spillAfterQ18._1 / 1048576}%d,"minhash_sec":$tMin%.2f,"minhash_spill_mem_mb":${(spillAfterMin._1 - spillAfterQ18._1) / 1048576}%d,"ngram_sec":$tLm%.2f,"ngram_spill_mem_mb":${(spillAfterLm._1 - spillAfterMin._1) / 1048576}%d,"semdedup_sec":$tSem%.2f,"semdedup_spill_mem_mb":${(spillAfterSem._1 - spillAfterLm._1) / 1048576}%d,"sort_sec":$tSort%.2f,"sort_spill_mem_mb":${sortMem / 1048576}%d,"sort_spill_disk_mb":${sortDisk / 1048576}%d,"total_spill_mem_mb":${tally.memSpilled / 1048576}%d,"total_spill_disk_mb":${tally.diskSpilled / 1048576}%d}""")
 
+      case "asofspill" =>
+        // The one-key-owns-the-stream cliff UNDER MEMORY PRESSURE: the
+        // single-window as-of puts the whole corpus in ONE window
+        // partition, whose buffered sort must go through
+        // ExternalAppendOnlyUnsafeRowArray/UnsafeExternalSorter spill
+        // files at a 4g heap — complete by spilling, never OOM. The
+        // sliced arm on identical data spreads the same rows over
+        // span/width slices and should finish without the single-task
+        // sort (the SCALE_r14 asofskew wall story, re-run as a survival
+        // gate). Corpus: R×600k lineitem rows as a constant-key event
+        // stream, odd line numbers probing even ones.
+        val tally = new SpillTally
+        spark.sparkContext.addSparkListener(tally)
+        val heapG = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+        import graft.operators.AsofJoin
+        val ev = rep("lineitem")((d, i) => d
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
+          .select(lit(0L).as("k"),
+            col("l_shipdate").cast("timestamp").as("t"),
+            col("l_orderkey"), col("l_linenumber"))
+        val probes = ev.filter(col("l_linenumber") % 2 === 1)
+          .select(col("k"), col("t"), col("l_orderkey").as("probe_id"))
+        val quotes = ev.filter(col("l_linenumber") % 2 === 0)
+          .select(col("k"), col("t").as("qt"), col("l_orderkey").as("quote_id"))
+        def matchedOf(df: DataFrame): Long =
+          df.agg(count(col("quote_id"))).collect()(0).getLong(0)
+        val single = AsofJoin.backward(probes, quotes, Seq("k"), "t", "qt",
+          Seq("quote_id"), rightTiebreak = Seq("quote_id"))
+        val tSingle = timed {
+          single.write.format("noop").mode("overwrite").save()
+        }
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        val spillSingle = (tally.memSpilled, tally.diskSpilled)
+        spark.catalog.clearCache()
+        // width = history/256 off a 1-row stats aggregate
+        val span = ev.agg((max(col("t").cast("double")) -
+          min(col("t").cast("double"))).as("s")).collect()(0).getDouble(0)
+        val sliced = AsofJoin.backwardSliced(probes, quotes, Seq("k"), "t", "qt",
+          Seq("quote_id"), sliceWidth = math.max(span / 256.0, 1.0),
+          rightTiebreak = Seq("quote_id"))
+        val tSliced = timed {
+          sliced.write.format("noop").mode("overwrite").save()
+        }
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        val slicedMem = tally.memSpilled - spillSingle._1
+        val slicedDisk = tally.diskSpilled - spillSingle._2
+        val (mS, mL) = (matchedOf(single), matchedOf(sliced))
+        require(mS == mL, s"arms diverged under pressure: $mS vs $mL")
+        println(f"""[stress] {"mode":"asofspill","heap_gb":$heapG%.1f,"replicas":$R%d,"rows":${R * 600000}%d,"matched":$mS%d,"single_sec":$tSingle%.2f,"single_spill_mem_mb":${spillSingle._1 / 1048576}%d,"single_spill_disk_mb":${spillSingle._2 / 1048576}%d,"sliced_sec":$tSliced%.2f,"sliced_spill_mem_mb":${slicedMem / 1048576}%d,"sliced_spill_disk_mb":${slicedDisk / 1048576}%d}""")
+
       case "skew" =>
         // ~10% of the 10× fact rides ONE hot order key; the rest spread
         // over the replicated key space. The per-order aggregate join

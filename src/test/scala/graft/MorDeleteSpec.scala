@@ -394,6 +394,33 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.touched.nonEmpty, "the sparse file still held one doomed key")
   }
 
+  test("upsert on a partitioned layout: appended parts land in partition directories") {
+    val loc = Files.createTempDirectory("graft_mor").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(loc)
+    val before = files(loc)
+    val table = spark.read.option("basePath", loc).parquet(loc)
+    val src = oneRowPerKey(table.filter(col("o_orderkey").isin(1L, 2L, 3L)))
+      .withColumn("o_orderpriority", lit("9-UPSERTED")) // a brand-new partition
+      .select(table.columns.toSeq.map(col): _*)
+    val stats = graft.sources.MorUpsert.upsert(spark, loc, src, Seq("o_orderkey"))
+    assert(stats.keysTombstoned == 3 && stats.filesAppended > 0)
+    assert(before.forall { case (p, m) => files(loc).get(p).contains(m) },
+      "no pre-existing partition file may be touched")
+    val after = MorDelete.read(spark, loc)
+    assert(after.filter(col("o_orderkey").isin(1L, 2L, 3L))
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("9-UPSERTED"),
+      "replacements must win and carry the partition-directory column")
+    assert(new File(loc, "o_orderpriority=9-UPSERTED").isDirectory,
+      "the appended rows must land in their own partition directory")
+    // compact folds everything back while keeping the partition layout
+    MorDelete.compact(spark, loc)
+    val physical = spark.read.option("basePath", loc).parquet(loc)
+    assert(physical.filter(col("o_orderkey").isin(1L, 2L, 3L) &&
+      col("o_orderpriority") =!= "9-UPSERTED").count() == 0)
+  }
+
   test("sequencing: a later delete removes an earlier upsert's replacement; compact folds all") {
     val loc = freshTable()
     val one = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 1L))
