@@ -113,6 +113,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sliced as-of: the big union shuffles once; boundary carry stays small") {
+    // the SCALE_r14 claim: both window columns share one partition+order
+    // spec (one WindowExec span over ONE exchange of the union), the
+    // boundary aggregation runs on the window's partitioning without a
+    // further exchange of the big side, and only the small boundary frame
+    // moves for the join-back — so total exchanges stay bounded (union
+    // side + boundary-carry re-key + broadcast/shuffle of the tiny
+    // boundary), never a second shuffle of the full corpus
+    val p = executedPlan("events_asof_sliced")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"sliced as-of must not re-shuffle the big side ($exchanges exchanges):\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("Window"), "both phases ride window evaluation")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.toLowerCase.contains("cartesianproduct"))
+  }
+
   test("llm_sample_per_class pre-prunes map-side via WindowGroupLimit") {
     val p = executedPlan("llm_sample_per_class")
     assert(p.contains("WindowGroupLimit"),
