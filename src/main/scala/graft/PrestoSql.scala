@@ -186,6 +186,16 @@ object PrestoSql {
     // message, not a bare parse error (README "Known divergences")
     private val txnRe =
       "(?is)^\\s*(START\\s+TRANSACTION\\b[^;]*|COMMIT(?:\\s+WORK)?|ROLLBACK(?:\\s+WORK)?)\\s*;?\\s*$".r
+    // reference grammar SqlBase.g4 `DELETE FROM qualifiedName (WHERE
+    // booleanExpression)?` and the UPDATE statement family. Spark's own
+    // parser rejects row-level DML on parquet v1 tables, so these route
+    // onto the copy-on-write engines (sources/CowDelete.scala) against
+    // the catalog table's location — the same single-statement atomicity
+    // the reference's DeleteOperator + TableFinish pair provides.
+    private val deleteRe =
+      "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+    private val updateRe =
+      "(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
 
     /** Route one statement: PREPARE/EXECUTE/DEALLOCATE and the SHOW
       * metadata statements handled here (the reference rewrites SHOW into
@@ -237,6 +247,34 @@ object PrestoSql {
       case resetSessionRe(name) =>
         spark.conf.unset(name)
         spark.sql("SELECT 'RESET SESSION' AS result")
+      case deleteRe(table, whereOpt) =>
+        import spark.implicits._
+        val pred = Option(whereOpt)
+          .map(w => org.apache.spark.sql.functions.expr(PrestoSql.translate(w)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        // the reference's DELETE returns the deleted-row count (one
+        // bounded pushdown-filtered count; the engine's touched-file
+        // discovery scans those rows anyway)
+        val n = spark.table(table).filter(pred).count()
+        sources.CowDelete.delete(spark, parquetLocation(table, "DELETE"), pred)
+        spark.catalog.refreshTable(table)
+        Seq(n).toDF("rows")
+      case updateRe(table, setList, whereOpt) =>
+        import spark.implicits._
+        val pred = Option(whereOpt)
+          .map(w => org.apache.spark.sql.functions.expr(PrestoSql.translate(w)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val sets = splitTopLevel(setList).map { a =>
+          val eq = topLevelEq(a)
+          require(eq > 0, s"malformed SET assignment: $a")
+          val name = a.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
+          name -> org.apache.spark.sql.functions.expr(
+            PrestoSql.translate(a.substring(eq + 1).trim))
+        }
+        val n = spark.table(table).filter(pred).count()
+        sources.CowUpdate.update(spark, parquetLocation(table, "UPDATE"), pred, sets)
+        spark.catalog.refreshTable(table)
+        Seq(n).toDF("rows")
       case txnRe(stmt) =>
         throw new UnsupportedOperationException(
           s"'${stmt.trim}' is not supported: this engine runs with single-statement " +
@@ -462,6 +500,39 @@ object PrestoSql {
       }
       if (cur.toString.trim.nonEmpty) parts += cur.toString.trim
       parts.toSeq
+    }
+
+    /** Index of the top-level `=` of one SET assignment (quotes and
+      * parens bind, so `c = coalesce(x, '=')` splits at the first `=`). */
+    private def topLevelEq(s: String): Int = {
+      var depth = 0; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' =>
+            i += 1
+            while (i < s.length && s.charAt(i) != '\'') i += 1
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '=' if depth == 0 => return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+
+    /** Resolve a catalog table to the parquet directory the CoW engines
+      * rewrite; anything but a parquet-provider table is refused loudly
+      * (the reference's connectors opt into row-level DML the same way —
+      * `UpdatablePageSource` is per-connector).
+      */
+    private def parquetLocation(table: String, stmt: String): String = {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val meta = spark.sessionState.catalog.getTableMetadata(id)
+      require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
+        s"$stmt routes through the copy-on-write parquet engine; table '$table' " +
+          s"has provider ${meta.provider.getOrElse("<none>")}")
+      java.nio.file.Paths.get(meta.location).toString
     }
   }
 }

@@ -315,6 +315,45 @@ object Ddl {
         .orderBy(col("s_nationkey").asc_nulls_last)
     },
 
+    // The SQL statement surface for row-level DML (reference grammar
+    // SqlBase.g4 DELETE/UPDATE; Spark's own parser rejects both on
+    // parquet v1 tables): PrestoSql.Prepared.statement routes them onto
+    // the CoW engines against the catalog table's location and returns
+    // the reference's `rows` count. The oracle re-derives the final
+    // table as WHERE-NOT plus a CASE re-price; dml_counts pins that both
+    // statements reported exactly the driver-recomputable row counts.
+    "ddl_sql_delete_update" -> Q.df(
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 100
+        |    ELSE s_acctbal END AS DECIMAL(30,8))) AS DOUBLE) AS bal,
+        |  true AS dml_counts
+        |FROM supplier WHERE NOT (s_nationkey = 3)
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sqldml_supplier"
+      drop(s, "g_sqldml_supplier", loc)
+      s.sql(
+        s"""CREATE TABLE g_sqldml_supplier USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM supplier""".stripMargin)
+      val ps = new graft.PrestoSql.Prepared(s)
+      val nDel = ps.statement(
+        "DELETE FROM g_sqldml_supplier WHERE s_nationkey = 3").head().getLong(0)
+      val nUpd = ps.statement(
+        "UPDATE g_sqldml_supplier SET s_acctbal = s_acctbal + 100 WHERE s_suppkey % 7 = 0")
+        .head().getLong(0)
+      val supplier = Tables.t(s, dir, "supplier")
+      val ok = nDel == supplier.filter(col("s_nationkey") === 3).count() &&
+        nUpd == supplier.filter(col("s_nationkey") =!= 3 &&
+          col("s_suppkey") % 7 === 0).count()
+      s.table("g_sqldml_supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+        .withColumn("dml_counts", lit(ok))
+        .orderBy(col("s_nationkey").asc_nulls_last)
+    },
+
     // Density-TARGETED merge-on-read compaction (the long-tombstone-tail
     // answer rehearsed in SCALE_r14 cowdml): a key-clustered layout takes
     // a delete that is DENSE in the low key range (most of the first

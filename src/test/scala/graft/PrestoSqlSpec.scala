@@ -254,6 +254,34 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.statement("SELECT 1 AS commit_count").collect().head.getInt(0) == 1)
   }
 
+  test("DELETE FROM / UPDATE statements route onto the CoW engines with row counts") {
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqldml").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqldml")
+    spark.sql(s"CREATE TABLE g_spec_sqldml USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    val n0 = spark.table("g_spec_sqldml").count()
+    // quoted-identifier predicate exercises the dialect translation
+    val del = ps.statement("DELETE FROM g_spec_sqldml WHERE \"n_regionkey\" = 2")
+    assert(del.columns.toSeq == Seq("rows"))
+    val nDel = del.head().getLong(0)
+    assert(nDel > 0 && spark.table("g_spec_sqldml").count() == n0 - nDel)
+    assert(spark.table("g_spec_sqldml").filter("n_regionkey = 2").count() == 0)
+    val upd = ps.statement(
+      "UPDATE g_spec_sqldml SET n_name = concat(n_name, '!') WHERE n_nationkey % 2 = 0")
+      .head().getLong(0)
+    assert(upd == spark.table("g_spec_sqldml").filter("n_name LIKE '%!'").count())
+    // DELETE with no WHERE empties the table and reports every row
+    val all = ps.statement("DELETE FROM g_spec_sqldml").head().getLong(0)
+    assert(all == n0 - nDel && spark.table("g_spec_sqldml").count() == 0)
+    // a non-parquet relation is refused loudly, not mangled
+    spark.sql("CREATE OR REPLACE TEMP VIEW g_spec_sqldml_v AS SELECT 1 AS x")
+    val e = intercept[Exception](ps.statement("DELETE FROM g_spec_sqldml_v WHERE x = 1"))
+    assert(e.getMessage.toLowerCase.contains("parquet") ||
+      e.getMessage.toLowerCase.contains("table or view"))
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqldml")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
