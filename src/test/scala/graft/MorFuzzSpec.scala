@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{MorDelete, MorUpsert}
+
+/** Property fuzz for the merge-on-read DML source: seeded random
+  * sequences of resolved-view deletes, upserts, clause merges, and
+  * full/partial compactions over a duplicate-keyed table, each step
+  * checked against an in-memory SHADOW MODEL of the equality-delete
+  * contract. Hand-written cases (MorDeleteSpec) pin each rule once; the
+  * fuzz exercises their INTERACTIONS — a tombstone landing on an earlier
+  * upsert's replacement, a clause merge over rows a partial compaction
+  * just rewrote at the carried sequence, a snapshot pinned across all of
+  * it — where sequencing bugs actually live.
+  *
+  * Shadow semantics (what the source promises):
+  *  - DELETE(pred): keys of LIVE rows matching pred die, taking every
+  *    live row that shares the key (equality contract over the resolved
+  *    view, never raw files).
+  *  - MERGE: matched = live keys ∩ source keys; the delete clause
+  *    (evaluated over (target row, source row) pairs) claims keys first;
+  *    remaining matched keys replace (all copies die, the source row
+  *    appends); unmatched source keys insert.
+  *  - compact(p): pure physical reorganization — never visible.
+  *  - readAt(seq captured earlier): the shadow as of that step, valid
+  *    until the next compaction (which invalidates older snapshots).
+  */
+class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def visible(loc: String): Seq[(Long, Long)] =
+    MorDelete.read(spark, loc).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  private def df(rows: Seq[(Long, Long)]) =
+    spark.createDataFrame(rows).toDF("k", "v")
+
+  for (seed <- Seq(11, 42, 1234)) test(s"random DML sequence matches the shadow model (seed $seed)") {
+    val rnd = new scala.util.Random(seed)
+    val loc = Files.createTempDirectory("graft_morfuzz").toString + "/t"
+    // duplicate-keyed start: ~300 rows over ~100 keys, 4 files
+    val rows0 = (0 until 300).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(1000).toLong))
+    df(rows0).repartition(4).write.parquet(loc)
+    var shadow: Vector[(Long, Long)] = rows0.toVector
+
+    // one mid-run snapshot: captured at a random step, checked at the end
+    // if no compaction intervened
+    val snapStep = 2 + rnd.nextInt(4)
+    var snapSeq = -1L
+    var snapShadow: Vector[(Long, Long)] = Vector.empty
+    var compactedSinceSnap = false
+
+    for (step <- 0 until 12) {
+      if (step == snapStep) {
+        snapSeq = MorDelete.currentSeq(spark, loc)
+        snapShadow = shadow
+        compactedSinceSnap = false
+      }
+      rnd.nextInt(6) match {
+        case 0 => // delete by key residue (may match nothing)
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          MorDelete.delete(spark, loc, col("k") % m === r, Seq("k"))
+          val doomed = shadow.collect { case (k, _) if k % m == r => k }.toSet
+          shadow = shadow.filterNot(x => doomed(x._1))
+        case 1 => // delete by VALUE — only the resolved view gives this
+          val cut = rnd.nextInt(1000)
+          MorDelete.delete(spark, loc, col("v") < cut, Seq("k"))
+          val doomed = shadow.collect { case (k, v) if v < cut => k }.toSet
+          shadow = shadow.filterNot(x => doomed(x._1))
+        case 2 | 3 => // upsert: replace matched keys, insert the rest
+          val src = (0 until (3 + rnd.nextInt(6)))
+            .map(_ => rnd.nextInt(120).toLong).distinct
+            .map(k => (k, rnd.nextInt(1000).toLong))
+          MorUpsert.upsert(spark, loc, df(src), Seq("k"))
+          src.foreach { case (k, v) =>
+            shadow = shadow.filterNot(_._1 == k) :+ ((k, v))
+          }
+        case 4 => // clause merge: pair-condition delete, rest update, insert
+          val src = (0 until (3 + rnd.nextInt(6)))
+            .map(_ => rnd.nextInt(120).toLong).distinct
+            .map(k => (k, rnd.nextInt(1000).toLong))
+          MorUpsert.merge(spark, loc, df(src), Seq("k"),
+            deleteWhen = Some((col("v") + col("src_v")) % 3 === 0))
+          val srcMap = src.toMap
+          val liveKeys = shadow.map(_._1).toSet
+          val matched = srcMap.keySet.intersect(liveKeys)
+          val delK = matched.filter(k => shadow.exists { case (sk, sv) =>
+            sk == k && (sv + srcMap(k)) % 3 == 0 })
+          val updK = matched -- delK
+          shadow = shadow.filterNot(x => delK(x._1) || updK(x._1))
+          updK.foreach(k => shadow :+= ((k, srcMap(k))))
+          (srcMap.keySet -- liveKeys).foreach(k => shadow :+= ((k, srcMap(k))))
+        case 5 => // compaction, full or density-targeted — never visible
+          val p = if (rnd.nextBoolean()) 0.0 else 0.5
+          MorDelete.compact(spark, loc, minDoomedFraction = p)
+          compactedSinceSnap = true
+      }
+      assert(visible(loc) == shadow.sorted,
+        s"seed $seed step $step diverged from the shadow model")
+    }
+    if (snapSeq >= 0 && !compactedSinceSnap) {
+      val pinned = MorDelete.readAt(spark, loc, snapSeq).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(pinned == snapShadow.sorted,
+        s"seed $seed: snapshot at step $snapStep must replay the shadow of that step")
+    }
+  }
+}
