@@ -355,6 +355,48 @@ object MorDelete {
   }
 }
 
+/** Table maintenance beside the DML engines — the VACUUM every lakehouse
+  * format ships. The commit discipline here never deletes eagerly on the
+  * failure path (CowCore stages then atomically moves; MorDelete renames
+  * whole batch directories), so a crashed writer leaves GARBAGE, never a
+  * half-visible commit: un-drained `<table>.cow_stage_*` directories and
+  * un-renamed `<sidecar>/.stage-*` tombstone stages. Both are invisible
+  * to readers by construction (spec-locked), so reclaiming them is pure
+  * disk hygiene — but it must not race a LIVE writer's stage, so vacuum
+  * takes the same single-writer lock as every mutation.
+  */
+object Maintenance {
+
+  /** @param dirsRemoved    crashed stage directories deleted
+    * @param bytesReclaimed bytes those directories held
+    */
+  final case class VacuumStats(dirsRemoved: Long, bytesReclaimed: Long)
+
+  def vacuum(path: String): VacuumStats = MorDelete.withWriterLock(path) {
+    val table = java.nio.file.Paths.get(path).toAbsolutePath
+    val parent = Option(table.getParent).map(_.toFile)
+    val cowStages = parent.map(_.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(table.getFileName.toString + ".cow_stage_"))
+    val sidecarStages = {
+      val d = new java.io.File(MorDelete.sidecarDir(path))
+      if (!d.isDirectory) Nil
+      else d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith(".stage-"))
+    }
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      else f.length()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val doomed = cowStages ++ sidecarStages
+    val bytes = doomed.map(sizeOf).sum
+    doomed.foreach(rm)
+    VacuumStats(doomed.size.toLong, bytes)
+  }
+}
+
 /** Merge-on-read MERGE: tombstone the target keys the source supersedes
   * and append replacement/insert rows as NEW part files at the same
   * sequence — zero existing files touched, the scattered-key answer to

@@ -297,6 +297,37 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc).forall(_ % 10 != 3))
   }
 
+  test("vacuum reclaims crashed stage garbage and nothing else; respects the writer lock") {
+    val loc = freshTable()
+    val before = files(loc)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val expected = keys(loc)
+    // plant both crash shapes: an undrained CoW stage next to the table
+    // and an unrenamed tombstone stage inside the sidecar
+    val t = java.nio.file.Paths.get(loc).toAbsolutePath
+    val cowStage = new File(t.getParent.toFile, t.getFileName.toString + ".cow_stage_dead1")
+    cowStage.mkdirs()
+    java.nio.file.Files.write(new File(cowStage, "part-x.parquet").toPath, Array[Byte](1, 2, 3))
+    val sideStage = new File(MorDelete.sidecarDir(loc), ".stage-dead2")
+    sideStage.mkdirs()
+    java.nio.file.Files.write(new File(sideStage, "x.parquet").toPath, Array[Byte](4, 5))
+    // a held writer lock blocks the sweep (a LIVE writer's stage is not garbage)
+    val lock = new File(MorDelete.sidecarDir(loc) + ".lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException](graft.sources.Maintenance.vacuum(loc))
+    assert(lock.delete())
+    val stats = graft.sources.Maintenance.vacuum(loc)
+    assert(stats.dirsRemoved == 2 && stats.bytesReclaimed == 5L)
+    assert(!cowStage.exists() && !sideStage.exists())
+    assert(files(loc) == before, "vacuum must not touch live table files")
+    assert(keys(loc) == expected, "vacuum must not change the visible rows")
+    // committed batch directories survive (the tombstones still apply)
+    assert(new File(MorDelete.sidecarDir(loc)).listFiles()
+      .exists(_.getName.startsWith("batch-")))
+    // idempotent on a clean table
+    assert(graft.sources.Maintenance.vacuum(loc).dirsRemoved == 0)
+  }
+
   test("an uncommitted (crashed) stage directory is invisible to readers") {
     val loc = freshTable()
     val all = keys(loc)
