@@ -532,6 +532,11 @@ object PrestoSql {
       require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
         s"$stmt routes through the copy-on-write parquet engine; table '$table' " +
           s"has provider ${meta.provider.getOrElse("<none>")}")
+      // the CoW engines stage and swap through java.nio (local paths); a
+      // remote location must go through its table format's own DML
+      require(meta.location.getScheme == null || meta.location.getScheme == "file",
+        s"$stmt's copy-on-write engine operates on local-filesystem tables; " +
+          s"'$table' lives at ${meta.location}")
       java.nio.file.Paths.get(meta.location).toString
     }
   }
