@@ -315,6 +315,38 @@ object Ddl {
         .orderBy(col("s_nationkey").asc_nulls_last)
     },
 
+    // Z-order layout (sources/Layout.scala — the multi-dimensional file
+    // clustering lever behind Delta OPTIMIZE ZORDER BY / Iceberg zorder
+    // rewrite; the reference's stats pruning consumes layout, it cannot
+    // create one): lineitem rewritten along the (l_partkey, l_suppkey)
+    // Morton curve must preserve every row (the oracle aggregate), and a
+    // selective band on the SECOND column — which a partkey-linear sort
+    // cannot prune at all — must overlap a strict minority of the 16
+    // files (zorder_effective carries the measured file count).
+    "ddl_zorder_roundtrip" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+        |  true AS zorder_effective
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_zorder_lineitem"
+      drop(s, "g_zorder_lineitem", loc)
+      val li = Tables.t(s, dir, "lineitem")
+      graft.sources.Layout.zorderWrite(s, li, loc,
+        Seq("l_partkey", "l_suppkey"), nFiles = 16)
+      val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0)
+      val band = col("l_suppkey") <= maxSupp / 10
+      val total = s.read.parquet(loc).inputFiles.length.toLong
+      val touched = graft.sources.Layout.filesWithMatches(s, loc, band)
+      s.read.parquet(loc)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+        .withColumn("zorder_effective", lit(touched <= total / 2))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
     // The SQL statement surface for row-level DML (reference grammar
     // SqlBase.g4 DELETE/UPDATE; Spark's own parser rejects both on
     // parquet v1 tables): PrestoSql.Prepared.statement routes them onto

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.Layout
+
+/** Z-order layout: the Morton interleave itself (hand-computed bit
+  * cases), row preservation through zorderWrite, and the property the
+  * layout exists for — a selective predicate on EITHER interleaved
+  * column overlaps few files, where a linear sort prunes only its own
+  * leading column.
+  */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("zValue interleaves bits: bit (i*n + j) of z is bit i of column j's bucket") {
+    // 2-bit buckets over [0, 3]: bucket == value, so z is the textbook
+    // Morton number of (x, y)
+    val df = spark.createDataFrame(Seq(
+      (0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (1L, 2L), (2L, 1L)))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(
+        (col("x"), 0.0, 3.0), (col("y"), 0.0, 3.0)), bits = 2))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((0L, 0L)) == 0L)
+    assert(got((3L, 0L)) == 5L)  // x=11b -> z bits 0 and 2
+    assert(got((0L, 3L)) == 10L) // y=11b -> z bits 1 and 3
+    assert(got((3L, 3L)) == 15L)
+    assert(got((1L, 2L)) == 9L)  // x bit0 -> z bit0; y bit1 -> z bit3
+    assert(got((2L, 1L)) == 6L)  // x bit1 -> z bit2; y bit0 -> z bit1
+  }
+
+  test("nulls bucket to zero and a constant column contributes nothing") {
+    val df = spark.createDataFrame(Seq((Some(2L), 7L), (None, 7L)))
+      .toDF("x", "c")
+      .withColumn("z", Layout.zValue(Seq(
+        (col("x"), 0.0, 3.0), (col("c"), 7.0, 7.0)), bits = 2))
+    val z = df.collect().map(r => (r.isNullAt(0), r.getLong(2))).toMap
+    assert(z(false) == 4L) // x bucket 2 interleaved alone (c always 0)
+    assert(z(true) == 0L)  // null -> bucket 0
+  }
+
+  test("zorderWrite preserves rows and prunes BOTH dimensions' bands") {
+    // a 128x128 uniform grid: any selective band on x OR y should touch
+    // a small fraction of z-ordered files; a linear x-sort layout prunes
+    // x-bands but a y-band hits every file
+    val rnd = new scala.util.Random(5)
+    val rows = for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong, rnd.nextInt(1000).toLong)
+    val df = spark.createDataFrame(rows).toDF("x", "y", "v")
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val zLoc = s"$base/z"
+    val linLoc = s"$base/lin"
+    Layout.zorderWrite(spark, df, zLoc, Seq("x", "y"), nFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(linLoc)
+
+    // row preservation, exact
+    val back = spark.read.parquet(zLoc).select("x", "y", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(back.toSeq == rows.sorted)
+
+    val yBand = col("y") < 13        // ~10% of the y domain
+    val xBand = col("x") < 13
+    val linFiles = spark.read.parquet(linLoc).inputFiles.length.toLong
+    assert(Layout.filesWithMatches(spark, linLoc, yBand) == linFiles,
+      "the linear layout cannot prune the second dimension (the counterfactual)")
+    val zY = Layout.filesWithMatches(spark, zLoc, yBand)
+    val zX = Layout.filesWithMatches(spark, zLoc, xBand)
+    assert(zY <= linFiles / 2, s"y-band must prune under z-order, touched $zY")
+    assert(zX <= linFiles / 2, s"x-band must prune under z-order, touched $zX")
+    // the 2-D box overlaps at most what either band does
+    val box = Layout.filesWithMatches(spark, zLoc, xBand && yBand)
+    assert(box <= math.min(zX, zY))
+  }
+}
