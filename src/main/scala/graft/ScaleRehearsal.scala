@@ -946,6 +946,52 @@ object ScaleRehearsal {
       return
     }
 
+    // ---- zorder mode: multi-column pruning at rehearsal scale — 6M
+    // lineitem rows in 200 files, laid out (a) linear-sorted on
+    // l_partkey and (b) z-ordered on (l_partkey, l_suppkey). A selective
+    // band on the SECOND column is the payoff case: the linear layout
+    // cannot prune it (all 200 files contain matches), the z-layout
+    // overlaps a minority, and the READ WALL shows parquet's row-group
+    // stats turning that geometry into skipped I/O. Counts and walls
+    // both reported; the aggregate values are asserted equal across
+    // layouts before any timing (the match-count lock, layout edition).
+    if (args.headOption.contains("zorder")) {
+      val li = rep("lineitem")((d, i) =>
+        d.withColumn("l_partkey", col("l_partkey") + lit(i * keyOff)))
+      val base = "/tmp/graft_zorder"
+      def rm(p: String): Unit = {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rec); f.delete(); ()
+        }
+        val f = new java.io.File(p); if (f.exists()) rec(f)
+      }
+      rm(base)
+      val t0 = System.nanoTime()
+      li.repartitionByRange(200, col("l_partkey"))
+        .sortWithinPartitions("l_partkey").write.parquet(s"$base/lin")
+      val wLin = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      sources.Layout.zorderWrite(spark, li, s"$base/z",
+        Seq("l_partkey", "l_suppkey"), nFiles = 200)
+      val wZ = (System.nanoTime() - t1) / 1e9
+      val maxSupp = li.agg(max(col("l_suppkey"))).collect()(0).getLong(0)
+      val band = col("l_suppkey") <= maxSupp / 20 // ~5% of the second column
+      def aggOf(p: String) = spark.read.parquet(p).filter(band)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("q"))
+      val (vLin, vZ) = (aggOf(s"$base/lin").collect()(0), aggOf(s"$base/z").collect()(0))
+      require(vLin == vZ, s"layouts must agree on the band aggregate: $vLin vs $vZ")
+      val fLin = sources.Layout.filesWithMatches(spark, s"$base/lin", band)
+      val fZ = sources.Layout.filesWithMatches(spark, s"$base/z", band)
+      val tLin = best2("zorder lin band read")(aggOf(s"$base/lin"))
+      val tZ = best2("zorder z band read")(aggOf(s"$base/z"))
+      println(f"[scale] zorder 2nd-col band: files $fLin%d/200 (linear) vs $fZ%d/200 (z)  " +
+        f"read $tLin%.2f vs $tZ%.2f s  write $wLin%.1f vs $wZ%.1f s")
+      println(f"""[scale] {"mode": "zorder", "rows": ${600000 * R}%d, "files": 200, "band_rows": ${vLin.getLong(0)}%d, "linear_files_touched": $fLin%d, "z_files_touched": $fZ%d, "linear_read_wall": $tLin%.2f, "z_read_wall": $tZ%.2f, "linear_write_wall": $wLin%.1f, "z_write_wall": $wZ%.1f}""")
+      spark.stop()
+      return
+    }
+
     // ---- asofskew mode: the first-class as-of operator's decade curve
     // (1×/10×/40×, no skew) plus the planted-hot-key probe at 40×: user 0
     // carries ~20% of ALL events, so the single-window arm serializes a
