@@ -205,6 +205,22 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == Set((10L, Some(5L)), (11L, None)),
       "lid 11's nearest (rt=6, 24 back) is out of tolerance -> unmatched")
     assert(sliced == base)
+    // the forward direction shares the tolerance path: view at 10 probes
+    // forward; nearest following right is rt=95 (85 ahead) -> out of a
+    // 10-step tolerance; at 90 the same match is within it
+    val fwd = Some((lt: org.apache.spark.sql.Column,
+        rt: org.apache.spark.sql.Column) => rt - lt <= 10L)
+    val fl = lhs(Seq((1L, 20L, 10L), (1L, 21L, 90L)))
+    val fr = rhs(Seq((1L, 95L, 7L)))
+    val fBase = AsofJoin.forward(fl, fr, Seq("k"), "lt", "rt", Seq("v"), within = fwd)
+      .select("lid", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    val fSliced = AsofJoin.forwardSliced(fl, fr, Seq("k"), "lt", "rt", Seq("v"),
+        sliceWidth = 20.0, within = fwd)
+      .select("lid", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(fBase == Set((20L, None), (21L, Some(7L))))
+    assert(fSliced == fBase)
   }
 
   test("colliding payload names are refused up front") {
