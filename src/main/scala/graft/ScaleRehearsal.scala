@@ -784,9 +784,11 @@ object ScaleRehearsal {
       def freshTable(): (Long, Long) = {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-        // the tombstone sidecar must reset WITH the table — a stale
-        // sidecar from an aborted earlier run silently deletes extra rows
-        Seq(tableDir, sources.MorDelete.sidecarDir(tableDir))
+        // the tombstone sidecar and snapshot manifests must reset WITH the
+        // table — stale ones from an aborted earlier run silently delete
+        // extra rows / point at dead files
+        Seq(tableDir, sources.MorDelete.sidecarDir(tableDir),
+            sources.MorDelete.manifestDir(tableDir))
           .map(new java.io.File(_)).filter(_.exists()).foreach(rm)
         rep("lineitem")((t, i) =>
             t.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff)))
@@ -845,6 +847,10 @@ object ScaleRehearsal {
         val t1 = System.nanoTime()
         val cs = sources.MorDelete.compact(spark, tableDir)
         val compactWall = (System.nanoTime() - t1) / 1e9
+        // the manifest protocol retains replaced files for older readers;
+        // vacuum(0,0) reclaims them so the raw directory read below is a
+        // fair physical check
+        sources.Maintenance.vacuum(tableDir, retentionMs = 0, stageGraceMs = 0)
         require(spark.read.parquet(tableDir).count() == n0 - matched,
           "compaction must preserve the visible rows")
         val delBytes = bytes0.toDouble * matched / n0
@@ -900,6 +906,7 @@ object ScaleRehearsal {
         val t1 = System.nanoTime()
         val fs = sources.MorDelete.compact(spark, tableDir)
         val fullWall = (System.nanoTime() - t1) / 1e9
+        sources.Maintenance.vacuum(tableDir, retentionMs = 0, stageGraceMs = 0)
         require(spark.read.parquet(tableDir).count() == n0 - matched,
           "full compaction after partial must converge")
         println(f"[scale] cowdml targeted   partial ${ps.touched.size}%3d/${ps.total}%d files $partialWall%6.2f s  " +

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, not, when}
+import org.apache.spark.sql.functions.{col, count, lit, not, sum, when}
 
 /** Copy-on-write row-level DELETE over a parquet directory table.
   *
@@ -38,22 +38,34 @@ import org.apache.spark.sql.functions.{col, lit, not, when}
   * Partitioned layouts are handled via `basePath`, so partition-directory
   * columns survive the touched-file re-read, and rewritten parts land back
   * in their own partition directories.
+  *
+  * A table that has entered the MoR manifest protocol ([[MorDelete]])
+  * refuses direct CoW DML loudly: CoW's directory-listing reads and
+  * eager original-file deletes would bypass the manifest (readers would
+  * see retained dead files, and the manifest would reference deleted
+  * ones). Route such tables through [[MorDelete]]/[[MorUpsert]] and
+  * [[MorDelete.compact]].
   */
 object CowDelete {
 
-  /** @param touched   files that contained matching rows and were rewritten
-    * @param total     files in the table before the delete
-    * @param rewritten replacement files written (0 when a touched file
-    *                  retained no rows at all)
+  /** @param touched     files that contained matching rows and were rewritten
+    * @param total       files in the table before the delete
+    * @param rewritten   replacement files written (0 when a touched file
+    *                    retained no rows at all)
+    * @param deletedRows rows the predicate matched, measured by an
+    *                    Observation riding the rewrite itself (−1 when the
+    *                    caller did not request it) — never a second scan
     */
-  final case class DeleteStats(touched: Seq[String], total: Long, rewritten: Long)
+  final case class DeleteStats(touched: Seq[String], total: Long, rewritten: Long,
+      deletedRows: Long = -1L)
 
   /** Delete all rows matching `predicate` from the parquet table at
     * `path`, rewriting only the files that contain matching rows.
     */
   def delete(spark: SparkSession, path: String, predicate: Column): DeleteStats = {
-    val s = CowCore.rewrite(spark, path, _.where(predicate))(_.where(not(predicate)))
-    DeleteStats(s.touched, s.total, s.rewritten)
+    val s = CowCore.rewrite(spark, path, _.where(predicate))(
+      _.where(not(predicate)), countMatching = Some(predicate))
+    DeleteStats(s.touched, s.total, s.rewritten, s.matched)
   }
 
   /** The subquery-predicate form — `DELETE FROM t WHERE (k…) IN
@@ -93,7 +105,10 @@ object CowDelete {
   */
 object CowUpdate {
 
-  final case class UpdateStats(touched: Seq[String], total: Long, rewritten: Long)
+  /** @param updatedRows rows the predicate matched (Observation-measured
+    *                    on the rewrite pass, −1 when not requested) */
+  final case class UpdateStats(touched: Seq[String], total: Long, rewritten: Long,
+      updatedRows: Long = -1L)
 
   /** Apply `sets` (column name → new-value expression, evaluated against
     * the pre-update row, as in ANSI UPDATE) to all rows matching
@@ -102,14 +117,14 @@ object CowUpdate {
   def update(spark: SparkSession, path: String, predicate: Column,
       sets: Seq[(String, Column)]): UpdateStats = {
     val byName = sets.toMap
-    val s = CowCore.rewrite(spark, path, _.where(predicate)) { touchedDf =>
+    val s = CowCore.rewrite(spark, path, _.where(predicate))({ touchedDf =>
       touchedDf.select(touchedDf.columns.toSeq.map { c =>
         byName.get(c)
           .map(e => when(predicate, e).otherwise(col(c)).as(c))
           .getOrElse(col(c))
       }: _*)
-    }
-    UpdateStats(s.touched, s.total, s.rewritten)
+    }, countMatching = Some(predicate))
+    UpdateStats(s.touched, s.total, s.rewritten, s.matched)
   }
 }
 
@@ -132,6 +147,7 @@ object CowMerge {
   def merge(spark: SparkSession, path: String, source: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String], whenMatchedSet: Seq[(String, Column)],
       insertUnmatched: Boolean = true): MergeStats = {
+    CowCore.requireUnmanaged(path, "MERGE")
     val table = spark.read.option("basePath", path).parquet(path)
     val keyCs = keyCols.map(col)
 
@@ -187,7 +203,7 @@ object CowMerge {
         }: _*)
     }
 
-    val inserted = insertStage.map(CowCore.moveIn(_, base)).getOrElse(0L)
+    val inserted = insertStage.map(CowCore.moveIn(_, base).size.toLong).getOrElse(0L)
     MergeStats(s.touched, s.total, s.rewritten, inserted)
     } finally src.unpersist()
   }
@@ -196,15 +212,32 @@ object CowMerge {
 /** The shared copy-on-write core: touched-file discovery (metadata-only
   * scan under the matching rows), staged rewrite of only those files, and
   * the stage-then-swap commit. See [[CowDelete]]'s scaladoc for the full
-  * mechanism and its scale rationale.
+  * mechanism and its scale rationale. [[MorDelete.compact]] reuses it in
+  * MANIFEST mode (`liveFiles` + `retainOriginals`): reads come from the
+  * manifest's live file list and originals are retained for older
+  * manifests' readers instead of deleted.
   */
 private[sources] object CowCore {
 
-  final case class Stats(touched: Seq[String], total: Long, rewritten: Long)
+  /** @param newFiles committed replacement part paths (absolute) —
+    *                 manifest-mode callers fold these into the next manifest
+    * @param matched  `countMatching` rows observed on the touched input
+    *                 (−1 when not requested)
+    */
+  final case class Stats(touched: Seq[String], total: Long, rewritten: Long,
+      newFiles: Seq[String] = Nil, matched: Long = -1L)
 
   private[sources] def localPath(uri: String): String =
     Paths.get(java.net.URI.create(
       if (uri.contains(":/")) uri else "file://" + uri)).toString
+
+  /** Direct CoW DML is only legal on tables OUTSIDE the MoR manifest
+    * protocol (see [[CowDelete]] scaladoc). */
+  private[sources] def requireUnmanaged(path: String, stmt: String): Unit =
+    require(!MorDelete.isManaged(path),
+      s"$stmt: the table at $path is merge-on-read manifest-managed; direct " +
+        "copy-on-write DML would bypass its snapshot manifests — use " +
+        "MorDelete/MorUpsert and MorDelete.compact instead")
 
   /** @param matching selects the table rows that will change — a predicate
     *   filter for DELETE/UPDATE, a key semi-join for MERGE. Only the
@@ -214,13 +247,29 @@ private[sources] object CowCore {
     * @param fileFilter driver-side narrowing of the touched-file list
     *   (MorDelete's density-targeted compaction); files it drops are left
     *   exactly as they are
+    * @param liveFiles manifest mode: the live data files (absolute) —
+    *   reads use this list instead of the directory listing
+    * @param retainOriginals manifest mode: leave replaced originals on
+    *   disk (the new manifest drops them; vacuum reclaims)
+    * @param countMatching boolean predicate whose match count should ride
+    *   the rewrite pass as an Observation (exact — every matching row
+    *   lives in a touched file by construction — and free: no extra scan)
     */
   def rewrite(spark: SparkSession, path: String,
       matching: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
       transformTouched: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       prefix: String = "part-cow-",
-      fileFilter: Seq[String] => Seq[String] = identity): Stats = {
-    val table = spark.read.option("basePath", path).parquet(path)
+      fileFilter: Seq[String] => Seq[String] = identity,
+      liveFiles: Option[Seq[String]] = None,
+      retainOriginals: Boolean = false,
+      countMatching: Option[Column] = None): Stats = {
+    if (liveFiles.isEmpty) requireUnmanaged(path, "row-level DML")
+    val table = liveFiles match {
+      case Some(fs) if fs.nonEmpty =>
+        spark.read.option("basePath", path).parquet(fs: _*)
+      case Some(_) => return Stats(Nil, 0L, 0L)
+      case None => spark.read.option("basePath", path).parquet(path)
+    }
 
     // Touched-file discovery: a metadata-only projection under the
     // matching rows. The metadata pseudo-column is materialized BEFORE
@@ -239,20 +288,33 @@ private[sources] object CowCore {
     // File count comes from the FileIndex the read already built — zero
     // Spark jobs — not a distributed distinct over the metadata column
     // (which would scan the table just to count its files, on every DML).
-    val total = table.inputFiles.length.toLong
-    if (touched.isEmpty) return Stats(Nil, total, 0L)
+    val total = liveFiles.map(_.size.toLong).getOrElse(table.inputFiles.length.toLong)
+    if (touched.isEmpty) return Stats(Nil, total, 0L, Nil,
+      if (countMatching.isDefined) 0L else -1L)
 
     // Rewrite pass: re-read ONLY the touched files (basePath recovers
     // partition-directory columns) and apply the caller's transform.
     // Partition columns are re-materialized into directories on write so
-    // staged parts mirror the table's own layout.
+    // staged parts mirror the table's own layout. The optional matched-row
+    // count observes the SAME pass — the metrics node sits between the
+    // scan and the transform, so no second scan ever runs.
     val base = Paths.get(path).toAbsolutePath
     val partitionCols = partitionColsOf(spark, table, touched.head)
-    val rewritten = transformTouched(
-      spark.read.option("basePath", path).parquet(touched: _*))
-    val moved = moveIn(stage(spark, base, partitionCols, rewritten), base, prefix)
-    touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    Stats(touched, total, moved)
+    val obs = countMatching.map(_ =>
+      org.apache.spark.sql.Observation(s"cow_dml_${UUID.randomUUID().toString.take(8)}"))
+    val source = spark.read.option("basePath", path).parquet(touched: _*)
+    val observed = countMatching match {
+      case Some(p) => source.observe(obs.get,
+        sum(when(p, lit(1L)).otherwise(lit(0L))).as("matched"))
+      case None => source
+    }
+    val rewritten = transformTouched(observed)
+    val newFiles = moveIn(stage(spark, base, partitionCols, rewritten), base, prefix)
+    // an all-empty observed input yields an EMPTY metrics map — zero rows
+    val matched = obs.map(_.get.get("matched")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)).getOrElse(-1L)
+    if (!retainOriginals) touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    Stats(touched, total, newFiles.size.toLong, newFiles, matched)
   }
 
   /** Partition-directory columns = table columns absent from the data files. */
@@ -279,21 +341,21 @@ private[sources] object CowCore {
   /** Move a stage's parts into `base` (the TableFinish/commit analog):
     * the stage is fully written and closed before anything moves, so a
     * crash before this point leaves the table intact and only orphans the
-    * stage directory. Returns the number of parts moved. `prefix` names
-    * the committed parts — MorUpsert embeds its sequence number there.
+    * stage directory. Returns the committed parts' absolute paths —
+    * manifest-mode callers publish them. `prefix` names the committed
+    * parts (MorUpsert embeds its sequence number there).
     */
   def moveIn(stageDir: java.nio.file.Path, base: java.nio.file.Path,
-      prefix: String = "part-cow-"): Long = {
+      prefix: String = "part-cow-"): Seq[String] = {
     val staged = walk(stageDir.toFile).filter(_.getName.endsWith(".parquet"))
-    var moved = 0L
-    staged.foreach { f =>
+    val moved = staged.map { f =>
       val rel = stageDir.relativize(f.toPath.toAbsolutePath)
       val destDir = if (rel.getParent == null) base else base.resolve(rel.getParent)
       Files.createDirectories(destDir)
-      Files.move(f.toPath,
-        destDir.resolve(s"$prefix${UUID.randomUUID().toString.take(8)}-${f.getName}"),
-        StandardCopyOption.ATOMIC_MOVE)
-      moved += 1
+      val dest = destDir.resolve(
+        s"$prefix${UUID.randomUUID().toString.take(8)}-${f.getName}")
+      Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toString
     }
     deleteRecursively(stageDir.toFile)
     moved
@@ -301,7 +363,7 @@ private[sources] object CowCore {
 
   def stageAndMove(spark: SparkSession, base: java.nio.file.Path,
       partitionCols: Seq[String], df: org.apache.spark.sql.DataFrame): Long =
-    moveIn(stage(spark, base, partitionCols, df), base)
+    moveIn(stage(spark, base, partitionCols, df), base).size.toLong
 
   private def walk(f: File): Seq[File] =
     if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)

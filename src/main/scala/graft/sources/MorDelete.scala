@@ -27,10 +27,10 @@ import org.apache.spark.sql.functions._
   *     ABOVE the scan.
   *  3. [[MorDelete.compact]] folds the tombstones into the files via the
   *     CoW machinery (semi-join touched-file discovery, staged rewrite of
-  *     touched files only) and clears the sidecar — amortizing the
-  *     read-side join over one rewrite at a chosen time (the compaction
-  *     scheduling every MoR format ships). A density threshold restricts
-  *     the rewrite to files worth rewriting (see [[compact]]).
+  *     touched files only) — amortizing the read-side join over one
+  *     rewrite at a chosen time (the compaction scheduling every MoR
+  *     format ships). A density threshold restricts the rewrite to files
+  *     worth rewriting (see [[compact]]).
   *
   * Sequencing (what lets [[MorUpsert]] exist): each tombstone carries a
   * sequence number, each data file carries one in its NAME
@@ -58,58 +58,75 @@ import org.apache.spark.sql.functions._
   * at write time.
   *
   * Concurrency contract (the analog of the reference's commit point,
-  * `presto-main/.../operator/TableFinishOperator.java`, without a
-  * catalog to swap a snapshot pointer in):
+  * `presto-main/.../operator/TableFinishOperator.java`, re-expressed as
+  * a SNAPSHOT MANIFEST — the pointer-swap every lakehouse format keeps
+  * in its catalog, held here as an atomically-renamed file):
   *
   *  - SINGLE WRITER, enforced: every mutation ([[delete]],
-  *    [[MorUpsert.merge]], [[compact]]) takes an exclusive lock file
-  *    (`<table>._mor_writer.lock`, atomic create). A second concurrent
-  *    writer fails loudly instead of interleaving commits.
-  *  - ATOMIC COMMIT per DML: a tombstone batch is staged under a
-  *    dot-directory (invisible to Spark's file listing) and committed
-  *    with ONE atomic directory rename to `batch-<seq>-<uuid>` — a
-  *    reader sees all of a batch or none of it. [[MorUpsert.merge]]
-  *    moves its replacement part files in BEFORE that rename, so its
-  *    commit point is the batch rename too: a crash (or a read) between
-  *    the two sees transient duplicates — never lost rows, the same
-  *    crash discipline [[CowCore.moveIn]] documents.
-  *  - SNAPSHOT READS across DML: [[readAt]] pins a read to sequence N
-  *    (data files AND tombstone batches with sequence ≤ N), so a reader
-  *    that captured [[currentSeq]] before a delete/merge sees the
-  *    pre-DML rows no matter how many commits land meanwhile.
-  *  - [[compact]] is the one non-reader-atomic operation (it physically
-  *    replaces files, like Iceberg's rewrite-data-files without a
-  *    snapshot pointer): readers overlapping a compaction can see
-  *    transient DUPLICATES of surviving rows while staged parts move in,
-  *    and compaction invalidates `readAt` snapshots older than its run.
-  *    They can never see deleted rows resurface or replacements vanish:
-  *    compacted parts carry the pre-compaction max sequence in their
-  *    name, so the still-present tombstones are no-ops against them
-  *    (spec-locked in MorDeleteSpec "read-during-compact").
+  *    [[MorUpsert.merge]], [[compact]], [[Maintenance.vacuum]]) takes an
+  *    exclusive lock file (`<table>._mor_deletes.lock`, atomic create).
+  *    A second concurrent writer fails loudly instead of interleaving
+  *    commits.
+  *  - MANIFEST COMMITS: the first mutation writes a GENESIS manifest
+  *    (`<table>._mor_manifests/m-0-<seq>`) capturing the pre-mutation
+  *    state, and from then on the table is MANIFEST-MANAGED — every
+  *    commit stages its files (tombstone batch, appended parts,
+  *    compacted parts), then publishes them with ONE atomic rename of a
+  *    new manifest naming the live data files and live tombstone
+  *    batches. A reader resolves the newest manifest first, so it sees
+  *    all of a commit or none of it — including across [[compact]],
+  *    which under the manifest protocol RETAINS the files it replaces
+  *    (readers holding the previous manifest keep a complete,
+  *    consistent file set) until [[Maintenance.vacuum]] reclaims them.
+  *  - SNAPSHOT READS across DML and compaction: [[readAt]] pins a read
+  *    to sequence N by resolving the newest manifest whose sequence
+  *    ≤ N — stable across later deletes, merges, AND compactions, until
+  *    vacuum expires the manifest (the Iceberg snapshot-expiry
+  *    contract). Capture the handle with [[currentSeq]] before the
+  *    concurrent DML.
+  *  - A crash between staging and the manifest rename leaves GARBAGE
+  *    (an unreferenced batch directory or part file), never a
+  *    half-visible commit; vacuum reclaims it.
+  *
+  * RAW directory reads of a managed table are undefined once a
+  * compaction has run (replaced files are retained beside their
+  * replacements until vacuum) — read through [[read]] / the resolved
+  * view, the same rule every manifest-bearing table format imposes.
+  * `Maintenance.vacuum(path, 0, 0)` restores physical cleanliness.
   */
 object MorDelete {
 
   private[sources] val SeqCol = "__mor_seq"
 
   /** @param keysWritten tombstone rows appended (distinct matching keys)
-    * @param sidecarFiles sidecar parquet part files after the append
+    * @param sidecarFiles live sidecar parquet part files after the append
+    * @param rowsMatched  rows of the resolved view the predicate matched
+    *                     (measured by an Observation on the same pass that
+    *                     extracted the keys — never a second scan)
     */
-  final case class MorStats(keysWritten: Long, sidecarFiles: Long)
+  final case class MorStats(keysWritten: Long, sidecarFiles: Long, rowsMatched: Long = -1L)
 
   def sidecarDir(path: String): String = {
     val p = Paths.get(path).toAbsolutePath
     p.resolveSibling(p.getFileName.toString + "._mor_deletes").toString
   }
 
-  /** Committed tombstone batches, (sequence, directory), sequence-ordered.
-    * Only `batch-<seq>-…` directories count: a stage directory (dot-named,
-    * not yet renamed) is invisible by construction, so a crashed writer
-    * leaves garbage, never a half-visible batch.
+  def manifestDir(path: String): String = {
+    val p = Paths.get(path).toAbsolutePath
+    p.resolveSibling(p.getFileName.toString + "._mor_manifests").toString
+  }
+
+  /** Committed tombstone batches ON DISK, (sequence, directory),
+    * sequence-ordered. Only `batch-<seq>-…` directories count: a stage
+    * directory (dot-named, not yet renamed) is invisible by construction,
+    * so a crashed writer leaves garbage, never a half-visible batch.
+    * On a manifest-managed table this is the raw disk listing (live AND
+    * retained-dead batches) — live-state callers use [[liveState]].
     */
   private[sources] def batches(path: String): Seq[(Long, java.io.File)] = {
     val dir = new java.io.File(sidecarDir(path))
     if (!dir.isDirectory) Nil
-    else dir.listFiles().toSeq
+    else Option(dir.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
       .map { f =>
         val seq = f.getName.stripPrefix("batch-").takeWhile(_.isDigit)
@@ -122,11 +139,113 @@ object MorDelete {
   private def sidecarOf(spark: SparkSession, bs: Seq[(Long, java.io.File)]): DataFrame =
     spark.read.parquet(bs.map(_._2.toString): _*)
 
-  private[sources] def sidecarKeyCols(spark: SparkSession, path: String): Option[Seq[String]] = {
-    val bs = batches(path)
+  /** The LIVE sidecar key set (None when no live batch exists). */
+  private[graft] def sidecarKeyCols(spark: SparkSession, path: String): Option[Seq[String]] = {
+    val bs = liveState(spark, path).batches
     if (bs.isEmpty) None
     else Some(sidecarOf(spark, bs).columns.toSeq.filterNot(_ == SeqCol))
   }
+
+  // ---------------------------------------------------------------------
+  // Snapshot manifests
+  // ---------------------------------------------------------------------
+
+  /** One manifest file, identity parsed off its name `m-<ordinal>-<seq>`:
+    * `ordinal` is the global commit counter (every commit, including
+    * compactions, takes the next one), `seq` the DML sequence of the
+    * state it publishes (compactions re-publish the current sequence).
+    */
+  private[sources] final case class ManifestRef(ordinal: Long, seq: Long, file: java.io.File)
+
+  /** The live file/batch set one manifest publishes. Data files are held
+    * ABSOLUTE here; the on-disk encoding is table-relative. */
+  private[sources] final case class State(dataFiles: Seq[String], batches: Seq[(Long, java.io.File)])
+
+  private val manifestName = "m-(\\d+)-(\\d+)".r
+
+  /** All manifests on disk, ordinal-ascending. */
+  private[sources] def manifests(path: String): Seq[ManifestRef] = {
+    val dir = new java.io.File(manifestDir(path))
+    if (!dir.isDirectory) Nil
+    else Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(f => f.getName match {
+        case manifestName(o, s) => Some(ManifestRef(o.toLong, s.toLong, f))
+        case _ => None
+      })
+      .sortBy(_.ordinal)
+  }
+
+  /** Whether the table has entered the manifest protocol (any mutation
+    * does this; see the concurrency-contract scaladoc). */
+  def isManaged(path: String): Boolean = manifests(path).nonEmpty
+
+  private def tableAbs(path: String) = Paths.get(path).toAbsolutePath
+
+  private[sources] def readManifest(path: String, m: ManifestRef): State = {
+    val base = tableAbs(path)
+    val side = new java.io.File(sidecarDir(path))
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(m.file.toPath)).asScala.toSeq
+    val data = lines.collect { case l if l.startsWith("D ") =>
+      base.resolve(l.drop(2)).toString }
+    val bs = lines.collect { case l if l.startsWith("B ") =>
+      val name = l.drop(2)
+      val seq = name.stripPrefix("batch-").takeWhile(_.isDigit)
+      require(seq.nonEmpty, s"malformed batch entry in ${m.file}: $name")
+      seq.toLong -> new java.io.File(side, name)
+    }
+    State(data, bs.sortBy(_._1))
+  }
+
+  /** Publish a new manifest: staged write, then ONE atomic rename — the
+    * commit point of every mutation on a managed table. */
+  private def writeManifest(path: String, ordinal: Long, seq: Long, st: State): Unit = {
+    val base = tableAbs(path)
+    val dir = Paths.get(manifestDir(path))
+    Files.createDirectories(dir)
+    val body = (st.dataFiles.map(f => "D " + base.relativize(Paths.get(f))) ++
+      st.batches.map { case (_, f) => "B " + f.getName }).mkString("\n")
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(s"m-$ordinal-$seq"), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def nextOrdinal(path: String): Long =
+    manifests(path).lastOption.map(_.ordinal + 1).getOrElse(0L)
+
+  /** All parquet files under the table directory (the pre-manifest notion
+    * of the live set). */
+  private def walkData(path: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  /** The current live state: the newest manifest when managed, the raw
+    * directory + sidecar listing otherwise. */
+  private[sources] def liveState(spark: SparkSession, path: String): State =
+    manifests(path).lastOption match {
+      case Some(m) => readManifest(path, m)
+      case None => State(walkData(path), batches(path))
+    }
+
+  /** Enter the manifest protocol: write the genesis manifest (ordinal 0)
+    * capturing the CURRENT state, BEFORE the mutation stages anything —
+    * so a reader racing the first mutation resolves either the genesis
+    * (pre-state) or the mutation's manifest (post-state), never a half
+    * state. No-op when already managed. */
+  private[sources] def ensureManaged(spark: SparkSession, path: String): Unit =
+    if (!isManaged(path))
+      writeManifest(path, ordinal = 0L, seq = maxSeq(spark, path),
+        State(walkData(path), batches(path)))
+
+  /** Commit one mutation's state as the next manifest (ordinal assigned
+    * here, under the caller's writer lock). */
+  private[sources] def publishManifest(path: String, seq: Long, st: State): Unit =
+    writeManifest(path, nextOrdinal(path), seq, st)
 
   /** Sequence of the file a row came from: parsed off `_metadata.file_path`
     * (0 for base/CoW-written files, N for `part-morN-…` appends).
@@ -145,21 +264,21 @@ object MorDelete {
   }
 
   /** Max sequence present anywhere (data file names + sidecar batch
-    * names), 0 if none — a driver-side file listing, bounded by file
-    * count like CowCore. Never reads tombstone DATA: the sequence rides
-    * in the batch directory name, so an empty or half-garbage sidecar
-    * file can't poison it. */
+    * names + manifest names), 0 if none — a driver-side file listing,
+    * bounded by file count like CowCore. Never reads tombstone DATA: the
+    * sequence rides in the batch directory name, so an empty or
+    * half-garbage sidecar file can't poison it. Manifest names
+    * participate so the live sequence survives a vacuum that reclaimed
+    * the (dead) files that carried it. */
   private[sources] def maxSeq(spark: SparkSession, path: String): Long = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    val dataMax = walk(new java.io.File(path))
+    val dataMax = walkData(path)
       .flatMap { f =>
-        val m = "part-mor(\\d+)-".r.findFirstMatchIn(f.getName)
+        val m = "part-mor(\\d+)-".r.findFirstMatchIn(Paths.get(f).getFileName.toString)
         m.map(_.group(1).toLong)
       }.foldLeft(0L)(math.max)
     val sideMax = batches(path).map(_._1).foldLeft(0L)(math.max)
-    math.max(dataMax, sideMax)
+    val maniMax = manifests(path).map(_.seq).foldLeft(0L)(math.max)
+    math.max(math.max(dataMax, sideMax), maniMax)
   }
 
   /** The sequence of the latest committed DML — the handle a reader pins
@@ -182,17 +301,20 @@ object MorDelete {
     try body finally { Files.deleteIfExists(lock); () }
   }
 
-  /** Commit one tombstone batch: distinct keys + sequence staged under a
-    * dot-directory (invisible to readers), then ONE atomic directory
-    * rename to `batch-<seq>-<uuid>` — the commit point. An empty key set
-    * commits nothing (no empty batch to trip later sequence scans, no
-    * key-set lock-in from a no-op DELETE). Returns keys written.
+  /** Stage-and-rename one tombstone batch directory: distinct keys +
+    * sequence staged under a dot-directory, then ONE atomic directory
+    * rename to `batch-<seq>-<uuid>`. On a managed table the batch stays
+    * INVISIBLE until the caller publishes a manifest naming it — the
+    * rename only makes it durable. An empty key set commits nothing (no
+    * empty batch to trip later sequence scans, no key-set lock-in from a
+    * no-op DELETE). Returns (keys written, committed directory name).
     */
   private[graft] def appendTombstones(spark: SparkSession, path: String,
-      keys: DataFrame, keyCols: Seq[String], seq: Long): Long = {
+      keys: DataFrame, keyCols: Seq[String], seq: Long,
+      existingKeyCols: Option[Seq[String]]): (Long, Option[String]) = {
     require(keyCols.nonEmpty, "merge-on-read DML needs at least one key column")
     require(!keyCols.contains(SeqCol), s"$SeqCol is reserved")
-    sidecarKeyCols(spark, path).foreach { existing =>
+    existingKeyCols.foreach { existing =>
       require(existing == keyCols,
         s"tombstone sidecar already keyed by (${existing.mkString(", ")}); " +
           s"got (${keyCols.mkString(", ")}) — compact() before changing the key set")
@@ -205,34 +327,53 @@ object MorDelete {
       .localCheckpoint(true)
     try {
       val n = rows.count()
-      if (n == 0L) return 0L
+      if (n == 0L) return (0L, None)
       val side = Paths.get(sidecarDir(path))
       Files.createDirectories(side)
       val stage = side.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
       rows.write.mode("overwrite").parquet(stage.toString)
-      Files.move(stage, side.resolve(s"batch-$seq-${UUID.randomUUID().toString.take(8)}"),
-        StandardCopyOption.ATOMIC_MOVE)
-      n
+      val name = s"batch-$seq-${UUID.randomUUID().toString.take(8)}"
+      Files.move(stage, side.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      (n, Some(name))
     } finally { rows.unpersist(); () }
   }
 
   /** Tombstone all rows matching `predicate` in the CURRENT resolved view
     * of the parquet table at `path`, identified by `keyCols`. Touches no
-    * table file; the batch-directory rename is the atomic commit point.
+    * table file; the manifest rename is the atomic commit point.
     */
   def delete(spark: SparkSession, path: String, predicate: Column,
       keyCols: Seq[String]): MorStats = withWriterLock(path) {
+    ensureManaged(spark, path)
+    val st = liveState(spark, path)
     // the predicate sees the MoR-RESOLVED view: rows already superseded by
     // earlier tombstones/upserts must not donate their keys (a predicate
     // matching only a key's DEAD values would otherwise delete its live
-    // replacement row)
-    val keys = read(spark, path).filter(predicate)
-    val n = appendTombstones(spark, path, keys, keyCols,
-      seq = maxSeq(spark, path) + 1)
-    MorStats(n, batches(path)
-      .flatMap(_._2.listFiles().toSeq)
-      .count(_.getName.endsWith(".parquet")).toLong)
+    // replacement row). The matched-row count rides an Observation on the
+    // SAME pass that extracts the keys — never a second scan.
+    val obs = org.apache.spark.sql.Observation(s"mor_del_${UUID.randomUUID().toString.take(8)}")
+    val keys = resolvedOf(spark, path, st, Long.MaxValue).filter(predicate)
+      .observe(obs, count(lit(1)).as("matched"))
+    val seq = maxSeq(spark, path) + 1
+    val existing =
+      if (st.batches.isEmpty) None
+      else Some(sidecarOf(spark, st.batches).columns.toSeq.filterNot(_ == SeqCol))
+    val (n, batchName) = appendTombstones(spark, path, keys, keyCols, seq, existing)
+    // an all-empty observed input yields an EMPTY metrics map (no task
+    // produced a metrics row) — that IS zero matches, not a failure
+    val matched =
+      scala.util.Try(obs.get.get("matched").map(_.asInstanceOf[Long]).getOrElse(0L))
+        .getOrElse(-1L)
+    if (n == 0L) return MorStats(0L, liveSidecarFiles(st), matched)
+    val newBatch = seq -> new java.io.File(sidecarDir(path), batchName.get)
+    val st2 = State(st.dataFiles, st.batches :+ newBatch)
+    writeManifest(path, nextOrdinal(path), seq, st2)
+    MorStats(n, liveSidecarFiles(st2), matched)
   }
+
+  private def liveSidecarFiles(st: State): Long =
+    st.batches.flatMap(b => Option(b._2.listFiles()).getOrElse(Array.empty).toSeq)
+      .count(_.getName.endsWith(".parquet")).toLong
 
   /** The table with tombstones applied: LEFT ANTI JOIN against the
     * sidecar keys, restricted to rows from files with a sequence below
@@ -243,21 +384,59 @@ object MorDelete {
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, Long.MaxValue)
 
-  /** Snapshot read pinned at sequence `seq`: only data files and
-    * tombstone batches with sequence ≤ `seq` participate, so the view is
-    * exactly the table as of that commit — stable while later deletes
-    * and merges land. Capture the handle with [[currentSeq]] BEFORE the
-    * concurrent DML. [[compact]] physically rewrites files and therefore
-    * invalidates snapshots older than its run (the same contract as
-    * Iceberg snapshot expiry).
+  /** Snapshot read pinned at sequence `seq`: the newest manifest whose
+    * sequence ≤ `seq` defines the file and tombstone set, so the view is
+    * exactly the table as of that commit — stable across later deletes,
+    * merges, AND compactions (compaction retains the files it replaces),
+    * until [[Maintenance.vacuum]] expires the manifest. Capture the
+    * handle with [[currentSeq]] BEFORE the concurrent DML. On a table
+    * that predates the manifest protocol, falls back to name-parsed
+    * sequence pinning over the directory listing.
     */
   def readAt(spark: SparkSession, path: String, seq: Long): DataFrame = {
-    val raw = spark.read.option("basePath", path).parquet(path)
-    val pinned =
-      if (seq == Long.MaxValue) raw
-      else raw.withColumn("__mor_fseq", fileSeq)
-        .filter(col("__mor_fseq") <= seq).drop("__mor_fseq")
-    val bs = batches(path).filter(_._1 <= seq)
+    val ms = manifests(path)
+    if (ms.isEmpty) {
+      // legacy (pre-manifest) table: pin by file-name sequence
+      val raw = spark.read.option("basePath", path).parquet(path)
+      val pinned =
+        if (seq == Long.MaxValue) raw
+        else raw.withColumn("__mor_fseq", fileSeq)
+          .filter(col("__mor_fseq") <= seq).drop("__mor_fseq")
+      applyTombstones(spark, pinned, batches(path).filter(_._1 <= seq))
+    } else {
+      val eligible = ms.filter(_.seq <= seq)
+      if (eligible.isEmpty)
+        throw new IllegalStateException(
+          s"no retained snapshot at sequence $seq for $path — the manifest was " +
+            "expired by Maintenance.vacuum (the Iceberg snapshot-expiry contract) " +
+            "or the sequence predates the table")
+      resolvedOf(spark, path, readManifest(path, eligible.maxBy(_.ordinal)), seq)
+    }
+  }
+
+  /** The resolved view of one published state: its data files with its
+    * tombstone batches anti-joined under the sequence rule. Every file
+    * and batch in a manifest has sequence ≤ the manifest's own, so no
+    * extra pinning filter is needed beyond selecting the manifest. */
+  private def resolvedOf(spark: SparkSession, path: String, st: State,
+      seq: Long): DataFrame = {
+    val raw =
+      if (st.dataFiles.nonEmpty)
+        spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+      else {
+        // every live row deleted and compacted away: derive the schema
+        // from any retained file (vacuum keeps the table dir until the
+        // user drops it; an empty dir with no history is unreadable)
+        require(walkData(path).nonEmpty,
+          s"table at $path has no live and no retained data files — cannot " +
+            "derive a schema for the empty view")
+        spark.read.option("basePath", path).parquet(path).where(lit(false))
+      }
+    applyTombstones(spark, raw, st.batches.filter(_._1 <= seq))
+  }
+
+  private def applyTombstones(spark: SparkSession, pinned: DataFrame,
+      bs: Seq[(Long, java.io.File)]): DataFrame =
     if (bs.isEmpty) pinned
     else {
       val side = sidecarOf(spark, bs)
@@ -271,40 +450,44 @@ object MorDelete {
           "left_anti")
         .drop("__mor_fseq")
     }
-  }
 
   /** Fold the tombstones into the table files (CoW rewrite of only the
-    * files containing tombstoned keys at an older sequence). Returns the
-    * CoW stats; no-op when the sidecar is empty.
+    * files containing tombstoned keys at an older sequence), committed
+    * with one atomic manifest rename. Replaced files and folded batches
+    * are RETAINED on disk for readers holding older manifests, until
+    * [[Maintenance.vacuum]] reclaims them — a reader overlapping the
+    * compaction sees the pre-state or the post-state, never a mix.
+    * Returns the CoW stats; no-op when the live sidecar is empty.
     *
     * `minDoomedFraction` bounds write amplification under a long
     * tombstone tail: only files whose doomed-row fraction ≥ the
     * threshold rewrite (per-file doomed/total counts ride one
     * metadata-projection aggregate each); the rest stay on the read-side
-    * anti-join, and the WHOLE sidecar is conservatively retained — a
-    * tombstone may still matter to an unrewritten file, and dropping
-    * only the dead ones would cost the same semi-join the next full
-    * compact() does anyway. Rewritten parts carry the current max
-    * sequence in their name either way, so the retained (or
-    * not-yet-cleared) tombstones are no-ops against them — what makes a
-    * read overlapping the rewrite, and the partial compact itself,
-    * correct. The default 0.0 is the full compaction: every file with
-    * any doomed row rewrites and the sidecar clears.
+    * anti-join, and the WHOLE live batch set is conservatively carried
+    * into the new manifest — a tombstone may still matter to an
+    * unrewritten file, and dropping only the dead ones would cost the
+    * same semi-join the next full compact() does anyway. Rewritten parts
+    * carry the current max sequence in their name either way, so the
+    * carried tombstones are no-ops against them. The default 0.0 is the
+    * full compaction: every file with any doomed row rewrites and the
+    * new manifest carries no batches.
     */
   def compact(spark: SparkSession, path: String,
       minDoomedFraction: Double = 0.0): CowDelete.DeleteStats = withWriterLock(path) {
-    val bs = batches(path)
-    if (bs.isEmpty) return CowDelete.DeleteStats(Nil, 0L, 0L)
-    val keyCols = sidecarOf(spark, bs).columns.toSeq.filterNot(_ == SeqCol)
+    ensureManaged(spark, path)
+    val st = liveState(spark, path)
+    if (st.batches.isEmpty)
+      return CowDelete.DeleteStats(Nil, st.dataFiles.size.toLong, 0L)
+    val keyCols = sidecarOf(spark, st.batches).columns.toSeq.filterNot(_ == SeqCol)
     // pin the keys first: the rewrite's lazy lineage must not re-read
-    // the sidecar after it is cleared, and a checkpointed frame fails
-    // loudly instead of silently recomputing from deleted files
-    val tomb = sidecarOf(spark, bs)
+    // the sidecar after the manifest drops it, and a checkpointed frame
+    // fails loudly instead of silently recomputing from vacuumed files
+    val tomb = sidecarOf(spark, st.batches)
       .groupBy(keyCols.map(col): _*)
       .agg(max(col(SeqCol)).as(SeqCol))
       .localCheckpoint(true)
     // rewritten survivors carry the CURRENT max sequence, so tombstones
-    // still visible mid-compact (or retained by a partial compact) never
+    // carried by a partial compact (or read via an older manifest) never
     // re-delete them — upsert replacements folded into a rewrite would
     // otherwise drop back to sequence 0 under their own tombstones
     val seqNow = maxSeq(spark, path)
@@ -325,7 +508,7 @@ object MorDelete {
           // per-file doomed fraction: two counts projected to the
           // file-path metadata column, joined driver-side over the
           // touched set (bounded by file count, like every CowCore list)
-          val table = spark.read.option("basePath", path).parquet(path)
+          val table = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
           val withFp = table.withColumn("__cow_fp", col("_metadata.file_path"))
           val doomedPer = doomed(withFp).groupBy(col("__cow_fp"))
             .agg(count(lit(1)).as("doomed")).collect()
@@ -341,59 +524,129 @@ object MorDelete {
         }
 
       val s = CowCore.rewrite(spark, path, doomed)(
-        survivors, prefix = s"part-mor$seqNow-", fileFilter = fileFilter)
-      if (minDoomedFraction <= 0.0) {
-        val dir = new java.io.File(sidecarDir(path))
-        def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rec)
-          f.delete(); ()
-        }
-        rec(dir)
-      }
+        survivors, prefix = s"part-mor$seqNow-", fileFilter = fileFilter,
+        liveFiles = Some(st.dataFiles), retainOriginals = true)
+      val touchedSet = s.touched.toSet
+      val newData = st.dataFiles.filterNot(touchedSet) ++ s.newFiles
+      val newBatches = if (minDoomedFraction <= 0.0) Nil else st.batches
+      writeManifest(path, nextOrdinal(path), seqNow, State(newData, newBatches))
       CowDelete.DeleteStats(s.touched, s.total, s.rewritten)
     } finally { tomb.unpersist(); () }
   }
 }
 
 /** Table maintenance beside the DML engines — the VACUUM every lakehouse
-  * format ships. The commit discipline here never deletes eagerly on the
-  * failure path (CowCore stages then atomically moves; MorDelete renames
-  * whole batch directories), so a crashed writer leaves GARBAGE, never a
-  * half-visible commit: un-drained `<table>.cow_stage_*` directories and
-  * un-renamed `<sidecar>/.stage-*` tombstone stages. Both are invisible
-  * to readers by construction (spec-locked), so reclaiming them is pure
-  * disk hygiene — but it must not race a LIVE writer's stage, so vacuum
-  * takes the same single-writer lock as every mutation.
+  * format ships, now with RETENTION: the manifest protocol never deletes
+  * data eagerly (compaction retains replaced files, merge orphans its
+  * staged parts on a crash, the failure path of every commit leaves
+  * garbage rather than a half-visible state), so reclaiming disk is a
+  * separate, explicitly-scheduled sweep — Iceberg's expire-snapshots +
+  * remove-orphan-files pair in one pass:
+  *
+  *  - crashed stage directories (`<table>.cow_stage_*`, sidecar
+  *    `.stage-*`, manifest `.tmp-*`) older than `stageGraceMs` — the
+  *    grace period is what makes the sweep safe against a LIVE pure-CoW
+  *    writer (CowDelete/CowUpdate/CowMerge run on unmanaged tables
+  *    WITHOUT the MoR writer lock; deleting their in-flight stage
+  *    between stage() and moveIn() would silently lose the rewrite);
+  *  - manifests older than `retentionMs` (the newest always survives),
+  *    expiring the snapshots [[MorDelete.readAt]] could pin there;
+  *  - data files and tombstone batch directories referenced by NO
+  *    surviving manifest (replaced-by-compaction files past retention,
+  *    crashed commits' orphans).
+  *
+  * Takes the single-writer lock: a live MoR writer's not-yet-published
+  * batch or parts must not be swept mid-commit.
   */
 object Maintenance {
 
-  /** @param dirsRemoved    crashed stage directories deleted
-    * @param bytesReclaimed bytes those directories held
+  /** @param dirsRemoved    stage + dead batch directories deleted
+    * @param filesRemoved   dead data files + expired manifests deleted
+    * @param bytesReclaimed bytes all of the above held
     */
-  final case class VacuumStats(dirsRemoved: Long, bytesReclaimed: Long)
+  final case class VacuumStats(dirsRemoved: Long, filesRemoved: Long, bytesReclaimed: Long)
 
-  def vacuum(path: String): VacuumStats = MorDelete.withWriterLock(path) {
+  def vacuum(path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      stageGraceMs: Long = 3600L * 1000): VacuumStats = MorDelete.withWriterLock(path) {
+    val now = System.currentTimeMillis()
     val table = java.nio.file.Paths.get(path).toAbsolutePath
     val parent = Option(table.getParent).map(_.toFile)
-    val cowStages = parent.map(_.listFiles()).map(_.toSeq).getOrElse(Nil)
+
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+      else f.lastModified()
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      else f.length()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+
+    // 1. crashed stages, behind the grace period (a live CoW writer's
+    //    stage is hot — its newest mtime is seconds old)
+    val cowStages = parent.flatMap(p => Option(p.listFiles())).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.isDirectory &&
         f.getName.startsWith(table.getFileName.toString + ".cow_stage_"))
     val sidecarStages = {
       val d = new java.io.File(MorDelete.sidecarDir(path))
       if (!d.isDirectory) Nil
-      else d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith(".stage-"))
+      else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(".stage-"))
     }
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
-      else f.length()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    val manifestStages = {
+      val d = new java.io.File(MorDelete.manifestDir(path))
+      if (!d.isDirectory) Nil
+      else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.getName.startsWith(".tmp-"))
     }
-    val doomed = cowStages ++ sidecarStages
-    val bytes = doomed.map(sizeOf).sum
-    doomed.foreach(rm)
-    VacuumStats(doomed.size.toLong, bytes)
+    val deadStages = (cowStages ++ sidecarStages ++ manifestStages)
+      .filter(newestMtime(_) <= now - stageGraceMs)
+
+    // 2. expired manifests: everything but the newest, past retention
+    val ms = MorDelete.manifests(path)
+    val expired = if (ms.isEmpty) Nil
+      else ms.init.filter(_.file.lastModified() <= now - retentionMs)
+    val survivors = ms.filterNot(expired.contains)
+
+    // 3. data files / batch dirs referenced by NO surviving manifest —
+    //    only meaningful on a managed table (unmanaged tables' directory
+    //    listing IS the live set)
+    val (deadFiles, deadBatches) =
+      if (survivors.isEmpty) (Nil, Nil)
+      else {
+        val states = survivors.map(MorDelete.readManifest(path, _))
+        val liveData = states.flatMap(_.dataFiles).toSet
+        val liveBatch = states.flatMap(_.batches.map(_._2.getName)).toSet
+        val df = MorDelete.batches(path).map(_._2)
+          .filterNot(b => liveBatch(b.getName))
+        val dd = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+            else Seq(f)
+          walk(table.toFile).filter(f => f.getName.endsWith(".parquet") &&
+            !liveData(f.getAbsolutePath))
+        }
+        (dd, df)
+      }
+
+    val doomedDirs = deadStages ++ deadBatches
+    val doomedFiles = deadFiles ++ expired.map(_.file)
+    val bytes = doomedDirs.map(sizeOf).sum + doomedFiles.map(sizeOf).sum
+    doomedDirs.foreach(rm)
+    doomedFiles.foreach(f => { f.delete(); () })
+    // sweep now-empty partition directories and an emptied sidecar dir so
+    // a fully-vacuumed table is physically indistinguishable from a fresh
+    // write (MorDeleteSpec pins this)
+    def pruneEmpty(f: java.io.File): Unit = if (f.isDirectory) {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(pruneEmpty)
+      if (Option(f.listFiles()).exists(_.isEmpty) && f != table.toFile) { f.delete(); () }
+    }
+    pruneEmpty(table.toFile)
+    pruneEmpty(new java.io.File(MorDelete.sidecarDir(path)))
+    VacuumStats(doomedDirs.size.toLong, doomedFiles.size.toLong, bytes)
   }
 }
 
@@ -428,11 +681,12 @@ object Maintenance {
   * cardinality rule applies to the SOURCE: it must be unique on the key
   * columns ([[CowMerge]]'s check).
   *
-  * Commit discipline: replacement/insert part files move in FIRST, the
-  * tombstone batch rename is the commit point. A crash (or a reader)
-  * between the two sees transient duplicates — never lost rows; with the
-  * old order (tombstones first) a crash after the tombstone commit lost
-  * every matched row permanently.
+  * Commit discipline: all preconditions (key-set compatibility, source
+  * cardinality) are checked BEFORE anything moves; replacement/insert
+  * part files and the tombstone batch then stage invisibly, and the
+  * manifest rename publishes both at once — a reader (or a crash)
+  * between the stages sees the pre-merge state, never duplicates and
+  * never lost rows; a crash leaves only unreferenced garbage for vacuum.
   */
 object MorUpsert {
 
@@ -458,11 +712,27 @@ object MorUpsert {
       deleteWhen: Option[Column] = None,
       updateWhen: Option[Column] = None,
       insertUnmatched: Boolean = true): MergeStats = MorDelete.withWriterLock(path) {
-    val table = spark.read.option("basePath", path).parquet(path)
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    // an insert-only merge on a fully-emptied table is legal: fall back to
+    // the retained files for schema (same rule as the empty resolved view)
+    val table =
+      if (st.dataFiles.nonEmpty)
+        spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+      else spark.read.option("basePath", path).parquet(path).where(lit(false))
     require(source.columns.toSet == table.columns.toSet,
       s"source columns (${source.columns.sorted.mkString(", ")}) must match " +
         s"the table's (${table.columns.sorted.mkString(", ")})")
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    // every precondition fails BEFORE anything stages or moves (the
+    // r14-advice ordering bug: a late key-set require after moveIn left
+    // committed replacements with no tombstones — permanent duplicates)
+    val existingKeys = MorDelete.sidecarKeyCols(spark, path)
+    existingKeys.foreach { existing =>
+      require(existing == keyCols,
+        s"tombstone sidecar already keyed by (${existing.mkString(", ")}); " +
+          s"got (${keyCols.mkString(", ")}) — compact() before changing the key set")
+    }
     val src = source.select(table.columns.toSeq.map(col): _*).localCheckpoint(true)
     val keyCs = keyCols.map(col)
     var pinned: List[DataFrame] = Nil
@@ -493,12 +763,12 @@ object MorUpsert {
       val (nDel, nUpd, nIns) = (delKeys.count(), updKeys.count(), inserts.count())
 
       val seq = MorDelete.maxSeq(spark, path) + 1
-      // append replacements + inserts as sequence-named part files FIRST
-      // (staged write + atomic per-file move, CowCore's discipline), THEN
-      // commit the tombstone batch — see the commit-discipline scaladoc
+      // stage replacements + inserts as sequence-named part files and the
+      // tombstone batch — all invisible until the manifest below names
+      // them (see the commit-discipline scaladoc)
       val appended = src.join(updKeys, keyCols, "left_semi").unionByName(inserts)
-      val moved =
-        if (nUpd + nIns == 0) 0L
+      val newParts =
+        if (nUpd + nIns == 0) Seq.empty[String]
         else {
           val base = Paths.get(path).toAbsolutePath
           val sample = table.select(col("_metadata.file_path"))
@@ -508,9 +778,15 @@ object MorUpsert {
           val stage = CowCore.stage(spark, base, partitionCols, appended)
           CowCore.moveIn(stage, base, prefix = s"part-mor$seq-")
         }
-      MorDelete.appendTombstones(spark, path,
-        delKeys.unionByName(updKeys), keyCols, seq)
-      MergeStats(nDel, nUpd, nIns, moved)
+      val (nTomb, batchName) = MorDelete.appendTombstones(spark, path,
+        delKeys.unionByName(updKeys), keyCols, seq, existingKeys)
+      if (nTomb > 0 || newParts.nonEmpty) {
+        val newBatches = st.batches ++
+          batchName.map(n => seq -> new java.io.File(MorDelete.sidecarDir(path), n))
+        MorDelete.publishManifest(path, seq,
+          MorDelete.State(st.dataFiles ++ newParts, newBatches))
+      }
+      MergeStats(nDel, nUpd, nIns, newParts.size.toLong)
     } finally {
       src.unpersist()
       pinned.foreach(_.unpersist())

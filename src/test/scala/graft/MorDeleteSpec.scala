@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.MorDelete
+import graft.sources.{Maintenance, MorDelete}
 
 /** Merge-on-read DELETE (sources/MorDelete.scala): correctness of the
   * anti-join read AND the mechanism claims — DELETE touches ZERO table
   * files (the write-amplification answer to SCALE_r13's cowdml cliff),
-  * batches accumulate, compact() folds tombstones in via the CoW path
-  * and clears the sidecar, and reads agree before and after compaction.
+  * batches accumulate, compact() folds tombstones in via the CoW path,
+  * and every commit — including compaction — publishes atomically
+  * through a snapshot manifest: a reader overlapping any commit sees the
+  * pre-state or the post-state, never a mix, and snapshots survive
+  * compaction until Maintenance.vacuum expires them.
   */
 class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -72,6 +75,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val s1 = MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
     assert(s1.keysWritten > 0)
+    assert(s1.rowsMatched == all.count(_ % 10 == 3),
+      "rowsMatched must ride the key-extraction pass (orders keys are unique here)")
     assert(files(loc) == before, "a MoR delete must not touch any table file")
     assert(keys(loc) == all.filterNot(_ % 10 == 3))
 
@@ -79,6 +84,10 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files(loc) == before, "the second batch must not touch table files either")
     assert(keys(loc) == all.filterNot(k => k % 10 == 3 || k % 10 == 7),
       "tombstone batches accumulate")
+    // every mutation publishes through the manifest protocol: genesis + 2
+    assert(MorDelete.isManaged(loc))
+    assert(new File(MorDelete.manifestDir(loc)).listFiles()
+      .count(_.getName.startsWith("m-")) == 3)
   }
 
   test("equality-delete contract: one tombstoned key removes every row sharing it") {
@@ -92,15 +101,20 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every lineitem of the tombstoned order must disappear")
   }
 
-  test("compact folds tombstones in via CoW, clears the sidecar, and preserves the read") {
+  test("compact folds tombstones in via CoW; vacuum(0) restores a physically clean table") {
     val loc = freshTable()
     MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
     val preCompact = keys(loc)
     val stats = MorDelete.compact(spark, loc)
     assert(stats.touched.nonEmpty, "the scattered tombstones live in some file")
-    assert(!new File(MorDelete.sidecarDir(loc)).exists(), "sidecar must be cleared")
     assert(keys(loc) == preCompact, "compaction must not change the visible rows")
-    // post-compaction the table is physically clean: a raw read agrees too
+    // the replaced originals and folded batches are RETAINED for readers
+    // holding older manifests; vacuum(0,0) expires and reclaims them
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    assert(!new File(MorDelete.sidecarDir(loc)).exists(),
+      "a full compact + vacuum must clear the sidecar")
+    assert(keys(loc) == preCompact)
+    // post-vacuum the table is physically clean: a raw read agrees too
     assert(spark.read.parquet(loc).select("o_orderkey")
       .collect().map(_.getLong(0)).toSet == preCompact)
     // and compacting again is a no-op
@@ -116,7 +130,9 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("compact() before changing the key set"))
     MorDelete.compact(spark, loc)
-    // after compaction the sidecar is empty, so a new key set is fine
+    // after compaction the LIVE batch set is empty (the folded batches are
+    // merely retained for older snapshots), so a new key set is fine —
+    // even before any vacuum
     MorDelete.delete(spark, loc, col("o_custkey") % 50 === 1, Seq("o_custkey"))
     assert(MorDelete.read(spark, loc)
       .filter(col("o_custkey") % 50 === 1).count() == 0)
@@ -142,6 +158,7 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collateral >= nUrgent)
     val stats = MorDelete.compact(spark, loc)
     assert(stats.touched.nonEmpty)
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
     val after = spark.read.option("basePath", loc).parquet(loc)
     assert(after.count() == nAll - collateral)
     assert(after.columns.contains("o_orderpriority"),
@@ -153,7 +170,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
     // the anti-join sits ABOVE the scan, so a caller's predicate must
     // still reach the parquet reader as a pushed filter (the scaladoc's
-    // scale claim, plan-locked)
+    // scale claim, plan-locked) — including through the manifest-resolved
+    // file list
     val plan = MorDelete.read(spark, loc)
       .filter(col("o_custkey") > 100L)
       .queryExecution.executedPlan.toString
@@ -221,7 +239,7 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a zero-match delete commits nothing and later DML still works") {
     val loc = freshTable()
     val s0 = MorDelete.delete(spark, loc, col("o_orderkey") === -999L, Seq("o_orderkey"))
-    assert(s0.keysWritten == 0 && s0.sidecarFiles == 0)
+    assert(s0.keysWritten == 0 && s0.sidecarFiles == 0 && s0.rowsMatched == 0)
     assert(!new File(MorDelete.sidecarDir(loc)).exists(),
       "a no-op delete must not create an empty batch (it would lock in the key set)")
     // the regression this pins: an empty sidecar file made max(__mor_seq)
@@ -236,7 +254,7 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("o_orderpriority").head().getString(0) == "9-UPSERTED")
   }
 
-  test("readAt pins a snapshot across later deletes and merges") {
+  test("readAt pins a snapshot across later deletes, merges, AND compactions") {
     val loc = freshTable()
     val all = keys(loc)
     val snap0 = MorDelete.currentSeq(spark, loc)
@@ -260,28 +278,49 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.readAt(spark, loc, MorDelete.currentSeq(spark, loc))
       .select("o_orderkey").collect().map(_.getLong(0)).toSet ==
       keys(loc))
+    // the r14 contract ended here: "compact() invalidates older
+    // snapshots". Under the manifest protocol it no longer does —
+    // compaction retains the files older manifests reference
+    val latest = keys(loc)
+    MorDelete.compact(spark, loc)
+    assert(MorDelete.readAt(spark, loc, snap0).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == all,
+      "a snapshot must SURVIVE a compaction (retained files)")
+    assert(MorDelete.readAt(spark, loc, snap1).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == all.filterNot(_ % 10 == 3))
+    assert(keys(loc) == latest, "the live read is unchanged by compaction")
+    // ...until vacuum EXPIRES the old manifests (the Iceberg
+    // snapshot-expiry contract): then the pinned read fails loudly
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    val e = intercept[IllegalStateException](MorDelete.readAt(spark, loc, snap0))
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("no retained snapshot"))
+    assert(keys(loc) == latest, "vacuum must not change the live view")
   }
 
-  test("read-during-compact: still-visible tombstones are no-ops against compacted parts") {
+  test("read-during-compact: a reader holding the pre-compact manifest sees the exact pre-state") {
     val loc = freshTable()
     MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
-    val tombKeys = spark.read.parquet(
-        new File(MorDelete.sidecarDir(loc)).listFiles()
-          .filter(_.getName.startsWith("batch-")).map(_.toString).toSeq: _*)
-      .drop("__mor_seq").localCheckpoint(true)
+    val expected = keys(loc)
+    // a reader that resolved the manifest BEFORE the compaction: its plan
+    // (file list + batches) is pinned at construction, exactly like a
+    // query running while compact() commits
+    val overlapping = MorDelete.read(spark, loc).select("o_orderkey")
     MorDelete.compact(spark, loc)
-    val afterCompact = keys(loc)
-    // compacted parts must carry the pre-compaction max sequence in their
-    // name — that is what makes the window below safe
+    assert(overlapping.collect().map(_.getLong(0)).toSet == expected,
+      "a reader overlapping the compaction must see the complete pre-state " +
+        "(retained files), never missing files or transient duplicates")
+    // the post-commit reader resolves the new manifest: same visible rows
+    assert(keys(loc) == expected)
+    // compacted survivors are sequence-named, so tombstones retained for
+    // older snapshots are no-ops against them
     assert(files(loc).keys.exists(_.contains("part-mor1-")),
       "compacted survivors must be sequence-named")
-    // simulate the reader-visible window between "files swapped" and
-    // "sidecar cleared": re-apply the very tombstones compact() folded in
-    MorDelete.appendTombstones(spark, loc, tombKeys, Seq("o_orderkey"), seq = 1L)
-    assert(keys(loc) == afterCompact,
-      "a read overlapping the post-swap/pre-clear window must see the compacted rows")
-    MorDelete.compact(spark, loc) // cleanup: fold the simulated leftovers
-    assert(keys(loc) == afterCompact)
+    // the raw directory now holds BOTH generations (why raw reads of a
+    // managed table are undefined until vacuum)
+    assert(spark.read.parquet(loc).count() > MorDelete.read(spark, loc).count())
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    assert(spark.read.parquet(loc).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == expected)
   }
 
   test("single-writer lock: a held lock fails DML loudly; release restores it") {
@@ -297,13 +336,14 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc).forall(_ % 10 != 3))
   }
 
-  test("vacuum reclaims crashed stage garbage and nothing else; respects the writer lock") {
+  test("vacuum: reclaims crashed stages past the grace period, never a live writer's") {
     val loc = freshTable()
     val before = files(loc)
     MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
     val expected = keys(loc)
-    // plant both crash shapes: an undrained CoW stage next to the table
-    // and an unrenamed tombstone stage inside the sidecar
+    // plant all three crash shapes: an undrained CoW stage next to the
+    // table, an unrenamed tombstone stage inside the sidecar, and an
+    // unrenamed manifest temp
     val t = java.nio.file.Paths.get(loc).toAbsolutePath
     val cowStage = new File(t.getParent.toFile, t.getFileName.toString + ".cow_stage_dead1")
     cowStage.mkdirs()
@@ -311,21 +351,28 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sideStage = new File(MorDelete.sidecarDir(loc), ".stage-dead2")
     sideStage.mkdirs()
     java.nio.file.Files.write(new File(sideStage, "x.parquet").toPath, Array[Byte](4, 5))
-    // a held writer lock blocks the sweep (a LIVE writer's stage is not garbage)
+    // a held writer lock blocks the sweep (the lock holder may be
+    // mid-commit with not-yet-published files)
     val lock = new File(MorDelete.sidecarDir(loc) + ".lock")
     assert(lock.createNewFile())
-    intercept[IllegalStateException](graft.sources.Maintenance.vacuum(loc))
+    intercept[IllegalStateException](Maintenance.vacuum(loc))
     assert(lock.delete())
-    val stats = graft.sources.Maintenance.vacuum(loc)
+    // the GRACE PERIOD protects a LIVE pure-CoW writer's stage (CoW DML
+    // holds no MoR lock): a fresh stage survives the default sweep
+    val graceStats = Maintenance.vacuum(loc)
+    assert(graceStats.dirsRemoved == 0 && cowStage.exists() && sideStage.exists(),
+      "stages younger than the grace period must survive (a live CoW writer may own them)")
+    // past the grace period they are crash garbage
+    val stats = Maintenance.vacuum(loc, retentionMs = Long.MaxValue / 2, stageGraceMs = 0)
     assert(stats.dirsRemoved == 2 && stats.bytesReclaimed == 5L)
     assert(!cowStage.exists() && !sideStage.exists())
     assert(files(loc) == before, "vacuum must not touch live table files")
     assert(keys(loc) == expected, "vacuum must not change the visible rows")
-    // committed batch directories survive (the tombstones still apply)
+    // committed, still-referenced batch directories survive
     assert(new File(MorDelete.sidecarDir(loc)).listFiles()
       .exists(_.getName.startsWith("batch-")))
     // idempotent on a clean table
-    assert(graft.sources.Maintenance.vacuum(loc).dirsRemoved == 0)
+    assert(Maintenance.vacuum(loc, Long.MaxValue / 2, 0).dirsRemoved == 0)
   }
 
   test("an uncommitted (crashed) stage directory is invisible to readers") {
@@ -334,8 +381,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
     val expected = all.filterNot(_ % 10 == 3)
     // a writer that crashed mid-stage leaves `.stage-*` garbage with MORE
-    // tombstones; the commit is the batch-directory rename, so none of
-    // those keys may disappear from reads
+    // tombstones; the commit is the manifest rename, so none of those
+    // keys may disappear from reads
     spark.createDataFrame(
         java.util.Arrays.asList(expected.filter(_ % 10 == 5).toSeq.map(org.apache.spark.sql.Row(_)): _*),
         org.apache.spark.sql.types.StructType(Seq(
@@ -345,6 +392,16 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.parquet(MorDelete.sidecarDir(loc) + "/.stage-crashed")
     assert(keys(loc) == expected,
       "an unrenamed stage directory must never act as committed tombstones")
+    // and so is a RENAMED batch that no manifest references (a writer
+    // that crashed between the batch rename and the manifest commit)
+    new File(MorDelete.sidecarDir(loc) + "/.stage-crashed")
+      .renameTo(new File(MorDelete.sidecarDir(loc) + "/batch-2-orphan"))
+    assert(keys(loc) == expected,
+      "a batch directory outside every manifest must never act as committed")
+    // vacuum reclaims the orphan (it is referenced by no manifest)
+    Maintenance.vacuum(loc, retentionMs = Long.MaxValue / 2, stageGraceMs = 0)
+    assert(!new File(MorDelete.sidecarDir(loc) + "/batch-2-orphan").exists())
+    assert(keys(loc) == expected)
   }
 
   test("merge clauses: conditional delete, conditional update, untouched remainder, insert") {
@@ -389,6 +446,28 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.read(spark, loc).filter(col("o_orderkey") === 6L).count() == 0)
   }
 
+  test("merge preconditions fail BEFORE anything stages or commits") {
+    val loc = freshTable()
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val expected = keys(loc)
+    val before = files(loc)
+    val manifestsBefore = new File(MorDelete.manifestDir(loc)).listFiles().map(_.getName).toSet
+    // a merge keyed DIFFERENTLY from the live sidecar must refuse up
+    // front — the r14-advice ordering bug moved replacement parts in
+    // FIRST and then failed the key-set require, leaving the table
+    // permanently duplicated
+    val src = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 2L))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.MorUpsert.merge(spark, loc,
+        src.withColumnRenamed("o_orderkey", "o_orderkey"), Seq("o_custkey"))
+    }
+    assert(e.getMessage.contains("compact() before changing the key set"))
+    assert(files(loc) == before, "no part file may move in before the precondition check")
+    assert(new File(MorDelete.manifestDir(loc)).listFiles().map(_.getName).toSet ==
+      manifestsBefore, "no manifest may commit for a refused merge")
+    assert(keys(loc) == expected)
+  }
+
   test("targeted compaction rewrites only dense files and keeps reads exact") {
     val loc = Files.createTempDirectory("graft_mor").toString + "/t"
     Tables.t(spark, "/root/testdata/sf0.001", "orders")
@@ -411,15 +490,19 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partial.touched.nonEmpty && partial.touched.size < partial.total,
       s"only the dense file(s) should rewrite, got ${partial.touched}")
     assert(new File(MorDelete.sidecarDir(loc)).exists(),
-      "partial compaction must retain the sidecar (tombstones may still matter)")
+      "partial compaction must carry the sidecar (tombstones may still matter)")
     assert(keys(loc) == expected, "reads are exact after a partial compaction")
-    // the dense bulk is physically gone from disk even though the
-    // tombstones remain; only the sparse tail (uncompacted files) lingers
+    // after vacuum, the dense bulk is physically gone from disk even
+    // though the tombstones remain; only the sparse tail (uncompacted
+    // files) lingers
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    assert(keys(loc) == expected, "vacuum must not change the visible rows")
     val remaining = spark.read.parquet(loc)
       .filter(col("o_orderkey") < cut || col("o_orderkey") === maxK).count()
     assert(remaining < doomedOnDisk / 2,
       s"the dense file's doomed rows must leave disk: $remaining of $doomedOnDisk remain")
     val full = MorDelete.compact(spark, loc)
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
     assert(!new File(MorDelete.sidecarDir(loc)).exists())
     assert(keys(loc) == expected)
     assert(full.touched.nonEmpty, "the sparse file still held one doomed key")
@@ -445,8 +528,9 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replacements must win and carry the partition-directory column")
     assert(new File(loc, "o_orderpriority=9-UPSERTED").isDirectory,
       "the appended rows must land in their own partition directory")
-    // compact folds everything back while keeping the partition layout
+    // compact + vacuum fold everything back while keeping the partition layout
     MorDelete.compact(spark, loc)
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
     val physical = spark.read.option("basePath", loc).parquet(loc)
     assert(physical.filter(col("o_orderkey").isin(1L, 2L, 3L) &&
       col("o_orderpriority") =!= "9-UPSERTED").count() == 0)
@@ -464,7 +548,23 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val preCompact = keys(loc)
     MorDelete.compact(spark, loc)
     assert(keys(loc) == preCompact, "compaction preserves the sequenced view")
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
     assert(spark.read.parquet(loc).filter(col("o_orderkey") === 1L).count() == 0,
-      "post-compaction the physical table agrees")
+      "post-vacuum the physical table agrees")
+  }
+
+  test("direct CoW DML on a manifest-managed table is refused loudly") {
+    val loc = freshTable()
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.CowDelete.delete(spark, loc, col("o_orderkey") % 10 === 7)
+    }
+    assert(e.getMessage.contains("manifest-managed"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.CowMerge.merge(spark, loc,
+        oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 2L)),
+        Seq("o_orderkey"), Seq("o_totalprice" -> lit(1.0)))
+    }
+    assert(e2.getMessage.contains("manifest-managed"))
   }
 }

@@ -29,7 +29,8 @@ import graft.sources.{MorDelete, MorUpsert}
   *    appends); unmatched source keys insert.
   *  - compact(p): pure physical reorganization — never visible.
   *  - readAt(seq captured earlier): the shadow as of that step, valid
-  *    until the next compaction (which invalidates older snapshots).
+  *    across every later mutation INCLUDING compactions (the manifest
+  *    protocol retains replaced files until vacuum expires them).
   */
 class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -63,17 +64,16 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     var shadow: Vector[(Long, Long)] = rows0.toVector
 
     // one mid-run snapshot: captured at a random step, checked at the end
-    // if no compaction intervened
+    // — compactions may intervene freely (the manifest protocol retains
+    // the files older snapshots reference until vacuum)
     val snapStep = 2 + rnd.nextInt(4)
     var snapSeq = -1L
     var snapShadow: Vector[(Long, Long)] = Vector.empty
-    var compactedSinceSnap = false
 
     for (step <- 0 until 12) {
       if (step == snapStep) {
         snapSeq = MorDelete.currentSeq(spark, loc)
         snapShadow = shadow
-        compactedSinceSnap = false
       }
       rnd.nextInt(6) match {
         case 0 => // delete by key residue (may match nothing)
@@ -112,12 +112,11 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 5 => // compaction, full or density-targeted — never visible
           val p = if (rnd.nextBoolean()) 0.0 else 0.5
           MorDelete.compact(spark, loc, minDoomedFraction = p)
-          compactedSinceSnap = true
       }
       assert(visible(loc) == shadow.sorted,
         s"seed $seed step $step diverged from the shadow model")
     }
-    if (snapSeq >= 0 && !compactedSinceSnap) {
+    if (snapSeq >= 0) {
       val pinned = MorDelete.readAt(spark, loc, snapSeq).select("k", "v")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(pinned == snapShadow.sorted,
