@@ -189,13 +189,18 @@ object PrestoSql {
     // reference grammar SqlBase.g4 `DELETE FROM qualifiedName (WHERE
     // booleanExpression)?` and the UPDATE statement family. Spark's own
     // parser rejects row-level DML on parquet v1 tables, so these route
-    // onto the copy-on-write engines (sources/CowDelete.scala) against
-    // the catalog table's location — the same single-statement atomicity
-    // the reference's DeleteOperator + TableFinish pair provides.
+    // onto the row-level engines against the catalog table's location —
+    // copy-on-write (sources/CowDelete.scala) for plain parquet tables,
+    // MERGE-ON-READ (sources/MorDelete.scala) for tables that live in MoR
+    // mode (a live tombstone sidecar or snapshot manifests) — the same
+    // single-statement atomicity the reference's DeleteOperator +
+    // TableFinish pair provides. UPDATE's SET/WHERE split happens with
+    // the quote/paren-aware scanner, NOT inside the regex: a SET
+    // expression containing the literal ' WHERE ' must not mis-split.
     private val deleteRe =
       "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
     private val updateRe =
-      "(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+      "(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+SET\\s+(.+?)\\s*;?\\s*$".r
 
     /** Route one statement: PREPARE/EXECUTE/DEALLOCATE and the SHOW
       * metadata statements handled here (the reference rewrites SHOW into
@@ -249,30 +254,80 @@ object PrestoSql {
         spark.sql("SELECT 'RESET SESSION' AS result")
       case deleteRe(table, whereOpt) =>
         import spark.implicits._
+        import org.apache.spark.sql.functions.{expr, lit}
         val pred = Option(whereOpt)
-          .map(w => org.apache.spark.sql.functions.expr(PrestoSql.translate(w)))
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-        // the reference's DELETE returns the deleted-row count (one
-        // bounded pushdown-filtered count; the engine's touched-file
-        // discovery scans those rows anyway)
-        val n = spark.table(table).filter(pred).count()
-        sources.CowDelete.delete(spark, parquetLocation(table, "DELETE"), pred)
+          .map(w => expr(PrestoSql.translate(w)))
+          .getOrElse(lit(true))
+        val loc = parquetLocation(table, "DELETE")
+        // the reference's DELETE returns the deleted-row count — derived
+        // from the engine's OWN Observation on the rewrite/key pass, never
+        // a separate predicate scan (PrestoSqlSpec pins the action count)
+        val n =
+          if (morMode(loc)) {
+            val keyCols = sources.MorDelete.sidecarKeyCols(spark, loc)
+              .getOrElse(spark.table(table).columns.toSeq)
+            val st = sources.MorDelete.delete(spark, loc, pred, keyCols)
+            resolveMorView(table, loc)
+            st.rowsMatched
+          } else {
+            sources.CowDelete.delete(spark, loc, pred).deletedRows
+          }
         spark.catalog.refreshTable(table)
         Seq(n).toDF("rows")
-      case updateRe(table, setList, whereOpt) =>
+      case updateRe(table, rest) =>
         import spark.implicits._
-        val pred = Option(whereOpt)
-          .map(w => org.apache.spark.sql.functions.expr(PrestoSql.translate(w)))
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        import org.apache.spark.sql.functions.{expr, lit}
+        // split `SET a = e, b = f [WHERE pred]` at the TOP-LEVEL WHERE —
+        // quote/paren-aware, so a SET literal containing ' WHERE ' binds
+        val whereAt = topLevelKeyword(rest, "WHERE")
+        val (setList, whereOpt) =
+          if (whereAt < 0) (rest, None)
+          else (rest.substring(0, whereAt).trim,
+            Some(rest.substring(whereAt + "WHERE".length).trim))
+        val pred = whereOpt.map(w => expr(PrestoSql.translate(w))).getOrElse(lit(true))
         val sets = splitTopLevel(setList).map { a =>
           val eq = topLevelEq(a)
           require(eq > 0, s"malformed SET assignment: $a")
           val name = a.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
-          name -> org.apache.spark.sql.functions.expr(
-            PrestoSql.translate(a.substring(eq + 1).trim))
+          name -> expr(PrestoSql.translate(a.substring(eq + 1).trim))
         }
-        val n = spark.table(table).filter(pred).count()
-        sources.CowUpdate.update(spark, parquetLocation(table, "UPDATE"), pred, sets)
+        val loc = parquetLocation(table, "UPDATE")
+        val n =
+          if (morMode(loc)) {
+            // MoR UPDATE = MERGE on the sidecar's self-described key: the
+            // matched rows (resolved view ∩ predicate) re-append with the
+            // SETs applied at the next sequence; their old copies die
+            // under the tombstones. Needs a declared key — a manifest-only
+            // table (no live batches) has none, and the merge's ANSI
+            // cardinality check refuses duplicate-keyed matches loudly.
+            val keyCols = sources.MorDelete.sidecarKeyCols(spark, loc).getOrElse(
+              throw new UnsupportedOperationException(
+                s"UPDATE on merge-on-read table '$table' needs the sidecar's key " +
+                  "columns, and it has no live tombstone batch to declare them — " +
+                  "use MorUpsert.merge with explicit keys, or compact() first"))
+            val badSets = sets.map(_._1).filter(keyCols.contains)
+            require(badSets.isEmpty,
+              s"UPDATE on merge-on-read table '$table' cannot assign key " +
+                s"column(s) ${badSets.mkString(", ")} — key identity is what " +
+                "links the replacement to the tombstone")
+            val resolved = sources.MorDelete.read(spark, loc)
+            val byName = sets.toMap
+            val source = resolved.filter(pred).select(resolved.columns.toSeq.map(c =>
+              byName.get(c).map(_.as(c)).getOrElse(org.apache.spark.sql.functions.col(c))): _*)
+            val st = sources.MorUpsert.merge(spark, loc, source, keyCols,
+              insertUnmatched = false)
+            resolveMorView(table, loc)
+            st.keysUpdated
+          } else {
+            // a subquery predicate cannot ride the rewrite's metrics node;
+            // only that shape pays a separate (pushdown-filtered) count,
+            // taken BEFORE the rewrite changes the rows
+            val subq = org.apache.spark.sql.GraftSqlBridge.toExpr(spark, pred)
+              .exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+            val pre = if (subq) spark.table(table).filter(pred).count() else -1L
+            val st = sources.CowUpdate.update(spark, loc, pred, sets)
+            if (st.updatedRows >= 0) st.updatedRows else pre
+          }
         spark.catalog.refreshTable(table)
         Seq(n).toDF("rows")
       case txnRe(stmt) =>
@@ -488,9 +543,9 @@ object PrestoSql {
         val c = s.charAt(i)
         c match {
           case '\'' =>
-            cur.append(c); i += 1
-            while (i < s.length && s.charAt(i) != '\'') { cur.append(s.charAt(i)); i += 1 }
-            if (i < s.length) cur.append('\'')
+            val end = skipLiteral(s, i)
+            cur.append(s.substring(i, math.min(end, s.length)))
+            i = end - 1
           case '(' => depth += 1; cur.append(c)
           case ')' => depth -= 1; cur.append(c)
           case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
@@ -502,15 +557,28 @@ object PrestoSql {
       parts.toSeq
     }
 
-    /** Index of the top-level `=` of one SET assignment (quotes and
-      * parens bind, so `c = coalesce(x, '=')` splits at the first `=`). */
+    /** Skip one string literal starting at `i` (which points at the
+      * opening quote), honoring SQL '' escapes; returns the index just
+      * past the closing quote. */
+    private def skipLiteral(s: String, i0: Int): Int = {
+      var i = i0 + 1
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2 // '' escape
+          else return i + 1
+        } else i += 1
+      }
+      i
+    }
+
+    /** Index of the top-level `=` of one SET assignment (quotes — with ''
+      * escapes — and parens bind, so `c = coalesce(x, '=')` splits at the
+      * first `=`). */
     private def topLevelEq(s: String): Int = {
       var depth = 0; var i = 0
       while (i < s.length) {
         s.charAt(i) match {
-          case '\'' =>
-            i += 1
-            while (i < s.length && s.charAt(i) != '\'') i += 1
+          case '\'' => i = skipLiteral(s, i) - 1
           case '(' => depth += 1
           case ')' => depth -= 1
           case '=' if depth == 0 => return i
@@ -519,6 +587,51 @@ object PrestoSql {
         i += 1
       }
       -1
+    }
+
+    /** Index of the first TOP-LEVEL, whitespace-delimited occurrence of
+      * `word` (case-insensitive) — the same quote/paren-aware walk as
+      * [[topLevelEq]], so `SET c = ' WHERE '` never splits inside the
+      * literal. Returns −1 when absent. */
+    private def topLevelKeyword(s: String, word: String): Int = {
+      var depth = 0; var i = 0
+      val n = word.length
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' => i = skipLiteral(s, i) - 1
+          case '"' =>
+            i += 1
+            while (i < s.length && s.charAt(i) != '"') i += 1
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case c if depth == 0 && Character.toUpperCase(c) == word.charAt(0) &&
+              i + n <= s.length && s.substring(i, i + n).equalsIgnoreCase(word) &&
+              (i == 0 || s.charAt(i - 1).isWhitespace) &&
+              (i + n == s.length || s.charAt(i + n).isWhitespace) =>
+            return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+
+    /** A location lives in merge-on-read mode when it carries snapshot
+      * manifests or a live tombstone sidecar — then SQL DML must route
+      * through the MoR engines (direct CoW would bypass the manifests)
+      * and reads through the resolved view. */
+    private def morMode(loc: String): Boolean =
+      sources.MorDelete.isManaged(loc) ||
+        sources.MorDelete.sidecarKeyCols(spark, loc).isDefined
+
+    /** Surface the MoR-resolved view to the SQL session: a temp view
+      * under the table's (unqualified) name shadows the catalog table in
+      * resolution, so subsequent SELECT statements read tombstone-applied
+      * rows — the reference's reads-see-the-snapshot contract without a
+      * catalog that understands sidecars. */
+    private def resolveMorView(table: String, loc: String): Unit = {
+      val bare = table.split('.').last
+      sources.MorDelete.read(spark, loc).createOrReplaceTempView(bare)
     }
 
     /** Resolve a catalog table to the parquet directory the CoW engines

@@ -994,7 +994,30 @@ object ScaleRehearsal {
       val tZ = best2("zorder z band read")(aggOf(s"$base/z"))
       println(f"[scale] zorder 2nd-col band: files $fLin%d/200 (linear) vs $fZ%d/200 (z)  " +
         f"read $tLin%.2f vs $tZ%.2f s  write $wLin%.1f vs $wZ%.1f s")
-      println(f"""[scale] {"mode": "zorder", "rows": ${600000 * R}%d, "files": 200, "band_rows": ${vLin.getLong(0)}%d, "linear_files_touched": $fLin%d, "z_files_touched": $fZ%d, "linear_read_wall": $tLin%.2f, "z_read_wall": $tZ%.2f, "linear_write_wall": $wLin%.1f, "z_write_wall": $wZ%.1f}""")
+      // VALUE SKEW arm (r14 verdict ask #6): a 4th-power column puts ~25%
+      // of rows below one uniform bucket width; a selective band inside
+      // that dense region measures the two quantizers' pruning floors.
+      val skewed = li.withColumn("l_skew",
+        pow(pmod(col("l_orderkey"), lit(4096)).cast("double"), 4.0).cast("long"))
+      val t2 = System.nanoTime()
+      sources.Layout.zorderWrite(spark, skewed, s"$base/zu",
+        Seq("l_skew", "l_suppkey"), nFiles = 200)
+      val wZu = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      sources.Layout.zorderWrite(spark, skewed, s"$base/zq",
+        Seq("l_skew", "l_suppkey"), nFiles = 200, quantile = true)
+      val wZq = (System.nanoTime() - t3) / 1e9
+      val denseBand = col("l_skew") <= 409L * 409L * 409L * 409L // lowest ~10% of keys
+      def aggS(p: String) = spark.read.parquet(p).filter(denseBand)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("q"))
+      val (vU, vQ) = (aggS(s"$base/zu").collect()(0), aggS(s"$base/zq").collect()(0))
+      require(vU == vQ, s"quantizer arms must agree on the band aggregate: $vU vs $vQ")
+      val fU = sources.Layout.filesWithMatches(spark, s"$base/zu", denseBand)
+      val fQ = sources.Layout.filesWithMatches(spark, s"$base/zq", denseBand)
+      println(f"[scale] zorder skewed dense band: files $fU%d/200 (uniform) vs $fQ%d/200 (quantile)  " +
+        f"write $wZu%.1f vs $wZq%.1f s")
+      println(f"""[scale] {"mode": "zorder", "rows": ${600000 * R}%d, "files": 200, "band_rows": ${vLin.getLong(0)}%d, "linear_files_touched": $fLin%d, "z_files_touched": $fZ%d, "linear_read_wall": $tLin%.2f, "z_read_wall": $tZ%.2f, "linear_write_wall": $wLin%.1f, "z_write_wall": $wZ%.1f, "skew_band_rows": ${vU.getLong(0)}%d, "skew_uniform_files": $fU%d, "skew_quantile_files": $fQ%d, "skew_uniform_write_wall": $wZu%.1f, "skew_quantile_write_wall": $wZq%.1f}""")
       spark.stop()
       return
     }
@@ -1062,12 +1085,35 @@ object ScaleRehearsal {
             s"sliced arm diverged on the $kind ${n}x corpus: $mSingle vs $mSliced")
           val wSingle = best2(s"asof $kind ${n}x single")(asofOf(hot, None))
           val wSliced = best2(s"asof $kind ${n}x sliced")(asofOf(hot, Some(width)))
+          // the AUTO decision at this skew point: its one bounded stats
+          // pass must pick the arm the walls above say wins (the r14
+          // verdict's self-enforcing deployment rule)
+          val clicks = hot.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id"), col("ts"))
+          val views = hot.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+          val p = AsofJoin.plan(clicks, views, Seq("user_id"), "ts", "vts")
+          val autoArm = if (p.sliced) "sliced" else "single"
+          val winner = if (wSingle <= wSliced) "single" else "sliced"
           println(f"[scale] asofskew $kind%s@$n%dx single $wSingle%.2f s vs sliced $wSliced%.2f s " +
-            f"(rows ${mSingle._1}%d, matched ${mSingle._2}%d, width $width%.0f s)")
-          f"""{"kind": "$kind%s", "replicas": $n%d, "rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f}"""
+            f"(rows ${mSingle._1}%d, matched ${mSingle._2}%d, width $width%.0f s, " +
+            f"auto picks $autoArm%s [hot key ${p.maxKeyRows}%d rows], winner $winner%s)")
+          f"""{"kind": "$kind%s", "replicas": $n%d, "rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f, "auto_arm": "$autoArm%s", "auto_max_key_rows": ${p.maxKeyRows}%d, "measured_winner": "$winner%s"}"""
+      }
+      // the no-skew corpus must keep the single arm (its hottest key is
+      // tiny), completing the auto decision's negative control
+      val pFlat = {
+        val ev = eventsN(40, hot = false)
+        AsofJoin.plan(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id"), col("ts")),
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id")),
+          Seq("user_id"), "ts", "vts")
       }
       println(s"""[scale] {"mode": "asofskew", "curve": [${curve.mkString(", ")}], """ +
-        f""""hot": [${hotPoints.mkString(", ")}], "slice_width_s": $width%.1f}""")
+        f""""hot": [${hotPoints.mkString(", ")}], "slice_width_s": $width%.1f, """ +
+        f""""auto_noskew_arm": "${if (pFlat.sliced) "sliced" else "single"}%s"}""")
       spark.stop()
       return
     }

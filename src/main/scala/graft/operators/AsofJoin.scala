@@ -139,6 +139,98 @@ object AsofJoin {
     slicedJoin(left, right, on, leftTime, rightTime, payload, sliceWidth,
       rightTiebreak, within, forward = true)
 
+  /** The measured single-vs-sliced decision for one (left, right, key)
+    * shape — what [[auto]] acts on, exposed so specs and rehearsals can
+    * assert the CHOICE, not just the values.
+    *
+    * @param sliced      whether the sliced arm was picked
+    * @param sliceWidth  derived slice width (meaningful when sliced)
+    * @param maxKeyRows  the hottest key's row count across BOTH sides —
+    *                    exactly the rows the single-window arm would
+    *                    serialize onto one task
+    * @param span        the time span (double-cast units) the history covers
+    */
+  final case class AutoPlan(sliced: Boolean, sliceWidth: Double,
+      maxKeyRows: Long, span: Double)
+
+  /** Default per-task hot-key budget: the SCALE_r14 `asofskew` rehearsal
+    * put the single-vs-sliced crossover at roughly a 1M-row hot
+    * partition on 32 cores / 100 GiB (single wins at 159k hot rows,
+    * sliced wins from ~794k), so the switch fires from 512k — past the
+    * measured win region either way, and a hot key under it is
+    * scan-bound, not sort-bound. At 100 TB the same number is "what one
+    * executor task can sort without spilling". */
+  val DefaultMaxKeyRowsPerTask: Long = 1L << 19
+
+  /** Size the join in ONE bounded stats pass (the RangeJoin sizing
+    * discipline — `RangeJoin.pointInInterval`'s 1-row interval stats):
+    * per-key counts over the union both arms would shuffle anyway, rolled
+    * up to (hottest key, time span) in a single action. The sliced arm is
+    * picked only when the hottest key exceeds the task budget AND the
+    * history has a span to slice; the width then spreads that key over
+    * ≥4× budget-sized slices (capped at 4096 — the boundary-carry frame
+    * stays |keys| × slices, orders below the row count).
+    */
+  def plan(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      maxKeyRowsPerTask: Long = DefaultMaxKeyRowsPerTask): AutoPlan = {
+    require(on.nonEmpty, "asof join needs at least one key column")
+    require(maxKeyRowsPerTask > 0, "maxKeyRowsPerTask must be positive")
+    def keyed(df: DataFrame, time: String): DataFrame =
+      df.filter((on.map(col) :+ col(time)).map(_.isNotNull).reduce(_ && _))
+        .select(on.map(col) :+ col(time).cast("double").as("__asof_t"): _*)
+    val u = keyed(left, leftTime).unionByName(keyed(right, rightTime))
+    val row = u.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("__asof_t")).as("__mn"),
+        max(col("__asof_t")).as("__mx"))
+      .agg(max(col("__n")).as("n"), min(col("__mn")).as("mn"), max(col("__mx")).as("mx"))
+      .collect()(0)
+    if (row.isNullAt(0)) return AutoPlan(sliced = false, 0.0, 0L, 0.0)
+    val maxKeyRows = row.getLong(0)
+    val span = row.getDouble(2) - row.getDouble(1)
+    // a zero-span history cannot be sliced by time (every row lands in
+    // one slice) — the single arm is the only arm
+    if (maxKeyRows <= maxKeyRowsPerTask || span <= 0.0)
+      AutoPlan(sliced = false, 0.0, maxKeyRows, span)
+    else {
+      val nSlices = math.min(4096L,
+        math.max(16L, 4L * ((maxKeyRows + maxKeyRowsPerTask - 1) / maxKeyRowsPerTask)))
+      AutoPlan(sliced = true, math.max(span / nSlices, Double.MinPositiveValue),
+        maxKeyRows, span)
+    }
+  }
+
+  /** The self-sizing arm: runs [[plan]]'s one bounded stats pass, then
+    * executes [[backward]]/[[forward]] or the sliced variant with the
+    * derived width — the SCALE_r14 deployment rule ("switch when one
+    * key's history approaches what a single task can sort"), enforced by
+    * measurement instead of left to the caller. Semantics are identical
+    * across arms (spec-locked), so the switch is free of behavior risk.
+    */
+  def auto(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTiebreak: Seq[String] = Nil,
+      within: Option[(Column, Column) => Column] = None,
+      forward: Boolean = false,
+      maxKeyRowsPerTask: Long = DefaultMaxKeyRowsPerTask): DataFrame = {
+    val p = plan(left, right, on, leftTime, rightTime, maxKeyRowsPerTask)
+    if (p.sliced)
+      slicedJoin(left, right, on, leftTime, rightTime, payload, p.sliceWidth,
+        rightTiebreak, within, forward)
+    else
+      join(left, right, on, leftTime, rightTime, payload, rightTiebreak,
+        within, forward)
+  }
+
   private def slicedJoin(
       left: DataFrame,
       right: DataFrame,

@@ -320,6 +320,36 @@ object Events {
         .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
     },
 
+    // The AUTO as-of arm (AsofJoin.auto — one bounded per-key stats pass
+    // picks single-window vs sliced and derives the slice width; verdict
+    // r14 ask #2) against the SAME DuckDB ASOF oracle: whichever arm the
+    // measurement picks at this scale must stay value-identical.
+    "events_asof_auto" -> Q.df(
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, MAX(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT c.user_id AS user_id, c.event_id AS event_id,
+        |  COALESCE(v.view_id, -1) AS view_id
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.vts <= c.cts
+        |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+      graft.operators.AsofJoin.auto(clicks, views,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "vts",
+          payload = Seq("view_id"), rightTiebreak = Seq("view_id"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"))
+        .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+    },
+
     // The FORWARD as-of direction — each view paired with the user's
     // FIRST click at or after it (time-to-conversion shape). DuckDB's
     // ASOF accepts the <= inequality natively; the Spark side is

@@ -61,11 +61,18 @@ object CowDelete {
 
   /** Delete all rows matching `predicate` from the parquet table at
     * `path`, rewriting only the files that contain matching rows.
+    * `deletedRows` = (rows the touched files held) − (rows their
+    * replacements hold), both read off parquet FOOTERS driver-side —
+    * exact for a delete by construction, metadata-only, and immune to the
+    * optimizer folding a constant predicate (a `WHERE true` delete
+    * collapses its rewrite filter to an empty relation, which would erase
+    * any in-plan metrics node) and to subquery predicates (which a
+    * metrics expression cannot hold).
     */
   def delete(spark: SparkSession, path: String, predicate: Column): DeleteStats = {
     val s = CowCore.rewrite(spark, path, _.where(predicate))(
-      _.where(not(predicate)), countMatching = Some(predicate))
-    DeleteStats(s.touched, s.total, s.rewritten, s.matched)
+      _.where(not(predicate)))
+    DeleteStats(s.touched, s.total, s.rewritten, s.touchedRows - s.newRows)
   }
 
   /** The subquery-predicate form — `DELETE FROM t WHERE (k…) IN
@@ -88,7 +95,7 @@ object CowDelete {
     val s = CowCore.rewrite(spark, path,
       _.join(k, keyCols, "left_semi"))(
       _.join(k, keyCols, "left_anti"))
-    DeleteStats(s.touched, s.total, s.rewritten)
+    DeleteStats(s.touched, s.total, s.rewritten, s.touchedRows - s.newRows)
   }
 }
 
@@ -219,13 +226,28 @@ object CowMerge {
   */
 private[sources] object CowCore {
 
-  /** @param newFiles committed replacement part paths (absolute) —
-    *                 manifest-mode callers fold these into the next manifest
-    * @param matched  `countMatching` rows observed on the touched input
-    *                 (−1 when not requested)
+  /** @param newFiles    committed replacement part paths (absolute) —
+    *                     manifest-mode callers fold these into the next manifest
+    * @param matched      `countMatching` rows observed on the touched input
+    *                     (−1 when not requested or not observable)
+    * @param touchedRows  footer row-count sum of the touched originals
+    * @param newRows      footer row-count sum of the replacements
     */
   final case class Stats(touched: Seq[String], total: Long, rewritten: Long,
-      newFiles: Seq[String] = Nil, matched: Long = -1L)
+      newFiles: Seq[String] = Nil, matched: Long = -1L,
+      touchedRows: Long = 0L, newRows: Long = 0L)
+
+  /** Exact row counts off parquet FOOTERS — driver-side metadata bounded
+    * by file count (the same cardinality every commit protocol holds on
+    * the coordinator), zero Spark jobs, zero row decoding. */
+  private[sources] def footerRows(files: Seq[String]): Long =
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path("file://" + f),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
 
   private[sources] def localPath(uri: String): String =
     Paths.get(java.net.URI.create(
@@ -300,10 +322,16 @@ private[sources] object CowCore {
     // scan and the transform, so no second scan ever runs.
     val base = Paths.get(path).toAbsolutePath
     val partitionCols = partitionColsOf(spark, table, touched.head)
-    val obs = countMatching.map(_ =>
+    // a metrics expression cannot hold an IN/EXISTS subquery — such a
+    // predicate silently skips the observation (callers fall back to the
+    // footer row counts or a separate count for their row-count result)
+    val observable = countMatching.filterNot(p =>
+      org.apache.spark.sql.GraftSqlBridge.toExpr(spark, p).exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+    val obs = observable.map(_ =>
       org.apache.spark.sql.Observation(s"cow_dml_${UUID.randomUUID().toString.take(8)}"))
     val source = spark.read.option("basePath", path).parquet(touched: _*)
-    val observed = countMatching match {
+    val observed = observable match {
       case Some(p) => source.observe(obs.get,
         sum(when(p, lit(1L)).otherwise(lit(0L))).as("matched"))
       case None => source
@@ -313,8 +341,9 @@ private[sources] object CowCore {
     // an all-empty observed input yields an EMPTY metrics map — zero rows
     val matched = obs.map(_.get.get("matched")
       .map(_.asInstanceOf[Long]).getOrElse(0L)).getOrElse(-1L)
+    val (tRows, nRows) = (footerRows(touched), footerRows(newFiles))
     if (!retainOriginals) touched.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    Stats(touched, total, newFiles.size.toLong, newFiles, matched)
+    Stats(touched, total, newFiles.size.toLong, newFiles, matched, tRows, nRows)
   }
 
   /** Partition-directory columns = table columns absent from the data files. */

@@ -50,24 +50,79 @@ object Layout {
     z
   }
 
+  /** The RANK-based (equal-depth) quantizer arm: bucket = how many of the
+    * column's quantile cut points the value has passed — computed as one
+    * fold over a LITERAL cuts array (codegen'd built-ins, no UDF; 2^bits
+    * comparisons per row-column, paid once at write time). Where the
+    * uniform quantizer collapses a heavy-hitter value region into one
+    * bucket (losing all curve resolution there), ranks spread it across
+    * buckets by construction — equal-depth histograms, applied to the
+    * z-curve. Nulls to bucket 0, like [[zValue]].
+    */
+  def zValueRanks(cols: Seq[(Column, Array[Double])], bits: Int = 8): Column = {
+    require(cols.nonEmpty, "zValueRanks needs at least one column")
+    require(bits * cols.size <= 63, s"${cols.size} columns × $bits bits overflow a long")
+    val top = (1 << bits) - 1
+    val bucketed = cols.map { case (c, cuts) =>
+      val b =
+        if (cuts.isEmpty) lit(0L)
+        else aggregate(lit(cuts), lit(0L),
+          (acc, cut) => acc + when(c.cast("double") >= cut, 1L).otherwise(0L))
+      coalesce(least(lit(top.toLong), greatest(lit(0L), b)), lit(0L))
+    }
+    var z: Column = lit(0L)
+    for (i <- 0 until bits; (b, j) <- bucketed.zipWithIndex) {
+      z = z.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j))
+    }
+    z
+  }
+
   /** Write `df` to `path` as `nFiles` parquet files clustered along the
     * z-curve of `cols`: range-partition on the z-value (equal-depth file
     * cuts via Spark's range sampling), sort within each file, drop the
     * helper column. Each file then covers a compact region of the
     * multi-column domain, which is what min/max pruning consumes.
+    *
+    * Quantizer pick rule (both arms cost ONE 1-row stats pass + one range
+    * shuffle): `quantile = false` buckets uniformly over [min, max] —
+    * right when values spread roughly evenly over their range; set
+    * `quantile = true` when a column is value-skewed (heavy-hitter
+    * ranges, Zipf keys, exponential ids) — uniform buckets then collapse
+    * the dense region into one bucket and a selective predicate inside it
+    * prunes nothing, while rank buckets keep equal-depth resolution
+    * everywhere (measured in LayoutSpec and the `zorder` rehearsal).
     */
   def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
-      cols: Seq[String], nFiles: Int, bits: Int = 8): Unit = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val ranges = cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) =
-        (if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i),
-          if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
-      (col(c), mn, mx)
-    }
-    df.withColumn("__zorder", zValue(ranges, bits))
+      cols: Seq[String], nFiles: Int, bits: Int = 8,
+      quantile: Boolean = false): Unit = {
+    val z =
+      if (!quantile) {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val ranges = cols.zipWithIndex.map { case (c, i) =>
+          val (mn, mx) =
+            (if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i),
+              if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
+          (col(c), mn, mx)
+        }
+        zValue(ranges, bits)
+      } else {
+        // one approx_percentile pass instead of min/max: 2^bits − 1
+        // equal-depth cut points per column
+        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+        val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+          lit(probs), lit(10000)))
+        val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val ranked = cols.zipWithIndex.map { case (c, i) =>
+          val cuts =
+            if (stats.isNullAt(i)) Array.empty[Double]
+            else stats.getSeq[Double](i).toArray
+          (col(c), cuts)
+        }
+        zValueRanks(ranked, bits)
+      }
+    df.withColumn("__zorder", z)
       .repartitionByRange(nFiles, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")

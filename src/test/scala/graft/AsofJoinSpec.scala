@@ -223,6 +223,55 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fSliced == fBase)
   }
 
+  test("auto ≡ backward ≡ backwardSliced on skewed and unskewed corpora; the plan picks by measurement") {
+    val rnd = new scala.util.Random(513)
+    // skewed: hot key 0 carries ~half of both sides; unskewed: uniform keys
+    def mk(hot: Boolean) = {
+      def key() = if (hot && rnd.nextBoolean()) 0L else rnd.nextInt(10).toLong + 1L
+      val l = lhs((0 until 600).map(i => (key(), i.toLong, rnd.nextInt(50).toLong)))
+        .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) k, 9999L lid, 5L lt"))
+      val r = rhs((0 until 400).map(j => (key(), rnd.nextInt(50).toLong, j.toLong)))
+      (l, r)
+    }
+    for (hot <- Seq(true, false)) {
+      val (l, r) = mk(hot)
+      val expected = rowsOf(AsofJoin.backward(l, r, Seq("k"), "lt", "rt",
+        Seq("v"), rightTiebreak = Seq("v")))
+      // force BOTH arms through auto with a budget bracketing the hot key
+      for (budget <- Seq(5L, 1000000L)) {
+        val a = rowsOf(AsofJoin.auto(l, r, Seq("k"), "lt", "rt", Seq("v"),
+          rightTiebreak = Seq("v"), maxKeyRowsPerTask = budget))
+        assert(a == expected, s"auto diverges (hot=$hot, budget=$budget)")
+      }
+      // and forward too
+      val fExpected = rowsOf(AsofJoin.forward(l, r, Seq("k"), "lt", "rt",
+        Seq("v"), rightTiebreak = Seq("v")))
+      val fAuto = rowsOf(AsofJoin.auto(l, r, Seq("k"), "lt", "rt", Seq("v"),
+        rightTiebreak = Seq("v"), forward = true, maxKeyRowsPerTask = 5L))
+      assert(fAuto == fExpected, s"forward auto diverges (hot=$hot)")
+    }
+    // the decision itself: the hottest key's measured rows drive the arm
+    val (l, r) = mk(true)
+    val hotRows = l.filter(col("k") === 0L).count() + r.filter(col("k") === 0L).count()
+    val pSingle = AsofJoin.plan(l, r, Seq("k"), "lt", "rt",
+      maxKeyRowsPerTask = hotRows)
+    assert(!pSingle.sliced && pSingle.maxKeyRows == hotRows,
+      "a budget at the hot key's size keeps the single-window arm")
+    val pSliced = AsofJoin.plan(l, r, Seq("k"), "lt", "rt",
+      maxKeyRowsPerTask = hotRows - 1)
+    assert(pSliced.sliced && pSliced.sliceWidth > 0,
+      "a budget below the hot key switches to the sliced arm")
+    assert(pSliced.span > 0 && pSliced.sliceWidth <= pSliced.span / 16,
+      "the derived width spreads the history over >= 16 slices")
+    // degenerate histories never slice: a single shared timestamp has no
+    // span, and empty inputs have no stats
+    val flat = AsofJoin.plan(
+      lhs(Seq((0L, 1L, 5L), (0L, 2L, 5L))), rhs(Seq((0L, 5L, 9L))),
+      Seq("k"), "lt", "rt", maxKeyRowsPerTask = 1L)
+    assert(!flat.sliced, "zero-span history cannot be sliced by time")
+    assert(!AsofJoin.plan(lhs(Nil), rhs(Nil), Seq("k"), "lt", "rt").sliced)
+  }
+
   test("colliding payload names are refused up front") {
     val l = lhs(Seq((1L, 10L, 50L)))
     val r = rhs(Seq((1L, 40L, 5L))).withColumnRenamed("v", "lid")

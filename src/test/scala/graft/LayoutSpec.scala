@@ -90,4 +90,36 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val box = Layout.filesWithMatches(spark, zLoc, xBand && yBand)
     assert(box <= math.min(zX, zY))
   }
+
+  test("quantile quantizer keeps pruning under value skew where uniform collapses") {
+    // x is VALUE-skewed (6th power of the grid coordinate): ~39% of rows
+    // fall below ONE uniform bucket width, so the uniform quantizer folds
+    // the whole dense region into bucket 0 — a selective band INSIDE it
+    // then carries no curve resolution and scatters over most files. The
+    // rank (equal-depth) quantizer spreads the same region over ~10% of
+    // the rank domain and keeps the band clustered.
+    def pow6(i: Long): Long = i * i * i * i * i * i
+    val rows = for (i <- 0 until 128; j <- 0 until 128)
+      yield (pow6(i.toLong), j.toLong, (i * 128 + j).toLong)
+    val df = spark.createDataFrame(rows).toDF("x", "y", "v")
+    val base = Files.createTempDirectory("graft_zskew").toString
+    Layout.zorderWrite(spark, df, s"$base/uni", Seq("x", "y"), nFiles = 16)
+    Layout.zorderWrite(spark, df, s"$base/rank", Seq("x", "y"), nFiles = 16,
+      quantile = true)
+    val band = col("x") <= pow6(12L) // coords 0..12, ~10% of rows
+    // value lock before any pruning claim: both layouts hold the same rows
+    def agg(p: String) = spark.read.parquet(p).filter(band)
+      .agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(agg(s"$base/uni") == agg(s"$base/rank"))
+    val fUni = Layout.filesWithMatches(spark, s"$base/uni", band)
+    val fRank = Layout.filesWithMatches(spark, s"$base/rank", band)
+    assert(fRank * 2 <= fUni,
+      s"rank buckets must at least halve the dense-band file overlap: $fRank vs $fUni")
+    // ~7/16 is the inherent Morton overlap for a 1-D band × the full
+    // other dimension — the same ≤-half bound the uniform-grid test pins
+    assert(fRank <= 8, s"the ~10% dense band should cluster under rank buckets, got $fRank")
+    // the unskewed second column prunes under BOTH quantizers
+    val yBand = col("y") < 13
+    assert(Layout.filesWithMatches(spark, s"$base/rank", yBand) <= 8)
+  }
 }

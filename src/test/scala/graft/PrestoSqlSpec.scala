@@ -282,6 +282,132 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_sqldml")
   }
 
+  test("SQL DML on a sidecar-bearing table routes MERGE-ON-READ; reads see the resolved view") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlmor").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlmor")
+    spark.sql(s"CREATE TABLE g_spec_sqlmor USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    // one programmatic batch puts the table in MoR mode and declares the key
+    sources.MorDelete.delete(spark, loc, col("n_nationkey") === 0L, Seq("n_nationkey"))
+    def files() = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = files()
+    // DELETE statement text: must tombstone, never rewrite
+    val nDel = ps.statement("DELETE FROM g_spec_sqlmor WHERE n_regionkey = 2")
+      .head().getLong(0)
+    assert(files() == before, "SQL DELETE on a MoR table must touch zero table files")
+    assert(nDel > 0)
+    val resolved = sources.MorDelete.read(spark, loc)
+    assert(resolved.filter("n_regionkey = 2").count() == 0)
+    // SQL reads after MoR DML resolve the tombstone-applied view
+    val viaSql = ps.statement("SELECT count(*) AS c FROM g_spec_sqlmor").head().getLong(0)
+    assert(viaSql == resolved.count(),
+      "SELECT statements must read the MoR-resolved view, not the raw files")
+    // UPDATE statement text: routes through the sidecar-keyed merge
+    val nUpd = ps.statement(
+      "UPDATE g_spec_sqlmor SET n_name = concat(n_name, '!') WHERE n_nationkey % 2 = 0")
+      .head().getLong(0)
+    assert(before.forall { case (f, m) => files().get(f).contains(m) },
+      "SQL UPDATE on a MoR table must leave every pre-existing file untouched " +
+        "(replacements append as sequence-named parts)")
+    val after = sources.MorDelete.read(spark, loc)
+    assert(nUpd == after.filter("n_name LIKE '%!'").count() && nUpd > 0)
+    // assigning a KEY column is refused loudly (key identity links the
+    // replacement to its tombstone)
+    val e = intercept[IllegalArgumentException](ps.statement(
+      "UPDATE g_spec_sqlmor SET n_nationkey = n_nationkey + 1"))
+    assert(e.getMessage.contains("key"))
+    spark.catalog.dropTempView("g_spec_sqlmor")
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlmor")
+  }
+
+  test("SQL CoW DML derives its row count from the rewrite itself — no separate count scan") {
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlonescan").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_onescan")
+    spark.sql(s"CREATE TABLE g_spec_onescan USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM orders")
+    val plans = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val nDel = ps.statement("DELETE FROM g_spec_onescan WHERE o_orderkey % 10 = 3")
+        .head().getLong(0)
+      // the execution-listener bus is async: poll until the count of
+      // table-scanning actions is stable BEFORE running any further query
+      def scans() = plans.synchronized { plans.count(_.contains(loc)) }
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (System.currentTimeMillis() < deadline &&
+        { val s = scans(); val moved = s != last; last = s; moved }) Thread.sleep(300)
+      // exactly TWO actions read the table: touched-file discovery and the
+      // rewrite write (whose Observation carries the deleted-row count) —
+      // the old third action, a full predicate count just for the `rows`
+      // result, is gone
+      assert(last == 2, s"expected exactly discovery + rewrite actions over the table, saw $last")
+      assert(nDel > 0 && spark.table("g_spec_onescan").filter("o_orderkey % 10 = 3").count() == 0)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sql("DROP TABLE IF EXISTS g_spec_onescan")
+    }
+  }
+
+  test("UPDATE splits SET/WHERE with the quote-aware scanner, not a regex") {
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlquote").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlquote")
+    spark.sql(s"CREATE TABLE g_spec_sqlquote USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    // a SET literal containing ' WHERE ' (the r14-advice mis-split): the
+    // real WHERE is the second one
+    val n = ps.statement(
+      "UPDATE g_spec_sqlquote SET n_name = concat(n_name, ' WHERE x') WHERE n_nationkey = 1")
+      .head().getLong(0)
+    assert(n == 1)
+    assert(spark.table("g_spec_sqlquote").filter("n_name LIKE '% WHERE x'").count() == 1)
+    // a doubled-quote escape carrying WHERE inside the literal
+    val n2 = ps.statement(
+      "UPDATE g_spec_sqlquote SET n_name = 'it''s WHERE y' WHERE n_nationkey = 2")
+      .head().getLong(0)
+    assert(n2 == 1)
+    assert(spark.table("g_spec_sqlquote").filter("n_nationkey = 2")
+      .head().getString(1) == "it's WHERE y")
+    // no WHERE at all still updates everything
+    val n3 = ps.statement("UPDATE g_spec_sqlquote SET n_comment = 'x'").head().getLong(0)
+    assert(n3 == spark.table("g_spec_sqlquote").count())
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlquote")
+  }
+
+  test("SQL DELETE with an IN (SELECT …) predicate resolves through Dataset.filter") {
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlsubq").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlsubq")
+    spark.sql(s"CREATE TABLE g_spec_sqlsubq USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM orders")
+    val expected = spark.sql(
+      """SELECT count(*) FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+      .head().getLong(0)
+    val nDel = ps.statement(
+      """DELETE FROM g_spec_sqlsubq WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+      .head().getLong(0)
+    assert(nDel == expected, s"subquery DELETE must remove exactly the semi-join rows")
+    assert(spark.sql(
+      """SELECT count(*) FROM g_spec_sqlsubq WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+      .head().getLong(0) == 0)
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlsubq")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
