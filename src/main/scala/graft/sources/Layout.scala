@@ -43,38 +43,70 @@ object Layout {
         else lit(0L) // constant column: no information to interleave
       coalesce(least(lit(top.toLong), greatest(lit(0L), b)), lit(0L))
     }
+    interleave(bucketed, bits)
+  }
+
+  /** The bit interleave shared by both quantizer arms: bit `i * n + j`
+    * of the result is bit `i` of bucket column `j`. */
+  private def interleave(bucketed: Seq[Column], bits: Int): Column = {
+    val n = bucketed.size
     var z: Column = lit(0L)
     for (i <- 0 until bits; (b, j) <- bucketed.zipWithIndex) {
-      z = z.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j))
+      z = z.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j))
     }
     z
   }
 
   /** The RANK-based (equal-depth) quantizer arm: bucket = how many of the
-    * column's quantile cut points the value has passed — computed as one
-    * fold over a LITERAL cuts array (codegen'd built-ins, no UDF; 2^bits
-    * comparisons per row-column, paid once at write time). Where the
-    * uniform quantizer collapses a heavy-hitter value region into one
-    * bucket (losing all curve resolution there), ranks spread it across
-    * buckets by construction — equal-depth histograms, applied to the
-    * z-curve. Nulls to bucket 0, like [[zValue]].
+    * column's sorted quantile cut points the value has passed — a BINARY
+    * SEARCH over the 2^bits−1 cuts, where each of the `bits` rounds is
+    * staged as its OWN projection column (`withRankBuckets` appends
+    * `__zrank_<j>`): the cursor reference inside a round is then a plain
+    * attribute, which is what keeps the expression tree LINEAR in `bits`.
+    * The two obvious formulations both fail at scale and are kept out on
+    * purpose: a fold over the literal cuts array is O(2^bits) interpreted
+    * work per row-column (measured ~10× the uniform arm's entire write
+    * wall at 6M rows), and a self-nesting `when(cursor…, cursor…,
+    * cursor…)` Column triples the tree per round — 3^bits nodes, each
+    * carrying its own copy of the 255-double literal (a 568 MB plan
+    * string and a driver OOM at the rehearsal). Per-round projections
+    * still fuse into one whole-stage-codegen stage, so each row-column
+    * pays exactly `bits` `element_at`+compare ops. Where the uniform
+    * quantizer collapses a heavy-hitter value region into one bucket
+    * (losing all curve resolution there), ranks spread it across buckets
+    * by construction — equal-depth histograms, applied to the z-curve.
+    * Nulls to bucket 0, like [[zValue]] (a null comparison falls through
+    * every round, leaving the cursor at 0).
     */
-  def zValueRanks(cols: Seq[(Column, Array[Double])], bits: Int = 8): Column = {
-    require(cols.nonEmpty, "zValueRanks needs at least one column")
-    require(bits * cols.size <= 63, s"${cols.size} columns × $bits bits overflow a long")
+  private def withRankBuckets(df: DataFrame,
+      cols: Seq[(String, Array[Double])], bits: Int): (DataFrame, Seq[Column]) = {
     val top = (1 << bits) - 1
-    val bucketed = cols.map { case (c, cuts) =>
-      val b =
-        if (cuts.isEmpty) lit(0L)
-        else aggregate(lit(cuts), lit(0L),
-          (acc, cut) => acc + when(c.cast("double") >= cut, 1L).otherwise(0L))
-      coalesce(least(lit(top.toLong), greatest(lit(0L), b)), lit(0L))
+    var work = df
+    val names = cols.zipWithIndex.map { case ((c, cuts), j) =>
+      val name = s"__zrank_$j"
+      if (cuts.isEmpty) work = work.withColumn(name, lit(0L))
+      else {
+        require(cuts.length == top,
+          s"rank quantization needs exactly $top cut points, got ${cuts.length}")
+        val arr = lit(cuts)
+        work = work.withColumn(name, lit(0L))
+        var step = 1 << (bits - 1)
+        while (step >= 1) {
+          // cuts is 0-indexed conceptually; element_at is 1-based, so
+          // probing "cut #(cursor + step)" is element_at(cursor + step)
+          val cursor = col(name)
+          val probe = element_at(arr, (cursor + lit(step.toLong)).cast("int"))
+          work = work.withColumn(name,
+            when(col(c).cast("double") >= probe, cursor + lit(step.toLong))
+              .otherwise(cursor))
+          step >>= 1
+        }
+        work = work.withColumn(name,
+          coalesce(least(lit(top.toLong), greatest(lit(0L), col(name))), lit(0L)))
+      }
+      name
     }
-    var z: Column = lit(0L)
-    for (i <- 0 until bits; (b, j) <- bucketed.zipWithIndex) {
-      z = z.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j))
-    }
-    z
+    (work, names.map(col))
   }
 
   /** Write `df` to `path` as `nFiles` parquet files clustered along the
@@ -95,7 +127,7 @@ object Layout {
   def zorderWrite(spark: SparkSession, df: DataFrame, path: String,
       cols: Seq[String], nFiles: Int, bits: Int = 8,
       quantile: Boolean = false): Unit = {
-    val z =
+    val zed =
       if (!quantile) {
         val aggs = cols.flatMap(c =>
           Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
@@ -106,24 +138,27 @@ object Layout {
               if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
           (col(c), mn, mx)
         }
-        zValue(ranges, bits)
+        df.withColumn("__zorder", zValue(ranges, bits))
       } else {
         // one approx_percentile pass instead of min/max: 2^bits − 1
-        // equal-depth cut points per column
+        // equal-depth cut points per column. Accuracy 2500 keeps the rank
+        // error (~1/2500) well under a bucket's width (1/256) at a
+        // fraction of the summary-merge cost of the 10000 default.
         val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
         val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
-          lit(probs), lit(10000)))
+          lit(probs), lit(2500)))
         val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val ranked = cols.zipWithIndex.map { case (c, i) =>
           val cuts =
             if (stats.isNullAt(i)) Array.empty[Double]
             else stats.getSeq[Double](i).toArray
-          (col(c), cuts)
+          (c, cuts)
         }
-        zValueRanks(ranked, bits)
+        val (work, buckets) = withRankBuckets(df, ranked, bits)
+        work.withColumn("__zorder", interleave(buckets, bits))
+          .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
       }
-    df.withColumn("__zorder", z)
-      .repartitionByRange(nFiles, col("__zorder"))
+    zed.repartitionByRange(nFiles, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
       .write.mode("overwrite").parquet(path)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{MorDelete, MorUpsert}
+import graft.sources.{Maintenance, MorDelete, MorUpsert}
 
 /** Property fuzz for the merge-on-read DML source: seeded random
   * sequences of resolved-view deletes, upserts, clause merges, and
@@ -28,9 +28,13 @@ import graft.sources.{MorDelete, MorUpsert}
   *    remaining matched keys replace (all copies die, the source row
   *    appends); unmatched source keys insert.
   *  - compact(p): pure physical reorganization — never visible.
+  *  - vacuum(0, 0): reclaims everything but the newest manifest — never
+  *    visible to the LIVE view, but expires older snapshots.
   *  - readAt(seq captured earlier): the shadow as of that step, valid
   *    across every later mutation INCLUDING compactions (the manifest
-  *    protocol retains replaced files until vacuum expires them).
+  *    protocol retains replaced files), until a vacuum expired the
+  *    pinned manifest — then it must fail LOUDLY, never return partial
+  *    rows.
   */
 class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -109,18 +113,33 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           shadow = shadow.filterNot(x => delK(x._1) || updK(x._1))
           updK.foreach(k => shadow :+= ((k, srcMap(k))))
           (srcMap.keySet -- liveKeys).foreach(k => shadow :+= ((k, srcMap(k))))
-        case 5 => // compaction, full or density-targeted — never visible
+        case 5 => // compaction (full or density-targeted), sometimes
+          // followed by an aggressive vacuum — neither may change the
+          // LIVE view; the vacuum expires older snapshots
           val p = if (rnd.nextBoolean()) 0.0 else 0.5
           MorDelete.compact(spark, loc, minDoomedFraction = p)
+          if (rnd.nextBoolean()) Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
       }
       assert(visible(loc) == shadow.sorted,
         s"seed $seed step $step diverged from the shadow model")
     }
     if (snapSeq >= 0) {
-      val pinned = MorDelete.readAt(spark, loc, snapSeq).select("k", "v")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      assert(pinned == snapShadow.sorted,
-        s"seed $seed: snapshot at step $snapStep must replay the shadow of that step")
+      // the snapshot either replays its step's shadow exactly, or — when
+      // a vacuum expired every manifest at or below its sequence — fails
+      // loudly; a silent partial read is the one forbidden outcome
+      try {
+        val pinned = MorDelete.readAt(spark, loc, snapSeq).select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(pinned == snapShadow.sorted,
+          s"seed $seed: snapshot at step $snapStep must replay the shadow of that step")
+      } catch {
+        case e: IllegalStateException =>
+          assert(e.getMessage.contains("expired") ||
+            e.getMessage.contains("no retained snapshot"),
+            s"seed $seed: unexpected snapshot failure: ${e.getMessage}")
+          assert(MorDelete.currentSeq(spark, loc) > snapSeq,
+            s"seed $seed: a snapshot at the current sequence must never expire")
+      }
     }
   }
 }
