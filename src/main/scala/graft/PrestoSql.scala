@@ -201,6 +201,13 @@ object PrestoSql {
       "(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
     private val updateRe =
       "(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+SET\\s+(.+?)\\s*;?\\s*$".r
+    // ANSI MERGE INTO … USING … ON … WHEN …; Presto 323's grammar has no
+    // MERGE at all, so like UPDATE this statement EXCEEDS the reference
+    // surface. The USING/ON/WHEN splits all run through the top-level
+    // keyword scanner (a subquery's own JOIN … ON binds inside its
+    // parens), never the regex.
+    private val mergeRe =
+      "(?is)^\\s*MERGE\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_][A-Za-z0-9_]*))?\\s+USING\\s+(.+?)\\s*;?\\s*$".r
 
     /** Route one statement: PREPARE/EXECUTE/DEALLOCATE and the SHOW
       * metadata statements handled here (the reference rewrites SHOW into
@@ -330,6 +337,8 @@ object PrestoSql {
           }
         spark.catalog.refreshTable(table)
         Seq(n).toDF("rows")
+      case mergeRe(table, aliasOpt, rest) =>
+        mergeStatement(table, Option(aliasOpt), rest)
       case txnRe(stmt) =>
         throw new UnsupportedOperationException(
           s"'${stmt.trim}' is not supported: this engine runs with single-statement " +
@@ -614,6 +623,248 @@ object PrestoSql {
         i += 1
       }
       -1
+    }
+
+    /** ANSI `MERGE INTO target [AS t] USING source|(subquery) [AS] s ON
+      * t.k = s.k [AND …] WHEN …` routed onto the row-level engines —
+      * Presto 323's grammar has no MERGE, so the whole statement exceeds
+      * the reference surface (like UPDATE). Supported clause shapes:
+      *
+      *  - `WHEN MATCHED [AND cond] THEN DELETE`
+      *  - `WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, …`
+      *  - `WHEN NOT MATCHED THEN INSERT [*]` (the source row inserts;
+      *    project the shape you want in the USING subquery — strictly
+      *    more expressive than a VALUES list, which is refused)
+      *
+      * Conditions and SET expressions reference the target's columns
+      * through its alias/name (or bare) and the source's through its
+      * alias — rewritten onto the engines' `src_` convention with the
+      * quote-aware scanner. ON must be a conjunction of qualified
+      * equalities; a source key named differently is renamed to the
+      * target's. MoR-mode tables take the full clause surface through
+      * [[graft.sources.MorUpsert.merge]] (SET via its ANSI `updateSet`
+      * projection); plain tables take the classic unconditional
+      * upsert shape through [[graft.sources.CowMerge]] — conditional or
+      * DELETE clauses there are refused with guidance, because CoW has
+      * no sequencing to express them atomically.
+      */
+    private def mergeStatement(table: String, alias: Option[String],
+        rest: String): DataFrame = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{expr, lit}
+      val loc = parquetLocation(table, "MERGE")
+      val onIdx = topLevelKeyword(rest, "ON")
+      require(onIdx >= 0, "MERGE needs an ON clause")
+      val (srcRaw, srcAlias) = parseMergeSource(rest.substring(0, onIdx).trim)
+      val tail = rest.substring(onIdx + 2)
+      val whenIdx = topLevelKeyword(tail, "WHEN")
+      require(whenIdx >= 0, "MERGE needs at least one WHEN clause")
+      val onText = tail.substring(0, whenIdx).trim
+      val bare = table.split('.').last
+      val tQuals = Set(alias.getOrElse(bare), bare, table).map(_.toLowerCase)
+      val sQuals = Set(srcAlias.toLowerCase)
+      require((tQuals & sQuals).isEmpty,
+        s"MERGE target and source aliases collide: ${(tQuals & sQuals).mkString(", ")}")
+
+      // ON: a conjunction of qualified equalities → key columns (target
+      // names) + source-side renames
+      val keyPairs = splitOnTopLevelAnd(onText).map { c =>
+        val eq = topLevelEq(c)
+        require(eq > 0, s"MERGE ON supports conjunctions of equalities; got: $c")
+        def side(s: String): (String, String) = {
+          val m = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*$"
+            .r.findFirstMatchIn(s)
+          require(m.isDefined, s"MERGE ON sides must be alias-qualified columns; got: $s")
+          (m.get.group(1).toLowerCase, m.get.group(2))
+        }
+        val (lq, lc) = side(c.substring(0, eq))
+        val (rq, rc) = side(c.substring(eq + 1))
+        if (tQuals(lq) && sQuals(rq)) lc -> rc
+        else if (sQuals(lq) && tQuals(rq)) rc -> lc
+        else throw new IllegalArgumentException(
+          s"MERGE ON equality must pair the target with the source: $c")
+      }
+      val keyCols = keyPairs.map(_._1)
+      val source = keyPairs.foldLeft(srcRaw) { case (df, (t, s)) =>
+        if (t == s) df
+        else {
+          require(!df.columns.contains(t),
+            s"cannot rename source key '$s' to '$t': the source already has a '$t'")
+          df.withColumnRenamed(s, t)
+        }
+      }
+
+      // clauses
+      val delClauseRe = "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
+      val updClauseRe = "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$".r
+      val insClauseRe = "(?is)^WHEN\\s+NOT\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+INSERT\\s*(?:\\*)?\\s*$".r
+      // source-qualified KEY references resolve to the bare key column:
+      // the engines keep key columns unprefixed on the (target, src_)
+      // pair — legal because ON equality makes them equal there — and a
+      // source key named differently (s.nid) maps through its rename
+      val srcKeyMap = keyPairs.map { case (t, s) => s -> t }.toMap ++
+        keyPairs.map { case (t, _) => t -> t }.toMap
+      def cond(text: String): org.apache.spark.sql.Column =
+        expr(PrestoSql.translate(rewriteRefs(text, tQuals, sQuals, srcKeyMap)))
+      var delWhen: Option[Option[org.apache.spark.sql.Column]] = None
+      var updWhen: Option[Option[org.apache.spark.sql.Column]] = None
+      var updSets: Seq[(String, org.apache.spark.sql.Column)] = Nil
+      var hasInsert = false
+      splitClauses(tail.substring(whenIdx)).foreach {
+        case t @ delClauseRe(c) =>
+          require(delWhen.isEmpty, s"duplicate DELETE clause: $t")
+          delWhen = Some(Option(c).map(cond))
+        case t @ updClauseRe(c, sets) =>
+          require(updWhen.isEmpty, s"duplicate UPDATE clause: $t")
+          updWhen = Some(Option(c).map(cond))
+          updSets = splitTopLevel(sets).map { a =>
+            val eq = topLevelEq(a)
+            require(eq > 0, s"malformed SET assignment: $a")
+            val name = {
+              val raw = a.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
+              // a target-qualified assignment name (t.c = …) is legal ANSI
+              val m = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*(.+)$".r.findFirstMatchIn(raw)
+              m.filter(x => tQuals(x.group(1).toLowerCase)).map(_.group(2).trim).getOrElse(raw)
+            }
+            name -> cond(a.substring(eq + 1).trim)
+          }
+        case t @ insClauseRe(c) =>
+          require(c == null, s"conditional INSERT clauses are not supported " +
+            s"(filter the USING subquery instead): $t")
+          hasInsert = true
+        case other => throw new IllegalArgumentException(
+          s"unsupported MERGE clause: $other")
+      }
+      require(delWhen.nonEmpty || updWhen.nonEmpty || hasInsert,
+        "MERGE needs at least one WHEN clause")
+
+      val n =
+        if (morMode(loc)) {
+          val st = sources.MorUpsert.merge(spark, loc, source, keyCols,
+            deleteWhen = delWhen.map(_.getOrElse(lit(true))),
+            // absent UPDATE clause = update NOTHING (MorUpsert's None
+            // means the opposite: unconditionally update every match)
+            updateWhen = if (updWhen.isEmpty) Some(lit(false)) else updWhen.get,
+            insertUnmatched = hasInsert,
+            updateSet = if (updSets.nonEmpty) Some(updSets) else None)
+          resolveMorView(table, loc)
+          st.keysDeleted + st.keysUpdated + st.rowsInserted
+        } else {
+          require(delWhen.isEmpty && updWhen.forall(_.isEmpty),
+            s"MERGE with DELETE or conditional clauses needs a merge-on-read " +
+              s"table (sequenced tombstones); '$table' is plain parquet — use " +
+              "the unconditional UPDATE SET / INSERT shape, or move the table " +
+              "to MoR mode (any MorDelete/MorUpsert mutation does)")
+          // row counts for the statement result come from two bounded
+          // pre-counts (MERGE is new surface; CowMerge's stats count files)
+          val target = spark.table(table)
+          val updRows =
+            if (updWhen.isDefined)
+              target.join(source.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+                keyCols, "left_semi").count()
+            else 0L
+          val insRows =
+            if (hasInsert)
+              source.join(target.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+                keyCols, "left_anti").count()
+            else 0L
+          if (updWhen.isDefined)
+            sources.CowMerge.merge(spark, loc, source, keyCols, updSets, hasInsert)
+          else sources.CowMerge.insertOnly(spark, loc, source, keyCols)
+          updRows + insRows
+        }
+      spark.catalog.refreshTable(table)
+      Seq(n).toDF("rows")
+    }
+
+    /** `USING (subquery) [AS] alias` or `USING name [[AS] alias]`. */
+    private def parseMergeSource(srcText: String): (DataFrame, String) = {
+      if (srcText.startsWith("(")) {
+        val close = matchParen(srcText, 0)
+        require(close > 0, s"unbalanced parentheses in MERGE USING: $srcText")
+        val inner = srcText.substring(1, close)
+        val aliasToks = srcText.substring(close + 1).trim
+          .split("\\s+").toSeq.filter(_.nonEmpty).filterNot(_.equalsIgnoreCase("AS"))
+        require(aliasToks.size == 1 && aliasToks.head.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          "MERGE USING (subquery) needs an alias")
+        (PrestoSql.sql(spark, inner), aliasToks.head)
+      } else {
+        val toks = srcText.split("\\s+").toSeq.filter(_.nonEmpty)
+          .filterNot(_.equalsIgnoreCase("AS"))
+        require(toks.nonEmpty && toks.size <= 2,
+          s"cannot parse MERGE USING source: $srcText")
+        val alias = if (toks.size == 2) toks(1) else toks.head.split('.').last
+        (spark.table(toks.head), alias)
+      }
+    }
+
+    /** Index of the ')' matching the '(' at `open` (quote-aware). */
+    private def matchParen(s: String, open: Int): Int = {
+      var depth = 0; var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' => i = skipLiteral(s, i) - 1
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      -1
+    }
+
+    /** Split on every top-level `AND` (quote/paren-aware). */
+    private def splitOnTopLevelAnd(s: String): Seq[String] = {
+      var parts = Vector.empty[String]
+      var restS = s
+      var idx = topLevelKeyword(restS, "AND")
+      while (idx >= 0) {
+        parts :+= restS.substring(0, idx)
+        restS = restS.substring(idx + 3)
+        idx = topLevelKeyword(restS, "AND")
+      }
+      (parts :+ restS).map(_.trim).filter(_.nonEmpty)
+    }
+
+    /** Split the `WHEN … [WHEN …]…` tail into one string per clause. */
+    private def splitClauses(s: String): Seq[String] = {
+      var parts = Vector.empty[String]
+      var cur = s
+      var next = topLevelKeyword(cur.substring(4), "WHEN") // skip the leading WHEN
+      while (next >= 0) {
+        parts :+= cur.substring(0, next + 4).trim
+        cur = cur.substring(next + 4)
+        next = topLevelKeyword(cur.substring(4), "WHEN")
+      }
+      parts :+ cur.trim
+    }
+
+    /** Rewrite alias-qualified column references onto the engines'
+      * convention — target quals drop, source quals become the `src_`
+      * prefix (except key columns, which stay bare and map through any
+      * ON rename) — outside string literals. */
+    private def rewriteRefs(text: String, tQuals: Set[String],
+        sQuals: Set[String], srcKeyMap: Map[String, String] = Map.empty): String = {
+      val qualRe = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)".r
+      val out = new StringBuilder
+      var i = 0
+      while (i < text.length) {
+        if (text.charAt(i) == '\'') {
+          val e = math.min(skipLiteral(text, i), text.length)
+          out.append(text.substring(i, e)); i = e
+        } else {
+          val next = text.indexOf('\'', i)
+          val seg = if (next < 0) text.substring(i) else text.substring(i, next)
+          out.append(qualRe.replaceAllIn(seg, m => {
+            val q = m.group(1).toLowerCase
+            if (tQuals(q)) m.group(2)
+            else if (sQuals(q)) srcKeyMap.getOrElse(m.group(2), "src_" + m.group(2))
+            else java.util.regex.Matcher.quoteReplacement(m.matched)
+          }))
+          i = if (next < 0) text.length else next
+        }
+      }
+      out.toString
     }
 
     /** A location lives in merge-on-read mode when it carries snapshot

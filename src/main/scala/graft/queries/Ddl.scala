@@ -441,6 +441,84 @@ object Ddl {
         .withColumn("mor_zero_touch", lit(ok))
     },
 
+    // ANSI MERGE statement text routed onto the merge-on-read engine —
+    // Presto 323's grammar has no MERGE, so this (like UPDATE) exceeds
+    // the reference surface. All three clause kinds ride one statement:
+    // a conditional DELETE, a conditional UPDATE with ANSI SET semantics
+    // (assigned columns take the expression over the (target, source)
+    // pair; UNASSIGNED columns keep their TARGET values — the oracle's
+    // updated leg spells that out by projecting s_name/s_nationkey from
+    // the target), and INSERT for unmatched source keys. Zero
+    // pre-existing files are touched (appends are sequence-named parts).
+    "ddl_sql_merge" -> Q.df(
+      """WITH src AS (
+        |  SELECT n_nationkey AS s_suppkey, 'mrg_' || n_name AS s_name,
+        |         n_regionkey AS s_nationkey,
+        |         CAST(1000 + n_nationkey AS DOUBLE) AS s_acctbal
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, 'new_' || n_name, n_regionkey,
+        |         CAST(2000 + n_nationkey AS DOUBLE)
+        |  FROM nation),
+        |final AS (
+        |  SELECT s.* FROM supplier s
+        |  WHERE NOT EXISTS (SELECT 1 FROM src
+        |    WHERE src.s_suppkey = s.s_suppkey
+        |      AND (src.s_suppkey % 3 = 0 OR src.s_acctbal > 1010))
+        |  UNION ALL
+        |  SELECT s.s_suppkey, s.s_name, s.s_nationkey,
+        |         CAST(src.s_acctbal + 0.5 AS DOUBLE)
+        |  FROM supplier s JOIN src ON src.s_suppkey = s.s_suppkey
+        |  WHERE src.s_suppkey % 3 <> 0 AND src.s_acctbal > 1010
+        |  UNION ALL
+        |  SELECT src.* FROM src
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = src.s_suppkey))
+        |SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal,
+        |  true AS mor_zero_touch
+        |FROM final GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sqlmrg_supplier"
+      drop(s, "g_sqlmrg_supplier", loc)
+      drop(s, "g_sqlmrg_supplier_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_sqlmrg_supplier_manifests", MorDelete.manifestDir(loc))
+      s.sql(
+        s"""CREATE TABLE g_sqlmrg_supplier USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM supplier""".stripMargin)
+      // a no-op delete enters MoR mode (genesis manifest, no batch), so
+      // the MERGE statement routes onto MorUpsert's clause surface
+      MorDelete.delete(s, loc, col("s_suppkey") === -1L, Seq("s_suppkey"))
+      val filesBefore = new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+      val ps = new graft.PrestoSql.Prepared(s)
+      val n = ps.statement(
+        """MERGE INTO g_sqlmrg_supplier AS t
+          |USING (SELECT n_nationkey AS s_suppkey, 'mrg_' || n_name AS s_name,
+          |         n_regionkey AS s_nationkey,
+          |         CAST(1000 + n_nationkey AS DOUBLE) AS s_acctbal
+          |       FROM nation
+          |       UNION ALL
+          |       SELECT n_nationkey + 1000, 'new_' || n_name, n_regionkey,
+          |         CAST(2000 + n_nationkey AS DOUBLE)
+          |       FROM nation) AS s
+          |ON t.s_suppkey = s.s_suppkey
+          |WHEN MATCHED AND s.s_suppkey % 3 = 0 THEN DELETE
+          |WHEN MATCHED AND s.s_acctbal > 1010 THEN UPDATE SET s_acctbal = s.s_acctbal + 0.5
+          |WHEN NOT MATCHED THEN INSERT""".stripMargin).head().getLong(0)
+      val untouched = filesBefore.forall { case (name, m) =>
+        val f = new java.io.File(loc, name); f.exists() && f.lastModified == m
+      } && n > 0
+      // the read-back goes through the SQL surface: the statement
+      // resolves the shadowing temp view = the MoR-resolved table
+      ps.statement(
+        """SELECT s_nationkey, COUNT(*) AS n,
+          |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal
+          |FROM g_sqlmrg_supplier GROUP BY s_nationkey
+          |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin)
+        .withColumn("mor_zero_touch", lit(untouched))
+    },
+
     // SQL DELETE with a SUBQUERY predicate (verdict r14 ask #5; grammar
     // SqlBase.g4:51 allows any booleanExpression): the statement text's
     // IN (SELECT …) must resolve through the CoW engine's Dataset.filter

@@ -151,6 +151,33 @@ object CowMerge {
   final case class MergeStats(
       touched: Seq[String], total: Long, rewritten: Long, inserted: Long)
 
+  /** The WHEN-NOT-MATCHED-only MERGE: append the source rows whose key
+    * has no target match as NEW files — zero existing files touched, no
+    * rewrite pass at all. Returns staged part files appended. */
+  def insertOnly(spark: SparkSession, path: String,
+      source: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Long = {
+    CowCore.requireUnmanaged(path, "MERGE")
+    val table = spark.read.option("basePath", path).parquet(path)
+    val src = source.localCheckpoint(true)
+    try {
+      require(src.groupBy(keyCols.map(col): _*).count()
+        .where(col("count") > 1).isEmpty,
+        "MERGE source must be unique on the key columns (ANSI cardinality rule)")
+      val newRows = src
+        .join(table.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .select(table.columns.toSeq.map(col): _*)
+      if (newRows.isEmpty) 0L
+      else {
+        val base = Paths.get(path).toAbsolutePath
+        val sample = table.select(col("_metadata.file_path"))
+          .limit(1).collect().headOption.map(r => CowCore.localPath(r.getString(0)))
+        val partitionCols =
+          sample.map(CowCore.partitionColsOf(spark, table, _)).getOrElse(Nil)
+        CowCore.stageAndMove(spark, base, partitionCols, newRows)
+      }
+    } finally src.unpersist()
+  }
+
   def merge(spark: SparkSession, path: String, source: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String], whenMatchedSet: Seq[(String, Column)],
       insertUnmatched: Boolean = true): MergeStats = {

@@ -664,9 +664,14 @@ object Maintenance {
   *    whose (target row, source row) pair passes the condition tombstone
   *    WITHOUT a re-append.
   *  - WHEN MATCHED [AND cond] THEN UPDATE (`updateWhen`): remaining
-  *    matched keys passing the condition tombstone AND append the source
-  *    row as the replacement. `None` = unconditional (every matched key
-  *    not claimed by the delete clause).
+  *    matched keys passing the condition tombstone AND append a
+  *    replacement. By default the replacement is the SOURCE row (upsert
+  *    semantics); with `updateSet` it is the ANSI SET-assignment form —
+  *    each matched TARGET row re-appends with the assignments applied
+  *    (expressions see the target's columns by name and the source's
+  *    through the `src_` prefix), so unassigned columns keep their
+  *    target values and a duplicate-keyed target keeps one updated copy
+  *    per row, exactly ANSI MERGE.
   *  - WHEN NOT MATCHED THEN INSERT (`insertUnmatched`): source rows whose
   *    key has no LIVE target row append as new files, no tombstone.
   * Conditions see the MoR-resolved target row's columns by name and the
@@ -711,7 +716,8 @@ object MorUpsert {
       keyCols: Seq[String],
       deleteWhen: Option[Column] = None,
       updateWhen: Option[Column] = None,
-      insertUnmatched: Boolean = true): MergeStats = MorDelete.withWriterLock(path) {
+      insertUnmatched: Boolean = true,
+      updateSet: Option[Seq[(String, Column)]] = None): MergeStats = MorDelete.withWriterLock(path) {
     MorDelete.ensureManaged(spark, path)
     val st = MorDelete.liveState(spark, path)
     // an insert-only merge on a fully-emptied table is legal: fall back to
@@ -760,13 +766,32 @@ object MorUpsert {
       val inserts = pin(
         if (insertUnmatched) src.join(resolved.select(keyCs: _*), keyCols, "left_anti")
         else src.limit(0))
+      updateSet.foreach { sets =>
+        val bad = sets.map(_._1).filter(keyCols.contains)
+        require(bad.isEmpty,
+          s"UPDATE SET cannot assign key column(s) ${bad.mkString(", ")} — key " +
+            "identity is what links the replacement to the tombstone")
+        require(sets.forall(s => table.columns.contains(s._1)),
+          s"UPDATE SET targets unknown column(s): ${
+            sets.map(_._1).filterNot(table.columns.contains).mkString(", ")}")
+      }
       val (nDel, nUpd, nIns) = (delKeys.count(), updKeys.count(), inserts.count())
 
       val seq = MorDelete.maxSeq(spark, path) + 1
       // stage replacements + inserts as sequence-named part files and the
       // tombstone batch — all invisible until the manifest below names
-      // them (see the commit-discipline scaladoc)
-      val appended = src.join(updKeys, keyCols, "left_semi").unionByName(inserts)
+      // them (see the commit-discipline scaladoc). Replacements: the raw
+      // source row (upsert), or with `updateSet` the matched TARGET rows
+      // with the assignments projected over the (target, src_) pair
+      val replacements = updateSet match {
+        case None => src.join(updKeys, keyCols, "left_semi")
+        case Some(sets) =>
+          val byName = sets.toMap
+          pairs.join(updKeys, keyCols, "left_semi")
+            .select(table.columns.toSeq.map(c =>
+              byName.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      }
+      val appended = replacements.unionByName(inserts)
       val newParts =
         if (nUpd + nIns == 0) Seq.empty[String]
         else {

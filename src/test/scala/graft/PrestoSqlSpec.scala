@@ -408,6 +408,87 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_sqlsubq")
   }
 
+  test("MERGE INTO statement: the classic upsert shape routes onto CowMerge") {
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlmerge").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_merge")
+    spark.sql(s"CREATE TABLE g_spec_merge USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    // source: re-region nations 0-4 and bring 3 new ones, with a key
+    // named differently (nid) so the ON clause exercises the rename
+    val n = ps.statement(
+      """MERGE INTO g_spec_merge AS t
+        |USING (SELECT n_nationkey AS nid, n_name, n_regionkey + 100 AS n_regionkey
+        |       FROM nation WHERE n_nationkey < 5
+        |       UNION ALL
+        |       SELECT n_nationkey + 1000, 'new_' || n_name, n_regionkey
+        |       FROM nation WHERE n_nationkey < 3) AS s
+        |ON t.n_nationkey = s.nid
+        |WHEN MATCHED THEN UPDATE SET n_regionkey = s.n_regionkey
+        |WHEN NOT MATCHED THEN INSERT""".stripMargin).head().getLong(0)
+    assert(n == 8, s"5 updates + 3 inserts, got $n")
+    val after = spark.table("g_spec_merge")
+    assert(after.filter("n_nationkey < 5 AND n_regionkey >= 100").count() == 5,
+      "matched rows take the source's SET value")
+    assert(after.filter("n_nationkey < 5 AND n_name LIKE 'new_%'").count() == 0,
+      "unassigned columns keep their target values")
+    assert(after.filter("n_nationkey >= 1000").count() == 3, "unmatched rows insert")
+    // insert-only merge: no rewrite pass at all
+    val n2 = ps.statement(
+      """MERGE INTO g_spec_merge t
+        |USING (SELECT n_nationkey + 2000 AS n_nationkey, n_name, n_regionkey
+        |       FROM nation WHERE n_nationkey < 2) s
+        |ON t.n_nationkey = s.n_nationkey
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+    assert(n2 == 2 && spark.table("g_spec_merge").filter("n_nationkey >= 2000").count() == 2)
+    // conditional / DELETE clauses on a plain table are refused with guidance
+    val e = intercept[IllegalArgumentException](ps.statement(
+      """MERGE INTO g_spec_merge t USING nation s ON t.n_nationkey = s.n_nationkey
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("merge-on-read"))
+    spark.sql("DROP TABLE IF EXISTS g_spec_merge")
+  }
+
+  test("MERGE INTO on a MoR table: full clause surface, ANSI SET semantics, zero files touched") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlmorm").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_morm")
+    spark.sql(s"CREATE TABLE g_spec_morm USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    sources.MorDelete.delete(spark, loc, col("n_nationkey") === -1L, Seq("n_nationkey"))
+    // the no-op delete above only enters MoR mode (manifests, no batch)
+    def files() = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = files()
+    val origName3 = spark.table("g_spec_morm").filter("n_nationkey = 3")
+      .head().getString(1)
+    val n = ps.statement(
+      """MERGE INTO g_spec_morm AS t
+        |USING (SELECT n_nationkey, n_name, n_regionkey
+        |       FROM nation WHERE n_nationkey < 6
+        |       UNION ALL
+        |       SELECT n_nationkey + 3000, 'ins_' || n_name, n_regionkey
+        |       FROM nation WHERE n_nationkey < 2) AS s
+        |ON t.n_nationkey = s.n_nationkey
+        |WHEN MATCHED AND s.n_nationkey < 2 THEN DELETE
+        |WHEN MATCHED AND s.n_regionkey >= 0 THEN UPDATE SET n_regionkey = s.n_regionkey + 50
+        |WHEN NOT MATCHED THEN INSERT""".stripMargin).head().getLong(0)
+    assert(before.forall { case (f, m) => files().get(f).contains(m) },
+      "MoR MERGE must leave every pre-existing file untouched " +
+        "(replacements/inserts append as sequence-named parts)")
+    val after = sources.MorDelete.read(spark, loc)
+    assert(after.filter("n_nationkey < 2").count() == 0, "delete clause claims keys 0-1")
+    // matched keys 2-5 all pass the update condition; delete has priority on 0-1
+    assert(after.filter("n_nationkey IN (2,3,4,5) AND n_regionkey >= 50").count() == 4)
+    assert(after.filter("n_nationkey = 3").head().getString(1) == origName3,
+      "SET must preserve unassigned target columns (ANSI), not replace the row")
+    assert(after.filter("n_nationkey >= 3000").count() == 2, "inserts append")
+    assert(n == 2 + 4 + 2, s"rows = deleted keys + updated keys + inserts, got $n")
+    spark.catalog.dropTempView("g_spec_morm")
+    spark.sql("DROP TABLE IF EXISTS g_spec_morm")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
