@@ -240,7 +240,23 @@ object StressRehearsal {
         val slicedDisk = tally.diskSpilled - spillSingle._2
         val (mS, mL) = (matchedOf(single), matchedOf(sliced))
         require(mS == mL, s"arms diverged under pressure: $mS vs $mL")
-        println(f"""[stress] {"mode":"asofspill","heap_gb":$heapG%.1f,"replicas":$R%d,"rows":${R * 600000}%d,"matched":$mS%d,"single_sec":$tSingle%.2f,"single_spill_mem_mb":${spillSingle._1 / 1048576}%d,"single_spill_disk_mb":${spillSingle._2 / 1048576}%d,"sliced_sec":$tSliced%.2f,"sliced_spill_mem_mb":${slicedMem / 1048576}%d,"sliced_spill_disk_mb":${slicedDisk / 1048576}%d}""")
+        spark.catalog.clearCache()
+        // the AUTO arm under the same pressure: its bounded stats pass
+        // must see the 24M-row constant key, pick the sliced arm (the
+        // one that does not ride a single task into the spill files),
+        // and produce identical matches — the deployment rule enforcing
+        // itself exactly where it matters
+        val plan = AsofJoin.plan(probes, quotes, Seq("k"), "t", "qt")
+        require(plan.sliced,
+          s"auto must pick the sliced arm at ${plan.maxKeyRows} rows on one key")
+        val auto = AsofJoin.auto(probes, quotes, Seq("k"), "t", "qt",
+          Seq("quote_id"), rightTiebreak = Seq("quote_id"))
+        val tAuto = timed {
+          auto.write.format("noop").mode("overwrite").save()
+        }
+        val mA = matchedOf(auto)
+        require(mA == mS, s"auto arm diverged under pressure: $mA vs $mS")
+        println(f"""[stress] {"mode":"asofspill","heap_gb":$heapG%.1f,"replicas":$R%d,"rows":${R * 600000}%d,"matched":$mS%d,"single_sec":$tSingle%.2f,"single_spill_mem_mb":${spillSingle._1 / 1048576}%d,"single_spill_disk_mb":${spillSingle._2 / 1048576}%d,"sliced_sec":$tSliced%.2f,"sliced_spill_mem_mb":${slicedMem / 1048576}%d,"sliced_spill_disk_mb":${slicedDisk / 1048576}%d,"auto_arm":"sliced","auto_max_key_rows":${plan.maxKeyRows}%d,"auto_sec":$tAuto%.2f}""")
 
       case "skew" =>
         // ~10% of the 10× fact rides ONE hot order key; the rest spread

@@ -93,6 +93,17 @@ import org.apache.spark.sql.functions._
   * replacements until vacuum) — read through [[read]] / the resolved
   * view, the same rule every manifest-bearing table format imposes.
   * `Maintenance.vacuum(path, 0, 0)` restores physical cleanliness.
+  *
+  * Scale bound, stated honestly: one manifest is a flat file naming
+  * every live data file — O(file count) bytes, written per commit and
+  * resolved per read, the same cardinality Spark's own FileIndex (and
+  * every table format's commit metadata) already holds driver-side. At
+  * 100 TB / millions of files the flat form wants the Iceberg split —
+  * a manifest LIST pointing at per-partition manifest shards, so a
+  * commit rewrites one shard + the list, and partition-pruned reads
+  * resolve only their shards. The protocol here (ordinal+sequence
+  * naming, atomic rename, retention) carries over unchanged; only the
+  * file body would shard.
   */
 object MorDelete {
 
