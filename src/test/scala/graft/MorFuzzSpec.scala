@@ -59,7 +59,7 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def df(rows: Seq[(Long, Long)]) =
     spark.createDataFrame(rows).toDF("k", "v")
 
-  for (seed <- Seq(11, 42, 1234)) test(s"random DML sequence matches the shadow model (seed $seed)") {
+  for (seed <- Seq(11, 42, 1234, 271828, 31415)) test(s"random DML sequence matches the shadow model (seed $seed)") {
     val rnd = new scala.util.Random(seed)
     val loc = Files.createTempDirectory("graft_morfuzz").toString + "/t"
     // duplicate-keyed start: ~300 rows over ~100 keys, 4 files

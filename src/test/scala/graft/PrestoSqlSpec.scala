@@ -342,12 +342,15 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       val nDel = ps.statement("DELETE FROM g_spec_onescan WHERE o_orderkey % 10 = 3")
         .head().getLong(0)
       // the execution-listener bus is async: poll until the count of
-      // table-scanning actions is stable BEFORE running any further query
+      // table-scanning actions reaches the expected floor AND stays
+      // stable (a lone stable reading below 2 is just a slow bus, not a
+      // missing action) BEFORE running any further query
       def scans() = plans.synchronized { plans.count(_.contains(loc)) }
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 20000
       var last = -1
       while (System.currentTimeMillis() < deadline &&
-        { val s = scans(); val moved = s != last; last = s; moved }) Thread.sleep(300)
+        { val s = scans(); val settle = s == last && s >= 2; last = s; !settle })
+        Thread.sleep(300)
       // exactly TWO actions read the table: touched-file discovery and the
       // rewrite write (whose Observation carries the deleted-row count) —
       // the old third action, a full predicate count just for the `rows`
