@@ -953,6 +953,63 @@ object ScaleRehearsal {
       return
     }
 
+    // ---- manifest mode: the MoR commit-metadata wall at 100-TB file
+    // cardinality, isolated from data I/O. A 100 TB table at 128 MB/file
+    // is ~800k files; the flat manifest body is O(live files) PER COMMIT,
+    // the sharded (content-addressed list) body is O(changed shards) +
+    // an O(#shards) list. This mode drives publishManifest directly over
+    // synthetic file-name states — the manifest layer never opens data
+    // files, so the measurement is exactly the commit path a 1-file DML
+    // pays — and reports genesis wall, steady-state per-commit wall, and
+    // per-commit bytes written for both forms at 100k and 800k files,
+    // plus the resolve (read) wall of the newest manifest.
+    if (args.headOption.contains("manifest")) {
+      import graft.sources.MorDelete
+      val base = new java.io.File("/tmp/graft_manifest")
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(); ()
+      }
+      rmr(base)
+      def treeBytes(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
+        else f.length()
+      for (files <- Seq(100000, 800000); sharded <- Seq(false, true)) {
+        val tag = s"${if (sharded) "sharded" else "flat"}@${files / 1000}k"
+        val loc = s"$base/${if (sharded) "s" else "f"}$files/t"
+        new java.io.File(loc).mkdirs()
+        val fm = MorDelete.manifestFlatMax
+        MorDelete.manifestFlatMax = if (sharded) 4096 else Int.MaxValue
+        try {
+          var names = (0 until files)
+            .map(i => f"$loc/part-$i%07d.parquet").toVector
+          val mdir = new java.io.File(MorDelete.manifestDir(loc))
+          val t0 = System.nanoTime()
+          MorDelete.publishManifest(loc, 1L, MorDelete.State(names, Nil))
+          val genesis = (System.nanoTime() - t0) / 1e9
+          // steady state: 20 commits, each replacing ONE file — the
+          // manifest cost of a 1-file CoW rewrite / targeted compaction
+          val bytes0 = treeBytes(mdir)
+          val t1 = System.nanoTime()
+          (0 until 20).foreach { c =>
+            names = names.updated(c, s"$loc/part-new$c.parquet")
+            MorDelete.publishManifest(loc, 2L + c, MorDelete.State(names, Nil))
+          }
+          val perCommit = (System.nanoTime() - t1) / 20e9
+          val perBytes = (treeBytes(mdir) - bytes0) / 20
+          val t2 = System.nanoTime()
+          val resolved = MorDelete.readManifest(loc, MorDelete.manifests(loc).last)
+          val resolve = (System.nanoTime() - t2) / 1e9
+          require(resolved.dataFiles.size == files, "resolve must return the live set")
+          println(f"[scale] manifest $tag%-14s genesis $genesis%7.3f s  " +
+            f"commit $perCommit%7.4f s  ${perBytes / 1024}%8d KiB/commit  " +
+            f"resolve $resolve%7.3f s")
+        } finally MorDelete.manifestFlatMax = fm
+      }
+      rmr(base)
+      spark.stop(); return
+    }
+
     // ---- zorder mode: multi-column pruning at rehearsal scale — 6M
     // lineitem rows in 200 files, laid out (a) linear-sorted on
     // l_partkey and (b) z-ordered on (l_partkey, l_suppkey). A selective

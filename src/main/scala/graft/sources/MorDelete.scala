@@ -94,16 +94,26 @@ import org.apache.spark.sql.functions._
   * view, the same rule every manifest-bearing table format imposes.
   * `Maintenance.vacuum(path, 0, 0)` restores physical cleanliness.
   *
-  * Scale bound, stated honestly: one manifest is a flat file naming
-  * every live data file — O(file count) bytes, written per commit and
-  * resolved per read, the same cardinality Spark's own FileIndex (and
-  * every table format's commit metadata) already holds driver-side. At
-  * 100 TB / millions of files the flat form wants the Iceberg split —
-  * a manifest LIST pointing at per-partition manifest shards, so a
-  * commit rewrites one shard + the list, and partition-pruned reads
-  * resolve only their shards. The protocol here (ordinal+sequence
-  * naming, atomic rename, retention) carries over unchanged; only the
-  * file body would shard.
+  * Scale: below [[manifestFlatMax]] live files a manifest is a flat
+  * file naming every one — O(file count) bytes per commit, the same
+  * cardinality Spark's own FileIndex already holds driver-side. Above
+  * it, the body takes the Iceberg manifest-list split: the commit file
+  * becomes a LIST of `S <shard>` lines pointing at CONTENT-ADDRESSED
+  * shard files (`shard-<sha1(body)>`, ~[[manifestShardTarget]] entries
+  * each, file→shard by stable hash of the table-relative path). A
+  * commit hashes each shard group and writes ONLY the groups whose
+  * content changed — an unchanged group resolves to an existing shard
+  * file by name, no read or write — so commit I/O is O(changed shards)
+  * + one O(#shards) list, not O(live files): at ~800k files (100 TB at
+  * 128 MB/file) a 1-file DML rewrites one ~4k-line shard and a ~200-line
+  * list instead of a 48 MB flat body. Content addressing also makes the
+  * shard write idempotent (a crash-rerun re-stages identical bytes) and
+  * crash-safe (an unreferenced shard is garbage for vacuum, same as an
+  * orphan batch). The commit point is unchanged — the ONE atomic rename
+  * of the list file; shard files are invisible until a list names them.
+  * Shard count is a power of two derived from the live file count, so
+  * it is stable within 2× growth bands; crossing a band (or the
+  * flat/sharded threshold) rewrites all groups once and reuse resumes.
   */
 object MorDelete {
 
@@ -166,16 +176,24 @@ object MorDelete {
     * compactions, takes the next one), `seq` the DML sequence of the
     * state it publishes (compactions re-publish the current sequence).
     */
-  private[sources] final case class ManifestRef(ordinal: Long, seq: Long, file: java.io.File)
+  private[graft] final case class ManifestRef(ordinal: Long, seq: Long, file: java.io.File)
 
   /** The live file/batch set one manifest publishes. Data files are held
     * ABSOLUTE here; the on-disk encoding is table-relative. */
-  private[sources] final case class State(dataFiles: Seq[String], batches: Seq[(Long, java.io.File)])
+  private[graft] final case class State(dataFiles: Seq[String], batches: Seq[(Long, java.io.File)])
 
   private val manifestName = "m-(\\d+)-(\\d+)".r
 
+  /** Live-file count above which a manifest body shards into a list of
+    * content-addressed shard files (see the concurrency-contract
+    * scaladoc). Tunable for tests; the default keeps every table the
+    * local gates build on the flat form. */
+  @volatile private[graft] var manifestFlatMax: Int = 4096
+  /** Target data-file entries per shard once sharded. */
+  @volatile private[graft] var manifestShardTarget: Int = 4096
+
   /** All manifests on disk, ordinal-ascending. */
-  private[sources] def manifests(path: String): Seq[ManifestRef] = {
+  private[graft] def manifests(path: String): Seq[ManifestRef] = {
     val dir = new java.io.File(manifestDir(path))
     if (!dir.isDirectory) Nil
     else Option(dir.listFiles()).getOrElse(Array.empty).toSeq
@@ -192,13 +210,33 @@ object MorDelete {
 
   private def tableAbs(path: String) = Paths.get(path).toAbsolutePath
 
-  private[sources] def readManifest(path: String, m: ManifestRef): State = {
+  private[graft] def readManifest(path: String, m: ManifestRef): State = {
     val base = tableAbs(path)
     val side = new java.io.File(sidecarDir(path))
-    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(m.file.toPath)).asScala.toSeq
-    val data = lines.collect { case l if l.startsWith("D ") =>
-      base.resolve(l.drop(2)).toString }
+    val mdir = m.file.getParentFile
+    def slurp(f: java.io.File): Seq[String] =
+      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(f.toPath)).asScala.toSeq
+    val lines = slurp(m.file)
+    // flat bodies carry `D <rel>` directly; sharded bodies carry
+    // `S <shard-file>` lines whose bodies carry the `D` entries. Shards
+    // read in parallel: ~200 independent small files at the 800k-file
+    // shape, and the sequential resolve measured 0.41 s where the flat
+    // body took 0.15 (SCALE_r15 `manifest`) — the fan-out wins it back.
+    val inline = lines.collect { case l if l.startsWith("D ") => l.drop(2) }
+    val shardNames = lines.collect { case l if l.startsWith("S ") => l.drop(2) }
+    val sharded =
+      if (shardNames.isEmpty) Nil
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.traverse(shardNames)(n => Future(
+            slurp(new java.io.File(mdir, n))
+              .collect { case d if d.startsWith("D ") => d.drop(2) })),
+          Duration.Inf).flatten
+      }
+    val data = (inline ++ sharded).map(rel => base.resolve(rel).toString)
     val bs = lines.collect { case l if l.startsWith("B ") =>
       val name = l.drop(2)
       val seq = name.stripPrefix("batch-").takeWhile(_.isDigit)
@@ -208,18 +246,49 @@ object MorDelete {
     State(data, bs.sortBy(_._1))
   }
 
+  /** Shard files a manifest's list body references (empty for flat
+    * bodies) — vacuum's liveness set. */
+  private[sources] def shardRefs(m: ManifestRef): Seq[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(m.file.toPath))
+      .asScala.toSeq.collect { case l if l.startsWith("S ") => l.drop(2) }
+
   /** Publish a new manifest: staged write, then ONE atomic rename — the
-    * commit point of every mutation on a managed table. */
+    * commit point of every mutation on a managed table. Above
+    * [[manifestFlatMax]] data files the body shards (see the
+    * concurrency-contract scaladoc): each hash group of table-relative
+    * paths becomes a content-addressed `shard-<sha1>` file written ONLY
+    * if absent, and the committed body lists the shard names — so an
+    * unchanged group costs a driver-side hash, never I/O. */
   private def writeManifest(path: String, ordinal: Long, seq: Long, st: State): Unit = {
     val base = tableAbs(path)
     val dir = Paths.get(manifestDir(path))
     Files.createDirectories(dir)
-    val body = (st.dataFiles.map(f => "D " + base.relativize(Paths.get(f))) ++
-      st.batches.map { case (_, f) => "B " + f.getName }).mkString("\n")
-    val tmp = dir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, body)
-    Files.move(tmp, dir.resolve(s"m-$ordinal-$seq"), StandardCopyOption.ATOMIC_MOVE)
-    ()
+    val rels = st.dataFiles.map(f => base.relativize(Paths.get(f)).toString)
+    def staged(body: String, target: String): Unit = {
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
+      Files.writeString(tmp, body)
+      Files.move(tmp, dir.resolve(target), StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    val dataLines: Seq[String] =
+      if (rels.size <= manifestFlatMax) rels.map("D " + _)
+      else {
+        val n = Integer.highestOneBit(
+          math.max(1, (rels.size + manifestShardTarget - 1) / manifestShardTarget) * 2 - 1)
+        val groups = rels.groupBy(r =>
+          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(r), n))
+        groups.toSeq.sortBy(_._1).map { case (_, files) =>
+          val body = files.sorted.map("D " + _).mkString("\n")
+          val digest = java.security.MessageDigest.getInstance("SHA-1")
+            .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          val name = s"shard-$digest"
+          if (!Files.exists(dir.resolve(name))) staged(body, name)
+          "S " + name
+        }
+      }
+    staged((dataLines ++ st.batches.map { case (_, f) => "B " + f.getName }).mkString("\n"),
+      s"m-$ordinal-$seq")
   }
 
   private def nextOrdinal(path: String): Long =
@@ -255,7 +324,7 @@ object MorDelete {
 
   /** Commit one mutation's state as the next manifest (ordinal assigned
     * here, under the caller's writer lock). */
-  private[sources] def publishManifest(path: String, seq: Long, st: State): Unit =
+  private[graft] def publishManifest(path: String, seq: Long, st: State): Unit =
     writeManifest(path, nextOrdinal(path), seq, st)
 
   /** Sequence of the file a row came from: parsed off `_metadata.file_path`
@@ -622,15 +691,16 @@ object Maintenance {
       else ms.init.filter(_.file.lastModified() <= now - retentionMs)
     val survivors = ms.filterNot(expired.contains)
 
-    // 3. data files / batch dirs referenced by NO surviving manifest —
-    //    only meaningful on a managed table (unmanaged tables' directory
-    //    listing IS the live set)
-    val (deadFiles, deadBatches) =
-      if (survivors.isEmpty) (Nil, Nil)
+    // 3. data files / batch dirs / manifest shards referenced by NO
+    //    surviving manifest — only meaningful on a managed table
+    //    (unmanaged tables' directory listing IS the live set)
+    val (deadFiles, deadBatches, deadShards) =
+      if (survivors.isEmpty) (Nil, Nil, Nil)
       else {
         val states = survivors.map(MorDelete.readManifest(path, _))
         val liveData = states.flatMap(_.dataFiles).toSet
         val liveBatch = states.flatMap(_.batches.map(_._2.getName)).toSet
+        val liveShard = survivors.flatMap(MorDelete.shardRefs).toSet
         val df = MorDelete.batches(path).map(_._2)
           .filterNot(b => liveBatch(b.getName))
         val dd = {
@@ -640,11 +710,14 @@ object Maintenance {
           walk(table.toFile).filter(f => f.getName.endsWith(".parquet") &&
             !liveData(f.getAbsolutePath))
         }
-        (dd, df)
+        val ds = Option(new java.io.File(MorDelete.manifestDir(path)).listFiles())
+          .getOrElse(Array.empty).toSeq
+          .filter(f => f.getName.startsWith("shard-") && !liveShard(f.getName))
+        (dd, df, ds)
       }
 
     val doomedDirs = deadStages ++ deadBatches
-    val doomedFiles = deadFiles ++ expired.map(_.file)
+    val doomedFiles = deadFiles ++ deadShards ++ expired.map(_.file)
     val bytes = doomedDirs.map(sizeOf).sum + doomedFiles.map(sizeOf).sum
     doomedDirs.foreach(rm)
     doomedFiles.foreach(f => { f.delete(); () })

@@ -567,4 +567,65 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("manifest-managed"))
   }
+
+  test("sharded manifests: content-addressed reuse, identical reads, snapshot survival, vacuum") {
+    val fm = MorDelete.manifestFlatMax
+    val tg = MorDelete.manifestShardTarget
+    MorDelete.manifestFlatMax = 4
+    MorDelete.manifestShardTarget = 4
+    try {
+      val loc = Files.createTempDirectory("graft_morshard").toString + "/t"
+      Tables.t(spark, "/root/testdata/sf0.001", "orders")
+        .repartition(24).write.mode("overwrite").parquet(loc)
+      val all = keys(loc)
+      val mdir = new File(MorDelete.manifestDir(loc))
+      def shards(): Set[String] = Option(mdir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("shard-")).toSet
+      def newestBody(): Seq[String] = {
+        val newest = Option(mdir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("m-"))
+          .maxBy(_.getName.split("-")(1).toLong)
+        Files.readAllLines(newest.toPath).toArray.toSeq.map(_.toString)
+      }
+
+      MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+      assert(shards().nonEmpty, "a table past manifestFlatMax must shard its manifest body")
+      assert(newestBody().exists(_.startsWith("S ")), "the commit file must be a shard LIST")
+      assert(!newestBody().exists(_.startsWith("D ")), "no inline data entries once sharded")
+      val s1 = shards()
+
+      // a tombstone-only commit leaves the data-file set unchanged:
+      // content addressing must resolve EVERY group to an existing shard
+      // file — zero shard writes, only the list commits
+      MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 4, Seq("o_orderkey"))
+      assert(shards() == s1,
+        "a commit that leaves the file set unchanged must write no shard files")
+      val afterDeletes = all.filterNot(k => k % 10 == 3 || k % 10 == 4)
+      assert(keys(loc) == afterDeletes, "sharded reads must equal the flat-manifest semantics")
+
+      // snapshots resolve through sharded bodies exactly as through flat
+      // ones, including across a compaction (retained files)
+      val snapPre = MorDelete.currentSeq(spark, loc)
+      MorDelete.compact(spark, loc)
+      assert(keys(loc) == afterDeletes, "compaction under sharding keeps the live view")
+      assert(MorDelete.readAt(spark, loc, snapPre).select("o_orderkey")
+        .collect().map(_.getLong(0)).toSet == afterDeletes,
+        "a pre-compaction snapshot must survive under sharded manifests")
+
+      // an unreferenced shard (the crash shape: staged content whose list
+      // never committed) is invisible to readers and reclaimed by vacuum,
+      // while every referenced shard survives
+      Files.writeString(new File(mdir, "shard-0rphan").toPath, "D no-such.parquet")
+      assert(keys(loc) == afterDeletes, "an orphan shard must be invisible")
+      Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+      assert(!shards().contains("shard-0rphan"), "vacuum must reclaim orphan shards")
+      val referenced = newestBody().collect { case l if l.startsWith("S ") => l.drop(2) }.toSet
+      assert(shards() == referenced,
+        "after vacuum exactly the newest list's shards remain")
+      assert(keys(loc) == afterDeletes, "vacuum must not change the live view")
+    } finally {
+      MorDelete.manifestFlatMax = fm
+      MorDelete.manifestShardTarget = tg
+    }
+  }
 }

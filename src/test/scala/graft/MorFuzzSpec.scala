@@ -60,6 +60,27 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.createDataFrame(rows).toDF("k", "v")
 
   for (seed <- Seq(11, 42, 1234, 271828, 31415)) test(s"random DML sequence matches the shadow model (seed $seed)") {
+    fuzzOnce(seed)
+  }
+
+  // the same shadow contract with the manifest body forced onto the
+  // SHARDED (content-addressed list) form from the genesis commit on:
+  // upserts/compactions churn the data-file set every few steps, so
+  // shard grouping, reuse, and vacuum's shard liveness all exercise
+  // under the full DML interaction surface
+  for (seed <- Seq(7, 997)) test(s"random DML sequence matches the shadow model under sharded manifests (seed $seed)") {
+    val fm = MorDelete.manifestFlatMax
+    val tg = MorDelete.manifestShardTarget
+    MorDelete.manifestFlatMax = 2
+    MorDelete.manifestShardTarget = 2
+    try fuzzOnce(seed)
+    finally {
+      MorDelete.manifestFlatMax = fm
+      MorDelete.manifestShardTarget = tg
+    }
+  }
+
+  private def fuzzOnce(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val loc = Files.createTempDirectory("graft_morfuzz").toString + "/t"
     // duplicate-keyed start: ~300 rows over ~100 keys, 4 files
@@ -120,6 +141,19 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           MorDelete.compact(spark, loc, minDoomedFraction = p)
           if (rnd.nextBoolean()) Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
       }
+      if (rnd.nextInt(3) == 0) {
+        // crash injection: the garbage shapes a writer dying mid-commit
+        // leaves — a manifest stage, an unreferenced (content-addressed)
+        // shard, a renamed-but-never-published tombstone batch — must be
+        // invisible to every subsequent read, never poison later DML,
+        // and come out in a vacuum (asserted after the loop)
+        val mdir = new java.io.File(MorDelete.manifestDir(loc))
+        mdir.mkdirs()
+        Files.writeString(new java.io.File(mdir, s".tmp-crash$step").toPath, "D half-written")
+        Files.writeString(new java.io.File(mdir, s"shard-crash$step").toPath, "D no-such.parquet")
+        new java.io.File(MorDelete.sidecarDir(loc), s"batch-${900 + step}-orphan").mkdirs()
+        ()
+      }
       assert(visible(loc) == shadow.sorted,
         s"seed $seed step $step diverged from the shadow model")
     }
@@ -141,5 +175,17 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             s"seed $seed: a snapshot at the current sequence must never expire")
       }
     }
+    // terminal sweep: every injected crash artifact reclaims, and the
+    // live view is bit-identical across it
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    assert(visible(loc) == shadow.sorted,
+      s"seed $seed: the live view must survive the terminal vacuum")
+    val leftoverCrash =
+      Option(new java.io.File(MorDelete.manifestDir(loc)).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains("crash")) ++
+      Option(new java.io.File(MorDelete.sidecarDir(loc)).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith("-orphan"))
+    assert(leftoverCrash.isEmpty,
+      s"seed $seed: vacuum left crash garbage: ${leftoverCrash.map(_.getName).mkString(", ")}")
   }
 }
