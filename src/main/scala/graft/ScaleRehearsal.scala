@@ -1010,6 +1010,50 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---- sidecar mode: the tombstone-batch fan-in wall. A long-lived
+    // MoR table accumulates one batch per DML; the resolved read pays a
+    // per-batch parquet open + a per-key max(seq) reduction every query.
+    // compactSidecar merges the batches into ONE pre-reduced batch with
+    // zero data files touched — this mode measures the 10-batch bench
+    // table's read before and after, best-of-2 each, and pins the
+    // batch/file counts.
+    if (args.headOption.contains("sidecar")) {
+      import graft.sources.MorDelete
+      val loc = "/tmp/graft_sidecar/t"
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(); ()
+      }
+      rmr(new java.io.File("/tmp/graft_sidecar"))
+      rmr(new java.io.File(MorDelete.sidecarDir(loc)))
+      rmr(new java.io.File(MorDelete.manifestDir(loc)))
+      Tables.t(spark, sfDir, "lineitem").write.mode("overwrite").parquet(loc)
+      (0 until 10).foreach(i =>
+        MorDelete.delete(spark, loc, col("l_orderkey") % 100 === i,
+          Seq("l_orderkey", "l_linenumber")))
+      def sidecarParquet(): Int =
+        MorDelete.liveState(spark, loc).batches
+          .flatMap(b => Option(b._2.listFiles()).getOrElse(Array.empty))
+          .count(_.getName.endsWith(".parquet"))
+      val b10 = MorDelete.liveState(spark, loc).batches.size
+      val f10 = sidecarParquet()
+      val pre = best2(s"mor read $b10 batches")(
+        MorDelete.read(spark, loc).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")))
+      val expect = MorDelete.read(spark, loc).count()
+      MorDelete.compactSidecar(spark, loc)
+      require(MorDelete.read(spark, loc).count() == expect,
+        "sidecar compaction must not change the resolved view")
+      val b1 = MorDelete.liveState(spark, loc).batches.size
+      val f1 = sidecarParquet()
+      val post = best2(s"mor read $b1 batch")(
+        MorDelete.read(spark, loc).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")))
+      println(f"[scale] sidecar compact: $b10 batches/$f10 files $pre%.2f s -> " +
+        f"$b1 batch/$f1 files $post%.2f s")
+      spark.stop(); return
+    }
+
     // ---- zorder mode: multi-column pruning at rehearsal scale — 6M
     // lineitem rows in 200 files, laid out (a) linear-sorted on
     // l_partkey and (b) z-ordered on (l_partkey, l_suppkey). A selective

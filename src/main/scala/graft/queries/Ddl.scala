@@ -557,6 +557,46 @@ object Ddl {
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
 
+    // Sidecar-only compaction (MorDelete.compactSidecar — the Iceberg
+    // "rewrite delete files" maintenance analog): five tombstone batches
+    // merge into ONE pre-reduced batch (per-key max row-level sequence)
+    // with ZERO data files touched, and the resolved read must still
+    // hash-match the equality-delete oracle. merged_to_one carries the
+    // mechanism: exactly one live batch after the merge, and no table
+    // file was rewritten.
+    "ddl_mor_sidecar_compact" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+        |  true AS merged_to_one
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 50 < 5)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morsc_lineitem"
+      drop(s, "g_morsc_lineitem", loc)
+      drop(s, "g_morsc_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_morsc_lineitem_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "lineitem").write.mode("overwrite").parquet(loc)
+      val filesBefore = Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      (0 until 5).foreach(i =>
+        MorDelete.delete(s, loc, col("l_orderkey") % 50 === i,
+          Seq("l_orderkey", "l_linenumber")))
+      val live = MorDelete.compactSidecar(s, loc)
+      val untouched = filesBefore.forall { case (name, m) =>
+        val f = new java.io.File(loc, name); f.exists() && f.lastModified == m
+      }
+      val merged = live == 1L &&
+        MorDelete.liveState(s, loc).batches.size == 1 && untouched
+      MorDelete.read(s, loc)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+        .withColumn("merged_to_one", lit(merged))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
     // Density-TARGETED merge-on-read compaction (the long-tombstone-tail
     // answer rehearsed in SCALE_r14 cowdml): a key-clustered layout takes
     // a delete that is DENSE in the low key range (most of the first

@@ -306,7 +306,7 @@ object MorDelete {
 
   /** The current live state: the newest manifest when managed, the raw
     * directory + sidecar listing otherwise. */
-  private[sources] def liveState(spark: SparkSession, path: String): State =
+  private[graft] def liveState(spark: SparkSession, path: String): State =
     manifests(path).lastOption match {
       case Some(m) => readManifest(path, m)
       case None => State(walkData(path), batches(path))
@@ -552,6 +552,45 @@ object MorDelete {
     * full compaction: every file with any doomed row rewrites and the
     * new manifest carries no batches.
     */
+  /** Merge the live tombstone BATCHES into one, touching no data file —
+    * the Iceberg "rewrite delete files" maintenance analog, for the
+    * long-lived table whose batch count (and read-side fan-in) grows
+    * with every DML. The merged batch holds one row per key at that
+    * key's MAX row-level sequence — exactly the reduction every read's
+    * anti-join performs ([[applyTombstones]] takes max(seq) per key), so
+    * the resolved view is bit-identical by construction; per-row
+    * sequences are PRESERVED (the batch directory's name carries the
+    * current max only for listing order), so the strictly-smaller
+    * file-sequence rule keeps superseding exactly as before. Commits
+    * like every mutation: staged batch, one atomic manifest rename;
+    * replaced batches are RETAINED for readers holding older manifests
+    * until vacuum. No-op below two live batches. Returns the live batch
+    * count after the merge.
+    */
+  def compactSidecar(spark: SparkSession, path: String): Long = withWriterLock(path) {
+    ensureManaged(spark, path)
+    val st = liveState(spark, path)
+    if (st.batches.size <= 1) return st.batches.size.toLong
+    val side = sidecarOf(spark, st.batches)
+    val keyCols = side.columns.toSeq.filterNot(_ == SeqCol)
+    // pin before writing: the reduction's lineage reads the batches the
+    // new manifest is about to supersede
+    val reduced = side.groupBy(keyCols.map(col): _*)
+      .agg(max(col(SeqCol)).as(SeqCol))
+      .localCheckpoint(true)
+    try {
+      val sideDir = Paths.get(sidecarDir(path))
+      val stage = sideDir.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
+      reduced.write.mode("overwrite").parquet(stage.toString)
+      val top = st.batches.map(_._1).max
+      val name = s"batch-$top-${UUID.randomUUID().toString.take(8)}"
+      Files.move(stage, sideDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      publishManifest(path, maxSeq(spark, path),
+        State(st.dataFiles, Seq(top -> new java.io.File(sideDir.toFile, name))))
+      1L
+    } finally { reduced.unpersist(); () }
+  }
+
   def compact(spark: SparkSession, path: String,
       minDoomedFraction: Double = 0.0): CowDelete.DeleteStats = withWriterLock(path) {
     ensureManaged(spark, path)

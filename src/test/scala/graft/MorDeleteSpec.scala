@@ -568,6 +568,51 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("manifest-managed"))
   }
 
+  test("compactSidecar merges batches bit-identically, preserves snapshots and sequencing") {
+    val loc = freshTable()
+    // three batches + an upsert (so row-level sequences matter: the
+    // replacement row must keep surviving its own tombstone after the
+    // sidecar merge)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val snapMid = MorDelete.currentSeq(spark, loc)
+    val midKeys = keys(loc)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 4, Seq("o_orderkey"))
+    val one = oneRowPerKey(spark.read.parquet(loc).filter(col("o_orderkey") === 2L))
+      .withColumn("o_orderpriority", lit("9-UPSERTED"))
+    graft.sources.MorUpsert.upsert(spark, loc, one, Seq("o_orderkey"))
+    val before = MorDelete.read(spark, loc).select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(MorDelete.liveState(spark, loc).batches.size == 3)
+
+    assert(MorDelete.compactSidecar(spark, loc) == 1L)
+    assert(MorDelete.liveState(spark, loc).batches.size == 1,
+      "the live manifest must carry exactly the merged batch")
+    val after = MorDelete.read(spark, loc).select("o_orderkey", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(after == before, "the resolved view must be bit-identical across the merge")
+    assert(after.exists(_._2 == "9-UPSERTED"),
+      "the upsert replacement must keep surviving its own tombstone")
+
+    // a snapshot pinned between the batches resolves a pre-merge
+    // manifest: replaced batches are retained until vacuum
+    assert(MorDelete.readAt(spark, loc, snapMid).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == midKeys,
+      "a mid-batch snapshot must survive the sidecar merge")
+
+    // later DML sequences above the merged batch and still supersedes
+    MorDelete.delete(spark, loc, col("o_orderkey") === 2L, Seq("o_orderkey"))
+    assert(!keys(loc).contains(2L),
+      "a later delete must kill the merged-era replacement row")
+
+    // vacuum reclaims the replaced batch directories
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    val batchDirs = Option(new File(MorDelete.sidecarDir(loc)).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch-"))
+    assert(batchDirs.length == 2,
+      s"vacuum must leave the merged batch + the later delete's, got " +
+        batchDirs.map(_.getName).mkString(", "))
+  }
+
   test("sharded manifests: content-addressed reuse, identical reads, snapshot survival, vacuum") {
     val fm = MorDelete.manifestFlatMax
     val tg = MorDelete.manifestShardTarget
