@@ -345,7 +345,46 @@ object PrestoSql {
             "semantics only (Spark SQL has no multi-statement transactions). Each " +
             "DML statement is individually atomic via staged-file rename; see " +
             "README 'Known divergences'.")
-      case other => PrestoSql.sql(spark, other)
+      case other => PrestoSql.sql(spark, rewriteVersionAsOf(other))
+    }
+
+    /** Snapshot (time-travel) reads from the SQL surface: every
+      * `<table> FOR VERSION AS OF <seq>` clause — the shape modern SQL
+      * engines give their snapshot reads; Presto 323's grammar has none,
+      * so like UPDATE/MERGE the statement EXCEEDS the reference — rewrites
+      * to a temp view over [[sources.MorDelete.readAt]] pinned at that
+      * sequence (the handle [[sources.MorDelete.currentSeq]] returns).
+      * Quote-aware like every scanner here: a string literal containing
+      * the phrase is never rewritten. A pinned view resolves its manifest
+      * at statement time, so it reads consistently even across later DML,
+      * until vacuum expires the snapshot (then readAt fails loudly).
+      */
+    private val versionAsOfRe =
+      "(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\b".r
+
+    private def rewriteVersionAsOf(text: String): String = {
+      if (!"(?i)FOR\\s+VERSION\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
+      val out = new StringBuilder
+      var i = 0
+      while (i < text.length) {
+        if (text.charAt(i) == '\'') {
+          val e = math.min(skipLiteral(text, i), text.length)
+          out.append(text.substring(i, e)); i = e
+        } else {
+          val next = text.indexOf('\'', i)
+          val seg = if (next < 0) text.substring(i) else text.substring(i, next)
+          out.append(versionAsOfRe.replaceAllIn(seg, m => {
+            val table = m.group(1)
+            val seq = m.group(2).toLong
+            val loc = parquetLocation(table, "FOR VERSION AS OF")
+            val view = s"${table.split('.').last}__v$seq"
+            sources.MorDelete.readAt(spark, loc, seq).createOrReplaceTempView(view)
+            view
+          }))
+          i = if (next < 0) text.length else next
+        }
+      }
+      out.toString
     }
 
     /** Reference `DESCRIBE INPUT name` (sql/rewrite/DescribeInputRewrite

@@ -1007,6 +1007,36 @@ object ScaleRehearsal {
         } finally MorDelete.manifestFlatMax = fm
       }
       rmr(base)
+      // end-to-end leg at DEFAULT knobs: a real table past manifestFlatMax
+      // (4,200 real parquet files) runs delete → resolved read → targeted
+      // compact → read, proving the sharded path engages untouched by any
+      // test knob and the whole DML surface rides it
+      val loc = s"$base/real/t"
+      new java.io.File(loc).mkdirs()
+      Tables.t(spark, sfDir, "lineitem")
+        .repartition(4200, col("l_orderkey"))
+        .write.mode("overwrite").parquet(loc)
+      val t3 = System.nanoTime()
+      MorDelete.delete(spark, loc, col("l_orderkey") % 100 === 7,
+        Seq("l_orderkey", "l_linenumber"))
+      val delWall = (System.nanoTime() - t3) / 1e9
+      val listBody = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(
+          MorDelete.manifests(loc).last.file.toPath)).asScala.toSeq
+      require(listBody.exists(_.startsWith("S ")) && !listBody.exists(_.startsWith("D ")),
+        "a 4,200-file table must commit a sharded manifest at default knobs")
+      val expectRows = MorDelete.read(spark, loc).count()
+      val t4 = System.nanoTime()
+      MorDelete.compact(spark, loc, minDoomedFraction = 0.5)
+      val compactWall = (System.nanoTime() - t4) / 1e9
+      require(MorDelete.read(spark, loc).count() == expectRows,
+        "the resolved view must be unchanged by the targeted compact")
+      val shardsOnDisk = Option(new java.io.File(MorDelete.manifestDir(loc)).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("shard-"))
+      println(f"[scale] manifest real@4200 files (default knobs): delete $delWall%.2f s, " +
+        f"targeted compact $compactWall%.2f s, $shardsOnDisk shard files, " +
+        s"rows $expectRows — sharded list verified")
+      rmr(base)
       spark.stop(); return
     }
 

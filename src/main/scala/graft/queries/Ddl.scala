@@ -557,6 +557,49 @@ object Ddl {
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
 
+    // SQL time travel (FOR VERSION AS OF — modern engines' snapshot-read
+    // grammar; Presto 323 has none, so like UPDATE/MERGE the statement
+    // exceeds the reference surface): a sequence captured BEFORE two SQL
+    // DML statements pins the read through both commits via the
+    // statement text alone, hash-matched against DuckDB over the
+    // untouched source. snapshot_pinned carries the negative control —
+    // the unpinned SQL read does differ.
+    "ddl_sql_time_travel" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total,
+        |  true AS snapshot_pinned
+        |FROM orders WHERE NOT (o_orderkey % 100 = 7)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sqlver_orders"
+      drop(s, "g_sqlver_orders", loc)
+      drop(s, "g_sqlver_orders_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_sqlver_orders_manifests", MorDelete.manifestDir(loc))
+      s.sql(
+        s"""CREATE TABLE g_sqlver_orders USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM orders""".stripMargin)
+      // one programmatic batch enters MoR mode and declares the key
+      // (mirrored by the oracle's NOT predicate: it lands BEFORE snap)
+      MorDelete.delete(s, loc, col("o_orderkey") % 100 === 7, Seq("o_orderkey"))
+      val snap = MorDelete.currentSeq(s, loc)
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement("DELETE FROM g_sqlver_orders WHERE o_orderkey % 10 = 3")
+      ps.statement(
+        "UPDATE g_sqlver_orders SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 10 = 4")
+      val pinned = ps.statement(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+           |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+           |FROM g_sqlver_orders FOR VERSION AS OF $snap
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
+      val changed = ps.statement("SELECT count(*) AS c FROM g_sqlver_orders")
+        .head().getLong(0) !=
+        ps.statement(s"SELECT count(*) AS c FROM g_sqlver_orders FOR VERSION AS OF $snap")
+          .head().getLong(0)
+      pinned.withColumn("snapshot_pinned", lit(changed))
+    },
+
     // Sidecar-only compaction (MorDelete.compactSidecar — the Iceberg
     // "rewrite delete files" maintenance analog): five tombstone batches
     // merge into ONE pre-reduced batch (per-key max row-level sequence)

@@ -323,6 +323,46 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_sqlmor")
   }
 
+  test("FOR VERSION AS OF pins a SQL read at a snapshot sequence; literals never rewrite") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlver").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlver")
+    spark.sql(s"CREATE TABLE g_spec_sqlver USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    val total = spark.table("g_spec_sqlver").count()
+    sources.MorDelete.delete(spark, loc, col("n_nationkey") === 0L, Seq("n_nationkey"))
+    val snap = sources.MorDelete.currentSeq(spark, loc)
+    ps.statement("DELETE FROM g_spec_sqlver WHERE n_regionkey = 2")
+    // the pinned read sees the snapshot (first delete applied, second not)
+    val pinned = ps.statement(
+      s"SELECT count(*) AS c FROM g_spec_sqlver FOR VERSION AS OF $snap")
+      .head().getLong(0)
+    assert(pinned == total - 1,
+      "FOR VERSION AS OF must resolve the manifest pinned at that sequence")
+    // the unpinned read reflects both commits (negative control)
+    val current = ps.statement("SELECT count(*) AS c FROM g_spec_sqlver")
+      .head().getLong(0)
+    assert(current < pinned)
+    // composes inside a larger query (join of two versions of the table)
+    val delta = ps.statement(
+      s"""SELECT count(*) AS gone FROM g_spec_sqlver FOR VERSION AS OF $snap v
+         |WHERE v.n_nationkey NOT IN (SELECT n_nationkey FROM g_spec_sqlver)""".stripMargin)
+      .head().getLong(0)
+    assert(delta == pinned - current)
+    // quote-awareness: the phrase inside a string literal is untouched
+    val lit = ps.statement(
+      "SELECT 'x FOR VERSION AS OF 1 y' AS s").head().getString(0)
+    assert(lit == "x FOR VERSION AS OF 1 y")
+    // an expired snapshot fails loudly, never silently serves partials
+    sources.Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    val e = intercept[IllegalStateException](ps.statement(
+      s"SELECT count(*) AS c FROM g_spec_sqlver FOR VERSION AS OF $snap"))
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("no retained snapshot"))
+    spark.catalog.dropTempView("g_spec_sqlver")
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlver")
+  }
+
   test("SQL CoW DML derives its row count from the rewrite itself — no separate count scan") {
     val ps = new PrestoSql.Prepared(spark)
     val loc = java.nio.file.Files.createTempDirectory("graft_sqlonescan").toString + "/t"
