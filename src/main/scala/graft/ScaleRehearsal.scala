@@ -1040,6 +1040,70 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---- morchurn mode: the LONG-HORIZON maintenance loop. One commit
+    // is cheap; the question at a year of DML is whether the walls stay
+    // flat when deletes/upserts accumulate for hundreds of commits with
+    // only periodic maintenance. 120 alternating DML commits over sf0.01
+    // lineitem, compactSidecar every 20, targeted compact + vacuum every
+    // 40 — sampling the resolved-read wall, live batch count, and
+    // manifest-dir file count along the way. The pass criterion is shape:
+    // read walls flat (maintenance bounds the fan-in), manifest dir
+    // bounded (vacuum expires history), commit wall flat in commit count.
+    if (args.headOption.contains("morchurn")) {
+      import graft.sources.{Maintenance, MorDelete, MorUpsert}
+      val loc = "/tmp/graft_morchurn/t"
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+        f.delete(); ()
+      }
+      rmr(new java.io.File("/tmp/graft_morchurn"))
+      rmr(new java.io.File(MorDelete.sidecarDir(loc)))
+      rmr(new java.io.File(MorDelete.manifestDir(loc)))
+      val sf001 = sfDir.replace("sf0.1", "sf0.01")
+      Tables.t(spark, sf001, "lineitem").write.mode("overwrite").parquet(loc)
+      val keyCols = Seq("l_orderkey", "l_linenumber")
+      var commitWall = 0.0
+      for (c <- 1 to 120) {
+        val t0 = System.nanoTime()
+        if (c % 2 == 1)
+          MorDelete.delete(spark, loc,
+            col("l_orderkey") % 997 === (c % 997), keyCols)
+        else {
+          val src = MorDelete.read(spark, loc)
+            .filter(col("l_orderkey") % 991 === (c % 991))
+            .groupBy(keyCols.map(col): _*)
+            .agg(max(col("l_quantity")).as("l_quantity"),
+              (Tables.t(spark, sf001, "lineitem").columns.toSeq
+                .filterNot(keyCols.contains).filterNot(_ == "l_quantity")
+                .map(x => max(col(x)).as(x))): _*)
+            .withColumn("l_quantity", col("l_quantity") + 1)
+          MorUpsert.upsert(spark, loc, src, keyCols)
+        }
+        commitWall += (System.nanoTime() - t0) / 1e9
+        if (c % 20 == 0) { MorDelete.compactSidecar(spark, loc); () }
+        if (c % 40 == 0) {
+          MorDelete.compact(spark, loc, minDoomedFraction = 0.3)
+          Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+        }
+        if (c % 30 == 0 || c == 1) {
+          val t1 = System.nanoTime()
+          MorDelete.read(spark, loc).groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          val rw = (System.nanoTime() - t1) / 1e9
+          val batches = MorDelete.liveState(spark, loc).batches.size
+          val mfiles = Option(new java.io.File(MorDelete.manifestDir(loc)).listFiles())
+            .getOrElse(Array.empty).length
+          println(f"[scale] morchurn commit $c%3d: read $rw%5.2f s, " +
+            f"$batches%3d live batches, $mfiles%4d manifest-dir files, " +
+            f"cum commit ${commitWall}%6.1f s")
+        }
+      }
+      println(f"[scale] morchurn done: 120 commits, ${commitWall / 120}%5.3f s/commit avg, " +
+        f"rows ${MorDelete.read(spark, loc).count()}")
+      spark.stop(); return
+    }
+
     // ---- sidecar mode: the tombstone-batch fan-in wall. A long-lived
     // MoR table accumulates one batch per DML; the resolved read pays a
     // per-batch parquet open + a per-key max(seq) reduction every query.

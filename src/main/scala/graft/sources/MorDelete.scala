@@ -114,6 +114,13 @@ import org.apache.spark.sql.functions._
   * Shard count is a power of two derived from the live file count, so
   * it is stable within 2× growth bands; crossing a band (or the
   * flat/sharded threshold) rewrites all groups once and reuse resumes.
+  * Sharding is by PATH HASH, not by partition value: reads here always
+  * materialize the full live file list (Spark's FileIndex then applies
+  * partition pruning on it), so partition-keyed shards would buy no
+  * read-side pruning without a catalog layer that pushes partition
+  * predicates into the listing itself — Iceberg's choice, out of scope;
+  * the hash split maximizes what THIS layer controls, commit reuse
+  * under arbitrary (clustered or scattered) file churn.
   */
 object MorDelete {
 

@@ -134,11 +134,15 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           shadow = shadow.filterNot(x => delK(x._1) || updK(x._1))
           updK.foreach(k => shadow :+= ((k, srcMap(k))))
           (srcMap.keySet -- liveKeys).foreach(k => shadow :+= ((k, srcMap(k))))
-        case 5 => // compaction (full or density-targeted), sometimes
-          // followed by an aggressive vacuum — neither may change the
-          // LIVE view; the vacuum expires older snapshots
-          val p = if (rnd.nextBoolean()) 0.0 else 0.5
-          MorDelete.compact(spark, loc, minDoomedFraction = p)
+        case 5 => // physical reorganization — data-file compaction (full
+          // or density-targeted) or sidecar-batch compaction — sometimes
+          // followed by an aggressive vacuum. None may change the LIVE
+          // view; the vacuum expires older snapshots
+          rnd.nextInt(3) match {
+            case 0 => MorDelete.compact(spark, loc)
+            case 1 => MorDelete.compact(spark, loc, minDoomedFraction = 0.5)
+            case 2 => MorDelete.compactSidecar(spark, loc); ()
+          }
           if (rnd.nextBoolean()) Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
       }
       if (rnd.nextInt(3) == 0) {
