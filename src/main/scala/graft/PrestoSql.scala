@@ -345,8 +345,11 @@ object PrestoSql {
             "semantics only (Spark SQL has no multi-statement transactions). Each " +
             "DML statement is individually atomic via staged-file rename; see " +
             "README 'Known divergences'.")
-      case other => PrestoSql.sql(spark, rewriteVersionAsOf(other))
+      case other => PrestoSql.sql(spark, rewriteTimeTravel(other))
     }
+
+    private def rewriteTimeTravel(text: String): String =
+      rewriteVersionAsOf(rewriteTimestampAsOf(text))
 
     /** Snapshot (time-travel) reads from the SQL surface: every
       * `<table> FOR VERSION AS OF <seq>` clause — the shape modern SQL
@@ -361,6 +364,48 @@ object PrestoSql {
       */
     private val versionAsOfRe =
       "(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\b".r
+
+    /** The wall-clock twin: `<table> FOR TIMESTAMP AS OF [TIMESTAMP]
+      * '<ts>'` resolves the newest manifest committed at or before the
+      * instant (UTC, matching the session zone) via
+      * [[sources.MorDelete.readAtTime]]. The matched region CONTAINS a
+      * string literal, so the segment-splitting scanner the VERSION arm
+      * uses cannot see it whole — instead full-text matches are guarded
+      * by a literal-span check (a match starting inside a quoted string
+      * is left untouched). */
+    private val timestampAsOfRe =
+      ("(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+" +
+        "(?:TIMESTAMP\\s+)?'([^']*)'").r
+
+    private def rewriteTimestampAsOf(text: String): String = {
+      if (!"(?i)FOR\\s+TIMESTAMP\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
+      // spans of single-quoted literals ('' escapes included)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < text.length) {
+        if (text.charAt(i) == '\'') {
+          val e = math.min(skipLiteral(text, i), text.length)
+          spans += ((i, e)); i = e
+        } else i += 1
+      }
+      def inLiteral(pos: Int) = spans.exists(s => pos >= s._1 && pos < s._2)
+      timestampAsOfRe.replaceAllIn(text, m => {
+        if (inLiteral(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          val table = m.group(1)
+          val ts = m.group(2)
+          val ldt =
+            if (ts.contains(" ") || ts.contains("T"))
+              java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+            else java.time.LocalDate.parse(ts).atStartOfDay()
+          val millis = ldt.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          val loc = parquetLocation(table, "FOR TIMESTAMP AS OF")
+          val view = s"${table.split('.').last}__t$millis"
+          sources.MorDelete.readAtTime(spark, loc, millis).createOrReplaceTempView(view)
+          view
+        }
+      })
+    }
 
     private def rewriteVersionAsOf(text: String): String = {
       if (!"(?i)FOR\\s+VERSION\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
@@ -499,7 +544,10 @@ object PrestoSql {
     }
 
     def execute(name: String, argExprs: Seq[String]): DataFrame = {
-      val body = stmts.getOrElse(name, notFound(name))
+      // prepared bodies take the same time-travel rewrite as direct
+      // statements — EXECUTE must not silently read a different snapshot
+      // surface than the identical text run directly
+      val body = rewriteTimeTravel(stmts.getOrElse(name, notFound(name)))
       val want = countParams(body)
       if (want != argExprs.length)
         throw new IllegalArgumentException(

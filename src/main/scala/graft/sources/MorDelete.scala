@@ -501,6 +501,27 @@ object MorDelete {
     }
   }
 
+  /** Snapshot read pinned at a WALL-CLOCK instant: the newest manifest
+    * whose file mtime ≤ `millis` — a manifest's mtime IS its commit time
+    * (the atomic rename stamps it), so this is the state a reader at
+    * that moment resolved. Time travel needs commit history: a table
+    * that never entered the manifest protocol refuses loudly, as does an
+    * instant predating the retained history (vacuum expiry — the same
+    * contract as [[readAt]]). */
+  def readAtTime(spark: SparkSession, path: String, millis: Long): DataFrame = {
+    val ms = manifests(path)
+    require(ms.nonEmpty,
+      s"table at $path has no commit history (never manifest-managed) — " +
+        "time travel resolves manifests; run any MoR mutation first")
+    val eligible = ms.filter(_.file.lastModified() <= millis)
+    if (eligible.isEmpty)
+      throw new IllegalStateException(
+        s"no retained snapshot at or before epoch-millis $millis for $path — the " +
+          "instant predates the table's history, or Maintenance.vacuum expired it")
+    val m = eligible.maxBy(_.ordinal)
+    resolvedOf(spark, path, readManifest(path, m), m.seq)
+  }
+
   /** The resolved view of one published state: its data files with its
     * tombstone batches anti-joined under the sequence rule. Every file
     * and batch in a manifest has sequence ≤ the manifest's own, so no

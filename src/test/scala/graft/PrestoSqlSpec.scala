@@ -363,6 +363,49 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_sqlver")
   }
 
+  test("FOR TIMESTAMP AS OF resolves the manifest committed at that instant; EXECUTE rewrites too") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlts").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlts")
+    spark.sql(s"CREATE TABLE g_spec_sqlts USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    sources.MorDelete.delete(spark, loc, col("n_nationkey") === 0L, Seq("n_nationkey"))
+    val afterFirst = sources.MorDelete.read(spark, loc).count()
+    Thread.sleep(30)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    // SQL DML so the resolved view shadows the table for plain SELECTs
+    ps.statement("DELETE FROM g_spec_sqlts WHERE n_regionkey = 2")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+    val tsLit = java.time.Instant.ofEpochMilli(tMid)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
+    // both grammar shapes resolve the between-the-commits snapshot
+    val pinned = ps.statement(
+      s"SELECT count(*) AS c FROM g_spec_sqlts FOR TIMESTAMP AS OF TIMESTAMP '$tsLit'")
+      .head().getLong(0)
+    assert(pinned == afterFirst,
+      "FOR TIMESTAMP AS OF must resolve the manifest committed at or before the instant")
+    assert(ps.statement(
+      s"SELECT count(*) AS c FROM g_spec_sqlts FOR TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) == afterFirst)
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_sqlts")
+      .head().getLong(0) < pinned)
+    // a PREPARE'd body takes the identical rewrite at EXECUTE time
+    ps.statement(
+      s"PREPARE q_ts FROM SELECT count(*) AS c FROM g_spec_sqlts FOR TIMESTAMP AS OF '$tsLit'")
+    assert(ps.statement("EXECUTE q_ts").head().getLong(0) == afterFirst)
+    // the phrase inside a string literal is untouched
+    assert(ps.statement("SELECT 'a FOR TIMESTAMP AS OF ''2020-01-01'' b' AS s")
+      .head().getString(0) == "a FOR TIMESTAMP AS OF '2020-01-01' b")
+    // an instant predating the history fails loudly
+    val e = intercept[IllegalStateException](ps.statement(
+      "SELECT count(*) AS c FROM g_spec_sqlts FOR TIMESTAMP AS OF '2000-01-01'"))
+    assert(e.getMessage.contains("predates") || e.getMessage.contains("no retained"))
+    spark.catalog.dropTempView("g_spec_sqlts")
+    spark.sql("DROP TABLE IF EXISTS g_spec_sqlts")
+  }
+
   test("SQL CoW DML derives its row count from the rewrite itself — no separate count scan") {
     val ps = new PrestoSql.Prepared(spark)
     val loc = java.nio.file.Files.createTempDirectory("graft_sqlonescan").toString + "/t"
