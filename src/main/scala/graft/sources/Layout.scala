@@ -158,10 +158,73 @@ object Layout {
         work.withColumn("__zorder", interleave(buckets, bits))
           .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
       }
+    writeByZ(zed, path, nFiles)
+  }
+
+  private def writeByZ(zed: DataFrame, path: String, nFiles: Int): Unit =
     zed.repartitionByRange(nFiles, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
       .write.mode("overwrite").parquet(path)
+
+  /** Self-enforcing quantizer pick — the manual rule ("set `quantile =
+    * true` when a column is value-skewed") measured into a switch, the
+    * same discipline as `AsofJoin.auto` and RangeJoin's width sizing.
+    * ONE stats pass computes both arms' inputs (min/max AND the
+    * equal-depth cuts); a column is skew-flagged when ≥
+    * `skewMassThreshold` of its mass (that fraction of the 2^bits − 1
+    * equal-depth cut points) collapses inside a single uniform bucket
+    * width — exactly the geometry under which the uniform arm loses all
+    * curve resolution in the dense region (the `zorder` rehearsal's
+    * measured failure shape). Any skew-flagged column picks the rank arm
+    * for the whole write (its cuts are already in hand, so the pick
+    * costs nothing beyond this one pass); otherwise uniform, which is
+    * marginally cheaper to bucket. Returns whether the rank arm ran.
+    */
+  def zorderWriteAuto(spark: SparkSession, df: DataFrame, path: String,
+      cols: Seq[String], nFiles: Int, bits: Int = 8,
+      skewMassThreshold: Double = 0.25): Boolean = {
+    val top = (1 << bits) - 1
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+      lit(probs), lit(2500))) ++
+      cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = cols.size
+    def cutsOf(i: Int): Array[Double] =
+      if (stats.isNullAt(i)) Array.empty[Double] else stats.getSeq[Double](i).toArray
+    def rangeOf(i: Int): (Double, Double) =
+      (if (stats.isNullAt(n + 2 * i)) 0.0 else stats.getDouble(n + 2 * i),
+        if (stats.isNullAt(n + 2 * i + 1)) 0.0 else stats.getDouble(n + 2 * i + 1))
+    val skewed = cols.indices.exists { i =>
+      val cuts = cutsOf(i)
+      val (mn, mx) = rangeOf(i)
+      if (cuts.isEmpty || mx <= mn) false
+      else {
+        val width = (mx - mn) / (top + 1)
+        // densest uniform-bucket window: max count of equal-depth cuts
+        // within one width — each adjacent cut pair holds 1/2^bits of
+        // the mass, so count/|cuts| ≈ the window's mass fraction
+        var maxRun = 0
+        var lo = 0
+        cuts.indices.foreach { hi =>
+          while (cuts(hi) - cuts(lo) > width) lo += 1
+          maxRun = math.max(maxRun, hi - lo + 1)
+        }
+        maxRun.toDouble / cuts.length >= skewMassThreshold
+      }
+    }
+    val zed =
+      if (skewed) {
+        val (work, buckets) = withRankBuckets(df, cols.zipWithIndex.map {
+          case (c, i) => (c, cutsOf(i)) }, bits)
+        work.withColumn("__zorder", interleave(buckets, bits))
+          .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
+      } else
+        df.withColumn("__zorder", zValue(cols.zipWithIndex.map { case (c, i) =>
+          val (mn, mx) = rangeOf(i); (col(c), mn, mx) }, bits))
+    writeByZ(zed, path, nFiles)
+    skewed
   }
 
   /** Pruning effectiveness probe: how many files of the table at `path`

@@ -122,4 +122,30 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val yBand = col("y") < 13
     assert(Layout.filesWithMatches(spark, s"$base/rank", yBand) <= 8)
   }
+
+  test("zorderWriteAuto picks the rank arm exactly when a column is value-skewed") {
+    def pow6(i: Long): Long = i * i * i * i * i * i
+    val base = Files.createTempDirectory("graft_zauto").toString
+    // skewed x (6th power): the densest uniform-width window holds ~39%
+    // of the equal-depth cuts, far past the 25% threshold → rank
+    val skewRows = for (i <- 0 until 128; j <- 0 until 128)
+      yield (pow6(i.toLong), j.toLong, (i * 128 + j).toLong)
+    val skewDf = spark.createDataFrame(skewRows).toDF("x", "y", "v")
+    assert(Layout.zorderWriteAuto(spark, skewDf, s"$base/skew", Seq("x", "y"), nFiles = 16),
+      "a 6th-power column must flag as skewed")
+    // auto's layout equals the explicit rank arm's pruning on the dense band
+    val band = col("x") <= pow6(12L)
+    assert(Layout.filesWithMatches(spark, s"$base/skew", band) <= 8)
+    // the auto write holds exactly the input rows
+    assert(spark.read.parquet(s"$base/skew").agg(sum(col("v"))).head().getLong(0) ==
+      skewDf.agg(sum(col("v"))).head().getLong(0))
+
+    // uniform grid: no window concentrates mass → uniform arm
+    val flatRows = for (i <- 0 until 128; j <- 0 until 128)
+      yield (i.toLong, j.toLong, (i * 128 + j).toLong)
+    val flatDf = spark.createDataFrame(flatRows).toDF("x", "y", "v")
+    assert(!Layout.zorderWriteAuto(spark, flatDf, s"$base/flat", Seq("x", "y"), nFiles = 16),
+      "an evenly-spread column must not flag as skewed")
+    assert(Layout.filesWithMatches(spark, s"$base/flat", col("x") < 13) <= 8)
+  }
 }
