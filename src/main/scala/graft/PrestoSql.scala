@@ -247,7 +247,8 @@ object PrestoSql {
         // ShowQueriesRewrite); here the session surface is Spark's conf
         import spark.implicits._
         spark.conf.getAll.toSeq.toDF("Name", "Value").orderBy("Name")
-      case showStatsQueryRe(query) => showStatsOf(PrestoSql.sql(spark, query))
+      case showStatsQueryRe(query) =>
+        showStatsOf(PrestoSql.sql(spark, rewriteTimeTravel(query)))
       case showStatsRe(table) => showStatsOf(spark.table(table))
       case setSessionRe(name, valueExpr) =>
         // constant-fold the value expression (the reference accepts any
@@ -263,7 +264,7 @@ object PrestoSql {
         import spark.implicits._
         import org.apache.spark.sql.functions.{expr, lit}
         val pred = Option(whereOpt)
-          .map(w => expr(PrestoSql.translate(w)))
+          .map(w => expr(PrestoSql.translate(rewriteTimeTravel(w))))
           .getOrElse(lit(true))
         val loc = parquetLocation(table, "DELETE")
         // the reference's DELETE returns the deleted-row count — derived
@@ -291,7 +292,8 @@ object PrestoSql {
           if (whereAt < 0) (rest, None)
           else (rest.substring(0, whereAt).trim,
             Some(rest.substring(whereAt + "WHERE".length).trim))
-        val pred = whereOpt.map(w => expr(PrestoSql.translate(w))).getOrElse(lit(true))
+        val pred = whereOpt.map(w =>
+          expr(PrestoSql.translate(rewriteTimeTravel(w)))).getOrElse(lit(true))
         val sets = splitTopLevel(setList).map { a =>
           val eq = topLevelEq(a)
           require(eq > 0, s"malformed SET assignment: $a")
@@ -377,59 +379,83 @@ object PrestoSql {
       ("(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+" +
         "(?:TIMESTAMP\\s+)?'([^']*)'").r
 
-    private def rewriteTimestampAsOf(text: String): String = {
-      if (!"(?i)FOR\\s+TIMESTAMP\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
-      // spans of single-quoted literals ('' escapes included)
+    /** Spans of quoted regions — single-quoted literals ('' escapes) AND
+      * double-quoted identifiers ("" escapes). Both matter: an apostrophe
+      * inside a quoted identifier must not flip string-literal parity
+      * (the defect class paramPositions already guards against). */
+    private def quotedSpans(text: String): Seq[(Int, Int)] = {
       val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var i = 0
       while (i < text.length) {
-        if (text.charAt(i) == '\'') {
-          val e = math.min(skipLiteral(text, i), text.length)
-          spans += ((i, e)); i = e
-        } else i += 1
-      }
-      def inLiteral(pos: Int) = spans.exists(s => pos >= s._1 && pos < s._2)
-      timestampAsOfRe.replaceAllIn(text, m => {
-        if (inLiteral(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
-        else {
-          val table = m.group(1)
-          val ts = m.group(2)
-          val ldt =
-            if (ts.contains(" ") || ts.contains("T"))
-              java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-            else java.time.LocalDate.parse(ts).atStartOfDay()
-          val millis = ldt.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-          val loc = parquetLocation(table, "FOR TIMESTAMP AS OF")
-          val view = s"${table.split('.').last}__t$millis"
-          sources.MorDelete.readAtTime(spark, loc, millis).createOrReplaceTempView(view)
-          view
+        text.charAt(i) match {
+          case '\'' =>
+            val e = math.min(skipLiteral(text, i), text.length)
+            spans += ((i, e)); i = e
+          case '"' =>
+            var j = i + 1
+            var done = false
+            while (j < text.length && !done) {
+              if (text.charAt(j) == '"') {
+                if (j + 1 < text.length && text.charAt(j + 1) == '"') j += 2
+                else { j += 1; done = true }
+              } else j += 1
+            }
+            spans += ((i, j)); i = j
+          case _ => i += 1
         }
-      })
+      }
+      spans.toSeq
+    }
+
+    /** Quote-guarded regex rewrite: matches starting inside any quoted
+      * span are left byte-identical. */
+    private def replaceTopLevel(text: String, re: scala.util.matching.Regex)(
+        f: scala.util.matching.Regex.Match => String): String = {
+      val spans = quotedSpans(text)
+      def quoted(pos: Int) = spans.exists(s => pos >= s._1 && pos < s._2)
+      re.replaceAllIn(text, m =>
+        if (quoted(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(f(m)))
+    }
+
+    /** Temp-view name for a pinned snapshot: keeps the schema qualifier
+      * (dots → underscores) so `a.t` and `b.t` pinned in one statement
+      * never collide on one view. */
+    private def pinnedViewName(table: String, tag: String): String =
+      table.replace('.', '_') + tag
+
+    private def rewriteTimestampAsOf(text: String): String = {
+      if (!"(?i)FOR\\s+TIMESTAMP\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
+      replaceTopLevel(text, timestampAsOfRe) { m =>
+        val table = m.group(1)
+        val ts = m.group(2)
+        val ldt =
+          if (ts.contains(" ") || ts.contains("T"))
+            java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          else java.time.LocalDate.parse(ts).atStartOfDay()
+        // the SESSION zone, exactly how every other timestamp literal in
+        // the statement binds (the repo's mains set UTC; a host session
+        // on another zone must not read a shifted instant)
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone"))
+        val millis = ldt.atZone(zone).toInstant.toEpochMilli
+        val loc = parquetLocation(table, "FOR TIMESTAMP AS OF")
+        val view = pinnedViewName(table, s"__t$millis")
+        sources.MorDelete.readAtTime(spark, loc, millis).createOrReplaceTempView(view)
+        view
+      }
     }
 
     private def rewriteVersionAsOf(text: String): String = {
       if (!"(?i)FOR\\s+VERSION\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
-      val out = new StringBuilder
-      var i = 0
-      while (i < text.length) {
-        if (text.charAt(i) == '\'') {
-          val e = math.min(skipLiteral(text, i), text.length)
-          out.append(text.substring(i, e)); i = e
-        } else {
-          val next = text.indexOf('\'', i)
-          val seg = if (next < 0) text.substring(i) else text.substring(i, next)
-          out.append(versionAsOfRe.replaceAllIn(seg, m => {
-            val table = m.group(1)
-            val seq = m.group(2).toLong
-            val loc = parquetLocation(table, "FOR VERSION AS OF")
-            val view = s"${table.split('.').last}__v$seq"
-            sources.MorDelete.readAt(spark, loc, seq).createOrReplaceTempView(view)
-            view
-          }))
-          i = if (next < 0) text.length else next
-        }
+      replaceTopLevel(text, versionAsOfRe) { m =>
+        val table = m.group(1)
+        val seq = m.group(2).toLong
+        val loc = parquetLocation(table, "FOR VERSION AS OF")
+        val view = pinnedViewName(table, s"__v$seq")
+        sources.MorDelete.readAt(spark, loc, seq).createOrReplaceTempView(view)
+        view
       }
-      out.toString
     }
 
     /** Reference `DESCRIBE INPUT name` (sql/rewrite/DescribeInputRewrite
@@ -546,17 +572,23 @@ object PrestoSql {
     def execute(name: String, argExprs: Seq[String]): DataFrame = {
       // prepared bodies take the same time-travel rewrite as direct
       // statements — EXECUTE must not silently read a different snapshot
-      // surface than the identical text run directly
-      val body = rewriteTimeTravel(stmts.getOrElse(name, notFound(name)))
-      val want = countParams(body)
+      // surface than the identical text run directly. The rewrite runs at
+      // EXECUTE time (the snapshot resolves when the query runs, not when
+      // it was prepared), and on the literal-substitution path AFTER the
+      // parameters bind, so `FOR VERSION AS OF ?` works there too.
+      val raw = stmts.getOrElse(name, notFound(name))
+      val want = countParams(raw)
       if (want != argExprs.length)
         throw new IllegalArgumentException(
           s"Incorrect number of parameters: expected $want but found ${argExprs.length}")
-      if (argExprs.isEmpty) PrestoSql.sql(spark, body)
+      if (argExprs.isEmpty) PrestoSql.sql(spark, rewriteTimeTravel(raw))
       else {
         // constant-fold the USING expressions in one no-scan SELECT
         val bound = spark.sql(s"SELECT ${argExprs.mkString(", ")}").head()
-        if (withTiesRe.findFirstIn(body).isDefined) {
+        val timeTravels =
+          "(?i)FOR\\s+(?:VERSION|TIMESTAMP)\\s+AS\\s+OF".r.findFirstIn(raw).isDefined
+        val body = raw
+        if (withTiesRe.findFirstIn(body).isDefined || timeTravels) {
           // WITH TIES desugars on the ANALYZED plan (PrestoSql.sql), which
           // the positional-parameter API cannot reach — bind these bodies
           // by exact typed literals at the scanned `?` positions instead,
@@ -566,8 +598,8 @@ object PrestoSql {
           paramPositions(body).zip(bound.toSeq).reverse.foreach { case (p, v) =>
             sb.replace(p, p + 1, renderLiteral(v))
           }
-          PrestoSql.sql(spark, sb.toString)
-        } else spark.sql(translate(body), bound.toSeq.toArray)
+          PrestoSql.sql(spark, rewriteTimeTravel(sb.toString))
+        } else spark.sql(translate(rewriteTimeTravel(body)), bound.toSeq.toArray)
       }
     }
 
@@ -874,7 +906,7 @@ object PrestoSql {
           .split("\\s+").toSeq.filter(_.nonEmpty).filterNot(_.equalsIgnoreCase("AS"))
         require(aliasToks.size == 1 && aliasToks.head.matches("[A-Za-z_][A-Za-z0-9_]*"),
           "MERGE USING (subquery) needs an alias")
-        (PrestoSql.sql(spark, inner), aliasToks.head)
+        (PrestoSql.sql(spark, rewriteTimeTravel(inner)), aliasToks.head)
       } else {
         val toks = srcText.split("\\s+").toSeq.filter(_.nonEmpty)
           .filterNot(_.equalsIgnoreCase("AS"))

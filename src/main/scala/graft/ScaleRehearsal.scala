@@ -78,6 +78,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
 
+  /** Recursive delete for the rehearsal modes' scratch directories. */
+  private def rmr(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+    f.delete(); ()
+  }
+
   private val R = 10
 
   /** The as-of plan both the 10× and 40× rehearsals time: clicks joined
@@ -966,10 +972,6 @@ object ScaleRehearsal {
     if (args.headOption.contains("manifest")) {
       import graft.sources.MorDelete
       val base = new java.io.File("/tmp/graft_manifest")
-      def rmr(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-        f.delete(); ()
-      }
       rmr(base)
       def treeBytes(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
@@ -1052,13 +1054,12 @@ object ScaleRehearsal {
     if (args.headOption.contains("morchurn")) {
       import graft.sources.{Maintenance, MorDelete, MorUpsert}
       val loc = "/tmp/graft_morchurn/t"
-      def rmr(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-        f.delete(); ()
-      }
       rmr(new java.io.File("/tmp/graft_morchurn"))
       rmr(new java.io.File(MorDelete.sidecarDir(loc)))
       rmr(new java.io.File(MorDelete.manifestDir(loc)))
+      require(sfDir.contains("sf0.1"),
+        s"morchurn derives its sf0.01 table from SPARK_GRAFT_SF_DIR=$sfDir, " +
+          "which does not look like a driver sf0.1 directory — point it at one")
       val sf001 = sfDir.replace("sf0.1", "sf0.01")
       Tables.t(spark, sf001, "lineitem").write.mode("overwrite").parquet(loc)
       val keyCols = Seq("l_orderkey", "l_linenumber")
@@ -1114,10 +1115,6 @@ object ScaleRehearsal {
     if (args.headOption.contains("sidecar")) {
       import graft.sources.MorDelete
       val loc = "/tmp/graft_sidecar/t"
-      def rmr(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
-        f.delete(); ()
-      }
       rmr(new java.io.File("/tmp/graft_sidecar"))
       rmr(new java.io.File(MorDelete.sidecarDir(loc)))
       rmr(new java.io.File(MorDelete.manifestDir(loc)))

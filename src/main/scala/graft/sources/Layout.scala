@@ -133,12 +133,10 @@ object Layout {
           Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val ranges = cols.zipWithIndex.map { case (c, i) =>
-          val (mn, mx) =
-            (if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i),
-              if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1))
-          (col(c), mn, mx)
-        }
-        df.withColumn("__zorder", zValue(ranges, bits))
+          (c, (if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i),
+            if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)))
+        }.toMap
+        uniformZed(df, cols, ranges, bits)
       } else {
         // one approx_percentile pass instead of min/max: 2^bits − 1
         // equal-depth cut points per column. Accuracy 2500 keeps the rank
@@ -149,16 +147,26 @@ object Layout {
           lit(probs), lit(2500)))
         val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val ranked = cols.zipWithIndex.map { case (c, i) =>
-          val cuts =
-            if (stats.isNullAt(i)) Array.empty[Double]
-            else stats.getSeq[Double](i).toArray
-          (c, cuts)
-        }
-        val (work, buckets) = withRankBuckets(df, ranked, bits)
-        work.withColumn("__zorder", interleave(buckets, bits))
-          .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
+          (c, if (stats.isNullAt(i)) Array.empty[Double]
+            else stats.getSeq[Double](i).toArray)
+        }.toMap
+        rankZed(df, cols, ranked, bits)
       }
     writeByZ(zed, path, nFiles)
+  }
+
+  /** The two arm builders, shared by [[zorderWrite]] and
+    * [[zorderWriteAuto]] so the layouts cannot diverge. */
+  private def uniformZed(df: DataFrame, cols: Seq[String],
+      ranges: Map[String, (Double, Double)], bits: Int): DataFrame =
+    df.withColumn("__zorder", zValue(cols.map { c =>
+      val (mn, mx) = ranges(c); (col(c), mn, mx) }, bits))
+
+  private def rankZed(df: DataFrame, cols: Seq[String],
+      cuts: Map[String, Array[Double]], bits: Int): DataFrame = {
+    val (work, buckets) = withRankBuckets(df, cols.map(c => (c, cuts(c))), bits)
+    work.withColumn("__zorder", interleave(buckets, bits))
+      .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
   }
 
   private def writeByZ(zed: DataFrame, path: String, nFiles: Int): Unit =
@@ -215,14 +223,12 @@ object Layout {
       }
     }
     val zed =
-      if (skewed) {
-        val (work, buckets) = withRankBuckets(df, cols.zipWithIndex.map {
-          case (c, i) => (c, cutsOf(i)) }, bits)
-        work.withColumn("__zorder", interleave(buckets, bits))
-          .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
-      } else
-        df.withColumn("__zorder", zValue(cols.zipWithIndex.map { case (c, i) =>
-          val (mn, mx) = rangeOf(i); (col(c), mn, mx) }, bits))
+      if (skewed)
+        rankZed(df, cols,
+          cols.zipWithIndex.map { case (c, i) => c -> cutsOf(i) }.toMap, bits)
+      else
+        uniformZed(df, cols,
+          cols.zipWithIndex.map { case (c, i) => c -> rangeOf(i) }.toMap, bits)
     writeByZ(zed, path, nFiles)
     skewed
   }

@@ -217,7 +217,14 @@ object MorDelete {
 
   private def tableAbs(path: String) = Paths.get(path).toAbsolutePath
 
-  private[graft] def readManifest(path: String, m: ManifestRef): State = {
+  private[graft] def readManifest(path: String, m: ManifestRef): State =
+    readManifestAndShards(path, m)._1
+
+  /** One manifest body read, returning BOTH the state and the shard
+    * names its list references (empty for flat bodies) — vacuum needs
+    * the pair and must not pay a second multi-megabyte body read for
+    * the shard names alone. */
+  private[sources] def readManifestAndShards(path: String, m: ManifestRef): (State, Seq[String]) = {
     val base = tableAbs(path)
     val side = new java.io.File(sidecarDir(path))
     val mdir = m.file.getParentFile
@@ -250,14 +257,8 @@ object MorDelete {
       require(seq.nonEmpty, s"malformed batch entry in ${m.file}: $name")
       seq.toLong -> new java.io.File(side, name)
     }
-    State(data, bs.sortBy(_._1))
+    (State(data, bs.sortBy(_._1)), shardNames)
   }
-
-  /** Shard files a manifest's list body references (empty for flat
-    * bodies) — vacuum's liveness set. */
-  private[sources] def shardRefs(m: ManifestRef): Seq[String] =
-    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(m.file.toPath))
-      .asScala.toSeq.collect { case l if l.startsWith("S ") => l.drop(2) }
 
   /** Publish a new manifest: staged write, then ONE atomic rename — the
     * commit point of every mutation on a managed table. Above
@@ -764,10 +765,11 @@ object Maintenance {
     val (deadFiles, deadBatches, deadShards) =
       if (survivors.isEmpty) (Nil, Nil, Nil)
       else {
-        val states = survivors.map(MorDelete.readManifest(path, _))
+        val statesAndShards = survivors.map(MorDelete.readManifestAndShards(path, _))
+        val states = statesAndShards.map(_._1)
         val liveData = states.flatMap(_.dataFiles).toSet
         val liveBatch = states.flatMap(_.batches.map(_._2.getName)).toSet
-        val liveShard = survivors.flatMap(MorDelete.shardRefs).toSet
+        val liveShard = statesAndShards.flatMap(_._2).toSet
         val df = MorDelete.batches(path).map(_._2)
           .filterNot(b => liveBatch(b.getName))
         val dd = {

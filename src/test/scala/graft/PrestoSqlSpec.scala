@@ -354,6 +354,10 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lit = ps.statement(
       "SELECT 'x FOR VERSION AS OF 1 y' AS s").head().getString(0)
     assert(lit == "x FOR VERSION AS OF 1 y")
+    // composes through the SHOW STATS (query) arm too
+    assert(ps.statement(
+      s"SHOW STATS FOR (SELECT * FROM g_spec_sqlver FOR VERSION AS OF $snap)")
+      .count() > 0)
     // an expired snapshot fails loudly, never silently serves partials
     sources.Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
     val e = intercept[IllegalStateException](ps.statement(
@@ -404,6 +408,38 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("predates") || e.getMessage.contains("no retained"))
     spark.catalog.dropTempView("g_spec_sqlts")
     spark.sql("DROP TABLE IF EXISTS g_spec_sqlts")
+  }
+
+  test("time travel: quoted-identifier apostrophes don't flip parity; schema-qualified pins don't collide") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    // an apostrophe inside a double-quoted identifier must not open a
+    // phantom string span — the literal after it would otherwise be
+    // scanned as code and its phrase rewritten (or crash on a missing
+    // table)
+    val r = ps.statement("SELECT 1 AS \"x's\", 'see t FOR VERSION AS OF 5' AS b").head()
+    assert(r.getString(1) == "see t FOR VERSION AS OF 5")
+    // same-named tables in two schemas pinned in ONE statement must
+    // resolve through two distinct views, not silently share one
+    spark.sql("CREATE DATABASE IF NOT EXISTS g_tt_a")
+    spark.sql("CREATE DATABASE IF NOT EXISTS g_tt_b")
+    val locA = java.nio.file.Files.createTempDirectory("graft_tta").toString + "/t"
+    val locB = java.nio.file.Files.createTempDirectory("graft_ttb").toString + "/t"
+    spark.sql(s"CREATE TABLE g_tt_a.t USING parquet LOCATION '$locA' AS SELECT * FROM nation")
+    spark.sql(s"CREATE TABLE g_tt_b.t USING parquet LOCATION '$locB' AS SELECT * FROM region")
+    sources.MorDelete.delete(spark, locA, col("n_nationkey") === 0L, Seq("n_nationkey"))
+    sources.MorDelete.delete(spark, locB, col("r_regionkey") === 0L, Seq("r_regionkey"))
+    val snapA = sources.MorDelete.currentSeq(spark, locA)
+    val snapB = sources.MorDelete.currentSeq(spark, locB)
+    val counts = ps.statement(
+      s"""SELECT
+         |  (SELECT count(*) FROM g_tt_a.t FOR VERSION AS OF $snapA) AS a,
+         |  (SELECT count(*) FROM g_tt_b.t FOR VERSION AS OF $snapB) AS b""".stripMargin)
+      .head()
+    assert(counts.getLong(0) == 24L && counts.getLong(1) == 4L,
+      s"each schema's pin must read its own table, got ${counts.mkString(", ")}")
+    spark.sql("DROP DATABASE g_tt_a CASCADE")
+    spark.sql("DROP DATABASE g_tt_b CASCADE")
   }
 
   test("SQL CoW DML derives its row count from the rewrite itself — no separate count scan") {
