@@ -714,6 +714,62 @@ object Maintenance {
     */
   final case class VacuumStats(dirsRemoved: Long, filesRemoved: Long, bytesReclaimed: Long)
 
+  /** @param sidecarMerged  whether the batch-merge step ran
+    * @param compacted      whether the data-file compaction step ran
+    * @param vacuum         the vacuum step's reclaim stats
+    */
+  final case class MaintainStats(sidecarMerged: Boolean, compacted: Boolean,
+    vacuum: VacuumStats)
+
+  /** The one-call maintenance policy — the scheduling loop a long-lived
+    * merge-on-read table needs, with thresholds measured in the
+    * SCALE_r15 rehearsals rather than guessed:
+    *
+    *  1. [[MorDelete.compactSidecar]] when live batches > `maxBatches`
+    *     (default 8): the resolved-read fan-in is linear in batch count
+    *     (the `sidecar` rehearsal's term), so the merge runs BEFORE it
+    *     compounds — zero data files touched.
+    *  2. [[MorDelete.compact]]`(minDoomedFraction)` when the tombstoned
+    *     mass reaches `compactAt` of the table (default 20%): tombstone
+    *     KEY rows over footer-derived table rows — an upper-bound proxy
+    *     (a key may doom several rows), cheap because both sides are
+    *     metadata reads, and biased toward compacting early rather than
+    *     letting the anti-join side grow. The density threshold then
+    *     scopes the rewrite to files worth rewriting (the `cowdml`
+    *     rehearsal's 4-of-200 long-tail shape).
+    *  3. [[vacuum]]`(retentionMs, stageGraceMs)` every call.
+    *
+    * Each step takes the writer lock through its own entry point, so a
+    * concurrent writer still fails loudly. `morchurn` rehearses the same
+    * loop spelled out; this is the packaged form.
+    */
+  def maintain(spark: SparkSession, path: String,
+      maxBatches: Int = 8,
+      compactAt: Double = 0.2,
+      minDoomedFraction: Double = 0.3,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      stageGraceMs: Long = 3600L * 1000): MaintainStats = {
+    val st = MorDelete.liveState(spark, path)
+    val merged =
+      if (st.batches.size > maxBatches) { MorDelete.compactSidecar(spark, path); true }
+      else false
+    val st2 = MorDelete.liveState(spark, path)
+    val compacted =
+      if (st2.batches.nonEmpty && st2.dataFiles.nonEmpty) {
+        // both counts are metadata-only: the sidecar is small, and a
+        // parquet count() reads footers, never data pages
+        val doomedKeys = spark.read
+          .parquet(st2.batches.map(_._2.getAbsolutePath): _*)
+          .count()
+        val totalRows = spark.read.parquet(st2.dataFiles: _*).count()
+        if (totalRows > 0 && doomedKeys.toDouble / totalRows >= compactAt) {
+          MorDelete.compact(spark, path, minDoomedFraction)
+          true
+        } else false
+      } else false
+    MaintainStats(merged, compacted, vacuum(path, retentionMs, stageGraceMs))
+  }
+
   def vacuum(path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000,
       stageGraceMs: Long = 3600L * 1000): VacuumStats = MorDelete.withWriterLock(path) {

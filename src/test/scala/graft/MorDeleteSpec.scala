@@ -613,6 +613,87 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         batchDirs.map(_.getName).mkString(", "))
   }
 
+  test("maintain() triggers each step exactly at its threshold and never changes the view") {
+    val loc = freshTable()
+    // 3 small batches: below both thresholds — only vacuum runs
+    (0 until 3).foreach(i =>
+      MorDelete.delete(spark, loc, col("o_orderkey") % 100 === i, Seq("o_orderkey")))
+    val view0 = keys(loc)
+    val s1 = Maintenance.maintain(spark, loc, maxBatches = 8, compactAt = 0.2)
+    assert(!s1.sidecarMerged && !s1.compacted)
+    assert(keys(loc) == view0, "maintenance must never change the resolved view")
+    // 9 batches: past maxBatches — the sidecar merges, still no compact
+    (3 until 9).foreach(i =>
+      MorDelete.delete(spark, loc, col("o_orderkey") % 100 === i, Seq("o_orderkey")))
+    val view1 = keys(loc)
+    val s2 = Maintenance.maintain(spark, loc, maxBatches = 8, compactAt = 0.5)
+    assert(s2.sidecarMerged && !s2.compacted)
+    assert(MorDelete.liveState(spark, loc).batches.size == 1)
+    assert(keys(loc) == view1)
+    // a mass delete pushes the doomed fraction past compactAt — compacts
+    MorDelete.delete(spark, loc, col("o_orderkey") % 2 === 0, Seq("o_orderkey"))
+    val view2 = keys(loc)
+    val s3 = Maintenance.maintain(spark, loc, maxBatches = 8, compactAt = 0.2,
+      retentionMs = 0, stageGraceMs = 0)
+    assert(s3.compacted, "a half-tombstoned table must compact at compactAt=0.2")
+    assert(keys(loc) == view2)
+    // the policy compact is DENSITY-TARGETED (minDoomedFraction), so it
+    // may carry batches for the thin tail; a full fold is the 0.0 arm
+    val s4 = Maintenance.maintain(spark, loc, compactAt = 0.0,
+      minDoomedFraction = 0.0, retentionMs = 0, stageGraceMs = 0)
+    assert(s4.compacted)
+    assert(MorDelete.liveState(spark, loc).batches.isEmpty,
+      "the full (0.0) compact folds every tombstone in")
+    assert(keys(loc) == view2)
+  }
+
+  test("a concurrent reader only ever observes committed states — live, not construct-then-commit") {
+    val loc = freshTable()
+    // deterministic plan: 8 residue deletes whose post-commit row counts
+    // are computable up front, so the reader's observations can be
+    // checked against the FULL set of legal states without racing the
+    // bookkeeping itself
+    val residues = Seq(3, 7, 11, 4, 9, 1, 6, 8)
+    val rows0 = spark.read.parquet(loc).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    val legal = scala.collection.mutable.Set(rows0.size.toLong)
+    var live = rows0
+    residues.foreach { r =>
+      val doomed = live.filter(_ % 20 == r).toSet
+      live = live.filterNot(doomed)
+      legal += live.size.toLong
+    }
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var done = false
+    val reader = new Thread(() =>
+      try while (!done) observed.add(MorDelete.read(spark, loc).count())
+      catch { case t: Throwable => failures.add(t); () })
+    reader.start()
+    try {
+      residues.zipWithIndex.foreach { case (r, i) =>
+        MorDelete.delete(spark, loc, col("o_orderkey") % 20 === r, Seq("o_orderkey"))
+        // physical reorganization mid-stream: none of it may surface
+        if (i == 3) MorDelete.compactSidecar(spark, loc)
+        if (i == 5) {
+          MorDelete.compact(spark, loc, minDoomedFraction = 0.5)
+          // vacuum UNDER live readers per its contract: retention must
+          // exceed the longest overlapping read (zero-retention vacuum
+          // during reads is the documented way to break them)
+          Maintenance.vacuum(loc, retentionMs = 60000, stageGraceMs = 60000)
+        }
+      }
+    } finally { done = true; reader.join(30000) }
+    assert(failures.isEmpty,
+      s"a concurrent reader must never throw: ${Option(failures.peek()).map(_.toString)}")
+    val counts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      observed.iterator()).asScala.toSet
+    assert(counts.nonEmpty, "the reader thread must have completed at least one read")
+    assert(counts.subsetOf(legal.toSet),
+      s"every observed count must be a committed state: saw ${counts -- legal}, legal $legal")
+    assert(MorDelete.read(spark, loc).count() == live.size.toLong)
+  }
+
   test("sharded manifests: content-addressed reuse, identical reads, snapshot survival, vacuum") {
     val fm = MorDelete.manifestFlatMax
     val tg = MorDelete.manifestShardTarget
