@@ -208,6 +208,21 @@ object PrestoSql {
     // parens), never the regex.
     private val mergeRe =
       "(?is)^\\s*MERGE\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_][A-Za-z0-9_]*))?\\s+USING\\s+(.+?)\\s*;?\\s*$".r
+    // Maintenance statements over the manifest protocol. `ANALYZE t` IS
+    // the reference's grammar (SqlBase.g4 #analyze — StatisticsWriter
+    // persists stats for the planner): here a merge-on-read table
+    // publishes per-file min/max into its manifest (feeding readWhere's
+    // driver-side pruning) and a plain catalog table takes Spark's own
+    // column statistics. VACUUM and OPTIMIZE [ZORDER BY] exceed the
+    // reference (Delta's statements) like UPDATE/MERGE/time travel do.
+    // The bare-ANALYZE shape is anchored so Spark's own
+    // `ANALYZE TABLE … COMPUTE STATISTICS` text still falls through.
+    private val analyzeRe =
+      "(?is)^\\s*ANALYZE\\s+(?!TABLE\\b)([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+    private val vacuumRe =
+      "(?is)^\\s*VACUUM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
+    private val optimizeRe =
+      "(?is)^\\s*OPTIMIZE\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$".r
 
     /** Route one statement: PREPARE/EXECUTE/DEALLOCATE and the SHOW
       * metadata statements handled here (the reference rewrites SHOW into
@@ -341,6 +356,54 @@ object PrestoSql {
         Seq(n).toDF("rows")
       case mergeRe(table, aliasOpt, rest) =>
         mergeStatement(table, Option(aliasOpt), rest)
+      case analyzeRe(table) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "ANALYZE")
+        if (morMode(loc)) {
+          val n = sources.Maintenance.analyze(spark, loc)
+          resolveMorView(table, loc)
+          Seq(n).toDF("files_analyzed")
+        } else {
+          // the reference's StatisticsWriter path: catalog-level column
+          // stats for the planner (ddl_analyze_stats gates the Spark form)
+          spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+          Seq("ANALYZE").toDF("result")
+        }
+      case vacuumRe(table, hoursOpt) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "VACUUM")
+        val retention = Option(hoursOpt).map(_.toLong * 3600L * 1000L)
+          .getOrElse(7L * 24 * 3600 * 1000)
+        // the stage grace never exceeds the retention: VACUUM … RETAIN 0
+        // HOURS is the explicit "reclaim everything" form and must also
+        // sweep crashed stages, while the default keeps the 1 h guard for
+        // live CoW writers
+        val st = sources.Maintenance.vacuum(loc, retention,
+          math.min(retention, 3600L * 1000L))
+        Seq((st.dirsRemoved, st.filesRemoved, st.bytesReclaimed))
+          .toDF("dirs_removed", "files_removed", "bytes_reclaimed")
+      case optimizeRe(table, zcolsOpt) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "OPTIMIZE")
+        Option(zcolsOpt) match {
+          case Some(colsText) =>
+            val cols = splitTopLevel(colsText)
+              .map(_.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+            require(cols.nonEmpty, "OPTIMIZE … ZORDER BY needs at least one column")
+            val skewed = sources.Layout.zorderRewrite(spark, loc, cols)
+            resolveMorView(table, loc)
+            spark.catalog.refreshTable(table)
+            Seq(if (skewed) "rank" else "uniform").toDF("quantizer")
+          case None =>
+            require(morMode(loc),
+              s"OPTIMIZE without ZORDER BY folds merge-on-read tombstones and " +
+                s"'$table' is plain parquet (nothing to fold) — use " +
+                "OPTIMIZE … ZORDER BY (cols) to re-cluster it")
+            val st = sources.MorDelete.compact(spark, loc)
+            resolveMorView(table, loc)
+            spark.catalog.refreshTable(table)
+            Seq(st.rewritten).toDF("files_rewritten")
+        }
       case txnRe(stmt) =>
         throw new UnsupportedOperationException(
           s"'${stmt.trim}' is not supported: this engine runs with single-statement " +

@@ -1214,6 +1214,70 @@ object ScaleRehearsal {
       return
     }
 
+    // ---- statsprune mode: manifest file stats + driver-side pruning at
+    // rehearsal scale — the full maintenance loop on 6M rows / 200 files.
+    // A partkey-LINEAR layout takes a 1% scattered delete (MoR), then:
+    // ANALYZE on the linear layout proves the honest floor (a 2nd-column
+    // band prunes ~nothing — stats can't beat a layout that mixes the
+    // column everywhere), Layout.zorderRewrite re-clusters in place
+    // through the manifest protocol (the OPTIMIZE … ZORDER BY statement's
+    // engine), a fresh ANALYZE republishes stats, and the same band read
+    // then scans a small minority of files via readWhere — measured as
+    // files-handed-to-Spark and read walls, with the aggregate asserted
+    // equal between the pruned and unpruned paths first. The scaled
+    // dimension is the PLANNING-side file cardinality: at 800k files the
+    // driver-side prune is what keeps a selective read from paying the
+    // full listing + footer walk (the `manifest` rehearsal's shape).
+    if (args.headOption.contains("statsprune")) {
+      val li = rep("lineitem")((d, i) =>
+        d.withColumn("l_partkey", col("l_partkey") + lit(i * keyOff)))
+      val base = "/tmp/graft_statsprune"
+      rmr(new java.io.File(base))
+      val loc = s"$base/t"
+      li.repartitionByRange(200, col("l_partkey"))
+        .sortWithinPartitions("l_partkey").write.parquet(loc)
+      sources.MorDelete.delete(spark, loc, col("l_orderkey") % 100 === 7,
+        Seq("l_orderkey", "l_linenumber", "l_partkey"))
+      val maxSupp = li.agg(max(col("l_suppkey"))).collect()(0).getLong(0)
+      val band = col("l_suppkey") <= maxSupp / 20 // ~5% of the 2nd column
+      def agg(df: DataFrame) = df
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("q"))
+      def keptFiles(): Int = {
+        val st = sources.MorDelete.liveState(spark, loc)
+        sources.MorDelete.pruneByStats(spark, st, band).size
+      }
+      // honest floor: stats over the linear layout cannot prune a
+      // 2nd-column band (every file spans the full suppkey range)
+      val tA0 = System.nanoTime()
+      sources.Maintenance.analyze(spark, loc, Seq("l_partkey", "l_suppkey"))
+      val wA0 = (System.nanoTime() - tA0) / 1e9
+      val fLin = keptFiles()
+      // OPTIMIZE … ZORDER BY: in-place re-cluster through the manifest
+      // commit (folds the 1% tombstones as a side effect), then fresh stats
+      val tR = System.nanoTime()
+      sources.Layout.zorderRewrite(spark, loc, Seq("l_partkey", "l_suppkey"))
+      val wR = (System.nanoTime() - tR) / 1e9
+      val tA1 = System.nanoTime()
+      sources.Maintenance.analyze(spark, loc, Seq("l_partkey", "l_suppkey"))
+      val wA1 = (System.nanoTime() - tA1) / 1e9
+      val fZ = keptFiles()
+      val vFull = agg(sources.MorDelete.read(spark, loc).filter(band)).collect()(0)
+      val vPruned = agg(sources.MorDelete.readWhere(spark, loc, band)).collect()(0)
+      require(vFull == vPruned,
+        s"pruned and unpruned reads must agree on the band aggregate: $vFull vs $vPruned")
+      val tFull = best2("statsprune full read")(
+        agg(sources.MorDelete.read(spark, loc).filter(band)))
+      val tPruned = best2("statsprune pruned read")(
+        agg(sources.MorDelete.readWhere(spark, loc, band)))
+      println(f"[scale] statsprune: linear-layout floor $fLin%d/200 files; z-layout " +
+        f"$fZ%d/200 files handed to Spark; read $tFull%.2f (full) vs $tPruned%.2f s (pruned); " +
+        f"zorderRewrite $wR%.1f s; analyze $wA0%.1f/$wA1%.1f s")
+      println(f"""[scale] {"mode": "statsprune", "rows": ${600000 * R}%d, "files": 200, "band_rows": ${vFull.getLong(0)}%d, "linear_files_kept": $fLin%d, "z_files_kept": $fZ%d, "full_read_wall": $tFull%.2f, "pruned_read_wall": $tPruned%.2f, "zorder_rewrite_wall": $wR%.1f, "analyze_wall": $wA1%.1f}""")
+      spark.stop()
+      return
+    }
+
     // ---- asofskew mode: the first-class as-of operator's decade curve
     // (1×/10×/40×, no skew) plus the planted-hot-key probe at 40×: user 0
     // carries ~20% of ALL events, so the single-window arm serializes a

@@ -640,6 +640,88 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // Manifest file statistics + driver-side scan pruning (the Iceberg
+    // manifest-evaluator analog; the reference's ANALYZE persists stats a
+    // planner consumes — here they prune the FILE LIST before Spark
+    // builds its index): a z-ordered lineitem enters MoR mode, ANALYZE
+    // publishes per-file min/max into the manifest, and readWhere over a
+    // two-column band must hash-match DuckDB's full-scan derivation while
+    // scanning a strict subset of the files (the `pruned` flag).
+    "ddl_mor_stats_prune" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS price,
+        |  true AS pruned
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 10 = 3) AND l_partkey <= 60 AND l_suppkey > 2
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morstats_lineitem"
+      drop(s, "g_morstats_lineitem", loc)
+      drop(s, "g_morstats_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_morstats_lineitem_manifests", MorDelete.manifestDir(loc))
+      val li = Tables.t(s, dir, "lineitem")
+      graft.sources.Layout.zorderWrite(s, li, loc,
+        Seq("l_partkey", "l_suppkey"), nFiles = 16)
+      MorDelete.delete(s, loc, col("l_orderkey") % 10 === 3,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Maintenance.analyze(s, loc, Seq("l_partkey", "l_suppkey"))
+      val pred = col("l_partkey") <= 60 && col("l_suppkey") > 2
+      val st = MorDelete.liveState(s, loc)
+      val kept = MorDelete.pruneByStats(s, st, pred)
+      MorDelete.readWhere(s, loc, pred)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+        .withColumn("pruned", lit(kept.size < st.dataFiles.size))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
+    // The maintenance loop from STATEMENT TEXTS alone (ANALYZE is the
+    // reference grammar's bare shape, SqlBase.g4 #analyze; VACUUM and
+    // OPTIMIZE … ZORDER BY exceed the reference like UPDATE/MERGE do):
+    // tombstones fold, the layout re-clusters along the z-curve, stats
+    // republish, and a zero-retention VACUUM leaves the directory
+    // physically identical to the live view — all oracle-checked against
+    // the untouched source, with `maintained` carrying the mechanism
+    // (no live batches, stats present, raw files == resolved view).
+    "ddl_sql_maintenance" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+        |  true AS maintained
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sqlmaint_orders"
+      drop(s, "g_sqlmaint_orders", loc)
+      drop(s, "g_sqlmaint_orders_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_sqlmaint_orders_manifests", MorDelete.manifestDir(loc))
+      s.sql(
+        s"""CREATE TABLE g_sqlmaint_orders USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM orders""".stripMargin)
+      val ps = new graft.PrestoSql.Prepared(s)
+      // one programmatic delete enters MoR mode and declares the key;
+      // everything after is statement text
+      MorDelete.delete(s, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+      ps.statement("ANALYZE g_sqlmaint_orders")
+      val quantizer = ps.statement(
+        "OPTIMIZE g_sqlmaint_orders ZORDER BY (o_custkey, o_totalprice)")
+        .head().getString(0)
+      ps.statement("ANALYZE g_sqlmaint_orders")
+      ps.statement("VACUUM g_sqlmaint_orders RETAIN 0 HOURS")
+      val st = MorDelete.liveState(s, loc)
+      val clean = st.batches.isEmpty && st.stats.nonEmpty &&
+        Seq("rank", "uniform").contains(quantizer) &&
+        s.read.parquet(loc).count() == MorDelete.read(s, loc).count()
+      ps.statement(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+          |FROM g_sqlmaint_orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
+        .withColumn("maintained", lit(clean))
+    },
+
     // Density-TARGETED merge-on-read compaction (the long-tombstone-tail
     // answer rehearsed in SCALE_r14 cowdml): a key-clustered layout takes
     // a delete that is DENSE in the low key range (most of the first

@@ -169,11 +169,17 @@ object Layout {
       .drop(buckets.indices.map(j => s"__zrank_$j"): _*)
   }
 
-  private def writeByZ(zed: DataFrame, path: String, nFiles: Int): Unit =
+  /** Cluster a z-valued frame into `nFiles` curve-contiguous partitions
+    * (equal-depth file cuts via Spark's range sampling) and drop the
+    * helper — the write-agnostic half of [[writeByZ]], shared with
+    * [[zorderRewrite]]'s staged commit. */
+  private def clusterByZ(zed: DataFrame, nFiles: Int): DataFrame =
     zed.repartitionByRange(nFiles, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
-      .write.mode("overwrite").parquet(path)
+
+  private def writeByZ(zed: DataFrame, path: String, nFiles: Int): Unit =
+    clusterByZ(zed, nFiles).write.mode("overwrite").parquet(path)
 
   /** Self-enforcing quantizer pick — the manual rule ("set `quantile =
     * true` when a column is value-skewed") measured into a switch, the
@@ -192,6 +198,17 @@ object Layout {
   def zorderWriteAuto(spark: SparkSession, df: DataFrame, path: String,
       cols: Seq[String], nFiles: Int, bits: Int = 8,
       skewMassThreshold: Double = 0.25): Boolean = {
+    val (zed, skewed) = autoZed(df, cols, bits, skewMassThreshold)
+    writeByZ(zed, path, nFiles)
+    skewed
+  }
+
+  /** The shared auto-arm builder: one combined stats pass, the skew
+    * geometry check, and the picked arm's z-valued frame — returned
+    * unwritten so [[zorderWriteAuto]] and [[zorderRewrite]] commit the
+    * SAME layout through their different write paths. */
+  private def autoZed(df: DataFrame, cols: Seq[String], bits: Int,
+      skewMassThreshold: Double): (DataFrame, Boolean) = {
     val top = (1 << bits) - 1
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
@@ -229,7 +246,47 @@ object Layout {
       else
         uniformZed(df, cols,
           cols.zipWithIndex.map { case (c, i) => c -> rangeOf(i) }.toMap, bits)
-    writeByZ(zed, path, nFiles)
+    (zed, skewed)
+  }
+
+  /** Re-cluster a LIVE table along the z-curve IN PLACE, committed
+    * through the merge-on-read manifest protocol — the engine's `OPTIMIZE
+    * … ZORDER BY` (Delta's statement; the reference has no layout writer
+    * at all). Under the single-writer lock: the RESOLVED view (tombstones
+    * applied — the rewrite folds them for free) clusters with the
+    * auto-picked quantizer ([[zorderWriteAuto]]'s skew rule), stages
+    * OUTSIDE the live set via [[CowCore.stage]], moves in as
+    * sequence-named parts, and publishes ONE manifest holding only the
+    * new files and NO tombstone batches. Readers overlapping the rewrite
+    * keep their complete pre-state (replaced files and batches are
+    * retained for older manifests until vacuum), snapshots survive, and a
+    * crash strands only an unreferenced stage directory — the same
+    * commit shape as [[MorDelete.compact]]. Published file stats are
+    * dropped (the layout they described is gone); re-run
+    * [[Maintenance.analyze]] to restore pruning. Partitioned layouts are
+    * refused: the z-curve REPLACES directory partitioning as the
+    * clustering (write the curve over the partition column instead).
+    * Returns whether the rank (skew) quantizer arm ran.
+    */
+  def zorderRewrite(spark: SparkSession, path: String, cols: Seq[String],
+      nFiles: Int = 0, bits: Int = 8,
+      skewMassThreshold: Double = 0.25): Boolean = MorDelete.withWriterLock(path) {
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    require(st.dataFiles.nonEmpty, s"nothing to rewrite: no live data files at $path")
+    val base = java.nio.file.Paths.get(path).toAbsolutePath
+    val resolved = MorDelete.read(spark, path)
+    require(CowCore.partitionColsOf(spark, resolved, st.dataFiles.head).isEmpty,
+      s"z-order rewrite replaces directory partitioning with curve clustering " +
+        s"and does not preserve partition directories; table at $path is " +
+        "partitioned — z-order the partition column itself on a flat copy instead")
+    val target = if (nFiles > 0) nFiles else math.max(1, st.dataFiles.size)
+    val seq = MorDelete.maxSeq(spark, path)
+    val (zed, skewed) = autoZed(resolved, cols, bits, skewMassThreshold)
+    val newFiles = CowCore.moveIn(
+      CowCore.stage(spark, base, Nil, clusterByZ(zed, target)),
+      base, prefix = s"part-mor$seq-")
+    MorDelete.publishManifest(path, seq, MorDelete.State(newFiles, Nil))
     skewed
   }
 

@@ -185,9 +185,21 @@ object MorDelete {
     */
   private[graft] final case class ManifestRef(ordinal: Long, seq: Long, file: java.io.File)
 
+  /** Per-file column statistics published in a manifest: min/max of one
+    * column's non-null values as doubles (numeric columns only — the
+    * same domain the z-order quantizers bucket). Written by
+    * [[Maintenance.analyze]], consumed by [[MorDelete.readWhere]]'s
+    * driver-side file pruning. */
+  private[graft] final case class FileColStat(col: String, min: Double, max: Double)
+
   /** The live file/batch set one manifest publishes. Data files are held
-    * ABSOLUTE here; the on-disk encoding is table-relative. */
-  private[graft] final case class State(dataFiles: Seq[String], batches: Seq[(Long, java.io.File)])
+    * ABSOLUTE here; the on-disk encoding is table-relative. `stats` maps
+    * an absolute data-file path to its published column stats (empty for
+    * never-analyzed tables and for files written after the last
+    * [[Maintenance.analyze]] — a stats-less file is never pruned). */
+  private[graft] final case class State(dataFiles: Seq[String],
+      batches: Seq[(Long, java.io.File)],
+      stats: Map[String, Seq[FileColStat]] = Map.empty)
 
   private val manifestName = "m-(\\d+)-(\\d+)".r
 
@@ -250,14 +262,28 @@ object MorDelete {
               .collect { case d if d.startsWith("D ") => d.drop(2) })),
           Duration.Inf).flatten
       }
-    val data = (inline ++ sharded).map(rel => base.resolve(rel).toString)
+    // a D payload is `<rel>` alone, or `<rel>\t<col>:<min>:<max>\t…` when
+    // the manifest carries analyzed file stats (tab-split is safe: rel
+    // paths and analyzed column names are tab-free by construction)
+    val parsed = (inline ++ sharded).map { payload =>
+      val toks = payload.split('\t')
+      val abs = base.resolve(toks.head).toString
+      val stats = toks.toSeq.drop(1).map { t =>
+        val p = t.split(':')
+        require(p.length == 3, s"malformed stats entry in ${m.file}: $t")
+        FileColStat(p(0), p(1).toDouble, p(2).toDouble)
+      }
+      abs -> stats
+    }
+    val data = parsed.map(_._1)
+    val stats = parsed.collect { case (f, s) if s.nonEmpty => f -> s }.toMap
     val bs = lines.collect { case l if l.startsWith("B ") =>
       val name = l.drop(2)
       val seq = name.stripPrefix("batch-").takeWhile(_.isDigit)
       require(seq.nonEmpty, s"malformed batch entry in ${m.file}: $name")
       seq.toLong -> new java.io.File(side, name)
     }
-    (State(data, bs.sortBy(_._1)), shardNames)
+    (State(data, bs.sortBy(_._1), stats), shardNames)
   }
 
   /** Publish a new manifest: staged write, then ONE atomic rename — the
@@ -271,7 +297,17 @@ object MorDelete {
     val base = tableAbs(path)
     val dir = Paths.get(manifestDir(path))
     Files.createDirectories(dir)
-    val rels = st.dataFiles.map(f => base.relativize(Paths.get(f)).toString)
+    // D payload per file: the table-relative path, plus any published
+    // stats as tab-separated `col:min:max` entries. Doubles round-trip
+    // through Double.toString exactly. Shard grouping below hashes the
+    // REL PATH alone, so a stats refresh never moves files between
+    // shards — it rewrites only the shards whose bodies changed.
+    val rels = st.dataFiles.map { f =>
+      val rel = base.relativize(Paths.get(f)).toString
+      val stat = st.stats.getOrElse(f, Nil)
+        .map(s => s"\t${s.col}:${s.min}:${s.max}").mkString
+      (rel, rel + stat)
+    }
     def staged(body: String, target: String): Unit = {
       val tmp = dir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
       Files.writeString(tmp, body)
@@ -279,14 +315,14 @@ object MorDelete {
       ()
     }
     val dataLines: Seq[String] =
-      if (rels.size <= manifestFlatMax) rels.map("D " + _)
+      if (rels.size <= manifestFlatMax) rels.map("D " + _._2)
       else {
         val n = Integer.highestOneBit(
           math.max(1, (rels.size + manifestShardTarget - 1) / manifestShardTarget) * 2 - 1)
-        val groups = rels.groupBy(r =>
-          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(r), n))
+        val groups = rels.groupBy { case (r, _) =>
+          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(r), n) }
         groups.toSeq.sortBy(_._1).map { case (_, files) =>
-          val body = files.sorted.map("D " + _).mkString("\n")
+          val body = files.sortBy(_._1).map("D " + _._2).mkString("\n")
           val digest = java.security.MessageDigest.getInstance("SHA-1")
             .digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString
@@ -454,7 +490,7 @@ object MorDelete {
         .getOrElse(-1L)
     if (n == 0L) return MorStats(0L, liveSidecarFiles(st), matched)
     val newBatch = seq -> new java.io.File(sidecarDir(path), batchName.get)
-    val st2 = State(st.dataFiles, st.batches :+ newBatch)
+    val st2 = State(st.dataFiles, st.batches :+ newBatch, st.stats)
     writeManifest(path, nextOrdinal(path), seq, st2)
     MorStats(n, liveSidecarFiles(st2), matched)
   }
@@ -521,6 +557,129 @@ object MorDelete {
           "instant predates the table's history, or Maintenance.vacuum expired it")
     val m = eligible.maxBy(_.ordinal)
     resolvedOf(spark, path, readManifest(path, m), m.seq)
+  }
+
+  /** The resolved view with DRIVER-SIDE FILE PRUNING from published
+    * manifest stats — the Iceberg manifest-evaluator analog. The
+    * conjuncts of `predicate` that are range comparisons on analyzed
+    * numeric columns (`c <op> literal`, `c IN (…)`, literal-first forms,
+    * BETWEEN via its two conjuncts) eliminate every file whose published
+    * [min, max] cannot satisfy them BEFORE Spark builds its FileIndex —
+    * at z-ordered layouts this turns a selective band read over N files
+    * into a scan of the few overlapping ones without opening a single
+    * footer. Anything the evaluator does not understand (other operators,
+    * non-analyzed or non-numeric columns, expressions over several
+    * columns) is conservatively ignored, and stats-less files always
+    * survive, so the result is ALWAYS exactly
+    * `read(spark, path).filter(predicate)`: pruning only drops files
+    * whose rows the filter would drop anyway, and the tombstone
+    * anti-join never resurrects rows. Never-analyzed tables fall back to
+    * the unpruned read transparently.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: Column): DataFrame = {
+    val ms = manifests(path)
+    if (ms.isEmpty) return read(spark, path).filter(predicate)
+    val st = readManifest(path, ms.maxBy(_.ordinal))
+    val kept = pruneByStats(spark, st, predicate)
+    resolvedOf(spark, path, State(kept, st.batches, st.stats), Long.MaxValue)
+      .filter(predicate)
+  }
+
+  /** The data files of `st` that MAY contain a row matching `predicate`,
+    * judged by published per-file column stats (see [[readWhere]]).
+    * Exposed for specs and rehearsals to assert the pruning itself. */
+  private[graft] def pruneByStats(spark: SparkSession, st: State,
+      predicate: Column): Seq[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    if (st.stats.isEmpty) return st.dataFiles
+    // normalize to (operator, args): the Column DSL builds
+    // UnresolvedFunction('<=', args) nodes while expr("…")-parsed text
+    // builds typed Catalyst comparisons — both spell the same conjuncts
+    def parts(e: ce.Expression): Option[(String, Seq[ce.Expression])] = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        Some(f.nameParts.last.toLowerCase -> f.arguments)
+      case ce.And(l, r) => Some("and" -> Seq(l, r))
+      case ce.GreaterThan(l, r) => Some(">" -> Seq(l, r))
+      case ce.GreaterThanOrEqual(l, r) => Some(">=" -> Seq(l, r))
+      case ce.LessThan(l, r) => Some("<" -> Seq(l, r))
+      case ce.LessThanOrEqual(l, r) => Some("<=" -> Seq(l, r))
+      case ce.EqualTo(l, r) => Some("=" -> Seq(l, r))
+      case ce.In(v, list) => Some("in" -> (v +: list))
+      case _ => None
+    }
+    def splitAnd(e: ce.Expression): Seq[ce.Expression] = parts(e) match {
+      case Some(("and", args)) => args.flatMap(splitAnd)
+      case _ => Seq(e)
+    }
+    // the column side: a bare attribute, optionally under a NUMERIC cast
+    // (a widening cast preserves the double-domain bounds; a string cast
+    // would compare lexically and must not prune on numeric stats)
+    def attrOf(e: ce.Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name.toLowerCase)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.name.toLowerCase)
+      case c: ce.Cast if c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        attrOf(c.child)
+      case _ => None
+    }
+    // the literal side: a numeric literal, or a foldable numeric cast of one
+    def numOf(e: ce.Expression): Option[Double] = e match {
+      case ce.Literal(null, _) => None
+      case ce.Literal(v, _: org.apache.spark.sql.types.NumericType) => v match {
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case n: Number => Some(n.doubleValue())
+        case _ => None
+      }
+      case c: ce.Cast
+          if c.foldable && c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        Option(c.eval(null)).flatMap {
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+          case n: Number => Some(n.doubleValue())
+          case _ => None
+        }
+      case _ => None
+    }
+    // each understood conjunct becomes (column, may-match over [min, max]);
+    // literal-first spellings normalize by flipping the operator
+    def rule(op: String, c: String, v: Double): (String, (Double, Double) => Boolean) =
+      op match {
+        case ">" => (c, (_: Double, mx: Double) => mx > v)
+        case ">=" => (c, (_: Double, mx: Double) => mx >= v)
+        case "<" => (c, (mn: Double, _: Double) => mn < v)
+        case "<=" => (c, (mn: Double, _: Double) => mn <= v)
+        case _ => (c, (mn: Double, mx: Double) => mn <= v && v <= mx) // =, ==
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+      case other => other
+    }
+    val cmps = Set(">", ">=", "<", "<=", "=", "==")
+    val rules: Seq[(String, (Double, Double) => Boolean)] =
+      splitAnd(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate))
+        .flatMap(parts).flatMap {
+          case (op, Seq(a, l)) if cmps(op) && attrOf(a).isDefined =>
+            for (c <- attrOf(a); v <- numOf(l)) yield rule(op, c, v)
+          case (op, Seq(l, a)) if cmps(op) && attrOf(a).isDefined =>
+            for (c <- attrOf(a); v <- numOf(l)) yield rule(flip(op), c, v)
+          case ("in", a +: list) if list.nonEmpty =>
+            val vs = list.map(numOf)
+            for (c <- attrOf(a); if vs.forall(_.isDefined))
+              yield (c, (mn: Double, mx: Double) =>
+                vs.flatten.exists(v => mn <= v && v <= mx))
+          case _ => None // unsupported conjunct: prunes nothing
+        }
+    if (rules.isEmpty) st.dataFiles
+    else st.dataFiles.filter { f =>
+      val byCol = st.stats.getOrElse(f, Nil).map(s => s.col.toLowerCase -> s).toMap
+      rules.forall { case (c, mayMatch) =>
+        byCol.get(c) match {
+          // a NaN bound means the file holds NaN values, which Spark
+          // orders ABOVE every number — range reasoning is unsafe there
+          case Some(s) if !s.min.isNaN && !s.max.isNaN => mayMatch(s.min, s.max)
+          case _ => true // no stats for this column: cannot prune
+        }
+      }
+    }
   }
 
   /** The resolved view of one published state: its data files with its
@@ -615,7 +774,7 @@ object MorDelete {
       val name = s"batch-$top-${UUID.randomUUID().toString.take(8)}"
       Files.move(stage, sideDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       publishManifest(path, maxSeq(spark, path),
-        State(st.dataFiles, Seq(top -> new java.io.File(sideDir.toFile, name))))
+        State(st.dataFiles, Seq(top -> new java.io.File(sideDir.toFile, name)), st.stats))
       1L
     } finally { reduced.unpersist(); () }
   }
@@ -677,7 +836,10 @@ object MorDelete {
       val touchedSet = s.touched.toSet
       val newData = st.dataFiles.filterNot(touchedSet) ++ s.newFiles
       val newBatches = if (minDoomedFraction <= 0.0) Nil else st.batches
-      writeManifest(path, nextOrdinal(path), seqNow, State(newData, newBatches))
+      // stats survive for untouched files; rewritten replacements are
+      // stats-less (never pruned) until the next Maintenance.analyze
+      writeManifest(path, nextOrdinal(path), seqNow,
+        State(newData, newBatches, st.stats.filter { case (f, _) => !touchedSet(f) }))
       CowDelete.DeleteStats(s.touched, s.total, s.rewritten)
     } finally { tomb.unpersist(); () }
   }
@@ -768,6 +930,59 @@ object Maintenance {
         } else false
       } else false
     MaintainStats(merged, compacted, vacuum(path, retentionMs, stageGraceMs))
+  }
+
+  /** Publish PER-FILE min/max column statistics into the snapshot
+    * manifest — the engine-side half of the reference's ANALYZE
+    * (`presto-main`'s StatisticsWriter persists table stats a planner
+    * consumes; here the stats feed [[MorDelete.readWhere]]'s driver-side
+    * file pruning, the Iceberg manifest-evaluator analog). One
+    * metadata-grouped aggregation pass over the live files computes
+    * min/max per (file, column) for the requested NUMERIC columns
+    * (default: every numeric column — the domain the z-order quantizers
+    * cluster, so an analyzed z-ordered table prunes multi-column bands).
+    * Commits like every mutation: the stats replace the previous
+    * manifest's wholesale (ordinal +1, same sequence), and every later
+    * DML carries them forward for the files it keeps — files written
+    * AFTER the analyze stay stats-less (never pruned) until the next
+    * one, the exactly-conservative staleness contract. Returns the
+    * number of files published with stats.
+    */
+  def analyze(spark: SparkSession, path: String,
+      cols: Seq[String] = Nil): Long = MorDelete.withWriterLock(path) {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    require(st.dataFiles.nonEmpty, s"nothing to analyze: no live data files at $path")
+    val df = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val statCols = if (cols.nonEmpty) cols else numeric
+    statCols.foreach { c =>
+      require(numeric.exists(_.equalsIgnoreCase(c)),
+        s"analyze supports numeric columns only (the stats evaluator's " +
+          s"domain); '$c' is ${df.schema.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType.simpleString).getOrElse("absent")}")
+      require(!c.contains(":") && !c.contains("\t"),
+        s"analyzed column name must not contain ':' or tab: $c")
+    }
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val rows = df.groupBy(col("_metadata.file_path"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val stats = rows.map { r =>
+      val f = CowCore.localPath(r.getString(0))
+      val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
+        // an all-null (or empty) file has no bounds for this column
+        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+        else Some(MorDelete.FileColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+      }
+      f -> cs
+    }.toMap
+    MorDelete.publishManifest(path, MorDelete.maxSeq(spark, path),
+      MorDelete.State(st.dataFiles, st.batches, stats.filter(_._2.nonEmpty)))
+    stats.count(_._2.nonEmpty).toLong
   }
 
   def vacuum(path: String,
@@ -1018,7 +1233,7 @@ object MorUpsert {
         val newBatches = st.batches ++
           batchName.map(n => seq -> new java.io.File(MorDelete.sidecarDir(path), n))
         MorDelete.publishManifest(path, seq,
-          MorDelete.State(st.dataFiles ++ newParts, newBatches))
+          MorDelete.State(st.dataFiles ++ newParts, newBatches, st.stats))
       }
       MergeStats(nDel, nUpd, nIns, newParts.size.toLong)
     } finally {

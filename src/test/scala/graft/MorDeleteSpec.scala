@@ -754,4 +754,125 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       MorDelete.manifestShardTarget = tg
     }
   }
+
+  test("analyze publishes per-file stats; readWhere prunes by them and stays row-identical") {
+    // key-clustered layout: each of the 6 files covers one o_orderkey range,
+    // so a selective band must prune most of them
+    val loc = Files.createTempDirectory("graft_morstats").toString + "/t"
+    val orders = Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartitionByRange(6, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(loc)
+    val all = keys(loc)
+
+    // cuts all inside the FIRST file's key range, so later DML stays
+    // clustered there and files 2–6 keep their stats through compaction
+    val sorted = all.toSeq.sorted
+    val c1 = sorted(all.size / 12)
+    val c2 = sorted(all.size / 9)
+    val c3 = sorted(all.size / 7)
+
+    MorDelete.delete(spark, loc, col("o_orderkey") <= c1, Seq("o_orderkey"))
+    val n = Maintenance.analyze(spark, loc)
+    assert(n == 6L, "every file must publish stats")
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.stats.size == 6 &&
+      st.stats.values.forall(_.exists(_.col == "o_orderkey")),
+      "the manifest must carry o_orderkey bounds for every file")
+
+    def expect(pred: org.apache.spark.sql.Column): Unit = {
+      val got = MorDelete.readWhere(spark, loc, pred)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val want = MorDelete.read(spark, loc).filter(pred)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"readWhere must equal read().filter for $pred")
+    }
+    val band = col("o_orderkey") <= c2
+    assert(MorDelete.pruneByStats(spark, st, band).size < 6,
+      "a band inside one key range must prune files")
+    expect(band)
+    expect(col("o_orderkey") === c2) // equality
+    expect(lit(c2) >= col("o_orderkey")) // literal-first spelling
+    expect(col("o_orderkey").isin(sorted.take(3).map(_.asInstanceOf[Any]): _*))
+    expect(band && col("o_orderpriority") === "1-URGENT") // mixed: string conjunct ignored
+    expect(upper(col("o_orderpriority")) === "NO-SUCH") // unsupported only: no pruning
+    assert(MorDelete.pruneByStats(spark, st,
+      upper(col("o_orderpriority")) === "X").size == 6,
+      "an evaluator-opaque predicate must keep every file")
+    // a predicate outside every file's bounds scans zero files yet stays exact
+    val beyond = col("o_orderkey") > all.max
+    assert(MorDelete.pruneByStats(spark, st, beyond).isEmpty)
+    assert(MorDelete.readWhere(spark, loc, beyond).count() == 0L)
+
+    // stats carry through later DML; files appended after the analyze are
+    // stats-less and therefore never pruned — conservative, still exact
+    MorDelete.delete(spark, loc, col("o_orderkey") <= c2, Seq("o_orderkey"))
+    val src = oneRowPerKey(MorDelete.read(spark, loc)
+      .filter(col("o_orderkey") > c2 && col("o_orderkey") <= c3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1))
+    graft.sources.MorUpsert.upsert(spark, loc, src, Seq("o_orderkey"))
+    val st2 = MorDelete.liveState(spark, loc)
+    assert(st2.stats.size == 6, "stats must survive deletes and merges")
+    val appended = st2.dataFiles.filterNot(st2.stats.contains)
+    assert(appended.nonEmpty, "the merge's appended parts must be stats-less")
+    assert(MorDelete.pruneByStats(spark, st2, band).size ==
+      MorDelete.pruneByStats(spark, st, band).size + appended.size,
+      "stats-less appended files always survive pruning")
+    expect(band)
+
+    // compaction drops the rewritten files' stats (their bounds changed)
+    // and keeps the untouched files'; readWhere stays exact throughout.
+    // All the doomed rows live in file 1's key range by construction.
+    MorDelete.compact(spark, loc)
+    val st3 = MorDelete.liveState(spark, loc)
+    assert(st3.stats.nonEmpty && st3.stats.keySet.subsetOf(st3.dataFiles.toSet) &&
+      st3.stats.keySet.forall(st.stats.keySet),
+      "post-compact stats are exactly the untouched analyzed files'")
+    assert(st3.stats.size < 6, "the rewritten file's stats must drop")
+    expect(band)
+    assert(keys(loc) == all.filter(_ > c2), "the view never changed")
+  }
+
+  test("zorderRewrite re-clusters in place through the manifest protocol") {
+    val loc = freshTable()
+    val all = keys(loc)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val live = all.filterNot(_ % 10 == 3)
+    Maintenance.analyze(spark, loc)
+    val preFiles = MorDelete.liveState(spark, loc).dataFiles.toSet
+    val snap = MorDelete.currentSeq(spark, loc)
+
+    graft.sources.Layout.zorderRewrite(spark, loc, Seq("o_orderkey", "o_custkey"))
+    val st = MorDelete.liveState(spark, loc)
+    assert(keys(loc) == live, "the resolved view is layout-invariant")
+    assert(st.batches.isEmpty, "the rewrite folds every tombstone")
+    assert(st.dataFiles.toSet.intersect(preFiles).isEmpty,
+      "the rewrite publishes a whole new file set")
+    assert(st.stats.isEmpty, "stats describe the old layout and must drop")
+    assert(preFiles.forall(f => new File(f).exists()),
+      "replaced files are retained for older manifests until vacuum")
+    assert(MorDelete.readAt(spark, loc, snap).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet == live,
+      "a snapshot captured before the rewrite still resolves (view-identical)")
+
+    // fresh stats over the new layout restore pruning on BOTH curve columns
+    Maintenance.analyze(spark, loc, Seq("o_orderkey", "o_custkey"))
+    val st2 = MorDelete.liveState(spark, loc)
+    val cut = live.toSeq.sorted.apply(live.size / 20)
+    assert(MorDelete.pruneByStats(spark, st2, col("o_orderkey") <= cut).size
+      < st2.dataFiles.size, "the re-clustered layout must prune key bands")
+
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    assert(preFiles.forall(f => !new File(f).exists()),
+      "vacuum reclaims the replaced layout")
+    assert(keys(loc) == live, "the view survives the vacuum")
+
+    // partition-directory layouts are refused loudly
+    val ploc = Files.createTempDirectory("graft_zrw_part").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(ploc)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Layout.zorderRewrite(spark, ploc, Seq("o_orderkey"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
 }

@@ -135,15 +135,36 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           updK.foreach(k => shadow :+= ((k, srcMap(k))))
           (srcMap.keySet -- liveKeys).foreach(k => shadow :+= ((k, srcMap(k))))
         case 5 => // physical reorganization — data-file compaction (full
-          // or density-targeted) or sidecar-batch compaction — sometimes
+          // or density-targeted), sidecar-batch compaction, a manifest
+          // stats publish, or an in-place z-order rewrite — sometimes
           // followed by an aggressive vacuum. None may change the LIVE
           // view; the vacuum expires older snapshots
-          rnd.nextInt(3) match {
+          rnd.nextInt(5) match {
             case 0 => MorDelete.compact(spark, loc)
             case 1 => MorDelete.compact(spark, loc, minDoomedFraction = 0.5)
             case 2 => MorDelete.compactSidecar(spark, loc); ()
+            case 3 =>
+              if (MorDelete.liveState(spark, loc).dataFiles.nonEmpty)
+                graft.sources.Maintenance.analyze(spark, loc)
+            case 4 =>
+              if (MorDelete.liveState(spark, loc).dataFiles.nonEmpty)
+                graft.sources.Layout.zorderRewrite(spark, loc, Seq("k", "v"))
           }
           if (rnd.nextBoolean()) Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+      }
+      if (rnd.nextInt(3) == 0) {
+        // stats-pruned read equivalence under whatever stats state the
+        // sequence left behind (none / fresh / stale-after-DML): a
+        // random range predicate through readWhere must equal the
+        // resolved read's filter — the conservative-evaluator contract
+        val cut = rnd.nextInt(1000).toLong
+        val pred = if (rnd.nextBoolean()) col("v") < cut else col("k") >= cut % 100
+        val pruned = MorDelete.readWhere(spark, loc, pred).select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val full = MorDelete.read(spark, loc).filter(pred).select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(pruned == full,
+          s"seed $seed step $step: readWhere diverged from read().filter under $pred")
       }
       if (rnd.nextInt(3) == 0) {
         // crash injection: the garbage shapes a writer dying mid-commit

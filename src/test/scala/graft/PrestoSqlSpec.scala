@@ -611,6 +611,45 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_morm")
   }
 
+  test("ANALYZE / VACUUM / OPTIMIZE statements route the maintenance layer by table mode") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_maint")
+    spark.sql(s"CREATE TABLE g_spec_maint USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM orders")
+    // plain table: ANALYZE (the reference grammar's bare shape) takes the
+    // catalog-statistics path; OPTIMIZE without ZORDER has nothing to fold
+    assert(ps.statement("ANALYZE g_spec_maint").columns.toSeq == Seq("result"))
+    val e0 = intercept[IllegalArgumentException](ps.statement("OPTIMIZE g_spec_maint"))
+    assert(e0.getMessage.contains("ZORDER"))
+
+    // merge-on-read mode: ANALYZE publishes per-file stats into the manifest
+    sources.MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val live = sources.MorDelete.read(spark, loc).count()
+    val analyzed = ps.statement("ANALYZE g_spec_maint").head().getLong(0)
+    assert(analyzed > 0 && sources.MorDelete.liveState(spark, loc).stats.nonEmpty,
+      "ANALYZE on a MoR table must publish manifest file stats")
+
+    // OPTIMIZE folds the tombstones atomically; the view is unchanged
+    val rewritten = ps.statement("OPTIMIZE g_spec_maint").head().getLong(0)
+    assert(rewritten > 0 && sources.MorDelete.liveState(spark, loc).batches.isEmpty)
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_maint").head().getLong(0) == live)
+
+    // OPTIMIZE … ZORDER BY re-clusters in place through the manifest protocol
+    val q = ps.statement("OPTIMIZE g_spec_maint ZORDER BY (o_orderkey, o_custkey)")
+    assert(q.columns.toSeq == Seq("quantizer"))
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_maint").head().getLong(0) == live)
+
+    // VACUUM RETAIN 0 HOURS reclaims the superseded layouts and snapshots
+    val v = ps.statement("VACUUM g_spec_maint RETAIN 0 HOURS")
+    assert(v.columns.toSeq == Seq("dirs_removed", "files_removed", "bytes_reclaimed"))
+    assert(v.head().getLong(2) > 0, "the folded originals must reclaim bytes")
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_maint").head().getLong(0) == live)
+    spark.catalog.dropTempView("g_spec_maint")
+    spark.sql("DROP TABLE IF EXISTS g_spec_maint")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
