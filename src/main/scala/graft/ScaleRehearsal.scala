@@ -1003,9 +1003,29 @@ object ScaleRehearsal {
           val resolved = MorDelete.readManifest(loc, MorDelete.manifests(loc).last)
           val resolve = (System.nanoTime() - t2) / 1e9
           require(resolved.dataFiles.size == files, "resolve must return the live set")
+          // stats leg: an analyze attaches per-file bounds (two columns
+          // here) — a FULL-body rewrite once, because every entry's
+          // content changes; the next 1-file commit must fall back to
+          // one-shard cost with the stats riding along untouched
+          val stats = names.map(n => n -> Seq(
+            MorDelete.FileColStat("a", 1.0, 2.0),
+            MorDelete.FileColStat("b", -1.5, 3.5e7))).toMap
+          val bytes1 = treeBytes(mdir)
+          MorDelete.publishManifest(loc, 22L, MorDelete.State(names, Nil, stats))
+          val analyzeBytes = treeBytes(mdir) - bytes1
+          val bytes2 = treeBytes(mdir)
+          val replaced = names(50)
+          names = names.updated(50, s"$loc/part-newstat.parquet")
+          MorDelete.publishManifest(loc, 23L,
+            MorDelete.State(names, Nil, stats - replaced))
+          val postStatsBytes = treeBytes(mdir) - bytes2
+          val withStats = MorDelete.readManifest(loc, MorDelete.manifests(loc).last)
+          require(withStats.stats.size == files - 1,
+            "the carried stats must survive the post-analyze commit")
           println(f"[scale] manifest $tag%-14s genesis $genesis%7.3f s  " +
             f"commit $perCommit%7.4f s  ${perBytes / 1024}%8d KiB/commit  " +
-            f"resolve $resolve%7.3f s")
+            f"resolve $resolve%7.3f s  analyze ${analyzeBytes / 1024}%8d KiB once, " +
+            f"then ${postStatsBytes / 1024}%6d KiB/commit")
         } finally MorDelete.manifestFlatMax = fm
       }
       rmr(base)

@@ -304,6 +304,8 @@ object MorDelete {
     // shards — it rewrites only the shards whose bodies changed.
     val rels = st.dataFiles.map { f =>
       val rel = base.relativize(Paths.get(f)).toString
+      require(!rel.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"data-file path contains a manifest delimiter (tab/newline): $rel")
       val stat = st.stats.getOrElse(f, Nil)
         .map(s => s"\t${s.col}:${s.min}:${s.max}").mkString
       (rel, rel + stat)
@@ -590,11 +592,26 @@ object MorDelete {
     * Exposed for specs and rehearsals to assert the pruning itself. */
   private[graft] def pruneByStats(spark: SparkSession, st: State,
       predicate: Column): Seq[String] = {
-    import org.apache.spark.sql.catalyst.{expressions => ce}
     if (st.stats.isEmpty) return st.dataFiles
-    // normalize to (operator, args): the Column DSL builds
-    // UnresolvedFunction('<=', args) nodes while expr("…")-parsed text
-    // builds typed Catalyst comparisons — both spell the same conjuncts
+    val rules = statsRulesOf(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate))
+    if (rules.isEmpty) st.dataFiles
+    else st.dataFiles.filter(f => fileMayMatch(st.stats.getOrElse(f, Nil), rules))
+  }
+
+  /** One extracted pruning rule: (lowercased column, may-match judged
+    * over that column's [min, max] bounds). */
+  private[graft] type StatsRule = (String, (Double, Double) => Boolean)
+
+  /** Extract the pruning rules of a predicate's understood conjuncts —
+    * range/equality/IN comparisons of ONE (possibly numeric-cast) column
+    * against numeric literals. Handles BOTH expression spellings: the
+    * Column DSL builds UnresolvedFunction('<=', args) nodes while
+    * expr("…")-parsed or analyzer-RESOLVED predicates (what a FileIndex
+    * receives as dataFilters) carry typed Catalyst comparisons. Anything
+    * else contributes no rule — the evaluator prunes only what it can
+    * prove, everything opaque keeps its files. */
+  private[graft] def statsRulesOf(root: org.apache.spark.sql.catalyst.expressions.Expression): Seq[StatsRule] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
     def parts(e: ce.Expression): Option[(String, Seq[ce.Expression])] = e match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         Some(f.nameParts.last.toLowerCase -> f.arguments)
@@ -641,7 +658,7 @@ object MorDelete {
     }
     // each understood conjunct becomes (column, may-match over [min, max]);
     // literal-first spellings normalize by flipping the operator
-    def rule(op: String, c: String, v: Double): (String, (Double, Double) => Boolean) =
+    def rule(op: String, c: String, v: Double): StatsRule =
       op match {
         case ">" => (c, (_: Double, mx: Double) => mx > v)
         case ">=" => (c, (_: Double, mx: Double) => mx >= v)
@@ -654,30 +671,29 @@ object MorDelete {
       case other => other
     }
     val cmps = Set(">", ">=", "<", "<=", "=", "==")
-    val rules: Seq[(String, (Double, Double) => Boolean)] =
-      splitAnd(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate))
-        .flatMap(parts).flatMap {
-          case (op, Seq(a, l)) if cmps(op) && attrOf(a).isDefined =>
-            for (c <- attrOf(a); v <- numOf(l)) yield rule(op, c, v)
-          case (op, Seq(l, a)) if cmps(op) && attrOf(a).isDefined =>
-            for (c <- attrOf(a); v <- numOf(l)) yield rule(flip(op), c, v)
-          case ("in", a +: list) if list.nonEmpty =>
-            val vs = list.map(numOf)
-            for (c <- attrOf(a); if vs.forall(_.isDefined))
-              yield (c, (mn: Double, mx: Double) =>
-                vs.flatten.exists(v => mn <= v && v <= mx))
-          case _ => None // unsupported conjunct: prunes nothing
-        }
-    if (rules.isEmpty) st.dataFiles
-    else st.dataFiles.filter { f =>
-      val byCol = st.stats.getOrElse(f, Nil).map(s => s.col.toLowerCase -> s).toMap
-      rules.forall { case (c, mayMatch) =>
-        byCol.get(c) match {
-          // a NaN bound means the file holds NaN values, which Spark
-          // orders ABOVE every number — range reasoning is unsafe there
-          case Some(s) if !s.min.isNaN && !s.max.isNaN => mayMatch(s.min, s.max)
-          case _ => true // no stats for this column: cannot prune
-        }
+    splitAnd(root).flatMap(parts).flatMap {
+      case (op, Seq(a, l)) if cmps(op) && attrOf(a).isDefined =>
+        for (c <- attrOf(a); v <- numOf(l)) yield rule(op, c, v)
+      case (op, Seq(l, a)) if cmps(op) && attrOf(a).isDefined =>
+        for (c <- attrOf(a); v <- numOf(l)) yield rule(flip(op), c, v)
+      case ("in", a +: list) if list.nonEmpty =>
+        val vs = list.map(numOf)
+        for (c <- attrOf(a); if vs.forall(_.isDefined))
+          yield (c, (mn: Double, mx: Double) =>
+            vs.flatten.exists(v => mn <= v && v <= mx))
+      case _ => None // unsupported conjunct: prunes nothing
+    }
+  }
+
+  /** May a file with these published bounds contain a rule-matching row? */
+  private[graft] def fileMayMatch(stats: Seq[FileColStat], rules: Seq[StatsRule]): Boolean = {
+    val byCol = stats.map(s => s.col.toLowerCase -> s).toMap
+    rules.forall { case (c, mayMatch) =>
+      byCol.get(c) match {
+        // a NaN bound means the file holds NaN values, which Spark
+        // orders ABOVE every number — range reasoning is unsafe there
+        case Some(s) if !s.min.isNaN && !s.max.isNaN => mayMatch(s.min, s.max)
+        case _ => true // no stats for this column: cannot prune
       }
     }
   }
@@ -690,7 +706,8 @@ object MorDelete {
       seq: Long): DataFrame = {
     val raw =
       if (st.dataFiles.nonEmpty)
-        spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+        statsIndexedRead(spark, path, st).getOrElse(
+          spark.read.option("basePath", path).parquet(st.dataFiles: _*))
       else {
         // every live row deleted and compacted away: derive the schema
         // from any retained file (vacuum keeps the table dir until the
@@ -701,6 +718,44 @@ object MorDelete {
         spark.read.option("basePath", path).parquet(path).where(lit(false))
       }
     applyTombstones(spark, raw, st.batches.filter(_._1 <= seq))
+  }
+
+  /** Build the snapshot's base read over a [[MorStatsFileIndex]] so
+    * Spark's OWN planning prunes files from the manifest stats — any
+    * pushed data filter (a WHERE above the resolved view, a join-side
+    * filter) eliminates non-overlapping files before the scan lists them,
+    * visible as the scan node's file count in `explain`. Engaged exactly
+    * when it can be equivalent to the plain read: published stats exist,
+    * the layout is FLAT (partition-directory tables keep the basePath
+    * path, which is what recovers their directory columns), and the
+    * session is a classic local one (`baseRelationToDataFrame` is the
+    * classic entry point). Everything else falls back — `None` — to the
+    * plain multi-path parquet read.
+    */
+  private def statsIndexedRead(spark: SparkSession, path: String,
+      st: State): Option[DataFrame] = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val base = tableAbs(path)
+    val flat = st.stats.nonEmpty &&
+      st.dataFiles.forall(f => Paths.get(f).getParent == base)
+    spark match {
+      case cs: org.apache.spark.sql.classic.SparkSession if flat =>
+        val files = st.dataFiles.map { f =>
+          val jf = new java.io.File(f)
+          (new org.apache.hadoop.fs.FileStatus(jf.length(), false, 1,
+            128L * 1024 * 1024, jf.lastModified(),
+            new org.apache.hadoop.fs.Path("file:" + f)),
+            st.stats.getOrElse(f, Nil))
+        }
+        val schema = cs.read.parquet(st.dataFiles.head).schema
+        val index = new MorStatsFileIndex(
+          new org.apache.hadoop.fs.Path("file:" + base), files)
+        Some(cs.baseRelationToDataFrame(HadoopFsRelation(index,
+          new org.apache.spark.sql.types.StructType(), schema, None,
+          new ParquetFileFormat(), Map.empty)(cs)))
+      case _ => None
+    }
   }
 
   private def applyTombstones(spark: SparkSession, pinned: DataFrame,

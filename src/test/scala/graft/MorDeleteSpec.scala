@@ -832,6 +832,48 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
 
+  test("stats pruning engages inside Spark's planning: the scan itself lists fewer files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val loc = Files.createTempDirectory("graft_morplan").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .repartitionByRange(6, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(loc)
+    val all = keys(loc)
+    val sorted = all.toSeq.sorted
+    val c1 = sorted(all.size / 12)
+    val c2 = sorted(all.size / 9)
+    MorDelete.delete(spark, loc, col("o_orderkey") <= c1, Seq("o_orderkey"))
+    Maintenance.analyze(spark, loc)
+
+    // the snapshot read rides the stats-backed FileIndex...
+    def baseScanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // metrics populate on execution
+      val ss = scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.getClass.getSimpleName == "MorStatsFileIndex")
+      assert(ss.nonEmpty, "the resolved read must ride the stats-backed FileIndex")
+      ss.map(_.metrics("numFiles").value).sum
+    }
+    // ...and a plain WHERE above the resolved view — no readWhere, no
+    // caller opt-in — prunes the scan's own file list at planning time
+    assert(baseScanFiles(MorDelete.read(spark, loc)) == 6L,
+      "an unfiltered read lists every live file")
+    val band = MorDelete.read(spark, loc).filter(col("o_orderkey") <= c2)
+    assert(band.select("o_orderkey").collect().map(_.getLong(0)).toSet ==
+      all.filter(k => k > c1 && k <= c2), "the pruned read stays exact")
+    assert(baseScanFiles(band) < 6L,
+      "a selective band must list fewer files at the scan itself")
+    // an opaque predicate keeps every file — conservative by construction
+    assert(baseScanFiles(MorDelete.read(spark, loc)
+      .filter(upper(col("o_orderpriority")) === "NO-SUCH")) == 6L)
+  }
+
   test("zorderRewrite re-clusters in place through the manifest protocol") {
     val loc = freshTable()
     val all = keys(loc)
