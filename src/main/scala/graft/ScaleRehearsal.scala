@@ -1276,7 +1276,10 @@ object ScaleRehearsal {
       // OPTIMIZE … ZORDER BY: in-place re-cluster through the manifest
       // commit (folds the 1% tombstones as a side effect), then fresh stats
       val tR = System.nanoTime()
-      sources.Layout.zorderRewrite(spark, loc, Seq("l_partkey", "l_suppkey"))
+      // pin 200 output files: the size-targeted default would bin-pack to
+      // ~11 and the 200-vs-200 file-count comparison is the point here
+      sources.Layout.zorderRewrite(spark, loc, Seq("l_partkey", "l_suppkey"),
+        nFiles = 200)
       val wR = (System.nanoTime() - tR) / 1e9
       val tA1 = System.nanoTime()
       sources.Maintenance.analyze(spark, loc, Seq("l_partkey", "l_suppkey"))

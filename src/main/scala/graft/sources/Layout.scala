@@ -270,7 +270,8 @@ object Layout {
     */
   def zorderRewrite(spark: SparkSession, path: String, cols: Seq[String],
       nFiles: Int = 0, bits: Int = 8,
-      skewMassThreshold: Double = 0.25): Boolean = MorDelete.withWriterLock(path) {
+      skewMassThreshold: Double = 0.25,
+      targetFileBytes: Long = 128L << 20): Boolean = MorDelete.withWriterLock(path) {
     MorDelete.ensureManaged(spark, path)
     val st = MorDelete.liveState(spark, path)
     require(st.dataFiles.nonEmpty, s"nothing to rewrite: no live data files at $path")
@@ -280,7 +281,14 @@ object Layout {
       s"z-order rewrite replaces directory partitioning with curve clustering " +
         s"and does not preserve partition directories; table at $path is " +
         "partitioned — z-order the partition column itself on a flat copy instead")
-    val target = if (nFiles > 0) nFiles else math.max(1, st.dataFiles.size)
+    // default file count is SIZE-TARGETED (~targetFileBytes per file off
+    // the live bytes), so the rewrite also bin-packs a small-files table
+    // — the other half of what OPTIMIZE exists for; pass nFiles to pin a
+    // count instead
+    val target =
+      if (nFiles > 0) nFiles
+      else math.max(1, math.ceil(st.dataFiles
+        .map(f => new java.io.File(f).length()).sum.toDouble / targetFileBytes).toInt)
     val seq = MorDelete.maxSeq(spark, path)
     val (zed, skewed) = autoZed(resolved, cols, bits, skewMassThreshold)
     val newFiles = CowCore.moveIn(

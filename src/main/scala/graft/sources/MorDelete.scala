@@ -933,10 +933,11 @@ object Maintenance {
 
   /** @param sidecarMerged  whether the batch-merge step ran
     * @param compacted      whether the data-file compaction step ran
+    * @param statsRefreshed whether the incremental stats re-analyze ran
     * @param vacuum         the vacuum step's reclaim stats
     */
   final case class MaintainStats(sidecarMerged: Boolean, compacted: Boolean,
-    vacuum: VacuumStats)
+    statsRefreshed: Boolean, vacuum: VacuumStats)
 
   /** The one-call maintenance policy — the scheduling loop a long-lived
     * merge-on-read table needs, with thresholds measured in the
@@ -954,7 +955,13 @@ object Maintenance {
     *     letting the anti-join side grow. The density threshold then
     *     scopes the rewrite to files worth rewriting (the `cowdml`
     *     rehearsal's 4-of-200 long-tail shape).
-    *  3. [[vacuum]]`(retentionMs, stageGraceMs)` every call.
+    *  3. [[analyze]] (incremental) when the table HAS published stats
+    *     but some live file lacks them — compaction replacements and
+    *     merge appends are stats-less until re-analyzed, and because
+    *     data files are immutable the refresh computes ONLY the missing
+    *     files at the published column set. A table that never analyzed
+    *     never pays this step (stats stay opt-in).
+    *  4. [[vacuum]]`(retentionMs, stageGraceMs)` every call.
     *
     * Each step takes the writer lock through its own entry point, so a
     * concurrent writer still fails loudly. `morchurn` rehearses the same
@@ -984,7 +991,14 @@ object Maintenance {
           true
         } else false
       } else false
-    MaintainStats(merged, compacted, vacuum(path, retentionMs, stageGraceMs))
+    val st3 = MorDelete.liveState(spark, path)
+    val refreshed =
+      if (st3.stats.nonEmpty &&
+          st3.dataFiles.exists(f => !st3.stats.get(f).exists(_.nonEmpty)))
+        analyze(spark, path) > 0
+      else false
+    MaintainStats(merged, compacted, refreshed,
+      vacuum(path, retentionMs, stageGraceMs))
   }
 
   /** Publish PER-FILE min/max column statistics into the snapshot
@@ -1010,23 +1024,40 @@ object Maintenance {
     MorDelete.ensureManaged(spark, path)
     val st = MorDelete.liveState(spark, path)
     require(st.dataFiles.nonEmpty, s"nothing to analyze: no live data files at $path")
-    val df = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
-    val numeric = df.schema.fields
+    // data files are IMMUTABLE in this design (every mutation writes new
+    // files), so a published stat is permanently exact — the pass is
+    // INCREMENTAL by construction: only stats-less files compute, a
+    // fully-covered table publishes nothing, and with no explicit column
+    // list a covered table's own published column set carries forward.
+    // A requested column set differing from the published one recomputes
+    // everything (mixed per-file column sets would make coverage
+    // reasoning ambiguous).
+    val publishedCols = st.stats.values.headOption.map(_.map(_.col).toSet)
+    val df0 = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+    val numeric = df0.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    val statCols = if (cols.nonEmpty) cols else numeric
+    val statCols =
+      if (cols.nonEmpty) cols
+      else publishedCols.map(p => numeric.filter(p.contains)).getOrElse(numeric)
     statCols.foreach { c =>
       require(numeric.exists(_.equalsIgnoreCase(c)),
         s"analyze supports numeric columns only (the stats evaluator's " +
-          s"domain); '$c' is ${df.schema.fields.find(_.name.equalsIgnoreCase(c))
+          s"domain); '$c' is ${df0.schema.fields.find(_.name.equalsIgnoreCase(c))
             .map(_.dataType.simpleString).getOrElse("absent")}")
       require(!c.contains(":") && !c.contains("\t"),
         s"analyzed column name must not contain ':' or tab: $c")
     }
+    val sameCols = publishedCols.forall(_ == statCols.toSet)
+    val todo =
+      if (sameCols) st.dataFiles.filterNot(f => st.stats.get(f).exists(_.nonEmpty))
+      else st.dataFiles
+    if (todo.isEmpty) return 0L
+    val df = spark.read.option("basePath", path).parquet(todo: _*)
     val aggs = statCols.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
     val rows = df.groupBy(col("_metadata.file_path"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val stats = rows.map { r =>
+    val fresh = rows.map { r =>
       val f = CowCore.localPath(r.getString(0))
       val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
         // an all-null (or empty) file has no bounds for this column
@@ -1034,10 +1065,15 @@ object Maintenance {
         else Some(MorDelete.FileColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
       }
       f -> cs
-    }.toMap
+    }.toMap.filter(_._2.nonEmpty)
+    // an all-null-column file can never publish bounds; when nothing else
+    // changed either, skip the no-op commit entirely
+    if (sameCols && fresh.isEmpty) return 0L
+    val merged =
+      (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ fresh
     MorDelete.publishManifest(path, MorDelete.maxSeq(spark, path),
-      MorDelete.State(st.dataFiles, st.batches, stats.filter(_._2.nonEmpty)))
-    stats.count(_._2.nonEmpty).toLong
+      MorDelete.State(st.dataFiles, st.batches, merged))
+    fresh.size.toLong
   }
 
   def vacuum(path: String,

@@ -645,6 +645,26 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.liveState(spark, loc).batches.isEmpty,
       "the full (0.0) compact folds every tombstone in")
     assert(keys(loc) == view2)
+    // stats refresh: a never-analyzed table never pays the step; once
+    // analyzed, the policy heals coverage after appends/rewrites leave
+    // stats-less files, and a covered table skips it again
+    assert(!s4.statsRefreshed, "a never-analyzed table must not pay the stats step")
+    Maintenance.analyze(spark, loc)
+    val src = oneRowPerKey(MorDelete.read(spark, loc)
+      .filter(col("o_orderkey") % 100 === 51)
+      .withColumn("o_totalprice", col("o_totalprice") + 1))
+    graft.sources.MorUpsert.upsert(spark, loc, src, Seq("o_orderkey"))
+    val view3 = keys(loc)
+    val s5 = Maintenance.maintain(spark, loc, compactAt = 1.1,
+      retentionMs = 0, stageGraceMs = 0)
+    assert(s5.statsRefreshed, "an analyzed table with stats-less appends must refresh")
+    val stF = MorDelete.liveState(spark, loc)
+    assert(stF.dataFiles.forall(f => stF.stats.get(f).exists(_.nonEmpty)),
+      "the refresh restores full coverage")
+    assert(keys(loc) == view3)
+    val s6 = Maintenance.maintain(spark, loc, compactAt = 1.1,
+      retentionMs = 0, stageGraceMs = 0)
+    assert(!s6.statsRefreshed, "a fully-covered table skips the stats step")
   }
 
   test("a concurrent reader only ever observes committed states — live, not construct-then-commit") {
@@ -819,15 +839,28 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stats-less appended files always survive pruning")
     expect(band)
 
+    // incremental refresh: data files are immutable, so a published stat
+    // is permanently exact — a re-analyze computes ONLY the stats-less
+    // appended parts (at the published column set, no explicit list),
+    // and a fully-covered table publishes nothing at all
+    assert(Maintenance.analyze(spark, loc) == appended.size.toLong,
+      "re-analyze must compute exactly the missing files")
+    val st2b = MorDelete.liveState(spark, loc)
+    assert(st2b.dataFiles.forall(f => st2b.stats.get(f).exists(_.nonEmpty)))
+    val preManifests = MorDelete.manifests(loc).size
+    assert(Maintenance.analyze(spark, loc) == 0L)
+    assert(MorDelete.manifests(loc).size == preManifests,
+      "a fully-covered analyze must not commit a no-op manifest")
+
     // compaction drops the rewritten files' stats (their bounds changed)
     // and keeps the untouched files'; readWhere stays exact throughout.
     // All the doomed rows live in file 1's key range by construction.
     MorDelete.compact(spark, loc)
     val st3 = MorDelete.liveState(spark, loc)
     assert(st3.stats.nonEmpty && st3.stats.keySet.subsetOf(st3.dataFiles.toSet) &&
-      st3.stats.keySet.forall(st.stats.keySet),
+      st3.stats.keySet.forall(st2b.stats.keySet),
       "post-compact stats are exactly the untouched analyzed files'")
-    assert(st3.stats.size < 6, "the rewritten file's stats must drop")
+    assert(st3.stats.size < st2b.stats.size, "the rewritten files' stats must drop")
     expect(band)
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
@@ -883,7 +916,10 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val preFiles = MorDelete.liveState(spark, loc).dataFiles.toSet
     val snap = MorDelete.currentSeq(spark, loc)
 
-    graft.sources.Layout.zorderRewrite(spark, loc, Seq("o_orderkey", "o_custkey"))
+    // pin 4 output files: the DEFAULT is size-targeted (~128 MB/file) and
+    // would bin-pack this tiny table into one, asserted at the end
+    graft.sources.Layout.zorderRewrite(spark, loc, Seq("o_orderkey", "o_custkey"),
+      nFiles = 4)
     val st = MorDelete.liveState(spark, loc)
     assert(keys(loc) == live, "the resolved view is layout-invariant")
     assert(st.batches.isEmpty, "the rewrite folds every tombstone")
@@ -907,6 +943,13 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(preFiles.forall(f => !new File(f).exists()),
       "vacuum reclaims the replaced layout")
     assert(keys(loc) == live, "the view survives the vacuum")
+
+    // the size-targeted default bin-packs a small-files table (the other
+    // half of OPTIMIZE): this tiny table fits one 128 MB-target file
+    graft.sources.Layout.zorderRewrite(spark, loc, Seq("o_orderkey", "o_custkey"))
+    assert(MorDelete.liveState(spark, loc).dataFiles.size == 1,
+      "the default output count is size-targeted, not count-preserving")
+    assert(keys(loc) == live, "bin-packing never changes the view")
 
     // partition-directory layouts are refused loudly
     val ploc = Files.createTempDirectory("graft_zrw_part").toString + "/t"
