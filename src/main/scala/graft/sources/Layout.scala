@@ -294,7 +294,10 @@ object Layout {
     val newFiles = CowCore.moveIn(
       CowCore.stage(spark, base, Nil, clusterByZ(zed, target)),
       base, prefix = s"part-mor$seq-")
-    MorDelete.publishManifest(path, seq, MorDelete.State(newFiles, Nil))
+    // per-file stats drop (the layout they described is gone), but the
+    // analyzed COLUMN SET carries so the maintenance loop keeps healing
+    MorDelete.publishManifest(path, seq,
+      MorDelete.State(newFiles, Nil, Map.empty, st.statCols))
     skewed
   }
 

@@ -196,10 +196,16 @@ object MorDelete {
     * ABSOLUTE here; the on-disk encoding is table-relative. `stats` maps
     * an absolute data-file path to its published column stats (empty for
     * never-analyzed tables and for files written after the last
-    * [[Maintenance.analyze]] — a stats-less file is never pruned). */
+    * [[Maintenance.analyze]] — a stats-less file is never pruned).
+    * `statCols` is the analyzed COLUMN SET, carried by every commit even
+    * when a full rewrite leaves zero per-file stats — it is what lets
+    * [[Maintenance.maintain]] keep healing coverage (and [[Maintenance
+    * .analyze]] keep its column set) after the stats themselves dropped;
+    * empty means the table never opted into stats. */
   private[graft] final case class State(dataFiles: Seq[String],
       batches: Seq[(Long, java.io.File)],
-      stats: Map[String, Seq[FileColStat]] = Map.empty)
+      stats: Map[String, Seq[FileColStat]] = Map.empty,
+      statCols: Seq[String] = Nil)
 
   private val manifestName = "m-(\\d+)-(\\d+)".r
 
@@ -283,7 +289,11 @@ object MorDelete {
       require(seq.nonEmpty, s"malformed batch entry in ${m.file}: $name")
       seq.toLong -> new java.io.File(side, name)
     }
-    (State(data, bs.sortBy(_._1), stats), shardNames)
+    // `C col1,col2` — the analyzed column set (absent on pre-stats
+    // manifests and never-analyzed tables)
+    val statCols = lines.collectFirst { case l if l.startsWith("C ") =>
+      l.drop(2).split(',').toSeq.filter(_.nonEmpty) }.getOrElse(Nil)
+    (State(data, bs.sortBy(_._1), stats, statCols), shardNames)
   }
 
   /** Publish a new manifest: staged write, then ONE atomic rename — the
@@ -333,8 +343,11 @@ object MorDelete {
           "S " + name
         }
       }
-    staged((dataLines ++ st.batches.map { case (_, f) => "B " + f.getName }).mkString("\n"),
-      s"m-$ordinal-$seq")
+    val colLine =
+      if (st.statCols.isEmpty) Nil
+      else Seq("C " + st.statCols.mkString(","))
+    staged((dataLines ++ st.batches.map { case (_, f) => "B " + f.getName } ++ colLine)
+      .mkString("\n"), s"m-$ordinal-$seq")
   }
 
   private def nextOrdinal(path: String): Long =
@@ -492,7 +505,7 @@ object MorDelete {
         .getOrElse(-1L)
     if (n == 0L) return MorStats(0L, liveSidecarFiles(st), matched)
     val newBatch = seq -> new java.io.File(sidecarDir(path), batchName.get)
-    val st2 = State(st.dataFiles, st.batches :+ newBatch, st.stats)
+    val st2 = State(st.dataFiles, st.batches :+ newBatch, st.stats, st.statCols)
     writeManifest(path, nextOrdinal(path), seq, st2)
     MorStats(n, liveSidecarFiles(st2), matched)
   }
@@ -829,7 +842,8 @@ object MorDelete {
       val name = s"batch-$top-${UUID.randomUUID().toString.take(8)}"
       Files.move(stage, sideDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       publishManifest(path, maxSeq(spark, path),
-        State(st.dataFiles, Seq(top -> new java.io.File(sideDir.toFile, name)), st.stats))
+        State(st.dataFiles, Seq(top -> new java.io.File(sideDir.toFile, name)),
+          st.stats, st.statCols))
       1L
     } finally { reduced.unpersist(); () }
   }
@@ -894,7 +908,8 @@ object MorDelete {
       // stats survive for untouched files; rewritten replacements are
       // stats-less (never pruned) until the next Maintenance.analyze
       writeManifest(path, nextOrdinal(path), seqNow,
-        State(newData, newBatches, st.stats.filter { case (f, _) => !touchedSet(f) }))
+        State(newData, newBatches,
+          st.stats.filter { case (f, _) => !touchedSet(f) }, st.statCols))
       CowDelete.DeleteStats(s.touched, s.total, s.rewritten)
     } finally { tomb.unpersist(); () }
   }
@@ -992,8 +1007,11 @@ object Maintenance {
         } else false
       } else false
     val st3 = MorDelete.liveState(spark, path)
+    // the opt-in signal is the manifest's recorded column set (it
+    // survives a full rewrite that dropped every per-file stat);
+    // pre-statCols manifests signal through the stats themselves
     val refreshed =
-      if (st3.stats.nonEmpty &&
+      if ((st3.statCols.nonEmpty || st3.stats.nonEmpty) &&
           st3.dataFiles.exists(f => !st3.stats.get(f).exists(_.nonEmpty)))
         analyze(spark, path) > 0
       else false
@@ -1032,7 +1050,11 @@ object Maintenance {
     // A requested column set differing from the published one recomputes
     // everything (mixed per-file column sets would make coverage
     // reasoning ambiguous).
-    val publishedCols = st.stats.values.headOption.map(_.map(_.col).toSet)
+    // the published column set lives in the manifest itself (State
+    // .statCols), so it survives even a full rewrite that dropped every
+    // per-file stat; pre-statCols manifests fall back to any entry's set
+    val publishedCols = (if (st.statCols.nonEmpty) Some(st.statCols.toSet) else None)
+      .orElse(st.stats.values.headOption.map(_.map(_.col).toSet))
     val df0 = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
     val numeric = df0.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
@@ -1044,8 +1066,8 @@ object Maintenance {
         s"analyze supports numeric columns only (the stats evaluator's " +
           s"domain); '$c' is ${df0.schema.fields.find(_.name.equalsIgnoreCase(c))
             .map(_.dataType.simpleString).getOrElse("absent")}")
-      require(!c.contains(":") && !c.contains("\t"),
-        s"analyzed column name must not contain ':' or tab: $c")
+      require(!c.exists(ch => ch == ':' || ch == '\t' || ch == ','),
+        s"analyzed column name must not contain ':', ',' or tab: $c")
     }
     val sameCols = publishedCols.forall(_ == statCols.toSet)
     val todo =
@@ -1067,12 +1089,13 @@ object Maintenance {
       f -> cs
     }.toMap.filter(_._2.nonEmpty)
     // an all-null-column file can never publish bounds; when nothing else
-    // changed either, skip the no-op commit entirely
-    if (sameCols && fresh.isEmpty) return 0L
+    // changed either (and the column set is already recorded), skip the
+    // no-op commit entirely
+    if (sameCols && fresh.isEmpty && st.statCols.nonEmpty) return 0L
     val merged =
       (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ fresh
     MorDelete.publishManifest(path, MorDelete.maxSeq(spark, path),
-      MorDelete.State(st.dataFiles, st.batches, merged))
+      MorDelete.State(st.dataFiles, st.batches, merged, statCols))
     fresh.size.toLong
   }
 
@@ -1324,7 +1347,7 @@ object MorUpsert {
         val newBatches = st.batches ++
           batchName.map(n => seq -> new java.io.File(MorDelete.sidecarDir(path), n))
         MorDelete.publishManifest(path, seq,
-          MorDelete.State(st.dataFiles ++ newParts, newBatches, st.stats))
+          MorDelete.State(st.dataFiles ++ newParts, newBatches, st.stats, st.statCols))
       }
       MergeStats(nDel, nUpd, nIns, newParts.size.toLong)
     } finally {

@@ -665,6 +665,20 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s6 = Maintenance.maintain(spark, loc, compactAt = 1.1,
       retentionMs = 0, stageGraceMs = 0)
     assert(!s6.statsRefreshed, "a fully-covered table skips the stats step")
+    // a FULL rewrite drops every per-file stat, but the recorded column
+    // set (manifest `C` line) survives — the policy still heals from zero
+    graft.sources.Layout.zorderRewrite(spark, loc,
+      Seq("o_orderkey", "o_custkey"), nFiles = 2)
+    val stZ = MorDelete.liveState(spark, loc)
+    assert(stZ.stats.isEmpty && stZ.statCols.nonEmpty,
+      "the rewrite drops stats but carries the analyzed column set")
+    val s7 = Maintenance.maintain(spark, loc, compactAt = 1.1,
+      retentionMs = 0, stageGraceMs = 0)
+    assert(s7.statsRefreshed, "the carried column set re-seeds coverage from zero")
+    val stG = MorDelete.liveState(spark, loc)
+    assert(stG.dataFiles.forall(f => stG.stats.get(f).exists(_.nonEmpty)) &&
+      stG.statCols == stZ.statCols)
+    assert(keys(loc) == view3)
   }
 
   test("a concurrent reader only ever observes committed states — live, not construct-then-commit") {
