@@ -676,6 +676,46 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // DATE-domain stats pruning — the TPC-H q6 shape, THE pruning case
+    // analytic tables live on: lineitem clustered by ship date, analyzed
+    // on that (timestamp_ntz) column, and a one-year (1996) band must hash-match
+    // DuckDB while the driver-side evaluator scans a strict subset of the
+    // files (domain-tagged µs bounds vs the band's NTZ literals).
+    "ddl_mor_date_prune" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+        |  true AS pruned
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 10 = 3)
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_mordate_lineitem"
+      drop(s, "g_mordate_lineitem", loc)
+      drop(s, "g_mordate_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_mordate_lineitem_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "lineitem").repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(loc)
+      MorDelete.delete(s, loc, col("l_orderkey") % 10 === 3,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Maintenance.analyze(s, loc, Seq("l_shipdate"))
+      // the raw parquet ships l_shipdate as timestamp_ntz; the band's
+      // literals must live in the same zone-free µs domain to prune
+      val band =
+        col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+        col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+      val st = MorDelete.liveState(s, loc)
+      val kept = MorDelete.pruneByStats(s, st, band)
+      MorDelete.readWhere(s, loc, band)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(30,8)"))
+            .cast("double").as("revenue"))
+        .withColumn("pruned", lit(kept.size < st.dataFiles.size))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
     // The maintenance loop from STATEMENT TEXTS alone (ANALYZE is the
     // reference grammar's bare shape, SqlBase.g4 #analyze; VACUUM and
     // OPTIMIZE … ZORDER BY exceed the reference like UPDATE/MERGE do):

@@ -186,11 +186,17 @@ object MorDelete {
   private[graft] final case class ManifestRef(ordinal: Long, seq: Long, file: java.io.File)
 
   /** Per-file column statistics published in a manifest: min/max of one
-    * column's non-null values as doubles (numeric columns only — the
-    * same domain the z-order quantizers bucket). Written by
-    * [[Maintenance.analyze]], consumed by [[MorDelete.readWhere]]'s
-    * driver-side file pruning. */
-  private[graft] final case class FileColStat(col: String, min: Double, max: Double)
+    * column's non-null values as doubles, tagged with the value DOMAIN
+    * the doubles live in — "n" plain numeric, "d" days since epoch
+    * (DATE), "t" µs since epoch (TIMESTAMP instant), "u" zone-free
+    * wallclock µs (TIMESTAMP_NTZ). The tag is what keeps the unresolved
+    * Column-DSL path sound: there the evaluator cannot see the COLUMN's
+    * type, so a literal in a different domain (a timestamp compared
+    * against a date column) must fall back to no-prune instead of
+    * comparing µs against day bounds. Written by [[Maintenance.analyze]],
+    * consumed by [[MorDelete.readWhere]] and [[MorStatsFileIndex]]. */
+  private[graft] final case class FileColStat(col: String, min: Double, max: Double,
+      domain: String = "n")
 
   /** The live file/batch set one manifest publishes. Data files are held
     * ABSOLUTE here; the on-disk encoding is table-relative. `stats` maps
@@ -268,16 +274,19 @@ object MorDelete {
               .collect { case d if d.startsWith("D ") => d.drop(2) })),
           Duration.Inf).flatten
       }
-    // a D payload is `<rel>` alone, or `<rel>\t<col>:<min>:<max>\t…` when
-    // the manifest carries analyzed file stats (tab-split is safe: rel
-    // paths and analyzed column names are tab-free by construction)
+    // a D payload is `<rel>` alone, or `<rel>\t<col>:<domain>:<min>:<max>\t…`
+    // when the manifest carries analyzed file stats (tab-split is safe:
+    // rel paths and analyzed column names are tab-free by construction);
+    // 3-part entries are the pre-domain encoding, always plain numeric
     val parsed = (inline ++ sharded).map { payload =>
       val toks = payload.split('\t')
       val abs = base.resolve(toks.head).toString
       val stats = toks.toSeq.drop(1).map { t =>
         val p = t.split(':')
-        require(p.length == 3, s"malformed stats entry in ${m.file}: $t")
-        FileColStat(p(0), p(1).toDouble, p(2).toDouble)
+        require(p.length == 3 || p.length == 4,
+          s"malformed stats entry in ${m.file}: $t")
+        if (p.length == 3) FileColStat(p(0), p(1).toDouble, p(2).toDouble)
+        else FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1))
       }
       abs -> stats
     }
@@ -317,7 +326,7 @@ object MorDelete {
       require(!rel.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"data-file path contains a manifest delimiter (tab/newline): $rel")
       val stat = st.stats.getOrElse(f, Nil)
-        .map(s => s"\t${s.col}:${s.min}:${s.max}").mkString
+        .map(s => s"\t${s.col}:${s.domain}:${s.min}:${s.max}").mkString
       (rel, rel + stat)
     }
     def staged(body: String, target: String): Unit = {
@@ -611,9 +620,11 @@ object MorDelete {
     else st.dataFiles.filter(f => fileMayMatch(st.stats.getOrElse(f, Nil), rules))
   }
 
-  /** One extracted pruning rule: (lowercased column, may-match judged
-    * over that column's [min, max] bounds). */
-  private[graft] type StatsRule = (String, (Double, Double) => Boolean)
+  /** One extracted pruning rule: (lowercased column, the LITERAL's value
+    * domain — [[FileColStat.domain]]'s alphabet — and may-match judged
+    * over that column's [min, max] bounds). A rule only ever fires
+    * against stats in the SAME domain. */
+  private[graft] type StatsRule = (String, String, (Double, Double) => Boolean)
 
   /** Extract the pruning rules of a predicate's understood conjuncts —
     * range/equality/IN comparisons of ONE (possibly numeric-cast) column
@@ -652,33 +663,44 @@ object MorDelete {
         attrOf(c.child)
       case _ => None
     }
-    // the literal side: a numeric literal, or a foldable numeric cast of one
-    def numOf(e: ce.Expression): Option[Double] = e match {
-      case ce.Literal(null, _) => None
-      case ce.Literal(v, _: org.apache.spark.sql.types.NumericType) => v match {
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-        case n: Number => Some(n.doubleValue())
-        case _ => None
-      }
-      case c: ce.Cast
-          if c.foldable && c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
-        Option(c.eval(null)).flatMap {
-          case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-          case n: Number => Some(n.doubleValue())
-          case _ => None
-        }
+    // the literal side: a numeric, DATE, or TIMESTAMP literal (the latter
+    // two in Catalyst's own encodings — Int days / Long µs — exactly the
+    // domain [[Maintenance.analyze]] publishes bounds in), or a foldable
+    // cast folding to one of those types
+    def valOf(v: Any): Option[Double] = v match {
+      case null => None
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number => Some(n.doubleValue())
       case _ => None
     }
-    // each understood conjunct becomes (column, may-match over [min, max]);
-    // literal-first spellings normalize by flipping the operator
-    def rule(op: String, c: String, v: Double): StatsRule =
+    def domainOf(dt: org.apache.spark.sql.types.DataType): Option[String] = dt match {
+      case _: org.apache.spark.sql.types.NumericType => Some("n")
+      case org.apache.spark.sql.types.DateType => Some("d")
+      case org.apache.spark.sql.types.TimestampType => Some("t")
+      case org.apache.spark.sql.types.TimestampNTZType => Some("u")
+      case _ => None
+    }
+    // (literal domain, value); the domain rides the rule so a literal in
+    // one domain never compares against bounds published in another
+    def numOf(e: ce.Expression): Option[(String, Double)] = e match {
+      case ce.Literal(v, dt) =>
+        for (dm <- domainOf(dt); d <- valOf(v)) yield (dm, d)
+      case c: ce.Cast if c.foldable =>
+        for (dm <- domainOf(c.dataType); d <- valOf(c.eval(null))) yield (dm, d)
+      case _ => None
+    }
+    // each understood conjunct becomes (column, domain, may-match over
+    // [min, max]); literal-first spellings normalize by flipping the op
+    def rule(op: String, c: String, dv: (String, Double)): StatsRule = {
+      val (dm, v) = dv
       op match {
-        case ">" => (c, (_: Double, mx: Double) => mx > v)
-        case ">=" => (c, (_: Double, mx: Double) => mx >= v)
-        case "<" => (c, (mn: Double, _: Double) => mn < v)
-        case "<=" => (c, (mn: Double, _: Double) => mn <= v)
-        case _ => (c, (mn: Double, mx: Double) => mn <= v && v <= mx) // =, ==
+        case ">" => (c, dm, (_: Double, mx: Double) => mx > v)
+        case ">=" => (c, dm, (_: Double, mx: Double) => mx >= v)
+        case "<" => (c, dm, (mn: Double, _: Double) => mn < v)
+        case "<=" => (c, dm, (mn: Double, _: Double) => mn <= v)
+        case _ => (c, dm, (mn: Double, mx: Double) => mn <= v && v <= mx) // =, ==
       }
+    }
     def flip(op: String): String = op match {
       case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
       case other => other
@@ -686,14 +708,18 @@ object MorDelete {
     val cmps = Set(">", ">=", "<", "<=", "=", "==")
     splitAnd(root).flatMap(parts).flatMap {
       case (op, Seq(a, l)) if cmps(op) && attrOf(a).isDefined =>
-        for (c <- attrOf(a); v <- numOf(l)) yield rule(op, c, v)
+        for (c <- attrOf(a); dv <- numOf(l)) yield rule(op, c, dv)
       case (op, Seq(l, a)) if cmps(op) && attrOf(a).isDefined =>
-        for (c <- attrOf(a); v <- numOf(l)) yield rule(flip(op), c, v)
+        for (c <- attrOf(a); dv <- numOf(l)) yield rule(flip(op), c, dv)
       case ("in", a +: list) if list.nonEmpty =>
         val vs = list.map(numOf)
-        for (c <- attrOf(a); if vs.forall(_.isDefined))
-          yield (c, (mn: Double, mx: Double) =>
-            vs.flatten.exists(v => mn <= v && v <= mx))
+        for {
+          c <- attrOf(a)
+          if vs.forall(_.isDefined)
+          // a mixed-domain IN list cannot prune soundly
+          if vs.flatten.map(_._1).distinct.size == 1
+        } yield (c, vs.flatten.head._1, (mn: Double, mx: Double) =>
+          vs.flatten.exists { case (_, v) => mn <= v && v <= mx })
       case _ => None // unsupported conjunct: prunes nothing
     }
   }
@@ -701,12 +727,14 @@ object MorDelete {
   /** May a file with these published bounds contain a rule-matching row? */
   private[graft] def fileMayMatch(stats: Seq[FileColStat], rules: Seq[StatsRule]): Boolean = {
     val byCol = stats.map(s => s.col.toLowerCase -> s).toMap
-    rules.forall { case (c, mayMatch) =>
+    rules.forall { case (c, dm, mayMatch) =>
       byCol.get(c) match {
-        // a NaN bound means the file holds NaN values, which Spark
-        // orders ABOVE every number — range reasoning is unsafe there
-        case Some(s) if !s.min.isNaN && !s.max.isNaN => mayMatch(s.min, s.max)
-        case _ => true // no stats for this column: cannot prune
+        // domains must agree (a µs literal must not judge day bounds); a
+        // NaN bound means the file holds NaN values, which Spark orders
+        // ABOVE every number — range reasoning is unsafe there
+        case Some(s) if s.domain == dm && !s.min.isNaN && !s.max.isNaN =>
+          mayMatch(s.min, s.max)
+        case _ => true // no stats for this column, or other domain: keep
       }
     }
   }
@@ -1056,16 +1084,40 @@ object Maintenance {
     val publishedCols = (if (st.statCols.nonEmpty) Some(st.statCols.toSet) else None)
       .orElse(st.stats.values.headOption.map(_.map(_.col).toSet))
     val df0 = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
-    val numeric = df0.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    // the stats domain is doubles; DATE and TIMESTAMP columns map to the
+    // encodings Catalyst's own literals carry (days since epoch, µs since
+    // epoch) so the evaluator compares predicate literals directly —
+    // these are the pruning columns analytic tables live on (date bands,
+    // event-time windows)
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    def domain(c: Column, dt: DataType): Column = dt match {
+      case DateType => unix_date(c).cast("double")
+      case TimestampType => unix_micros(c).cast("double")
+      case TimestampNTZType =>
+        // an NTZ literal carries zone-FREE wallclock µs; the cast below
+        // goes through the session zone, so only a UTC session computes
+        // the identical domain — anything else must refuse rather than
+        // publish zone-shifted bounds that would mis-prune forever
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"analyzing a timestamp_ntz column requires a UTC session time " +
+            "zone (stats live in the literal's zone-free µs encoding)")
+        unix_micros(c.cast("timestamp")).cast("double")
+      case _ => c.cast("double")
+    }
+    def dtypeOf(c: String): Option[DataType] =
+      df0.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    def supported(dt: DataType): Boolean =
+      dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType
+    val eligible = df0.schema.fields.filter(f => supported(f.dataType)).map(_.name).toSeq
     val statCols =
       if (cols.nonEmpty) cols
-      else publishedCols.map(p => numeric.filter(p.contains)).getOrElse(numeric)
+      else publishedCols.map(p => eligible.filter(p.contains)).getOrElse(eligible)
     statCols.foreach { c =>
-      require(numeric.exists(_.equalsIgnoreCase(c)),
-        s"analyze supports numeric columns only (the stats evaluator's " +
-          s"domain); '$c' is ${df0.schema.fields.find(_.name.equalsIgnoreCase(c))
-            .map(_.dataType.simpleString).getOrElse("absent")}")
+      require(dtypeOf(c).exists(supported),
+        s"analyze supports numeric, date, and timestamp columns (the stats " +
+          s"evaluator's domain); '$c' is ${dtypeOf(c)
+            .map(_.simpleString).getOrElse("absent")}")
       require(!c.exists(ch => ch == ':' || ch == '\t' || ch == ','),
         s"analyzed column name must not contain ':', ',' or tab: $c")
     }
@@ -1076,15 +1128,22 @@ object Maintenance {
     if (todo.isEmpty) return 0L
     val df = spark.read.option("basePath", path).parquet(todo: _*)
     val aggs = statCols.flatMap(c => Seq(
-      min(col(c).cast("double")), max(col(c).cast("double"))))
+      min(domain(col(c), dtypeOf(c).get)), max(domain(col(c), dtypeOf(c).get))))
     val rows = df.groupBy(col("_metadata.file_path"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    def domainTag(dt: DataType): String = dt match {
+      case DateType => "d"
+      case TimestampType => "t"
+      case TimestampNTZType => "u"
+      case _ => "n"
+    }
     val fresh = rows.map { r =>
       val f = CowCore.localPath(r.getString(0))
       val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
         // an all-null (or empty) file has no bounds for this column
         if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-        else Some(MorDelete.FileColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+        else Some(MorDelete.FileColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i),
+          domainTag(dtypeOf(c).get)))
       }
       f -> cs
     }.toMap.filter(_._2.nonEmpty)

@@ -879,7 +879,70 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
 
-  test("stats pruning engages inside Spark's planning: the scan itself lists fewer files") {
+  test("date and timestamp columns analyze and prune in Catalyst's literal encodings") {
+    // lineitem clustered by ship date: the TPC-H q6 shape — a date band
+    // over a date-sorted table is THE pruning case analytic tables live on
+    val loc = Files.createTempDirectory("graft_mordate").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .repartitionByRange(5, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(loc)
+    MorDelete.delete(spark, loc, col("l_orderkey") % 50 === 7,
+      Seq("l_orderkey", "l_linenumber"))
+    assert(Maintenance.analyze(spark, loc, Seq("l_shipdate")) == 5L)
+    val st = MorDelete.liveState(spark, loc)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    def expectEq(pred: org.apache.spark.sql.Column): Unit =
+      assert(rows(MorDelete.readWhere(spark, loc, pred)) ==
+        rows(MorDelete.read(spark, loc).filter(pred)), s"mismatch for $pred")
+    // l_shipdate reads as timestamp_ntz (the driver parquet's physical
+    // type), so its stats live in the zone-free µs domain: a
+    // domain-matched NTZ literal prunes on the driver-side path…
+    val ntzBand = col("l_shipdate") <=
+      lit(java.time.LocalDateTime.parse("1993-06-01T00:00:00"))
+    assert(MorDelete.pruneByStats(spark, st, ntzBand).size < 5,
+      "a ship-date band over a date-sorted table must prune files")
+    expectEq(ntzBand)
+    // …a DATE literal is another domain: the unresolved evaluator must
+    // NOT judge day values against µs bounds (keeps all 5, stays exact)…
+    val dateBand = col("l_shipdate") <= lit(java.sql.Date.valueOf("1993-06-01"))
+    assert(MorDelete.pruneByStats(spark, st, dateBand).size == 5,
+      "a cross-domain literal must never prune")
+    expectEq(dateBand)
+    // …while the RESOLVED planning path folds the coercion cast onto the
+    // literal, so the SQL-text spellings prune at the scan itself
+    Seq("l_shipdate <= DATE '1993-06-01'", "l_shipdate <= '1993-06-01'")
+      .foreach { sql =>
+        assert(statsScanFiles(MorDelete.read(spark, loc).filter(expr(sql))) < 5L,
+          s"the resolved scan must prune for: $sql")
+      }
+    // a band OUTSIDE the data scans zero files yet stays exact
+    val none = col("l_shipdate") <
+      lit(java.time.LocalDateTime.parse("1971-01-01T00:00:00"))
+    assert(MorDelete.pruneByStats(spark, st, none).isEmpty)
+    assert(rows(MorDelete.readWhere(spark, loc, none)) == 0L)
+
+    // timestamp columns: events.ts clustered by time, analyzed in µs
+    val tloc = Files.createTempDirectory("graft_morts").toString + "/t"
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    ev.repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts").write.mode("overwrite").parquet(tloc)
+    MorDelete.delete(spark, tloc, col("event_id") % 50 === 7, Seq("event_id"))
+    assert(Maintenance.analyze(spark, tloc, Seq("ts")) == 4L)
+    val tst = MorDelete.liveState(spark, tloc)
+    val cutTs = ev.selectExpr("CAST(percentile_approx(ts, 0.2) AS TIMESTAMP)")
+      .head().getTimestamp(0)
+    val tband = col("ts") <= lit(cutTs)
+    assert(MorDelete.pruneByStats(spark, tst, tband).size < 4,
+      "an event-time band over a time-sorted table must prune files")
+    assert(rows(MorDelete.readWhere(spark, tloc, tband)) ==
+      rows(MorDelete.read(spark, tloc).filter(tband)))
+  }
+
+  /** Sum of the stats-backed base scans' executed numFiles metric — the
+    * file count Spark's OWN planning listed after manifest-stats pruning
+    * (fails if the read did not ride [[MorStatsFileIndex]] at all). */
+  private def statsScanFiles(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -888,6 +951,14 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       case s: FileSourceScanExec => Seq(s)
       case other => other.children.flatMap(scans)
     }
+    df.collect() // metrics populate on execution
+    val ss = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.getClass.getSimpleName == "MorStatsFileIndex")
+    assert(ss.nonEmpty, "the resolved read must ride the stats-backed FileIndex")
+    ss.map(_.metrics("numFiles").value).sum
+  }
+
+  test("stats pruning engages inside Spark's planning: the scan itself lists fewer files") {
     val loc = Files.createTempDirectory("graft_morplan").toString + "/t"
     Tables.t(spark, "/root/testdata/sf0.001", "orders")
       .repartitionByRange(6, col("o_orderkey"))
@@ -899,25 +970,18 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     MorDelete.delete(spark, loc, col("o_orderkey") <= c1, Seq("o_orderkey"))
     Maintenance.analyze(spark, loc)
 
-    // the snapshot read rides the stats-backed FileIndex...
-    def baseScanFiles(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect() // metrics populate on execution
-      val ss = scans(df.queryExecution.executedPlan)
-        .filter(_.relation.location.getClass.getSimpleName == "MorStatsFileIndex")
-      assert(ss.nonEmpty, "the resolved read must ride the stats-backed FileIndex")
-      ss.map(_.metrics("numFiles").value).sum
-    }
-    // ...and a plain WHERE above the resolved view — no readWhere, no
-    // caller opt-in — prunes the scan's own file list at planning time
-    assert(baseScanFiles(MorDelete.read(spark, loc)) == 6L,
+    // the snapshot read rides the stats-backed FileIndex, and a plain
+    // WHERE above the resolved view — no readWhere, no caller opt-in —
+    // prunes the scan's own file list at planning time
+    assert(statsScanFiles(MorDelete.read(spark, loc)) == 6L,
       "an unfiltered read lists every live file")
     val band = MorDelete.read(spark, loc).filter(col("o_orderkey") <= c2)
     assert(band.select("o_orderkey").collect().map(_.getLong(0)).toSet ==
       all.filter(k => k > c1 && k <= c2), "the pruned read stays exact")
-    assert(baseScanFiles(band) < 6L,
+    assert(statsScanFiles(band) < 6L,
       "a selective band must list fewer files at the scan itself")
     // an opaque predicate keeps every file — conservative by construction
-    assert(baseScanFiles(MorDelete.read(spark, loc)
+    assert(statsScanFiles(MorDelete.read(spark, loc)
       .filter(upper(col("o_orderpriority")) === "NO-SUCH")) == 6L)
   }
 
