@@ -615,31 +615,36 @@ object MorDelete {
   private[graft] def pruneByStats(spark: SparkSession, st: State,
       predicate: Column): Seq[String] = {
     if (st.stats.isEmpty) return st.dataFiles
-    val rules = statsRulesOf(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate))
-    if (rules.isEmpty) st.dataFiles
-    else st.dataFiles.filter(f => fileMayMatch(st.stats.getOrElse(f, Nil), rules))
+    statsPredOf(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate)) match {
+      case None => st.dataFiles
+      case Some(p) => st.dataFiles.filter(f => p(st.stats.getOrElse(f, Nil)))
+    }
   }
 
-  /** One extracted pruning rule: (lowercased column, the LITERAL's value
-    * domain — [[FileColStat.domain]]'s alphabet — and may-match judged
-    * over that column's [min, max] bounds). A rule only ever fires
-    * against stats in the SAME domain. */
-  private[graft] type StatsRule = (String, String, (Double, Double) => Boolean)
+  /** A compiled MAY-MATCH predicate over one file's published stats:
+    * true = the file may hold a matching row (scan it), false = its
+    * bounds prove it cannot (prune it). */
+  private[graft] type StatsPred = Seq[FileColStat] => Boolean
 
-  /** Extract the pruning rules of a predicate's understood conjuncts —
-    * range/equality/IN comparisons of ONE (possibly numeric-cast) column
-    * against numeric literals. Handles BOTH expression spellings: the
-    * Column DSL builds UnresolvedFunction('<=', args) nodes while
-    * expr("…")-parsed or analyzer-RESOLVED predicates (what a FileIndex
-    * receives as dataFilters) carry typed Catalyst comparisons. Anything
-    * else contributes no rule — the evaluator prunes only what it can
-    * prove, everything opaque keeps its files. */
-  private[graft] def statsRulesOf(root: org.apache.spark.sql.catalyst.expressions.Expression): Seq[StatsRule] = {
+  /** Compile a predicate's FULL boolean tree into a may-match judgment —
+    * AND/OR over range/equality/IN comparisons of ONE (possibly
+    * numeric-cast) column against numeric/date/timestamp literals.
+    * Handles BOTH expression spellings: the Column DSL builds
+    * UnresolvedFunction('<=', args) nodes while expr("…")-parsed or
+    * analyzer-RESOLVED predicates (what a FileIndex receives as
+    * dataFilters) carry typed Catalyst nodes. Soundness is structural:
+    * an opaque subtree is may-match TRUE, so under AND the provable
+    * siblings still prune, under OR the whole disjunction becomes
+    * unprovable (None at the root = prune nothing) — a disjunct the
+    * evaluator cannot bound could match anywhere. NOT is opaque (bounds
+    * prove containment, not absence). */
+  private[graft] def statsPredOf(root: org.apache.spark.sql.catalyst.expressions.Expression): Option[StatsPred] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     def parts(e: ce.Expression): Option[(String, Seq[ce.Expression])] = e match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         Some(f.nameParts.last.toLowerCase -> f.arguments)
       case ce.And(l, r) => Some("and" -> Seq(l, r))
+      case ce.Or(l, r) => Some("or" -> Seq(l, r))
       case ce.GreaterThan(l, r) => Some(">" -> Seq(l, r))
       case ce.GreaterThanOrEqual(l, r) => Some(">=" -> Seq(l, r))
       case ce.LessThan(l, r) => Some("<" -> Seq(l, r))
@@ -647,10 +652,6 @@ object MorDelete {
       case ce.EqualTo(l, r) => Some("=" -> Seq(l, r))
       case ce.In(v, list) => Some("in" -> (v +: list))
       case _ => None
-    }
-    def splitAnd(e: ce.Expression): Seq[ce.Expression] = parts(e) match {
-      case Some(("and", args)) => args.flatMap(splitAnd)
-      case _ => Seq(e)
     }
     // the column side: a bare attribute, optionally under a NUMERIC cast
     // (a widening cast preserves the double-domain bounds; a string cast
@@ -689,16 +690,24 @@ object MorDelete {
         for (dm <- domainOf(c.dataType); d <- valOf(c.eval(null))) yield (dm, d)
       case _ => None
     }
-    // each understood conjunct becomes (column, domain, may-match over
-    // [min, max]); literal-first spellings normalize by flipping the op
-    def rule(op: String, c: String, dv: (String, Double)): StatsRule = {
+    // one bounded comparison leaf: the column's stats entry must exist,
+    // agree on the literal's DOMAIN (a µs literal must never judge day
+    // bounds), and carry non-NaN bounds (Spark orders NaN ABOVE every
+    // number, so range reasoning is unsafe there) — otherwise may-match
+    def leaf(c: String, dm: String, fn: (Double, Double) => Boolean): StatsPred =
+      stats => stats.find(_.col.toLowerCase == c) match {
+        case Some(s) if s.domain == dm && !s.min.isNaN && !s.max.isNaN =>
+          fn(s.min, s.max)
+        case _ => true
+      }
+    def cmpLeaf(op: String, c: String, dv: (String, Double)): StatsPred = {
       val (dm, v) = dv
       op match {
-        case ">" => (c, dm, (_: Double, mx: Double) => mx > v)
-        case ">=" => (c, dm, (_: Double, mx: Double) => mx >= v)
-        case "<" => (c, dm, (mn: Double, _: Double) => mn < v)
-        case "<=" => (c, dm, (mn: Double, _: Double) => mn <= v)
-        case _ => (c, dm, (mn: Double, mx: Double) => mn <= v && v <= mx) // =, ==
+        case ">" => leaf(c, dm, (_, mx) => mx > v)
+        case ">=" => leaf(c, dm, (_, mx) => mx >= v)
+        case "<" => leaf(c, dm, (mn, _) => mn < v)
+        case "<=" => leaf(c, dm, (mn, _) => mn <= v)
+        case _ => leaf(c, dm, (mn, mx) => mn <= v && v <= mx) // =, ==
       }
     }
     def flip(op: String): String = op match {
@@ -706,37 +715,35 @@ object MorDelete {
       case other => other
     }
     val cmps = Set(">", ">=", "<", "<=", "=", "==")
-    splitAnd(root).flatMap(parts).flatMap {
-      case (op, Seq(a, l)) if cmps(op) && attrOf(a).isDefined =>
-        for (c <- attrOf(a); dv <- numOf(l)) yield rule(op, c, dv)
-      case (op, Seq(l, a)) if cmps(op) && attrOf(a).isDefined =>
-        for (c <- attrOf(a); dv <- numOf(l)) yield rule(flip(op), c, dv)
-      case ("in", a +: list) if list.nonEmpty =>
+    def compile(e: ce.Expression): Option[StatsPred] = parts(e) match {
+      case Some(("and", args)) =>
+        // an opaque sibling is may-match true — provable siblings prune
+        val cs = args.map(compile)
+        if (cs.forall(_.isEmpty)) None
+        else Some(st => cs.forall(_.forall(_(st))))
+      case Some(("or", args)) =>
+        // one opaque DISJUNCT poisons the whole OR: it could match rows
+        // in any file, so nothing is provably prunable
+        val cs = args.map(compile)
+        if (cs.exists(_.isEmpty)) None
+        else Some(st => cs.exists(_.exists(_(st))))
+      case Some((op, Seq(a, l))) if cmps(op) && attrOf(a).isDefined =>
+        for (c <- attrOf(a); dv <- numOf(l)) yield cmpLeaf(op, c, dv)
+      case Some((op, Seq(l, a))) if cmps(op) && attrOf(a).isDefined =>
+        // literal-first spellings normalize by flipping the operator
+        for (c <- attrOf(a); dv <- numOf(l)) yield cmpLeaf(flip(op), c, dv)
+      case Some(("in", a +: list)) if list.nonEmpty =>
         val vs = list.map(numOf)
         for {
           c <- attrOf(a)
           if vs.forall(_.isDefined)
           // a mixed-domain IN list cannot prune soundly
           if vs.flatten.map(_._1).distinct.size == 1
-        } yield (c, vs.flatten.head._1, (mn: Double, mx: Double) =>
+        } yield leaf(c, vs.flatten.head._1, (mn, mx) =>
           vs.flatten.exists { case (_, v) => mn <= v && v <= mx })
-      case _ => None // unsupported conjunct: prunes nothing
+      case _ => None // opaque: prunes nothing
     }
-  }
-
-  /** May a file with these published bounds contain a rule-matching row? */
-  private[graft] def fileMayMatch(stats: Seq[FileColStat], rules: Seq[StatsRule]): Boolean = {
-    val byCol = stats.map(s => s.col.toLowerCase -> s).toMap
-    rules.forall { case (c, dm, mayMatch) =>
-      byCol.get(c) match {
-        // domains must agree (a µs literal must not judge day bounds); a
-        // NaN bound means the file holds NaN values, which Spark orders
-        // ABOVE every number — range reasoning is unsafe there
-        case Some(s) if s.domain == dm && !s.min.isNaN && !s.max.isNaN =>
-          mayMatch(s.min, s.max)
-        case _ => true // no stats for this column, or other domain: keep
-      }
-    }
+    compile(root)
   }
 
   /** The resolved view of one published state: its data files with its

@@ -37,13 +37,14 @@ private[sources] final class MorStatsFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // dataFilters arrive as individual conjuncts; statsRulesOf splits any
-    // residual ANDs and ignores (keeps) whatever it cannot reason about
-    val rules = dataFilters.flatMap(MorDelete.statsRulesOf)
+    // dataFilters arrive as individual conjuncts; each compiles to a
+    // may-match tree (AND/OR inside it handled structurally) and an
+    // uncompilable one simply prunes nothing
+    val preds = dataFilters.flatMap(MorDelete.statsPredOf)
     val kept =
-      if (rules.isEmpty) files.map(_._1)
+      if (preds.isEmpty) files.map(_._1)
       else files.collect {
-        case (fs, stats) if MorDelete.fileMayMatch(stats, rules) => fs
+        case (fs, stats) if preds.forall(_(stats)) => fs
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }

@@ -879,6 +879,48 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
 
+  test("the evaluator judges full boolean trees: an OR of bands prunes, opaque disjuncts keep") {
+    val loc = Files.createTempDirectory("graft_morbool").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .repartitionByRange(6, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey").write.mode("overwrite").parquet(loc)
+    val all = keys(loc)
+    val sorted = all.toSeq.sorted
+    val (cLow, cHigh) = (sorted(all.size / 12), sorted(all.size * 11 / 12))
+    MorDelete.delete(spark, loc, col("o_orderkey") % 100 === 7, Seq("o_orderkey"))
+    Maintenance.analyze(spark, loc)
+    val st = MorDelete.liveState(spark, loc)
+
+    def expectEq(pred: org.apache.spark.sql.Column): Unit = {
+      val got = MorDelete.readWhere(spark, loc, pred)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val want = MorDelete.read(spark, loc).filter(pred)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"readWhere must equal read().filter for $pred")
+    }
+    // a disjunction of two edge bands keeps only the edge files — the
+    // multi-year / multi-range shape a flat conjunct evaluator loses
+    val orBand = col("o_orderkey") <= cLow || col("o_orderkey") >= cHigh
+    val keptOr = MorDelete.pruneByStats(spark, st, orBand).size
+    assert(keptOr < 6 && keptOr >= 2, s"an OR of edge bands must prune the middle: $keptOr")
+    expectEq(orBand)
+    // one opaque disjunct poisons the whole OR (it could match anywhere)…
+    val poisoned = col("o_orderkey") <= cLow ||
+      upper(col("o_orderpriority")) === "NO-SUCH"
+    assert(MorDelete.pruneByStats(spark, st, poisoned).size == 6,
+      "an opaque disjunct must keep every file")
+    expectEq(poisoned)
+    // …while an opaque AND-sibling still lets the provable branch prune
+    val anded = orBand && upper(col("o_orderpriority")).isNotNull
+    assert(MorDelete.pruneByStats(spark, st, anded).size == keptOr,
+      "an opaque conjunct must not widen the provable branches' pruning")
+    expectEq(anded)
+    // the resolved planning path prunes the same OR from SQL text
+    assert(statsScanFiles(MorDelete.read(spark, loc).filter(
+      expr(s"o_orderkey <= $cLow OR o_orderkey >= $cHigh"))) < 6L,
+      "the scan itself must prune a disjunctive SQL band")
+  }
+
   test("date and timestamp columns analyze and prune in Catalyst's literal encodings") {
     // lineitem clustered by ship date: the TPC-H q6 shape — a date band
     // over a date-sorted table is THE pruning case analytic tables live on
