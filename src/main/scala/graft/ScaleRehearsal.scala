@@ -1083,6 +1083,10 @@ object ScaleRehearsal {
       val sf001 = sfDir.replace("sf0.1", "sf0.01")
       Tables.t(spark, sf001, "lineitem").write.mode("overwrite").parquet(loc)
       val keyCols = Seq("l_orderkey", "l_linenumber")
+      // the table OPTS INTO stats up front: the loop must then keep
+      // coverage healthy through every append/rewrite via maintain's
+      // incremental analyze step, at a cost flat in commit count
+      sources.Maintenance.analyze(spark, loc, Seq("l_orderkey", "l_shipdate"))
       var commitWall = 0.0
       for (c <- 1 to 120) {
         val t0 = System.nanoTime()
@@ -1101,27 +1105,33 @@ object ScaleRehearsal {
           MorUpsert.upsert(spark, loc, src, keyCols)
         }
         commitWall += (System.nanoTime() - t0) / 1e9
-        if (c % 20 == 0) { MorDelete.compactSidecar(spark, loc); () }
-        if (c % 40 == 0) {
-          MorDelete.compact(spark, loc, minDoomedFraction = 0.3)
-          Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
-        }
+        // the PACKAGED policy (was: the same loop spelled out) — sidecar
+        // merge past 8 batches, density-targeted compact past 20% doomed,
+        // incremental stats re-analyze, vacuum
+        if (c % 20 == 0)
+          Maintenance.maintain(spark, loc, maxBatches = 8, compactAt = 0.2,
+            minDoomedFraction = 0.3, retentionMs = 0, stageGraceMs = 0)
         if (c % 30 == 0 || c == 1) {
           val t1 = System.nanoTime()
           MorDelete.read(spark, loc).groupBy(col("l_returnflag"))
             .agg(count(lit(1)).as("n"))
             .write.format("noop").mode("overwrite").save()
           val rw = (System.nanoTime() - t1) / 1e9
-          val batches = MorDelete.liveState(spark, loc).batches.size
+          val stc = MorDelete.liveState(spark, loc)
           val mfiles = Option(new java.io.File(MorDelete.manifestDir(loc)).listFiles())
             .getOrElse(Array.empty).length
           println(f"[scale] morchurn commit $c%3d: read $rw%5.2f s, " +
-            f"$batches%3d live batches, $mfiles%4d manifest-dir files, " +
+            f"${stc.batches.size}%3d live batches, $mfiles%4d manifest-dir files, " +
+            f"stats ${stc.stats.size}%3d/${stc.dataFiles.size}%3d files, " +
             f"cum commit ${commitWall}%6.1f s")
         }
       }
+      val stEnd = MorDelete.liveState(spark, loc)
+      require(stEnd.dataFiles.forall(f => stEnd.stats.get(f).exists(_.nonEmpty)),
+        "the maintenance loop must end at full stats coverage")
       println(f"[scale] morchurn done: 120 commits, ${commitWall / 120}%5.3f s/commit avg, " +
-        f"rows ${MorDelete.read(spark, loc).count()}")
+        f"rows ${MorDelete.read(spark, loc).count()}, stats ${stEnd.stats.size}/" +
+        f"${stEnd.dataFiles.size} files")
       spark.stop(); return
     }
 
