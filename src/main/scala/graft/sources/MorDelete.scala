@@ -1116,7 +1116,14 @@ object Maintenance {
     def supported(dt: DataType): Boolean =
       dt.isInstanceOf[NumericType] || dt == DateType ||
         dt == TimestampType || dt == TimestampNTZType
-    val eligible = df0.schema.fields.filter(f => supported(f.dataType)).map(_.name).toSeq
+    // the DEFAULT column set excludes NTZ columns off-UTC (analyzing them
+    // there is impossible, see `domain` — a default must not make ANALYZE
+    // refuse over a column nobody asked for); explicitly-requested NTZ
+    // columns still hit the loud require
+    val utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    val eligible = df0.schema.fields
+      .filter(f => supported(f.dataType) && (f.dataType != TimestampNTZType || utc))
+      .map(_.name).toSeq
     val statCols =
       if (cols.nonEmpty) cols
       else publishedCols.map(p => eligible.filter(p.contains)).getOrElse(eligible)

@@ -964,6 +964,27 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.pruneByStats(spark, st, none).isEmpty)
     assert(rows(MorDelete.readWhere(spark, loc, none)) == 0L)
 
+    // off-UTC sessions: the DEFAULT column set silently skips NTZ columns
+    // (their domain cannot be computed there), while an EXPLICIT request
+    // refuses loudly instead of publishing zone-shifted bounds
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val zloc = Files.createTempDirectory("graft_morzone").toString + "/t"
+      Tables.t(spark, "/root/testdata/sf0.001", "orders")
+        .repartition(2).write.mode("overwrite").parquet(zloc)
+      MorDelete.delete(spark, zloc, col("o_orderkey") % 100 === 7, Seq("o_orderkey"))
+      assert(Maintenance.analyze(spark, zloc) > 0L,
+        "a default analyze off-UTC must succeed by skipping NTZ columns")
+      assert(!MorDelete.liveState(spark, zloc).statCols
+        .exists(_.equalsIgnoreCase("o_orderdate")),
+        "the NTZ column must be excluded from the default set off-UTC")
+      val e = intercept[IllegalArgumentException] {
+        Maintenance.analyze(spark, zloc, Seq("o_orderdate"))
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", zone)
+
     // timestamp columns: events.ts clustered by time, analyzed in µs
     val tloc = Files.createTempDirectory("graft_morts").toString + "/t"
     val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
