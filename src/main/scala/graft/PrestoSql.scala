@@ -219,6 +219,18 @@ object PrestoSql {
     // `ANALYZE TABLE … COMPUTE STATISTICS` text still falls through.
     private val analyzeRe =
       "(?is)^\\s*ANALYZE\\s+(?!TABLE\\b)([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+    // time-travel management (Delta's statements, exceeding Presto 323
+    // like the FOR … AS OF reads): DESCRIBE HISTORY lists the retained
+    // versions a reader can pin, RESTORE rolls the live view back to one
+    // as a NEW commit (pinned snapshots are never hijacked)
+    private val describeHistoryRe =
+      "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$".r
+    private val restoreRe =
+      ("(?is)^\\s*RESTORE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+TO\\s+VERSION" +
+        "\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+    private val restoreTsRe =
+      ("(?is)^\\s*RESTORE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+TO\\s+TIMESTAMP" +
+        "\\s+AS\\s+OF\\s+(?:TIMESTAMP\\s+)?'([^']*)'\\s*;?\\s*$").r
     private val vacuumRe =
       "(?is)^\\s*VACUUM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
     private val optimizeRe =
@@ -356,6 +368,30 @@ object PrestoSql {
         Seq(n).toDF("rows")
       case mergeRe(table, aliasOpt, rest) =>
         mergeStatement(table, Option(aliasOpt), rest)
+      case describeHistoryRe(table) =>
+        sources.MorDelete.history(spark, parquetLocation(table, "DESCRIBE HISTORY"))
+      case restoreRe(table, v) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "RESTORE")
+        val nv = sources.MorDelete.restore(spark, loc, v.toLong)
+        resolveMorView(table, loc)
+        spark.catalog.refreshTable(table)
+        Seq(nv).toDF("version")
+      case restoreTsRe(table, ts) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "RESTORE")
+        val ms = sources.MorDelete.manifests(loc)
+        val millis = sessionMillis(ts)
+        val eligible = ms.filter(_.file.lastModified() <= millis)
+        if (eligible.isEmpty)
+          throw new IllegalStateException(
+            s"no retained snapshot at or before '$ts' for $table — the instant " +
+              "predates the table's history, or Maintenance.vacuum expired it")
+        val nv = sources.MorDelete.restore(spark, loc,
+          eligible.maxBy(_.ordinal).seq)
+        resolveMorView(table, loc)
+        spark.catalog.refreshTable(table)
+        Seq(nv).toDF("version")
       case analyzeRe(table) =>
         import spark.implicits._
         val loc = parquetLocation(table, "ANALYZE")
@@ -487,21 +523,26 @@ object PrestoSql {
     private def pinnedViewName(table: String, tag: String): String =
       table.replace('.', '_') + tag
 
+    /** A timestamp text bound at the SESSION zone, exactly how every
+      * other timestamp literal in a statement binds (the repo's mains
+      * set UTC; a host session on another zone must not read a shifted
+      * instant). Shared by the FOR TIMESTAMP AS OF read rewrite and
+      * RESTORE … TO TIMESTAMP AS OF. */
+    private def sessionMillis(ts: String): Long = {
+      val ldt =
+        if (ts.contains(" ") || ts.contains("T"))
+          java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+        else java.time.LocalDate.parse(ts).atStartOfDay()
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
+      ldt.atZone(zone).toInstant.toEpochMilli
+    }
+
     private def rewriteTimestampAsOf(text: String): String = {
       if (!"(?i)FOR\\s+TIMESTAMP\\s+AS\\s+OF".r.findFirstIn(text).isDefined) return text
       replaceTopLevel(text, timestampAsOfRe) { m =>
         val table = m.group(1)
-        val ts = m.group(2)
-        val ldt =
-          if (ts.contains(" ") || ts.contains("T"))
-            java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-          else java.time.LocalDate.parse(ts).atStartOfDay()
-        // the SESSION zone, exactly how every other timestamp literal in
-        // the statement binds (the repo's mains set UTC; a host session
-        // on another zone must not read a shifted instant)
-        val zone = java.time.ZoneId.of(
-          spark.conf.get("spark.sql.session.timeZone"))
-        val millis = ldt.atZone(zone).toInstant.toEpochMilli
+        val millis = sessionMillis(m.group(2))
         val loc = parquetLocation(table, "FOR TIMESTAMP AS OF")
         val view = pinnedViewName(table, s"__t$millis")
         sources.MorDelete.readAtTime(spark, loc, millis).createOrReplaceTempView(view)

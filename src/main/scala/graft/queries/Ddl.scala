@@ -676,6 +676,48 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // RESTORE through the manifest protocol (Delta's statement; exceeds
+    // Presto 323 like the FOR … AS OF reads): two SQL DELETEs land, then
+    // RESTORE TABLE … TO VERSION AS OF rolls the live view back to the
+    // between-the-deletes snapshot AS A NEW COMMIT — the final SELECT
+    // must hash-match DuckDB's first-delete-only derivation, and
+    // `restored` pins the mechanism (a new version above the pre-restore
+    // max, with the second delete's rows back in the view).
+    "ddl_sql_restore" -> Q.df(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal,
+        |  true AS restored
+        |FROM customer WHERE NOT (c_custkey % 10 = 3)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sqlrestore_customer"
+      drop(s, "g_sqlrestore_customer", loc)
+      drop(s, "g_sqlrestore_customer_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_sqlrestore_customer_manifests", MorDelete.manifestDir(loc))
+      s.sql(
+        s"""CREATE TABLE g_sqlrestore_customer USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM customer""".stripMargin)
+      val ps = new graft.PrestoSql.Prepared(s)
+      MorDelete.delete(s, loc, col("c_custkey") % 10 === 3, Seq("c_custkey"))
+      val v1 = MorDelete.currentSeq(s, loc)
+      ps.statement("DELETE FROM g_sqlrestore_customer WHERE c_custkey % 10 = 4")
+      val before = MorDelete.currentSeq(s, loc)
+      val nv = ps.statement(
+        s"RESTORE TABLE g_sqlrestore_customer TO VERSION AS OF $v1")
+        .head().getLong(0)
+      val ok = nv > before &&
+        ps.statement("DESCRIBE HISTORY g_sqlrestore_customer")
+          .head().getLong(0) == nv
+      ps.statement(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal
+          |FROM g_sqlrestore_customer
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin)
+        .withColumn("restored", lit(ok))
+    },
+
     // DATE-domain stats pruning — the TPC-H q6 shape, THE pruning case
     // analytic tables live on: lineitem clustered by ship date, analyzed
     // on that (timestamp_ntz) column, and a one-year (1996) band must hash-match

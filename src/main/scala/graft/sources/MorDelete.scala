@@ -583,6 +583,62 @@ object MorDelete {
     resolvedOf(spark, path, readManifest(path, m), m.seq)
   }
 
+  /** The table's COMMIT HISTORY as a DataFrame — one row per retained
+    * manifest, newest first: `version` (the snapshot sequence
+    * [[readAt]] pins), `ordinal` (the global commit counter), the
+    * commit instant (a manifest's mtime IS its commit time — the atomic
+    * rename stamps it), and the published state's cardinalities. This
+    * is how a reader DISCOVERS what `FOR VERSION AS OF` can pin —
+    * Delta's DESCRIBE HISTORY analog, derived entirely from the
+    * manifest names plus one body read each (bounded by the retained
+    * manifest count; vacuum keeps that bounded).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val rows = manifests(path).sortBy(-_.ordinal).map { m =>
+      val st = readManifest(path, m)
+      (m.seq, m.ordinal, new java.sql.Timestamp(m.file.lastModified()),
+        st.dataFiles.size.toLong, st.batches.size.toLong,
+        st.stats.size.toLong)
+    }
+    rows.toDF("version", "ordinal", "committed_at",
+      "data_files", "tombstone_batches", "stats_files")
+  }
+
+  /** Roll the LIVE view back to the snapshot at sequence `seq` — the
+    * newest retained manifest with sequence ≤ `seq`, exactly what
+    * [[readAt]] resolves — by re-publishing that state as a NEW commit.
+    * The new manifest takes sequence maxSeq + 1: a restore CHANGES the
+    * view, so unlike compaction (view-identical, re-publishes the
+    * current sequence) it must never be resolvable under an
+    * already-pinned snapshot handle — readers pinned before the restore
+    * keep exactly what they pinned, and the restore itself becomes one
+    * more version later commits supersede and [[readAt]] can pin.
+    * Restored data files keep their original sequence-bearing NAMES, so
+    * later tombstones doom them under the strictly-smaller rule
+    * unchanged. Fails loudly when the target snapshot was expired by
+    * vacuum, or when any of its files/batches no longer exist on disk
+    * (same expiry contract as [[readAt]]). Returns the new version.
+    */
+  def restore(spark: SparkSession, path: String, seq: Long): Long = withWriterLock(path) {
+    val ms = manifests(path)
+    require(ms.nonEmpty, s"table at $path has no commit history to restore")
+    val eligible = ms.filter(_.seq <= seq)
+    if (eligible.isEmpty)
+      throw new IllegalStateException(
+        s"no retained snapshot at sequence $seq for $path — the manifest was " +
+          "expired by Maintenance.vacuum or the sequence predates the table")
+    val st = readManifest(path, eligible.maxBy(_.ordinal))
+    val missing = st.dataFiles.filterNot(f => new java.io.File(f).exists()) ++
+      st.batches.collect { case (_, d) if !d.isDirectory => d.getAbsolutePath }
+    require(missing.isEmpty,
+      s"cannot restore $path to sequence $seq: ${missing.size} of the " +
+        s"snapshot's files were reclaimed (vacuum retention) — first: ${missing.head}")
+    val newSeq = maxSeq(spark, path) + 1
+    publishManifest(path, newSeq, st)
+    newSeq
+  }
+
   /** The resolved view with DRIVER-SIDE FILE PRUNING from published
     * manifest stats — the Iceberg manifest-evaluator analog. The
     * conjuncts of `predicate` that are range comparisons on analyzed

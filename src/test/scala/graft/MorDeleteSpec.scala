@@ -879,6 +879,47 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
 
+  test("restore rolls the live view back as a NEW commit; pinned snapshots are never hijacked") {
+    val loc = freshTable()
+    val all = keys(loc)
+    def readAtKeys(seq: Long): Set[Long] =
+      MorDelete.readAt(spark, loc, seq).select("o_orderkey")
+        .collect().map(_.getLong(0)).toSet
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+    val v1 = MorDelete.currentSeq(spark, loc)
+    val view1 = all.filterNot(_ % 10 == 3)
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 4, Seq("o_orderkey"))
+    val v2 = MorDelete.currentSeq(spark, loc)
+    val view2 = view1.filterNot(_ % 10 == 4)
+
+    val v3 = MorDelete.restore(spark, loc, v1)
+    assert(v3 > v2, "a restore is a NEW version, never a re-publication of an old sequence")
+    assert(keys(loc) == view1, "the live view is the restored snapshot")
+    assert(readAtKeys(v2) == view2,
+      "a snapshot pinned before the restore keeps exactly what it pinned")
+    assert(readAtKeys(v1) == view1)
+
+    // history lists every retained version, newest first, with the
+    // published state's cardinalities
+    val h = MorDelete.history(spark, loc).collect()
+    assert(h.map(_.getLong(1)).toSeq == h.map(_.getLong(1)).toSeq.sorted.reverse,
+      "history is ordinal-descending")
+    val versions = h.map(_.getLong(0)).toSet
+    assert(Seq(v1, v2, v3).forall(versions.contains))
+    assert(h.head.getLong(0) == v3 && h.head.getLong(4) > 0,
+      "the newest row is the restore commit, carrying the restored batches")
+
+    // later DML supersedes the restored view like any other commit
+    MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 5, Seq("o_orderkey"))
+    assert(keys(loc) == view1.filterNot(_ % 10 == 5))
+    // a vacuum-expired target refuses loudly
+    Maintenance.vacuum(loc, retentionMs = 0, stageGraceMs = 0)
+    val e = intercept[IllegalStateException](MorDelete.restore(spark, loc, v1))
+    assert(e.getMessage.contains("no retained snapshot"))
+    assert(keys(loc) == view1.filterNot(_ % 10 == 5),
+      "a refused restore changes nothing")
+  }
+
   test("the evaluator judges full boolean trees: an OR of bands prunes, opaque disjuncts keep") {
     val loc = Files.createTempDirectory("graft_morbool").toString + "/t"
     Tables.t(spark, "/root/testdata/sf0.001", "orders")

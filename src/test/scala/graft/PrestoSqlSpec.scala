@@ -650,6 +650,52 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_maint")
   }
 
+  test("DESCRIBE HISTORY lists the versions; RESTORE TABLE rolls back by version and instant") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlrestore").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_restore")
+    spark.sql(s"CREATE TABLE g_spec_restore USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    sources.MorDelete.delete(spark, loc, col("n_nationkey") === 0L, Seq("n_nationkey"))
+    val v1 = sources.MorDelete.currentSeq(spark, loc)
+    val afterFirst = sources.MorDelete.read(spark, loc).count()
+    Thread.sleep(30)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    ps.statement("DELETE FROM g_spec_restore WHERE n_regionkey = 2")
+
+    val h = ps.statement("DESCRIBE HISTORY g_spec_restore")
+    assert(h.columns.toSeq == Seq("version", "ordinal", "committed_at",
+      "data_files", "tombstone_batches", "stats_files"))
+    assert(h.count() >= 3, "genesis + two DML commits must be listed")
+    assert(h.select("version").collect().map(_.getLong(0)).contains(v1))
+
+    // roll back by VERSION: the live view (and plain SELECT statements,
+    // via the refreshed resolved view) return to the pinned state
+    val nv = ps.statement(s"RESTORE TABLE g_spec_restore TO VERSION AS OF $v1")
+      .head().getLong(0)
+    assert(nv > v1)
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_restore")
+      .head().getLong(0) == afterFirst)
+
+    // damage again, then roll back by INSTANT (session-zone bound)
+    ps.statement("DELETE FROM g_spec_restore WHERE n_regionkey = 1")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+    val tsLit = java.time.Instant.ofEpochMilli(tMid)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
+    ps.statement(s"RESTORE TABLE g_spec_restore TO TIMESTAMP AS OF '$tsLit'")
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_restore")
+      .head().getLong(0) == afterFirst,
+      "the instant between the commits restores the first-delete state")
+    // an instant predating the history refuses loudly
+    val e = intercept[IllegalStateException](ps.statement(
+      "RESTORE TABLE g_spec_restore TO TIMESTAMP AS OF '2000-01-01'"))
+    assert(e.getMessage.contains("predates") || e.getMessage.contains("no retained"))
+    spark.catalog.dropTempView("g_spec_restore")
+    spark.sql("DROP TABLE IF EXISTS g_spec_restore")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
