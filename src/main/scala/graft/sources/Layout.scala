@@ -277,7 +277,11 @@ object Layout {
     require(st.dataFiles.nonEmpty, s"nothing to rewrite: no live data files at $path")
     val base = java.nio.file.Paths.get(path).toAbsolutePath
     val resolved = MorDelete.read(spark, path)
-    require(CowCore.partitionColsOf(spark, resolved, st.dataFiles.head).isEmpty,
+    // an evolved table is flat by construction (Evolution refuses
+    // partition layouts), and its renamed columns would false-positive the
+    // schema-vs-file partition probe below
+    require(st.schemaLog.nonEmpty ||
+      CowCore.partitionColsOf(spark, resolved, st.dataFiles.head).isEmpty,
       s"z-order rewrite replaces directory partitioning with curve clustering " +
         s"and does not preserve partition directories; table at $path is " +
         "partitioned — z-order the partition column itself on a flat copy instead")
@@ -295,10 +299,49 @@ object Layout {
       CowCore.stage(spark, base, Nil, clusterByZ(zed, target)),
       base, prefix = s"part-mor$seq-")
     // per-file stats drop (the layout they described is gone), but the
-    // analyzed COLUMN SET carries so the maintenance loop keeps healing
+    // analyzed COLUMN SET carries so the maintenance loop keeps healing.
+    // The rewrite materialized the RESOLVED view — every new file carries
+    // the logical schema physically — so the evolution log clears (the
+    // schema itself stays): this is the migration path for evolved tables.
     MorDelete.publishManifest(path, seq,
-      MorDelete.State(newFiles, Nil, Map.empty, st.statCols))
+      st.copy(dataFiles = newFiles, batches = Nil, stats = Map.empty,
+        schemaLog = Nil))
     skewed
+  }
+
+  /** Physically rewrite a LIVE table's files WITHOUT re-clustering — the
+    * plain `OPTIMIZE` bin-pack plus the schema-evolution migration path:
+    * the resolved view (tombstones folded, columns at the LOGICAL schema)
+    * re-materializes as ~`targetFileBytes` files, committed with one
+    * atomic manifest rename that clears the evolution log (every new file
+    * now carries the logical schema physically, so uniform-schema readers
+    * — the stats FileIndex, [[MorDelete.compact]], [[Maintenance
+    * .analyze]] — re-engage). Same retention/crash shape as
+    * [[zorderRewrite]]. Returns the new live file count.
+    */
+  def rewriteFiles(spark: SparkSession, path: String, nFiles: Int = 0,
+      targetFileBytes: Long = 128L << 20): Long = MorDelete.withWriterLock(path) {
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    require(st.dataFiles.nonEmpty, s"nothing to rewrite: no live data files at $path")
+    val base = java.nio.file.Paths.get(path).toAbsolutePath
+    val resolved = MorDelete.read(spark, path)
+    require(st.schemaLog.nonEmpty ||
+      CowCore.partitionColsOf(spark, resolved, st.dataFiles.head).isEmpty,
+      s"rewriteFiles flattens the layout and does not preserve partition " +
+        s"directories; table at $path is partitioned")
+    val target =
+      if (nFiles > 0) nFiles
+      else math.max(1, math.ceil(st.dataFiles
+        .map(f => new java.io.File(f).length()).sum.toDouble / targetFileBytes).toInt)
+    val seq = MorDelete.maxSeq(spark, path)
+    val newFiles = CowCore.moveIn(
+      CowCore.stage(spark, base, Nil, resolved.repartition(target)),
+      base, prefix = s"part-mor$seq-")
+    MorDelete.publishManifest(path, seq,
+      st.copy(dataFiles = newFiles, batches = Nil, stats = Map.empty,
+        schemaLog = Nil))
+    newFiles.size.toLong
   }
 
   /** Pruning effectiveness probe: how many files of the table at `path`

@@ -198,6 +198,15 @@ object MorDelete {
   private[graft] final case class FileColStat(col: String, min: Double, max: Double,
       domain: String = "n")
 
+  /** One schema-evolution operation recorded in the manifest log (see
+    * [[Evolution]]): `kind` ∈ add/drop/rename, committed at DML sequence
+    * `seq` — the strictly-smaller file-sequence rule decides which files
+    * PREDATE the op (an old file lacks an added column, carries a renamed
+    * column under its pre-rename name). For add, `a` = column name and
+    * `b` = its Spark type DDL; for drop, `a` = name; for rename,
+    * `a` = from and `b` = to. */
+  private[graft] final case class SchemaOp(seq: Long, kind: String, a: String, b: String)
+
   /** The live file/batch set one manifest publishes. Data files are held
     * ABSOLUTE here; the on-disk encoding is table-relative. `stats` maps
     * an absolute data-file path to its published column stats (empty for
@@ -207,11 +216,31 @@ object MorDelete {
     * when a full rewrite leaves zero per-file stats — it is what lets
     * [[Maintenance.maintain]] keep healing coverage (and [[Maintenance
     * .analyze]] keep its column set) after the stats themselves dropped;
-    * empty means the table never opted into stats. */
+    * empty means the table never opted into stats.
+    *
+    * `txns` are idempotent-commit markers (Delta's txn action): the
+    * newest applied version per application id, checked by
+    * [[MorUpsert.merge]]'s `txn` parameter so a replayed streaming
+    * micro-batch commits nothing twice. Carried forward by EVERY commit
+    * — including [[MorDelete.restore]], which rolls back data, never
+    * idempotence history.
+    *
+    * `schema` is the table's current LOGICAL schema as (name, Spark type
+    * DDL) pairs — empty until the first [[Evolution]] op (then the
+    * physical schema of the files is the logical one). `schemaLog` is
+    * the ordered evolution history; non-empty means live files may
+    * physically differ from the logical schema and reads go through
+    * [[Evolution.evolvedRead]]'s epoch grouping. A full physical rewrite
+    * ([[graft.sources.Layout.zorderRewrite]] / `rewriteFiles`) clears
+    * the log (files are re-materialized at the logical schema) while
+    * keeping `schema`. */
   private[graft] final case class State(dataFiles: Seq[String],
       batches: Seq[(Long, java.io.File)],
       stats: Map[String, Seq[FileColStat]] = Map.empty,
-      statCols: Seq[String] = Nil)
+      statCols: Seq[String] = Nil,
+      txns: Map[String, Long] = Map.empty,
+      schema: Seq[(String, String)] = Nil,
+      schemaLog: Seq[SchemaOp] = Nil)
 
   private val manifestName = "m-(\\d+)-(\\d+)".r
 
@@ -302,7 +331,31 @@ object MorDelete {
     // manifests and never-analyzed tables)
     val statCols = lines.collectFirst { case l if l.startsWith("C ") =>
       l.drop(2).split(',').toSeq.filter(_.nonEmpty) }.getOrElse(Nil)
-    (State(data, bs.sortBy(_._1), stats, statCols), shardNames)
+    // `T <app>:<version>` — idempotent-commit markers (split on the FIRST
+    // ':' only: app ids are ':'-free by construction, versions are digits)
+    val txns = lines.collect { case l if l.startsWith("T ") =>
+      val t = l.drop(2)
+      val i = t.indexOf(':')
+      require(i > 0, s"malformed txn entry in ${m.file}: $t")
+      t.substring(0, i) -> t.substring(i + 1).toLong
+    }.toMap
+    // `H <name>:<typeDDL>` — the logical schema (first-':' split: names
+    // are ':'-free by construction, type DDL may contain ':' in structs)
+    val schema = lines.collect { case l if l.startsWith("H ") =>
+      val t = l.drop(2)
+      val i = t.indexOf(':')
+      require(i > 0, s"malformed schema entry in ${m.file}: $t")
+      t.substring(0, i) -> t.substring(i + 1)
+    }
+    // `E <seq>:<kind>:<a>:<b>` — the evolution log (limit-4 split: only
+    // the trailing field — add's type DDL — may contain ':')
+    val schemaLog = lines.collect { case l if l.startsWith("E ") =>
+      val p = l.drop(2).split(":", 4)
+      require(p.length == 4, s"malformed evolution entry in ${m.file}: ${l.drop(2)}")
+      SchemaOp(p(0).toLong, p(1), p(2), p(3))
+    }
+    (State(data, bs.sortBy(_._1), stats, statCols, txns, schema, schemaLog),
+      shardNames)
   }
 
   /** Publish a new manifest: staged write, then ONE atomic rename — the
@@ -355,7 +408,26 @@ object MorDelete {
     val colLine =
       if (st.statCols.isEmpty) Nil
       else Seq("C " + st.statCols.mkString(","))
-    staged((dataLines ++ st.batches.map { case (_, f) => "B " + f.getName } ++ colLine)
+    val txnLines = st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+      require(!app.exists(c => c == ':' || c == '\t' || c == '\n' || c == '\r'),
+        s"txn application id must not contain ':' or whitespace delimiters: $app")
+      s"T $app:$v"
+    }
+    val schemaLines = st.schema.map { case (n, t) =>
+      require(!n.exists(c => c == ':' || c == '\t' || c == '\n' || c == '\r'),
+        s"column name must not contain ':' or line delimiters: $n")
+      require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"type DDL must not contain line delimiters: $t")
+      s"H $n:$t"
+    }
+    val logLines = st.schemaLog.map { op =>
+      require(Seq(op.a, op.b).forall(s => !s.exists(c => c == '\n' || c == '\r')) &&
+        !op.a.contains(':') && (op.kind == "add" || !op.b.contains(':')),
+        s"malformed evolution op: $op")
+      s"E ${op.seq}:${op.kind}:${op.a}:${op.b}"
+    }
+    staged((dataLines ++ st.batches.map { case (_, f) => "B " + f.getName } ++
+      colLine ++ txnLines ++ schemaLines ++ logLines)
       .mkString("\n"), s"m-$ordinal-$seq")
   }
 
@@ -514,7 +586,7 @@ object MorDelete {
         .getOrElse(-1L)
     if (n == 0L) return MorStats(0L, liveSidecarFiles(st), matched)
     val newBatch = seq -> new java.io.File(sidecarDir(path), batchName.get)
-    val st2 = State(st.dataFiles, st.batches :+ newBatch, st.stats, st.statCols)
+    val st2 = st.copy(batches = st.batches :+ newBatch)
     writeManifest(path, nextOrdinal(path), seq, st2)
     MorStats(n, liveSidecarFiles(st2), matched)
   }
@@ -605,6 +677,144 @@ object MorDelete {
       "data_files", "tombstone_batches", "stats_files")
   }
 
+  /** CHANGE DATA FEED between two retained snapshots — one row per
+    * row-level change committed in `(fromSeq, toSeq]`, the incremental
+    * consumption surface (Delta CDF / Iceberg incremental reads) that
+    * lets a downstream pipeline process a 100 TB table's DELTA instead of
+    * rescanning it: the table's columns plus `_change_type`
+    * ('insert' | 'delete'), `_commit_version` (the DML sequence
+    * [[readAt]] pins) and `_commit_timestamp`. An update surfaces as its
+    * two halves at one version — the old image as a delete, the
+    * replacement as an insert — the pairing a consumer can reconstruct by
+    * (key, version).
+    *
+    * Derivation is ONE scan of the `to` snapshot plus its (small,
+    * broadcast) tombstone reduction — no per-commit passes: a row's
+    * INSERT version is its file's sequence (file names carry their
+    * commit's sequence), its DELETE version is the smallest tombstone
+    * sequence above it for its key (the same strictly-smaller rule the
+    * resolved read applies), and an event is in range iff its version
+    * exceeds the `from` anchor's. That derivation is exact only while
+    * every commit in range is a pure DML (files and batches only grow):
+    * a compaction, sidecar merge, rewrite, or restore inside the range
+    * re-keys files or collapses tombstone history, so the walk REFUSES
+    * loudly and points at [[snapshotDiff]]. Both bounds resolve like
+    * [[readAt]] (newest manifest ≤ seq; vacuum expiry fails loudly).
+    */
+  def readChanges(spark: SparkSession, path: String, fromSeq: Long,
+      toSeq: Long = Long.MaxValue): DataFrame = {
+    val ms = manifests(path)
+    require(ms.nonEmpty,
+      s"table at $path has no commit history (never manifest-managed) — " +
+        "changes resolve manifests; run any MoR mutation first")
+    def anchor(seq: Long, what: String): ManifestRef = {
+      val eligible = ms.filter(_.seq <= seq)
+      if (eligible.isEmpty)
+        throw new IllegalStateException(
+          s"no retained snapshot at sequence $seq for $path (the $what bound) — " +
+            "expired by Maintenance.vacuum or predates the table")
+      eligible.maxBy(_.ordinal)
+    }
+    val fromM = anchor(fromSeq, "from")
+    val toM = anchor(toSeq, "to")
+    val range = ms.filter(m => m.ordinal > fromM.ordinal && m.ordinal <= toM.ordinal)
+    val atTo = readManifest(path, toM)
+
+    // clean-range walk: per-commit attribution needs every range commit to
+    // be a pure DML — monotone file/batch growth at increasing sequence
+    // (an analyze republishes the same sets at the same sequence: fine)
+    var prev = readManifest(path, fromM)
+    var prevSeq = fromM.seq
+    val commitTimes = scala.collection.mutable.Map.empty[Long, java.sql.Timestamp]
+    range.foreach { m =>
+      val cur = readManifest(path, m)
+      val (pD, pB) = (prev.dataFiles.toSet, prev.batches.map(_._2.getName).toSet)
+      val (cD, cB) = (cur.dataFiles.toSet, cur.batches.map(_._2.getName).toSet)
+      if (m.seq > prevSeq) {
+        require(pD.subsetOf(cD) && pB.subsetOf(cB),
+          s"commit ${m.file.getName} removed files or batches (a RESTORE): " +
+            "per-commit change attribution is undefined across it — use " +
+            "snapshotDiff for this range")
+        if (!commitTimes.contains(m.seq))
+          commitTimes(m.seq) = new java.sql.Timestamp(m.file.lastModified())
+      } else {
+        require(pD == cD && pB == cB,
+          s"commit ${m.file.getName} physically reorganized files or batches " +
+            "(compaction / sidecar merge / rewrite): per-commit change " +
+            "attribution is undefined across it — use snapshotDiff for this range")
+      }
+      prev = cur
+      prevSeq = m.seq
+    }
+
+    val raw =
+      if (atTo.schemaLog.nonEmpty) Evolution.evolvedRead(spark, path, atTo)
+      else if (atTo.dataFiles.nonEmpty)
+        spark.read.option("basePath", path).parquet(atTo.dataFiles: _*)
+          .withColumn("__mor_fseq", fileSeq)
+      else resolvedOf(spark, path, atTo, Long.MaxValue)
+        .withColumn("__mor_fseq", lit(0L))
+    val dataCols = raw.columns.toSeq.filterNot(_ == "__mor_fseq")
+    val lo = fromM.seq
+
+    // per-key SORTED tombstone-sequence sets, broadcast onto the one scan;
+    // kill version = the smallest sequence above the row's file sequence
+    val withKill =
+      if (atTo.batches.isEmpty) raw.withColumn("__kill", lit(null).cast("long"))
+      else {
+        val side = sidecarOf(spark, atTo.batches)
+        val keyCols = side.columns.toSeq.filterNot(_ == SeqCol)
+        val seqs = side.groupBy(keyCols.map(col): _*)
+          .agg(sort_array(collect_set(col(SeqCol))).as("__kill_seqs"))
+          .select(keyCols.map(k => col(k).as(s"__tomb_$k")) :+ col("__kill_seqs"): _*)
+        raw.join(broadcast(seqs),
+            keyCols.map(k => raw(k) === col(s"__tomb_$k")).reduce(_ && _), "left")
+          .withColumn("__kill",
+            array_min(filter(col("__kill_seqs"), s => s > col("__mor_fseq"))))
+          .drop("__kill_seqs")
+          .drop(keyCols.map(k => s"__tomb_$k"): _*)
+      }
+    val events = withKill
+      .withColumn("__events", filter(array(
+        when(col("__mor_fseq") > lo,
+          struct(lit("insert").as("t"), col("__mor_fseq").as("v"))),
+        when(col("__kill").isNotNull && col("__kill") > lo,
+          struct(lit("delete").as("t"), col("__kill").as("v")))),
+        e => e.isNotNull))
+      .filter(size(col("__events")) > 0)
+      .select(dataCols.map(col) :+ explode(col("__events")).as("__e"): _*)
+      .select(dataCols.map(col) :+ col("__e.t").as("_change_type") :+
+        col("__e.v").as("_commit_version"): _*)
+    import spark.implicits._
+    val times = commitTimes.toSeq.sortBy(_._1)
+      .toDF("_commit_version", "_commit_timestamp")
+    val out = events.join(broadcast(times), Seq("_commit_version"), "left")
+      .select(dataCols.map(col) :+ col("_change_type") :+
+        col("_commit_version") :+ col("_commit_timestamp"): _*)
+    // an empty range is provably changeless — skip the scan entirely
+    if (range.isEmpty) out.where(lit(false)) else out
+  }
+
+  /** The NET row-level difference between two retained snapshots —
+    * multiset `after − before` as inserts and `before − after` as deletes
+    * (`_change_type` only; no per-commit attribution) — valid across ANY
+    * pair of retained snapshots, including ranges a compaction, sidecar
+    * merge, rewrite, or restore makes [[readChanges]] refuse: it compares
+    * the resolved VIEWS, which physical reorganization never changes.
+    * Costs two snapshot resolves plus an exceptAll shuffle each — the
+    * fallback, not the fast path. */
+  def snapshotDiff(spark: SparkSession, path: String, fromSeq: Long,
+      toSeq: Long = Long.MaxValue): DataFrame = {
+    val before = readAt(spark, path, fromSeq)
+    val after = readAt(spark, path, toSeq)
+    require(before.columns.toSeq == after.columns.toSeq,
+      "snapshotDiff needs one schema at both snapshots and the range crosses a " +
+        s"schema evolution (${before.columns.length} vs ${after.columns.length} " +
+        "columns or renamed) — diff per schema-stable subrange instead")
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Roll the LIVE view back to the snapshot at sequence `seq` — the
     * newest retained manifest with sequence ≤ `seq`, exactly what
     * [[readAt]] resolves — by re-publishing that state as a NEW commit.
@@ -635,7 +845,14 @@ object MorDelete {
       s"cannot restore $path to sequence $seq: ${missing.size} of the " +
         s"snapshot's files were reclaimed (vacuum retention) — first: ${missing.head}")
     val newSeq = maxSeq(spark, path) + 1
-    publishManifest(path, newSeq, st)
+    // a restore rolls back DATA (and with it the schema its files carry),
+    // never idempotence history: the CURRENT txn markers carry forward, so
+    // a streaming micro-batch applied before the restore stays applied —
+    // replaying it after the rollback would double-commit on the restored
+    // state's next DML
+    val currentTxns = manifests(path).lastOption
+      .map(readManifest(path, _).txns).getOrElse(Map.empty)
+    publishManifest(path, newSeq, st.copy(txns = currentTxns))
     newSeq
   }
 
@@ -661,7 +878,7 @@ object MorDelete {
     if (ms.isEmpty) return read(spark, path).filter(predicate)
     val st = readManifest(path, ms.maxBy(_.ordinal))
     val kept = pruneByStats(spark, st, predicate)
-    resolvedOf(spark, path, State(kept, st.batches, st.stats), Long.MaxValue)
+    resolvedOf(spark, path, st.copy(dataFiles = kept), Long.MaxValue)
       .filter(predicate)
   }
 
@@ -809,9 +1026,18 @@ object MorDelete {
   private def resolvedOf(spark: SparkSession, path: String, st: State,
       seq: Long): DataFrame = {
     val raw =
-      if (st.dataFiles.nonEmpty)
+      if (st.schemaLog.nonEmpty)
+        // evolved table: epoch-grouped read at the logical schema (the
+        // union computes __mor_fseq per epoch; applyTombstones reuses it)
+        Evolution.evolvedRead(spark, path, st)
+      else if (st.dataFiles.nonEmpty)
         statsIndexedRead(spark, path, st).getOrElse(
           spark.read.option("basePath", path).parquet(st.dataFiles: _*))
+      else if (st.schema.nonEmpty)
+        // fully-emptied but schema-declared table: the manifest itself
+        // carries the schema for the empty view
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          Evolution.logicalSchema(st))
       else {
         // every live row deleted and compacted away: derive the schema
         // from any retained file (vacuum keeps the table dir until the
@@ -841,7 +1067,11 @@ object MorDelete {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val base = tableAbs(path)
-    val flat = st.stats.nonEmpty &&
+    // schemaLog non-empty = live files may physically disagree with the
+    // logical schema; the single-relation FileIndex read cannot express
+    // that — the evolved path handles it (and a physical migration
+    // re-engages this one)
+    val flat = st.stats.nonEmpty && st.schemaLog.isEmpty &&
       st.dataFiles.forall(f => Paths.get(f).getParent == base)
     spark match {
       case cs: org.apache.spark.sql.classic.SparkSession if flat =>
@@ -864,19 +1094,30 @@ object MorDelete {
 
   private def applyTombstones(spark: SparkSession, pinned: DataFrame,
       bs: Seq[(Long, java.io.File)]): DataFrame =
-    if (bs.isEmpty) pinned
+    if (bs.isEmpty) pinned.drop("__mor_fseq")
     else {
       val side = sidecarOf(spark, bs)
       val keyCols = side.columns.toSeq.filterNot(_ == SeqCol)
-      val tomb = side.groupBy(keyCols.map(col): _*)
-        .agg(max(col(SeqCol)).as(SeqCol))
-      val tagged = pinned.withColumn("__mor_fseq", fileSeq)
-      tagged.join(tomb,
-          keyCols.map(k => tagged(k) === tomb(k)).reduce(_ && _) &&
-            col("__mor_fseq") < tomb(SeqCol),
+      // an evolved read pre-computes __mor_fseq per epoch (the _metadata
+      // pseudo-column resolves only on a direct file scan, not above the
+      // epoch union) — reuse it; plain reads compute it here
+      val tagged =
+        if (pinned.columns.contains("__mor_fseq")) pinned
+        else pinned.withColumn("__mor_fseq", fileSeq)
+      tagged.join(tomb(side, keyCols),
+          keyCols.map(k => tagged(k) === col(s"__tomb_$k")).reduce(_ && _) &&
+            col("__mor_fseq") < col(SeqCol),
           "left_anti")
         .drop("__mor_fseq")
     }
+
+  /** The per-key max-sequence tombstone reduction, key columns renamed to
+    * a __tomb_ prefix so the join condition never captures a same-named
+    * column of the left side by accident. */
+  private def tomb(side: DataFrame, keyCols: Seq[String]): DataFrame =
+    side.groupBy(keyCols.map(col): _*)
+      .agg(max(col(SeqCol)).as(SeqCol))
+      .select(keyCols.map(k => col(k).as(s"__tomb_$k")) :+ col(SeqCol): _*)
 
   /** Fold the tombstones into the table files (CoW rewrite of only the
     * files containing tombstoned keys at an older sequence), committed
@@ -933,8 +1174,7 @@ object MorDelete {
       val name = s"batch-$top-${UUID.randomUUID().toString.take(8)}"
       Files.move(stage, sideDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       publishManifest(path, maxSeq(spark, path),
-        State(st.dataFiles, Seq(top -> new java.io.File(sideDir.toFile, name)),
-          st.stats, st.statCols))
+        st.copy(batches = Seq(top -> new java.io.File(sideDir.toFile, name))))
       1L
     } finally { reduced.unpersist(); () }
   }
@@ -943,6 +1183,11 @@ object MorDelete {
       minDoomedFraction: Double = 0.0): CowDelete.DeleteStats = withWriterLock(path) {
     ensureManaged(spark, path)
     val st = liveState(spark, path)
+    require(st.schemaLog.isEmpty,
+      s"compact() rewrites files in place and the table at $path has pending " +
+        "schema evolution (live files physically disagree with the logical " +
+        "schema) — run Layout.rewriteFiles / OPTIMIZE to migrate the layout " +
+        "(it folds the tombstones too), then compact() is legal again")
     if (st.batches.isEmpty)
       return CowDelete.DeleteStats(Nil, st.dataFiles.size.toLong, 0L)
     val keyCols = sidecarOf(spark, st.batches).columns.toSeq.filterNot(_ == SeqCol)
@@ -999,8 +1244,8 @@ object MorDelete {
       // stats survive for untouched files; rewritten replacements are
       // stats-less (never pruned) until the next Maintenance.analyze
       writeManifest(path, nextOrdinal(path), seqNow,
-        State(newData, newBatches,
-          st.stats.filter { case (f, _) => !touchedSet(f) }, st.statCols))
+        st.copy(dataFiles = newData, batches = newBatches,
+          stats = st.stats.filter { case (f, _) => !touchedSet(f) }))
       CowDelete.DeleteStats(s.touched, s.total, s.rewritten)
     } finally { tomb.unpersist(); () }
   }
@@ -1085,7 +1330,7 @@ object Maintenance {
       else false
     val st2 = MorDelete.liveState(spark, path)
     val compacted =
-      if (st2.batches.nonEmpty && st2.dataFiles.nonEmpty) {
+      if (st2.batches.nonEmpty && st2.dataFiles.nonEmpty && st2.schemaLog.isEmpty) {
         // both counts are metadata-only: the sidecar is small, and a
         // parquet count() reads footers, never data pages
         val doomedKeys = spark.read
@@ -1101,8 +1346,10 @@ object Maintenance {
     // the opt-in signal is the manifest's recorded column set (it
     // survives a full rewrite that dropped every per-file stat);
     // pre-statCols manifests signal through the stats themselves
+    // pending schema evolution suspends the compact + heal steps (both
+    // need a uniform physical schema); a physical migration resumes them
     val refreshed =
-      if ((st3.statCols.nonEmpty || st3.stats.nonEmpty) &&
+      if (st3.schemaLog.isEmpty && (st3.statCols.nonEmpty || st3.stats.nonEmpty) &&
           st3.dataFiles.exists(f => !st3.stats.get(f).exists(_.nonEmpty)))
         analyze(spark, path) > 0
       else false
@@ -1133,6 +1380,10 @@ object Maintenance {
     MorDelete.ensureManaged(spark, path)
     val st = MorDelete.liveState(spark, path)
     require(st.dataFiles.nonEmpty, s"nothing to analyze: no live data files at $path")
+    require(st.schemaLog.isEmpty,
+      s"analyze reads live files under one physical schema and the table at $path " +
+        "has pending schema evolution — run Layout.rewriteFiles / OPTIMIZE to " +
+        "migrate the layout first")
     // data files are IMMUTABLE in this design (every mutation writes new
     // files), so a published stat is permanently exact — the pass is
     // INCREMENTAL by construction: only stats-less files compute, a
@@ -1224,7 +1475,7 @@ object Maintenance {
     val merged =
       (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ fresh
     MorDelete.publishManifest(path, MorDelete.maxSeq(spark, path),
-      MorDelete.State(st.dataFiles, st.batches, merged, statCols))
+      st.copy(stats = merged, statCols = statCols))
     fresh.size.toLong
   }
 
@@ -1367,9 +1618,12 @@ object MorUpsert {
   /** @param keysDeleted  matched keys tombstoned by the delete clause
     * @param keysUpdated  matched keys tombstoned + replaced by the update clause
     * @param rowsInserted unmatched source rows appended
+    * @param replaySkipped true when the `txn` marker proved this version
+    *                      already applied — nothing ran, nothing committed
     */
   final case class MergeStats(
-      keysDeleted: Long, keysUpdated: Long, rowsInserted: Long, filesAppended: Long)
+      keysDeleted: Long, keysUpdated: Long, rowsInserted: Long, filesAppended: Long,
+      replaySkipped: Boolean = false)
 
   /** The unconditional upsert (replace every matched key, insert the
     * rest) — `merge` with no clause conditions. */
@@ -1379,23 +1633,40 @@ object MorUpsert {
     UpsertStats(m.keysUpdated, m.filesAppended)
   }
 
+  /** @param txn idempotent-commit marker (app id, version) — the Delta
+    *   txn action: when the table's manifest already records a version
+    *   ≥ this one for the app, the merge is a REPLAY (a restarted
+    *   streaming query re-offering a committed micro-batch) and returns
+    *   without reading or writing anything; otherwise the marker commits
+    *   atomically WITH the merge's manifest, so the check and the data
+    *   can never disagree. */
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       deleteWhen: Option[Column] = None,
       updateWhen: Option[Column] = None,
       insertUnmatched: Boolean = true,
-      updateSet: Option[Seq[(String, Column)]] = None): MergeStats = MorDelete.withWriterLock(path) {
+      updateSet: Option[Seq[(String, Column)]] = None,
+      txn: Option[(String, Long)] = None): MergeStats = MorDelete.withWriterLock(path) {
     MorDelete.ensureManaged(spark, path)
     val st = MorDelete.liveState(spark, path)
+    txn.foreach { case (app, v) =>
+      if (st.txns.get(app).exists(_ >= v))
+        return MergeStats(0L, 0L, 0L, 0L, replaySkipped = true)
+    }
+    // an evolved table's live files may physically disagree with the
+    // logical schema — every column-set decision runs on the LOGICAL one
+    val tableCols = Evolution.tableColumns(spark, path, st)
     // an insert-only merge on a fully-emptied table is legal: fall back to
     // the retained files for schema (same rule as the empty resolved view)
     val table =
-      if (st.dataFiles.nonEmpty)
+      if (st.schemaLog.nonEmpty)
+        Evolution.evolvedRead(spark, path, st).drop("__mor_fseq")
+      else if (st.dataFiles.nonEmpty)
         spark.read.option("basePath", path).parquet(st.dataFiles: _*)
       else spark.read.option("basePath", path).parquet(path).where(lit(false))
-    require(source.columns.toSet == table.columns.toSet,
+    require(source.columns.toSet == tableCols.toSet,
       s"source columns (${source.columns.sorted.mkString(", ")}) must match " +
-        s"the table's (${table.columns.sorted.mkString(", ")})")
+        s"the table's (${tableCols.sorted.mkString(", ")})")
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // every precondition fails BEFORE anything stages or moves (the
     // r14-advice ordering bug: a late key-set require after moveIn left
@@ -1406,7 +1677,7 @@ object MorUpsert {
         s"tombstone sidecar already keyed by (${existing.mkString(", ")}); " +
           s"got (${keyCols.mkString(", ")}) — compact() before changing the key set")
     }
-    val src = source.select(table.columns.toSeq.map(col): _*).localCheckpoint(true)
+    val src = source.select(tableCols.map(col): _*).localCheckpoint(true)
     val keyCs = keyCols.map(col)
     var pinned: List[DataFrame] = Nil
     def pin(df: DataFrame): DataFrame = {
@@ -1438,9 +1709,9 @@ object MorUpsert {
         require(bad.isEmpty,
           s"UPDATE SET cannot assign key column(s) ${bad.mkString(", ")} — key " +
             "identity is what links the replacement to the tombstone")
-        require(sets.forall(s => table.columns.contains(s._1)),
+        require(sets.forall(s => tableCols.contains(s._1)),
           s"UPDATE SET targets unknown column(s): ${
-            sets.map(_._1).filterNot(table.columns.contains).mkString(", ")}")
+            sets.map(_._1).filterNot(tableCols.contains).mkString(", ")}")
       }
       val (nDel, nUpd, nIns) = (delKeys.count(), updKeys.count(), inserts.count())
 
@@ -1455,7 +1726,7 @@ object MorUpsert {
         case Some(sets) =>
           val byName = sets.toMap
           pairs.join(updKeys, keyCols, "left_semi")
-            .select(table.columns.toSeq.map(c =>
+            .select(tableCols.map(c =>
               byName.get(c).map(_.as(c)).getOrElse(col(c))): _*)
       }
       val appended = replacements.unionByName(inserts)
@@ -1463,20 +1734,31 @@ object MorUpsert {
         if (nUpd + nIns == 0) Seq.empty[String]
         else {
           val base = Paths.get(path).toAbsolutePath
-          val sample = table.select(col("_metadata.file_path"))
-            .limit(1).collect().headOption.map(r => CowCore.localPath(r.getString(0)))
+          // evolution requires flat layouts, so an evolved table never
+          // carries partition-directory columns (and its epoch union has
+          // no _metadata column to sample anyway)
           val partitionCols =
-            sample.map(CowCore.partitionColsOf(spark, table, _)).getOrElse(Nil)
+            if (st.schemaLog.nonEmpty) Nil
+            else {
+              val sample = table.select(col("_metadata.file_path"))
+                .limit(1).collect().headOption
+                .map(r => CowCore.localPath(r.getString(0)))
+              sample.map(CowCore.partitionColsOf(spark, table, _)).getOrElse(Nil)
+            }
           val stage = CowCore.stage(spark, base, partitionCols, appended)
           CowCore.moveIn(stage, base, prefix = s"part-mor$seq-")
         }
       val (nTomb, batchName) = MorDelete.appendTombstones(spark, path,
         delKeys.unionByName(updKeys), keyCols, seq, existingKeys)
-      if (nTomb > 0 || newParts.nonEmpty) {
+      // a txn marker commits even when the batch changed no rows: the
+      // version must advance so a later replay of the same batch id is
+      // provably a no-op rather than re-evaluated
+      if (nTomb > 0 || newParts.nonEmpty || txn.isDefined) {
         val newBatches = st.batches ++
           batchName.map(n => seq -> new java.io.File(MorDelete.sidecarDir(path), n))
         MorDelete.publishManifest(path, seq,
-          MorDelete.State(st.dataFiles ++ newParts, newBatches, st.stats, st.statCols))
+          st.copy(dataFiles = st.dataFiles ++ newParts, batches = newBatches,
+            txns = st.txns ++ txn))
       }
       MergeStats(nDel, nUpd, nIns, newParts.size.toLong)
     } finally {

@@ -200,6 +200,41 @@ object Streams {
     q
   }
 
+  /** EXACTLY-ONCE streaming ingest into a merge-on-read table — the
+    * Delta-sink idempotence pattern over this engine's manifest protocol:
+    * each micro-batch upserts through [[graft.sources.MorUpsert.merge]]
+    * carrying `(appId, batchId)` as its transaction marker, committed
+    * atomically WITH the batch's manifest. Structured Streaming replays
+    * the in-flight batch after a restart (foreachBatch is at-least-once
+    * by contract); the replay's marker proves the version already
+    * applied and the merge returns without reading or writing — so the
+    * table sees every micro-batch exactly once no matter how often the
+    * query restarts. Upsert semantics on `keyCols` additionally make the
+    * sink idempotent per KEY, so an at-least-once UPSTREAM (a source that
+    * re-delivers rows across batches) still converges.
+    *
+    * Runs with AvailableNow (process-everything-then-stop); a production
+    * deployment swaps the trigger for a processing-time one and keeps
+    * everything else. Scale shape: per batch, one merge = one tombstone
+    * batch + sequence-named appends + one manifest rename — cost ∝ batch
+    * size, never table size; schedule [[graft.sources.Maintenance
+    * .maintain]] beside it exactly as the morchurn rehearsal drives.
+    */
+  def morSink(stream: DataFrame, path: String, keyCols: Seq[String],
+      checkpointDir: String, appId: String): StreamingQuery = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.MorUpsert.merge(batch.sparkSession, path, batch.toDF(),
+          keyCols, txn = Some((appId, batchId)))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous parquet sink with checkpointing — the durable-output path
     * (exactly-once per micro-batch via the checkpoint + file-sink log).
     */

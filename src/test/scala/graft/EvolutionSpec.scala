@@ -1,0 +1,220 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{Evolution, Layout, Maintenance, MorDelete, MorUpsert}
+
+/** Metadata-only schema evolution (sources/Evolution.scala): ADD / RENAME
+  * / DROP COLUMN over the manifest protocol without touching a data file,
+  * epoch-grouped reads across renames, time-travel-correct historical
+  * schemas, the retirement rules that keep old physical values from
+  * resurfacing, and the physical-migration path that clears the log.
+  */
+class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fresh(): String = {
+    val loc = Files.createTempDirectory("graft_evo").toString + "/t"
+    val sp = spark; import sp.implicits._
+    (1 to 60).map(i => (i.toLong, s"a$i", i * 1.5)).toDF("k", "a", "b")
+      .repartition(3).write.parquet(loc)
+    loc
+  }
+
+  private def files(dir: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(dir)).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("add column touches zero files; old rows read NULL; new files carry values") {
+    val loc = fresh()
+    val before = files(loc)
+    val preSeq = MorDelete.currentSeq(spark, loc)
+    Evolution.addColumn(spark, loc, "c", "double")
+    assert(files(loc) == before, "ADD COLUMN must be metadata-only")
+
+    val r = MorDelete.read(spark, loc)
+    assert(r.columns.toSeq == Seq("k", "a", "b", "c"))
+    assert(r.schema("c").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(r.filter(col("c").isNotNull).isEmpty)
+
+    // rows appended after the add carry the column physically
+    val sp = spark; import sp.implicits._
+    val src = Seq((1L, "a1", 1.5, 100.0), (1000L, "new", 0.0, 200.0))
+      .toDF("k", "a", "b", "c")
+    MorUpsert.upsert(spark, loc, src, Seq("k"))
+    val got = MorDelete.read(spark, loc)
+    assert(got.count() == 61)
+    assert(got.filter(col("c").isNotNull).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 1000L))
+
+    // time travel resolves the PRE-ADD manifest and with it the old schema
+    assert(MorDelete.readAt(spark, loc, preSeq).columns.toSeq == Seq("k", "a", "b"))
+  }
+
+  test("rename maps old physical names across epochs, transitively") {
+    val loc = fresh()
+    val preSeq = MorDelete.currentSeq(spark, loc)
+    Evolution.renameColumn(spark, loc, "a", "label")
+    val r1 = MorDelete.read(spark, loc)
+    assert(r1.columns.toSeq == Seq("k", "label", "b"))
+    assert(r1.filter(col("label") === "a7").count() == 1)
+
+    // a post-rename append writes the NEW physical name; both epochs union
+    val sp = spark; import sp.implicits._
+    MorUpsert.upsert(spark, loc,
+      Seq((7L, "renamed7", 7.0), (2000L, "fresh", 2.0)).toDF("k", "label", "b"),
+      Seq("k"))
+    val r2 = MorDelete.read(spark, loc)
+    assert(r2.count() == 61)
+    assert(r2.filter(col("k") === 7).select("label").head().getString(0) == "renamed7")
+    assert(r2.filter(col("k") === 8).select("label").head().getString(0) == "a8")
+
+    // chained rename: base files resolve through BOTH hops
+    Evolution.renameColumn(spark, loc, "label", "tag")
+    val r3 = MorDelete.read(spark, loc)
+    assert(r3.columns.toSeq == Seq("k", "tag", "b"))
+    assert(r3.filter(col("k") === 8).select("tag").head().getString(0) == "a8")
+    assert(r3.filter(col("k") === 2000).select("tag").head().getString(0) == "fresh")
+
+    // the historical schema is the historical NAME
+    assert(MorDelete.readAt(spark, loc, preSeq).columns.toSeq == Seq("k", "a", "b"))
+  }
+
+  test("drop projects away; retired names refuse re-use until migration") {
+    val loc = fresh()
+    Evolution.dropColumn(spark, loc, "a")
+    assert(MorDelete.read(spark, loc).columns.toSeq == Seq("k", "b"))
+
+    // re-adding a dropped name would resurface old physical values
+    val e1 = intercept[IllegalArgumentException](
+      Evolution.addColumn(spark, loc, "a", "string"))
+    assert(e1.getMessage.contains("resurface") || e1.getMessage.contains("retired")
+      || e1.getMessage.contains("previously"))
+    // renaming ONTO a retired name refuses the same way
+    val e2 = intercept[IllegalArgumentException](
+      Evolution.renameColumn(spark, loc, "b", "a"))
+    assert(e2.getMessage.contains("previously"))
+    // unknown columns refuse loudly
+    intercept[IllegalArgumentException](Evolution.dropColumn(spark, loc, "nope"))
+    intercept[IllegalArgumentException](Evolution.renameColumn(spark, loc, "nope", "x"))
+    // a duplicate add refuses
+    intercept[IllegalArgumentException](Evolution.addColumn(spark, loc, "b", "int"))
+  }
+
+  test("live sidecar key columns cannot be renamed or dropped") {
+    val loc = fresh()
+    MorDelete.delete(spark, loc, col("k") === 5, Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      Evolution.renameColumn(spark, loc, "k", "id"))
+    assert(e.getMessage.contains("compact"))
+    intercept[IllegalArgumentException](Evolution.dropColumn(spark, loc, "k"))
+    // non-key columns still evolve freely beside live tombstones
+    Evolution.renameColumn(spark, loc, "a", "label")
+    assert(MorDelete.read(spark, loc).columns.toSeq == Seq("k", "label", "b"))
+    assert(MorDelete.read(spark, loc).count() == 59)
+    // once the tombstones fold in, the key column is renameable
+    Layout.rewriteFiles(spark, loc)
+    Evolution.renameColumn(spark, loc, "k", "id")
+    assert(MorDelete.read(spark, loc).columns.toSeq == Seq("id", "label", "b"))
+  }
+
+  test("compact and analyze suspend under pending evolution; rewriteFiles migrates") {
+    val loc = fresh()
+    MorDelete.delete(spark, loc, col("k") % 10 === 0, Seq("k"))
+    Evolution.addColumn(spark, loc, "c", "bigint")
+    val ec = intercept[IllegalArgumentException](MorDelete.compact(spark, loc))
+    assert(ec.getMessage.contains("OPTIMIZE"))
+    val ea = intercept[IllegalArgumentException](Maintenance.analyze(spark, loc))
+    assert(ea.getMessage.contains("OPTIMIZE"))
+    // the maintenance policy SKIPS rather than throws
+    val ms = Maintenance.maintain(spark, loc, compactAt = 0.0)
+    assert(!ms.compacted && !ms.statsRefreshed)
+
+    val want = MorDelete.read(spark, loc).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    val n = Layout.rewriteFiles(spark, loc, nFiles = 2)
+    assert(n == 2L)
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.schemaLog.isEmpty && st.schema.map(_._1) == Seq("k", "a", "b", "c"))
+    assert(st.batches.isEmpty, "the migration folds tombstones too")
+    assert(MorDelete.read(spark, loc).orderBy("k")
+      .collect().map(_.toSeq).toSeq == want, "migration must be view-identical")
+    // uniform-schema operations re-engage, retired names free up
+    assert(Maintenance.analyze(spark, loc) > 0)
+    MorDelete.delete(spark, loc, col("k") === 1, Seq("k"))
+    MorDelete.compact(spark, loc)
+    Evolution.dropColumn(spark, loc, "c")
+    Layout.rewriteFiles(spark, loc)
+    Evolution.addColumn(spark, loc, "c", "string")
+    assert(MorDelete.read(spark, loc).filter(col("c").isNotNull).isEmpty)
+  }
+
+  test("published stats follow renames and drops; pruning works on the new name") {
+    val loc = fresh()
+    MorDelete.delete(spark, loc, col("k") === 999, Seq("k")) // enter the protocol
+    assert(Maintenance.analyze(spark, loc, Seq("k", "b")) > 0)
+    Evolution.renameColumn(spark, loc, "b", "bb")
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.statCols == Seq("k", "bb"))
+    assert(st.stats.values.flatten.map(_.col).toSet == Set("k", "bb"))
+    // pruning under the NEW name still eliminates non-overlapping files —
+    // and readWhere stays ≡ read().filter across the evolution
+    val kept = MorDelete.pruneByStats(spark, st, col("k") <= 5)
+    assert(kept.size < st.dataFiles.size)
+    assert(MorDelete.readWhere(spark, loc, col("k") <= 5).count() ==
+      MorDelete.read(spark, loc).filter(col("k") <= 5).count())
+    Evolution.dropColumn(spark, loc, "bb")
+    val st2 = MorDelete.liveState(spark, loc)
+    assert(st2.statCols == Seq("k"))
+    assert(st2.stats.values.flatten.map(_.col).toSet == Set("k"))
+  }
+
+  test("zorderRewrite also migrates an evolved table") {
+    val loc = fresh()
+    Evolution.renameColumn(spark, loc, "b", "value")
+    val want = MorDelete.read(spark, loc).orderBy("k").collect().map(_.toSeq).toSeq
+    Layout.zorderRewrite(spark, loc, Seq("k", "value"), nFiles = 4)
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.schemaLog.isEmpty && st.schema.map(_._1) == Seq("k", "a", "value"))
+    assert(MorDelete.read(spark, loc).orderBy("k")
+      .collect().map(_.toSeq).toSeq == want)
+  }
+
+  test("snapshot reads, delete predicates, and merge all see the evolved schema") {
+    val loc = fresh()
+    Evolution.addColumn(spark, loc, "c", "double")
+    val sp = spark; import sp.implicits._
+    MorUpsert.upsert(spark, loc,
+      Seq((3L, "x3", 3.0, 30.0)).toDF("k", "a", "b", "c"), Seq("k"))
+    // DELETE with a predicate over the ADDED column (old rows: c IS NULL)
+    MorDelete.delete(spark, loc, col("c") > 10, Seq("k"))
+    val r = MorDelete.read(spark, loc)
+    assert(r.count() == 59 && r.filter(col("k") === 3).isEmpty)
+    // a merge source must match the LOGICAL columns, not the physical ones
+    val e = intercept[IllegalArgumentException](MorUpsert.upsert(spark, loc,
+      Seq((4L, "x4", 4.0)).toDF("k", "a", "b"), Seq("k")))
+    assert(e.getMessage.contains("must match"))
+  }
+}
