@@ -1142,6 +1142,121 @@ object Ddl {
           |ORDER BY c_mktsegment ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin)
     },
 
+    // Change Data Feed over the manifest protocol (MorDelete.readChanges
+    // — Delta CDF / Iceberg incremental reads; the reference has no CDC
+    // surface at all): a delete commits at version 1, an upsert (updates
+    // + brand-new keys) at version 2, and the feed's per-(change_type,
+    // version) aggregate must equal DuckDB's spelled-out derivation —
+    // v1 deletes = the delete predicate's rows, v2 deletes = the updated
+    // keys' OLD images, v2 inserts = the replacements plus the new rows.
+    // One scan of the to-snapshot derives all of it (the 100 TB point:
+    // downstream consumes the delta, never a rescan).
+    "ddl_mor_changes" -> Q.df(
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, CAST(1 AS BIGINT) AS version,
+        |    COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), COUNT(*),
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |  FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), COUNT(*),
+        |    ROUND(CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |  FROM (
+        |    SELECT o_totalprice + 100 AS p FROM orders
+        |    WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 4
+        |    UNION ALL
+        |    SELECT o_totalprice FROM orders
+        |    WHERE o_orderkey % 7 <> 3 AND o_orderkey % 100 = 11)
+        |) ORDER BY change_type ASC NULLS LAST, version ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_cdf_orders"
+      drop(s, "g_cdf_orders", loc)
+      drop(s, "g_cdf_orders_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_cdf_orders_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "orders").write.mode("overwrite").parquet(loc)
+      // v1: delete a scattered slice
+      MorDelete.delete(s, loc, col("o_orderkey") % 7 === 3, Seq("o_orderkey"))
+      // v2: update one live slice (+100), insert shifted copies of another
+      val resolved = MorDelete.read(s, loc)
+      val upd = resolved.filter(col("o_orderkey") % 10 === 4)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+      val ins = resolved.filter(col("o_orderkey") % 100 === 11)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      MorUpsert.upsert(s, loc, upd.unionByName(ins), Seq("o_orderkey"))
+      MorDelete.readChanges(s, loc, 0)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
+            .as("total"))
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("version"), col("n"), col("total"))
+        .orderBy(col("change_type").asc_nulls_last, col("version").asc_nulls_last)
+    },
+
+    // Exactly-once streaming ingest (Streams.morSink — foreachBatch +
+    // manifest txn markers, the Delta-sink idempotence pattern; the
+    // reference's Kafka connector reads bounded offset ranges and has no
+    // transactional sink at all): three staged micro-batches upsert three
+    // disjoint customer slices, the converged table must hash-match
+    // DuckDB's CASE derivation, and exactly_once carries the mechanism —
+    // a FORCED replay of the last batch id commits nothing.
+    "ddl_mor_stream_ingest" -> Q.df(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN c_custkey % 30 < 3 THEN c_acctbal + 1000
+        |                     ELSE c_acctbal END AS DECIMAL(30,8))) AS DOUBLE) AS bal,
+        |  true AS exactly_once
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sink_customer"
+      drop(s, "g_sink_customer", loc)
+      drop(s, "g_sink_customer_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_sink_customer_manifests", MorDelete.manifestDir(loc))
+      val updatesDir = new java.io.File(s"$scratch/g_sink_updates")
+      val ckptDir = new java.io.File(s"$scratch/g_sink_ckpt")
+      Seq(updatesDir, ckptDir).foreach { d =>
+        def rec(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rec)
+          x.delete(); ()
+        }
+        if (d.exists()) rec(d)
+        d.mkdirs(); ()
+      }
+      val customer = Tables.t(s, dir, "customer")
+      customer.write.mode("overwrite").parquet(loc)
+      // three micro-batch files, mtime-ordered (disjoint key slices, so
+      // the converged state is grouping-independent)
+      (0 until 3).foreach { i =>
+        val stage = s"$scratch/g_sink_stage$i"
+        customer.filter(col("c_custkey") % 30 === i)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(updatesDir, f"b$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L + i * 60000L); ()
+      }
+      val schema = s.read.parquet(updatesDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(updatesDir.toString)
+      graft.streaming.Streams.morSink(stream, loc, Seq("c_custkey"),
+        ckptDir.toString, appId = "graft_sink_oracle")
+      // the mechanism flag: replaying the last applied batch id is a no-op
+      val replay = MorUpsert.merge(s, loc,
+        customer.filter(col("c_custkey") % 30 === 2)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000),
+        Seq("c_custkey"), txn = Some(("graft_sink_oracle",
+          MorDelete.liveState(s, loc).txns("graft_sink_oracle"))))
+      MorDelete.read(s, loc)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+        .withColumn("exactly_once", lit(replay.replaySkipped))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    },
+
     "ddl_explain_analyze" -> Q.df(
       """SELECT 'filtered' AS phase, COUNT(*) AS n
         |FROM orders WHERE o_orderkey < 10000

@@ -189,6 +189,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(written == batchEvents.count())
   }
 
+  test("morSink ingests micro-batches exactly once, across restarts and replays") {
+    val sp = spark; import sp.implicits._
+    import graft.sources.{MorDelete, MorUpsert}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_morsink").toString
+    val loc = s"$tmp/t"
+    (1 to 50).map(i => (i.toLong, s"v$i", i * 1.0)).toDF("k", "s", "x")
+      .repartition(2).write.parquet(loc)
+
+    // three single-row update files → three micro-batches (disjoint key
+    // slices, so batch coalescing cannot change the converged state)
+    val srcDir = new java.io.File(tmp, "updates"); srcDir.mkdirs()
+    val updates = Seq((1L, "u1", 100.0), (2L, "u2", 200.0), (60L, "n60", 60.0))
+    def stageFile(row: (Long, String, Double), i: Int): Unit = {
+      val stageTmp = new java.io.File(tmp, s"stage$i")
+      Seq(row).toDF("k", "s", "x").coalesce(1)
+        .write.mode("overwrite").parquet(stageTmp.toString)
+      val part = stageTmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, f"f$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L + i * 60000L); ()
+    }
+    updates.zipWithIndex.take(3).foreach { case (r, i) => stageFile(r, i) }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val ckpt = s"$tmp/ckpt"
+
+    Streams.morSink(stream, loc, Seq("k"), ckpt, appId = "spec-sink")
+    val got = MorDelete.read(spark, loc)
+    assert(got.count() == 51)
+    assert(got.filter(col("k") === 1).select("s").head().getString(0) == "u1")
+    assert(got.filter(col("k") === 60).select("x").head().getDouble(0) == 60.0)
+    val view = got.orderBy("k", "s").collect().toSeq
+
+    // restart with the SAME checkpoint and no new files: nothing replays
+    Streams.morSink(stream, loc, Seq("k"), ckpt, appId = "spec-sink")
+    assert(MorDelete.read(spark, loc).orderBy("k", "s").collect().toSeq == view)
+
+    // a FORCED replay of the last batch (checkpoint lost, marker intact)
+    // is provably applied and commits nothing — the exactly-once half the
+    // checkpoint alone cannot give
+    val r = MorUpsert.merge(spark, loc, Seq(updates.last).toDF("k", "s", "x"),
+      Seq("k"), txn = Some(("spec-sink", 2L)))
+    assert(r.replaySkipped)
+    assert(MorDelete.read(spark, loc).orderBy("k", "s").collect().toSeq == view)
+
+    // a genuinely new file continues the stream where it left off
+    stageFile((3L, "u3", 300.0), 3)
+    Streams.morSink(stream, loc, Seq("k"), ckpt, appId = "spec-sink")
+    val after = MorDelete.read(spark, loc)
+    assert(after.count() == 51)
+    assert(after.filter(col("k") === 3).select("s").head().getString(0) == "u3")
+    assert(MorDelete.liveState(spark, loc).txns("spec-sink") == 3L)
+  }
+
   test("dedup state is watermark-bounded: numRowsTotal plateaus across epochs") {
     // Four epochs of 1000 fresh ids, each shifted 40 days (past the
     // 30-day span of the base data + the 2h horizon), run through ONE
