@@ -231,6 +231,26 @@ object PrestoSql {
     private val restoreTsRe =
       ("(?is)^\\s*RESTORE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+TO\\s+TIMESTAMP" +
         "\\s+AS\\s+OF\\s+(?:TIMESTAMP\\s+)?'([^']*)'\\s*;?\\s*$").r
+    // ALTER TABLE column family (reference grammar SqlBase.g4:52-59 —
+    // renameTable / renameColumn / dropColumn / addColumn; Presto 323
+    // delegates them to connector metadata). On parquet-location tables
+    // the column ops route through the MANIFEST protocol (sources/
+    // Evolution.scala): metadata-only commits, no file rewritten — the
+    // shape that stays viable at 100 TB. Reads surface through the
+    // resolved temp view, the same reads-see-the-snapshot contract as
+    // every MoR statement here.
+    private val alterAddColRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+ADD\\s+COLUMN\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+(.+?)\\s*;?\\s*$").r
+    private val alterRenameColRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+RENAME\\s+COLUMN\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    private val alterDropColRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+DROP\\s+COLUMN\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    private val alterRenameTableRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+RENAME\\s+TO\\s+" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$").r
     private val vacuumRe =
       "(?is)^\\s*VACUUM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
     private val optimizeRe =
@@ -392,6 +412,48 @@ object PrestoSql {
         resolveMorView(table, loc)
         spark.catalog.refreshTable(table)
         Seq(nv).toDF("version")
+      case alterAddColRe(table, name, typeDDL) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "ALTER TABLE ADD COLUMN")
+        val v = sources.Evolution.addColumn(spark, loc, name, typeDDL)
+        // best-effort catalog sync — ADD COLUMNS is the one column op
+        // Spark's v1 parquet catalog accepts; the manifest stays the
+        // source of truth and the resolved view below shadows the name
+        // either way, so a catalog refusal must not fail the statement
+        scala.util.Try(
+          spark.sql(s"ALTER TABLE $table ADD COLUMNS (`$name` $typeDDL)"))
+        resolveMorView(table, loc)
+        spark.catalog.refreshTable(table)
+        Seq(v).toDF("version")
+      case alterRenameColRe(table, from, to) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "ALTER TABLE RENAME COLUMN")
+        val v = sources.Evolution.renameColumn(spark, loc, from, to)
+        resolveMorView(table, loc)
+        spark.catalog.refreshTable(table)
+        Seq(v).toDF("version")
+      case alterDropColRe(table, name) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "ALTER TABLE DROP COLUMN")
+        val v = sources.Evolution.dropColumn(spark, loc, name)
+        resolveMorView(table, loc)
+        spark.catalog.refreshTable(table)
+        Seq(v).toDF("version")
+      case alterRenameTableRe(from, to) =>
+        import spark.implicits._
+        // catalog rename keeps an external table's location, and the
+        // sidecar/manifest directories are SIBLINGS of the location —
+        // nothing moves on disk; only the shadowing resolved view follows
+        // the name
+        val wasMor = scala.util.Try(
+          morMode(parquetLocation(from, "ALTER TABLE RENAME"))).getOrElse(false)
+        // the resolved-view shadow must drop FIRST: Spark's RENAME TO
+        // resolves temp views before catalog tables and would rename the
+        // view instead of the table
+        spark.catalog.dropTempView(from.split('.').last)
+        spark.sql(s"ALTER TABLE $from RENAME TO $to")
+        if (wasMor) resolveMorView(to, parquetLocation(to, "ALTER TABLE RENAME"))
+        Seq(to).toDF("table")
       case analyzeRe(table) =>
         import spark.implicits._
         val loc = parquetLocation(table, "ANALYZE")
@@ -435,10 +497,16 @@ object PrestoSql {
               s"OPTIMIZE without ZORDER BY folds merge-on-read tombstones and " +
                 s"'$table' is plain parquet (nothing to fold) — use " +
                 "OPTIMIZE … ZORDER BY (cols) to re-cluster it")
-            val st = sources.MorDelete.compact(spark, loc)
+            // a table with pending schema evolution takes the migration
+            // rewrite (resolved view re-materialized at the logical
+            // schema, log cleared); compact() handles the uniform case
+            val rewritten =
+              if (sources.MorDelete.liveState(spark, loc).schemaLog.nonEmpty)
+                sources.Layout.rewriteFiles(spark, loc)
+              else sources.MorDelete.compact(spark, loc).rewritten
             resolveMorView(table, loc)
             spark.catalog.refreshTable(table)
-            Seq(st.rewritten).toDF("files_rewritten")
+            Seq(rewritten).toDF("files_rewritten")
         }
       case txnRe(stmt) =>
         throw new UnsupportedOperationException(

@@ -1257,6 +1257,62 @@ object Ddl {
         .orderBy(col("c_mktsegment").asc_nulls_last)
     },
 
+    // SQL schema evolution (ALTER TABLE … ADD/RENAME/DROP COLUMN — the
+    // reference grammar's column family, SqlBase.g4:54-59, re-expressed
+    // as metadata-only manifest commits): ADD a bonus column (old files
+    // read NULL), UPDATE fills it for even keys (post-add files carry it
+    // physically), RENAME c_name while three file epochs are live, a
+    // second UPDATE writes post-rename files, DROP c_nationkey — all from
+    // statement texts, zero base files rewritten — and the final SELECT
+    // through the resolved view must hash-match DuckDB's CASE derivation
+    // over the untouched source.
+    "ddl_sql_alter_columns" -> Q.df(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal * 0.1
+        |                           ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE), 2) AS bonus_sum,
+        |  CAST(SUM(CASE WHEN c_custkey % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS upped
+        |FROM customer WHERE NOT (c_custkey % 100 = 99)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_alter_customer"
+      drop(s, "g_alter_customer", loc)
+      drop(s, "g_alter_customer_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_alter_customer_manifests", MorDelete.manifestDir(loc))
+      s.sql(
+        s"""CREATE TABLE g_alter_customer USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM customer""".stripMargin)
+      // one programmatic delete declares the key and enters MoR mode
+      // (mirrored by the oracle's NOT predicate)
+      MorDelete.delete(s, loc, col("c_custkey") % 100 === 99, Seq("c_custkey"))
+      val filesBefore = Option(new java.io.File(loc).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement("ALTER TABLE g_alter_customer ADD COLUMN bonus DOUBLE")
+      ps.statement(
+        "UPDATE g_alter_customer SET bonus = c_acctbal * 0.1 WHERE c_custkey % 2 = 0")
+      ps.statement("ALTER TABLE g_alter_customer RENAME COLUMN c_name TO cust_name")
+      ps.statement(
+        "UPDATE g_alter_customer SET cust_name = upper(cust_name) WHERE c_custkey % 5 = 1")
+      ps.statement("ALTER TABLE g_alter_customer DROP COLUMN c_nationkey")
+      // the base files never rewrote: column ops are metadata-only, and
+      // the UPDATEs appended sequence-named parts beside them
+      val untouched = filesBefore.forall { case (name, m) =>
+        val f = new java.io.File(loc, name); f.exists() && f.lastModified == m
+      }
+      require(untouched, "ALTER/UPDATE must never rewrite the base files")
+      ps.statement(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          |  ROUND(CAST(SUM(CAST(COALESCE(bonus, 0) AS DECIMAL(30,8))) AS DOUBLE), 2)
+          |    AS bonus_sum,
+          |  CAST(SUM(CASE WHEN cust_name LIKE 'CUSTOMER%' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS upped
+          |FROM g_alter_customer
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin)
+    },
+
     "ddl_explain_analyze" -> Q.df(
       """SELECT 'filtered' AS phase, COUNT(*) AS n
         |FROM orders WHERE o_orderkey < 10000

@@ -696,6 +696,55 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_restore")
   }
 
+  test("ALTER TABLE column statements evolve the manifest schema; RENAME TO follows the view") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlalter").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_alter")
+    spark.sql("DROP TABLE IF EXISTS g_spec_alter2")
+    spark.sql(s"CREATE TABLE g_spec_alter USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    def files() = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = files()
+
+    // ADD COLUMN: metadata-only, NULL over old files, SQL-visible at once
+    ps.statement("ALTER TABLE g_spec_alter ADD COLUMN score DOUBLE")
+    assert(files() == before, "ADD COLUMN must touch zero files")
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_alter WHERE score IS NULL")
+      .head().getLong(0) == 25)
+
+    // RENAME COLUMN: old physical name maps through the evolution log
+    ps.statement("ALTER TABLE g_spec_alter RENAME COLUMN n_name TO remark")
+    assert(files() == before, "RENAME COLUMN must touch zero files")
+    val viaSql = ps.statement(
+      "SELECT count(*) AS c FROM g_spec_alter WHERE length(remark) > 0").head().getLong(0)
+    assert(viaSql == 25)
+
+    // DROP COLUMN: projected away for SQL reads, files untouched
+    ps.statement("ALTER TABLE g_spec_alter DROP COLUMN n_regionkey")
+    assert(files() == before, "DROP COLUMN must touch zero files")
+    assert(!ps.statement("SELECT * FROM g_spec_alter").columns.contains("n_regionkey"))
+    assert(intercept[Exception](
+      ps.statement("SELECT n_regionkey FROM g_spec_alter").collect())
+      .getMessage.toLowerCase.contains("n_regionkey"))
+
+    // the evolved schema statements refuse the retired name loudly
+    val e = intercept[IllegalArgumentException](
+      ps.statement("ALTER TABLE g_spec_alter ADD COLUMN n_regionkey INT"))
+    assert(e.getMessage.contains("previously"))
+
+    // RENAME TO: catalog renames, nothing moves on disk, the resolved
+    // view (and with it the evolved schema) follows the new name
+    ps.statement("ALTER TABLE g_spec_alter RENAME TO g_spec_alter2")
+    assert(files() == before)
+    assert(ps.statement("SELECT count(*) AS c FROM g_spec_alter2").head().getLong(0) == 25)
+    assert(!ps.statement("SELECT * FROM g_spec_alter2").columns.contains("n_regionkey"))
+    assert(ps.statement("SELECT * FROM g_spec_alter2").columns.contains("remark"))
+    spark.catalog.dropTempView("g_spec_alter2")
+    spark.sql("DROP TABLE IF EXISTS g_spec_alter2")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
