@@ -1175,6 +1175,63 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---- cdf mode: the change-feed consumption walls at sf0.1 — a
+    // 600k-row lineitem takes five DML commits (two scattered deletes,
+    // two upserts, one more delete) and the feed's cost is measured
+    // against its two alternatives: snapshotDiff (the exceptAll
+    // fallback) and the full resolved rescan a non-CDF consumer pays per
+    // sync. The scaled dimension is OUTPUT cardinality: the feed hands
+    // downstream ~the changed rows, the rescan hands it the whole table
+    // — at 100 TB that is the difference between a pipeline that
+    // processes deltas and one that reprocesses the corpus. Net-apply is
+    // asserted before any wall (count lock, CDF edition).
+    if (args.headOption.contains("cdf")) {
+      import graft.sources.{MorDelete, MorUpsert}
+      val loc = "/tmp/graft_cdf/t"
+      rmr(new java.io.File("/tmp/graft_cdf"))
+      rmr(new java.io.File(MorDelete.sidecarDir(loc)))
+      rmr(new java.io.File(MorDelete.manifestDir(loc)))
+      Tables.t(spark, sfDir, "lineitem").write.mode("overwrite").parquet(loc)
+      val baseN = spark.read.parquet(loc).count()
+      val keys = Seq("l_orderkey", "l_linenumber")
+      (0 until 2).foreach(i =>
+        MorDelete.delete(spark, loc, col("l_orderkey") % 100 === i, keys))
+      (0 until 2).foreach { i =>
+        // the fixture holds duplicate (orderkey, linenumber) pairs; the
+        // ANSI cardinality rule wants a unique-keyed source
+        val src = MorDelete.read(spark, loc)
+          .filter(col("l_orderkey") % 100 === 50 + i)
+          .withColumn("l_extendedprice", col("l_extendedprice") + 1)
+          .dropDuplicates(keys)
+        MorUpsert.upsert(spark, loc, src, keys)
+      }
+      val v4 = MorDelete.currentSeq(spark, loc)
+      MorDelete.delete(spark, loc, col("l_orderkey") % 100 === 7, keys)
+      val ch = MorDelete.readChanges(spark, loc, 0)
+      val insN = ch.filter(col("_change_type") === "insert").count()
+      val delN = ch.filter(col("_change_type") === "delete").count()
+      val resolvedN = MorDelete.read(spark, loc).count()
+      require(resolvedN == baseN + insN - delN,
+        s"changes must net-apply: $baseN + $insN - $delN != $resolvedN")
+      val wFeed = best2("readChanges(full)")(
+        MorDelete.readChanges(spark, loc, 0)
+          .groupBy(col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n")))
+      val wDiff = best2("snapshotDiff(full)")(
+        MorDelete.snapshotDiff(spark, loc, 0)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n")))
+      val wOne = best2("readChanges(1 commit)")(
+        MorDelete.readChanges(spark, loc, v4)
+          .groupBy(col("_change_type")).agg(count(lit(1)).as("n")))
+      val wScan = best2("resolved rescan")(
+        MorDelete.read(spark, loc)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")))
+      println(f"[scale] cdf: table $baseN rows, ${insN + delN} change rows " +
+        f"(ins $insN / del $delN); feed $wFeed%.2f s, diff $wDiff%.2f s, " +
+        f"1-commit feed $wOne%.2f s, full rescan $wScan%.2f s")
+      spark.stop(); return
+    }
+
     // ---- zorder mode: multi-column pruning at rehearsal scale — 6M
     // lineitem rows in 200 files, laid out (a) linear-sorted on
     // l_partkey and (b) z-ordered on (l_partkey, l_suppkey). A selective

@@ -59,6 +59,10 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def df(rows: Seq[(Long, Long)]) =
     spark.createDataFrame(rows).toDF("k", "v")
 
+  private def madd(a: Map[(Long, Long), Int], b: Map[(Long, Long), Int]) =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap.filter(_._2 > 0)
+
   for (seed <- Seq(11, 42, 1234, 271828, 31415)) test(s"random DML sequence matches the shadow model (seed $seed)") {
     fuzzOnce(seed)
   }
@@ -100,6 +104,8 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         snapSeq = MorDelete.currentSeq(spark, loc)
         snapShadow = shadow
       }
+      val preSeq = MorDelete.currentSeq(spark, loc)
+      val preShadow = shadow
       rnd.nextInt(6) match {
         case 0 => // delete by key residue (may match nothing)
           val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
@@ -181,6 +187,49 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(visible(loc) == shadow.sorted,
         s"seed $seed step $step diverged from the shadow model")
+      if (rnd.nextInt(3) == 0) {
+        // change-feed probe: the step's emitted changes must NET-APPLY the
+        // pre-step shadow onto the post-step one (multisets — duplicate
+        // rows are real here). snapshotDiff must agree on ANY step; the
+        // per-commit feed must agree on clean (pure-DML) steps and is
+        // allowed exactly two outs — the documented reorg refusal and a
+        // vacuum-expired anchor, never a wrong answer
+        def multiset(s: Seq[(Long, Long)]): Map[(Long, Long), Int] =
+          s.groupBy(identity).view.mapValues(_.size).toMap
+        def msub(a: Map[(Long, Long), Int], b: Map[(Long, Long), Int]) =
+          a.map { case (k, n) => k -> (n - b.getOrElse(k, 0)) }.filter(_._2 > 0)
+        def split(rows: Array[org.apache.spark.sql.Row]) = {
+          val (i, d) = rows.partition(_.getString(2) == "insert")
+          (multiset(i.toSeq.map(r => (r.getLong(0), r.getLong(1)))),
+            multiset(d.toSeq.map(r => (r.getLong(0), r.getLong(1)))))
+        }
+        val (mPre, mNow) = (multiset(preShadow), multiset(shadow))
+        try {
+          val (ins, del) = split(MorDelete.snapshotDiff(spark, loc, preSeq)
+            .select("k", "v", "_change_type").collect())
+          assert(ins == msub(mNow, mPre) && del == msub(mPre, mNow),
+            s"seed $seed step $step: snapshotDiff is not the shadow multiset diff")
+        } catch {
+          case e: IllegalStateException =>
+            assert(e.getMessage.contains("vacuum") || e.getMessage.contains("expired"),
+              s"seed $seed step $step: unexpected snapshotDiff failure: ${e.getMessage}")
+        }
+        try {
+          val (ins, del) = split(MorDelete.readChanges(spark, loc, preSeq)
+            .select("k", "v", "_change_type").collect())
+          // net application — within one commit no row is both halves
+          assert(msub(madd(msub(mPre, del), ins), mNow).isEmpty &&
+            msub(mNow, madd(msub(mPre, del), ins)).isEmpty,
+            s"seed $seed step $step: readChanges does not net-apply the shadow delta")
+        } catch {
+          case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("snapshotDiff"),
+              s"seed $seed step $step: unexpected readChanges refusal: ${e.getMessage}")
+          case e: IllegalStateException =>
+            assert(e.getMessage.contains("vacuum") || e.getMessage.contains("expired"),
+              s"seed $seed step $step: unexpected readChanges failure: ${e.getMessage}")
+        }
+      }
     }
     if (snapSeq >= 0) {
       // the snapshot either replays its step's shadow exactly, or — when
