@@ -518,7 +518,35 @@ object PrestoSql {
     }
 
     private def rewriteTimeTravel(text: String): String =
-      rewriteVersionAsOf(rewriteTimestampAsOf(text))
+      rewriteVersionAsOf(rewriteTimestampAsOf(rewriteTableChanges(text)))
+
+    /** Change-feed reads from the SQL surface — Delta's
+      * `table_changes('t', from[, to])` table-valued form (Presto 323 has
+      * no CDC grammar at all, so like the FOR … AS OF reads the shape
+      * exceeds the reference): each occurrence rewrites to a temp view
+      * over [[sources.MorDelete.readChanges]] pinned at those bounds,
+      * carrying the table's columns plus _change_type / _commit_version /
+      * _commit_timestamp. Quote-guarded like every scanner here; composes
+      * anywhere a relation can appear (joins, subqueries, PREPARE bodies
+      * — the rewrite runs at EXECUTE time). */
+    private val tableChangesRe =
+      ("(?i)\\btable_changes\\s*\\(\\s*'?([A-Za-z_][A-Za-z0-9_.]*)'?\\s*,\\s*(\\d+)" +
+        "(?:\\s*,\\s*(\\d+))?\\s*\\)").r
+
+    private def rewriteTableChanges(text: String): String = {
+      if (!"(?i)table_changes".r.findFirstIn(text).isDefined) return text
+      replaceTopLevel(text, tableChangesRe) { m =>
+        val table = m.group(1)
+        val from = m.group(2).toLong
+        val to = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
+        val loc = parquetLocation(table, "table_changes")
+        val view = pinnedViewName(table,
+          s"__ch${from}_${if (to == Long.MaxValue) "now" else to.toString}")
+        sources.MorDelete.readChanges(spark, loc, from, to)
+          .createOrReplaceTempView(view)
+        view
+      }
+    }
 
     /** Snapshot (time-travel) reads from the SQL surface: every
       * `<table> FOR VERSION AS OF <seq>` clause — the shape modern SQL

@@ -882,6 +882,52 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // HEADLINE: the change-feed read wall (MorDelete.readChanges — one
+    // scan of the to-snapshot + its broadcast tombstone reduction +
+    // per-row event explode), pinned round-over-round like the sidecar
+    // and pruned reads before it. The table takes three delete commits
+    // in the bench prewarm (marker file); the timed region is the full-
+    // range feed with version attribution. Delete predicates ride
+    // l_orderkey alone while the equality keys are (l_orderkey,
+    // l_linenumber), so every row of a doomed key matches its own
+    // predicate and the oracle is three plain predicate legs.
+    "ddl_mor_changes_read" -> Q.df(
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, CAST(1 AS BIGINT) AS version,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_orderkey % 100 = 3
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), COUNT(*),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 100 = 4
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), COUNT(*),
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey % 100 = 5
+        |) ORDER BY version ASC NULLS LAST""".stripMargin,
+      headline = true) { (s, dir) =>
+      val loc = s"$scratch/g_morcdf_lineitem"
+      val marker = new java.io.File(loc + ".built")
+      if (!marker.exists()) {
+        drop(s, "g_morcdf_lineitem", loc)
+        drop(s, "g_morcdf_lineitem_sidecar", MorDelete.sidecarDir(loc))
+        drop(s, "g_morcdf_lineitem_manifests", MorDelete.manifestDir(loc))
+        Tables.t(s, dir, "lineitem").write.mode("overwrite").parquet(loc)
+        (3 to 5).foreach(i =>
+          MorDelete.delete(s, loc, col("l_orderkey") % 100 === i,
+            Seq("l_orderkey", "l_linenumber")))
+        marker.createNewFile()
+      }
+      MorDelete.readChanges(s, loc, 0)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("version"), col("n"), col("qty"))
+        .orderBy(col("version").asc_nulls_last)
+    },
+
     // The stats-pruned MoR read as a HEADLINE query (BENCH_r15's 12th
     // query pinned the sidecar anti-join wall; this pins the pruned-scan
     // wall the same way): a z-ordered, analyzed, tombstone-bearing table

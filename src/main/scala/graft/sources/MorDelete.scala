@@ -591,6 +591,28 @@ object MorDelete {
     MorStats(n, liveSidecarFiles(st2), matched)
   }
 
+  /** Tombstone an EXPLICIT key set (no predicate) — the Iceberg
+    * equality-delete-writer shape, and what a change-feed consumer needs
+    * to replay upstream deletes onto a replica ([[MorUpsert
+    * .applyChanges]]): every live row matching a key in `keys` dies at
+    * the next sequence. Same commit discipline as [[delete]]; an empty
+    * key set commits nothing. Returns the distinct keys tombstoned. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String]): Long = withWriterLock(path) {
+    ensureManaged(spark, path)
+    val st = liveState(spark, path)
+    val seq = maxSeq(spark, path) + 1
+    val existing =
+      if (st.batches.isEmpty) None
+      else Some(sidecarOf(spark, st.batches).columns.toSeq.filterNot(_ == SeqCol))
+    val (n, batchName) = appendTombstones(spark, path, keys, keyCols, seq, existing)
+    if (n == 0L) return 0L
+    val newBatch = seq -> new java.io.File(sidecarDir(path), batchName.get)
+    writeManifest(path, nextOrdinal(path), seq,
+      st.copy(batches = st.batches :+ newBatch))
+    n
+  }
+
   private def liveSidecarFiles(st: State): Long =
     st.batches.flatMap(b => Option(b._2.listFiles()).getOrElse(Array.empty).toSeq)
       .count(_.getName.endsWith(".parquet")).toLong
@@ -1631,6 +1653,59 @@ object MorUpsert {
       keyCols: Seq[String]): UpsertStats = {
     val m = merge(spark, path, source, keyCols)
     UpsertStats(m.keysUpdated, m.filesAppended)
+  }
+
+  /** @param keysUpserted keys whose final event replayed as a replacement/insert
+    * @param keysDeleted  keys whose final event replayed as a delete
+    */
+  final case class ApplyStats(keysUpserted: Long, keysDeleted: Long)
+
+  /** Replay a CHANGE FEED onto a replica table — the downstream half of
+    * [[MorDelete.readChanges]] (Delta's CDC-apply pattern): `changes`
+    * carries the feed's `_change_type` / `_commit_version` columns, and
+    * each key's FINAL event in the batch decides its replica state — the
+    * post-image upserts, a terminal delete tombstones (via
+    * [[MorDelete.deleteKeys]]). Intermediate history collapses (a key
+    * updated five times lands once), so replication cost ∝ CHANGED KEYS,
+    * never feed length or table size. Keys must identify rows uniquely on
+    * BOTH sides for fidelity — the CDC norm. Feed batches must apply in
+    * order and unsplit (apply everything `readChanges(cursor, now)`
+    * returned, then advance the cursor) — replaying a half-batch would
+    * interleave versions.
+    */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+      keyCols: Seq[String]): ApplyStats = {
+    import org.apache.spark.sql.expressions.Window
+    val metaCols = Seq("_change_type", "_commit_version", "_commit_timestamp")
+    require(changes.columns.contains("_change_type"),
+      "applyChanges expects a change feed (readChanges or snapshotDiff " +
+        "output) with a _change_type column")
+    // the key's final event: newest version wins; within one version the
+    // insert (post-image) outranks the delete (pre-image of the same
+    // update). A snapshotDiff feed has no versions — it is already net,
+    // so insert-outranks-delete alone decides. Pin before mutating — the
+    // feed's lineage may read the replica (self-application) or a table
+    // a concurrent writer moves.
+    val order =
+      (if (changes.columns.contains("_commit_version"))
+        Seq(col("_commit_version").desc) else Nil) :+
+        when(col("_change_type") === "insert", 0).otherwise(1).asc
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val finals = changes
+      .withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1).drop("__cdc_rn")
+      .localCheckpoint(true)
+    try {
+      val dataCols = changes.columns.toSeq.filterNot(metaCols.contains)
+      val ups = finals.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*)
+      val dels = finals.filter(col("_change_type") === "delete")
+        .select(keyCols.map(col): _*)
+      val nUps = ups.count()
+      if (nUps > 0) upsert(spark, path, ups, keyCols)
+      val nDel = MorDelete.deleteKeys(spark, path, dels, keyCols)
+      ApplyStats(nUps, nDel)
+    } finally { finals.unpersist(); () }
   }
 
   /** @param txn idempotent-commit marker (app id, version) — the Delta

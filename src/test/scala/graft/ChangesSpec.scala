@@ -174,6 +174,50 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.read(spark, loc).filter(col("s") === "b5").isEmpty)
   }
 
+  test("applyChanges replicates a table through incremental feed syncs") {
+    val src = fresh()
+    val sp = spark; import sp.implicits._
+    // the replica starts as a byte-copy of the source's initial state
+    val replica = Files.createTempDirectory("graft_cdc_replica").toString + "/t"
+    spark.read.parquet(src).repartition(2).write.parquet(replica)
+    var cursor = MorDelete.currentSeq(spark, src)
+
+    def view(loc: String): Seq[(Long, String, Double)] =
+      MorDelete.read(spark, loc).select("k", "s", "x")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+    def sync(): Unit = {
+      val now = MorDelete.currentSeq(spark, src)
+      MorUpsert.applyChanges(spark, replica,
+        MorDelete.readChanges(spark, src, cursor, now), Seq("k"))
+      cursor = now
+      assert(view(replica) == view(src), "replica must equal source after a sync")
+    }
+
+    // round 1: one delete + one upsert, synced together
+    MorDelete.delete(spark, src, col("k") % 10 === 3, Seq("k"))
+    MorUpsert.upsert(spark, src,
+      Seq((1L, "u1", 11.0), (200L, "n", 2.0)).toDF("k", "s", "x"), Seq("k"))
+    sync()
+    // round 2: a key updated twice then deleted — history collapses to
+    // one terminal delete on the replica
+    MorUpsert.upsert(spark, src, Seq((1L, "u2", 12.0)).toDF("k", "s", "x"), Seq("k"))
+    MorUpsert.upsert(spark, src, Seq((1L, "u3", 13.0)).toDF("k", "s", "x"), Seq("k"))
+    MorDelete.delete(spark, src, col("k") === 1, Seq("k"))
+    MorDelete.delete(spark, src, col("k") === 200, Seq("k"))
+    sync()
+    // round 3: nothing changed — a no-op sync applies cleanly
+    sync()
+    // a physical reorg on the SOURCE forces the fallback: the net
+    // snapshotDiff applies the same way (no version column)
+    MorDelete.delete(spark, src, col("k") === 50, Seq("k"))
+    MorDelete.compact(spark, src)
+    val now = MorDelete.currentSeq(spark, src)
+    MorUpsert.applyChanges(spark, replica,
+      MorDelete.snapshotDiff(spark, src, cursor, now), Seq("k"))
+    cursor = now
+    assert(view(replica) == view(src))
+  }
+
   test("a zero-change batch still advances its txn version") {
     val loc = fresh()
     val sp = spark; import sp.implicits._

@@ -745,6 +745,40 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS g_spec_alter2")
   }
 
+  test("table_changes('t', from[, to]) reads the change feed from SQL") {
+    import org.apache.spark.sql.functions._
+    val ps = new PrestoSql.Prepared(spark)
+    val loc = java.nio.file.Files.createTempDirectory("graft_sqlcdf").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_spec_cdf")
+    spark.sql(s"CREATE TABLE g_spec_cdf USING parquet LOCATION '$loc' " +
+      "AS SELECT * FROM nation")
+    sources.MorDelete.delete(spark, loc, col("n_nationkey") < 5, Seq("n_nationkey"))
+    val v1 = sources.MorDelete.currentSeq(spark, loc)
+    ps.statement("DELETE FROM g_spec_cdf WHERE n_regionkey = 2")
+    val del2 = sources.MorDelete.readChanges(spark, loc, v1).count()
+
+    // full range: both commits' deletes, version-attributed
+    val rows = ps.statement(
+      "SELECT _change_type, _commit_version, count(*) AS n " +
+        "FROM table_changes('g_spec_cdf', 0) GROUP BY 1, 2 ORDER BY 2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("delete", 1L, 5L), ("delete", 2L, del2)))
+    // ranged form slices; the unquoted identifier spelling parses too
+    val ranged = ps.statement(
+      s"SELECT count(*) AS n FROM table_changes(g_spec_cdf, $v1, ${v1 + 1})")
+      .head().getLong(0)
+    assert(ranged == del2)
+    // a string literal CONTAINING the phrase is never rewritten
+    val literal = ps.statement("SELECT 'table_changes(g_spec_cdf, 0)' AS s")
+      .head().getString(0)
+    assert(literal == "table_changes(g_spec_cdf, 0)")
+    // and it composes through PREPARE/EXECUTE (rewrite at EXECUTE time)
+    ps.statement("PREPARE cdfq FROM SELECT count(*) AS n FROM table_changes('g_spec_cdf', 0)")
+    assert(ps.statement("EXECUTE cdfq").head().getLong(0) == 5L + del2)
+    spark.catalog.dropTempView("g_spec_cdf")
+    spark.sql("DROP TABLE IF EXISTS g_spec_cdf")
+  }
+
   test("a realistic reference-dialect query end to end") {
     val df = PrestoSql.sql(spark,
       "SELECT \"o_orderpriority\", count(*) AS \"n orders\",\n" +
