@@ -1232,6 +1232,68 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---- evolution mode: the metadata-only ALTER walls at sf0.1 — what
+    // a column op costs (a manifest commit, milliseconds) against the
+    // counterfactual every engine without manifest schema pays (a full
+    // rewrite, the migration wall measured below), and what the
+    // epoch-union read costs against the uniform read (same total I/O —
+    // the union's legs scan DISJOINT file sets). Aggregate values are
+    // asserted equal across the migration before any timing.
+    if (args.headOption.contains("evolution")) {
+      import graft.sources.{Evolution, Layout, MorDelete, MorUpsert}
+      val loc = "/tmp/graft_evo/t"
+      rmr(new java.io.File("/tmp/graft_evo"))
+      rmr(new java.io.File(MorDelete.sidecarDir(loc)))
+      rmr(new java.io.File(MorDelete.manifestDir(loc)))
+      Tables.t(spark, sfDir, "lineitem").write.mode("overwrite").parquet(loc)
+      val keys = Seq("l_orderkey", "l_linenumber")
+      MorDelete.delete(spark, loc, col("l_orderkey") % 1000 === 7, keys)
+      def agg(df: DataFrame): DataFrame = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+      val pre = best2("read, 1 epoch")(agg(MorDelete.read(spark, loc)))
+
+      // two column ops: a rename (splits epochs) and an add (NULL-filled)
+      def ms[T](what: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scale] $what%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
+      ms("ALTER rename")(Evolution.renameColumn(spark, loc, "l_quantity", "qty"))
+      ms("ALTER add")(Evolution.addColumn(spark, loc, "quality", "double"))
+      // a post-rename upsert writes second-epoch files with values in the
+      // added column
+      val src = MorDelete.read(spark, loc)
+        .filter(col("l_orderkey") % 100 === 11)
+        .withColumn("quality", col("l_discount") * 10)
+        .dropDuplicates(keys)
+      MorUpsert.upsert(spark, loc, src, keys)
+      def agg2(df: DataFrame): DataFrame = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast("decimal(30,8)")).cast("double").as("qty"),
+          sum(col("quality").cast("decimal(30,8)")).cast("double").as("quality"))
+      val want = agg2(MorDelete.read(spark, loc))
+        .orderBy("l_returnflag").collect().toSeq
+      val evolved = best2("read, 2 epochs")(agg2(MorDelete.read(spark, loc)))
+
+      // the counterfactual: the full physical migration (what ADD COLUMN
+      // costs an engine with no manifest schema) — and the post-migration
+      // read for the union-overhead comparison
+      val t0 = System.nanoTime()
+      Layout.rewriteFiles(spark, loc)
+      val migrate = (System.nanoTime() - t0) / 1e9
+      require(agg2(MorDelete.read(spark, loc))
+        .orderBy("l_returnflag").collect().toSeq == want,
+        "migration must be view-identical")
+      val post = best2("read, migrated")(agg2(MorDelete.read(spark, loc)))
+      println(f"[scale] evolution: 1-epoch read $pre%.2f s; ALTERs are manifest " +
+        f"commits (walls above); 2-epoch read $evolved%.2f s; full migration " +
+        f"$migrate%.2f s (the counterfactual rewrite); migrated read $post%.2f s")
+      spark.stop(); return
+    }
+
     // ---- zorder mode: multi-column pruning at rehearsal scale — 6M
     // lineitem rows in 200 files, laid out (a) linear-sorted on
     // l_partkey and (b) z-ordered on (l_partkey, l_suppkey). A selective

@@ -689,14 +689,41 @@ object MorDelete {
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rows = manifests(path).sortBy(-_.ordinal).map { m =>
-      val st = readManifest(path, m)
+    // operation kind derives from the state DELTA against the previous
+    // manifest (Delta's DESCRIBE HISTORY operation column): sequence
+    // advances are DML — removals mark a RESTORE, schema changes an
+    // ALTER, the batch/file growth pattern the statement family —
+    // while same-sequence commits are view-identical maintenance.
+    val asc = manifests(path)
+    val states = asc.map(readManifest(path, _))
+    def classify(i: Int): String = {
+      if (i == 0) return "GENESIS"
+      val (prev, cur) = (states(i - 1), states(i))
+      val (pD, cD) = (prev.dataFiles.toSet, cur.dataFiles.toSet)
+      val pB = prev.batches.map(_._2.getName).toSet
+      val cB = cur.batches.map(_._2.getName).toSet
+      if (asc(i).seq > asc(i - 1).seq) {
+        if (!pD.subsetOf(cD) || !pB.subsetOf(cB)) "RESTORE"
+        else if (prev.schema != cur.schema || prev.schemaLog != cur.schemaLog) "ALTER"
+        else if (pB != cB && pD != cD) "MERGE"
+        else if (pB != cB) "DELETE"
+        else if (pD != cD) "WRITE"
+        else "TXN"
+      } else {
+        if (pD != cD) "OPTIMIZE"
+        else if (pB != cB) "COMPACT SIDECAR"
+        else if (prev.stats != cur.stats || prev.statCols != cur.statCols) "ANALYZE"
+        else "COMMIT"
+      }
+    }
+    val rows = asc.indices.sortBy(i => -asc(i).ordinal).map { i =>
+      val (m, st) = (asc(i), states(i))
       (m.seq, m.ordinal, new java.sql.Timestamp(m.file.lastModified()),
         st.dataFiles.size.toLong, st.batches.size.toLong,
-        st.stats.size.toLong)
+        st.stats.size.toLong, classify(i))
     }
     rows.toDF("version", "ordinal", "committed_at",
-      "data_files", "tombstone_batches", "stats_files")
+      "data_files", "tombstone_batches", "stats_files", "operation")
   }
 
   /** CHANGE DATA FEED between two retained snapshots — one row per

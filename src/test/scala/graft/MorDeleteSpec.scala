@@ -908,6 +908,10 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(v1, v2, v3).forall(versions.contains))
     assert(h.head.getLong(0) == v3 && h.head.getLong(4) > 0,
       "the newest row is the restore commit, carrying the restored batches")
+    // the operation column classifies each commit off its state delta
+    assert(h.head.getAs[String]("operation") == "RESTORE")
+    assert(h.map(_.getAs[String]("operation")).contains("DELETE"))
+    assert(h.last.getAs[String]("operation") == "GENESIS")
 
     // later DML supersedes the restored view like any other commit
     MorDelete.delete(spark, loc, col("o_orderkey") % 10 === 5, Seq("o_orderkey"))

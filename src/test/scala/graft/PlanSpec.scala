@@ -131,6 +131,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("change feed: one scan of the table, tombstones broadcast, no big-side shuffle") {
+    // the readChanges contract (SCALE_r15 fourth sitting): insert and
+    // delete events derive from ONE pass over the to-snapshot — the
+    // tombstone seq-sets reduce on the (small) sidecar and broadcast in,
+    // the per-row event explode is a Generate, and the only
+    // hash-partitioned exchanges are the sidecar reduction and the
+    // test query's own final aggregate — never a shuffle of the table
+    val p = executedPlan("ddl_mor_changes_read")
+    assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("cartesianproduct"),
+      "the feed must broadcast-join the tombstone reduction, never shuffle the table:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "tombstone seq-sets must broadcast")
+    assert(p.contains("Generate"), "per-row events ride one explode")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"feed must add no table-side exchange ($exchanges hash exchanges):\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("llm_sample_per_class pre-prunes map-side via WindowGroupLimit") {
     val p = executedPlan("llm_sample_per_class")
     assert(p.contains("WindowGroupLimit"),

@@ -667,8 +667,10 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val h = ps.statement("DESCRIBE HISTORY g_spec_restore")
     assert(h.columns.toSeq == Seq("version", "ordinal", "committed_at",
-      "data_files", "tombstone_batches", "stats_files"))
+      "data_files", "tombstone_batches", "stats_files", "operation"))
     assert(h.count() >= 3, "genesis + two DML commits must be listed")
+    assert(h.select("operation").collect().map(_.getString(0)).toSet
+      .contains("DELETE"))
     assert(h.select("version").collect().map(_.getLong(0)).contains(v1))
 
     // roll back by VERSION: the live view (and plain SELECT statements,
