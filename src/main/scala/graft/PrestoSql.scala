@@ -251,6 +251,15 @@ object PrestoSql {
     private val alterRenameTableRe =
       ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+RENAME\\s+TO\\s+" +
         "([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$").r
+    // CHECK constraints (Delta's statements; no constraint surface in
+    // Presto 323) — data-quality gates at the manifest-managed write
+    // boundary, enforced by MorUpsert.merge before anything stages
+    private val alterAddConstraintRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+ADD\\s+CONSTRAINT\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$").r
+    private val alterDropConstraintRe =
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+DROP\\s+CONSTRAINT\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
     private val vacuumRe =
       "(?is)^\\s*VACUUM\\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$".r
     private val optimizeRe =
@@ -438,6 +447,17 @@ object PrestoSql {
         val v = sources.Evolution.dropColumn(spark, loc, name)
         resolveMorView(table, loc)
         spark.catalog.refreshTable(table)
+        Seq(v).toDF("version")
+      case alterAddConstraintRe(table, name, exprText) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "ALTER TABLE ADD CONSTRAINT")
+        val v = sources.Evolution.addConstraint(spark, loc, name,
+          PrestoSql.translate(exprText))
+        Seq(v).toDF("version")
+      case alterDropConstraintRe(table, name) =>
+        import spark.implicits._
+        val loc = parquetLocation(table, "ALTER TABLE DROP CONSTRAINT")
+        val v = sources.Evolution.dropConstraint(spark, loc, name)
         Seq(v).toDF("version")
       case alterRenameTableRe(from, to) =>
         import spark.implicits._

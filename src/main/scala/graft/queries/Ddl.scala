@@ -1359,6 +1359,48 @@ object Ddl {
           |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin)
     },
 
+    // CHECK constraints at the write boundary (Delta's ALTER TABLE … ADD
+    // CONSTRAINT; the reference has no constraint surface): the
+    // constraint commits into the manifest, a VIOLATING UPDATE through
+    // the merge engine refuses with nothing committed (the `gated`
+    // flag), a clean UPDATE lands, and the final view hash-matches
+    // DuckDB's CASE derivation — the data-quality gate a training-data
+    // ingest pipeline wants enforced AT the table, not in every writer.
+    "ddl_sql_constraints" -> Q.df(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN c_custkey % 4 = 1 THEN c_acctbal + 10
+        |                           ELSE c_acctbal END AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |    AS bal,
+        |  true AS gated
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_constraint_customer"
+      drop(s, "g_constraint_customer", loc)
+      drop(s, "g_constraint_customer_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_constraint_customer_manifests", MorDelete.manifestDir(loc))
+      s.sql(
+        s"""CREATE TABLE g_constraint_customer USING parquet
+           |LOCATION '$loc'
+           |AS SELECT * FROM customer""".stripMargin)
+      // a phantom key declares the sidecar key without touching the view
+      import s.implicits._
+      MorDelete.deleteKeys(s, loc, Seq(-1L).toDF("c_custkey"), Seq("c_custkey"))
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement(
+        "ALTER TABLE g_constraint_customer ADD CONSTRAINT bal_floor CHECK (c_acctbal > -100000)")
+      val refused = scala.util.Try(ps.statement(
+        "UPDATE g_constraint_customer SET c_acctbal = -999999 WHERE c_custkey % 4 = 1"))
+        .failed.toOption.exists(_.getMessage.contains("bal_floor"))
+      ps.statement(
+        "UPDATE g_constraint_customer SET c_acctbal = c_acctbal + 10 WHERE c_custkey % 4 = 1")
+      MorDelete.read(s, loc)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(30,8)")).cast("double"), 2).as("bal"))
+        .withColumn("gated", lit(refused))
+        .orderBy(col("c_mktsegment").asc_nulls_last)
+    },
+
     "ddl_explain_analyze" -> Q.df(
       """SELECT 'filtered' AS phase, COUNT(*) AS n
         |FROM orders WHERE o_orderkey < 10000

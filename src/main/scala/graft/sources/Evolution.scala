@@ -195,6 +195,7 @@ object Evolution {
         "may still carry it physically — pick a fresh name, or physically migrate " +
         "first (OPTIMIZE / Layout.rewriteFiles)")
     refuseSidecarKey(spark, path, from, "rename")
+    refusedByConstraints(spark, st, from, "rename")
     val exact = hit.get._1
     val seq = MorDelete.maxSeq(spark, path) + 1
     MorDelete.publishManifest(path, seq, st.copy(
@@ -218,6 +219,7 @@ object Evolution {
     require(hit.isDefined, s"no such column to drop: '$name'")
     require(schema0.size > 1, "cannot drop a table's last column")
     refuseSidecarKey(spark, path, name, "drop")
+    refusedByConstraints(spark, st, name, "drop")
     val exact = hit.get._1
     val seq = MorDelete.maxSeq(spark, path) + 1
     MorDelete.publishManifest(path, seq, st.copy(
@@ -229,6 +231,73 @@ object Evolution {
       statCols = st.statCols.filterNot(_.equalsIgnoreCase(exact))))
     seq
   }
+
+  /** Column names an expression text references (unresolved attributes,
+    * including the heads of dotted paths — a struct access `a.b` pins
+    * column `a`). */
+  private def referencedCols(spark: SparkSession, exprText: String): Set[String] =
+    org.apache.spark.sql.GraftSqlBridge
+      .toExpr(spark, org.apache.spark.sql.functions.expr(exprText)).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.toSet
+
+  private def refusedByConstraints(spark: SparkSession, st: State, col: String,
+      op: String): Unit = {
+    val refs = st.constraints
+      .filter(c => referencedCols(spark, c._2).contains(col.toLowerCase))
+    require(refs.isEmpty,
+      s"cannot $op column '$col': CHECK constraint(s) ${refs.map(_._1).mkString(", ")} " +
+        "reference it — drop them first")
+  }
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE … ADD CONSTRAINT name
+    * CHECK (expr)`; the reference has no constraint surface): the
+    * EXISTING data must already satisfy it — a constraint never lies
+    * about rows in the table — and every later manifest-managed write
+    * ([[MorUpsert.merge]] and everything built on it: upsert, the
+    * streaming sink, applyChanges, SQL MERGE/UPDATE) validates its batch
+    * BEFORE anything stages, refusing loudly with nothing committed. SQL
+    * CHECK semantics: a row violates only when the expression is FALSE —
+    * NULL passes. Returns the op's commit sequence. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprText: String): Long = MorDelete.withWriterLock(path) {
+    import org.apache.spark.sql.functions.{expr, not}
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    require(name.nonEmpty && !name.exists(c => c == ':' || c == '\n' ||
+      c == '\r' || c.isWhitespace),
+      s"constraint name must be non-empty and free of ':' and whitespace: '$name'")
+    require(!st.constraints.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists")
+    val c = expr(exprText) // parse-validate before any scan
+    val violations = MorDelete.read(spark, path).filter(not(c)).count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint '$name' ($exprText): $violations existing " +
+        "row(s) violate it — a constraint never lies about data already in the table")
+    val seq = MorDelete.maxSeq(spark, path) + 1
+    MorDelete.publishManifest(path, seq,
+      st.copy(constraints = st.constraints :+ (name -> exprText)))
+    seq
+  }
+
+  /** Drop a CHECK constraint by name. Returns the op's commit sequence. */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Long = MorDelete.withWriterLock(path) {
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    require(st.constraints.exists(_._1.equalsIgnoreCase(name)),
+      s"no such constraint: '$name'")
+    val seq = MorDelete.maxSeq(spark, path) + 1
+    MorDelete.publishManifest(path, seq,
+      st.copy(constraints = st.constraints
+        .filterNot(_._1.equalsIgnoreCase(name))))
+    seq
+  }
+
+  /** The table's current constraints as (name, expression text) rows. */
+  def tableConstraints(spark: SparkSession, path: String): Seq[(String, String)] =
+    MorDelete.liveState(spark, path).constraints
 
   /** The table's current logical schema as (name, Spark type DDL) rows —
     * declared when evolved, physical otherwise. */

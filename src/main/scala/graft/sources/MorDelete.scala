@@ -240,7 +240,8 @@ object MorDelete {
       statCols: Seq[String] = Nil,
       txns: Map[String, Long] = Map.empty,
       schema: Seq[(String, String)] = Nil,
-      schemaLog: Seq[SchemaOp] = Nil)
+      schemaLog: Seq[SchemaOp] = Nil,
+      constraints: Seq[(String, String)] = Nil)
 
   private val manifestName = "m-(\\d+)-(\\d+)".r
 
@@ -354,8 +355,16 @@ object MorDelete {
       require(p.length == 4, s"malformed evolution entry in ${m.file}: ${l.drop(2)}")
       SchemaOp(p(0).toLong, p(1), p(2), p(3))
     }
-    (State(data, bs.sortBy(_._1), stats, statCols, txns, schema, schemaLog),
-      shardNames)
+    // `K <name>:<expr>` — CHECK constraints (first-':' split: names are
+    // ':'-free by construction, the expression text is free-form)
+    val constraints = lines.collect { case l if l.startsWith("K ") =>
+      val t = l.drop(2)
+      val i = t.indexOf(':')
+      require(i > 0, s"malformed constraint entry in ${m.file}: $t")
+      t.substring(0, i) -> t.substring(i + 1)
+    }
+    (State(data, bs.sortBy(_._1), stats, statCols, txns, schema, schemaLog,
+      constraints), shardNames)
   }
 
   /** Publish a new manifest: staged write, then ONE atomic rename — the
@@ -426,8 +435,14 @@ object MorDelete {
         s"malformed evolution op: $op")
       s"E ${op.seq}:${op.kind}:${op.a}:${op.b}"
     }
+    val constraintLines = st.constraints.map { case (n, e) =>
+      require(!n.exists(c => c == ':' || c == '\n' || c == '\r') &&
+        !e.exists(c => c == '\n' || c == '\r'),
+        s"malformed constraint: ($n, $e)")
+      s"K $n:$e"
+    }
     staged((dataLines ++ st.batches.map { case (_, f) => "B " + f.getName } ++
-      colLine ++ txnLines ++ schemaLines ++ logLines)
+      colLine ++ txnLines ++ schemaLines ++ logLines ++ constraintLines)
       .mkString("\n"), s"m-$ordinal-$seq")
   }
 
@@ -704,7 +719,8 @@ object MorDelete {
       val cB = cur.batches.map(_._2.getName).toSet
       if (asc(i).seq > asc(i - 1).seq) {
         if (!pD.subsetOf(cD) || !pB.subsetOf(cB)) "RESTORE"
-        else if (prev.schema != cur.schema || prev.schemaLog != cur.schemaLog) "ALTER"
+        else if (prev.schema != cur.schema || prev.schemaLog != cur.schemaLog ||
+          prev.constraints != cur.constraints) "ALTER"
         else if (pB != cB && pD != cD) "MERGE"
         else if (pB != cB) "DELETE"
         else if (pD != cD) "WRITE"
@@ -1832,6 +1848,24 @@ object MorUpsert {
               byName.get(c).map(_.as(c)).getOrElse(col(c))): _*)
       }
       val appended = replacements.unionByName(inserts)
+      // CHECK constraints gate the batch BEFORE anything stages: one
+      // combined pass over the (batch-sized) appended frame; per-name
+      // attribution only on the failure path. SQL CHECK semantics — a
+      // row violates only when the expression is FALSE, NULL passes.
+      if (st.constraints.nonEmpty && nUpd + nIns > 0) {
+        val anyBad = st.constraints
+          .map(c => org.apache.spark.sql.functions.not(expr(c._2)))
+          .reduce(_ || _)
+        if (appended.filter(anyBad).limit(1).count() > 0) {
+          val counts = st.constraints.map { case (nm, ex) =>
+            nm -> appended.filter(org.apache.spark.sql.functions.not(expr(ex))).count()
+          }.filter(_._2 > 0)
+          throw new IllegalArgumentException(
+            s"CHECK constraint(s) violated by the merge batch — nothing was " +
+              s"committed: ${counts.map { case (nm, n) => s"$nm ($n rows)" }
+                .mkString(", ")}")
+        }
+      }
       val newParts =
         if (nUpd + nIns == 0) Seq.empty[String]
         else {

@@ -202,6 +202,51 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSeq == want)
   }
 
+  test("CHECK constraints gate the manifest-managed write boundary") {
+    val loc = fresh() // (k, a, b) with b = k * 1.5 ∈ [1.5, 90]
+    val sp = spark; import sp.implicits._
+
+    // existing data must already satisfy a new constraint
+    val e0 = intercept[IllegalArgumentException](
+      Evolution.addConstraint(spark, loc, "big_b", "b > 50"))
+    assert(e0.getMessage.contains("existing"))
+    Evolution.addConstraint(spark, loc, "pos_b", "b > 0")
+    assert(Evolution.tableConstraints(spark, loc) == Seq("pos_b" -> "b > 0"))
+
+    // a violating batch refuses LOUDLY with nothing committed
+    val ordBefore = MorDelete.manifests(loc).last.ordinal
+    val viewBefore = MorDelete.read(spark, loc).orderBy("k").collect().toSeq
+    val e1 = intercept[IllegalArgumentException](MorUpsert.upsert(spark, loc,
+      Seq((5L, "bad", -1.0), (61L, "ok", 7.0)).toDF("k", "a", "b"), Seq("k")))
+    assert(e1.getMessage.contains("pos_b") && e1.getMessage.contains("1 rows"))
+    assert(MorDelete.manifests(loc).last.ordinal == ordBefore,
+      "a refused batch must publish no manifest")
+    assert(MorDelete.read(spark, loc).orderBy("k").collect().toSeq == viewBefore)
+
+    // SQL CHECK semantics: NULL passes; a clean batch lands
+    MorUpsert.upsert(spark, loc,
+      Seq((62L, "nullb", Option.empty[Double]), (63L, "ok", Some(9.0)))
+        .toDF("k", "a", "b"), Seq("k"))
+    assert(MorDelete.read(spark, loc).filter(col("k") >= 62).count() == 2)
+
+    // a referenced column refuses rename/drop until the constraint drops
+    assert(intercept[IllegalArgumentException](
+      Evolution.renameColumn(spark, loc, "b", "bb")).getMessage.contains("pos_b"))
+    assert(intercept[IllegalArgumentException](
+      Evolution.dropColumn(spark, loc, "b")).getMessage.contains("pos_b"))
+    Evolution.dropConstraint(spark, loc, "pos_b")
+    assert(Evolution.tableConstraints(spark, loc).isEmpty)
+    MorUpsert.upsert(spark, loc,
+      Seq((64L, "neg", -2.0)).toDF("k", "a", "b"), Seq("k"))
+    assert(MorDelete.read(spark, loc).filter(col("b") < 0).count() == 1)
+    Evolution.renameColumn(spark, loc, "b", "bb")
+
+    // constraint commits classify as ALTER in the history
+    val ops = MorDelete.history(spark, loc)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "ALTER") >= 3, s"got $ops")
+  }
+
   test("snapshot reads, delete predicates, and merge all see the evolved schema") {
     val loc = fresh()
     Evolution.addColumn(spark, loc, "c", "double")

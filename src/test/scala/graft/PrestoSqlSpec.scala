@@ -736,10 +736,28 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       ps.statement("ALTER TABLE g_spec_alter ADD COLUMN n_regionkey INT"))
     assert(e.getMessage.contains("previously"))
 
-    // RENAME TO: catalog renames, nothing moves on disk, the resolved
+    // CHECK constraints gate the write boundary from SQL: a violating
+    // UPDATE (which routes through the merge engine) refuses loudly
+    ps.statement("ALTER TABLE g_spec_alter ADD CONSTRAINT pos_score CHECK (score >= 0)")
+    // declare the sidecar key without touching the view (a phantom key)
+    sources.MorDelete.deleteKeys(spark, loc,
+      spark.range(999, 1000).select(org.apache.spark.sql.functions.col("id")
+        .as("n_nationkey")), Seq("n_nationkey"))
+    val ec = intercept[IllegalArgumentException](ps.statement(
+      "UPDATE g_spec_alter SET score = -1 WHERE n_nationkey = 3"))
+    assert(ec.getMessage.contains("pos_score"))
+    ps.statement("UPDATE g_spec_alter SET score = 2 WHERE n_nationkey = 3")
+    assert(ps.statement(
+      "SELECT count(*) AS c FROM g_spec_alter WHERE score = 2").head().getLong(0) == 1)
+    ps.statement("ALTER TABLE g_spec_alter DROP CONSTRAINT pos_score")
+    ps.statement("UPDATE g_spec_alter SET score = -1 WHERE n_nationkey = 3")
+
+    // RENAME TO: catalog renames, nothing moves on disk (the UPDATEs
+    // above appended sequence-named parts — snapshot anew), the resolved
     // view (and with it the evolved schema) follows the new name
+    val beforeRename = files()
     ps.statement("ALTER TABLE g_spec_alter RENAME TO g_spec_alter2")
-    assert(files() == before)
+    assert(files() == beforeRename)
     assert(ps.statement("SELECT count(*) AS c FROM g_spec_alter2").head().getLong(0) == 25)
     assert(!ps.statement("SELECT * FROM g_spec_alter2").columns.contains("n_regionkey"))
     assert(ps.statement("SELECT * FROM g_spec_alter2").columns.contains("remark"))
