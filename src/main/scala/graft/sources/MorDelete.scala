@@ -193,10 +193,15 @@ object MorDelete {
     * Column-DSL path sound: there the evaluator cannot see the COLUMN's
     * type, so a literal in a different domain (a timestamp compared
     * against a date column) must fall back to no-prune instead of
-    * comparing µs against day bounds. Written by [[Maintenance.analyze]],
-    * consumed by [[MorDelete.readWhere]] and [[MorStatsFileIndex]]. */
+    * comparing µs against day bounds. `nulls`/`rows` (−1 = unpublished,
+    * the pre-r15 encoding) are the column's null count and the file's
+    * row count — what lets IS NULL / IS NOT NULL predicates prune, and
+    * what marks an ALL-NULL column (NaN bounds, nulls == rows) so even
+    * range comparisons prune it (no non-null value can satisfy one).
+    * Written by [[Maintenance.analyze]], consumed by
+    * [[MorDelete.readWhere]] and [[MorStatsFileIndex]]. */
   private[graft] final case class FileColStat(col: String, min: Double, max: Double,
-      domain: String = "n")
+      domain: String = "n", nulls: Long = -1L, rows: Long = -1L)
 
   /** One schema-evolution operation recorded in the manifest log (see
     * [[Evolution]]): `kind` ∈ add/drop/rename, committed at DML sequence
@@ -304,19 +309,22 @@ object MorDelete {
               .collect { case d if d.startsWith("D ") => d.drop(2) })),
           Duration.Inf).flatten
       }
-    // a D payload is `<rel>` alone, or `<rel>\t<col>:<domain>:<min>:<max>\t…`
-    // when the manifest carries analyzed file stats (tab-split is safe:
-    // rel paths and analyzed column names are tab-free by construction);
-    // 3-part entries are the pre-domain encoding, always plain numeric
+    // a D payload is `<rel>` alone, or `<rel>\t<col>:<domain>:<min>:<max>
+    // [:<nulls>:<rows>]\t…` when the manifest carries analyzed file stats
+    // (tab-split is safe: rel paths and analyzed column names are
+    // tab-free by construction); 3-part entries are the pre-domain
+    // encoding (plain numeric), 4-part the pre-null-count one
     val parsed = (inline ++ sharded).map { payload =>
       val toks = payload.split('\t')
       val abs = base.resolve(toks.head).toString
       val stats = toks.toSeq.drop(1).map { t =>
         val p = t.split(':')
-        require(p.length == 3 || p.length == 4,
+        require(p.length == 3 || p.length == 4 || p.length == 6,
           s"malformed stats entry in ${m.file}: $t")
         if (p.length == 3) FileColStat(p(0), p(1).toDouble, p(2).toDouble)
-        else FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1))
+        else if (p.length == 4) FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1))
+        else FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1),
+          p(4).toLong, p(5).toLong)
       }
       abs -> stats
     }
@@ -388,7 +396,10 @@ object MorDelete {
       require(!rel.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"data-file path contains a manifest delimiter (tab/newline): $rel")
       val stat = st.stats.getOrElse(f, Nil)
-        .map(s => s"\t${s.col}:${s.domain}:${s.min}:${s.max}").mkString
+        .map(s =>
+          if (s.nulls >= 0 && s.rows >= 0)
+            s"\t${s.col}:${s.domain}:${s.min}:${s.max}:${s.nulls}:${s.rows}"
+          else s"\t${s.col}:${s.domain}:${s.min}:${s.max}").mkString
       (rel, rel + stat)
     }
     def staged(body: String, target: String): Unit = {
@@ -989,6 +1000,8 @@ object MorDelete {
       case ce.LessThanOrEqual(l, r) => Some("<=" -> Seq(l, r))
       case ce.EqualTo(l, r) => Some("=" -> Seq(l, r))
       case ce.In(v, list) => Some("in" -> (v +: list))
+      case ce.IsNull(a) => Some("isnull" -> Seq(a))
+      case ce.IsNotNull(a) => Some("isnotnull" -> Seq(a))
       case _ => None
     }
     // the column side: a bare attribute, optionally under a NUMERIC cast
@@ -1031,11 +1044,25 @@ object MorDelete {
     // one bounded comparison leaf: the column's stats entry must exist,
     // agree on the literal's DOMAIN (a µs literal must never judge day
     // bounds), and carry non-NaN bounds (Spark orders NaN ABOVE every
-    // number, so range reasoning is unsafe there) — otherwise may-match
+    // number, so range reasoning is unsafe there) — otherwise may-match.
+    // An ALL-NULL column (published nulls == rows) can satisfy no
+    // comparison at all (SQL: NULL <op> x is never TRUE), so it prunes
+    // regardless of domain or bounds.
     def leaf(c: String, dm: String, fn: (Double, Double) => Boolean): StatsPred =
       stats => stats.find(_.col.toLowerCase == c) match {
+        case Some(s) if s.nulls >= 0 && s.rows >= 0 && s.nulls == s.rows => false
         case Some(s) if s.domain == dm && !s.min.isNaN && !s.max.isNaN =>
           fn(s.min, s.max)
+        case _ => true
+      }
+    // null-presence leaves judge the published counts alone (no domain,
+    // no bounds): IS NULL needs at least one null, IS NOT NULL at least
+    // one non-null; unpublished counts (−1, the pre-null-count encoding)
+    // keep the file
+    def nullLeaf(c: String, wantNull: Boolean): StatsPred =
+      stats => stats.find(_.col.toLowerCase == c) match {
+        case Some(s) if s.nulls >= 0 && s.rows >= 0 =>
+          if (wantNull) s.nulls > 0 else s.nulls < s.rows
         case _ => true
       }
     def cmpLeaf(op: String, c: String, dv: (String, Double)): StatsPred = {
@@ -1065,6 +1092,10 @@ object MorDelete {
         val cs = args.map(compile)
         if (cs.exists(_.isEmpty)) None
         else Some(st => cs.exists(_.exists(_(st))))
+      case Some(("isnull", Seq(a))) if attrOf(a).isDefined =>
+        attrOf(a).map(nullLeaf(_, wantNull = true))
+      case Some(("isnotnull", Seq(a))) if attrOf(a).isDefined =>
+        attrOf(a).map(nullLeaf(_, wantNull = false))
       case Some((op, Seq(a, l))) if cmps(op) && attrOf(a).isDefined =>
         for (c <- attrOf(a); dv <- numOf(l)) yield cmpLeaf(op, c, dv)
       case Some((op, Seq(l, a))) if cmps(op) && attrOf(a).isDefined =>
@@ -1513,8 +1544,12 @@ object Maintenance {
       else st.dataFiles
     if (todo.isEmpty) return 0L
     val df = spark.read.option("basePath", path).parquet(todo: _*)
+    // per column: min, max, null count; trailing: the file's row count
+    // (one pass — the null/row counts are what IS [NOT] NULL pruning and
+    // the all-null-column rule consume)
     val aggs = statCols.flatMap(c => Seq(
-      min(domain(col(c), dtypeOf(c).get)), max(domain(col(c), dtypeOf(c).get))))
+      min(domain(col(c), dtypeOf(c).get)), max(domain(col(c), dtypeOf(c).get)),
+      count(when(col(c).isNull, 1)))) :+ count(lit(1))
     val rows = df.groupBy(col("_metadata.file_path"))
       .agg(aggs.head, aggs.tail: _*).collect()
     def domainTag(dt: DataType): String = dt match {
@@ -1525,17 +1560,20 @@ object Maintenance {
     }
     val fresh = rows.map { r =>
       val f = CowCore.localPath(r.getString(0))
-      val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
-        // an all-null (or empty) file has no bounds for this column
-        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-        else Some(MorDelete.FileColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i),
-          domainTag(dtypeOf(c).get)))
+      val total = r.getLong(1 + 3 * statCols.size)
+      val cs = statCols.zipWithIndex.map { case (c, i) =>
+        val nulls = r.getLong(3 + 3 * i)
+        // an all-null (or empty) column publishes NaN bounds with its
+        // null/row counts — range leaves skip NaN, the all-null rule and
+        // the IS [NOT] NULL leaves prune off the counts
+        if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
+          MorDelete.FileColStat(c, Double.NaN, Double.NaN,
+            domainTag(dtypeOf(c).get), nulls, total)
+        else MorDelete.FileColStat(c, r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i),
+          domainTag(dtypeOf(c).get), nulls, total)
       }
       f -> cs
     }.toMap.filter(_._2.nonEmpty)
-    // an all-null-column file can never publish bounds; when nothing else
-    // changed either (and the column set is already recorded), skip the
-    // no-op commit entirely
     if (sameCols && fresh.isEmpty && st.statCols.nonEmpty) return 0L
     val merged =
       (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ fresh

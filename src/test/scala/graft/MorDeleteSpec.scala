@@ -879,6 +879,50 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL and all-null columns") {
+    val loc = Files.createTempDirectory("graft_mornulls").toString + "/t"
+    val sp = spark; import sp.implicits._
+    // 6 range files on k; v is entirely NULL in the low-k files
+    (1 to 600).map(i => (i.toLong, if (i <= 200) None else Some(i * 2.0)))
+      .toDF("k", "v")
+      .repartitionByRange(6, col("k")).sortWithinPartitions("k")
+      .write.parquet(loc)
+    assert(Maintenance.analyze(spark, loc, Seq("k", "v")) == 6L)
+    val st = MorDelete.liveState(spark, loc)
+
+    // expectations derive from the published counts themselves
+    def vStat(f: String) = st.stats(f).find(_.col == "v").get
+    val withNulls = st.dataFiles.filter(f => vStat(f).nulls > 0).toSet
+    val allNull = st.dataFiles.filter(f => vStat(f).nulls == vStat(f).rows).toSet
+    assert(allNull.nonEmpty && withNulls.size < 6 && allNull.subsetOf(withNulls))
+    assert(st.stats.values.forall(_.forall(s => s.nulls >= 0 && s.rows > 0)),
+      "every published entry must carry its null/row counts")
+
+    // IS NULL keeps exactly the files with a null; IS NOT NULL drops the
+    // all-null ones; both spellings (DSL and SQL text) must agree
+    for (p <- Seq(col("v").isNull, expr("v IS NULL")))
+      assert(MorDelete.pruneByStats(spark, st, p).toSet == withNulls, s"$p")
+    for (p <- Seq(col("v").isNotNull, expr("v IS NOT NULL")))
+      assert(MorDelete.pruneByStats(spark, st, p).toSet ==
+        st.dataFiles.toSet -- allNull, s"$p")
+    // a range comparison can never match an all-null column: those files
+    // prune even though their NaN bounds say nothing
+    assert((MorDelete.pruneByStats(spark, st, col("v") > 0).toSet & allNull).isEmpty)
+    assert((MorDelete.pruneByStats(spark, st,
+      col("v").isin(2.0, 4.0)).toSet & allNull).isEmpty)
+
+    // the conservative contract holds through the pruned read
+    for (p <- Seq(col("v").isNull, col("v").isNotNull, col("v") > 800))
+      assert(MorDelete.readWhere(spark, loc, p).count() ==
+        MorDelete.read(spark, loc).filter(p).count(), s"$p")
+    // pre-null-count entries (the 4-part encoding) keep every file for
+    // null leaves — unpublished counts never prune
+    val legacy = st.copy(stats = st.stats.map { case (f, cs) =>
+      f -> cs.map(_.copy(nulls = -1L, rows = -1L)) })
+    assert(MorDelete.pruneByStats(spark, legacy, col("v").isNull).size == 6)
+    assert(MorDelete.pruneByStats(spark, legacy, col("v").isNotNull).size == 6)
+  }
+
   test("restore rolls the live view back as a NEW commit; pinned snapshots are never hijacked") {
     val loc = freshTable()
     val all = keys(loc)
