@@ -261,10 +261,14 @@ object Evolution {
     * CHECK semantics: a row violates only when the expression is FALSE —
     * NULL passes. Returns the op's commit sequence. */
   def addConstraint(spark: SparkSession, path: String, name: String,
-      exprText: String): Long = MorDelete.withWriterLock(path) {
+      exprTextRaw: String): Long = MorDelete.withWriterLock(path) {
     import org.apache.spark.sql.functions.{expr, not}
     MorDelete.ensureManaged(spark, path)
     val st = MorDelete.liveState(spark, path)
+    // the manifest is line-oriented: normalize interior whitespace (a
+    // multi-line CHECK body is legal SQL) BEFORE the validation scan, so
+    // the expression that commits is the expression that was checked
+    val exprText = exprTextRaw.replaceAll("\\s+", " ").trim
     require(name.nonEmpty && !name.exists(c => c == ':' || c == '\n' ||
       c == '\r' || c.isWhitespace),
       s"constraint name must be non-empty and free of ':' and whitespace: '$name'")

@@ -843,7 +843,11 @@ object MorDelete {
         val seqs = side.groupBy(keyCols.map(col): _*)
           .agg(sort_array(collect_set(col(SeqCol))).as("__kill_seqs"))
           .select(keyCols.map(k => col(k).as(s"__tomb_$k")) :+ col("__kill_seqs"): _*)
-        raw.join(broadcast(seqs),
+        // no broadcast HINT: the planner (AQE) picks it when the sidecar
+        // is small — the usual case — and falls back to a shuffled join
+        // when a churn-heavy table's key set would not fit the driver,
+        // exactly like the resolved read's anti-join
+        raw.join(seqs,
             keyCols.map(k => raw(k) === col(s"__tomb_$k")).reduce(_ && _), "left")
           .withColumn("__kill",
             array_min(filter(col("__kill_seqs"), s => s > col("__mor_fseq"))))
@@ -1007,13 +1011,16 @@ object MorDelete {
     // the column side: a bare attribute, optionally under a NUMERIC cast
     // (a widening cast preserves the double-domain bounds; a string cast
     // would compare lexically and must not prune on numeric stats)
-    def attrOf(e: ce.Expression): Option[String] = e match {
+    def bareAttrOf(e: ce.Expression): Option[String] = e match {
       case a: ce.AttributeReference => Some(a.name.toLowerCase)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         Some(u.name.toLowerCase)
+      case _ => None
+    }
+    def attrOf(e: ce.Expression): Option[String] = e match {
       case c: ce.Cast if c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         attrOf(c.child)
-      case _ => None
+      case other => bareAttrOf(other)
     }
     // the literal side: a numeric, DATE, or TIMESTAMP literal (the latter
     // two in Catalyst's own encodings — Int days / Long µs — exactly the
@@ -1092,10 +1099,15 @@ object MorDelete {
         val cs = args.map(compile)
         if (cs.exists(_.isEmpty)) None
         else Some(st => cs.exists(_.exists(_(st))))
-      case Some(("isnull", Seq(a))) if attrOf(a).isDefined =>
-        attrOf(a).map(nullLeaf(_, wantNull = true))
-      case Some(("isnotnull", Seq(a))) if attrOf(a).isDefined =>
-        attrOf(a).map(nullLeaf(_, wantNull = false))
+      // null-presence leaves take the BARE attribute only — never the
+      // cast unwrap the range leaves use: a numeric cast is not
+      // null-transparent (overflow/NaN under non-ANSI casts yields NULL),
+      // so IsNull(CAST(c AS DECIMAL)) over a null-free column can still
+      // match rows and must keep the file
+      case Some(("isnull", Seq(a))) if bareAttrOf(a).isDefined =>
+        bareAttrOf(a).map(nullLeaf(_, wantNull = true))
+      case Some(("isnotnull", Seq(a))) if bareAttrOf(a).isDefined =>
+        bareAttrOf(a).map(nullLeaf(_, wantNull = false))
       case Some((op, Seq(a, l))) if cmps(op) && attrOf(a).isDefined =>
         for (c <- attrOf(a); dv <- numOf(l)) yield cmpLeaf(op, c, dv)
       case Some((op, Seq(l, a))) if cmps(op) && attrOf(a).isDefined =>
@@ -1131,9 +1143,12 @@ object MorDelete {
           spark.read.option("basePath", path).parquet(st.dataFiles: _*))
       else if (st.schema.nonEmpty)
         // fully-emptied but schema-declared table: the manifest itself
-        // carries the schema for the empty view
+        // carries the schema for the empty view. The file-sequence column
+        // materializes HERE — a LocalRelation has no _metadata for
+        // applyTombstones to tag (it reuses a pre-computed __mor_fseq)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           Evolution.logicalSchema(st))
+          .withColumn("__mor_fseq", lit(0L))
       else {
         // every live row deleted and compacted away: derive the schema
         // from any retained file (vacuum keeps the table dir until the
@@ -1728,6 +1743,26 @@ object MorUpsert {
       keysDeleted: Long, keysUpdated: Long, rowsInserted: Long, filesAppended: Long,
       replaySkipped: Boolean = false)
 
+  /** CHECK constraints gate a batch of to-be-appended rows BEFORE
+    * anything stages: one combined pass over the (batch-sized) frame;
+    * per-name attribution only on the failure path. SQL CHECK semantics
+    * — a row violates only when the expression is FALSE, NULL passes. */
+  private def enforceConstraints(st: MorDelete.State, batch: DataFrame): Unit =
+    if (st.constraints.nonEmpty) {
+      val anyBad = st.constraints
+        .map(c => org.apache.spark.sql.functions.not(expr(c._2)))
+        .reduce(_ || _)
+      if (batch.filter(anyBad).limit(1).count() > 0) {
+        val counts = st.constraints.map { case (nm, ex) =>
+          nm -> batch.filter(org.apache.spark.sql.functions.not(expr(ex))).count()
+        }.filter(_._2 > 0)
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) violated by the merge batch — nothing was " +
+            s"committed: ${counts.map { case (nm, n) => s"$nm ($n rows)" }
+              .mkString(", ")}")
+      }
+    }
+
   /** The unconditional upsert (replace every matched key, insert the
     * rest) — `merge` with no clause conditions. */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
@@ -1738,29 +1773,58 @@ object MorUpsert {
 
   /** @param keysUpserted keys whose final event replayed as a replacement/insert
     * @param keysDeleted  keys whose final event replayed as a delete
+    * @param replaySkipped true when the `txn` marker proved this batch
+    *                      already applied — nothing ran, nothing committed
     */
-  final case class ApplyStats(keysUpserted: Long, keysDeleted: Long)
+  final case class ApplyStats(keysUpserted: Long, keysDeleted: Long,
+      replaySkipped: Boolean = false)
 
   /** Replay a CHANGE FEED onto a replica table — the downstream half of
     * [[MorDelete.readChanges]] (Delta's CDC-apply pattern): `changes`
     * carries the feed's `_change_type` / `_commit_version` columns, and
     * each key's FINAL event in the batch decides its replica state — the
-    * post-image upserts, a terminal delete tombstones (via
-    * [[MorDelete.deleteKeys]]). Intermediate history collapses (a key
-    * updated five times lands once), so replication cost ∝ CHANGED KEYS,
-    * never feed length or table size. Keys must identify rows uniquely on
-    * BOTH sides for fidelity — the CDC norm. Feed batches must apply in
-    * order and unsplit (apply everything `readChanges(cursor, now)`
-    * returned, then advance the cursor) — replaying a half-batch would
-    * interleave versions.
+    * post-image re-appends, a terminal delete tombstones. Intermediate
+    * history collapses (a key updated five times lands once), so
+    * replication cost ∝ CHANGED KEYS, never feed length or table size.
+    * Keys must identify rows uniquely on BOTH sides for fidelity — the
+    * CDC norm.
+    *
+    * The whole batch lands as ONE commit (one tombstone batch covering
+    * upserted AND deleted keys at one sequence, the post-images appended
+    * beside it, one atomic manifest rename) under one writer-lock hold —
+    * a crash or a contending writer can never leave the replica between
+    * a batch's upserts and its deletes. `txn` gives the sync loop
+    * exactly-once semantics: pass (app, the feed's `to` version) and a
+    * replayed batch is provably applied (same contract as
+    * [[merge]]'s marker).
     */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
-      keyCols: Seq[String]): ApplyStats = {
+      keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): ApplyStats = MorDelete.withWriterLock(path) {
     import org.apache.spark.sql.expressions.Window
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    txn.foreach { case (app, v) =>
+      if (st.txns.get(app).exists(_ >= v))
+        return ApplyStats(0L, 0L, replaySkipped = true)
+    }
     val metaCols = Seq("_change_type", "_commit_version", "_commit_timestamp")
     require(changes.columns.contains("_change_type"),
       "applyChanges expects a change feed (readChanges or snapshotDiff " +
         "output) with a _change_type column")
+    val dataCols = changes.columns.toSeq.filterNot(metaCols.contains)
+    val tableCols = Evolution.tableColumns(spark, path, st)
+    require(dataCols.toSet == tableCols.toSet,
+      s"feed columns (${dataCols.sorted.mkString(", ")}) must match the " +
+        s"replica's (${tableCols.sorted.mkString(", ")})")
+    // every precondition fails BEFORE anything stages or moves (the
+    // r14-advice ordering discipline)
+    val existing = MorDelete.sidecarKeyCols(spark, path)
+    existing.foreach { e =>
+      require(e == keyCols,
+        s"tombstone sidecar already keyed by (${e.mkString(", ")}); " +
+          s"got (${keyCols.mkString(", ")}) — compact() before changing the key set")
+    }
     // the key's final event: newest version wins; within one version the
     // insert (post-image) outranks the delete (pre-image of the same
     // update). A snapshotDiff feed has no versions — it is already net,
@@ -1777,14 +1841,43 @@ object MorUpsert {
       .filter(col("__cdc_rn") === 1).drop("__cdc_rn")
       .localCheckpoint(true)
     try {
-      val dataCols = changes.columns.toSeq.filterNot(metaCols.contains)
       val ups = finals.filter(col("_change_type") === "insert")
-        .select(dataCols.map(col): _*)
+        .select(tableCols.map(col): _*)
       val dels = finals.filter(col("_change_type") === "delete")
         .select(keyCols.map(col): _*)
-      val nUps = ups.count()
-      if (nUps > 0) upsert(spark, path, ups, keyCols)
-      val nDel = MorDelete.deleteKeys(spark, path, dels, keyCols)
+      enforceConstraints(st, ups)
+      val (nUps, nDel) = (ups.count(), dels.count())
+      if (nUps == 0 && nDel == 0 && txn.isEmpty) return ApplyStats(0L, 0L)
+      val seq = MorDelete.maxSeq(spark, path) + 1
+      // stage the post-images as sequence-named parts (they survive their
+      // own tombstones under the strictly-smaller rule — merge's shape),
+      // then the ONE tombstone batch covering both halves; both invisible
+      // until the single manifest rename below
+      val newParts =
+        if (nUps == 0) Seq.empty[String]
+        else {
+          val base = Paths.get(path).toAbsolutePath
+          val partitionCols =
+            if (st.schemaLog.nonEmpty || st.dataFiles.isEmpty) Nil
+            else {
+              val table = spark.read.option("basePath", path)
+                .parquet(st.dataFiles: _*)
+              table.select(col("_metadata.file_path")).limit(1).collect()
+                .headOption.map(r => CowCore.localPath(r.getString(0)))
+                .map(CowCore.partitionColsOf(spark, table, _)).getOrElse(Nil)
+            }
+          CowCore.moveIn(CowCore.stage(spark, base, partitionCols, ups),
+            base, prefix = s"part-mor$seq-")
+        }
+      val allKeys = ups.select(keyCols.map(col): _*).unionByName(dels)
+      val (nTomb, batchName) = MorDelete.appendTombstones(spark, path,
+        allKeys, keyCols, seq, existing)
+      if (nTomb > 0 || newParts.nonEmpty || txn.isDefined)
+        MorDelete.publishManifest(path, seq, st.copy(
+          dataFiles = st.dataFiles ++ newParts,
+          batches = st.batches ++ batchName.map(n =>
+            seq -> new java.io.File(MorDelete.sidecarDir(path), n)),
+          txns = st.txns ++ txn))
       ApplyStats(nUps, nDel)
     } finally { finals.unpersist(); () }
   }
@@ -1810,16 +1903,21 @@ object MorUpsert {
         return MergeStats(0L, 0L, 0L, 0L, replaySkipped = true)
     }
     // an evolved table's live files may physically disagree with the
-    // logical schema — every column-set decision runs on the LOGICAL one
-    val tableCols = Evolution.tableColumns(spark, path, st)
-    // an insert-only merge on a fully-emptied table is legal: fall back to
-    // the retained files for schema (same rule as the empty resolved view)
-    val table =
-      if (st.schemaLog.nonEmpty)
-        Evolution.evolvedRead(spark, path, st).drop("__mor_fseq")
+    // logical schema — every column-set decision runs on the LOGICAL one.
+    // Build at most ONE raw relation (none at all when the schema is
+    // declared in the manifest): relation construction lists files and
+    // reads footers, the cost that dominates a small merge's driver side
+    // at high file counts. The insert-only merge on a fully-emptied table
+    // falls back to the retained files for schema (same rule as the
+    // empty resolved view).
+    val rawTable: Option[DataFrame] =
+      if (st.schemaLog.nonEmpty) None
       else if (st.dataFiles.nonEmpty)
-        spark.read.option("basePath", path).parquet(st.dataFiles: _*)
-      else spark.read.option("basePath", path).parquet(path).where(lit(false))
+        Some(spark.read.option("basePath", path).parquet(st.dataFiles: _*))
+      else Some(spark.read.option("basePath", path).parquet(path).where(lit(false)))
+    val tableCols =
+      if (st.schema.nonEmpty) st.schema.map(_._1)
+      else rawTable.get.columns.toSeq
     require(source.columns.toSet == tableCols.toSet,
       s"source columns (${source.columns.sorted.mkString(", ")}) must match " +
         s"the table's (${tableCols.sorted.mkString(", ")})")
@@ -1886,24 +1984,7 @@ object MorUpsert {
               byName.get(c).map(_.as(c)).getOrElse(col(c))): _*)
       }
       val appended = replacements.unionByName(inserts)
-      // CHECK constraints gate the batch BEFORE anything stages: one
-      // combined pass over the (batch-sized) appended frame; per-name
-      // attribution only on the failure path. SQL CHECK semantics — a
-      // row violates only when the expression is FALSE, NULL passes.
-      if (st.constraints.nonEmpty && nUpd + nIns > 0) {
-        val anyBad = st.constraints
-          .map(c => org.apache.spark.sql.functions.not(expr(c._2)))
-          .reduce(_ || _)
-        if (appended.filter(anyBad).limit(1).count() > 0) {
-          val counts = st.constraints.map { case (nm, ex) =>
-            nm -> appended.filter(org.apache.spark.sql.functions.not(expr(ex))).count()
-          }.filter(_._2 > 0)
-          throw new IllegalArgumentException(
-            s"CHECK constraint(s) violated by the merge batch — nothing was " +
-              s"committed: ${counts.map { case (nm, n) => s"$nm ($n rows)" }
-                .mkString(", ")}")
-        }
-      }
+      if (nUpd + nIns > 0) enforceConstraints(st, appended)
       val newParts =
         if (nUpd + nIns == 0) Seq.empty[String]
         else {
@@ -1911,14 +1992,14 @@ object MorUpsert {
           // evolution requires flat layouts, so an evolved table never
           // carries partition-directory columns (and its epoch union has
           // no _metadata column to sample anyway)
-          val partitionCols =
-            if (st.schemaLog.nonEmpty) Nil
-            else {
+          val partitionCols = rawTable match {
+            case None => Nil
+            case Some(table) =>
               val sample = table.select(col("_metadata.file_path"))
                 .limit(1).collect().headOption
                 .map(r => CowCore.localPath(r.getString(0)))
               sample.map(CowCore.partitionColsOf(spark, table, _)).getOrElse(Nil)
-            }
+          }
           val stage = CowCore.stage(spark, base, partitionCols, appended)
           CowCore.moveIn(stage, base, prefix = s"part-mor$seq-")
         }

@@ -187,8 +187,21 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
     def sync(): Unit = {
       val now = MorDelete.currentSeq(spark, src)
-      MorUpsert.applyChanges(spark, replica,
-        MorDelete.readChanges(spark, src, cursor, now), Seq("k"))
+      val ordBefore = MorDelete.manifests(replica).lastOption.map(_.ordinal)
+      val stats = MorUpsert.applyChanges(spark, replica,
+        MorDelete.readChanges(spark, src, cursor, now), Seq("k"),
+        txn = Some(("cdc", now)))
+      // the whole batch lands as ONE commit — a crash can never leave the
+      // replica between a batch's upserts and its deletes
+      if (stats.keysUpserted + stats.keysDeleted > 0 || !stats.replaySkipped)
+        assert(MorDelete.manifests(replica).last.ordinal ==
+          ordBefore.map(_ + 1).getOrElse(MorDelete.manifests(replica).last.ordinal),
+          "applyChanges must publish exactly one manifest per batch")
+      // and the txn marker makes a replayed batch provably applied
+      val replay = MorUpsert.applyChanges(spark, replica,
+        MorDelete.readChanges(spark, src, cursor, now), Seq("k"),
+        txn = Some(("cdc", now)))
+      assert(replay.replaySkipped)
       cursor = now
       assert(view(replica) == view(src), "replica must equal source after a sync")
     }

@@ -210,7 +210,9 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e0 = intercept[IllegalArgumentException](
       Evolution.addConstraint(spark, loc, "big_b", "b > 50"))
     assert(e0.getMessage.contains("existing"))
-    Evolution.addConstraint(spark, loc, "pos_b", "b > 0")
+    // a multi-line CHECK body is legal SQL: interior whitespace
+    // normalizes before the validation scan (the manifest is line-based)
+    Evolution.addConstraint(spark, loc, "pos_b", "b >\n   0")
     assert(Evolution.tableConstraints(spark, loc) == Seq("pos_b" -> "b > 0"))
 
     // a violating batch refuses LOUDLY with nothing committed

@@ -921,6 +921,38 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       f -> cs.map(_.copy(nulls = -1L, rows = -1L)) })
     assert(MorDelete.pruneByStats(spark, legacy, col("v").isNull).size == 6)
     assert(MorDelete.pruneByStats(spark, legacy, col("v").isNotNull).size == 6)
+
+    // a null-CREATING cast must never ride the null leaves: TRY_CAST(v AS
+    // DECIMAL(3,2)) yields NULL on overflow, so IsNull over it matches
+    // rows in null-free files — the evaluator must keep them all (the
+    // range leaves' cast unwrap is NOT sound for null-presence)
+    val castNull = expr("try_cast(v AS decimal(3,2)) IS NULL")
+    assert(MorDelete.pruneByStats(spark, st, castNull).size == 6,
+      "IS NULL under a numeric cast must not prune on the column's counts")
+    assert(MorDelete.readWhere(spark, loc, castNull).count() ==
+      MorDelete.read(spark, loc).filter(castNull).count())
+    assert(MorDelete.read(spark, loc).filter(castNull).count() > 200,
+      "the cast genuinely creates nulls beyond the physical ones here")
+  }
+
+  test("a fully-emptied, schema-declared table still reads (and applies tombstones)") {
+    val loc = Files.createTempDirectory("graft_morempty").toString + "/t"
+    val sp = spark; import sp.implicits._
+    (1 to 40).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartition(2).write.parquet(loc)
+    // declare a schema in the manifest and a LIVE tombstone batch, then
+    // publish the zero-data-files state (what a compaction of a fully
+    // tombstoned table converges to) — the LocalRelation branch must
+    // serve it with the batch applied, not throw resolving _metadata
+    graft.sources.Evolution.renameColumn(spark, loc, "v", "value")
+    MorDelete.deleteKeys(spark, loc, Seq(999L).toDF("k"), Seq("k"))
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.schema.nonEmpty && st.batches.nonEmpty)
+    MorDelete.publishManifest(loc, MorDelete.currentSeq(spark, loc),
+      st.copy(dataFiles = Nil))
+    val r = MorDelete.read(spark, loc)
+    assert(r.columns.toSeq == Seq("k", "value") && r.count() == 0L,
+      "the empty schema-declared view must read, not throw on _metadata")
   }
 
   test("restore rolls the live view back as a NEW commit; pinned snapshots are never hijacked") {
