@@ -1007,9 +1007,11 @@ object ScaleRehearsal {
           // here) — a FULL-body rewrite once, because every entry's
           // content changes; the next 1-file commit must fall back to
           // one-shard cost with the stats riding along untouched
+          // entries carry the CURRENT (6-part, null/row-count) encoding —
+          // the per-commit byte claims must price what analyze writes
           val stats = names.map(n => n -> Seq(
-            MorDelete.FileColStat("a", 1.0, 2.0),
-            MorDelete.FileColStat("b", -1.5, 3.5e7))).toMap
+            MorDelete.FileColStat("a", 1.0, 2.0, "n", 3L, 100000L),
+            MorDelete.FileColStat("b", -1.5, 3.5e7, "n", 0L, 100000L))).toMap
           val bytes1 = treeBytes(mdir)
           MorDelete.publishManifest(loc, 22L, MorDelete.State(names, Nil, stats))
           val analyzeBytes = treeBytes(mdir) - bytes1
