@@ -1231,6 +1231,61 @@ object ScaleRehearsal {
       println(f"[scale] cdf: table $baseN rows, ${insN + delN} change rows " +
         f"(ins $insN / del $delN); feed $wFeed%.2f s, diff $wDiff%.2f s, " +
         f"1-commit feed $wOne%.2f s, full rescan $wScan%.2f s")
+
+      // ---- long-range leg: 120 upsert commits under SHARDED manifests.
+      // The clean-range walk's cost model is the r15 nit: reading every
+      // manifest BODY per range commit is O(commits × shards); shards are
+      // content-addressed, so the walk now (a) proves equal shard-name
+      // sets equal without any body read and (b) caches each DISTINCT
+      // shard body once per walk. The counterfactual below counts the
+      // S-line references the old walk would have slurped vs the
+      // distinct shard files the cached walk can touch at most.
+      {
+        val loc2 = "/tmp/graft_cdf/long"
+        val fm = MorDelete.manifestFlatMax
+        val tg = MorDelete.manifestShardTarget
+        MorDelete.manifestFlatMax = 2
+        MorDelete.manifestShardTarget = 4
+        try {
+          Tables.t(spark, sfDir, "orders").repartition(32)
+            .write.mode("overwrite").parquet(loc2)
+          MorDelete.delete(spark, loc2, col("o_orderkey") === -1, Seq("o_orderkey"))
+          val s0 = MorDelete.currentSeq(spark, loc2)
+          val one = MorDelete.read(spark, loc2).limit(1)
+            .withColumn("o_totalprice", col("o_totalprice") + 1)
+            .localCheckpoint(true)
+          (0 until 120).foreach { i =>
+            MorUpsert.upsert(spark, loc2,
+              one.withColumn("o_orderkey", lit(9000000L + i)), Seq("o_orderkey"))
+          }
+          val mdir = new java.io.File(MorDelete.manifestDir(loc2))
+          val listsInRange = Option(mdir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("m-")).toSeq
+          val refs = listsInRange.flatMap(f =>
+            scala.jdk.CollectionConverters.ListHasAsScala(
+              java.nio.file.Files.readAllLines(f.toPath)).asScala
+              .filter(_.startsWith("S ")).map(_.drop(2)))
+          val wLong = best2("readChanges(120 commits, sharded)")(
+            MorDelete.readChanges(spark, loc2, s0)
+              .groupBy(col("_change_type")).agg(count(lit(1)).as("n")))
+          println(f"[scale] cdf long-range: ${listsInRange.size} manifests, " +
+            f"${refs.size} shard references (the per-commit-body counterfactual) " +
+            f"vs ${refs.distinct.size} distinct shard bodies (cached walk ceiling); " +
+            f"feed over 120 commits $wLong%.2f s")
+          // refusal semantics unchanged: a compaction inside the range
+          // still refuses per-commit attribution
+          MorDelete.delete(spark, loc2, col("o_orderkey") >= 9000000L, Seq("o_orderkey"))
+          MorDelete.compact(spark, loc2)
+          val refused =
+            try { MorDelete.readChanges(spark, loc2, s0).count(); false }
+            catch { case e: IllegalArgumentException =>
+              e.getMessage.contains("snapshotDiff") }
+          require(refused, "reorg-in-range must still refuse loudly")
+        } finally {
+          MorDelete.manifestFlatMax = fm
+          MorDelete.manifestShardTarget = tg
+        }
+      }
       spark.stop(); return
     }
 
@@ -1502,13 +1557,28 @@ object ScaleRehearsal {
             .select(col("user_id"), col("event_id"), col("ts"))
           val views = hot.filter(col("event_type") === "view")
             .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+          val t0 = System.nanoTime()
           val p = AsofJoin.plan(clicks, views, Seq("user_id"), "ts", "vts")
+          val wPlanFull = (System.nanoTime() - t0) / 1e9
+          // the SAMPLED stats pass (the 100-TB shape: 1% of the union
+          // shuffles instead of all of it) must pick the SAME arm — the
+          // single/sliced crossover spans a decade, so the estimate's
+          // Poisson error cannot flip it
+          val t1 = System.nanoTime()
+          val pS = AsofJoin.plan(clicks, views, Seq("user_id"), "ts", "vts",
+            statsSampleFraction = 0.01)
+          val wPlanSampled = (System.nanoTime() - t1) / 1e9
+          require(pS.sliced == p.sliced,
+            s"sampled plan flipped the arm at $kind@${n}x: " +
+              s"full ${p.maxKeyRows} rows vs sampled estimate ${pS.maxKeyRows}")
           val autoArm = if (p.sliced) "sliced" else "single"
           val winner = if (wSingle <= wSliced) "single" else "sliced"
           println(f"[scale] asofskew $kind%s@$n%dx single $wSingle%.2f s vs sliced $wSliced%.2f s " +
             f"(rows ${mSingle._1}%d, matched ${mSingle._2}%d, width $width%.0f s, " +
-            f"auto picks $autoArm%s [hot key ${p.maxKeyRows}%d rows], winner $winner%s)")
-          f"""{"kind": "$kind%s", "replicas": $n%d, "rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f, "auto_arm": "$autoArm%s", "auto_max_key_rows": ${p.maxKeyRows}%d, "measured_winner": "$winner%s"}"""
+            f"auto picks $autoArm%s [hot key ${p.maxKeyRows}%d rows; sampled est " +
+            f"${pS.maxKeyRows}%d, plan $wPlanFull%.2f s full / $wPlanSampled%.2f s sampled], " +
+            f"winner $winner%s)")
+          f"""{"kind": "$kind%s", "replicas": $n%d, "rows": ${mSingle._1}%d, "matched": ${mSingle._2}%d, "single_wall": $wSingle%.2f, "sliced_wall": $wSliced%.2f, "auto_arm": "$autoArm%s", "auto_max_key_rows": ${p.maxKeyRows}%d, "sampled_arm_same": true, "sampled_max_key_rows": ${pS.maxKeyRows}%d, "plan_wall_full": $wPlanFull%.2f, "plan_wall_sampled": $wPlanSampled%.2f, "measured_winner": "$winner%s"}"""
       }
       // the no-skew corpus must keep the single arm (its hottest key is
       // tiny), completing the auto decision's negative control

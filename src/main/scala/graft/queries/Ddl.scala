@@ -676,6 +676,102 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // PARTITIONED (Hive-layout) MoR table — partition values prune the
+    // manifest's file list like Iceberg's partition-valued manifest
+    // entries (derived from the `col=value` path segments rather than
+    // stored): a ship-month partition band plus an analyzed quantity
+    // band, through readWhere, hash-matched against DuckDB's
+    // un-partitioned derivation. `part_pruned` pins that the partition
+    // predicate ALONE cut the file list (synthetic exact bounds, no
+    // analyze needed for it); `pruned` pins the composed cut. The same
+    // snapshot also rides MorStatsFileIndex on the default read path,
+    // where Spark's own planner applies the partition filters.
+    "ddl_mor_part_prune" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty,
+        |  true AS part_pruned, true AS pruned
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 10 = 3)
+        |  AND year(l_shipdate) * 100 + month(l_shipdate) BETWEEN 199601 AND 199606
+        |  AND l_quantity <= 25
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morpart_lineitem"
+      drop(s, "g_morpart_lineitem", loc)
+      drop(s, "g_morpart_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_morpart_lineitem_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "lineitem")
+        .withColumn("l_ship_ym",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+        .repartition(col("l_ship_ym"))
+        .write.partitionBy("l_ship_ym").mode("overwrite").parquet(loc)
+      MorDelete.delete(s, loc, col("l_orderkey") % 10 === 3,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Maintenance.analyze(s, loc, Seq("l_quantity"))
+      val partBand = col("l_ship_ym") >= 199601L && col("l_ship_ym") <= 199606L
+      val pred = partBand && col("l_quantity") <= 25
+      val st = MorDelete.liveState(s, loc)
+      val partKept = MorDelete.pruneByStats(s, st, partBand)
+      val kept = MorDelete.pruneByStats(s, st, pred)
+      MorDelete.readWhere(s, loc, pred)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+        .withColumn("part_pruned", lit(partKept.size < st.dataFiles.size))
+        .withColumn("pruned", lit(kept.size <= partKept.size &&
+          kept.size < st.dataFiles.size))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
+    // NARROWING-cast predicates over an analyzed table — the r15
+    // wrong-results class, pinned end-to-end against DuckDB. A
+    // truncating CAST(double AS INT) changes the matched set, so the
+    // evaluator must treat it as OPAQUE (canUpCast-gated unwrap,
+    // MorDelete.statsPredOf): the cast disjunction prunes nothing
+    // (`cast_opaque` pins that), while the bare-column conjunct still
+    // prunes (`pruned`), and the aggregate hash-matches DuckDB's
+    // truncation-equivalent range spelling. Before the r16 fix this
+    // shape silently dropped every row of a file whose fractional min
+    // sat above the integer literal.
+    "ddl_mor_cast_prune" -> Q.df(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS price,
+        |  true AS pruned, true AS cast_opaque
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 10 = 3)
+        |  AND ((l_extendedprice >= 30000 AND l_extendedprice < 31000)
+        |       OR (l_extendedprice >= 45123 AND l_extendedprice < 45124))
+        |  AND l_extendedprice >= 25000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morcast_lineitem"
+      drop(s, "g_morcast_lineitem", loc)
+      drop(s, "g_morcast_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_morcast_lineitem_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "lineitem").repartitionByRange(16, col("l_extendedprice"))
+        .sortWithinPartitions("l_extendedprice").write.mode("overwrite").parquet(loc)
+      MorDelete.delete(s, loc, col("l_orderkey") % 10 === 3,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Maintenance.analyze(s, loc, Seq("l_extendedprice"))
+      // Spark truncates CAST(double AS INT) toward zero, so for positive
+      // prices CAST(p AS INT) BETWEEN a AND b  <=>  p in [a, b+1) — the
+      // oracle spells the ranges, the engine runs the casts
+      val castPart = expr(
+        "CAST(l_extendedprice AS INT) BETWEEN 30000 AND 30999 " +
+          "OR CAST(l_extendedprice AS INT) = 45123")
+      val pred = castPart && col("l_extendedprice") >= 25000
+      val st = MorDelete.liveState(s, loc)
+      val kept = MorDelete.pruneByStats(s, st, pred)
+      val castKept = MorDelete.pruneByStats(s, st, castPart)
+      MorDelete.readWhere(s, loc, pred)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+        .withColumn("pruned", lit(kept.size < st.dataFiles.size))
+        .withColumn("cast_opaque", lit(castKept.size == st.dataFiles.size))
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    },
+
     // RESTORE through the manifest protocol (Delta's statement; exceeds
     // Presto 323 like the FOR … AS OF reads): two SQL DELETEs land, then
     // RESTORE TABLE … TO VERSION AS OF rolls the live view back to the
@@ -1232,6 +1328,58 @@ object Ddl {
         .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
       MorUpsert.upsert(s, loc, upd.unionByName(ins), Seq("o_orderkey"))
       MorDelete.readChanges(s, loc, 0)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
+            .as("total"))
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("version"), col("n"), col("total"))
+        .orderBy(col("change_type").asc_nulls_last, col("version").asc_nulls_last)
+    },
+
+    // The SAME change feed consumed through the STREAMING source
+    // (Streams.morSource → memory sink, Trigger.AvailableNow): identical
+    // DML, identical oracle — the micro-batch reader must emit exactly
+    // the rows the batch readChanges derives, proving the offset-
+    // bounded getBatch path against DuckDB rather than against the
+    // batch reader it wraps.
+    "ddl_mor_changes_stream" -> Q.df(
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, CAST(1 AS BIGINT) AS version,
+        |    COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), COUNT(*),
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |  FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), COUNT(*),
+        |    ROUND(CAST(SUM(CAST(p AS DECIMAL(30,8))) AS DOUBLE), 2)
+        |  FROM (
+        |    SELECT o_totalprice + 100 AS p FROM orders
+        |    WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 = 4
+        |    UNION ALL
+        |    SELECT o_totalprice FROM orders
+        |    WHERE o_orderkey % 7 <> 3 AND o_orderkey % 100 = 11)
+        |) ORDER BY change_type ASC NULLS LAST, version ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_cdfstream_orders"
+      drop(s, "g_cdfstream_orders", loc)
+      drop(s, "g_cdfstream_orders_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_cdfstream_orders_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "orders").write.mode("overwrite").parquet(loc)
+      MorDelete.delete(s, loc, col("o_orderkey") % 7 === 3, Seq("o_orderkey"))
+      val resolved = MorDelete.read(s, loc)
+      val upd = resolved.filter(col("o_orderkey") % 10 === 4)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+      val ins = resolved.filter(col("o_orderkey") % 100 === 11)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      MorUpsert.upsert(s, loc, upd.unionByName(ins), Seq("o_orderkey"))
+      val mem = "g_cdfstream_mem"
+      s.catalog.dropTempView(mem)
+      graft.streaming.Streams.runToMemory(
+        graft.streaming.Streams.morSource(s, loc, fromSeq = 0L), mem, "append")
+      s.table(mem)
         .groupBy(col("_change_type"), col("_commit_version"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)

@@ -115,12 +115,17 @@ import org.apache.spark.sql.functions._
   * it is stable within 2× growth bands; crossing a band (or the
   * flat/sharded threshold) rewrites all groups once and reuse resumes.
   * Sharding is by PATH HASH, not by partition value: reads here always
-  * materialize the full live file list (Spark's FileIndex then applies
-  * partition pruning on it), so partition-keyed shards would buy no
-  * read-side pruning without a catalog layer that pushes partition
-  * predicates into the listing itself — Iceberg's choice, out of scope;
-  * the hash split maximizes what THIS layer controls, commit reuse
-  * under arbitrary (clustered or scattered) file churn.
+  * materialize the full live file list, and PARTITION PRUNING happens on
+  * that list — driver-side in [[pruneByStats]] (each file's `col=value`
+  * path segments are exact min=max bounds, the Iceberg
+  * partition-values-in-manifest split derived from paths) and inside
+  * Spark's planning via [[MorStatsFileIndex]] (which declares the
+  * partition schema and evaluates the planner's partitionFilters per
+  * directory group). Partition-keyed SHARDS would additionally prune the
+  * listing itself — a win only past the point where the file LIST is the
+  * bottleneck (~10⁷ files); the hash split maximizes what matters below
+  * that, commit reuse under arbitrary (clustered or scattered) file
+  * churn.
   */
 object MorDelete {
 
@@ -652,6 +657,23 @@ object MorDelete {
   def read(spark: SparkSession, path: String): DataFrame =
     readAt(spark, path, Long.MaxValue)
 
+  /** The live view resolved with the manifest's published stats STRIPPED
+    * — every data file is scanned, nothing prunes. This is the fuzz
+    * suite's ORACLE for the stats evaluator: `readWhere(pred)` and
+    * `read().filter(pred)` both ride [[statsPredOf]], so comparing them
+    * to each other can never catch an evaluator bug (both sides fail
+    * identically — exactly how the r15 narrowing-cast unsoundness
+    * survived the fuzz). This path shares the resolve/tombstone logic
+    * but NOT the evaluator, so a pruning bug shows up as a row diff. */
+  private[graft] def readIgnoringStats(spark: SparkSession, path: String): DataFrame = {
+    val ms = manifests(path)
+    if (ms.isEmpty) readAt(spark, path, Long.MaxValue)
+    else {
+      val st = readManifest(path, ms.maxBy(_.ordinal))
+      resolvedOf(spark, path, st.copy(stats = Map.empty), Long.MaxValue)
+    }
+  }
+
   /** Snapshot read pinned at sequence `seq`: the newest manifest whose
     * sequence ≤ `seq` defines the file and tombstone set, so the view is
     * exactly the table as of that commit — stable across later deletes,
@@ -722,6 +744,16 @@ object MorDelete {
     // while same-sequence commits are view-identical maintenance.
     val asc = manifests(path)
     val states = asc.map(readManifest(path, _))
+    // stats equality must be NaN-tolerant: an all-null column publishes
+    // NaN min/max, and case-class Double equality uses IEEE == (NaN !=
+    // NaN), so two structurally identical maps would never compare equal
+    // and a stats-unchanged commit would be mislabeled ANALYZE —
+    // doubleToLongBits makes NaN self-equal
+    def statsKey(m: Map[String, Seq[FileColStat]]) =
+      m.view.mapValues(_.map(s => (s.col,
+        java.lang.Double.doubleToLongBits(s.min),
+        java.lang.Double.doubleToLongBits(s.max),
+        s.domain, s.nulls, s.rows))).toMap
     def classify(i: Int): String = {
       if (i == 0) return "GENESIS"
       val (prev, cur) = (states(i - 1), states(i))
@@ -739,7 +771,8 @@ object MorDelete {
       } else {
         if (pD != cD) "OPTIMIZE"
         else if (pB != cB) "COMPACT SIDECAR"
-        else if (prev.stats != cur.stats || prev.statCols != cur.statCols) "ANALYZE"
+        else if (statsKey(prev.stats) != statsKey(cur.stats) ||
+          prev.statCols != cur.statCols) "ANALYZE"
         else "COMMIT"
       }
     }
@@ -798,28 +831,54 @@ object MorDelete {
 
     // clean-range walk: per-commit attribution needs every range commit to
     // be a pure DML — monotone file/batch growth at increasing sequence
-    // (an analyze republishes the same sets at the same sequence: fine)
-    var prev = readManifest(path, fromM)
+    // (an analyze republishes the same sets at the same sequence: fine).
+    // Cost discipline: shards are CONTENT-ADDRESSED (shard-<sha1(body)>),
+    // so equal shard-name sets prove equal file sets WITHOUT reading any
+    // body, and a body read is needed at most once per DISTINCT shard
+    // name across the whole walk (per-walk cache) — a month-long range
+    // over a sharded table validates in O(distinct shards), not
+    // O(commits × manifest body) driver reads.
+    val shardCache = scala.collection.mutable.Map.empty[String, Set[String]]
+    def walkView(m: ManifestRef): (Set[String], Set[String], Set[String]) = {
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(Files.readAllLines(m.file.toPath)).asScala
+      val inline = lines.collect {
+        case l if l.startsWith("D ") => l.drop(2).takeWhile(_ != '\t') }.toSet
+      val shards = lines.collect { case l if l.startsWith("S ") => l.drop(2) }.toSet
+      val bs = lines.collect { case l if l.startsWith("B ") => l.drop(2) }.toSet
+      (inline, shards, bs)
+    }
+    def filesOf(v: (Set[String], Set[String], Set[String]), mdir: java.io.File): Set[String] =
+      v._1 ++ v._2.flatMap(n => shardCache.getOrElseUpdate(n,
+        scala.jdk.CollectionConverters
+          .ListHasAsScala(Files.readAllLines(new java.io.File(mdir, n).toPath)).asScala
+          .collect { case l if l.startsWith("D ") => l.drop(2).takeWhile(_ != '\t') }
+          .toSet))
+    var prevV = walkView(fromM)
     var prevSeq = fromM.seq
     val commitTimes = scala.collection.mutable.Map.empty[Long, java.sql.Timestamp]
     range.foreach { m =>
-      val cur = readManifest(path, m)
-      val (pD, pB) = (prev.dataFiles.toSet, prev.batches.map(_._2.getName).toSet)
-      val (cD, cB) = (cur.dataFiles.toSet, cur.batches.map(_._2.getName).toSet)
+      val curV = walkView(m)
+      val mdir = m.file.getParentFile
+      // equal name sets (inline AND shard) prove equal D sets; only a
+      // differing pair pays body reads, and only for uncached shards
+      val sameFiles = prevV._1 == curV._1 && prevV._2 == curV._2
       if (m.seq > prevSeq) {
-        require(pD.subsetOf(cD) && pB.subsetOf(cB),
+        require((sameFiles || filesOf(prevV, mdir).subsetOf(filesOf(curV, mdir))) &&
+          prevV._3.subsetOf(curV._3),
           s"commit ${m.file.getName} removed files or batches (a RESTORE): " +
             "per-commit change attribution is undefined across it — use " +
             "snapshotDiff for this range")
         if (!commitTimes.contains(m.seq))
           commitTimes(m.seq) = new java.sql.Timestamp(m.file.lastModified())
       } else {
-        require(pD == cD && pB == cB,
+        require((sameFiles || filesOf(prevV, mdir) == filesOf(curV, mdir)) &&
+          prevV._3 == curV._3,
           s"commit ${m.file.getName} physically reorganized files or batches " +
             "(compaction / sidecar merge / rewrite): per-commit change " +
             "attribution is undefined across it — use snapshotDiff for this range")
       }
-      prev = cur
+      prevV = curV
       prevSeq = m.seq
     }
 
@@ -963,15 +1022,57 @@ object MorDelete {
   }
 
   /** The data files of `st` that MAY contain a row matching `predicate`,
-    * judged by published per-file column stats (see [[readWhere]]).
-    * Exposed for specs and rehearsals to assert the pruning itself. */
+    * judged by published per-file column stats (see [[readWhere]]) PLUS
+    * the file's own Hive-layout partition values — a `month=199603`
+    * directory segment is an exact min=max bound for `month`, so a
+    * partition predicate prunes the list even on a never-analyzed table
+    * (the Iceberg partition-values-in-manifest split, derived from the
+    * path instead of stored). Exposed for specs and rehearsals. */
   private[graft] def pruneByStats(spark: SparkSession, st: State,
       predicate: Column): Seq[String] = {
-    if (st.stats.isEmpty) return st.dataFiles
     statsPredOf(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate)) match {
       case None => st.dataFiles
-      case Some(p) => st.dataFiles.filter(f => p(st.stats.getOrElse(f, Nil)))
+      case Some(p) =>
+        st.dataFiles.filter(f =>
+          p(st.stats.getOrElse(f, Nil) ++ pathPartitionStats(f)))
     }
+  }
+
+  /** Synthetic per-file stats from the file's `col=value` ancestor
+    * directories: a LONG-parsable value becomes an exact numeric bound,
+    * an ISO date becomes an exact day-domain bound, the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel becomes an all-null column
+    * (so range leaves prune it and IS NULL keeps it); any other string
+    * value contributes only null-presence counts — the evaluator has no
+    * string leaves, so string comparisons stay conservative. */
+  private[graft] def pathPartitionStats(f: String): Seq[FileColStat] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileColStat]
+    var p = Paths.get(f).getParent
+    var go = true
+    while (go && p != null && p.getFileName != null) {
+      val seg = p.getFileName.toString
+      val i = seg.indexOf('=')
+      if (i <= 0) go = false
+      else {
+        val c = seg.substring(0, i)
+        val v = seg.substring(i + 1)
+        if (v == "__HIVE_DEFAULT_PARTITION__")
+          out += FileColStat(c, Double.NaN, Double.NaN, "n", 1L, 1L)
+        else scala.util.Try(v.toLong).toOption match {
+          case Some(l) => out += FileColStat(c, l.toDouble, l.toDouble, "n", 0L, 1L)
+          case None =>
+            scala.util.Try(java.time.LocalDate.parse(v)).toOption match {
+              case Some(d) =>
+                out += FileColStat(c, d.toEpochDay.toDouble,
+                  d.toEpochDay.toDouble, "d", 0L, 1L)
+              case None =>
+                out += FileColStat(c, Double.NaN, Double.NaN, "n", 0L, 1L)
+            }
+        }
+        p = p.getParent
+      }
+    }
+    out.toSeq
   }
 
   /** A compiled MAY-MATCH predicate over one file's published stats:
@@ -1017,8 +1118,18 @@ object MorDelete {
         Some(u.name.toLowerCase)
       case _ => None
     }
+    // Unwrap a cast over the column ONLY when it provably preserves the
+    // value (Cast.canUpCast — Spark's own loss-free widening rule): a
+    // NARROWING cast changes the matched set (CAST(x AS INT) = 3 matches
+    // every x in [3.0, 4.0), but a file with bounds [3.2, 3.9] fails
+    // min <= 3 <= max and would be wrongly pruned), long→tinyint wraps,
+    // int→float loses precision. An UNRESOLVED child (the Column-DSL
+    // spelling) has no dataType to check, so it is opaque too — may-match
+    // true prunes nothing, which is always sound.
     def attrOf(e: ce.Expression): Option[String] = e match {
-      case c: ce.Cast if c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      case c: ce.Cast
+          if c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            c.child.resolved && ce.Cast.canUpCast(c.child.dataType, c.dataType) =>
         attrOf(c.child)
       case other => bareAttrOf(other)
     }
@@ -1173,6 +1284,51 @@ object MorDelete {
     * classic entry point). Everything else falls back — `None` — to the
     * plain multi-path parquet read.
     */
+  /** The `col=value` directory segments of one data file below the table
+    * base — a Hive-layout partition spec, or Nil for a flat file. The
+    * `__HIVE_DEFAULT_PARTITION__` sentinel decodes to null, matching
+    * Spark's own listing. */
+  private[sources] def partitionSegsOf(base: java.nio.file.Path,
+      f: String): Seq[(String, Option[String])] = {
+    val rel = base.relativize(Paths.get(f))
+    (0 until rel.getNameCount - 1).map(rel.getName(_).toString).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = seg.substring(i + 1)
+        Some(seg.substring(0, i) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+      }
+    }
+  }
+
+  /** Partition-value type inference over one column's path values — the
+    * INT → BIGINT → DATE → STRING prefix of Spark's own partition
+    * inference, so this index's declared schema matches what the plain
+    * `basePath` read would infer for the same directories (doubles/
+    * timestamps fall to STRING here, which stays correct — comparisons
+    * just bind at the declared type). Returns catalyst-typed values in
+    * file order. */
+  private def inferPartCol(values: Seq[Option[String]])
+      : (org.apache.spark.sql.types.DataType, Seq[Any]) = {
+    import org.apache.spark.sql.types._
+    val defined = values.flatten
+    def allInt = defined.forall(v => v.toIntOption.isDefined)
+    def allLong = defined.forall(v => v.toLongOption.isDefined)
+    def allDate = defined.forall(v =>
+      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
+    if (defined.nonEmpty && allInt)
+      (IntegerType, values.map(_.map(_.toInt: Any).orNull))
+    else if (defined.nonEmpty && allLong)
+      (LongType, values.map(_.map(_.toLong: Any).orNull))
+    else if (defined.nonEmpty && allDate)
+      (DateType, values.map(_.map(v =>
+        java.time.LocalDate.parse(v).toEpochDay.toInt: Any).orNull))
+    else
+      (StringType, values.map(_.map(v =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v): Any).orNull))
+  }
+
   private def statsIndexedRead(spark: SparkSession, path: String,
       st: State): Option[DataFrame] = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -1182,23 +1338,35 @@ object MorDelete {
     // logical schema; the single-relation FileIndex read cannot express
     // that — the evolved path handles it (and a physical migration
     // re-engages this one)
-    val flat = st.stats.nonEmpty && st.schemaLog.isEmpty &&
-      st.dataFiles.forall(f => Paths.get(f).getParent == base)
+    val segs = st.dataFiles.map(f => partitionSegsOf(base, f))
+    val partCols = segs.headOption.getOrElse(Nil).map(_._1)
+    // flat layout, or a CONSISTENT Hive layout (every file carries the
+    // same partition column sequence); a mixed layout falls back to the
+    // plain read, which Spark resolves through its own listing rules
+    val uniform = segs.forall(_.map(_._1) == partCols)
+    val eligible = st.stats.nonEmpty && st.schemaLog.isEmpty && uniform &&
+      st.dataFiles.forall(f => Paths.get(f).startsWith(base))
     spark match {
-      case cs: org.apache.spark.sql.classic.SparkSession if flat =>
-        val files = st.dataFiles.map { f =>
+      case cs: org.apache.spark.sql.classic.SparkSession if eligible =>
+        // per-column type inference, then per-file catalyst value rows
+        val byCol = partCols.indices.map(i => inferPartCol(segs.map(_(i)._2)))
+        val partSchema = org.apache.spark.sql.types.StructType(
+          partCols.zip(byCol).map { case (c, (dt, _)) =>
+            org.apache.spark.sql.types.StructField(c, dt)
+          })
+        val files = st.dataFiles.zipWithIndex.map { case (f, fi) =>
           val jf = new java.io.File(f)
           (new org.apache.hadoop.fs.FileStatus(jf.length(), false, 1,
             128L * 1024 * 1024, jf.lastModified(),
             new org.apache.hadoop.fs.Path("file:" + f)),
+            byCol.map(_._2(fi)): Seq[Any],
             st.stats.getOrElse(f, Nil))
         }
         val schema = cs.read.parquet(st.dataFiles.head).schema
         val index = new MorStatsFileIndex(
-          new org.apache.hadoop.fs.Path("file:" + base), files)
+          new org.apache.hadoop.fs.Path("file:" + base), partSchema, files)
         Some(cs.baseRelationToDataFrame(HadoopFsRelation(index,
-          new org.apache.spark.sql.types.StructType(), schema, None,
-          new ParquetFileFormat(), Map.empty)(cs)))
+          partSchema, schema, None, new ParquetFileFormat(), Map.empty)(cs)))
       case _ => None
     }
   }
@@ -1589,12 +1757,22 @@ object Maintenance {
       }
       f -> cs
     }.toMap.filter(_._2.nonEmpty)
-    if (sameCols && fresh.isEmpty && st.statCols.nonEmpty) return 0L
+    // a ZERO-ROW data file yields no group above, so it would stay
+    // stats-less forever — retriggering the incremental pass on every
+    // maintenance sweep. Publish it as rows=0 (NaN bounds, nulls=0):
+    // rows == nulls == 0 satisfies the all-null rule, so comparison
+    // leaves prune it outright, and coverage accounting closes
+    val empties = todo.filterNot(fresh.contains).map { f =>
+      f -> statCols.map(c => MorDelete.FileColStat(c, Double.NaN, Double.NaN,
+        domainTag(dtypeOf(c).get), 0L, 0L))
+    }.toMap
+    val freshAll = fresh ++ empties
+    if (sameCols && freshAll.isEmpty && st.statCols.nonEmpty) return 0L
     val merged =
-      (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ fresh
+      (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ freshAll
     MorDelete.publishManifest(path, MorDelete.maxSeq(spark, path),
       st.copy(stats = merged, statCols = statCols))
-    fresh.size.toLong
+    freshAll.size.toLong
   }
 
   def vacuum(path: String,

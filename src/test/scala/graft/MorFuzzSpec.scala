@@ -84,6 +84,49 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // The DML fuzz's (k, v) columns are LONGs, where a narrowing cast
+  // happens to preserve every value — the r15 unsoundness (unwrapping a
+  // TRUNCATING cast) is invisible there. This fuzz runs the evaluator
+  // over a FRACTIONAL column, where CAST(x AS INT) genuinely changes the
+  // matched set, against the stats-free oracle. Mutation-verified: with
+  // the canUpCast guard removed, this test fails.
+  for (seed <- Seq(90210, 777)) test(s"stats evaluator fuzz over a fractional column (seed $seed)") {
+    val rnd = new scala.util.Random(seed)
+    val loc = Files.createTempDirectory("graft_statsfuzz").toString + "/t"
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(200) + math.rint(rnd.nextDouble() * 10) / 10.0))
+    rows.toDF("k", "x").repartitionByRange(4, col("x"))
+      .sortWithinPartitions("x").write.parquet(loc)
+    assert(Maintenance.analyze(spark, loc) == 4L)
+
+    def probe(step: Int): Unit = {
+      val c = rnd.nextInt(200)
+      val pred = rnd.nextInt(6) match {
+        case 0 => expr(s"CAST(x AS INT) = $c")                       // truncating
+        case 1 => expr(s"CAST(x AS INT) >= $c AND CAST(x AS INT) < ${c + 7}")
+        case 2 => expr(s"TRY_CAST(x AS TINYINT) = ${c % 128}")       // overflow->NULL
+        case 3 => expr(s"x >= $c.25 AND x < ${c + 11}.75")           // cast-free control
+        case 4 => expr(s"CAST(x AS BIGINT) IN ($c, ${c + 3}, ${c + 9})")
+        case 5 => expr(s"CAST(x AS DECIMAL(12,1)) <= $c.5")          // rescaling: opaque
+      }
+      def got(d: org.apache.spark.sql.DataFrame) =
+        d.select("k").collect().map(_.getLong(0)).toSeq.sorted
+      val oracle = got(MorDelete.readIgnoringStats(spark, loc).filter(pred))
+      assert(got(MorDelete.readWhere(spark, loc, pred)) == oracle,
+        s"seed $seed step $step: readWhere diverged under $pred")
+      assert(got(MorDelete.read(spark, loc).filter(pred)) == oracle,
+        s"seed $seed step $step: read().filter diverged under $pred")
+    }
+    for (step <- 0 until 20) probe(step)
+    // vary the stats state: a delete leaves stats stale-but-sound, a
+    // re-analyze refreshes only the appended/stats-less parts
+    MorDelete.delete(spark, loc, col("x") < 40.0, Seq("k"))
+    for (step <- 20 until 30) probe(step)
+    Maintenance.analyze(spark, loc)
+    for (step <- 30 until 40) probe(step)
+  }
+
   private def fuzzOnce(seed: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val loc = Files.createTempDirectory("graft_morfuzz").toString + "/t"
@@ -160,17 +203,35 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       if (rnd.nextInt(3) == 0) {
         // stats-pruned read equivalence under whatever stats state the
-        // sequence left behind (none / fresh / stale-after-DML): a
-        // random range predicate through readWhere must equal the
-        // resolved read's filter — the conservative-evaluator contract
-        val cut = rnd.nextInt(1000).toLong
-        val pred = if (rnd.nextBoolean()) col("v") < cut else col("k") >= cut % 100
-        val pruned = MorDelete.readWhere(spark, loc, pred).select("k", "v")
+        // sequence left behind (none / fresh / stale-after-DML). The
+        // ORACLE side is readIgnoringStats — the same resolve/tombstone
+        // logic with the stats map STRIPPED, so it cannot share an
+        // evaluator bug with either pruned path (readWhere and
+        // read().filter both ride statsPredOf; comparing them to each
+        // other let the r15 narrowing-cast unsoundness cancel out). The
+        // generator deliberately emits the shapes that bug class lives
+        // in: narrowing casts (BIGINT→INT/TINYINT truncate/wrap),
+        // widening casts (must still prune, soundly), string casts
+        // (lexical — must be opaque), IS NULL under a cast, fractional
+        // literals against integer columns, and mixed AND/OR trees.
+        val cut = rnd.nextInt(1000)
+        val pred = rnd.nextInt(8) match {
+          case 0 => col("v") < cut.toLong
+          case 1 => col("k") >= (cut % 100).toLong
+          case 2 => expr(s"CAST(v AS INT) = ${cut % 64}")          // narrowing: opaque
+          case 3 => expr(s"TRY_CAST(v AS TINYINT) = ${cut % 100}") // overflow->NULL: opaque
+          case 4 => expr(s"CAST(k AS DOUBLE) <= ${cut % 100}.5")   // widening: prunes
+          case 5 => expr(s"CAST(v AS STRING) = '${cut % 100}'")    // lexical: opaque
+          case 6 => expr(s"CAST(v AS SMALLINT) IS NULL OR v > $cut")
+          case 7 => expr(s"v > $cut.5 AND (k < ${cut % 100} OR CAST(k AS INT) = ${cut % 50})")
+        }
+        def rows(d: org.apache.spark.sql.DataFrame) = d.select("k", "v")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-        val full = MorDelete.read(spark, loc).filter(pred).select("k", "v")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-        assert(pruned == full,
-          s"seed $seed step $step: readWhere diverged from read().filter under $pred")
+        val oracle = rows(MorDelete.readIgnoringStats(spark, loc).filter(pred))
+        assert(rows(MorDelete.readWhere(spark, loc, pred)) == oracle,
+          s"seed $seed step $step: readWhere diverged from the stats-free oracle under $pred")
+        assert(rows(MorDelete.read(spark, loc).filter(pred)) == oracle,
+          s"seed $seed step $step: read().filter diverged from the stats-free oracle under $pred")
       }
       if (rnd.nextInt(3) == 0) {
         // crash injection: the garbage shapes a writer dying mid-commit
