@@ -549,16 +549,21 @@ object PrestoSql {
       * _commit_timestamp. Quote-guarded like every scanner here; composes
       * anywhere a relation can appear (joins, subqueries, PREPARE bodies
       * — the rewrite runs at EXECUTE time). */
+    // quotes must BALANCE: two alternatives — the quoted string form
+    // (Delta's table_changes signature) or a bare identifier — so a
+    // one-sided quote ( table_changes('t, 0) ) fails to parse instead
+    // of silently matching
     private val tableChangesRe =
-      ("(?i)\\btable_changes\\s*\\(\\s*'?([A-Za-z_][A-Za-z0-9_.]*)'?\\s*,\\s*(\\d+)" +
+      ("(?i)\\btable_changes\\s*\\(\\s*(?:'([A-Za-z_][A-Za-z0-9_.]*)'|" +
+        "([A-Za-z_][A-Za-z0-9_.]*))\\s*,\\s*(\\d+)" +
         "(?:\\s*,\\s*(\\d+))?\\s*\\)").r
 
     private def rewriteTableChanges(text: String): String = {
       if (!"(?i)table_changes".r.findFirstIn(text).isDefined) return text
       replaceTopLevel(text, tableChangesRe) { m =>
-        val table = m.group(1)
-        val from = m.group(2).toLong
-        val to = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
+        val table = Option(m.group(1)).getOrElse(m.group(2))
+        val from = m.group(3).toLong
+        val to = Option(m.group(4)).map(_.toLong).getOrElse(Long.MaxValue)
         val loc = parquetLocation(table, "table_changes")
         val view = pinnedViewName(table,
           s"__ch${from}_${if (to == Long.MaxValue) "now" else to.toString}")

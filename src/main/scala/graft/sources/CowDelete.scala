@@ -69,7 +69,8 @@ object CowDelete {
     * any in-plan metrics node) and to subquery predicates (which a
     * metrics expression cannot hold).
     */
-  def delete(spark: SparkSession, path: String, predicate: Column): DeleteStats = {
+  def delete(spark: SparkSession, path: String,
+      predicate: Column): DeleteStats = MorDelete.withWriterLock(path) {
     val s = CowCore.rewrite(spark, path, _.where(predicate))(
       _.where(not(predicate)))
     DeleteStats(s.touched, s.total, s.rewritten, s.touchedRows - s.newRows)
@@ -87,7 +88,8 @@ object CowDelete {
     * where an `isin(...)` literal predicate would not.
     */
   def deleteWhereIn(spark: SparkSession, path: String,
-      keys: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): DeleteStats = {
+      keys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): DeleteStats = MorDelete.withWriterLock(path) {
     require(keyCols.nonEmpty, "deleteWhereIn needs at least one key column")
     require(keyCols.forall(keys.columns.contains),
       s"keys must expose ${keyCols.mkString(", ")}; has ${keys.columns.mkString(", ")}")
@@ -122,7 +124,7 @@ object CowUpdate {
     * `predicate` in the parquet table at `path`.
     */
   def update(spark: SparkSession, path: String, predicate: Column,
-      sets: Seq[(String, Column)]): UpdateStats = {
+      sets: Seq[(String, Column)]): UpdateStats = MorDelete.withWriterLock(path) {
     val byName = sets.toMap
     val s = CowCore.rewrite(spark, path, _.where(predicate))({ touchedDf =>
       touchedDf.select(touchedDf.columns.toSeq.map { c =>
@@ -155,7 +157,8 @@ object CowMerge {
     * has no target match as NEW files — zero existing files touched, no
     * rewrite pass at all. Returns staged part files appended. */
   def insertOnly(spark: SparkSession, path: String,
-      source: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Long = {
+      source: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): Long = MorDelete.withWriterLock(path) {
     CowCore.requireUnmanaged(path, "MERGE")
     val table = spark.read.option("basePath", path).parquet(path)
     val src = source.localCheckpoint(true)
@@ -180,7 +183,7 @@ object CowMerge {
 
   def merge(spark: SparkSession, path: String, source: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String], whenMatchedSet: Seq[(String, Column)],
-      insertUnmatched: Boolean = true): MergeStats = {
+      insertUnmatched: Boolean = true): MergeStats = MorDelete.withWriterLock(path) {
     CowCore.requireUnmanaged(path, "MERGE")
     val table = spark.read.option("basePath", path).parquet(path)
     val keyCs = keyCols.map(col)

@@ -267,8 +267,12 @@ object Evolution {
     val st = MorDelete.liveState(spark, path)
     // the manifest is line-oriented: normalize interior whitespace (a
     // multi-line CHECK body is legal SQL) BEFORE the validation scan, so
-    // the expression that commits is the expression that was checked
-    val exprText = exprTextRaw.replaceAll("\\s+", " ").trim
+    // the expression that commits is the expression that was checked.
+    // Quote-aware: a string literal's interior spacing is SEMANTICS
+    // ('a  b' != 'a b'), so only whitespace outside quoted spans
+    // collapses; a literal containing a line delimiter cannot survive
+    // the line-oriented manifest and refuses instead of being rewritten
+    val exprText = normalizeConstraintText(exprTextRaw)
     require(name.nonEmpty && !name.exists(c => c == ':' || c == '\n' ||
       c == '\r' || c.isWhitespace),
       s"constraint name must be non-empty and free of ':' and whitespace: '$name'")
@@ -283,6 +287,44 @@ object Evolution {
     MorDelete.publishManifest(path, seq,
       st.copy(constraints = st.constraints :+ (name -> exprText)))
     seq
+  }
+
+  /** Whitespace normalization for a CHECK body that leaves quoted spans
+    * byte-identical: runs of whitespace OUTSIDE single-quoted literals /
+    * double-quoted identifiers collapse to one space ('' and "" escapes
+    * honored); a quoted span holding a line delimiter refuses loudly —
+    * the manifest is line-oriented and could not store it faithfully. */
+  private[graft] def normalizeConstraintText(raw: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def copyQuoted(open: Char): Unit = {
+      val start = i
+      sb.append(raw.charAt(i)); i += 1
+      var done = false
+      while (i < raw.length && !done) {
+        val ch = raw.charAt(i)
+        if (ch == open) {
+          if (i + 1 < raw.length && raw.charAt(i + 1) == open) {
+            sb.append(open).append(open); i += 2 // doubled-quote escape
+          } else { sb.append(ch); i += 1; done = true }
+        } else { sb.append(ch); i += 1 }
+      }
+      require(!raw.substring(start, i).exists(c => c == '\n' || c == '\r'),
+        "CHECK expression has a line delimiter inside a quoted " +
+          "literal/identifier — the line-oriented manifest cannot store it; " +
+          "spell it with char(10)/char(13) instead")
+    }
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\'' => copyQuoted('\'')
+        case '"' => copyQuoted('"')
+        case c if c.isWhitespace =>
+          while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+          sb.append(' ')
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString.trim
   }
 
   /** Drop a CHECK constraint by name. Returns the op's commit sequence. */

@@ -235,6 +235,40 @@ object Streams {
     q
   }
 
+  /** Streaming CHANGE DATA FEED source over a merge-on-read table — see
+    * [[MorCdfSource]]: each micro-batch is `readChanges(last, current]`,
+    * the last-synced sequence rides the checkpoint. Start `fromSeq` at
+    * the replica's seed snapshot sequence. */
+  def morSource(spark: SparkSession, path: String, fromSeq: Long): DataFrame =
+    spark.readStream
+      .format("graft.streaming.MorCdfSourceProvider")
+      .option("path", path)
+      .option("fromSeq", fromSeq)
+      .load()
+
+  /** EXACTLY-ONCE replica maintenance from a [[morSource]] feed: each
+    * micro-batch net-applies through [[graft.sources.MorDelete
+    * .applyChanges]] carrying `(appId, batchId)` as its txn marker —
+    * the same replay-proof discipline as [[morSink]], so a restarted
+    * query (which re-delivers the in-flight batch) cannot double-apply.
+    * Together with [[morSource]]'s checkpointed sequence this closes the
+    * source→feed→replica chain end to end: every source commit lands on
+    * the replica exactly once across any number of restarts. */
+  def morReplica(feed: DataFrame, replicaPath: String, keyCols: Seq[String],
+      checkpointDir: String, appId: String): StreamingQuery = {
+    val q = feed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.MorUpsert.applyChanges(batch.sparkSession, replicaPath,
+          batch.toDF(), keyCols, txn = Some((appId, batchId)))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous parquet sink with checkpointing — the durable-output path
     * (exactly-once per micro-batch via the checkpoint + file-sink log).
     */

@@ -21,4 +21,14 @@ object GraftSqlBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a batch DataFrame's physical plan as an isStreaming=true frame
+    * — what a v1 streaming Source's getBatch must return (the
+    * incremental planner asserts it). The RDD is the batch plan's own
+    * lazy toRdd, so nothing materializes until the micro-batch runs. */
+  def streamingDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -241,6 +241,36 @@ class CowDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
+  test("CoW DML is single-writer: a held lock refuses every entry point") {
+    // the same exclusive lock MoR DML takes (one writer per TABLE across
+    // modes): two concurrent CoW writers can no longer interleave their
+    // stage/moveIn windows — the second fails loudly before reading
+    val loc = Files.createTempDirectory("graft_cowlock").toString + "/t"
+    Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .limit(100).write.parquet(loc)
+    val lock = java.nio.file.Paths.get(
+      graft.sources.MorDelete.sidecarDir(loc) + ".lock")
+    java.nio.file.Files.createFile(lock)
+    try {
+      val probes: Seq[() => Any] = Seq(
+        () => CowDelete.delete(spark, loc, col("o_orderkey") === 1),
+        () => CowDelete.deleteWhereIn(spark, loc,
+          spark.range(1).selectExpr("id AS o_orderkey"), Seq("o_orderkey")),
+        () => CowUpdate.update(spark, loc, col("o_orderkey") === 1,
+          Seq("o_totalprice" -> lit(0.0))),
+        () => CowMerge.merge(spark, loc,
+          spark.read.parquet(loc).limit(1), Seq("o_orderkey"), Nil),
+        () => CowMerge.insertOnly(spark, loc,
+          spark.read.parquet(loc).limit(1), Seq("o_orderkey")))
+      probes.foreach { f =>
+        val e = intercept[IllegalStateException](f())
+        assert(e.getMessage.contains("SINGLE-WRITER"), e.getMessage)
+      }
+    } finally { java.nio.file.Files.deleteIfExists(lock); () }
+    // lock released: the same call succeeds
+    assert(CowDelete.delete(spark, loc, col("o_orderkey") === 1).total > 0)
+  }
+
   test("non-partitioned table: only files containing matching rows rewrite") {
     val loc = Files.createTempDirectory("graft_cow").toString + "/t"
     val orders = Tables.t(spark, "/root/testdata/sf0.001", "orders")

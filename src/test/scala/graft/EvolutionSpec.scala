@@ -249,6 +249,25 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops.count(_ == "ALTER") >= 3, s"got $ops")
   }
 
+  test("CHECK normalization is quote-aware: literal spacing is semantics") {
+    val loc = fresh()
+    // whitespace runs collapse OUTSIDE quotes only — 'a  b' keeps its
+    // two spaces (the r15 normalizer rewrote the literal itself)
+    Evolution.addConstraint(spark, loc, "not_ab", "a   <>   'a  b'")
+    assert(Evolution.tableConstraints(spark, loc) == Seq("not_ab" -> "a <> 'a  b'"))
+    // '' escapes keep the scanner in-literal; trailing run still collapses
+    Evolution.addConstraint(spark, loc, "esc", "a <> 'it''s   x'  OR   b > 0")
+    assert(Evolution.tableConstraints(spark, loc).last ==
+      ("esc" -> "a <> 'it''s   x' OR b > 0"))
+    // a line delimiter INSIDE a literal cannot survive the line-oriented
+    // manifest: refuse loudly instead of silently rewriting the predicate
+    val e = intercept[IllegalArgumentException](
+      Evolution.addConstraint(spark, loc, "nl", "a <> 'x\ny'"))
+    assert(e.getMessage.contains("line delimiter"))
+    assert(Evolution.tableConstraints(spark, loc).size == 2,
+      "the refused constraint must not commit")
+  }
+
   test("snapshot reads, delete predicates, and merge all see the evolved schema") {
     val loc = fresh()
     Evolution.addColumn(spark, loc, "c", "double")

@@ -244,6 +244,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.liveState(spark, loc).txns("spec-sink") == 3L)
   }
 
+  test("morSource → morReplica: exactly-once CDF sync across restarts, refusal on reorg") {
+    val sp = spark; import sp.implicits._
+    import graft.sources.{MorDelete, MorUpsert}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_morsource").toString
+    val src = s"$tmp/src"; val rep = s"$tmp/rep"; val ckpt = s"$tmp/ckpt"
+    (1 to 60).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+      .repartition(2).write.parquet(src)
+    // seed: enter manifest mode, pin s0, copy the s0 snapshot as the replica
+    MorDelete.delete(spark, src, col("k") === -1, Seq("k"))
+    val s0 = MorDelete.currentSeq(spark, src)
+    MorDelete.readAt(spark, src, s0).write.parquet(rep)
+    MorDelete.delete(spark, rep, col("k") === -1, Seq("k"))
+
+    val feed = Streams.morSource(spark, src, fromSeq = s0)
+    assert(feed.isStreaming)
+    assert(Seq("_change_type", "_commit_version", "_commit_timestamp")
+      .forall(feed.columns.contains))
+    def sync(): Unit = { Streams.morReplica(
+      Streams.morSource(spark, src, fromSeq = s0), rep, Seq("k"), ckpt, "spec-cdf"); () }
+    def same(tag: String): Unit = assert(
+      MorDelete.read(spark, rep).select("k", "x").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+      MorDelete.read(spark, src).select("k", "x").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).sorted.toSeq, s"replica != source after $tag")
+
+    // one batch carrying TWO commits (a delete and an upsert): net-applies
+    MorDelete.delete(spark, src, col("k") % 10 === 3, Seq("k"))
+    MorUpsert.upsert(spark, src,
+      Seq((1L, 100.0), (100L, 1.0)).toDF("k", "x"), Seq("k"))
+    sync(); same("first drain")
+
+    // restart with nothing new: the checkpointed sequence suppresses the
+    // batch entirely — the replica commits NOTHING
+    val ords = MorDelete.manifests(rep).size
+    sync(); same("empty drain")
+    assert(MorDelete.manifests(rep).size == ords,
+      "an un-advanced source must not commit on the replica")
+
+    // the checkpoint resumes mid-history: only the new commit ships
+    MorUpsert.upsert(spark, src, Seq((2L, 222.0)).toDF("k", "x"), Seq("k"))
+    sync(); same("incremental drain")
+
+    // a forced replay of the last applied batch (checkpoint lost, marker
+    // intact) is provably applied and commits nothing
+    val lastBatch = MorDelete.liveState(spark, rep).txns("spec-cdf")
+    val view = MorDelete.read(spark, rep).select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val cur = MorDelete.currentSeq(spark, src)
+    val replay = MorUpsert.applyChanges(spark, rep,
+      MorDelete.readChanges(spark, src, s0, cur), Seq("k"),
+      txn = Some(("spec-cdf", lastBatch)))
+    assert(replay.replaySkipped, "the txn marker must prove the batch applied")
+    same("forced replay")
+
+    // a physical reorganization inside an unsynced range FAILS the query
+    // loudly (per-commit attribution undefined) …
+    val sClean = MorDelete.currentSeq(spark, src)
+    MorDelete.delete(spark, src, col("k") === 4, Seq("k"))
+    MorDelete.compact(spark, src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](sync())
+    assert(e.getMessage.contains("reorganized") || e.getMessage.contains("snapshotDiff"),
+      s"unexpected failure: ${e.getMessage}")
+    // … and the documented recovery re-seeds: net-apply snapshotDiff from
+    // the last clean sequence, then restart from NOW with a fresh checkpoint
+    MorUpsert.applyChanges(spark, rep,
+      MorDelete.snapshotDiff(spark, src, sClean), Seq("k"))
+    same("snapshotDiff re-seed")
+    val s1 = MorDelete.currentSeq(spark, src)
+    MorUpsert.upsert(spark, src, Seq((5L, 555.0)).toDF("k", "x"), Seq("k"))
+    Streams.morReplica(Streams.morSource(spark, src, fromSeq = s1), rep,
+      Seq("k"), s"$tmp/ckpt2", "spec-cdf2")
+    same("post-recovery drain")
+  }
+
   test("dedup state is watermark-bounded: numRowsTotal plateaus across epochs") {
     // Four epochs of 1000 fresh ids, each shifted 40 days (past the
     // 30-day span of the base data + the 2h horizon), run through ONE
