@@ -177,20 +177,36 @@ object AsofJoin {
       on: Seq[String],
       leftTime: String,
       rightTime: String,
-      maxKeyRowsPerTask: Long = DefaultMaxKeyRowsPerTask): AutoPlan = {
+      maxKeyRowsPerTask: Long = DefaultMaxKeyRowsPerTask,
+      statsSampleFraction: Double = 1.0): AutoPlan = {
     require(on.nonEmpty, "asof join needs at least one key column")
     require(maxKeyRowsPerTask > 0, "maxKeyRowsPerTask must be positive")
+    require(statsSampleFraction > 0.0 && statsSampleFraction <= 1.0,
+      "statsSampleFraction must be in (0, 1]")
     def keyed(df: DataFrame, time: String): DataFrame =
       df.filter((on.map(col) :+ col(time)).map(_.isNotNull).reduce(_ && _))
         .select(on.map(col) :+ col(time).cast("double").as("__asof_t"): _*)
-    val u = keyed(left, leftTime).unionByName(keyed(right, rightTime))
+    val full = keyed(left, leftTime).unionByName(keyed(right, rightTime))
+    // statsSampleFraction < 1 bounds the pass's SHUFFLE at scale: the
+    // per-key partials shrink by the fraction and the hottest-key count
+    // scales back up by 1/f. The arm decision only needs the estimate's
+    // ORDER OF MAGNITUDE (the single/sliced crossover spans a decade —
+    // SCALE_r14 asofskew measured single winning to 159k hot rows and
+    // sliced from 794k), so a 1% Bernoulli sample resolves it: at the
+    // 512k-row budget the sampled hot key is ~5120 ± 72 (Poisson), a
+    // ±1.4% relative error — three orders under the decision's decade of
+    // slack. Deterministic seed: the same inputs plan the same arm.
+    val u =
+      if (statsSampleFraction < 1.0)
+        full.sample(withReplacement = false, statsSampleFraction, seed = 42L)
+      else full
     val row = u.groupBy(on.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("__asof_t")).as("__mn"),
         max(col("__asof_t")).as("__mx"))
       .agg(max(col("__n")).as("n"), min(col("__mn")).as("mn"), max(col("__mx")).as("mx"))
       .collect()(0)
     if (row.isNullAt(0)) return AutoPlan(sliced = false, 0.0, 0L, 0.0)
-    val maxKeyRows = row.getLong(0)
+    val maxKeyRows = math.round(row.getLong(0) / statsSampleFraction)
     val span = row.getDouble(2) - row.getDouble(1)
     // a zero-span history cannot be sliced by time (every row lands in
     // one slice) — the single arm is the only arm
@@ -221,8 +237,10 @@ object AsofJoin {
       rightTiebreak: Seq[String] = Nil,
       within: Option[(Column, Column) => Column] = None,
       forward: Boolean = false,
-      maxKeyRowsPerTask: Long = DefaultMaxKeyRowsPerTask): DataFrame = {
-    val p = plan(left, right, on, leftTime, rightTime, maxKeyRowsPerTask)
+      maxKeyRowsPerTask: Long = DefaultMaxKeyRowsPerTask,
+      statsSampleFraction: Double = 1.0): DataFrame = {
+    val p = plan(left, right, on, leftTime, rightTime, maxKeyRowsPerTask,
+      statsSampleFraction)
     if (p.sliced)
       slicedJoin(left, right, on, leftTime, rightTime, payload, p.sliceWidth,
         rightTiebreak, within, forward)

@@ -172,7 +172,7 @@ object Tpcds {
     //      per-row double→decimal cast roundings whose half-boundary
     //      behavior differs between engines by ~1 ulp; ranking uses the
     //      unrounded value, where inter-brand gaps dwarf an ulp ----
-    "tpcds_q67_rollup_topk" -> Q.sqlSame(
+    "tpcds_q67_rollup_topk" -> Q.sqlSame(headline = true, text =
       """SELECT p_type, p_brand, ROUND(sumsales, 2) AS sumsales, rk
         |FROM (
         |  SELECT p_type, p_brand, sumsales,
@@ -571,7 +571,7 @@ object Tpcds {
     //      after the aggregate so the wide fan touches grouped rows, not
     //      the fact table. Full-column ORDER BY keeps the LIMIT edge
     //      deterministic under duplicate part names ----
-    "tpcds_q64_composite_resale" -> Q.sqlSame(
+    "tpcds_q64_composite_resale" -> Q.sqlSame(headline = true, text =
       """WITH sales AS (
         |  SELECT l_partkey AS pk, l_suppkey AS sk, year(o_orderdate) AS yr,
         |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS rev,
@@ -637,7 +637,7 @@ object Tpcds {
     //      a different supplier, a 30-day window after the order date, and
     //      a lower on-hand quantity. The filtered part/supplier dims
     //      broadcast; the fact-fact join shuffles on l_partkey only ----
-    "tpcds_q72_inventory_chain" -> Q.sqlSame(
+    "tpcds_q72_inventory_chain" -> Q.sqlSame(headline = true, text =
       """SELECT p_name, s_name, year(o_orderdate) AS d_year, COUNT(*) AS cnt
         |FROM lineitem l
         |JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -659,7 +659,7 @@ object Tpcds {
     //      that appear in the returns set. Both membership probes are
     //      semi joins on the fact key; the distinct self-join pairs
     //      collapse before the probe ----
-    "tpcds_q95_multi_warehouse" -> Q.sqlSame(
+    "tpcds_q95_multi_warehouse" -> Q.sqlSame(headline = true, text =
       """WITH multi_supp AS (
         |  SELECT DISTINCT l1.l_orderkey AS okey
         |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey

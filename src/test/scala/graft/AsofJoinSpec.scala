@@ -270,6 +270,23 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("k"), "lt", "rt", maxKeyRowsPerTask = 1L)
     assert(!flat.sliced, "zero-span history cannot be sliced by time")
     assert(!AsofJoin.plan(lhs(Nil), rhs(Nil), Seq("k"), "lt", "rt").sliced)
+
+    // the SAMPLED stats pass: scaled estimate, same rows through auto
+    // either way (semantics never depend on the arm), and degenerate
+    // fractions refused
+    val pS = AsofJoin.plan(l, r, Seq("k"), "lt", "rt",
+      maxKeyRowsPerTask = hotRows - 1, statsSampleFraction = 0.5)
+    assert(pS.maxKeyRows > 0, "the sampled estimate scales back by 1/f")
+    val expected = rowsOf(AsofJoin.backward(l, r, Seq("k"), "lt", "rt",
+      Seq("v"), rightTiebreak = Seq("v")))
+    val aS = rowsOf(AsofJoin.auto(l, r, Seq("k"), "lt", "rt", Seq("v"),
+      rightTiebreak = Seq("v"), maxKeyRowsPerTask = 5L,
+      statsSampleFraction = 0.5))
+    assert(aS == expected, "sampled-plan auto must return identical rows")
+    intercept[IllegalArgumentException](
+      AsofJoin.plan(l, r, Seq("k"), "lt", "rt", statsSampleFraction = 0.0))
+    intercept[IllegalArgumentException](
+      AsofJoin.plan(l, r, Seq("k"), "lt", "rt", statsSampleFraction = 1.5))
   }
 
   test("colliding payload names are refused up front") {

@@ -103,6 +103,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("tpcds bench heavies: dims broadcast, no nested loop anywhere") {
+    // the four headline TPC-DS shapes (q64 snowflake self-join, q72
+    // triple-fact chain, q95 semi-join chain, q67 rollup window): the
+    // reference benches TPC-DS at sf10000, where a single nested-loop or
+    // an unbroadcast dim is the difference between minutes and days
+    for (q <- Seq("tpcds_q64_composite_resale", "tpcds_q72_inventory_chain",
+        "tpcds_q95_multi_warehouse")) {
+      val p = executedPlan(q)
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never plan a nested loop:\n${p.linesIterator.take(15).mkString("\n")}")
+      assert(p.contains("BroadcastHashJoin"), s"$q's dims must broadcast")
+    }
+    val p67 = executedPlan("tpcds_q67_rollup_topk")
+    assert(p67.contains("WindowGroupLimit"),
+      "q67's rk <= 10 must pre-prune per-partition before the full sort")
+    assert(!p67.toLowerCase.contains("cartesianproduct"))
+  }
+
   test("asof join plans one window over the union — no join operator at all") {
     for (q <- Seq("events_asof_join", "events_asof_forward")) {
       val p = executedPlan(q)
