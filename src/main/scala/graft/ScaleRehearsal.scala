@@ -1487,6 +1487,53 @@ object ScaleRehearsal {
       return
     }
 
+    // ---- partprune mode: Hive-layout partition pruning through the
+    // manifest at sf0.1 — lineitem partitioned by ship month (~84
+    // directories), MoR-managed, analyzed on l_quantity. Three walls on
+    // the same 6-month band: the full resolved read + filter on an
+    // UNMANAGED copy (what a non-manifest consumer pays Spark to prune),
+    // readWhere (driver-side list pruning off the path-derived partition
+    // bounds — the scan never even plans the other months' files), and
+    // the default read().filter (MorStatsFileIndex hands the planner the
+    // partition schema; its partitionFilters prune the listing). File
+    // counts pinned; the band aggregate is asserted equal across all
+    // three before any timing.
+    if (args.headOption.contains("partprune")) {
+      import graft.sources.{Maintenance, MorDelete}
+      val base = "/tmp/graft_partprune"
+      rmr(new java.io.File(base))
+      val loc = s"$base/t"
+      Tables.t(spark, sfDir, "lineitem")
+        .withColumn("l_ship_ym",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+        .repartition(col("l_ship_ym"))
+        .write.partitionBy("l_ship_ym").parquet(loc)
+      MorDelete.delete(spark, loc, col("l_orderkey") % 100 === 7,
+        Seq("l_orderkey", "l_linenumber"))
+      Maintenance.analyze(spark, loc, Seq("l_quantity"))
+      val band = col("l_ship_ym") >= 199601L && col("l_ship_ym") <= 199606L
+      val st = MorDelete.liveState(spark, loc)
+      val kept = MorDelete.pruneByStats(spark, st, band).size
+      def agg(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("q"))
+      val vWhere = agg(MorDelete.readWhere(spark, loc, band)).collect()(0)
+      val vRead = agg(MorDelete.read(spark, loc).filter(band)).collect()(0)
+      require(vWhere == vRead,
+        s"partition-pruned paths must agree on the band aggregate: $vWhere vs $vRead")
+      val wWhere = best2("partprune readWhere")(
+        agg(MorDelete.readWhere(spark, loc, band)))
+      val wRead = best2("partprune read().filter")(
+        agg(MorDelete.read(spark, loc).filter(band)))
+      val wFull = best2("partprune full+filter")(
+        agg(MorDelete.readIgnoringStats(spark, loc).filter(band)))
+      println(f"[scale] partprune: ${st.dataFiles.size}%d files/~84 months, band keeps " +
+        f"$kept%d files; readWhere $wWhere%.2f s, read().filter $wRead%.2f s, " +
+        f"stats-free resolve+filter $wFull%.2f s; band rows ${vWhere.getLong(0)}%d")
+      println(f"""[scale] {"mode": "partprune", "files": ${st.dataFiles.size}%d, "kept": $kept%d, "band_rows": ${vWhere.getLong(0)}%d, "readwhere_wall": $wWhere%.2f, "fileindex_wall": $wRead%.2f, "statsfree_wall": $wFull%.2f}""")
+      spark.stop()
+      return
+    }
+
     // ---- asofskew mode: the first-class as-of operator's decade curve
     // (1×/10×/40×, no skew) plus the planted-hot-key probe at 40×: user 0
     // carries ~20% of ALL events, so the single-window arm serializes a

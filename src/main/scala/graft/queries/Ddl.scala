@@ -723,6 +723,44 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // STRING bounds in the manifest stats (r16): analyze publishes
+    // per-file min/max of string columns (UTF8String binary order, the
+    // same order the evaluator's leaves compare in; values past 64
+    // chars publish counts only — a truncated bound would stop being a
+    // bound), so the l_returnflag = 'R' shape — the quality-filter
+    // predicate real tables live on — prunes files at planning time.
+    // `pruned` pins the file-list cut on a returnflag-clustered layout;
+    // the aggregate hash-matches DuckDB's full-scan derivation.
+    "ddl_mor_string_prune" -> Q.df(
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS price,
+        |  true AS pruned
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 10 = 3)
+        |  AND l_returnflag = 'R' AND l_extendedprice >= 25000
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_morstring_lineitem"
+      drop(s, "g_morstring_lineitem", loc)
+      drop(s, "g_morstring_lineitem_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_morstring_lineitem_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "lineitem").repartitionByRange(6, col("l_returnflag"))
+        .sortWithinPartitions("l_returnflag").write.mode("overwrite").parquet(loc)
+      MorDelete.delete(s, loc, col("l_orderkey") % 10 === 3,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sources.Maintenance.analyze(s, loc,
+        Seq("l_returnflag", "l_extendedprice"))
+      val pred = col("l_returnflag") === "R" && col("l_extendedprice") >= 25000
+      val st = MorDelete.liveState(s, loc)
+      val kept = MorDelete.pruneByStats(s, st, pred)
+      MorDelete.readWhere(s, loc, pred)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+        .withColumn("pruned", lit(kept.size < st.dataFiles.size))
+        .orderBy(col("l_linestatus").asc_nulls_last)
+    },
+
     // NARROWING-cast predicates over an analyzed table — the r15
     // wrong-results class, pinned end-to-end against DuckDB. A
     // truncating CAST(double AS INT) changes the matched set, so the

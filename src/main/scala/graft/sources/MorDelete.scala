@@ -205,8 +205,16 @@ object MorDelete {
     * range comparisons prune it (no non-null value can satisfy one).
     * Written by [[Maintenance.analyze]], consumed by
     * [[MorDelete.readWhere]] and [[MorStatsFileIndex]]. */
+  /** `smin`/`smax` carry STRING bounds (domain "s"): exact per-file
+    * min/max of a string column, published only when both fit the
+    * 64-char cap (an Iceberg-style truncated upper bound would need the
+    * increment-last-byte trick to stay a bound; refusing long values is
+    * simpler and sound). Comparison semantics are UTF8String's binary
+    * order — the same order Spark's own min/max aggregates used to
+    * compute them, so the evaluator can never disagree with the data. */
   private[graft] final case class FileColStat(col: String, min: Double, max: Double,
-      domain: String = "n", nulls: Long = -1L, rows: Long = -1L)
+      domain: String = "n", nulls: Long = -1L, rows: Long = -1L,
+      smin: Option[String] = None, smax: Option[String] = None)
 
   /** One schema-evolution operation recorded in the manifest log (see
     * [[Evolution]]): `kind` ∈ add/drop/rename, committed at DML sequence
@@ -323,13 +331,22 @@ object MorDelete {
       val toks = payload.split('\t')
       val abs = base.resolve(toks.head).toString
       val stats = toks.toSeq.drop(1).map { t =>
-        val p = t.split(':')
-        require(p.length == 3 || p.length == 4 || p.length == 6,
+        // limit -1 keeps trailing empties: an empty-string bound encodes
+        // to an empty base64 token and must survive the split
+        val p = t.split(":", -1)
+        require(p.length == 3 || p.length == 4 || p.length == 6 || p.length == 8,
           s"malformed stats entry in ${m.file}: $t")
         if (p.length == 3) FileColStat(p(0), p(1).toDouble, p(2).toDouble)
         else if (p.length == 4) FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1))
-        else FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1),
+        else if (p.length == 6) FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1),
           p(4).toLong, p(5).toLong)
+        else {
+          val d = java.util.Base64.getDecoder
+          def un(x: String) = new String(d.decode(x),
+            java.nio.charset.StandardCharsets.UTF_8)
+          FileColStat(p(0), p(2).toDouble, p(3).toDouble, p(1),
+            p(4).toLong, p(5).toLong, Some(un(p(6))), Some(un(p(7))))
+        }
       }
       abs -> stats
     }
@@ -401,10 +418,20 @@ object MorDelete {
       require(!rel.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"data-file path contains a manifest delimiter (tab/newline): $rel")
       val stat = st.stats.getOrElse(f, Nil)
-        .map(s =>
-          if (s.nulls >= 0 && s.rows >= 0)
+        .map { s =>
+          // 8-part = the string-bounds encoding (base64 sidesteps every
+          // delimiter concern); 6-part = numeric with counts; 4-part =
+          // the pre-null-count legacy form
+          if (s.smin.isDefined && s.smax.isDefined) {
+            val e = java.util.Base64.getEncoder
+            def b64(x: String) = e.encodeToString(
+              x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            s"\t${s.col}:${s.domain}:${s.min}:${s.max}:${s.nulls}:${s.rows}:" +
+              s"${b64(s.smin.get)}:${b64(s.smax.get)}"
+          } else if (s.nulls >= 0 && s.rows >= 0)
             s"\t${s.col}:${s.domain}:${s.min}:${s.max}:${s.nulls}:${s.rows}"
-          else s"\t${s.col}:${s.domain}:${s.min}:${s.max}").mkString
+          else s"\t${s.col}:${s.domain}:${s.min}:${s.max}"
+        }.mkString
       (rel, rel + stat)
     }
     def staged(body: String, target: String): Unit = {
@@ -753,7 +780,7 @@ object MorDelete {
       m.view.mapValues(_.map(s => (s.col,
         java.lang.Double.doubleToLongBits(s.min),
         java.lang.Double.doubleToLongBits(s.max),
-        s.domain, s.nulls, s.rows))).toMap
+        s.domain, s.nulls, s.rows, s.smin, s.smax))).toMap
     def classify(i: Int): String = {
       if (i == 0) return "GENESIS"
       val (prev, cur) = (states(i - 1), states(i))
@@ -1054,20 +1081,26 @@ object MorDelete {
       val i = seg.indexOf('=')
       if (i <= 0) go = false
       else {
-        val c = seg.substring(0, i)
-        val v = seg.substring(i + 1)
-        if (v == "__HIVE_DEFAULT_PARTITION__")
+        val c = unescapePathName(seg.substring(0, i))
+        val v0 = seg.substring(i + 1)
+        if (v0 == "__HIVE_DEFAULT_PARTITION__")
           out += FileColStat(c, Double.NaN, Double.NaN, "n", 1L, 1L)
-        else scala.util.Try(v.toLong).toOption match {
-          case Some(l) => out += FileColStat(c, l.toDouble, l.toDouble, "n", 0L, 1L)
-          case None =>
-            scala.util.Try(java.time.LocalDate.parse(v)).toOption match {
-              case Some(d) =>
-                out += FileColStat(c, d.toEpochDay.toDouble,
-                  d.toEpochDay.toDouble, "d", 0L, 1L)
-              case None =>
-                out += FileColStat(c, Double.NaN, Double.NaN, "n", 0L, 1L)
-            }
+        else {
+          val v = unescapePathName(v0)
+          scala.util.Try(v.toLong).toOption match {
+            case Some(l) => out += FileColStat(c, l.toDouble, l.toDouble, "n", 0L, 1L)
+            case None =>
+              scala.util.Try(java.time.LocalDate.parse(v)).toOption match {
+                case Some(d) =>
+                  out += FileColStat(c, d.toEpochDay.toDouble,
+                    d.toEpochDay.toDouble, "d", 0L, 1L)
+                case None =>
+                  // a STRING partition value is its own exact bound —
+                  // string equality/range predicates prune the file list
+                  out += FileColStat(c, Double.NaN, Double.NaN, "s",
+                    0L, 1L, Some(v), Some(v))
+              }
+          }
         }
         p = p.getParent
       }
@@ -1193,6 +1226,37 @@ object MorDelete {
         case _ => leaf(c, dm, (mn, mx) => mn <= v && v <= mx) // =, ==
       }
     }
+    // the string literal side — a bare string literal only (a foldable
+    // cast to string would compare in a representation the bounds were
+    // not computed in)
+    def strOf(e: ce.Expression): Option[String] = e match {
+      case ce.Literal(u: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(u.toString)
+      case ce.Literal(s: String, org.apache.spark.sql.types.StringType) => Some(s)
+      case _ => None
+    }
+    // string comparison leaves judge the published STRING bounds in
+    // UTF8String binary order — the exact order the analyze pass's
+    // min/max aggregates computed them in, so evaluator and data can
+    // never disagree on collation; entries without string bounds
+    // (numeric columns, >64-char values, legacy encodings) keep the file
+    def sCmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def sLeaf(c: String, fn: (String, String) => Boolean): StatsPred =
+      stats => stats.find(_.col.toLowerCase == c) match {
+        case Some(s) if s.nulls >= 0 && s.rows >= 0 && s.nulls == s.rows => false
+        case Some(s) if s.smin.isDefined && s.smax.isDefined =>
+          fn(s.smin.get, s.smax.get)
+        case _ => true
+      }
+    def cmpLeafS(op: String, c: String, v: String): StatsPred = op match {
+      case ">" => sLeaf(c, (_, mx) => sCmp(mx, v) > 0)
+      case ">=" => sLeaf(c, (_, mx) => sCmp(mx, v) >= 0)
+      case "<" => sLeaf(c, (mn, _) => sCmp(mn, v) < 0)
+      case "<=" => sLeaf(c, (mn, _) => sCmp(mn, v) <= 0)
+      case _ => sLeaf(c, (mn, mx) => sCmp(mn, v) <= 0 && sCmp(v, mx) <= 0)
+    }
     def flip(op: String): String = op match {
       case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
       case other => other
@@ -1220,19 +1284,28 @@ object MorDelete {
       case Some(("isnotnull", Seq(a))) if bareAttrOf(a).isDefined =>
         bareAttrOf(a).map(nullLeaf(_, wantNull = false))
       case Some((op, Seq(a, l))) if cmps(op) && attrOf(a).isDefined =>
-        for (c <- attrOf(a); dv <- numOf(l)) yield cmpLeaf(op, c, dv)
+        attrOf(a).flatMap(c => numOf(l).map(cmpLeaf(op, c, _))
+          .orElse(strOf(l).filter(_ => bareAttrOf(a).isDefined)
+            .map(cmpLeafS(op, c, _))))
       case Some((op, Seq(l, a))) if cmps(op) && attrOf(a).isDefined =>
         // literal-first spellings normalize by flipping the operator
-        for (c <- attrOf(a); dv <- numOf(l)) yield cmpLeaf(flip(op), c, dv)
+        attrOf(a).flatMap(c => numOf(l).map(cmpLeaf(flip(op), c, _))
+          .orElse(strOf(l).filter(_ => bareAttrOf(a).isDefined)
+            .map(cmpLeafS(flip(op), c, _))))
       case Some(("in", a +: list)) if list.nonEmpty =>
         val vs = list.map(numOf)
-        for {
-          c <- attrOf(a)
-          if vs.forall(_.isDefined)
-          // a mixed-domain IN list cannot prune soundly
-          if vs.flatten.map(_._1).distinct.size == 1
-        } yield leaf(c, vs.flatten.head._1, (mn, mx) =>
-          vs.flatten.exists { case (_, v) => mn <= v && v <= mx })
+        val ss = list.map(strOf)
+        if (vs.forall(_.isDefined))
+          for {
+            c <- attrOf(a)
+            // a mixed-domain IN list cannot prune soundly
+            if vs.flatten.map(_._1).distinct.size == 1
+          } yield leaf(c, vs.flatten.head._1, (mn, mx) =>
+            vs.flatten.exists { case (_, v) => mn <= v && v <= mx })
+        else if (ss.forall(_.isDefined))
+          bareAttrOf(a).map(c => sLeaf(c, (mn, mx) =>
+            ss.flatten.exists(v => sCmp(mn, v) <= 0 && sCmp(v, mx) <= 0)))
+        else None
       case _ => None // opaque: prunes nothing
     }
     compile(root)
@@ -1288,6 +1361,25 @@ object MorDelete {
     * base — a Hive-layout partition spec, or Nil for a flat file. The
     * `__HIVE_DEFAULT_PARTITION__` sentinel decodes to null, matching
     * Spark's own listing. */
+  /** Hive-style %xx path unescape (Spark escapes partition values with
+    * `escapePathName` on write — including '%' itself as %25 — so
+    * decoding is unambiguous; a malformed %-run passes through as-is). */
+  private[sources] def unescapePathName(v: String): String =
+    if (!v.contains('%')) v
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '%' && i + 2 < v.length) {
+          val hex = v.substring(i + 1, i + 3)
+          try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
   private[sources] def partitionSegsOf(base: java.nio.file.Path,
       f: String): Seq[(String, Option[String])] = {
     val rel = base.relativize(Paths.get(f))
@@ -1296,8 +1388,9 @@ object MorDelete {
       if (i <= 0) None
       else {
         val v = seg.substring(i + 1)
-        Some(seg.substring(0, i) ->
-          (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+        Some(unescapePathName(seg.substring(0, i)) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(unescapePathName(v))))
       }
     }
   }
@@ -1699,9 +1792,10 @@ object Maintenance {
     }
     def dtypeOf(c: String): Option[DataType] =
       df0.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    import org.apache.spark.sql.types.StringType
     def supported(dt: DataType): Boolean =
       dt.isInstanceOf[NumericType] || dt == DateType ||
-        dt == TimestampType || dt == TimestampNTZType
+        dt == TimestampType || dt == TimestampNTZType || dt == StringType
     // the DEFAULT column set excludes NTZ columns off-UTC (analyzing them
     // there is impossible, see `domain` — a default must not make ANALYZE
     // refuse over a column nobody asked for); explicitly-requested NTZ
@@ -1730,15 +1824,22 @@ object Maintenance {
     // per column: min, max, null count; trailing: the file's row count
     // (one pass — the null/row counts are what IS [NOT] NULL pruning and
     // the all-null-column rule consume)
-    val aggs = statCols.flatMap(c => Seq(
-      min(domain(col(c), dtypeOf(c).get)), max(domain(col(c), dtypeOf(c).get)),
-      count(when(col(c).isNull, 1)))) :+ count(lit(1))
+    val aggs = statCols.flatMap { c =>
+      val mm = dtypeOf(c).get match {
+        // string bounds aggregate RAW (UTF8String binary order — the
+        // same order the evaluator's leaves compare in)
+        case StringType => Seq(min(col(c)), max(col(c)))
+        case dt => Seq(min(domain(col(c), dt)), max(domain(col(c), dt)))
+      }
+      mm :+ count(when(col(c).isNull, 1))
+    } :+ count(lit(1))
     val rows = df.groupBy(col("_metadata.file_path"))
       .agg(aggs.head, aggs.tail: _*).collect()
     def domainTag(dt: DataType): String = dt match {
       case DateType => "d"
       case TimestampType => "t"
       case TimestampNTZType => "u"
+      case StringType => "s"
       case _ => "n"
     }
     val fresh = rows.map { r =>
@@ -1752,8 +1853,20 @@ object Maintenance {
         if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i))
           MorDelete.FileColStat(c, Double.NaN, Double.NaN,
             domainTag(dtypeOf(c).get), nulls, total)
-        else MorDelete.FileColStat(c, r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i),
-          domainTag(dtypeOf(c).get), nulls, total)
+        else dtypeOf(c).get match {
+          case StringType =>
+            // publish string bounds only under the 64-char cap: a
+            // truncated bound would stop BEING a bound (counts still
+            // publish — IS NULL / all-null pruning keeps working)
+            val (lo, hi) = (r.getString(1 + 3 * i), r.getString(2 + 3 * i))
+            if (lo.length <= 64 && hi.length <= 64)
+              MorDelete.FileColStat(c, Double.NaN, Double.NaN, "s",
+                nulls, total, Some(lo), Some(hi))
+            else MorDelete.FileColStat(c, Double.NaN, Double.NaN, "s", nulls, total)
+          case _ =>
+            MorDelete.FileColStat(c, r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i),
+              domainTag(dtypeOf(c).get), nulls, total)
+        }
       }
       f -> cs
     }.toMap.filter(_._2.nonEmpty)

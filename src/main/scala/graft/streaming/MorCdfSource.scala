@@ -41,27 +41,72 @@ import graft.sources.MorDelete
   * re-scanning the table per sync.
   */
 final class MorCdfSource(spark: SparkSession, path: String,
-    fromSeq0: Option[Long]) extends Source {
+    fromSeq0: Option[Long], maxSeqsPerBatch: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   /** The stream starts AFTER this sequence: caller-pinned (the replica's
     * seed snapshot), or the table's current sequence at stream start. */
   private val initSeq: Long =
     fromSeq0.getOrElse(MorDelete.currentSeq(spark, path))
 
+  /** AvailableNow pins the run's END TARGET once at start; each batch
+    * still admits at most `maxSeqsPerBatch` sequences toward it — the
+    * FileStreamSource maxFilesPerTrigger structure. */
+  private var availableNowTarget: Option[Long] = None
+
   override val schema: StructType = MorCdfSource.schemaOf(spark, path)
 
-  private def seqOf(o: OffsetV1): Long = o.json.trim.toLong
+  private def seqOf(o: OffsetV2): Long = o match {
+    case m: MorCdfOffset => m.seq
+    case other => other.json.trim.toLong
+  }
 
+  // SupportsAdmissionControl replaces getOffset: the engine calls
+  // latestOffset(start, limit) instead, which is what lets the cap
+  // advance PER BATCH under Trigger.AvailableNow (a v1 getOffset would
+  // be snapshotted once by the wrapper and the run would stop after the
+  // first capped batch)
   override def getOffset: Option[OffsetV1] =
-    Some(MorCdfOffset(math.max(MorDelete.currentSeq(spark, path), initSeq)))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  override def initialOffset(): OffsetV2 = MorCdfOffset(initSeq)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    MorCdfOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    // the cap is in DML SEQUENCES; maxRows is the carrier the engine
+    // round-trips back into latestOffset
+    maxSeqsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(math.max(MorDelete.currentSeq(spark, path), initSeq))
+
+  override def reportLatestOffset(): OffsetV2 =
+    MorCdfOffset(math.max(MorDelete.currentSeq(spark, path), initSeq))
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
+    val lo = Option(start).map(seqOf).getOrElse(initSeq)
+    val cur = availableNowTarget
+      .getOrElse(math.max(MorDelete.currentSeq(spark, path), initSeq))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(cur, lo + r.maxRows)
+      case _ => cur
+    }
+    MorCdfOffset(math.max(capped, lo))
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val lo = start.map(seqOf).getOrElse(initSeq)
-    val hi = seqOf(end)
+    val lo = start.map(o => seqOf(o: OffsetV2)).getOrElse(initSeq)
+    val hi = seqOf(end: OffsetV2)
     // an un-advanced range resolves to the provably-empty feed inside
     // readChanges (no scan); the v1 contract wants isStreaming=true on
     // the returned frame, hence the bridge wrap of the batch plan
-    val changes = MorDelete.readChanges(spark, path, lo, hi)
+    val changes = MorDelete.readChanges(spark, path, lo, math.max(lo, hi))
     org.apache.spark.sql.GraftSqlBridge.streamingDataFrame(changes)
   }
 
@@ -102,5 +147,6 @@ final class MorCdfSourceProvider extends StreamSourceProvider with DataSourceReg
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new MorCdfSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters.get("fromSeq").map(_.trim.toLong))
+      parameters.get("fromSeq").map(_.trim.toLong),
+      parameters.get("maxSeqsPerBatch").map(_.trim.toLong))
 }

@@ -239,12 +239,15 @@ object Streams {
     * [[MorCdfSource]]: each micro-batch is `readChanges(last, current]`,
     * the last-synced sequence rides the checkpoint. Start `fromSeq` at
     * the replica's seed snapshot sequence. */
-  def morSource(spark: SparkSession, path: String, fromSeq: Long): DataFrame =
-    spark.readStream
+  def morSource(spark: SparkSession, path: String, fromSeq: Long,
+      maxSeqsPerBatch: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format("graft.streaming.MorCdfSourceProvider")
       .option("path", path)
       .option("fromSeq", fromSeq)
-      .load()
+    maxSeqsPerBatch.foreach(m => r.option("maxSeqsPerBatch", m))
+    r.load()
+  }
 
   /** EXACTLY-ONCE replica maintenance from a [[morSource]] feed: each
     * micro-batch net-applies through [[graft.sources.MorDelete

@@ -994,6 +994,59 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the int->bigint upcast must prune the low file")
   }
 
+  test("string bounds round-trip the manifest and prune in UTF8 binary order") {
+    val loc = Files.createTempDirectory("graft_morstr").toString + "/t"
+    val sp = spark; import sp.implicits._
+    // three clustered files; file C holds the UTF8-vs-UTF16 ordering
+    // trap: U+FF01 (UTF-16 0xFF01) sorts ABOVE U+1F600 in Java String
+    // order but BELOW it in UTF-8 byte order (EF BC 81 < F0 9F 98 80) —
+    // the published bounds come from Spark's min/max (binary order), so
+    // a UTF-16 evaluator would wrongly prune the emoji probe
+    val emoji = new String(Character.toChars(0x1F600)) + "y"
+    val fullwidth = "！x"
+    Seq("apple", "apricot", "banana").toDF("s").coalesce(1).write.parquet(loc)
+    Seq("mango", "melon", "peach").toDF("s").coalesce(1)
+      .write.mode("append").parquet(loc)
+    Seq(fullwidth, emoji).toDF("s").coalesce(1).write.mode("append").parquet(loc)
+    assert(Maintenance.analyze(spark, loc, Seq("s")) == 3L)
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.stats.values.forall(_.forall(s =>
+      s.domain == "s" && s.smin.isDefined && s.smax.isDefined)),
+      "every file publishes string bounds")
+    // the bounds survived the base64 manifest round-trip byte-exactly
+    assert(st.stats.values.flatten.exists(_.smax.contains(emoji)))
+
+    def kept(p: org.apache.spark.sql.Column) = MorDelete.pruneByStats(spark, st, p)
+    assert(kept(col("s") === "mango").size == 1)
+    assert(kept(col("s") === "coconut").isEmpty, "between-file gap prunes all")
+    assert(kept(col("s") >= "melon").size == 2, "range keeps file B and the unicode file")
+    assert(kept(col("s").isin("apple", "peach")).size == 2)
+    assert(kept(col("s") === emoji).size == 1,
+      "binary order must keep the unicode file for the emoji probe")
+    // exactness through every path, including the FileIndex default read
+    for (p <- Seq(col("s") === "mango", col("s") >= "melon",
+        col("s") === emoji, col("s").isin("apple", "peach", emoji))) {
+      val oracle = MorDelete.readIgnoringStats(spark, loc).filter(p)
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(MorDelete.readWhere(spark, loc, p)
+        .collect().map(_.getString(0)).sorted.toSeq == oracle, s"readWhere: $p")
+      assert(MorDelete.read(spark, loc).filter(p)
+        .collect().map(_.getString(0)).sorted.toSeq == oracle, s"read: $p")
+    }
+    // values past the 64-char cap publish counts only — no bounds, no
+    // wrong prune, IS NULL pruning still live off the counts
+    val loc2 = Files.createTempDirectory("graft_morstr2").toString + "/t"
+    Seq("x" * 80, "y" * 80).toDF("s").coalesce(1).write.parquet(loc2)
+    assert(Maintenance.analyze(spark, loc2, Seq("s")) == 1L)
+    val st2 = MorDelete.liveState(spark, loc2)
+    assert(st2.stats.values.forall(_.forall(s =>
+      s.smin.isEmpty && s.smax.isEmpty && s.nulls == 0L && s.rows == 2L)))
+    assert(MorDelete.pruneByStats(spark, st2, col("s") === "zzz").size == 1,
+      "capped bounds must not prune")
+    assert(MorDelete.pruneByStats(spark, st2, col("s").isNull).isEmpty,
+      "counts still prune IS NULL")
+  }
+
   test("partitioned MoR: partition values prune the listing; every read path stays exact") {
     val loc = Files.createTempDirectory("graft_morpart").toString + "/t"
     val sp = spark; import sp.implicits._

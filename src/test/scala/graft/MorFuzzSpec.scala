@@ -95,20 +95,24 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loc = Files.createTempDirectory("graft_statsfuzz").toString + "/t"
     val sp = spark; import sp.implicits._
     val rows = (0 until 400).map(i =>
-      (i.toLong, rnd.nextInt(200) + math.rint(rnd.nextDouble() * 10) / 10.0))
-    rows.toDF("k", "x").repartitionByRange(4, col("x"))
-      .sortWithinPartitions("x").write.parquet(loc)
+      (i.toLong, rnd.nextInt(200) + math.rint(rnd.nextDouble() * 10) / 10.0,
+        s"cat${rnd.nextInt(8)}"))
+    rows.toDF("k", "x", "s").repartitionByRange(4, col("x"))
+      .sortWithinPartitions("x", "s").write.parquet(loc)
     assert(Maintenance.analyze(spark, loc) == 4L)
 
     def probe(step: Int): Unit = {
       val c = rnd.nextInt(200)
-      val pred = rnd.nextInt(6) match {
+      val pred = rnd.nextInt(9) match {
         case 0 => expr(s"CAST(x AS INT) = $c")                       // truncating
         case 1 => expr(s"CAST(x AS INT) >= $c AND CAST(x AS INT) < ${c + 7}")
         case 2 => expr(s"TRY_CAST(x AS TINYINT) = ${c % 128}")       // overflow->NULL
         case 3 => expr(s"x >= $c.25 AND x < ${c + 11}.75")           // cast-free control
         case 4 => expr(s"CAST(x AS BIGINT) IN ($c, ${c + 3}, ${c + 9})")
         case 5 => expr(s"CAST(x AS DECIMAL(12,1)) <= $c.5")          // rescaling: opaque
+        case 6 => expr(s"s = 'cat${c % 8}'")                         // string bounds
+        case 7 => expr(s"s >= 'cat${c % 8}' AND x < ${c + 40}")
+        case 8 => expr(s"s IN ('cat1', 'cat${c % 8}') OR CAST(s AS STRING) = 'zz'")
       }
       def got(d: org.apache.spark.sql.DataFrame) =
         d.select("k").collect().map(_.getLong(0)).toSeq.sorted

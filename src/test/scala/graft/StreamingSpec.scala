@@ -316,6 +316,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Streams.morReplica(Streams.morSource(spark, src, fromSeq = s1), rep,
       Seq("k"), s"$tmp/ckpt2", "spec-cdf2")
     same("post-recovery drain")
+
+    // admission control: maxSeqsPerBatch=1 over a 3-commit backlog must
+    // drain as MULTIPLE bounded batches under one AvailableNow run (the
+    // maxFilesPerTrigger discipline in sequence units), converging to
+    // the same replica
+    val s2 = MorDelete.currentSeq(spark, src)
+    MorUpsert.upsert(spark, src, Seq((6L, 666.0)).toDF("k", "x"), Seq("k"))
+    MorUpsert.upsert(spark, src, Seq((7L, 777.0)).toDF("k", "x"), Seq("k"))
+    MorDelete.delete(spark, src, col("k") === 8, Seq("k"))
+    Streams.morReplica(
+      Streams.morSource(spark, src, fromSeq = s2, maxSeqsPerBatch = Some(1L)),
+      rep, Seq("k"), s"$tmp/ckpt3", "spec-cdf3")
+    same("bounded-batch drain")
+    assert(MorDelete.liveState(spark, rep).txns("spec-cdf3") >= 2L,
+      "a 3-commit backlog at cap 1 must take multiple micro-batches")
   }
 
   test("dedup state is watermark-bounded: numRowsTotal plateaus across epochs") {
