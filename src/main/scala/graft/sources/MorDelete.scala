@@ -1140,6 +1140,8 @@ object MorDelete {
       case ce.In(v, list) => Some("in" -> (v +: list))
       case ce.IsNull(a) => Some("isnull" -> Seq(a))
       case ce.IsNotNull(a) => Some("isnotnull" -> Seq(a))
+      case l: ce.Like if l.escapeChar == '\\' => Some("like" -> Seq(l.left, l.right))
+      case ce.StartsWith(l, r) => Some("startswith" -> Seq(l, r))
       case _ => None
     }
     // the column side: a bare attribute, optionally under a NUMERIC cast
@@ -1257,6 +1259,53 @@ object MorDelete {
       case "<=" => sLeaf(c, (mn, _) => sCmp(mn, v) <= 0)
       case _ => sLeaf(c, (mn, mx) => sCmp(mn, v) <= 0 && sCmp(v, mx) <= 0)
     }
+    // LIKE 'prefix%' / startsWith: a prefix match is the byte range
+    // [prefix, increment-last-byte(prefix)). The upper bound computes on
+    // UTF-8 BYTES (strip trailing 0xFF, bump the last byte) because a
+    // char-level bound like prefix+'￿' is NOT a bound in binary
+    // order — 4-byte UTF-8 (F0..) sorts above EF BF BF. An all-0xFF
+    // prefix has no upper bound and uses the lower test alone.
+    def bcmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    def bInc(b: Array[Byte]): Option[Array[Byte]] = {
+      var n = b.length
+      while (n > 0 && b(n - 1) == 0xff.toByte) n -= 1
+      if (n == 0) None
+      else {
+        val out = java.util.Arrays.copyOf(b, n)
+        out(n - 1) = (out(n - 1) + 1).toByte
+        Some(out)
+      }
+    }
+    def prefixLeaf(c: String, pre: String): StatsPred =
+      stats => stats.find(_.col.toLowerCase == c) match {
+        case Some(s) if s.nulls >= 0 && s.rows >= 0 && s.nulls == s.rows => false
+        case Some(s) if s.smin.isDefined && s.smax.isDefined =>
+          val pb = pre.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mn = s.smin.get.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mx = s.smax.get.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          bcmp(mx, pb) >= 0 && bInc(pb).forall(ub => bcmp(mn, ub) < 0)
+        case _ => true
+      }
+    // a LIKE pattern reduces to a prefix only when its single wildcard
+    // is one trailing '%' (no '_', no escapes); a wildcard-free pattern
+    // is plain equality
+    def likePrefixOf(pat: String): Option[Either[String, String]] = {
+      if (pat.exists(ch => ch == '_' || ch == '\\')) None
+      else {
+        val pctAt = pat.indexOf('%')
+        if (pctAt < 0) Some(Left(pat)) // equality
+        else if (pctAt == pat.length - 1) Some(Right(pat.dropRight(1)))
+        else None
+      }
+    }
     def flip(op: String): String = op match {
       case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
       case other => other
@@ -1274,6 +1323,14 @@ object MorDelete {
         val cs = args.map(compile)
         if (cs.exists(_.isEmpty)) None
         else Some(st => cs.exists(_.exists(_(st))))
+      case Some(("like", Seq(a, pat))) if bareAttrOf(a).isDefined =>
+        for {
+          c <- bareAttrOf(a)
+          p <- strOf(pat)
+          pre <- likePrefixOf(p)
+        } yield pre.fold(cmpLeafS("=", c, _), prefixLeaf(c, _))
+      case Some(("startswith", Seq(a, pat))) if bareAttrOf(a).isDefined =>
+        for (c <- bareAttrOf(a); p <- strOf(pat)) yield prefixLeaf(c, p)
       // null-presence leaves take the BARE attribute only — never the
       // cast unwrap the range leaves use: a numeric cast is not
       // null-transparent (overflow/NaN under non-ANSI casts yields NULL),
@@ -1679,11 +1736,12 @@ object Maintenance {
     *     scopes the rewrite to files worth rewriting (the `cowdml`
     *     rehearsal's 4-of-200 long-tail shape).
     *  3. [[analyze]] (incremental) when the table HAS published stats
-    *     but some live file lacks them — compaction replacements and
-    *     merge appends are stats-less until re-analyzed, and because
-    *     data files are immutable the refresh computes ONLY the missing
-    *     files at the published column set. A table that never analyzed
-    *     never pays this step (stats stay opt-in).
+    *     but some live file lacks them — COMPACTION replacements are
+    *     stats-less until re-analyzed (merge appends publish write-path
+    *     stats in their own commit since r16, see [[writePathStats]]),
+    *     and because data files are immutable the refresh computes ONLY
+    *     the missing files at the published column set. A table that
+    *     never analyzed never pays this step (stats stay opt-in).
     *  4. [[vacuum]]`(retentionMs, stageGraceMs)` every call.
     *
     * Each step takes the writer lock through its own entry point, so a
@@ -1740,42 +1798,33 @@ object Maintenance {
     * cluster, so an analyzed z-ordered table prunes multi-column bands).
     * Commits like every mutation: the stats replace the previous
     * manifest's wholesale (ordinal +1, same sequence), and every later
-    * DML carries them forward for the files it keeps — files written
-    * AFTER the analyze stay stats-less (never pruned) until the next
-    * one, the exactly-conservative staleness contract. Returns the
-    * number of files published with stats.
+    * DML carries them forward for the files it keeps; a merge/apply
+    * commit publishes its appended parts' stats itself (write-path
+    * stats), so only COMPACTION replacements wait (stats-less, never
+    * pruned) for the next incremental pass — the exactly-conservative
+    * staleness contract. Returns the number of files published with
+    * stats.
     */
-  def analyze(spark: SparkSession, path: String,
-      cols: Seq[String] = Nil): Long = MorDelete.withWriterLock(path) {
+  /** Per-file column stats for `files` at `statCols` — the shared core
+    * of [[analyze]] and the WRITE-PATH stats every manifest-managed
+    * append publishes (a commit that appends files to an analyzed table
+    * carries their stats in the SAME manifest, so the stats-less window
+    * between an append and the next analyze does not exist). One
+    * aggregation pass grouped by `_metadata.file_path`: per column
+    * min/max (domain-encoded doubles; RAW for strings — UTF8String
+    * binary order, the evaluator's order) + null count, plus the file's
+    * row count; zero-row files backfill as rows=0 entries so coverage
+    * accounting closes. The stats domain is doubles; DATE and TIMESTAMP
+    * columns map to the encodings Catalyst's own literals carry (days /
+    * µs since epoch) so the evaluator compares predicate literals
+    * directly. */
+  private[sources] def computeFileStats(spark: SparkSession, path: String,
+      files: Seq[String], statCols: Seq[String]): Map[String, Seq[MorDelete.FileColStat]] = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.NumericType
-    MorDelete.ensureManaged(spark, path)
-    val st = MorDelete.liveState(spark, path)
-    require(st.dataFiles.nonEmpty, s"nothing to analyze: no live data files at $path")
-    require(st.schemaLog.isEmpty,
-      s"analyze reads live files under one physical schema and the table at $path " +
-        "has pending schema evolution — run Layout.rewriteFiles / OPTIMIZE to " +
-        "migrate the layout first")
-    // data files are IMMUTABLE in this design (every mutation writes new
-    // files), so a published stat is permanently exact — the pass is
-    // INCREMENTAL by construction: only stats-less files compute, a
-    // fully-covered table publishes nothing, and with no explicit column
-    // list a covered table's own published column set carries forward.
-    // A requested column set differing from the published one recomputes
-    // everything (mixed per-file column sets would make coverage
-    // reasoning ambiguous).
-    // the published column set lives in the manifest itself (State
-    // .statCols), so it survives even a full rewrite that dropped every
-    // per-file stat; pre-statCols manifests fall back to any entry's set
-    val publishedCols = (if (st.statCols.nonEmpty) Some(st.statCols.toSet) else None)
-      .orElse(st.stats.values.headOption.map(_.map(_.col).toSet))
-    val df0 = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
-    // the stats domain is doubles; DATE and TIMESTAMP columns map to the
-    // encodings Catalyst's own literals carry (days since epoch, µs since
-    // epoch) so the evaluator compares predicate literals directly —
-    // these are the pruning columns analytic tables live on (date bands,
-    // event-time windows)
-    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampNTZType, TimestampType}
+    val df = spark.read.option("basePath", path).parquet(files: _*)
+    def dtypeOf(c: String): Option[DataType] =
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     def domain(c: Column, dt: DataType): Column = dt match {
       case DateType => unix_date(c).cast("double")
       case TimestampType => unix_micros(c).cast("double")
@@ -1790,51 +1839,6 @@ object Maintenance {
         unix_micros(c.cast("timestamp")).cast("double")
       case _ => c.cast("double")
     }
-    def dtypeOf(c: String): Option[DataType] =
-      df0.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-    import org.apache.spark.sql.types.StringType
-    def supported(dt: DataType): Boolean =
-      dt.isInstanceOf[NumericType] || dt == DateType ||
-        dt == TimestampType || dt == TimestampNTZType || dt == StringType
-    // the DEFAULT column set excludes NTZ columns off-UTC (analyzing them
-    // there is impossible, see `domain` — a default must not make ANALYZE
-    // refuse over a column nobody asked for); explicitly-requested NTZ
-    // columns still hit the loud require
-    val utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
-    val eligible = df0.schema.fields
-      .filter(f => supported(f.dataType) && (f.dataType != TimestampNTZType || utc))
-      .map(_.name).toSeq
-    val statCols =
-      if (cols.nonEmpty) cols
-      else publishedCols.map(p => eligible.filter(p.contains)).getOrElse(eligible)
-    statCols.foreach { c =>
-      require(dtypeOf(c).exists(supported),
-        s"analyze supports numeric, date, and timestamp columns (the stats " +
-          s"evaluator's domain); '$c' is ${dtypeOf(c)
-            .map(_.simpleString).getOrElse("absent")}")
-      require(!c.exists(ch => ch == ':' || ch == '\t' || ch == ','),
-        s"analyzed column name must not contain ':', ',' or tab: $c")
-    }
-    val sameCols = publishedCols.forall(_ == statCols.toSet)
-    val todo =
-      if (sameCols) st.dataFiles.filterNot(f => st.stats.get(f).exists(_.nonEmpty))
-      else st.dataFiles
-    if (todo.isEmpty) return 0L
-    val df = spark.read.option("basePath", path).parquet(todo: _*)
-    // per column: min, max, null count; trailing: the file's row count
-    // (one pass — the null/row counts are what IS [NOT] NULL pruning and
-    // the all-null-column rule consume)
-    val aggs = statCols.flatMap { c =>
-      val mm = dtypeOf(c).get match {
-        // string bounds aggregate RAW (UTF8String binary order — the
-        // same order the evaluator's leaves compare in)
-        case StringType => Seq(min(col(c)), max(col(c)))
-        case dt => Seq(min(domain(col(c), dt)), max(domain(col(c), dt)))
-      }
-      mm :+ count(when(col(c).isNull, 1))
-    } :+ count(lit(1))
-    val rows = df.groupBy(col("_metadata.file_path"))
-      .agg(aggs.head, aggs.tail: _*).collect()
     def domainTag(dt: DataType): String = dt match {
       case DateType => "d"
       case TimestampType => "t"
@@ -1842,6 +1846,18 @@ object Maintenance {
       case StringType => "s"
       case _ => "n"
     }
+    // per column: min, max, null count; trailing: the file's row count
+    // (one pass — the null/row counts are what IS [NOT] NULL pruning and
+    // the all-null-column rule consume)
+    val aggs = statCols.flatMap { c =>
+      val mm = dtypeOf(c).get match {
+        case StringType => Seq(min(col(c)), max(col(c)))
+        case dt => Seq(min(domain(col(c), dt)), max(domain(col(c), dt)))
+      }
+      mm :+ count(when(col(c).isNull, 1))
+    } :+ count(lit(1))
+    val rows = df.groupBy(col("_metadata.file_path"))
+      .agg(aggs.head, aggs.tail: _*).collect()
     val fresh = rows.map { r =>
       val f = CowCore.localPath(r.getString(0))
       val total = r.getLong(1 + 3 * statCols.size)
@@ -1875,11 +1891,83 @@ object Maintenance {
     // maintenance sweep. Publish it as rows=0 (NaN bounds, nulls=0):
     // rows == nulls == 0 satisfies the all-null rule, so comparison
     // leaves prune it outright, and coverage accounting closes
-    val empties = todo.filterNot(fresh.contains).map { f =>
+    val empties = files.filterNot(fresh.contains).map { f =>
       f -> statCols.map(c => MorDelete.FileColStat(c, Double.NaN, Double.NaN,
         domainTag(dtypeOf(c).get), 0L, 0L))
     }.toMap
-    val freshAll = fresh ++ empties
+    fresh ++ empties
+  }
+
+  /** WRITE-PATH stats for a commit's appended parts: the table's
+    * published column set, computed over ONLY the new files (cost ∝
+    * batch size), merged into the committing manifest — Delta's
+    * write-time stats discipline. Returns empty (commit proceeds
+    * stats-less, exactly the pre-r16 behavior) when the table was never
+    * analyzed, is mid-evolution, or the computation cannot run in this
+    * session (e.g. an NTZ stat column off-UTC) — a write must never
+    * fail because of statistics. */
+  private[sources] def writePathStats(spark: SparkSession, path: String,
+      st: MorDelete.State, newParts: Seq[String]): Map[String, Seq[MorDelete.FileColStat]] =
+    if (newParts.isEmpty || st.statCols.isEmpty || st.schemaLog.nonEmpty) Map.empty
+    else scala.util.Try(computeFileStats(spark, path, newParts, st.statCols))
+      .getOrElse(Map.empty)
+
+  def analyze(spark: SparkSession, path: String,
+      cols: Seq[String] = Nil): Long = MorDelete.withWriterLock(path) {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    MorDelete.ensureManaged(spark, path)
+    val st = MorDelete.liveState(spark, path)
+    require(st.dataFiles.nonEmpty, s"nothing to analyze: no live data files at $path")
+    require(st.schemaLog.isEmpty,
+      s"analyze reads live files under one physical schema and the table at $path " +
+        "has pending schema evolution — run Layout.rewriteFiles / OPTIMIZE to " +
+        "migrate the layout first")
+    // data files are IMMUTABLE in this design (every mutation writes new
+    // files), so a published stat is permanently exact — the pass is
+    // INCREMENTAL by construction: only stats-less files compute, a
+    // fully-covered table publishes nothing, and with no explicit column
+    // list a covered table's own published column set carries forward.
+    // A requested column set differing from the published one recomputes
+    // everything (mixed per-file column sets would make coverage
+    // reasoning ambiguous).
+    // the published column set lives in the manifest itself (State
+    // .statCols), so it survives even a full rewrite that dropped every
+    // per-file stat; pre-statCols manifests fall back to any entry's set
+    val publishedCols = (if (st.statCols.nonEmpty) Some(st.statCols.toSet) else None)
+      .orElse(st.stats.values.headOption.map(_.map(_.col).toSet))
+    val df0 = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+    import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampNTZType, TimestampType}
+    def dtypeOf(c: String): Option[DataType] =
+      df0.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    def supported(dt: DataType): Boolean =
+      dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType || dt == TimestampNTZType || dt == StringType
+    // the DEFAULT column set excludes NTZ columns off-UTC (analyzing them
+    // there is impossible, see `domain` — a default must not make ANALYZE
+    // refuse over a column nobody asked for); explicitly-requested NTZ
+    // columns still hit the loud require
+    val utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    val eligible = df0.schema.fields
+      .filter(f => supported(f.dataType) && (f.dataType != TimestampNTZType || utc))
+      .map(_.name).toSeq
+    val statCols =
+      if (cols.nonEmpty) cols
+      else publishedCols.map(p => eligible.filter(p.contains)).getOrElse(eligible)
+    statCols.foreach { c =>
+      require(dtypeOf(c).exists(supported),
+        s"analyze supports numeric, date, and timestamp columns (the stats " +
+          s"evaluator's domain); '$c' is ${dtypeOf(c)
+            .map(_.simpleString).getOrElse("absent")}")
+      require(!c.exists(ch => ch == ':' || ch == '\t' || ch == ','),
+        s"analyzed column name must not contain ':', ',' or tab: $c")
+    }
+    val sameCols = publishedCols.forall(_ == statCols.toSet)
+    val todo =
+      if (sameCols) st.dataFiles.filterNot(f => st.stats.get(f).exists(_.nonEmpty))
+      else st.dataFiles
+    if (todo.isEmpty) return 0L
+    val freshAll = computeFileStats(spark, path, todo, statCols)
     if (sameCols && freshAll.isEmpty && st.statCols.nonEmpty) return 0L
     val merged =
       (if (sameCols) st.stats else Map.empty[String, Seq[MorDelete.FileColStat]]) ++ freshAll
@@ -2168,6 +2256,7 @@ object MorUpsert {
           dataFiles = st.dataFiles ++ newParts,
           batches = st.batches ++ batchName.map(n =>
             seq -> new java.io.File(MorDelete.sidecarDir(path), n)),
+          stats = st.stats ++ Maintenance.writePathStats(spark, path, st, newParts),
           txns = st.txns ++ txn))
       ApplyStats(nUps, nDel)
     } finally { finals.unpersist(); () }
@@ -2304,6 +2393,7 @@ object MorUpsert {
           batchName.map(n => seq -> new java.io.File(MorDelete.sidecarDir(path), n))
         MorDelete.publishManifest(path, seq,
           st.copy(dataFiles = st.dataFiles ++ newParts, batches = newBatches,
+            stats = st.stats ++ Maintenance.writePathStats(spark, path, st, newParts),
             txns = st.txns ++ txn))
       }
       MergeStats(nDel, nUpd, nIns, newParts.size.toLong)

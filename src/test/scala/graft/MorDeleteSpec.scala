@@ -655,16 +655,17 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("o_totalprice", col("o_totalprice") + 1))
     graft.sources.MorUpsert.upsert(spark, loc, src, Seq("o_orderkey"))
     val view3 = keys(loc)
-    val s5 = Maintenance.maintain(spark, loc, compactAt = 1.1,
-      retentionMs = 0, stageGraceMs = 0)
-    assert(s5.statsRefreshed, "an analyzed table with stats-less appends must refresh")
+    // the upsert published WRITE-PATH stats for its appends in its own
+    // commit — coverage never opened, so the policy's refresh step has
+    // nothing to do (it exists for COMPACTION replacements, below)
     val stF = MorDelete.liveState(spark, loc)
     assert(stF.dataFiles.forall(f => stF.stats.get(f).exists(_.nonEmpty)),
-      "the refresh restores full coverage")
-    assert(keys(loc) == view3)
-    val s6 = Maintenance.maintain(spark, loc, compactAt = 1.1,
+      "merge appends carry write-path stats — no stats-less window")
+    val s5 = Maintenance.maintain(spark, loc, compactAt = 1.1,
       retentionMs = 0, stageGraceMs = 0)
-    assert(!s6.statsRefreshed, "a fully-covered table skips the stats step")
+    assert(!s5.statsRefreshed,
+      "a table kept covered by write-path stats skips the refresh step")
+    assert(keys(loc) == view3)
     // a FULL rewrite drops every per-file stat, but the recorded column
     // set (manifest `C` line) survives — the policy still heals from zero
     graft.sources.Layout.zorderRewrite(spark, loc,
@@ -837,28 +838,30 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.pruneByStats(spark, st, beyond).isEmpty)
     assert(MorDelete.readWhere(spark, loc, beyond).count() == 0L)
 
-    // stats carry through later DML; files appended after the analyze are
-    // stats-less and therefore never pruned — conservative, still exact
+    // stats carry through later DML; files appended to an ANALYZED table
+    // publish WRITE-PATH stats in the same commit (the Delta write-time
+    // discipline) — no stats-less window, the new bounds prune at once
     MorDelete.delete(spark, loc, col("o_orderkey") <= c2, Seq("o_orderkey"))
     val src = oneRowPerKey(MorDelete.read(spark, loc)
       .filter(col("o_orderkey") > c2 && col("o_orderkey") <= c3)
       .withColumn("o_totalprice", col("o_totalprice") + 1))
     graft.sources.MorUpsert.upsert(spark, loc, src, Seq("o_orderkey"))
     val st2 = MorDelete.liveState(spark, loc)
-    assert(st2.stats.size == 6, "stats must survive deletes and merges")
-    val appended = st2.dataFiles.filterNot(st2.stats.contains)
-    assert(appended.nonEmpty, "the merge's appended parts must be stats-less")
+    val appended = st2.dataFiles.filterNot(st.stats.contains)
+    assert(appended.nonEmpty, "the merge must have appended parts")
+    assert(appended.forall(f => st2.stats.get(f).exists(_.nonEmpty)),
+      "appended parts carry write-path stats in the committing manifest")
+    assert(st2.stats.size == 6 + appended.size)
+    // the appended keys live in (c2, c3], so their fresh bounds PRUNE
+    // under the band (<= c2) — coverage is immediate, not next-analyze
     assert(MorDelete.pruneByStats(spark, st2, band).size ==
-      MorDelete.pruneByStats(spark, st, band).size + appended.size,
-      "stats-less appended files always survive pruning")
+      MorDelete.pruneByStats(spark, st, band).size,
+      "write-path bounds prune the out-of-band appended parts at once")
     expect(band)
 
-    // incremental refresh: data files are immutable, so a published stat
-    // is permanently exact — a re-analyze computes ONLY the stats-less
-    // appended parts (at the published column set, no explicit list),
-    // and a fully-covered table publishes nothing at all
-    assert(Maintenance.analyze(spark, loc) == appended.size.toLong,
-      "re-analyze must compute exactly the missing files")
+    // coverage is already closed: a re-analyze computes NOTHING and
+    // publishes no manifest (data files are immutable — a published
+    // stat is permanently exact)
     val st2b = MorDelete.liveState(spark, loc)
     assert(st2b.dataFiles.forall(f => st2b.stats.get(f).exists(_.nonEmpty)))
     val preManifests = MorDelete.manifests(loc).size
@@ -1023,6 +1026,19 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(col("s").isin("apple", "peach")).size == 2)
     assert(kept(col("s") === emoji).size == 1,
       "binary order must keep the unicode file for the emoji probe")
+    // prefix shapes: LIKE 'p%' and startsWith are the byte range
+    // [p, inc(p)) — 'ap%' keeps only file A, 'm%' only file B, a
+    // wildcard-free LIKE is equality, '_'/interior-% stay opaque
+    assert(kept(col("s").like("ap%")).size == 1)
+    assert(kept(col("s").startsWith("m")).size == 1)
+    assert(kept(col("s").like("mango")).size == 1, "wildcard-free LIKE = equality")
+    assert(kept(col("s").like("z%")).isEmpty,
+      "'z%' fits no file: A/B max below 'z', the unicode file's min above '{'")
+    assert(kept(col("s").like("a_ple")).size == 3, "'_' patterns stay opaque")
+    assert(kept(col("s").like("%go")).size == 3, "suffix patterns stay opaque")
+    // the emoji-prefix probe: inc() works on BYTES — a char-level upper
+    // bound (prefix + ￿) would wrongly prune the 4-byte-UTF8 file
+    assert(kept(col("s").startsWith(new String(Character.toChars(0x1F600)))).size == 1)
     // exactness through every path, including the FileIndex default read
     for (p <- Seq(col("s") === "mango", col("s") >= "melon",
         col("s") === emoji, col("s").isin("apple", "peach", emoji))) {

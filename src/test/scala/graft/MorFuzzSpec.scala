@@ -103,7 +103,7 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def probe(step: Int): Unit = {
       val c = rnd.nextInt(200)
-      val pred = rnd.nextInt(9) match {
+      val pred = rnd.nextInt(11) match {
         case 0 => expr(s"CAST(x AS INT) = $c")                       // truncating
         case 1 => expr(s"CAST(x AS INT) >= $c AND CAST(x AS INT) < ${c + 7}")
         case 2 => expr(s"TRY_CAST(x AS TINYINT) = ${c % 128}")       // overflow->NULL
@@ -113,6 +113,8 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 6 => expr(s"s = 'cat${c % 8}'")                         // string bounds
         case 7 => expr(s"s >= 'cat${c % 8}' AND x < ${c + 40}")
         case 8 => expr(s"s IN ('cat1', 'cat${c % 8}') OR CAST(s AS STRING) = 'zz'")
+        case 9 => expr(s"s LIKE 'cat${c % 8}%' AND x >= $c")         // prefix range
+        case 10 => expr(s"s LIKE '%t${c % 8}' OR s LIKE 'c_t${c % 8}'") // opaque shapes
       }
       def got(d: org.apache.spark.sql.DataFrame) =
         d.select("k").collect().map(_.getLong(0)).toSeq.sorted
