@@ -261,9 +261,10 @@ object Layout {
     * keep their complete pre-state (replaced files and batches are
     * retained for older manifests until vacuum), snapshots survive, and a
     * crash strands only an unreferenced stage directory — the same
-    * commit shape as [[MorDelete.compact]]. Published file stats are
-    * dropped (the layout they described is gone); re-run
-    * [[Maintenance.analyze]] to restore pruning. Partitioned layouts are
+    * commit shape as [[MorDelete.compact]]. On an analyzed table the
+    * NEW files publish write-path stats in the same commit (the old
+    * entries described a layout that is gone), so pruning never lapses;
+    * a never-analyzed table stays stats-free. Partitioned layouts are
     * refused: the z-curve REPLACES directory partitioning as the
     * clustering (write the curve over the partition column instead).
     * Returns whether the rank (skew) quantizer arm ran.
@@ -298,13 +299,16 @@ object Layout {
     val newFiles = CowCore.moveIn(
       CowCore.stage(spark, base, Nil, clusterByZ(zed, target)),
       base, prefix = s"part-mor$seq-")
-    // per-file stats drop (the layout they described is gone), but the
-    // analyzed COLUMN SET carries so the maintenance loop keeps healing.
-    // The rewrite materialized the RESOLVED view — every new file carries
-    // the logical schema physically — so the evolution log clears (the
-    // schema itself stays): this is the migration path for evolved tables.
+    // the old per-file stats described a layout that is gone; the NEW
+    // files publish write-path stats in this same commit (the rewrite
+    // materialized the resolved view at the logical schema, so the
+    // computation runs even on a just-migrated evolved table). The
+    // analyzed COLUMN SET carries either way so the maintenance loop
+    // keeps healing pre-r16 tables.
     MorDelete.publishManifest(path, seq,
-      st.copy(dataFiles = newFiles, batches = Nil, stats = Map.empty,
+      st.copy(dataFiles = newFiles, batches = Nil,
+        stats = Maintenance.writePathStats(spark, path,
+          st.copy(schemaLog = Nil), newFiles),
         schemaLog = Nil))
     skewed
   }
@@ -339,7 +343,9 @@ object Layout {
       CowCore.stage(spark, base, Nil, resolved.repartition(target)),
       base, prefix = s"part-mor$seq-")
     MorDelete.publishManifest(path, seq,
-      st.copy(dataFiles = newFiles, batches = Nil, stats = Map.empty,
+      st.copy(dataFiles = newFiles, batches = Nil,
+        stats = Maintenance.writePathStats(spark, path,
+          st.copy(schemaLog = Nil), newFiles),
         schemaLog = Nil))
     newFiles.size.toLong
   }

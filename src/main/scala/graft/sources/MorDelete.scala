@@ -1670,11 +1670,13 @@ object MorDelete {
       val touchedSet = s.touched.toSet
       val newData = st.dataFiles.filterNot(touchedSet) ++ s.newFiles
       val newBatches = if (minDoomedFraction <= 0.0) Nil else st.batches
-      // stats survive for untouched files; rewritten replacements are
-      // stats-less (never pruned) until the next Maintenance.analyze
+      // stats survive for untouched files; replacement files publish
+      // WRITE-PATH stats in this same commit (on an analyzed table), so
+      // a compaction no longer reopens the coverage window
       writeManifest(path, nextOrdinal(path), seqNow,
         st.copy(dataFiles = newData, batches = newBatches,
-          stats = st.stats.filter { case (f, _) => !touchedSet(f) }))
+          stats = st.stats.filter { case (f, _) => !touchedSet(f) } ++
+            Maintenance.writePathStats(spark, path, st, s.newFiles)))
       CowDelete.DeleteStats(s.touched, s.total, s.rewritten)
     } finally { tomb.unpersist(); () }
   }

@@ -666,13 +666,18 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s5.statsRefreshed,
       "a table kept covered by write-path stats skips the refresh step")
     assert(keys(loc) == view3)
-    // a FULL rewrite drops every per-file stat, but the recorded column
-    // set (manifest `C` line) survives — the policy still heals from zero
+    // a FULL rewrite publishes write-path stats for its own files — no
+    // lapse — and carries the analyzed column set
     graft.sources.Layout.zorderRewrite(spark, loc,
       Seq("o_orderkey", "o_custkey"), nFiles = 2)
     val stZ = MorDelete.liveState(spark, loc)
-    assert(stZ.stats.isEmpty && stZ.statCols.nonEmpty,
-      "the rewrite drops stats but carries the analyzed column set")
+    assert(stZ.statCols.nonEmpty &&
+      stZ.dataFiles.forall(f => stZ.stats.get(f).exists(_.nonEmpty)),
+      "the rewrite re-covers its own files in the committing manifest")
+    // heal-from-zero (a pre-r16 table, or interop that stripped entries):
+    // the recorded column set (manifest `C` line) re-seeds coverage
+    MorDelete.publishManifest(loc, MorDelete.currentSeq(spark, loc),
+      stZ.copy(stats = Map.empty))
     val s7 = Maintenance.maintain(spark, loc, compactAt = 1.1,
       retentionMs = 0, stageGraceMs = 0)
     assert(s7.statsRefreshed, "the carried column set re-seeds coverage from zero")
@@ -869,15 +874,20 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.manifests(loc).size == preManifests,
       "a fully-covered analyze must not commit a no-op manifest")
 
-    // compaction drops the rewritten files' stats (their bounds changed)
-    // and keeps the untouched files'; readWhere stays exact throughout.
+    // compaction keeps the untouched files' stats and publishes fresh
+    // WRITE-PATH stats for its replacements in the same commit — full
+    // coverage survives the rewrite; readWhere stays exact throughout.
     // All the doomed rows live in file 1's key range by construction.
     MorDelete.compact(spark, loc)
     val st3 = MorDelete.liveState(spark, loc)
-    assert(st3.stats.nonEmpty && st3.stats.keySet.subsetOf(st3.dataFiles.toSet) &&
-      st3.stats.keySet.forall(st2b.stats.keySet),
-      "post-compact stats are exactly the untouched analyzed files'")
-    assert(st3.stats.size < st2b.stats.size, "the rewritten files' stats must drop")
+    assert(st3.stats.keySet == st3.dataFiles.toSet,
+      "post-compact coverage is full: untouched entries carried, " +
+        "replacements write-path published")
+    val replaced = st3.dataFiles.filterNot(st2b.stats.contains)
+    assert(replaced.nonEmpty &&
+      replaced.forall(f => st3.stats.get(f).exists(_.nonEmpty)))
+    assert(Maintenance.analyze(spark, loc) == 0L,
+      "nothing left for the incremental pass")
     expect(band)
     assert(keys(loc) == all.filter(_ > c2), "the view never changed")
   }
@@ -1423,7 +1433,8 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.batches.isEmpty, "the rewrite folds every tombstone")
     assert(st.dataFiles.toSet.intersect(preFiles).isEmpty,
       "the rewrite publishes a whole new file set")
-    assert(st.stats.isEmpty, "stats describe the old layout and must drop")
+    assert(st.dataFiles.forall(f => st.stats.get(f).exists(_.nonEmpty)),
+      "the rewrite publishes write-path stats for the new layout")
     assert(preFiles.forall(f => new File(f).exists()),
       "replaced files are retained for older manifests until vacuum")
     assert(MorDelete.readAt(spark, loc, snap).select("o_orderkey")
