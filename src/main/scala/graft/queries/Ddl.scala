@@ -723,6 +723,62 @@ object Ddl {
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
+    // SQL DML on a PARTITIONED MoR table (r16): the statement texts
+    // route onto the tombstone engine with the Hive layout intact — a
+    // partition-predicate DELETE and a partition-scoped UPDATE both
+    // commit with ZERO original files touched (`part_zero_touch`), the
+    // UPDATE's post-images re-materialize into their partition
+    // directories, and the SQL read-back hash-matches DuckDB's
+    // un-partitioned derivation.
+    "ddl_sql_part_dml" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(
+        |    CASE WHEN year(o_orderdate) * 100 + month(o_orderdate) = 199702
+        |      THEN o_totalprice + 50 ELSE o_totalprice END
+        |    AS DECIMAL(30,8))) AS DOUBLE), 2) AS total,
+        |  true AS part_zero_touch
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 3)
+        |  AND NOT (year(o_orderdate) * 100 + month(o_orderdate) = 199601)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_sqlpart_orders"
+      drop(s, "g_sqlpart_orders", loc)
+      drop(s, "g_sqlpart_orders_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_sqlpart_orders_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "orders")
+        .withColumn("o_ym",
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+        .repartition(col("o_ym"))
+        .write.partitionBy("o_ym").mode("overwrite").parquet(loc)
+      s.sql("DROP TABLE IF EXISTS g_sqlpart_orders")
+      s.sql(s"CREATE TABLE g_sqlpart_orders USING parquet LOCATION '$loc'")
+      s.sql("MSCK REPAIR TABLE g_sqlpart_orders")
+      // batch 1 (programmatic) enters MoR mode and declares the key
+      MorDelete.delete(s, loc, col("o_orderkey") % 10 === 3, Seq("o_orderkey"))
+      def liveFiles() = MorDelete.liveState(s, loc).dataFiles
+        .map(f => f -> new java.io.File(f).lastModified()).toMap
+      val before = liveFiles()
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement("DELETE FROM g_sqlpart_orders WHERE o_ym = 199601")
+      ps.statement(
+        "UPDATE g_sqlpart_orders SET o_totalprice = o_totalprice + 50 WHERE o_ym = 199702")
+      val after = liveFiles()
+      // every pre-DML file survives byte-identical; the UPDATE's appends
+      // land INSIDE partition directories (the Hive layout is preserved)
+      val appended = after.keySet -- before.keySet
+      val ok = before.forall { case (f, m) => after.get(f).contains(m) } &&
+        appended.nonEmpty && appended.forall(_.contains("o_ym=1997")) &&
+        appended.forall(_.contains("o_ym="))
+      ps.statement(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+          |FROM g_sqlpart_orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin)
+        .withColumn("part_zero_touch", lit(ok))
+    },
+
     // STRING bounds in the manifest stats (r16): analyze publishes
     // per-file min/max of string columns (UTF8String binary order, the
     // same order the evaluator's leaves compare in; values past 64
