@@ -768,8 +768,7 @@ object Ddl {
       // land INSIDE partition directories (the Hive layout is preserved)
       val appended = after.keySet -- before.keySet
       val ok = before.forall { case (f, m) => after.get(f).contains(m) } &&
-        appended.nonEmpty && appended.forall(_.contains("o_ym=1997")) &&
-        appended.forall(_.contains("o_ym="))
+        appended.nonEmpty && appended.forall(_.contains("o_ym=199702"))
       ps.statement(
         """SELECT o_orderpriority, COUNT(*) AS n,
           |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total

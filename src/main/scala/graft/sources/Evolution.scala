@@ -290,10 +290,14 @@ object Evolution {
   }
 
   /** Whitespace normalization for a CHECK body that leaves quoted spans
-    * byte-identical: runs of whitespace OUTSIDE single-quoted literals /
-    * double-quoted identifiers collapse to one space ('' and "" escapes
-    * honored); a quoted span holding a line delimiter refuses loudly —
-    * the manifest is line-oriented and could not store it faithfully. */
+    * byte-identical: runs of whitespace OUTSIDE single-/double-quoted
+    * string literals collapse to one space. Both escape conventions the
+    * expression's eventual parser (Spark's, escapedStringLiterals off)
+    * honors are honored HERE too — doubled quotes ('') and backslash
+    * escapes (\' \\ …) — so an escaped quote can never end the span
+    * early and let a literal's interior spacing collapse. A quoted span
+    * holding a line delimiter refuses loudly — the manifest is
+    * line-oriented and could not store it faithfully. */
   private[graft] def normalizeConstraintText(raw: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -303,7 +307,9 @@ object Evolution {
       var done = false
       while (i < raw.length && !done) {
         val ch = raw.charAt(i)
-        if (ch == open) {
+        if (ch == '\\' && i + 1 < raw.length) {
+          sb.append(ch).append(raw.charAt(i + 1)); i += 2 // backslash escape
+        } else if (ch == open) {
           if (i + 1 < raw.length && raw.charAt(i + 1) == open) {
             sb.append(open).append(open); i += 2 // doubled-quote escape
           } else { sb.append(ch); i += 1; done = true }

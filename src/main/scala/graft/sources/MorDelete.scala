@@ -1060,23 +1060,50 @@ object MorDelete {
     statsPredOf(org.apache.spark.sql.GraftSqlBridge.toExpr(spark, predicate)) match {
       case None => st.dataFiles
       case Some(p) =>
+        val anc = commonAncestorOf(st.dataFiles)
         st.dataFiles.filter(f =>
-          p(st.stats.getOrElse(f, Nil) ++ pathPartitionStats(f)))
+          p(st.stats.getOrElse(f, Nil) ++ pathPartitionStats(anc, f)))
     }
   }
 
-  /** Synthetic per-file stats from the file's `col=value` ancestor
-    * directories: a LONG-parsable value becomes an exact numeric bound,
-    * an ISO date becomes an exact day-domain bound, the
-    * `__HIVE_DEFAULT_PARTITION__` sentinel becomes an all-null column
-    * (so range leaves prune it and IS NULL keeps it); any other string
-    * value contributes only null-presence counts — the evaluator has no
-    * string leaves, so string comparisons stay conservative. */
-  private[graft] def pathPartitionStats(f: String): Seq[FileColStat] = {
+  /** The deepest directory containing every file — the sound lower
+    * bound for partition-segment parsing when the TABLE BASE is not in
+    * hand: a `col=value` segment strictly BELOW the common ancestor is
+    * necessarily below the base too, while the ancestor itself may BE a
+    * kv-named base directory (a table rooted at /data/v=2) whose name
+    * must never be read as a partition value. The price of deriving
+    * instead of threading the base: a table whose live files all sit in
+    * ONE partition loses that partition's bound (conservative, never
+    * wrong). */
+  private[graft] def commonAncestorOf(files: Seq[String]): java.nio.file.Path = {
+    if (files.isEmpty) return null
+    var anc = Paths.get(files.head).getParent
+    files.drop(1).foreach { f =>
+      var p = Paths.get(f).getParent
+      while (anc != null && (p == null || !p.startsWith(anc)))
+        anc = anc.getParent
+      ()
+    }
+    anc
+  }
+
+  /** Synthetic per-file stats from the file's `col=value` directory
+    * segments strictly BELOW `base` (exclusive — see
+    * [[commonAncestorOf]] for why the bound matters): a LONG-parsable
+    * value becomes an exact numeric bound, an ISO date an exact
+    * day-domain bound, the `__HIVE_DEFAULT_PARTITION__` sentinel an
+    * all-null column (range leaves prune it, IS NULL keeps it), and a
+    * STRING value its own exact string bound (the same `smin`/`smax`
+    * leaves analyzed string columns use — equality/range/prefix
+    * predicates all prune on it). Values are Hive %xx-unescaped so an
+    * escaped value can never mis-compare. */
+  private[graft] def pathPartitionStats(base: java.nio.file.Path,
+      f: String): Seq[FileColStat] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FileColStat]
     var p = Paths.get(f).getParent
     var go = true
-    while (go && p != null && p.getFileName != null) {
+    while (go && p != null && p.getFileName != null &&
+        base != null && p.startsWith(base) && p != base) {
       val seg = p.getFileName.toString
       val i = seg.indexOf('=')
       if (i <= 0) go = false

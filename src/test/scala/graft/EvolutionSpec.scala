@@ -266,6 +266,12 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("line delimiter"))
     assert(Evolution.tableConstraints(spark, loc).size == 2,
       "the refused constraint must not commit")
+    // backslash escapes must not end the span early: Spark's parser
+    // reads \' as an escaped quote, so the scanner must too — the
+    // doubled spaces after it are INSIDE the literal and must survive
+    Evolution.addConstraint(spark, loc, "bs", "a <> 'don\\'t   panic'  OR  b > 0")
+    assert(Evolution.tableConstraints(spark, loc).last ==
+      ("bs" -> "a <> 'don\\'t   panic' OR b > 0"))
   }
 
   test("snapshot reads, delete predicates, and merge all see the evolved schema") {

@@ -1007,6 +1007,33 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the int->bigint upcast must prune the low file")
   }
 
+  test("a kv-named BASE directory is never misread as a partition value") {
+    // self-review catch: the partition-segment walk must stop at the
+    // live files' common ancestor — a table ROOTED at /…/v=2 with a
+    // data column v would otherwise synthesize v∈[2,2] bounds from its
+    // own base name and silently prune every file for v <> 2
+    val root = Files.createTempDirectory("graft_morkvbase").toString
+    val loc = s"$root/v=2"
+    val sp = spark; import sp.implicits._
+    Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v").coalesce(1).write.parquet(loc)
+    Seq((3L, 9.0)).toDF("k", "v").coalesce(1).write.mode("append").parquet(loc)
+    MorDelete.delete(spark, loc, col("k") === -1, Seq("k"))
+    val st = MorDelete.liveState(spark, loc)
+    assert(MorDelete.pruneByStats(spark, st, col("v") === 5.0).size ==
+      st.dataFiles.size, "the base dir's name must contribute no bounds")
+    assert(MorDelete.readWhere(spark, loc, col("v") === 5.0).count() == 1L)
+    assert(MorDelete.read(spark, loc).filter(col("v") === 9.0).count() == 1L)
+    // the conservative price: a table whose files all sit in ONE real
+    // partition cannot distinguish that dir from a kv base either — it
+    // keeps everything (sound) rather than pruning on the ambiguous name
+    val loc2 = Files.createTempDirectory("graft_morkvone").toString + "/t"
+    Seq((1L, 1.0)).toDF("k", "x").write.parquet(s"$loc2/m=3")
+    MorDelete.delete(spark, loc2, col("k") === -1, Seq("k"))
+    val st2 = MorDelete.liveState(spark, loc2)
+    assert(MorDelete.pruneByStats(spark, st2, col("m") === 9).size ==
+      st2.dataFiles.size)
+  }
+
   test("string bounds round-trip the manifest and prune in UTF8 binary order") {
     val loc = Files.createTempDirectory("graft_morstr").toString + "/t"
     val sp = spark; import sp.implicits._
