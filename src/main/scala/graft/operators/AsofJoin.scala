@@ -207,7 +207,20 @@ object AsofJoin {
       .collect()(0)
     if (row.isNullAt(0)) return AutoPlan(sliced = false, 0.0, 0L, 0.0)
     val maxKeyRows = math.round(row.getLong(0) / statsSampleFraction)
-    val span = row.getDouble(2) - row.getDouble(1)
+    // ONLY the per-key count rides the sample — min/max come from the
+    // FULL union, because a Bernoulli sample that misses the extremes
+    // underestimates the span, and sliceWidth = span / nSlices would
+    // then pack boundary slices too tight. The exact pass is a global
+    // min/max: one partial row per partition, no per-key shuffle —
+    // cheap at any scale, so the sampled arm's published span is EXACT,
+    // not an estimate.
+    val (mn, mx) =
+      if (statsSampleFraction < 1.0) {
+        val r2 = full.agg(min(col("__asof_t")).as("mn"),
+          max(col("__asof_t")).as("mx")).collect()(0)
+        (r2.getDouble(0), r2.getDouble(1))
+      } else (row.getDouble(1), row.getDouble(2))
+    val span = mx - mn
     // a zero-span history cannot be sliced by time (every row lands in
     // one slice) — the single arm is the only arm
     if (maxKeyRows <= maxKeyRowsPerTask || span <= 0.0)

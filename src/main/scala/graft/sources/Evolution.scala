@@ -272,7 +272,8 @@ object Evolution {
     // ('a  b' != 'a b'), so only whitespace outside quoted spans
     // collapses; a literal containing a line delimiter cannot survive
     // the line-oriented manifest and refuses instead of being rewritten
-    val exprText = normalizeConstraintText(exprTextRaw)
+    val exprText = normalizeConstraintText(exprTextRaw,
+      spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean)
     require(name.nonEmpty && !name.exists(c => c == ':' || c == '\n' ||
       c == '\r' || c.isWhitespace),
       s"constraint name must be non-empty and free of ':' and whitespace: '$name'")
@@ -291,14 +292,17 @@ object Evolution {
 
   /** Whitespace normalization for a CHECK body that leaves quoted spans
     * byte-identical: runs of whitespace OUTSIDE single-/double-quoted
-    * string literals collapse to one space. Both escape conventions the
-    * expression's eventual parser (Spark's, escapedStringLiterals off)
-    * honors are honored HERE too — doubled quotes ('') and backslash
-    * escapes (\' \\ …) — so an escaped quote can never end the span
-    * early and let a literal's interior spacing collapse. A quoted span
-    * holding a line delimiter refuses loudly — the manifest is
-    * line-oriented and could not store it faithfully. */
-  private[graft] def normalizeConstraintText(raw: String): String = {
+    * string literals collapse to one space. The scanner honors exactly
+    * the escape conventions the expression's eventual parser honors —
+    * doubled quotes ('') always, and backslash escapes (\' \\ …) ONLY
+    * when `spark.sql.parser.escapedStringLiterals` is off (when that
+    * conf is ON, Spark treats backslash as an ordinary character and a
+    * \' genuinely terminates the literal — tracking it as an escape
+    * would mis-scan the span and collapse whitespace inside a real
+    * literal). A quoted span holding a line delimiter refuses loudly —
+    * the manifest is line-oriented and could not store it faithfully. */
+  private[graft] def normalizeConstraintText(raw: String,
+      escapedStringLiterals: Boolean = false): String = {
     val sb = new StringBuilder
     var i = 0
     def copyQuoted(open: Char): Unit = {
@@ -307,7 +311,7 @@ object Evolution {
       var done = false
       while (i < raw.length && !done) {
         val ch = raw.charAt(i)
-        if (ch == '\\' && i + 1 < raw.length) {
+        if (!escapedStringLiterals && ch == '\\' && i + 1 < raw.length) {
           sb.append(ch).append(raw.charAt(i + 1)); i += 2 // backslash escape
         } else if (ch == open) {
           if (i + 1 < raw.length && raw.charAt(i + 1) == open) {

@@ -805,12 +805,20 @@ object MorDelete {
     }
     val rows = asc.indices.sortBy(i => -asc(i).ordinal).map { i =>
       val (m, st) = (asc(i), states(i))
+      // stats_missing: live files a declared stat-column set does NOT
+      // cover — the observable form of the write-path coverage
+      // invariant (a silent writePathStats degrade shows up here as a
+      // reopened window; 0 until the table first declares stat columns)
+      val missing =
+        if (st.statCols.isEmpty) 0L
+        else st.dataFiles.count(f => !st.stats.get(f).exists(_.nonEmpty)).toLong
       (m.seq, m.ordinal, new java.sql.Timestamp(m.file.lastModified()),
         st.dataFiles.size.toLong, st.batches.size.toLong,
-        st.stats.size.toLong, classify(i))
+        st.stats.size.toLong, classify(i), missing)
     }
     rows.toDF("version", "ordinal", "committed_at",
-      "data_files", "tombstone_batches", "stats_files", "operation")
+      "data_files", "tombstone_batches", "stats_files", "operation",
+      "stats_missing")
   }
 
   /** CHANGE DATA FEED between two retained snapshots — one row per
@@ -1061,10 +1069,15 @@ object MorDelete {
       case None => st.dataFiles
       case Some(p) =>
         val anc = commonAncestorOf(st.dataFiles)
+        val zone = sessionZone(spark)
         st.dataFiles.filter(f =>
-          p(st.stats.getOrElse(f, Nil) ++ pathPartitionStats(anc, f)))
+          p(st.stats.getOrElse(f, Nil) ++ pathPartitionStats(anc, f, zone)))
     }
   }
+
+  private[graft] def sessionZone(spark: SparkSession): java.time.ZoneId =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   /** The deepest directory containing every file — the sound lower
     * bound for partition-segment parsing when the TABLE BASE is not in
@@ -1089,16 +1102,28 @@ object MorDelete {
 
   /** Synthetic per-file stats from the file's `col=value` directory
     * segments strictly BELOW `base` (exclusive — see
-    * [[commonAncestorOf]] for why the bound matters): a LONG-parsable
-    * value becomes an exact numeric bound, an ISO date an exact
-    * day-domain bound, the `__HIVE_DEFAULT_PARTITION__` sentinel an
-    * all-null column (range leaves prune it, IS NULL keeps it), and a
-    * STRING value its own exact string bound (the same `smin`/`smax`
-    * leaves analyzed string columns use — equality/range/prefix
-    * predicates all prune on it). Values are Hive %xx-unescaped so an
-    * escaped value can never mis-compare. */
+    * [[commonAncestorOf]] for why the bound matters). Each value is
+    * classified by SPARK'S OWN partition-type inference
+    * ([[org.apache.spark.sql.execution.datasources.GraftPartitionBridge]])
+    * so a bound is only ever published in the domain the read path will
+    * actually bind the column at — the soundness rule this replaced a
+    * hand-rolled parse for: `x=1.5` infers DOUBLE, so a string bound
+    * "1.5" would let a binary compare against the coerced literal
+    * "1.50" prune a matching file. Per inferred type:
+    *  - int/long/double → exact numeric bound (domain "n");
+    *  - date → exact day bound ("d"), via Spark's date parse (which
+    *    accepts "2020-1-9" where `LocalDate.parse` does not);
+    *  - timestamp / timestamp_ntz → exact µs bound ("t"/"u") — the µs
+    *    value is computed in THIS session's zone, the same zone the
+    *    read will materialize the column in, so both sides agree;
+    *  - decimal → counts only (a >2^53 integral rounds in the double
+    *    domain, so a range bound could prune a matching file);
+    *  - string → its own exact string bound (only now that every
+    *    coercible spelling has been routed to its real domain);
+    *  - `__HIVE_DEFAULT_PARTITION__` / uncastable → an all-null column
+    *    (range leaves prune it, IS NULL keeps it). */
   private[graft] def pathPartitionStats(base: java.nio.file.Path,
-      f: String): Seq[FileColStat] = {
+      f: String, zone: java.time.ZoneId): Seq[FileColStat] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FileColStat]
     var p = Paths.get(f).getParent
     var go = true
@@ -1109,30 +1134,52 @@ object MorDelete {
       if (i <= 0) go = false
       else {
         val c = unescapePathName(seg.substring(0, i))
-        val v0 = seg.substring(i + 1)
-        if (v0 == "__HIVE_DEFAULT_PARTITION__")
-          out += FileColStat(c, Double.NaN, Double.NaN, "n", 1L, 1L)
-        else {
-          val v = unescapePathName(v0)
-          scala.util.Try(v.toLong).toOption match {
-            case Some(l) => out += FileColStat(c, l.toDouble, l.toDouble, "n", 0L, 1L)
-            case None =>
-              scala.util.Try(java.time.LocalDate.parse(v)).toOption match {
-                case Some(d) =>
-                  out += FileColStat(c, d.toEpochDay.toDouble,
-                    d.toEpochDay.toDouble, "d", 0L, 1L)
-                case None =>
-                  // a STRING partition value is its own exact bound —
-                  // string equality/range predicates prune the file list
-                  out += FileColStat(c, Double.NaN, Double.NaN, "s",
-                    0L, 1L, Some(v), Some(v))
-              }
-          }
-        }
+        out += partValueStat(c, seg.substring(i + 1), zone)
         p = p.getParent
       }
     }
     out.toSeq
+  }
+
+  // inference results memoized per (escaped value, zone) — partition
+  // values are low-cardinality across a manifest's file list, and each
+  // miss costs a synthetic one-directory parsePartitions call
+  private val partInferCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (org.apache.spark.sql.types.DataType, Any)]
+
+  private def partValueStat(c: String, v0: String,
+      zone: java.time.ZoneId): FileColStat = {
+    import org.apache.spark.sql.types._
+    if (partInferCache.size > 65536) partInferCache.clear()
+    val (dt, cv) = partInferCache.computeIfAbsent((v0, zone.getId), _ =>
+      org.apache.spark.sql.execution.datasources.GraftPartitionBridge
+        .inferSegmentValue(v0, zone))
+    if (cv == null) FileColStat(c, Double.NaN, Double.NaN, "n", 1L, 1L)
+    else dt match {
+      case IntegerType =>
+        val d = cv.asInstanceOf[Int].toDouble
+        FileColStat(c, d, d, "n", 0L, 1L)
+      case LongType =>
+        val d = cv.asInstanceOf[Long].toDouble
+        FileColStat(c, d, d, "n", 0L, 1L)
+      case DoubleType =>
+        val d = cv.asInstanceOf[Double]
+        FileColStat(c, d, d, "n", 0L, 1L)
+      case DateType =>
+        val d = cv.asInstanceOf[Int].toDouble
+        FileColStat(c, d, d, "d", 0L, 1L)
+      case TimestampType =>
+        val d = cv.asInstanceOf[Long].toDouble
+        FileColStat(c, d, d, "t", 0L, 1L)
+      case TimestampNTZType =>
+        val d = cv.asInstanceOf[Long].toDouble
+        FileColStat(c, d, d, "u", 0L, 1L)
+      case StringType =>
+        val s = cv.toString
+        FileColStat(c, Double.NaN, Double.NaN, "s", 0L, 1L, Some(s), Some(s))
+      case _ => // decimal (double-rounding risk) and future types: counts only
+        FileColStat(c, Double.NaN, Double.NaN, "n", 0L, 1L)
+    }
   }
 
   /** A compiled MAY-MATCH predicate over one file's published stats:
@@ -1245,12 +1292,23 @@ object MorDelete {
           if (wantNull) s.nulls > 0 else s.nulls < s.rows
         case _ => true
       }
+    // Bounds and literals both live in the DOUBLE domain; an integral
+    // source value above 2^53 (a hash-derived BIGINT key, a far-future
+    // µs timestamp) rounds on BOTH sides, and rounding is monotonic but
+    // not injective — v > L with round(v) == round(L) is possible, so a
+    // STRICT comparison against the rounded bound could prune a file
+    // holding a matching row. One ulp of slack, applied only where
+    // doubles stop being exact integers, restores soundness; <=, >=, =
+    // and IN are monotone-safe without it (v ≥ L ⟹ round(v) ≥ round(L)).
+    val exactAbs = 9007199254740992.0 // 2^53
+    def upSlack(x: Double) = if (math.abs(x) >= exactAbs) Math.nextUp(x) else x
+    def downSlack(x: Double) = if (math.abs(x) >= exactAbs) Math.nextDown(x) else x
     def cmpLeaf(op: String, c: String, dv: (String, Double)): StatsPred = {
       val (dm, v) = dv
       op match {
-        case ">" => leaf(c, dm, (_, mx) => mx > v)
+        case ">" => leaf(c, dm, (_, mx) => upSlack(mx) > v)
         case ">=" => leaf(c, dm, (_, mx) => mx >= v)
-        case "<" => leaf(c, dm, (mn, _) => mn < v)
+        case "<" => leaf(c, dm, (mn, _) => downSlack(mn) < v)
         case "<=" => leaf(c, dm, (mn, _) => mn <= v)
         case _ => leaf(c, dm, (mn, mx) => mn <= v && v <= mx) // =, ==
       }
@@ -1479,33 +1537,6 @@ object MorDelete {
     }
   }
 
-  /** Partition-value type inference over one column's path values — the
-    * INT → BIGINT → DATE → STRING prefix of Spark's own partition
-    * inference, so this index's declared schema matches what the plain
-    * `basePath` read would infer for the same directories (doubles/
-    * timestamps fall to STRING here, which stays correct — comparisons
-    * just bind at the declared type). Returns catalyst-typed values in
-    * file order. */
-  private def inferPartCol(values: Seq[Option[String]])
-      : (org.apache.spark.sql.types.DataType, Seq[Any]) = {
-    import org.apache.spark.sql.types._
-    val defined = values.flatten
-    def allInt = defined.forall(v => v.toIntOption.isDefined)
-    def allLong = defined.forall(v => v.toLongOption.isDefined)
-    def allDate = defined.forall(v =>
-      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)
-    if (defined.nonEmpty && allInt)
-      (IntegerType, values.map(_.map(_.toInt: Any).orNull))
-    else if (defined.nonEmpty && allLong)
-      (LongType, values.map(_.map(_.toLong: Any).orNull))
-    else if (defined.nonEmpty && allDate)
-      (DateType, values.map(_.map(v =>
-        java.time.LocalDate.parse(v).toEpochDay.toInt: Any).orNull))
-    else
-      (StringType, values.map(_.map(v =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(v): Any).orNull))
-  }
-
   private def statsIndexedRead(spark: SparkSession, path: String,
       st: State): Option[DataFrame] = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -1525,18 +1556,39 @@ object MorDelete {
       st.dataFiles.forall(f => Paths.get(f).startsWith(base))
     spark match {
       case cs: org.apache.spark.sql.classic.SparkSession if eligible =>
-        // per-column type inference, then per-file catalyst value rows
-        val byCol = partCols.indices.map(i => inferPartCol(segs.map(_(i)._2)))
-        val partSchema = org.apache.spark.sql.types.StructType(
-          partCols.zip(byCol).map { case (c, (dt, _)) =>
-            org.apache.spark.sql.types.StructField(c, dt)
-          })
-        val files = st.dataFiles.zipWithIndex.map { case (f, fi) =>
+        // partition schema + per-directory catalyst values come from
+        // Spark's OWN parsePartitions over the live leaf directories
+        // (via GraftPartitionBridge), so this index's declared types are
+        // IDENTICAL to what the plain basePath fallback would infer for
+        // the same layout — double/timestamp/decimal partitions
+        // included, with Spark's cross-directory widening rules. A parse
+        // failure (conflicting layouts reaching past the uniform check)
+        // falls back to the plain read rather than guessing.
+        val zone = sessionZone(spark)
+        val parsed = scala.util.Try {
+          val leafDirs = st.dataFiles
+            .map(f => Paths.get(f).getParent.toString).distinct
+          org.apache.spark.sql.execution.datasources.GraftPartitionBridge
+            .parse(leafDirs.map(d => new org.apache.hadoop.fs.Path("file:" + d)),
+              new org.apache.hadoop.fs.Path("file:" + base), zone,
+              cs.sessionState.conf.caseSensitiveAnalysis)
+        }.toOption
+        if (parsed.isEmpty) return None
+        val spec = parsed.get
+        val partSchema = spec.partitionColumns
+        val dirValues: Map[String, Seq[Any]] = spec.partitions
+          .map(p => p.path.toUri.getPath -> p.values.toSeq(partSchema)).toMap
+        // a partitioned layout where some live dir did not parse must
+        // fall back whole — a partial value row would mis-bind filters
+        if (partSchema.nonEmpty &&
+            !st.dataFiles.forall(f => dirValues.contains(Paths.get(f).getParent.toString)))
+          return None
+        val files = st.dataFiles.map { f =>
           val jf = new java.io.File(f)
           (new org.apache.hadoop.fs.FileStatus(jf.length(), false, 1,
             128L * 1024 * 1024, jf.lastModified(),
             new org.apache.hadoop.fs.Path("file:" + f)),
-            byCol.map(_._2(fi)): Seq[Any],
+            dirValues.getOrElse(Paths.get(f).getParent.toString, Nil): Seq[Any],
             st.stats.getOrElse(f, Nil))
         }
         val schema = cs.read.parquet(st.dataFiles.head).schema
@@ -1934,12 +1986,31 @@ object Maintenance {
     * stats-less, exactly the pre-r16 behavior) when the table was never
     * analyzed, is mid-evolution, or the computation cannot run in this
     * session (e.g. an NTZ stat column off-UTC) — a write must never
-    * fail because of statistics. */
+    * fail because of statistics. Degrading must never be SILENT though:
+    * a systematic failure (schema drift, a renamed stat column) would
+    * quietly reopen the coverage invariant, so every swallowed failure
+    * logs once per commit with the cause, bumps [[statsFailureCount]],
+    * and the reopened window itself shows up as a non-zero
+    * `stats_missing` in DESCRIBE HISTORY. */
   private[sources] def writePathStats(spark: SparkSession, path: String,
       st: MorDelete.State, newParts: Seq[String]): Map[String, Seq[MorDelete.FileColStat]] =
     if (newParts.isEmpty || st.statCols.isEmpty || st.schemaLog.nonEmpty) Map.empty
     else scala.util.Try(computeFileStats(spark, path, newParts, st.statCols))
-      .getOrElse(Map.empty)
+      .recover { case e =>
+        statsFailureCount.incrementAndGet()
+        lastStatsFailure = Some(s"$path: ${e.getMessage}")
+        log.warn(s"write-path stats failed for ${newParts.size} new file(s) at " +
+          s"$path — commit proceeds stats-less (pruning coverage reopens until " +
+          s"the next ANALYZE): ${e.getMessage}")
+        Map.empty[String, Seq[MorDelete.FileColStat]]
+      }.get
+
+  /** Count of write-path stats computations that failed and were
+    * degraded to a stats-less commit since JVM start — the cheap
+    * process-level alarm for the coverage invariant. */
+  val statsFailureCount = new java.util.concurrent.atomic.AtomicLong
+  @volatile private[graft] var lastStatsFailure: Option[String] = None
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sources.Maintenance")
 
   def analyze(spark: SparkSession, path: String,
       cols: Seq[String] = Nil): Long = MorDelete.withWriterLock(path) {
@@ -1985,8 +2056,8 @@ object Maintenance {
       else publishedCols.map(p => eligible.filter(p.contains)).getOrElse(eligible)
     statCols.foreach { c =>
       require(dtypeOf(c).exists(supported),
-        s"analyze supports numeric, date, and timestamp columns (the stats " +
-          s"evaluator's domain); '$c' is ${dtypeOf(c)
+        s"analyze supports numeric, date, timestamp, and string columns (the " +
+          s"stats evaluator's domains); '$c' is ${dtypeOf(c)
             .map(_.simpleString).getOrElse("absent")}")
       require(!c.exists(ch => ch == ':' || ch == '\t' || ch == ','),
         s"analyzed column name must not contain ':', ',' or tab: $c")

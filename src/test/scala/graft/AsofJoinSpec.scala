@@ -277,6 +277,12 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pS = AsofJoin.plan(l, r, Seq("k"), "lt", "rt",
       maxKeyRowsPerTask = hotRows - 1, statsSampleFraction = 0.5)
     assert(pS.maxKeyRows > 0, "the sampled estimate scales back by 1/f")
+    // only the COUNT is sampled: span (hence slice sizing) comes from
+    // an exact full-union min/max, so a sample that misses the extremes
+    // can never under-size the slices — the sampled plan's span equals
+    // the exact plan's, bit for bit
+    assert(pS.span == pSliced.span,
+      s"sampled span ${pS.span} must equal the exact span ${pSliced.span}")
     val expected = rowsOf(AsofJoin.backward(l, r, Seq("k"), "lt", "rt",
       Seq("v"), rightTiebreak = Seq("v")))
     val aS = rowsOf(AsofJoin.auto(l, r, Seq("k"), "lt", "rt", Seq("v"),

@@ -272,6 +272,21 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     Evolution.addConstraint(spark, loc, "bs", "a <> 'don\\'t   panic'  OR  b > 0")
     assert(Evolution.tableConstraints(spark, loc).last ==
       ("bs" -> "a <> 'don\\'t   panic' OR b > 0"))
+
+    // under spark.sql.parser.escapedStringLiterals=true the backslash is
+    // an ORDINARY character and \' really terminates the literal — the
+    // scanner must follow the session's convention, or it would track a
+    // phantom span and collapse whitespace inside a real literal
+    val raw = "a <> 'x\\'  AND  b <> 'p  q'"
+    // conf OFF (default): \' is an escaped quote, so the span runs
+    // 'x\'  AND  b <> ' (its interior spacing preserved) and the tail
+    // "p  q" sits OUTSIDE it — that run collapses
+    assert(Evolution.normalizeConstraintText(raw, escapedStringLiterals = false)
+      == "a <> 'x\\'  AND  b <> 'p q'")
+    // conf ON: two literals 'x\' and 'p  q'; the run BETWEEN them
+    // collapses, the interior of 'p  q' survives
+    assert(Evolution.normalizeConstraintText(raw, escapedStringLiterals = true)
+      == "a <> 'x\\' AND b <> 'p  q'")
   }
 
   test("snapshot reads, delete predicates, and merge all see the evolved schema") {

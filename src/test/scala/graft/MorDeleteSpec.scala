@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.sources.{Maintenance, MorDelete}
+import graft.sources.{Maintenance, MorDelete, MorUpsert}
 
 /** Merge-on-read DELETE (sources/MorDelete.scala): correctness of the
   * anti-join read AND the mechanism claims — DELETE touches ZERO table
@@ -1495,5 +1495,152 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.sources.Layout.zorderRewrite(spark, ploc, Seq("o_orderkey"))
     }
     assert(e.getMessage.contains("partition"))
+  }
+
+  test("double- and timestamp-partitioned MoR: one inferred type on every read path, sound pruning") {
+    // the r16-advice repros: Spark infers DOUBLE for x=1.5 and TIMESTAMP
+    // for ts=2020-01-09 00:00:00, and coerces string literals in filters
+    // to that type — a path-derived STRING bound would binary-compare
+    // against the uncoerced spelling and prune matching files
+    val sp = spark; import sp.implicits._
+    val loc = Files.createTempDirectory("graft_morpart_dbl").toString + "/t"
+    (1 to 120).map(i => (i.toLong, (i % 4) + 0.5, i * 10.0))
+      .toDF("k", "x", "v").repartition(2).write.partitionBy("x").parquet(loc)
+    MorDelete.delete(spark, loc, col("k") % 11 === 0, Seq("k"))
+    Maintenance.analyze(spark, loc, Seq("v"))
+
+    // dtype parity: the stats-indexed default read, the stats-free
+    // oracle, and the plain Spark read all declare DOUBLE for x
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    assert(MorDelete.read(spark, loc).schema("x").dataType == DoubleType)
+    assert(MorDelete.readIgnoringStats(spark, loc).schema("x").dataType == DoubleType)
+
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").collect().map(_.getLong(0)).toSeq.sorted
+    for (pred <- Seq(col("x") === "1.50", col("x") === 1.5, col("x") > "1.2",
+        col("x") <= "2.5", col("x").isin("0.5", "3.5"), col("x").isNull)) {
+      val oracle = ks(MorDelete.readIgnoringStats(spark, loc).filter(pred))
+      assert(ks(MorDelete.readWhere(spark, loc, pred)) == oracle,
+        s"readWhere diverged under $pred")
+      assert(ks(MorDelete.read(spark, loc).filter(pred)) == oracle,
+        s"read().filter diverged under $pred")
+    }
+    // the numeric bound still PRUNES (not just stays correct): a typed
+    // equality on one partition value keeps only that directory's files.
+    // The STRING spelling cannot prune on this unresolved path — the
+    // coercion to double happens at analysis, which the driver-side
+    // evaluator never sees — so it must conservatively keep everything
+    // (the pre-fix behavior was to WRONGLY prune here).
+    val st = MorDelete.liveState(spark, loc)
+    val kept = MorDelete.pruneByStats(spark, st, col("x") === 1.5)
+    assert(kept.nonEmpty && kept.size < st.dataFiles.size)
+    assert(kept.forall(_.contains("x=1.5")), kept.mkString("\n"))
+    assert(MorDelete.pruneByStats(spark, st, col("x") === "1.50").size
+      == st.dataFiles.size, "an uncoerced string literal must not prune a double partition")
+
+    // timestamp partitions: values carry escaped colons in the path; a
+    // sloppy literal spelling ("2020-1-2") coerces to timestamp and must
+    // compare in the µs domain, not as a string
+    val loc2 = Files.createTempDirectory("graft_morpart_ts").toString + "/t"
+    (1 to 90).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2020-01-0${(i % 3) * 4 + 1} 00:00:00")))
+      .toDF("k", "ts").repartition(2).write.partitionBy("ts").parquet(loc2)
+    MorDelete.delete(spark, loc2, col("k") % 13 === 0, Seq("k"))
+    assert(MorDelete.read(spark, loc2).schema("ts").dataType == TimestampType)
+    for (pred <- Seq(col("ts") > "2020-1-2", col("ts") === "2020-01-09 00:00:00",
+        col("ts") <= lit(java.sql.Timestamp.valueOf("2020-01-05 00:00:00")))) {
+      val oracle = ks(MorDelete.readIgnoringStats(spark, loc2).filter(pred))
+      assert(oracle.nonEmpty, s"degenerate probe: $pred")
+      assert(ks(MorDelete.readWhere(spark, loc2, pred)) == oracle,
+        s"readWhere diverged under $pred")
+      assert(ks(MorDelete.read(spark, loc2).filter(pred)) == oracle,
+        s"read().filter diverged under $pred")
+    }
+    // the ADVICE repro verbatim: ts > '2020-1-2' must KEEP the
+    // 2020-01-09 partition (the string-bound evaluator dropped it); on
+    // this unresolved path the string spelling cannot prune at all
+    val st2 = MorDelete.liveState(spark, loc2)
+    val kept2 = MorDelete.pruneByStats(spark, st2, col("ts") > "2020-1-2")
+    assert(kept2.exists(_.contains("2020-01-09")),
+      s"ts=2020-01-09 partition wrongly pruned:\n${kept2.mkString("\n")}")
+    assert(kept2.size == st2.dataFiles.size,
+      "an uncoerced string literal must not prune a timestamp partition")
+    // a TYPED timestamp literal prunes in the µs domain
+    val kept2t = MorDelete.pruneByStats(spark, st2,
+      col("ts") > lit(java.sql.Timestamp.valueOf("2020-01-02 00:00:00")))
+    assert(kept2t.nonEmpty && kept2t.size < st2.dataFiles.size)
+    assert(kept2t.forall(f => f.contains("2020-01-05") || f.contains("2020-01-09")),
+      kept2t.mkString("\n"))
+
+    // Spark-parsable-but-not-LocalDate dates ("2020-1-9") infer DATE:
+    // bound rides the day domain, and both read paths agree on the type
+    val loc3 = Files.createTempDirectory("graft_morpart_d").toString + "/t"
+    (1 to 60).map(i => (i.toLong, s"2020-1-${(i % 3) * 4 + 1}"))
+      .toDF("k", "d").repartition(2).write.partitionBy("d").parquet(loc3)
+    MorDelete.delete(spark, loc3, col("k") % 17 === 0, Seq("k"))
+    assert(MorDelete.read(spark, loc3).schema("d").dataType ==
+      MorDelete.readIgnoringStats(spark, loc3).schema("d").dataType)
+    val p3 = col("d") >= "2020-01-05"
+    assert(ks(MorDelete.readWhere(spark, loc3, p3)) ==
+      ks(MorDelete.readIgnoringStats(spark, loc3).filter(p3)))
+  }
+
+  test("a write-path stats failure degrades the commit but is NEVER silent") {
+    // the failure vector: an NTZ stat column analyzed under UTC, then a
+    // commit from a non-UTC session — computeFileStats refuses (zone-
+    // shifted bounds would mis-prune forever), the commit must land
+    // stats-less, and the degrade must be visible twice over: the
+    // process counter bumps, and DESCRIBE HISTORY reports the reopened
+    // coverage window as stats_missing > 0
+    val sp = spark; import sp.implicits._
+    val loc = Files.createTempDirectory("graft_statsfail").toString + "/t"
+    (1 to 50).map(i => (i.toLong,
+        java.time.LocalDateTime.of(2021, 3, 1 + (i % 20), 0, 0)))
+      .toDF("k", "ts").repartition(1).write.parquet(loc)
+    val zone0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      MorDelete.delete(spark, loc, col("k") === -1L, Seq("k"))
+      Maintenance.analyze(spark, loc, Seq("ts"))
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val before = Maintenance.statsFailureCount.get()
+      MorUpsert.upsert(spark, loc,
+        Seq((1000L, java.time.LocalDateTime.of(2022, 1, 1, 0, 0)))
+          .toDF("k", "ts"), Seq("k"))
+      assert(Maintenance.statsFailureCount.get() == before + 1,
+        "the swallowed stats failure must bump the process counter")
+      assert(Maintenance.lastStatsFailure.exists(_.contains("UTC")),
+        s"the recorded cause must name the refusal: ${Maintenance.lastStatsFailure}")
+      // the commit LANDED (degrade, don't fail) …
+      assert(MorDelete.read(spark, loc).filter(col("k") === 1000L).count() == 1L)
+      // … and the reopened window is visible in DESCRIBE HISTORY
+      val h = MorDelete.history(spark, loc)
+      assert(h.head().getAs[Long]("stats_missing") > 0L,
+        "the head commit must report the uncovered new file")
+      assert(h.orderBy("ordinal").head().getAs[Long]("stats_missing") == 0L ||
+        h.filter(col("operation") === "ANALYZE").count() > 0,
+        "pre-degrade commits stay fully covered")
+      // a same-zone re-analyze closes the window again
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      Maintenance.analyze(spark, loc)
+      assert(MorDelete.history(spark, loc).head()
+        .getAs[Long]("stats_missing") == 0L)
+    } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("stats evaluator: strict comparisons stay sound above 2^53 (double-domain rounding)") {
+    val sp = spark; import sp.implicits._
+    val loc = Files.createTempDirectory("graft_bigkey").toString + "/t"
+    val base = 9007199254740992L // 2^53: doubles step by 2 here
+    // k = 2^53 + 1 rounds DOWN to 2^53 in the double domain — the
+    // published max equals round(literal), and without the ulp slack
+    // `k > 2^53` would prune the file holding the matching row
+    Seq((base + 1, 1L), (base - 10, 2L)).toDF("k", "t")
+      .repartition(1).write.parquet(loc)
+    MorDelete.delete(spark, loc, col("t") === -1L, Seq("t")) // manage the table
+    Maintenance.analyze(spark, loc, Seq("k"))
+    val got = MorDelete.readWhere(spark, loc, col("k") > base)
+      .select("t").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"row above 2^53 lost to bound rounding: $got")
   }
 }

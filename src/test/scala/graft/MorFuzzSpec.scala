@@ -329,4 +329,63 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftoverCrash.isEmpty,
       s"seed $seed: vacuum left crash garbage: ${leftoverCrash.map(_.getName).mkString(", ")}")
   }
+
+  // Partition-VALUE pruning over every inferrable partition type. The
+  // r16 evaluator published a binary STRING bound for any value that
+  // wasn't long/ISO-date parsable — but Spark infers DOUBLE for x=1.5
+  // and TIMESTAMP for ts=2020-01-09 00%3A00%3A00 and coerces filter
+  // literals to that type, so the string compare silently mis-pruned.
+  // This fuzz drives each partition dtype with BOTH literal spellings
+  // (typed and string) against the stats-free oracle.
+  for (seed <- Seq(4242, 555)) test(s"partition-type fuzz: every inferred dtype prunes soundly (seed $seed)") {
+    val rnd = new scala.util.Random(seed)
+    val sp = spark; import sp.implicits._
+    // (label, partition values in path spelling, literal spellings to probe)
+    val shapes: Seq[(String, Seq[String], Seq[Any])] = Seq(
+      ("int", Seq("1", "7", "42"), Seq(7, "7", 41L, "08")),
+      ("double", Seq("0.5", "1.5", "2.25"), Seq(1.5, "1.50", "0.6", 2.25)),
+      ("bigint", Seq("9007199254740993", "3", "9007199254740995"),
+        Seq(9007199254740993L, "9007199254740993", 4L)),
+      ("string", Seq("EU", "US", "apac"), Seq("EU", "ap", "Z")),
+      ("ts", Seq("2020-01-01 00:00:00", "2020-01-05 00:00:00", "2021-06-09 12:30:00"),
+        Seq("2020-1-2", "2020-01-05 00:00:00",
+          java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))),
+      ("date", Seq("2020-1-1", "2020-1-5", "2021-6-9"),
+        Seq("2020-01-02", java.sql.Date.valueOf("2020-01-05"), "2020-1-5")),
+      // mixed spellings widen to STRING; a numeric literal probe would
+      // ANSI-cast 'abc' and fail in SPARK itself, so only string probes
+      ("mixed", Seq("1.5", "abc", "2020-01-01"), Seq("1.5", "abc", "2020-01-01")))
+    for ((label, vals, lits) <- rnd.shuffle(shapes).take(5)) {
+      val loc = Files.createTempDirectory(s"graft_pfuzz_$label").toString + "/t"
+      (1 to 90).map(i => (i.toLong, vals(i % vals.size)))
+        .toDF("k", "p").repartition(2).write.partitionBy("p").parquet(loc)
+      MorDelete.delete(spark, loc, col("k") % 19 === 0, Seq("k"))
+      if (rnd.nextBoolean()) Maintenance.analyze(spark, loc, Seq("k"))
+      // dtype parity between the indexed default read and the oracle
+      assert(MorDelete.read(spark, loc).schema("p").dataType ==
+        MorDelete.readIgnoringStats(spark, loc).schema("p").dataType,
+        s"$label: read paths disagree on the partition dtype")
+      def ks(df: org.apache.spark.sql.DataFrame) =
+        df.select("k").collect().map(_.getLong(0)).toSeq.sorted
+      for (l <- lits; op <- Seq("=", ">", "<=")) {
+        val c = col("p"); val lc = l match {
+          case s: String => lit(s); case o => lit(o)
+        }
+        val pred = op match {
+          case "=" => c === lc; case ">" => c > lc; case _ => c <= lc
+        }
+        val oracle = ks(MorDelete.readIgnoringStats(spark, loc).filter(pred))
+        assert(ks(MorDelete.readWhere(spark, loc, pred)) == oracle,
+          s"$label: readWhere diverged under p $op $l")
+        assert(ks(MorDelete.read(spark, loc).filter(pred)) == oracle,
+          s"$label: read().filter diverged under p $op $l")
+      }
+      // IS NULL / IS NOT NULL stay count-driven for every shape
+      for (pred <- Seq(col("p").isNull, col("p").isNotNull)) {
+        val oracle = ks(MorDelete.readIgnoringStats(spark, loc).filter(pred))
+        assert(ks(MorDelete.readWhere(spark, loc, pred)) == oracle,
+          s"$label: null-presence diverged")
+      }
+    }
+  }
 }

@@ -667,7 +667,8 @@ class PrestoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val h = ps.statement("DESCRIBE HISTORY g_spec_restore")
     assert(h.columns.toSeq == Seq("version", "ordinal", "committed_at",
-      "data_files", "tombstone_batches", "stats_files", "operation"))
+      "data_files", "tombstone_batches", "stats_files", "operation",
+      "stats_missing"))
     assert(h.count() >= 3, "genesis + two DML commits must be listed")
     assert(h.select("operation").collect().map(_.getString(0)).toSet
       .contains("DELETE"))
