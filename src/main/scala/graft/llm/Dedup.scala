@@ -994,4 +994,92 @@ object Dedup {
       .join(dupOf, col("id") === col("id_b"), "left")
       .select(col("id"), col("exact_of"), col("dup_of"))
   }
+
+  /** One micro-batch of STREAMING greedy dedup against a signature-
+    * carrying survivor corpus — the step function [[graft.streaming
+    * .Streams.morDedupMaintain]] drives from a change feed.
+    *
+    * Greedy (first-arrival-wins) semantics: a batch doc SURVIVES iff no
+    * smaller id in (persisted survivors ∪ this batch) is a verified
+    * near-duplicate — the strict `id_c < id_b` rule, applied over the
+    * UNION so same-batch duplicates resolve exactly like cross-batch
+    * ones. Exact duplicates need no separate layer here: identical text
+    * ⇒ identical shingle set ⇒ identical MinHash signature ⇒ ALL bands
+    * collide (deterministic recall 1.0) and exact Jaccard 1 verifies.
+    *
+    * The corpus side joins on its STORED signatures (`sigCol`) — the
+    * persisted signature store — so per-batch cost is: one columnar scan
+    * of (id, sig) over the survivors (no corpus text is read, nothing
+    * re-shingles), band shuffles ∝ batch + survivor count, and text-
+    * level verification ∝ candidate pairs only (both sides' elems
+    * compute on demand behind a broadcast id semi-join). At 100 TB the
+    * survivor-band side would additionally be bucketed by (band,
+    * bucket) so the candidate join co-locates without a shuffle; the
+    * hot-bucket min-id representative cap bounds boilerplate buckets
+    * exactly like [[bandedCandidates]].
+    *
+    * Returns one row per batch doc: (id, sig, dup_of, keep) — `sig` so
+    * the caller persists the signature with the survivor, `dup_of` the
+    * smallest verified duplicate (null for survivors).
+    */
+  def incrementalKeep(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      elems: org.apache.spark.sql.Column,
+      sigCol: String = "__sig",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.9,
+      hotBucketCap: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigsB = batch
+      .select(col(idCol).as("id"), TextOps.minhashSignature(elems, k).as("sig"))
+      .persist(lvl)
+    val sigsC = corpus.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val unionSigs = sigsC.unionByName(sigsB)
+    def bandRows(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), explode(TextOps.lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val ub = bandRows(unionSigs)
+    val ustats = ub.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bw"), min(col("id")).as("__bmin"))
+    val unionBands = ub.join(ustats, Seq("band", "bucket"))
+      .filter(col("__bw") <= hotBucketCap || col("id") === col("__bmin"))
+      .select(col("band"), col("bucket"), col("id").as("id_c"))
+    val candidates = bandRows(sigsB)
+      .join(unionBands, Seq("band", "bucket"))
+      .filter(col("id_c") < col("id"))
+      .select(col("id").as("id_b"), col("id_c"))
+      .dropDuplicates("id_b", "id_c")
+    val screened = candidates
+      .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(unionSigs.select(col("id").as("id_c"), col("sig").as("sig_c")), "id_c")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est") >= threshold - 0.2)
+      .select(col("id_b"), col("id_c"))
+    // verification reads TEXT only for candidate ids — corpus candidates
+    // come from the survivor docs, batch candidates from the batch
+    def candElems(src: DataFrame, ids: DataFrame): DataFrame = src
+      .join(broadcast(ids), col(idCol) === col("__cid"))
+      .select(col("__cid").as("id"), transform(elems, e => xxhash64(e)).as("elems"))
+    val candIdsC = screened.select(col("id_c").as("__cid")).distinct()
+    val candIdsB = screened.select(col("id_b").as("__cid")).distinct()
+    val elC = candElems(corpus, candIdsC)
+      .unionByName(candElems(batch, candIdsC)).persist(lvl)
+    val elB = candElems(batch, candIdsB).persist(lvl)
+    val dupOf = screened
+      .join(elB.select(col("id").as("id_b"), col("elems").as("elems_b")), "id_b")
+      .join(elC.select(col("id").as("id_c"), col("elems").as("elems_c")), "id_c")
+      .filter(TextOps.jaccard(col("elems_b"), col("elems_c")) >= threshold)
+      .groupBy(col("id_b")).agg(min(col("id_c")).as("dup_of"))
+    sigsB
+      .join(dupOf, col("id") === col("id_b"), "left")
+      .select(col("id"), col("sig"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
 }

@@ -808,11 +808,32 @@ object Ddl {
       val pred = col("l_returnflag") === "R" && col("l_extendedprice") >= 25000
       val st = MorDelete.liveState(s, loc)
       val kept = MorDelete.pruneByStats(s, st, pred)
+      // long-value leg (r17): values past the 64-char cap publish
+      // TRUNCATED-conservative bounds (prefix min, bumped-code-point
+      // max) instead of going dark — a ~90-char synthetic URL column
+      // still prunes on equality, and the pruned read stays exact
+      // against the stats-free resolve
+      val longLoc = s"$scratch/g_morstring_long"
+      drop(s, "g_morstring_long", longLoc)
+      drop(s, "g_morstring_long_manifests", MorDelete.manifestDir(longLoc))
+      import s.implicits._
+      (0 until 120).map(i =>
+          (i.toLong, s"https://host${i % 3}.example.com/${"x" * 70}/p$i"))
+        .toDF("k", "url").repartitionByRange(3, col("url"))
+        .sortWithinPartitions("url").write.mode("overwrite").parquet(longLoc)
+      MorDelete.delete(s, longLoc, col("k") === -1L, Seq("k"))
+      graft.sources.Maintenance.analyze(s, longLoc, Seq("url"))
+      val stL = MorDelete.liveState(s, longLoc)
+      val lpred = col("url").startsWith("https://host1")
+      val lkept = MorDelete.pruneByStats(s, stL, lpred)
+      val longOk = lkept.nonEmpty && lkept.size < stL.dataFiles.size &&
+        MorDelete.readWhere(s, longLoc, lpred).count() ==
+          MorDelete.readIgnoringStats(s, longLoc).filter(lpred).count()
       MorDelete.readWhere(s, loc, pred)
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
-        .withColumn("pruned", lit(kept.size < st.dataFiles.size))
+        .withColumn("pruned", lit(kept.size < st.dataFiles.size && longOk))
         .orderBy(col("l_linestatus").asc_nulls_last)
     },
 
@@ -1598,6 +1619,94 @@ object Ddl {
           |FROM g_alter_customer
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin)
+    },
+
+    // Schema evolution on a PARTITIONED layout (r17): ADD/RENAME/DROP of
+    // DATA columns on a ship-month-partitioned MoR table are metadata-
+    // only (zero original files touched — `zero_touch`), mid-evolution
+    // UPDATEs re-materialize post-images into their o_ym=… directories,
+    // partition-value pruning keeps working on the evolved table
+    // (`part_pruned`), time travel across the evolution boundary is
+    // schema-correct (`tt_ok`), and the OPTIMIZE migration re-
+    // materializes INTO col=value dirs (`layout_kept`) before the final
+    // read-back hash-matches DuckDB. The reference's primary connector
+    // supports exactly these ops on partitioned Hive tables
+    // (presto-hive HiveMetadata addColumn/renameColumn/dropColumn).
+    "ddl_evolve_partitioned" -> Q.df(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 0.1
+        |                           ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE), 2) AS bonus_sum,
+        |  CAST(SUM(CASE WHEN o_orderkey % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS upped,
+        |  true AS zero_touch, true AS part_pruned, true AS tt_ok, true AS layout_kept
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 7)
+        |  AND year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199601 AND 199606
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      val loc = s"$scratch/g_evopart_orders"
+      drop(s, "g_evopart_orders", loc)
+      drop(s, "g_evopart_orders_sidecar", MorDelete.sidecarDir(loc))
+      drop(s, "g_evopart_orders_manifests", MorDelete.manifestDir(loc))
+      Tables.t(s, dir, "orders")
+        .withColumn("o_ym",
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long"))
+        .repartition(col("o_ym"))
+        .write.partitionBy("o_ym").mode("overwrite").parquet(loc)
+      s.sql(s"CREATE TABLE g_evopart_orders USING parquet LOCATION '$loc'")
+      s.sql("MSCK REPAIR TABLE g_evopart_orders")
+      MorDelete.delete(s, loc, col("o_orderkey") % 10 === 7, Seq("o_orderkey"))
+      val preSeq = MorDelete.currentSeq(s, loc)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      val filesBefore = walk(new java.io.File(loc))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      val ps = new graft.PrestoSql.Prepared(s)
+      ps.statement("ALTER TABLE g_evopart_orders ADD COLUMN bonus DOUBLE")
+      ps.statement(
+        "UPDATE g_evopart_orders SET bonus = o_totalprice * 0.1 WHERE o_orderkey % 2 = 0")
+      ps.statement("ALTER TABLE g_evopart_orders RENAME COLUMN o_orderstatus TO status")
+      ps.statement(
+        "UPDATE g_evopart_orders SET status = lower(status) WHERE o_orderkey % 5 = 1")
+      ps.statement("ALTER TABLE g_evopart_orders DROP COLUMN o_custkey")
+      // column ops touched no files; UPDATE post-images landed in their
+      // partition directories, never flat
+      val zeroTouch = filesBefore.forall { case (p, m) =>
+        val f = new java.io.File(p); f.exists() && f.lastModified == m
+      }
+      val newFiles = walk(new java.io.File(loc))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).filterNot(filesBefore.contains)
+      val partitionedWrites = newFiles.nonEmpty && newFiles.forall(_.contains("o_ym="))
+      // time travel across the evolution boundary resolves the OLD schema
+      val ttCols = MorDelete.readAt(s, loc, preSeq).columns.toSeq
+      val ttOk = ttCols.contains("o_custkey") && ttCols.contains("o_orderstatus") &&
+        !ttCols.contains("bonus") && !ttCols.contains("status")
+      // migration: OPTIMIZE routes the evolved table to rewriteFiles,
+      // which must RE-materialize into o_ym=… directories
+      ps.statement("OPTIMIZE g_evopart_orders")
+      val stM = MorDelete.liveState(s, loc)
+      val layoutKept = stM.schemaLog.isEmpty &&
+        stM.dataFiles.forall(_.contains("o_ym="))
+      // partition-value pruning on the migrated table (no ANALYZE ran:
+      // the bounds come from paths alone)
+      val partBand = col("o_ym") >= 199601L && col("o_ym") <= 199606L
+      val partKept = MorDelete.pruneByStats(s, stM, partBand)
+      val partPruned = partKept.nonEmpty && partKept.size < stM.dataFiles.size
+      MorDelete.readWhere(s, loc, partBand)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("bonus"), lit(0.0)).cast("decimal(30,8)"))
+            .cast("double"), 2).as("bonus_sum"),
+          sum(when(col("status").rlike("^[a-z]"), 1).otherwise(0))
+            .cast("bigint").as("upped"))
+        .withColumn("zero_touch", lit(zeroTouch && partitionedWrites))
+        .withColumn("part_pruned", lit(partPruned))
+        .withColumn("tt_ok", lit(ttOk))
+        .withColumn("layout_kept", lit(layoutKept))
+        .orderBy(col("o_orderpriority").asc_nulls_last)
     },
 
     // CHECK constraints at the write boundary (Delta's ALTER TABLE … ADD

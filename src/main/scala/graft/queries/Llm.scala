@@ -1944,6 +1944,74 @@ object Llm {
         .orderBy(col("id").asc_nulls_last)
     },
 
+    // ---- CDF-driven incremental dedup (Streams.morDedupMaintain) ----
+    // The exactly-once corpus-maintenance composition: documents stream
+    // into a MoR source table in three ascending commits, the change
+    // feed drives greedy MinHash dedup against the survivor table's own
+    // persisted signatures, and the STREAMED survivor set must equal the
+    // BATCH dedup of the full corpus — DuckDB recomputes the latter
+    // exhaustively (a doc survives iff no smaller doc_id has true
+    // shingle-Jaccard ≥ 0.9; the data's near-dup graph is transitively
+    // closed, so greedy-by-arrival and min-neighbor agree). The
+    // `exactly_once` flag pins the replay-proof half: an empty restart
+    // commits nothing and a forced replay of the last batch is provably
+    // applied.
+    "llm_dedup_cdf_stream" -> Q.df(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS sh
+        |  FROM documents),
+        |dup AS (
+        |  SELECT b.doc_id FROM d b JOIN d a ON a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, true AS exactly_once
+        |FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |WHERE dup.doc_id IS NULL
+        |ORDER BY d.doc_id ASC NULLS LAST""".stripMargin) { (s, dir) =>
+      import graft.sources.{MorDelete, MorUpsert}
+      import graft.streaming.Streams
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_llm_cdf_${
+        java.lang.ProcessHandle.current().pid()}"
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(new java.io.File(root))
+      val (src, rep, ckpt) = (s"$root/src", s"$root/dedup", s"$root/ckpt")
+      val docs = Tables.t(s, dir, "documents").select("doc_id", "text")
+      docs.limit(0).coalesce(1).write.parquet(src)
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 3
+      // three ascending commits — arrival order = id order, the greedy
+      // precondition the oracle's min-neighbor rule relies on
+      Seq(col("doc_id") <= cut,
+        col("doc_id") > cut && col("doc_id") <= 2 * cut,
+        col("doc_id") > 2 * cut).foreach { slice =>
+        MorUpsert.merge(s, src, docs.filter(slice), Seq("doc_id")); ()
+      }
+      def maintain(): Unit = {
+        Streams.morDedupMaintain(s, src, rep, "doc_id",
+          TextOps.wordShingles(col("text"), 2), ckpt,
+          appId = "llm-cdf-dedup", maxSeqsPerBatch = Some(1L)); ()
+      }
+      maintain()
+      // exactly-once: an empty restart is a no-op, and a forced replay
+      // of the last applied batch proves itself already applied
+      val v0 = MorDelete.currentSeq(s, rep)
+      maintain()
+      val restartNoop = MorDelete.currentSeq(s, rep) == v0
+      val lastBatch = MorDelete.liveState(s, rep).txns("llm-cdf-dedup")
+      val replaySkipped = MorUpsert.applyChanges(s, rep,
+        MorDelete.read(s, rep).limit(1).withColumn("_change_type", lit("insert")),
+        Seq("doc_id"), txn = Some(("llm-cdf-dedup", lastBatch))).replaySkipped
+      MorDelete.read(s, rep).select(col("doc_id"))
+        .withColumn("exactly_once", lit(restartNoop && replaySkipped))
+        .orderBy(col("doc_id").asc_nulls_last)
+    },
+
     // ---- quality-aware near-dup survivors (clusters + max-quality) ----
     // Upgrades the min-id survivor rule: within each transitive near-dup
     // ---- first-per-key dedup (Dedup.keepFirst): the row_number() ≤ 1

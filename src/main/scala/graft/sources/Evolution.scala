@@ -43,9 +43,13 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * so ops refuse retired names until a physical migration clears the
   * log. Live tombstone-sidecar KEY columns cannot be renamed or dropped
   * (the sidecar parquet names them physically); compact first, exactly
-  * the existing key-set-change rule. Evolution requires a FLAT layout
-  * (partition-directory columns live in paths, not files — evolving them
-  * is a different, catalog-level operation).
+  * the existing key-set-change rule. Hive-partitioned layouts evolve
+  * their DATA columns exactly like flat ones (the op touches footers
+  * only; the reference's primary connector supports the same —
+  * `presto-hive/.../HiveMetadata.java` addColumn/renameColumn/dropColumn
+  * on partitioned tables); the PARTITION columns themselves are
+  * immutable here — their names and values live in directory paths, so
+  * changing them is a layout rewrite, not a metadata op.
   */
 object Evolution {
 
@@ -107,13 +111,39 @@ object Evolution {
         new java.util.ArrayList[org.apache.spark.sql.Row](), logical)
         .withColumn("__mor_fseq", lit(0L))
     }
+    val partSet = MorDelete.partitionColsFromPaths(path, st)
+      .map(_.toLowerCase).toSet
     val groups = st.dataFiles.groupBy(f => physicalNames(st, fseqOf(f)))
     val parts = groups.toSeq.sortBy(_._1.mkString(",")).map { case (phys, files) =>
-      val physSchema = StructType(
-        logical.fields.zip(phys).map { case (f, n) => f.copy(name = n) })
-      spark.read.schema(physSchema).parquet(files: _*)
-        .withColumn("__mor_fseq", MorDelete.fileSeq)
-        .toDF(logical.fieldNames.toSeq :+ "__mor_fseq": _*)
+      if (partSet.isEmpty) {
+        val physSchema = StructType(
+          logical.fields.zip(phys).map { case (f, n) => f.copy(name = n) })
+        spark.read.schema(physSchema).parquet(files: _*)
+          .withColumn("__mor_fseq", MorDelete.fileSeq)
+          .toDF(logical.fieldNames.toSeq :+ "__mor_fseq": _*)
+      } else {
+        // Hive-partitioned epoch: partition columns live in paths, not
+        // footers, and are never renamed (refusePartitionCol) — declare
+        // the DATA columns under their per-epoch physical names, hand
+        // the partition fields (logical name + declared type) to Spark's
+        // partition discovery via basePath, then alias everything back
+        // to the logical names BY NAME (the read's output order is
+        // data-then-partition regardless of the logical interleaving)
+        val physByLogical = st.schema.map(_._1).zip(phys).toMap
+        val dataFields = logical.fields.filterNot(f => partSet(f.name.toLowerCase))
+        val partFields = logical.fields.filter(f => partSet(f.name.toLowerCase))
+        val physData = dataFields.map(f => f.copy(name = physByLogical(f.name)))
+        spark.read.option("basePath", path)
+          .schema(StructType(physData ++ partFields))
+          .parquet(files: _*)
+          .withColumn("__mor_fseq", MorDelete.fileSeq)
+          .select(logical.fields.toSeq.map(f =>
+            if (partSet(f.name.toLowerCase))
+              org.apache.spark.sql.functions.col(f.name)
+            else org.apache.spark.sql.functions.col(physByLogical(f.name))
+              .as(f.name)) :+
+            org.apache.spark.sql.functions.col("__mor_fseq"): _*)
+      }
     }
     parts.reduce(_ unionByName _)
   }
@@ -129,21 +159,48 @@ object Evolution {
     }.map(_.toLowerCase).toSet
 
   /** The current logical schema, deriving it from the (uniform,
-    * pre-evolution) physical files on first use. */
+    * pre-evolution) physical files on first use: data columns from the
+    * first file's footer, partition-directory columns (when the layout
+    * is Hive-partitioned) appended with their Spark-inferred types —
+    * they ARE logical columns of the table, their values just live in
+    * paths instead of footers. Evolution of a DATA column on a
+    * partitioned table is as metadata-only as on a flat one (footers
+    * only); the partition columns themselves stay immutable
+    * ([[refusePartitionCol]]). */
   private def currentSchema(spark: SparkSession, path: String,
       st: State): Seq[(String, String)] =
     if (st.schema.nonEmpty) st.schema
     else {
       require(st.dataFiles.nonEmpty,
         s"cannot derive a schema to evolve: no live data files at $path")
-      val raw = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
-      require(CowCore.partitionColsOf(spark, raw, st.dataFiles.head).isEmpty,
-        s"schema evolution supports flat (non-partitioned) layouts; the table at " +
-          s"$path carries partition-directory columns, which live in paths, not " +
-          "files — rewrite to a flat layout first")
-      spark.read.parquet(st.dataFiles.head).schema.fields.toSeq
-        .map(f => f.name -> f.dataType.sql)
+      val partCols = MorDelete.partitionColsFromPaths(path, st)
+      val dataFields = spark.read.parquet(st.dataFiles.head).schema.fields.toSeq
+      val partFields =
+        if (partCols.isEmpty) Nil
+        else {
+          val raw = spark.read.option("basePath", path).parquet(st.dataFiles: _*)
+          raw.schema.fields.toSeq
+            .filter(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+        }
+      (dataFields ++ partFields).map(f => f.name -> f.dataType.sql)
     }
+
+  /** Partition-directory columns are NOT evolvable: their names and
+    * values live in directory paths, so add/rename/drop on one is a
+    * LAYOUT operation (every path would need rewriting), not a footer
+    * metadata operation — the same reason Iceberg routes partition
+    * changes through partition-spec evolution, a separate surface this
+    * engine scopes out (README ruling). Data columns on the same table
+    * evolve freely. */
+  private def refusePartitionCol(path: String, st: State, name: String,
+      op: String): Unit = {
+    val parts = MorDelete.partitionColsFromPaths(path, st)
+    require(!parts.exists(_.equalsIgnoreCase(name)),
+      s"cannot $op column '$name': it is a partition-directory column (its " +
+        "values live in file paths, not footers) — changing the partition " +
+        "layout is a rewrite: materialize into the target layout with " +
+        "Layout.rewriteFiles / OPTIMIZE instead")
+  }
 
   private def refuseSidecarKey(spark: SparkSession, path: String, name: String,
       op: String): Unit =
@@ -171,8 +228,15 @@ object Evolution {
         "may still carry it physically (its old values would resurface) — pick a " +
         "fresh name, or physically migrate first (OPTIMIZE / Layout.rewriteFiles)")
     val seq = MorDelete.maxSeq(spark, path) + 1
+    // partition columns stay LAST (the Hive/Spark output convention and
+    // what a physical migration's footers+paths read produces) — a new
+    // data column slots in before them, so the declared order and the
+    // post-migration physical order never diverge
+    val partCols = MorDelete.partitionColsFromPaths(path, st)
+    val (dataCols, pCols) = schema0.partition(c =>
+      !partCols.exists(_.equalsIgnoreCase(c._1)))
     MorDelete.publishManifest(path, seq, st.copy(
-      schema = schema0 :+ (name -> dt.sql),
+      schema = (dataCols :+ (name -> dt.sql)) ++ pCols,
       schemaLog = st.schemaLog :+ SchemaOp(seq, "add", name, dt.sql)))
     seq
   }
@@ -196,6 +260,7 @@ object Evolution {
         "first (OPTIMIZE / Layout.rewriteFiles)")
     refuseSidecarKey(spark, path, from, "rename")
     refusedByConstraints(spark, st, from, "rename")
+    refusePartitionCol(path, st, from, "rename")
     val exact = hit.get._1
     val seq = MorDelete.maxSeq(spark, path) + 1
     MorDelete.publishManifest(path, seq, st.copy(
@@ -220,6 +285,7 @@ object Evolution {
     require(schema0.size > 1, "cannot drop a table's last column")
     refuseSidecarKey(spark, path, name, "drop")
     refusedByConstraints(spark, st, name, "drop")
+    refusePartitionCol(path, st, name, "drop")
     val exact = hit.get._1
     val seq = MorDelete.maxSeq(spark, path) + 1
     MorDelete.publishManifest(path, seq, st.copy(

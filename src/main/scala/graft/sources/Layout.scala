@@ -278,14 +278,14 @@ object Layout {
     require(st.dataFiles.nonEmpty, s"nothing to rewrite: no live data files at $path")
     val base = java.nio.file.Paths.get(path).toAbsolutePath
     val resolved = MorDelete.read(spark, path)
-    // an evolved table is flat by construction (Evolution refuses
-    // partition layouts), and its renamed columns would false-positive the
-    // schema-vs-file partition probe below
-    require(st.schemaLog.nonEmpty ||
-      CowCore.partitionColsOf(spark, resolved, st.dataFiles.head).isEmpty,
+    // the partition probe reads PATHS, not footers, so it is exact even
+    // mid-evolution (a renamed column's logical name is absent from old
+    // footers and would false-positive a schema-vs-file compare)
+    require(MorDelete.partitionColsFromPaths(path, st).isEmpty,
       s"z-order rewrite replaces directory partitioning with curve clustering " +
         s"and does not preserve partition directories; table at $path is " +
-        "partitioned — z-order the partition column itself on a flat copy instead")
+        "partitioned — use rewriteFiles (layout-preserving), or z-order the " +
+        "partition column itself on a flat copy instead")
     // default file count is SIZE-TARGETED (~targetFileBytes per file off
     // the live bytes), so the rewrite also bin-packs a small-files table
     // — the other half of what OPTIMIZE exists for; pass nFiles to pin a
@@ -330,17 +330,20 @@ object Layout {
     require(st.dataFiles.nonEmpty, s"nothing to rewrite: no live data files at $path")
     val base = java.nio.file.Paths.get(path).toAbsolutePath
     val resolved = MorDelete.read(spark, path)
-    require(st.schemaLog.nonEmpty ||
-      CowCore.partitionColsOf(spark, resolved, st.dataFiles.head).isEmpty,
-      s"rewriteFiles flattens the layout and does not preserve partition " +
-        s"directories; table at $path is partitioned")
+    // a Hive-partitioned layout is PRESERVED: the resolved view carries
+    // the partition columns as data, and the staged write re-materializes
+    // them into col=value directories (partitionBy) — this is the
+    // schema-evolution migration path for partitioned tables too, so
+    // every new file carries the logical DATA schema physically while
+    // the directory layout (and with it partition pruning) survives
+    val partCols = MorDelete.partitionColsFromPaths(path, st)
     val target =
       if (nFiles > 0) nFiles
       else math.max(1, math.ceil(st.dataFiles
         .map(f => new java.io.File(f).length()).sum.toDouble / targetFileBytes).toInt)
     val seq = MorDelete.maxSeq(spark, path)
     val newFiles = CowCore.moveIn(
-      CowCore.stage(spark, base, Nil, resolved.repartition(target)),
+      CowCore.stage(spark, base, partCols, resolved.repartition(target)),
       base, prefix = s"part-mor$seq-")
     MorDelete.publishManifest(path, seq,
       st.copy(dataFiles = newFiles, batches = Nil,

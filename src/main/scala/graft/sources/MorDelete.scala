@@ -1537,6 +1537,49 @@ object MorDelete {
     }
   }
 
+  /** First `n` CODE POINTS of `s` (never splits a surrogate pair) — a
+    * prefix sorts ≤ every extension in UTF-8 binary order, so this is a
+    * sound truncated LOWER bound. */
+  private[graft] def truncCp(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** A strict UPPER bound for `s` at most `n` code points long: truncate
+    * to `n` code points, then bump the last bump-able code point by one
+    * (skipping the surrogate gap — D800–DFFF are not code points a valid
+    * string can carry alone). Code-point order IS UTF-8 binary order, so
+    * the bumped prefix sorts above every extension of the original —
+    * the Iceberg `truncate`-with-increment upper-bound trick at the
+    * code-point level, which (unlike byte-level increment) always yields
+    * a VALID string the line-oriented manifest can round-trip. None when
+    * every retained code point is U+10FFFF (no finite bump exists). */
+  private[graft] def truncatedUpperBound(s: String, n: Int): Option[String] = {
+    val t = truncCp(s, n)
+    var end = t.length
+    var out: Option[String] = None
+    while (end > 0 && out.isEmpty) {
+      val cp = t.codePointBefore(end)
+      val start = end - Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        var next = cp + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        out = Some(t.substring(0, start) + new String(Character.toChars(next)))
+      } else end = start
+    }
+    out
+  }
+
+  /** The table's partition-directory column NAMES, derived from the
+    * first live file's `col=value` path segments — the rename-proof
+    * derivation (a schema-vs-footer compare false-positives on renamed
+    * data columns, whose logical names are absent from old footers;
+    * paths cannot lie about layout). Partition columns are never
+    * renamed or dropped ([[graft.sources.Evolution]] refuses), so one
+    * file's segment names describe every file's. */
+  private[sources] def partitionColsFromPaths(path: String, st: State): Seq[String] =
+    st.dataFiles.headOption
+      .map(f => partitionSegsOf(tableAbs(path), f).map(_._1)).getOrElse(Nil)
+
   private def statsIndexedRead(spark: SparkSession, path: String,
       st: State): Option[DataFrame] = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -1626,6 +1669,44 @@ object MorDelete {
     side.groupBy(keyCols.map(col): _*)
       .agg(max(col(SeqCol)).as(SeqCol))
       .select(keyCols.map(k => col(k).as(s"__tomb_$k")) :+ col(SeqCol): _*)
+
+  /** Estimated change-feed ROW count per commit in `(fromSeq, toSeq]`,
+    * ascending — the admission-control input for a rows-capped
+    * [[graft.streaming.MorCdfSource]] batch: appended data-file rows
+    * (the manifest's own per-file stats when published — the usual case
+    * under write-path stats — a parquet footer metadata read otherwise)
+    * plus appended tombstone rows (sidecar footers). Driver-side cost is
+    * bounded by the range's NEW files/batches, never table size.
+    * Estimates feed admission only, never correctness — a commit always
+    * admits whole (sub-commit splits would break per-commit
+    * attribution). */
+  private[graft] def changeRowEstimates(spark: SparkSession, path: String,
+      fromSeq: Long, toSeq: Long): Seq[(Long, Long)] = {
+    val ms = manifests(path)
+    if (ms.isEmpty) return Nil
+    val eligible = ms.filter(_.seq <= fromSeq)
+    val fromOrd = eligible.map(_.ordinal).maxOption.getOrElse(-1L)
+    var prev: State = eligible.maxByOption(_.ordinal)
+      .map(readManifest(path, _)).getOrElse(State(Nil, Nil))
+    val out = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    ms.filter(m => m.ordinal > fromOrd && m.seq <= toSeq)
+      .sortBy(_.ordinal).foreach { m =>
+        val cur = readManifest(path, m)
+        val prevF = prev.dataFiles.toSet
+        val prevB = prev.batches.map(_._2.getName).toSet
+        val fileRows = cur.dataFiles.filterNot(prevF).map { f =>
+          cur.stats.get(f).flatMap(_.headOption).map(_.rows).filter(_ >= 0)
+            .getOrElse(scala.util.Try(CowCore.footerRows(Seq(f))).getOrElse(0L))
+        }.sum
+        val tombRows = cur.batches.filterNot(b => prevB(b._2.getName))
+          .map(b => scala.util.Try(
+            CowCore.footerRows(Seq(b._2.getAbsolutePath))).getOrElse(0L)).sum
+        if (m.seq > fromSeq)
+          out(m.seq) = out.getOrElse(m.seq, 0L) + fileRows + tombRows
+        prev = cur
+      }
+    out.toSeq
+  }
 
   /** Fold the tombstones into the table files (CoW rewrite of only the
     * files containing tombstoned keys at an older sequence), committed
@@ -1952,14 +2033,26 @@ object Maintenance {
             domainTag(dtypeOf(c).get), nulls, total)
         else dtypeOf(c).get match {
           case StringType =>
-            // publish string bounds only under the 64-char cap: a
-            // truncated bound would stop BEING a bound (counts still
-            // publish — IS NULL / all-null pruning keeps working)
+            // bounds past the 64-char cap publish TRUNCATED-CONSERVATIVE
+            // (the Iceberg truncate(16) contract): the min truncates to a
+            // prefix (a prefix sorts ≤ its extension, so it stays a lower
+            // bound) and the max truncates then increments its last code
+            // point (code-point order = UTF-8 binary order, so the bumped
+            // prefix sorts above every extension of the original) — long
+            // URL/UA-string columns prune instead of going dark. A max
+            // whose retained code points are all U+10FFFF has no finite
+            // bump and falls back to counts-only.
             val (lo, hi) = (r.getString(1 + 3 * i), r.getString(2 + 3 * i))
-            if (lo.length <= 64 && hi.length <= 64)
-              MorDelete.FileColStat(c, Double.NaN, Double.NaN, "s",
-                nulls, total, Some(lo), Some(hi))
-            else MorDelete.FileColStat(c, Double.NaN, Double.NaN, "s", nulls, total)
+            val loB = if (lo.length <= 64) lo else MorDelete.truncCp(lo, 64)
+            val hiB = if (hi.length <= 64) Some(hi)
+              else MorDelete.truncatedUpperBound(hi, 64)
+            hiB match {
+              case Some(h) =>
+                MorDelete.FileColStat(c, Double.NaN, Double.NaN, "s",
+                  nulls, total, Some(loB), Some(h))
+              case None =>
+                MorDelete.FileColStat(c, Double.NaN, Double.NaN, "s", nulls, total)
+            }
           case _ =>
             MorDelete.FileColStat(c, r.getDouble(1 + 3 * i), r.getDouble(2 + 3 * i),
               domainTag(dtypeOf(c).get), nulls, total)
@@ -2336,8 +2429,14 @@ object MorUpsert {
         if (nUps == 0) Seq.empty[String]
         else {
           val base = Paths.get(path).toAbsolutePath
+          // an EVOLVED table's footer-vs-schema compare would false-
+          // positive on renamed columns, so mid-evolution the partition
+          // columns derive from paths — post-images keep landing in
+          // their col=value directories
           val partitionCols =
-            if (st.schemaLog.nonEmpty || st.dataFiles.isEmpty) Nil
+            if (st.dataFiles.isEmpty) Nil
+            else if (st.schemaLog.nonEmpty)
+              MorDelete.partitionColsFromPaths(path, st)
             else {
               val table = spark.read.option("basePath", path)
                 .parquet(st.dataFiles: _*)
@@ -2469,11 +2568,12 @@ object MorUpsert {
         if (nUpd + nIns == 0) Seq.empty[String]
         else {
           val base = Paths.get(path).toAbsolutePath
-          // evolution requires flat layouts, so an evolved table never
-          // carries partition-directory columns (and its epoch union has
-          // no _metadata column to sample anyway)
+          // an evolved table (rawTable None — its epoch union has no
+          // _metadata column to sample) derives partition columns from
+          // paths, the rename-proof route; uniform tables keep the
+          // footer-vs-schema compare
           val partitionCols = rawTable match {
-            case None => Nil
+            case None => MorDelete.partitionColsFromPaths(path, st)
             case Some(table) =>
               val sample = table.select(col("_metadata.file_path"))
                 .limit(1).collect().headOption

@@ -41,7 +41,8 @@ import graft.sources.MorDelete
   * re-scanning the table per sync.
   */
 final class MorCdfSource(spark: SparkSession, path: String,
-    fromSeq0: Option[Long], maxSeqsPerBatch: Option[Long]) extends Source
+    fromSeq0: Option[Long], maxSeqsPerBatch: Option[Long],
+    maxRowsPerBatch: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
@@ -93,9 +94,31 @@ final class MorCdfSource(spark: SparkSession, path: String,
     val lo = Option(start).map(seqOf).getOrElse(initSeq)
     val cur = availableNowTarget
       .getOrElse(math.max(MorDelete.currentSeq(spark, path), initSeq))
-    val capped = limit match {
+    val seqCapped = limit match {
       case r: ReadMaxRows => math.min(cur, lo + r.maxRows)
       case _ => cur
+    }
+    // ROWS-based admission (`maxRowsPerBatch`): a sequence cap alone
+    // lets one fat commit land beside many thin ones in a single batch;
+    // the row estimates (manifest stats / parquet footers — metadata
+    // only) split the range at COMMIT boundaries so per-batch rows stay
+    // bounded. A single commit larger than the cap still admits whole —
+    // per-commit attribution cannot split below commit granularity —
+    // so the bound is max(cap, largest single commit).
+    val capped = maxRowsPerBatch match {
+      case Some(cap) if seqCapped > lo =>
+        val est = MorDelete.changeRowEstimates(spark, path, lo, seqCapped)
+        var acc = 0L
+        var hi = lo
+        var stop = false
+        est.foreach { case (seq, rows) =>
+          if (!stop) {
+            if (hi == lo || acc + rows <= cap) { acc += rows; hi = seq }
+            else stop = true
+          }
+        }
+        hi
+      case _ => seqCapped
     }
     MorCdfOffset(math.max(capped, lo))
   }
@@ -148,5 +171,6 @@ final class MorCdfSourceProvider extends StreamSourceProvider with DataSourceReg
       parameters: Map[String, String]): Source =
     new MorCdfSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.get("fromSeq").map(_.trim.toLong),
-      parameters.get("maxSeqsPerBatch").map(_.trim.toLong))
+      parameters.get("maxSeqsPerBatch").map(_.trim.toLong),
+      parameters.get("maxRowsPerBatch").map(_.trim.toLong))
 }

@@ -240,12 +240,14 @@ object Streams {
     * the last-synced sequence rides the checkpoint. Start `fromSeq` at
     * the replica's seed snapshot sequence. */
   def morSource(spark: SparkSession, path: String, fromSeq: Long,
-      maxSeqsPerBatch: Option[Long] = None): DataFrame = {
+      maxSeqsPerBatch: Option[Long] = None,
+      maxRowsPerBatch: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format("graft.streaming.MorCdfSourceProvider")
       .option("path", path)
       .option("fromSeq", fromSeq)
     maxSeqsPerBatch.foreach(m => r.option("maxSeqsPerBatch", m))
+    maxRowsPerBatch.foreach(m => r.option("maxRowsPerBatch", m))
     r.load()
   }
 
@@ -263,6 +265,103 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sources.MorUpsert.applyChanges(batch.sparkSession, replicaPath,
           batch.toDF(), keyCols, txn = Some((appId, batchId)))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** CDF-DRIVEN INCREMENTAL DEDUP — exactly-once maintenance of a
+    * DEDUPED survivor table from a merge-on-read corpus's change feed:
+    * the composition of [[morSource]] (checkpointed sequence offsets)
+    * with [[graft.llm.Dedup.incrementalKeep]] (greedy first-arrival
+    * MinHash dedup against the persisted signature store). Each
+    * micro-batch:
+    *
+    *  1. nets the feed to final events per key (same newest-wins rule as
+    *     [[graft.sources.MorUpsert.applyChanges]]);
+    *  2. dedups the batch's INSERTS against (persisted survivors ∪ the
+    *     batch itself) — the survivor table carries each doc's MinHash
+    *     signature in `__sig`, so nothing in the corpus re-shingles:
+    *     per-batch cost is one columnar (id, sig) scan plus work ∝ the
+    *     delta, never ∝ corpus text;
+    *  3. commits survivors (each with its signature) AND propagated
+    *     deletes in ONE `applyChanges` call carrying `(appId, batchId)`
+    *     as the txn marker — a restart's replayed batch is provably
+    *     applied and commits nothing, so the survivor table sees every
+    *     source commit exactly once.
+    *
+    * Suppression is permanent: deleting a survivor from the SOURCE
+    * deletes it from the replica, but docs it previously suppressed do
+    * not resurface (their signatures were never admitted) — the standard
+    * streaming-dedup semantics; a full rebuild is the recovery path if
+    * resurrection is required.
+    *
+    * The survivor table self-seeds (empty, schema = feed columns +
+    * `__sig`) on first use; seeding is idempotent (zero rows), so a
+    * crash between seed and first commit replays safely.
+    */
+  def morDedupMaintain(spark: SparkSession, sourcePath: String,
+      dedupPath: String, idCol: String,
+      elems: org.apache.spark.sql.Column,
+      checkpointDir: String, appId: String,
+      fromSeq: Long = 0L, maxSeqsPerBatch: Option[Long] = None,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      hotBucketCap: Int = 1000): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val feed = morSource(spark, sourcePath, fromSeq, maxSeqsPerBatch)
+    val q = feed.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val meta = Seq("_change_type", "_commit_version", "_commit_timestamp")
+        val dataCols = batch.columns.toSeq.filterNot(meta.contains)
+        // net the batch: one final event per key (newest commit wins;
+        // insert outranks delete within a commit)
+        val order =
+          (if (batch.columns.contains("_commit_version"))
+            Seq(col("_commit_version").desc) else Nil) :+
+            when(col("_change_type") === "insert", 0).otherwise(1).asc
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(order: _*)
+        val finals = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint(true)
+        val ins = finals.filter(col("_change_type") === "insert")
+          .select(dataCols.map(col): _*)
+        val dels = finals.filter(col("_change_type") === "delete")
+          .select(col(idCol))
+        // self-seed the survivor table: empty frame at the full schema
+        // (idempotent — zero rows — so a replayed seed is harmless)
+        if (!new java.io.File(dedupPath).exists()) {
+          ins.limit(0)
+            .withColumn("__sig", graft.llm.TextOps.minhashSignature(elems, k))
+            .coalesce(1).write.parquet(dedupPath)
+        }
+        val corpus = graft.sources.MorDelete.read(sp, dedupPath)
+        val kept = graft.llm.Dedup
+          .incrementalKeep(ins, corpus, idCol, elems,
+            k = k, bands = bands, threshold = threshold,
+            hotBucketCap = hotBucketCap)
+          .filter(col("keep"))
+          .select(col("id").as("__kid"), col("sig").as("__sig"))
+        val survivors = ins
+          .join(kept, col(idCol) === col("__kid"))
+          .drop("__kid")
+          .withColumn("_change_type", lit("insert"))
+        // delete rows need the survivor schema (only the key matters to
+        // the tombstone; the rest rides as NULL)
+        val delRows = survivors.drop("_change_type").schema.fields
+          .filterNot(_.name == idCol)
+          .foldLeft(dels)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+          .select(survivors.columns.filterNot(_ == "_change_type").map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+        graft.sources.MorUpsert.applyChanges(sp, dedupPath,
+          survivors.unionByName(delRows), Seq(idCol),
+          txn = Some((appId, batchId)))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -171,6 +171,93 @@ class EvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MorDelete.read(spark, loc).filter(col("c").isNotNull).isEmpty)
   }
 
+  test("partitioned layout: data columns evolve, partition columns refuse, migration keeps the layout") {
+    val loc = Files.createTempDirectory("graft_evo_part").toString + "/t"
+    val sp = spark; import sp.implicits._
+    (1 to 120).map(i => (i.toLong, s"a$i", i * 1.5, (i % 4) + 1))
+      .toDF("k", "a", "b", "m")
+      .repartition(2).write.partitionBy("m").parquet(loc)
+    MorDelete.delete(spark, loc, col("k") % 10 === 0, Seq("k"))
+    val preSeq = MorDelete.currentSeq(spark, loc)
+    val before = files(loc)
+
+    // ADD on a partitioned table is as metadata-only as on a flat one:
+    // the op touches footers (none), the partition column rides along in
+    // the logical schema with its path-inferred type
+    Evolution.addColumn(spark, loc, "c", "double")
+    assert(files(loc) == before, "ADD COLUMN must be metadata-only")
+    val r = MorDelete.read(spark, loc)
+    assert(r.columns.toSeq == Seq("k", "a", "b", "c", "m"))
+    assert(r.schema("m").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(r.filter(col("c").isNotNull).isEmpty && r.count() == 108)
+
+    // a mid-evolution upsert writes post-images INTO their col=value
+    // directory — never flat — so the layout invariant holds at every
+    // commit, not just at rest
+    MorUpsert.upsert(spark, loc,
+      Seq((1000L, "x", 9.9, 2, 7.7)).toDF("k", "a", "b", "m", "c"), Seq("k"))
+    val newFiles = files(loc).keySet -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("m=2")),
+      s"post-images must land in partition dirs:\n${newFiles.mkString("\n")}")
+
+    // RENAME + DROP of data columns beside the partition column
+    Evolution.renameColumn(spark, loc, "a", "label")
+    Evolution.dropColumn(spark, loc, "b")
+    val r2 = MorDelete.read(spark, loc)
+    assert(r2.columns.toSeq == Seq("k", "label", "c", "m"))
+    assert(r2.filter(col("k") === 7).select("label").head().getString(0) == "a7")
+
+    // the PARTITION column itself stays immutable — loudly
+    val er = intercept[IllegalArgumentException](
+      Evolution.renameColumn(spark, loc, "m", "month"))
+    assert(er.getMessage.contains("partition-directory"))
+    val ed = intercept[IllegalArgumentException](
+      Evolution.dropColumn(spark, loc, "m"))
+    assert(ed.getMessage.contains("partition-directory"))
+    intercept[IllegalArgumentException](Evolution.addColumn(spark, loc, "m", "int"))
+
+    // partition-value pruning works MID-evolution (path bounds need no
+    // stats and no uniform schema)
+    val st = MorDelete.liveState(spark, loc)
+    val kept = MorDelete.pruneByStats(spark, st, col("m") === 2)
+    assert(kept.nonEmpty && kept.size < st.dataFiles.size &&
+      kept.forall(_.contains("m=2")))
+    val oracle2 = r2.filter(col("m") === 2).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(MorDelete.readWhere(spark, loc, col("m") === 2).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted == oracle2)
+
+    // time travel across the evolution boundary is schema-correct
+    assert(MorDelete.readAt(spark, loc, preSeq).columns.toSeq ==
+      Seq("k", "a", "b", "m"))
+
+    // migration RE-MATERIALIZES into col=value dirs: log cleared, every
+    // live file still partition-pathed, view identical
+    val want = r2.orderBy("k").collect().map(_.toSeq).toSeq
+    Layout.rewriteFiles(spark, loc)
+    val stM = MorDelete.liveState(spark, loc)
+    assert(stM.schemaLog.isEmpty, "migration must clear the evolution log")
+    assert(stM.dataFiles.forall(_.contains("m=")),
+      s"migrated files must keep the partition layout:\n${stM.dataFiles.mkString("\n")}")
+    assert(MorDelete.read(spark, loc).orderBy("k")
+      .collect().map(_.toSeq).toSeq == want, "migration must be view-identical")
+    // the migrated footers carry the LOGICAL data schema, partition col in paths only
+    assert(spark.read.parquet(stM.dataFiles.head).schema.fieldNames.toSeq
+      == Seq("k", "label", "c"))
+
+    // uniform-schema machinery re-engages on the migrated table:
+    // analyze publishes, the planner-path partition pruning is back
+    Maintenance.analyze(spark, loc)
+    val oracle3 = MorDelete.readIgnoringStats(spark, loc)
+      .filter(col("m") === 3).select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(MorDelete.read(spark, loc).filter(col("m") === 3).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted == oracle3)
+    // a fresh evolution round still works on the migrated layout
+    Evolution.addColumn(spark, loc, "d", "string")
+    assert(MorDelete.read(spark, loc).columns.toSeq ==
+      Seq("k", "label", "c", "d", "m"))
+  }
+
   test("published stats follow renames and drops; pruning works on the new name") {
     val loc = fresh()
     MorDelete.delete(spark, loc, col("k") === 999, Seq("k")) // enter the protocol

@@ -1086,16 +1086,23 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(MorDelete.read(spark, loc).filter(p)
         .collect().map(_.getString(0)).sorted.toSeq == oracle, s"read: $p")
     }
-    // values past the 64-char cap publish counts only — no bounds, no
-    // wrong prune, IS NULL pruning still live off the counts
+    // values past the 64-char cap publish TRUNCATED-conservative bounds
+    // (r17): prefix min, bumped-code-point max — a literal clearly above
+    // the bumped max prunes, one inside the widened window keeps, and
+    // IS NULL pruning still rides the counts
     val loc2 = Files.createTempDirectory("graft_morstr2").toString + "/t"
     Seq("x" * 80, "y" * 80).toDF("s").coalesce(1).write.parquet(loc2)
     assert(Maintenance.analyze(spark, loc2, Seq("s")) == 1L)
     val st2 = MorDelete.liveState(spark, loc2)
     assert(st2.stats.values.forall(_.forall(s =>
-      s.smin.isEmpty && s.smax.isEmpty && s.nulls == 0L && s.rows == 2L)))
-    assert(MorDelete.pruneByStats(spark, st2, col("s") === "zzz").size == 1,
-      "capped bounds must not prune")
+      s.smin.contains("x" * 64) && s.smax.contains("y" * 63 + "z") &&
+        s.nulls == 0L && s.rows == 2L)))
+    assert(MorDelete.pruneByStats(spark, st2, col("s") === "zzz").isEmpty,
+      "a literal above the bumped max prunes off the truncated bound")
+    assert(MorDelete.pruneByStats(spark, st2, col("s") === "x" * 70).size == 1,
+      "a literal inside the conservative window keeps the file")
+    assert(MorDelete.pruneByStats(spark, st2, col("s") === "w").isEmpty,
+      "a literal below the prefix min prunes")
     assert(MorDelete.pruneByStats(spark, st2, col("s").isNull).isEmpty,
       "counts still prune IS NULL")
   }
@@ -1626,6 +1633,55 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(MorDelete.history(spark, loc).head()
         .getAs[Long]("stats_missing") == 0L)
     } finally spark.conf.set("spark.sql.session.timeZone", zone0)
+  }
+
+  test("truncated string bounds: prefix min, bumped max, pruning past 64 chars") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bin(a: String, b: String) =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    // unit properties of the truncation pair
+    assert(MorDelete.truncCp("ab", 64) == "ab")
+    val long = "p" * 100
+    assert(MorDelete.truncCp(long, 64) == "p" * 64)
+    assert(MorDelete.truncatedUpperBound(long, 64).contains("p" * 63 + "q"))
+    // the bumped bound sorts ABOVE the original in UTF-8 binary order,
+    // surrogate pairs never split at the cut
+    val emoji = "a" * 63 + new String(Character.toChars(0x1F600)) + "tail"
+    assert(bin(MorDelete.truncatedUpperBound(emoji, 64).get, emoji) > 0)
+    // a bump landing in the surrogate gap jumps to U+E000
+    val dSeven = "\ud7ff" * 70
+    assert(MorDelete.truncatedUpperBound(dSeven, 64).get.last == '\ue000')
+    // all-U+10FFFF has no finite bump
+    assert(MorDelete.truncatedUpperBound(
+      new String(Character.toChars(0x10FFFF)) * 3, 2).isEmpty)
+
+    // end-to-end: a long-URL column (every value ~100 chars) clustered
+    // by prefix — equality and LIKE-prefix predicates must PRUNE files
+    // off the truncated bounds and stay exact against the oracle
+    val sp = spark; import sp.implicits._
+    val loc = Files.createTempDirectory("graft_longstr").toString + "/t"
+    val rows = (0 until 240).map { i =>
+      (i.toLong, f"https://host${i % 4}%02d.example.com/${"x" * 80}/page$i")
+    }
+    rows.toDF("k", "url").repartitionByRange(4, col("url"))
+      .sortWithinPartitions("url").write.parquet(loc)
+    MorDelete.delete(spark, loc, col("k") === -1L, Seq("k"))
+    Maintenance.analyze(spark, loc, Seq("url"))
+    val st = MorDelete.liveState(spark, loc)
+    assert(st.stats.values.flatten.exists(s =>
+      s.smin.isDefined && s.smax.exists(_.length <= 65)),
+      "long values must still publish (truncated) bounds")
+    val probe = rows(17)._2
+    for (pred <- Seq(col("url") === probe, col("url").startsWith("https://host03"),
+        col("url") >= "https://host02" && col("url") < "https://host03")) {
+      val oracle = MorDelete.readIgnoringStats(spark, loc).filter(pred)
+        .select("k").collect().map(_.getLong(0)).toSeq.sorted
+      assert(MorDelete.readWhere(spark, loc, pred).select("k")
+        .collect().map(_.getLong(0)).toSeq.sorted == oracle, s"diverged: $pred")
+      val kept = MorDelete.pruneByStats(spark, st, pred)
+      assert(kept.size < st.dataFiles.size,
+        s"long-value bounds must still prune under $pred")
+    }
   }
 
   test("stats evaluator: strict comparisons stay sound above 2^53 (double-domain rounding)") {

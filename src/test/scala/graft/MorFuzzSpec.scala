@@ -94,16 +94,21 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rnd = new scala.util.Random(seed)
     val loc = Files.createTempDirectory("graft_statsfuzz").toString + "/t"
     val sp = spark; import sp.implicits._
-    val rows = (0 until 400).map(i =>
-      (i.toLong, rnd.nextInt(200) + math.rint(rnd.nextDouble() * 10) / 10.0,
-        s"cat${rnd.nextInt(8)}"))
+    val rows = (0 until 400).map { i =>
+      // every third string runs past the 64-char bound cap, so the
+      // truncated-conservative bounds (prefix min, bumped-code-point
+      // max) fuzz against the stats-free oracle alongside short values
+      val cat = s"cat${rnd.nextInt(8)}"
+      val s = if (i % 3 == 0) cat + ("x" * (60 + rnd.nextInt(40))) else cat
+      (i.toLong, rnd.nextInt(200) + math.rint(rnd.nextDouble() * 10) / 10.0, s)
+    }
     rows.toDF("k", "x", "s").repartitionByRange(4, col("x"))
       .sortWithinPartitions("x", "s").write.parquet(loc)
     assert(Maintenance.analyze(spark, loc) == 4L)
 
     def probe(step: Int): Unit = {
       val c = rnd.nextInt(200)
-      val pred = rnd.nextInt(11) match {
+      val pred = rnd.nextInt(13) match {
         case 0 => expr(s"CAST(x AS INT) = $c")                       // truncating
         case 1 => expr(s"CAST(x AS INT) >= $c AND CAST(x AS INT) < ${c + 7}")
         case 2 => expr(s"TRY_CAST(x AS TINYINT) = ${c % 128}")       // overflow->NULL
@@ -115,6 +120,9 @@ class MorFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 8 => expr(s"s IN ('cat1', 'cat${c % 8}') OR CAST(s AS STRING) = 'zz'")
         case 9 => expr(s"s LIKE 'cat${c % 8}%' AND x >= $c")         // prefix range
         case 10 => expr(s"s LIKE '%t${c % 8}' OR s LIKE 'c_t${c % 8}'") // opaque shapes
+        case 11 => // long literals compare against truncated bounds
+          expr(s"s >= 'cat${c % 8}${"x" * 70}' AND s < 'cat${(c % 8) + 1}'")
+        case 12 => expr(s"s LIKE 'cat${c % 8}xxx%'") // prefix past short values
       }
       def got(d: org.apache.spark.sql.DataFrame) =
         d.select("k").collect().map(_.getLong(0)).toSeq.sorted

@@ -25,6 +25,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    functions.GraftFunctions.register(spark)
     // stage the single events parquet file as a 4-file directory (the file
     // source requires a directory; 4 files → 4 micro-batches)
     eventsDir = java.nio.file.Files.createTempDirectory("graft_events").toString + "/events"
@@ -381,5 +382,116 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"state must stay ~one epoch, got peaks $peaks")
     assert(peaks.last <= peaks.head + 100,
       s"state must plateau, not trend upward: $peaks")
+  }
+
+  test("morSource rows-based admission: one fat + many thin commits, bounded batches") {
+    val sp = spark; import sp.implicits._
+    import graft.sources.{MorDelete, MorUpsert}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowscap").toString
+    val src = s"$tmp/src"
+    Seq.empty[(Long, Long)].toDF("k", "v").coalesce(1).write.parquet(src)
+    def commit(rows: Seq[(Long, Long)]): Unit = {
+      MorUpsert.merge(spark, src, rows.toDF("k", "v"), Seq("k")); ()
+    }
+    // one FAT commit (300 rows) then six thin ones (2 rows each)
+    commit((1L to 300L).map(k => (k, k)))
+    (0 until 6).foreach(i =>
+      commit(Seq((1000L + 2 * i, 1L), (1001L + 2 * i, 1L))))
+
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.morSource(spark, src, fromSeq = 0L,
+        maxRowsPerBatch = Some(5L))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = sizes.toSeq
+    assert(got.sum == 312L, s"every change must arrive exactly once: $got")
+    // the fat commit admits WHOLE (attribution cannot split a commit) in
+    // its own batch; every other batch respects the 5-row cap — with
+    // 2-row commits that means thin commits pair up, never pile up
+    assert(got.count(_ > 5L) == 1, s"only the fat commit may exceed the cap: $got")
+    assert(got.filter(_ <= 5L).forall(s => s > 0 && s <= 5), got.toString)
+    assert(got.size >= 4, s"the range must split across batches: $got")
+  }
+
+  test("morDedupMaintain: CDF-driven incremental dedup equals batch dedup, exactly once") {
+    val sp = spark; import sp.implicits._
+    import graft.sources.{MorDelete, MorUpsert}
+    import graft.llm.TextOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdfdedup").toString
+    val (src, rep, ckpt) = (s"$tmp/src", s"$tmp/dedup", s"$tmp/ckpt")
+
+    // 50-word docs: one changed word flips 2 of 49 bigram shingles →
+    // jaccard ≈ 0.92 (≥ 0.9, a near-dup); two changed words ≈ 0.85 (not)
+    def doc(seed: Int, edits: Map[Int, String] = Map.empty): String =
+      (0 until 50).map(i => edits.getOrElse(i, s"w${seed}_$i")).mkString(" ")
+    val b1 = Seq(
+      1L -> doc(1), 2L -> doc(2),
+      3L -> doc(1),                            // exact dup of 1, SAME batch
+      4L -> doc(2, Map(25 -> "zz")),           // near dup of 2, same batch
+      5L -> doc(5))
+    val b2 = Seq(
+      6L -> doc(1, Map(10 -> "yy")),           // near dup of 1, CROSS batch
+      7L -> doc(7),
+      8L -> doc(5, Map(3 -> "aa", 40 -> "bb")), // 2 edits: NOT a dup of 5
+      9L -> doc(7))                            // exact dup of 7, cross… same batch
+    val b3 = Seq(
+      10L -> doc(5),                           // exact dup of 5, cross batch
+      11L -> doc(11))
+
+    // the source table starts EMPTY (genesis carries no rows, so every
+    // doc flows through the feed) and each slice lands as one commit
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .coalesce(1).write.parquet(src)
+    def commit(rows: Seq[(Long, String)]): Unit =
+      MorUpsert.merge(spark, src, rows.toDF("doc_id", "text"), Seq("doc_id"))
+    commit(b1); commit(b2)
+
+    val elems = TextOps.wordShingles(col("text"), 2)
+    def maintain(): Unit = {
+      Streams.morDedupMaintain(spark, src, rep, "doc_id", elems,
+        ckpt, appId = "spec-dedup", maxSeqsPerBatch = Some(1L))
+      ()
+    }
+    maintain()
+    def survivors() = MorDelete.read(spark, rep).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() == Set(1L, 2L, 5L, 7L, 8L),
+      "same-batch and cross-batch duplicates must both be suppressed")
+    // survivors carry their signature (the persisted signature store)
+    assert(MorDelete.read(spark, rep).filter(col("__sig").isNull).isEmpty)
+
+    // restart with the same checkpoint and nothing new: no version moves
+    val v0 = MorDelete.currentSeq(spark, rep)
+    maintain()
+    assert(MorDelete.currentSeq(spark, rep) == v0,
+      "an empty restart must not commit")
+
+    // batch 3 continues from the checkpoint; a replica equals the batch
+    // (greedy min-neighbor) dedup of the FULL corpus at every step
+    commit(b3)
+    maintain()
+    assert(survivors() == Set(1L, 2L, 5L, 7L, 8L, 11L))
+
+    // forced replay of the last applied batch (checkpoint lost, marker
+    // intact): provably applied, nothing commits
+    val lastBatch = MorDelete.liveState(spark, rep).txns("spec-dedup")
+    val replay = MorUpsert.applyChanges(spark, rep,
+      MorDelete.read(spark, rep).limit(1).withColumn("_change_type", lit("insert")),
+      Seq("doc_id"), txn = Some(("spec-dedup", lastBatch)))
+    assert(replay.replaySkipped, "the txn marker must prove the batch applied")
+
+    // deletes propagate; previously-suppressed dups do NOT resurface
+    MorDelete.deleteKeys(spark, src, Seq(7L).toDF("doc_id"), Seq("doc_id"))
+    maintain()
+    assert(survivors() == Set(1L, 2L, 5L, 8L, 11L),
+      "a source delete must reach the survivor table")
+    assert(!survivors().contains(9L),
+      "suppression is permanent: 9 (dup of deleted 7) must not resurface")
   }
 }
