@@ -1289,6 +1289,63 @@ object ScaleRehearsal {
       spark.stop(); return
     }
 
+    // ---- cdfdedup mode: per-batch cost of CDF-driven incremental dedup
+    // (Streams.morDedupMaintain) as the survivor corpus GROWS under
+    // constant-size deltas — the claim under test is cost ∝ delta, not
+    // corpus: every batch re-shingles/minhashes only its own docs and
+    // joins the store on persisted (id, sig) columns. The comparator is
+    // the full-corpus batch recompute at the final size (re-shingle +
+    // self-band-join over everything) — what a non-incremental pipeline
+    // pays per refresh.
+    if (args.headOption.contains("cdfdedup")) {
+      import graft.sources.{MorDelete, MorUpsert}
+      import graft.streaming.Streams
+      import graft.llm.{Dedup, TextOps}
+      val root = "/tmp/graft_cdfdedup"
+      rmr(new java.io.File(root))
+      val (src, rep, ckpt) = (s"$root/src", s"$root/dedup", s"$root/ckpt")
+      val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+      val deltaN = docs.count()
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("doc_id", "text").coalesce(1).write.parquet(src)
+      // vowel rotations make each delta's text (mostly) globally fresh, so
+      // the survivor/signature store grows ∝ batches — the adversarial
+      // shape for the flat-cost claim
+      val rot = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio", "uoiea")
+      val elems = TextOps.wordShingles(col("text"), 2)
+      val walls = rot.indices.map { i =>
+        val delta = docs
+          .withColumn("doc_id", col("doc_id") + lit(i * keyOff))
+          .withColumn("text",
+            if (i == 0) col("text") else translate(col("text"), "aeiou", rot(i)))
+        MorUpsert.merge(spark, src, delta, Seq("doc_id"))
+        val t0 = System.nanoTime()
+        Streams.morDedupMaintain(spark, src, rep, "doc_id", elems, ckpt,
+          appId = "rehearse-cdfdedup")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val stored = MorDelete.read(spark, rep).count()
+        // the comparator at the SAME corpus size: full batch recompute
+        // (re-shingle + minhash + self-band-join over everything) — the
+        // refresh cost a non-incremental pipeline pays. The incremental
+        // wall is flat (delta work + ~constant stream machinery); the
+        // recompute wall grows with the corpus, so the lines cross where
+        // corpus ≫ delta — exactly the 100-TB operating point.
+        val t1 = System.nanoTime()
+        Dedup.minhashLsh(MorDelete.read(spark, src), "doc_id", elems,
+            k = 64, bands = 16, threshold = 0.9)
+          .write.format("noop").mode("overwrite").save()
+        val fullDt = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        println(f"[scale] cdfdedup batch$i delta=$deltaN store=$stored " +
+          f"incr=$dt%7.2f s fullrecompute=$fullDt%7.2f s")
+        (dt, fullDt)
+      }
+      println(f"[scale] cdfdedup incr last/first = ${walls.last._1 / walls.head._1}%.2f " +
+        f"(flat ⇒ cost ∝ delta); fullrecompute last/first = " +
+        f"${walls.last._2 / walls.head._2}%.2f (grows with corpus)")
+      spark.stop(); return
+    }
+
     // ---- evolution mode: the metadata-only ALTER walls at sf0.1 — what
     // a column op costs (a manifest commit, milliseconds) against the
     // counterfactual every engine without manifest schema pays (a full
