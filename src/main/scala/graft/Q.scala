@@ -26,7 +26,63 @@ object Q {
 
   /** SQL query with per-dialect texts (Spark first, DuckDB second). */
   def sql(spark: String, duck: String, headline: Boolean = false): Q =
-    Q((s, dir) => { Tables.ensure(s, dir); s.sql(spark) }, Some(duck), headline)
+    Q((s, dir) => { Tables.ensure(s, dir); s.sql(fixedPointRewrite(spark)) },
+      Some(duck), headline)
+
+  /** Rewrites the engine's canonical exact-decimal-sum pattern
+    * `CAST(SUM(CAST(<e> AS DECIMAL(30,8))) AS DOUBLE)` to `dsum8(<e>)` in
+    * the SPARK-side text only — a provable bitwise identity (Dsum8's
+    * scaladoc; Dsum8Spec) that swaps the BigDecimal-boxed 38-digit sum
+    * buffer for a codegen'd two-long fixed-point accumulator (measured
+    * 2.7×→1.5× of a plain double sum on the sf0.1 q01 shape,
+    * OPTIMIZATION_r17.md). The DuckDB oracle text is NEVER rewritten, so
+    * every converted query keeps proving the identity end-to-end. Only the
+    * exact full pattern is touched: bare `SUM(CAST(..))` (e.g. inside a
+    * HAVING comparison) keeps decimal compare semantics, and other
+    * precisions/scales are left alone. Single-quoted literals are skipped
+    * by the paren scan so a ')' inside a string cannot derail it.
+    */
+  private[graft] def fixedPointRewrite(text: String): String = {
+    val head = "CAST(SUM(CAST("
+    val tail = " AS DECIMAL(30,8))) AS DOUBLE)"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val j = text.indexOf(head, i)
+      if (j < 0) { sb.append(text.substring(i)); i = text.length }
+      else {
+        sb.append(text.substring(i, j))
+        val innerStart = j + head.length
+        var k = innerStart
+        var depth = 0
+        var end = -1
+        var bad = false
+        while (k < text.length && end < 0 && !bad) {
+          if (depth == 0 && text.startsWith(tail, k)) end = k
+          else text.charAt(k) match {
+            case '\'' => // skip string literal ('' = escaped quote)
+              k += 1
+              while (k < text.length &&
+                (text.charAt(k) != '\'' ||
+                  (k + 1 < text.length && text.charAt(k + 1) == '\'' && { k += 1; true })))
+                k += 1
+              k += 1
+            case '(' => depth += 1; k += 1
+            case ')' => if (depth == 0) bad = true else { depth -= 1; k += 1 }
+            case _ => k += 1
+          }
+        }
+        if (end >= 0) {
+          sb.append("dsum8(").append(text.substring(innerStart, end)).append(")")
+          i = end + tail.length
+        } else { // not the full pattern (other precision/scale) — leave as-is
+          sb.append(head)
+          i = innerStart
+        }
+      }
+    }
+    sb.toString
+  }
 
   /** DataFrame/Dataset-API query with a DuckDB oracle. */
   def df(duck: String, headline: Boolean = false)(

@@ -472,6 +472,20 @@ object Rewrites {
       toCol(MinhashSignature(toExpr(e), k)) },
 
     // ---------- aggregate rewrites (operator/aggregation/) ----------
+    // dsum8(x) ≡ CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) — the exact
+    // fixed-point money sum on a codegen'd two-long buffer (see Dsum8's
+    // scaladoc; bitwise equality spec-locked in Dsum8Spec). NOT Presto
+    // surface: a graft accelerator for the engine's canonical
+    // exact-decimal-sum pattern.
+    "dsum8" -> { case Seq(x) =>
+      toCol(org.apache.spark.sql.catalyst.expressions.aggregate.Dsum8(toExpr(x))
+        .toAggregateExpression()) },
+    // dsum8_dec(x) ≡ SUM(CAST(x AS DECIMAL(30,8))) as exact DECIMAL(38,8)
+    // — the pre-aggregation building block for two-level rollup rewrites
+    // (the outer decimal re-sum stays exact; the double cast happens above).
+    "dsum8_dec" -> { case Seq(x) =>
+      toCol(org.apache.spark.sql.catalyst.expressions.aggregate.Dsum8(toExpr(x),
+        exactDecimal = true).toAggregateExpression()) },
     "geometric_mean" -> { case Seq(x) => exp(avg(log(x))) },
     "approx_distinct" -> {
       case Seq(x) => approx_count_distinct(x)

@@ -116,7 +116,7 @@ object Connectors {
       Sources.orc(s, s"$scratch/customer_orc")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"))
+          call_function("dsum8", col("c_acctbal")).as("acctbal"))
         .orderBy(col("c_nationkey").asc_nulls_last)
     },
 
@@ -168,7 +168,7 @@ object Connectors {
           bounds.getLong(0), bounds.getLong(1) + 1, numPartitions = 4)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"))
+          call_function("dsum8", col("c_acctbal")).as("acctbal"))
         .orderBy(col("c_nationkey").asc_nulls_last)
     },
 
@@ -225,7 +225,7 @@ object Connectors {
           StructField("s_acctbal", DoubleType))))
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("acctbal"),
+          call_function("dsum8", col("s_acctbal")).as("acctbal"),
           sum(length(col("s_name"))).cast("long").as("name_len_sum"))
         .orderBy(col("s_nationkey").asc_nulls_last)
     },
@@ -251,7 +251,7 @@ object Connectors {
         .groupBy(col("p_type"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("p_size")).cast("long").as("size_sum"),
-          sum(col("p_retailprice").cast("decimal(30,8)")).cast("double").as("price_sum"))
+          call_function("dsum8", col("p_retailprice")).as("price_sum"))
         .orderBy(col("p_type").asc_nulls_last)
     })
 }

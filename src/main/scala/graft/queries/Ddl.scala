@@ -150,7 +150,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
+          round(call_function("dsum8", col("o_totalprice")), 2).as("total"))
         .withColumn("cow_scoped", lit(scoped))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -186,7 +186,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
+          round(call_function("dsum8", col("o_totalprice")), 2).as("total"))
         .withColumn("cow_semi", lit(semiScoped))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -240,7 +240,7 @@ object Ddl {
       def agg(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
       val preCompact = agg(MorDelete.read(s, loc)).localCheckpoint(true)
       MorDelete.compact(s, loc)
       val postCompact = agg(MorDelete.read(s, loc))
@@ -304,7 +304,7 @@ object Ddl {
       def agg(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+          call_function("dsum8", col("s_acctbal")).as("bal"))
       val preCompact = agg(MorDelete.read(s, loc)).localCheckpoint(true)
       MorDelete.compact(s, loc)
       val postCompact = agg(MorDelete.read(s, loc))
@@ -344,7 +344,7 @@ object Ddl {
       s.read.parquet(loc)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .withColumn("zorder_effective", lit(touched <= total / 2))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
@@ -383,7 +383,7 @@ object Ddl {
       s.table("g_sqldml_supplier")
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+          call_function("dsum8", col("s_acctbal")).as("bal"))
         .withColumn("dml_counts", lit(ok))
         .orderBy(col("s_nationkey").asc_nulls_last)
     },
@@ -552,7 +552,7 @@ object Ddl {
       s.table("g_sqlsubq_orders")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
+          round(call_function("dsum8", col("o_totalprice")), 2).as("total"))
         .withColumn("dml_counts", lit(nDel == expected))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -635,7 +635,7 @@ object Ddl {
       MorDelete.read(s, loc)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .withColumn("merged_to_one", lit(merged))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
@@ -671,7 +671,7 @@ object Ddl {
       MorDelete.readWhere(s, loc, pred)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+          call_function("dsum8", col("l_extendedprice")).as("price"))
         .withColumn("pruned", lit(kept.size < st.dataFiles.size))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
@@ -716,7 +716,7 @@ object Ddl {
       MorDelete.readWhere(s, loc, pred)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .withColumn("part_pruned", lit(partKept.size < st.dataFiles.size))
         .withColumn("pruned", lit(kept.size <= partKept.size &&
           kept.size < st.dataFiles.size))
@@ -832,7 +832,7 @@ object Ddl {
       MorDelete.readWhere(s, loc, pred)
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+          call_function("dsum8", col("l_extendedprice")).as("price"))
         .withColumn("pruned", lit(kept.size < st.dataFiles.size && longOk))
         .orderBy(col("l_linestatus").asc_nulls_last)
     },
@@ -880,7 +880,7 @@ object Ddl {
       MorDelete.readWhere(s, loc, pred)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+          call_function("dsum8", col("l_extendedprice")).as("price"))
         .withColumn("pruned", lit(kept.size < st.dataFiles.size))
         .withColumn("cast_opaque", lit(castKept.size == st.dataFiles.size))
         .orderBy(col("l_returnflag").asc_nulls_last)
@@ -962,8 +962,8 @@ object Ddl {
       MorDelete.readWhere(s, loc, band)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(30,8)"))
-            .cast("double").as("revenue"))
+          call_function("dsum8", col("l_extendedprice") * col("l_discount"))
+            .as("revenue"))
         .withColumn("pruned", lit(kept.size < st.dataFiles.size))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
@@ -1049,7 +1049,7 @@ object Ddl {
       MorDelete.read(s, loc)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .withColumn("partial_scoped", lit(scoped))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
@@ -1088,7 +1088,7 @@ object Ddl {
       MorDelete.read(s, loc)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
@@ -1132,7 +1132,7 @@ object Ddl {
       MorDelete.readChanges(s, loc, 0)
         .groupBy(col("_change_type"), col("_commit_version"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .select(col("_change_type").as("change_type"),
           col("_commit_version").as("version"), col("n"), col("qty"))
         .orderBy(col("version").asc_nulls_last)
@@ -1170,7 +1170,7 @@ object Ddl {
         .filter(col("l_partkey") <= 60 && col("l_suppkey") > 2)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double").as("price"))
+          call_function("dsum8", col("l_extendedprice")).as("price"))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
 
@@ -1212,7 +1212,7 @@ object Ddl {
       pinned
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty"))
+          call_function("dsum8", col("l_quantity")).as("qty"))
         .withColumn("snapshot_pinned", lit(changed))
         .orderBy(col("l_returnflag").asc_nulls_last)
     },
@@ -1280,7 +1280,7 @@ object Ddl {
       def agg(df: org.apache.spark.sql.DataFrame) = df
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
-          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+          call_function("dsum8", col("s_acctbal")).as("bal"))
       val preCompact = agg(MorDelete.read(s, loc)).localCheckpoint(true)
       MorDelete.compact(s, loc)
       val postCompact = agg(MorDelete.read(s, loc))
@@ -1313,7 +1313,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
+          round(call_function("dsum8", col("o_totalprice")), 2).as("total"))
         .withColumn("cow_scoped", lit(scoped))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -1353,7 +1353,7 @@ object Ddl {
       s.read.option("basePath", loc).parquet(loc)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2).as("total"))
+          round(call_function("dsum8", col("o_totalprice")), 2).as("total"))
         .withColumn("merge_invariants", lit(ok))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -1444,7 +1444,7 @@ object Ddl {
       MorDelete.readChanges(s, loc, 0)
         .groupBy(col("_change_type"), col("_commit_version"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
+          round(call_function("dsum8", col("o_totalprice")), 2)
             .as("total"))
         .select(col("_change_type").as("change_type"),
           col("_commit_version").as("version"), col("n"), col("total"))
@@ -1496,7 +1496,7 @@ object Ddl {
       s.table(mem)
         .groupBy(col("_change_type"), col("_commit_version"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice").cast("decimal(30,8)")).cast("double"), 2)
+          round(call_function("dsum8", col("o_totalprice")), 2)
             .as("total"))
         .select(col("_change_type").as("change_type"),
           col("_commit_version").as("version"), col("n"), col("total"))
@@ -1560,7 +1560,7 @@ object Ddl {
       MorDelete.read(s, loc)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          sum(col("c_acctbal").cast("decimal(30,8)")).cast("double").as("bal"))
+          call_function("dsum8", col("c_acctbal")).as("bal"))
         .withColumn("exactly_once", lit(replay.replaySkipped))
         .orderBy(col("c_mktsegment").asc_nulls_last)
     },
@@ -1698,8 +1698,8 @@ object Ddl {
       MorDelete.readWhere(s, loc, partBand)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(coalesce(col("bonus"), lit(0.0)).cast("decimal(30,8)"))
-            .cast("double"), 2).as("bonus_sum"),
+          round(call_function("dsum8", coalesce(col("bonus"), lit(0.0))), 2)
+            .as("bonus_sum"),
           sum(when(col("status").rlike("^[a-z]"), 1).otherwise(0))
             .cast("bigint").as("upped"))
         .withColumn("zero_touch", lit(zeroTouch && partitionedWrites))
@@ -1746,7 +1746,7 @@ object Ddl {
       MorDelete.read(s, loc)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("c_acctbal").cast("decimal(30,8)")).cast("double"), 2).as("bal"))
+          round(call_function("dsum8", col("c_acctbal")), 2).as("bal"))
         .withColumn("gated", lit(refused))
         .orderBy(col("c_mktsegment").asc_nulls_last)
     },

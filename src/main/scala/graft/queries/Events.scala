@@ -28,7 +28,7 @@ object Events {
       Tables.t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,8)")).cast("double").as("sum_value"))
+          call_function("dsum8", col("value")).as("sum_value"))
         .select(col("window.start").cast("timestamp_ntz").as("wstart"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("wstart").asc_nulls_last, col("event_type").asc_nulls_last)
@@ -438,7 +438,7 @@ object Events {
       graft.operators.RangeJoin.pointInInterval(points, "ets", windows, "w_start", "w_end")
         .groupBy(col("w_start"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,8)")).cast("double").as("sum_value"))
+          call_function("dsum8", col("value")).as("sum_value"))
         .orderBy(col("w_start").asc_nulls_last)
     },
 

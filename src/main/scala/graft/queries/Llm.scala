@@ -1391,7 +1391,7 @@ object Llm {
           "lang", col("doc_id"), Map("en" -> 500), defaultPermille = 100)
         .groupBy("lang")
         .agg(count(lit(1)).as("kept"),
-          sum(col("n_chars").cast("decimal(30,8)")).cast("double").as("chars_kept"))
+          call_function("dsum8", col("n_chars")).as("chars_kept"))
         .orderBy(col("lang").asc_nulls_last)
     },
 
@@ -1419,7 +1419,7 @@ object Llm {
         .groupBy("lang")
         .agg(count(lit(1)).as("kept"),
           sum(col("doc_id")).as("id_sum"),
-          sum(col("n_chars").cast("decimal(30,8)")).cast("double").as("chars_kept"))
+          call_function("dsum8", col("n_chars")).as("chars_kept"))
         .orderBy(col("lang").asc_nulls_last)
     },
 

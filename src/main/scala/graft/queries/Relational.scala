@@ -38,7 +38,7 @@ object Relational {
       sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("s_acctbal").cast("decimal(30,8)")).cast("double").as("total_bal"))
+          call_function("dsum8", col("s_acctbal")).as("total_bal"))
         .orderBy(col("n_name").asc_nulls_last)
     },
 
@@ -129,7 +129,7 @@ object Relational {
           "l_orderkey", saltFactor = 8, saltBy = col("l_linenumber"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double"), 2)
+          round(call_function("dsum8", col("l_extendedprice")), 2)
             .as("revenue"))
         .orderBy(col("o_orderpriority").asc_nulls_last)
     },
@@ -168,7 +168,7 @@ object Relational {
           points, "l_extendedprice", bands, "band_lo", "band_hi")
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_in_band"),
-          sum(col("l_quantity").cast("decimal(30,8)")).cast("double").as("qty_in_band"))
+          call_function("dsum8", col("l_quantity")).as("qty_in_band"))
         .orderBy(col("p_partkey").asc_nulls_last)
     },
 

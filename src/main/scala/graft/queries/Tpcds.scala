@@ -172,19 +172,44 @@ object Tpcds {
     //      per-row double→decimal cast roundings whose half-boundary
     //      behavior differs between engines by ~1 ulp; ranking uses the
     //      unrounded value, where inter-brand gaps dwarf an ulp ----
-    "tpcds_q67_rollup_topk" -> Q.sqlSame(headline = true, text =
-      """SELECT p_type, p_brand, ROUND(sumsales, 2) AS sumsales, rk
-        |FROM (
-        |  SELECT p_type, p_brand, sumsales,
-        |    RANK() OVER (PARTITION BY p_type
-        |                 ORDER BY sumsales DESC, p_brand ASC NULLS FIRST) AS rk
-        |  FROM (
-        |    SELECT p_type, p_brand,
-        |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sumsales
-        |    FROM lineitem JOIN part ON p_partkey = l_partkey
-        |    GROUP BY ROLLUP (p_type, p_brand)) agg) ranked
-        |WHERE rk <= 10
-        |ORDER BY p_type ASC NULLS FIRST, rk ASC NULLS LAST, p_brand ASC NULLS FIRST""".stripMargin),
+    // Spark side pre-aggregates on the full (p_type, p_brand) key BEFORE
+    // the ROLLUP so Expand multiplies ~|type×brand| pre-summed rows, not
+    // 600k fact rows (measured 1.03 s → 0.40 s on the rollup shape at
+    // sf0.1 — OPTIMIZATION_r17.md). Exact equivalence: dsum8_dec keeps the
+    // full-precision DECIMAL(38,8) partial (= SUM(CAST(.. AS
+    // DECIMAL(30,8))) bitwise, Dsum8Spec), decimal addition is associative
+    // so rollup-of-presums = direct rollup, and the double cast happens
+    // once above. The DuckDB oracle keeps the single-level formulation.
+    "tpcds_q67_rollup_topk" -> Q.sql(headline = true,
+      spark =
+        """SELECT p_type, p_brand, ROUND(sumsales, 2) AS sumsales, rk
+          |FROM (
+          |  SELECT p_type, p_brand, sumsales,
+          |    RANK() OVER (PARTITION BY p_type
+          |                 ORDER BY sumsales DESC, p_brand ASC NULLS FIRST) AS rk
+          |  FROM (
+          |    SELECT p_type, p_brand, CAST(SUM(ps) AS DOUBLE) AS sumsales
+          |    FROM (
+          |      SELECT p_type, p_brand,
+          |        dsum8_dec(l_extendedprice * (1 - l_discount)) AS ps
+          |      FROM lineitem JOIN part ON p_partkey = l_partkey
+          |      GROUP BY p_type, p_brand) preagg
+          |    GROUP BY ROLLUP (p_type, p_brand)) agg) ranked
+          |WHERE rk <= 10
+          |ORDER BY p_type ASC NULLS FIRST, rk ASC NULLS LAST, p_brand ASC NULLS FIRST""".stripMargin,
+      duck =
+        """SELECT p_type, p_brand, ROUND(sumsales, 2) AS sumsales, rk
+          |FROM (
+          |  SELECT p_type, p_brand, sumsales,
+          |    RANK() OVER (PARTITION BY p_type
+          |                 ORDER BY sumsales DESC, p_brand ASC NULLS FIRST) AS rk
+          |  FROM (
+          |    SELECT p_type, p_brand,
+          |      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sumsales
+          |    FROM lineitem JOIN part ON p_partkey = l_partkey
+          |    GROUP BY ROLLUP (p_type, p_brand)) agg) ranked
+          |WHERE rk <= 10
+          |ORDER BY p_type ASC NULLS FIRST, rk ASC NULLS LAST, p_brand ASC NULLS FIRST""".stripMargin),
 
     // ---- q14-style: multi-CTE channel intersection — parts sold through
     //      ALL THREE priority channels (INTERSECT chain), an avg-sales

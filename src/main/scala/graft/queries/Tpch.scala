@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** TPC-H-style relational queries adapted to the driver testdata schema
   * (FIXTURES.md §B — no partsupp, monetary columns are 2-decimal doubles,
@@ -22,8 +21,11 @@ object Tpch {
 
   // Exact-decimal sum of a 2-dp monetary product: associative, so Spark's
   // nondeterministic partial-agg order and DuckDB's serial sum agree bitwise.
+  // Rides the dsum8 fixed-point aggregate — bitwise-identical to
+  // sum(c.cast(DecimalType(30, 8))).cast("double") (Dsum8Spec) at a third
+  // of the per-row cost (no BigDecimal boxing in the agg buffer).
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(30, 8))).cast("double")
+    call_function("dsum8", c)
 
   val qs: Map[String, Q] = Map(
 
