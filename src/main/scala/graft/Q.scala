@@ -36,15 +36,53 @@ object Q {
     * buffer for a codegen'd two-long fixed-point accumulator (measured
     * 2.7×→1.5× of a plain double sum on the sf0.1 q01 shape,
     * OPTIMIZATION_r17.md). The DuckDB oracle text is NEVER rewritten, so
-    * every converted query keeps proving the identity end-to-end. Only the
-    * exact full pattern is touched: bare `SUM(CAST(..))` (e.g. inside a
-    * HAVING comparison) keeps decimal compare semantics, and other
-    * precisions/scales are left alone. Single-quoted literals are skipped
-    * by the paren scan so a ')' inside a string cannot derail it.
+    * every converted query keeps proving the identity end-to-end. Three
+    * passes: the double-cast form → `dsum8`, the decimal-ROUND form →
+    * `dsum8_dec` under the same ROUND, and every remaining bare
+    * `SUM(CAST(.. AS DECIMAL(30,8)))` → `dsum8_dec` (type- and
+    * value-identical DECIMAL(38,8), so HAVING compares and decimal
+    * arithmetic above it are unchanged). Other precisions/scales are left
+    * alone. Single-quoted literals are skipped by the paren scan so a ')'
+    * inside a string cannot derail it.
     */
   private[graft] def fixedPointRewrite(text: String): String = {
-    val head = "CAST(SUM(CAST("
-    val tail = " AS DECIMAL(30,8))) AS DOUBLE)"
+    // pass 1: CAST(SUM(CAST(e AS DECIMAL(30,8))) AS DOUBLE)  → dsum8(e)
+    // pass 2: CAST(ROUND(SUM(CAST(e AS DECIMAL(30,8))), k) AS DOUBLE)
+    //           → CAST(ROUND(dsum8_dec(e), k) AS DOUBLE)
+    //         (ROUND runs on the identical exact decimal either way)
+    // a trailing FILTER (WHERE …) clause stays on the built-in SUM: the
+    // temp-function registration path cannot carry a filter clause
+    // (parser: "aggregateexpression does not support FILTER CLAUSE")
+    def filtered(rest: String): Boolean =
+      rest.dropWhile(_.isWhitespace).startsWith("FILTER")
+    val p1 = rewriteOne(text, "CAST(SUM(CAST(", " AS DECIMAL(30,8))) AS DOUBLE)",
+      (inner, rest) => if (filtered(rest)) null else (s"dsum8($inner)", 0))
+    val p2 = rewriteOne(p1, "CAST(ROUND(SUM(CAST(", " AS DECIMAL(30,8))), ",
+      (inner, rest) => {
+        // rest begins after the marker: "<digits>) AS DOUBLE)..." — only a
+        // literal scale digits-run completes the pattern
+        val d = rest.takeWhile(_.isDigit)
+        if (d.nonEmpty && rest.startsWith(") AS DOUBLE)", d.length))
+          (s"CAST(ROUND(dsum8_dec($inner), $d) AS DOUBLE)",
+            d.length + ") AS DOUBLE)".length)
+        else null // not the full pattern — leave untouched
+      })
+    // pass 3: every remaining bare SUM(CAST(e AS DECIMAL(30,8))) →
+    // dsum8_dec(e) — value- AND type-identical (DECIMAL(38,8), same null
+    // semantics), so it is sound in any surrounding expression: HAVING
+    // comparisons, window frames, decimal arithmetic. SUM(DISTINCT …)
+    // never matches this head.
+    rewriteOne(p2, "SUM(CAST(", " AS DECIMAL(30,8)))",
+      (inner, rest) => if (filtered(rest)) null else (s"dsum8_dec($inner)", 0))
+  }
+
+  /** One rewrite pass: find `head`, balanced-paren scan (skipping quoted
+    * literals) to `marker` at depth 0, hand (inner, text-after-marker) to
+    * `render` → (replacement, extra chars consumed beyond the marker);
+    * a null render or an unmatched scan leaves the text as-is.
+    */
+  private def rewriteOne(text: String, head: String, marker: String,
+      render: (String, String) => (String, Int)): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < text.length) {
@@ -58,7 +96,7 @@ object Q {
         var end = -1
         var bad = false
         while (k < text.length && end < 0 && !bad) {
-          if (depth == 0 && text.startsWith(tail, k)) end = k
+          if (depth == 0 && text.startsWith(marker, k)) end = k
           else text.charAt(k) match {
             case '\'' => // skip string literal ('' = escaped quote)
               k += 1
@@ -72,9 +110,12 @@ object Q {
             case _ => k += 1
           }
         }
-        if (end >= 0) {
-          sb.append("dsum8(").append(text.substring(innerStart, end)).append(")")
-          i = end + tail.length
+        val rendered =
+          if (end < 0) null
+          else render(text.substring(innerStart, end), text.substring(end + marker.length))
+        if (rendered != null) {
+          sb.append(rendered._1)
+          i = end + marker.length + rendered._2
         } else { // not the full pattern (other precision/scale) — leave as-is
           sb.append(head)
           i = innerStart

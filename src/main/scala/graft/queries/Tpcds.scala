@@ -89,28 +89,78 @@ object Tpcds {
     // ---- q36/q86-style: margin ROLLUP over the geography hierarchy with
     //      a rank() within each grouping level — window over aggregate
     //      over rollup, the TPC-DS signature chain ----
-    "tpcds_q36_rollup_rank" -> Q.sqlSame(
-      """SELECT lochierarchy, r_name, n_name,
-        |  ROUND(gross_margin, 6) AS gross_margin,
-        |  RANK() OVER (PARTITION BY lochierarchy
-        |               ORDER BY ROUND(gross_margin, 6) ASC, r_name ASC NULLS FIRST,
-        |                        n_name ASC NULLS FIRST) AS rank_within_parent
-        |FROM (
-        |  SELECT r_name, n_name,
-        |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
-        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - l_quantity * 100.0 AS DECIMAL(30,8))) AS DOUBLE)
-        |      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS gross_margin
-        |  FROM lineitem
-        |  JOIN supplier ON s_suppkey = l_suppkey
-        |  JOIN nation ON n_nationkey = s_nationkey
-        |  JOIN region ON r_regionkey = n_regionkey
-        |  GROUP BY ROLLUP (r_name, n_name)) t
-        |ORDER BY lochierarchy DESC NULLS LAST, r_name ASC NULLS LAST,
-        |  n_name ASC NULLS LAST""".stripMargin),
+    // Spark side pre-aggregates on the full (r_name, n_name) key before
+    // the ROLLUP (same two-level rewrite as q67: Expand multiplies
+    // pre-summed rows, not fact rows; dsum8_dec keeps the exact decimal
+    // partial, outer decimal re-sum exact by associativity, the ratio's
+    // two double casts land above it unchanged). DuckDB keeps the
+    // single-level form.
+    "tpcds_q36_rollup_rank" -> Q.sql(
+      spark =
+        """SELECT lochierarchy, r_name, n_name,
+          |  ROUND(gross_margin, 6) AS gross_margin,
+          |  RANK() OVER (PARTITION BY lochierarchy
+          |               ORDER BY ROUND(gross_margin, 6) ASC, r_name ASC NULLS FIRST,
+          |                        n_name ASC NULLS FIRST) AS rank_within_parent
+          |FROM (
+          |  SELECT r_name, n_name,
+          |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+          |    CAST(SUM(psn) AS DOUBLE) / CAST(SUM(psd) AS DOUBLE) AS gross_margin
+          |  FROM (
+          |    SELECT r_name, n_name,
+          |      dsum8_dec(l_extendedprice * (1 - l_discount) - l_quantity * 100.0) AS psn,
+          |      dsum8_dec(l_extendedprice) AS psd
+          |    FROM lineitem
+          |    JOIN supplier ON s_suppkey = l_suppkey
+          |    JOIN nation ON n_nationkey = s_nationkey
+          |    JOIN region ON r_regionkey = n_regionkey
+          |    GROUP BY r_name, n_name) preagg
+          |  GROUP BY ROLLUP (r_name, n_name)) t
+          |ORDER BY lochierarchy DESC NULLS LAST, r_name ASC NULLS LAST,
+          |  n_name ASC NULLS LAST""".stripMargin,
+      duck =
+        """SELECT lochierarchy, r_name, n_name,
+          |  ROUND(gross_margin, 6) AS gross_margin,
+          |  RANK() OVER (PARTITION BY lochierarchy
+          |               ORDER BY ROUND(gross_margin, 6) ASC, r_name ASC NULLS FIRST,
+          |                        n_name ASC NULLS FIRST) AS rank_within_parent
+          |FROM (
+          |  SELECT r_name, n_name,
+          |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+          |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - l_quantity * 100.0 AS DECIMAL(30,8))) AS DOUBLE)
+          |      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS gross_margin
+          |  FROM lineitem
+          |  JOIN supplier ON s_suppkey = l_suppkey
+          |  JOIN nation ON n_nationkey = s_nationkey
+          |  JOIN region ON r_regionkey = n_regionkey
+          |  GROUP BY ROLLUP (r_name, n_name)) t
+          |ORDER BY lochierarchy DESC NULLS LAST, r_name ASC NULLS LAST,
+          |  n_name ASC NULLS LAST""".stripMargin),
 
     // ---- q71-style: three order-priority "channels" re-aggregated after
     //      UNION ALL (the web/catalog/store union shape) ----
-    "tpcds_q71_channel_union" -> Q.sqlSame(
+    // Spark side folds the three disjoint-priority UNION ALL arms into
+    // one pass with a CASE-routed channel label (same row multiset: each
+    // row lands in exactly one arm; the IS NOT NULL guard matches all
+    // three arms dropping a null priority) — the lineitem⋈orders join
+    // runs once instead of three times. DuckDB keeps the three-arm form.
+    "tpcds_q71_channel_union" -> Q.sql(
+      spark =
+      """SELECT p_brand, channel,
+        |  CAST(SUM(CAST(ext_price AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_partkey AS partkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+        |         WHEN o_orderpriority = '2-HIGH' THEN 'high'
+        |         ELSE 'other' END AS channel,
+        |    l_extendedprice * (1 - l_discount) AS ext_price
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority IS NOT NULL) ch
+        |JOIN part ON p_partkey = partkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY p_brand, channel
+        |ORDER BY p_brand ASC NULLS LAST, channel ASC NULLS LAST""".stripMargin,
+      duck =
       """SELECT p_brand, channel,
         |  CAST(SUM(CAST(ext_price AS DECIMAL(30,8))) AS DOUBLE) AS revenue
         |FROM (
@@ -217,7 +267,43 @@ object Tpcds {
     //      over the intersected part set. Both HAVING operands derive from
     //      exact decimal sums (then one IEEE division), so the comparison
     //      is bit-deterministic across engines ----
-    "tpcds_q14_cross_channel" -> Q.sqlSame(
+    // Spark side: (1) the INTERSECT chain — three lineitem⋈orders passes
+    // plus two intersect shuffles — becomes ONE pass with per-channel
+    // presence flags (GROUP BY pk HAVING all three MAX(flag)=1 ≡ set
+    // intersection of the three DISTINCT pk sets, null pk grouped
+    // null-safely on both forms); (2) the two disjoint-priority channel
+    // arms fold into one grouped aggregate on (channel, brand) — disjoint
+    // groups, identical per-group HAVING. 5 fact passes → 3 (cross_parts,
+    // avg_sales, channels). DuckDB keeps the original formulation.
+    "tpcds_q14_cross_channel" -> Q.sql(
+      spark =
+      """WITH cross_parts AS (
+        |  SELECT l_partkey AS pk
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |  GROUP BY l_partkey
+        |  HAVING MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 1
+        |     AND MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) = 1
+        |     AND MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) = 1),
+        |avg_sales AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+        |    / COUNT(*) AS average FROM lineitem)
+        |SELECT channel, p_brand, sales, cnt
+        |FROM (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'high' END AS channel,
+        |    p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sales,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    AND l_partkey IN (SELECT pk FROM cross_parts)
+        |  GROUP BY CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'high' END, p_brand
+        |  HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+        |    > 20 * (SELECT average FROM avg_sales)) ch
+        |ORDER BY channel ASC NULLS LAST, p_brand ASC NULLS LAST""".stripMargin,
+      duck =
       """WITH cross_parts AS (
         |  SELECT l_partkey AS pk FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |  WHERE o_orderpriority = '1-URGENT'
@@ -1045,7 +1131,51 @@ object Tpcds {
     //      two engines' wide-decimal→double conversions can then differ
     //      in the last ulp; a 13-digit cent-rounded value converts
     //      identically everywhere. ----
-    "tpcds_q5_channel_rollup" -> Q.sqlSame(
+    "tpcds_q5_channel_rollup" -> Q.sql(
+      spark =
+      // Spark side folds the two complementary UNION ALL arms (returnflag
+      // <> 'R' vs = 'R' — exhaustive over non-null flags) into ONE pass
+      // with CASE-routed measures: the row multisets are IDENTICAL (each
+      // source row lands in exactly one arm with the other arm's measures
+      // already 0 there), so every downstream aggregate is unchanged while
+      // the lineitem⋈orders⋈supplier join runs once instead of twice
+      // (guide §2.4 — the fact side never re-scans). The IS NOT NULL guard
+      // makes the fold exact even for a null returnflag (both union arms
+      // drop such rows). DuckDB keeps the two-arm form.
+      """WITH salesreturns AS (
+        |  SELECT o_orderpriority AS pri, s_nationkey AS nk,
+        |    CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount)
+        |         ELSE CAST(0 AS DOUBLE) END AS sales_price,
+        |    CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+        |         ELSE CAST(0 AS DOUBLE) END AS return_amt,
+        |    CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount) - 100.0 * l_quantity
+        |         ELSE CAST(0 AS DOUBLE) END AS profit_amt,
+        |    CASE WHEN l_returnflag = 'R' THEN 100.0 * l_quantity - l_extendedprice * (1 - l_discount)
+        |         ELSE CAST(0 AS DOUBLE) END AS net_loss
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE l_returnflag IS NOT NULL),
+        |chan AS (
+        |  SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |              WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |              ELSE 'economy channel' END AS channel,
+        |    n_name AS id,
+        |    CAST(ROUND(SUM(CAST(sales_price AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |    CAST(ROUND(SUM(CAST(return_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |    CAST(ROUND(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
+        |  FROM salesreturns JOIN nation ON n_nationkey = nk
+        |  GROUP BY CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |                WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |                ELSE 'economy channel' END, n_name)
+        |SELECT channel, id,
+        |  CAST(ROUND(SUM(CAST(sales AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |  CAST(ROUND(SUM(CAST(returns_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |  CAST(ROUND(SUM(CAST(profit AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
+        |FROM chan
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel ASC NULLS LAST, id ASC NULLS LAST
+        |LIMIT 100""".stripMargin,
+      duck =
       """WITH salesreturns AS (
         |  SELECT o_orderpriority AS pri, s_nationkey AS nk,
         |    l_extendedprice * (1 - l_discount) AS sales_price,
@@ -1087,7 +1217,50 @@ object Tpcds {
     //      anti-screen — parts with a PROMO type are excluded via NOT
     //      EXISTS (q80's p_promo_sk/p_channel_tv anti-condition), a
     //      bounded date window, brand as the report id ----
-    "tpcds_q80_channel_promo_report" -> Q.sqlSame(
+    "tpcds_q80_channel_promo_report" -> Q.sql(
+      spark =
+      // Same complementary-arm fold as q5 (see there): one pass over
+      // lineitem⋈orders⋈part with CASE-routed measures replaces the two
+      // UNION ALL scans; identical row multiset, IS NOT NULL guard for
+      // exactness under a null returnflag. DuckDB keeps the two-arm form.
+      """WITH salesreturns AS (
+        |  SELECT o_orderpriority AS pri, p_brand AS brand,
+        |    CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount)
+        |         ELSE CAST(0 AS DOUBLE) END AS sales_price,
+        |    CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+        |         ELSE CAST(0 AS DOUBLE) END AS return_amt,
+        |    CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount) - 100.0 * l_quantity
+        |         ELSE CAST(0 AS DOUBLE) END AS profit_amt,
+        |    CASE WHEN l_returnflag = 'R' THEN 100.0 * l_quantity - l_extendedprice * (1 - l_discount)
+        |         ELSE CAST(0 AS DOUBLE) END AS net_loss
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |    AND NOT EXISTS (SELECT 1 FROM part p2
+        |      WHERE p2.p_partkey = l_partkey AND p2.p_type LIKE 'PROMO%')),
+        |chan AS (
+        |  SELECT CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |              WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |              ELSE 'economy channel' END AS channel,
+        |    brand AS id,
+        |    CAST(ROUND(SUM(CAST(sales_price AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |    CAST(ROUND(SUM(CAST(return_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |    CAST(ROUND(SUM(CAST(profit_amt - net_loss AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
+        |  FROM salesreturns
+        |  GROUP BY CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 'express channel'
+        |                WHEN pri = '3-MEDIUM' THEN 'standard channel'
+        |                ELSE 'economy channel' END, brand)
+        |SELECT channel, id,
+        |  CAST(ROUND(SUM(CAST(sales AS DECIMAL(30,8))), 2) AS DOUBLE) AS sales,
+        |  CAST(ROUND(SUM(CAST(returns_amt AS DECIMAL(30,8))), 2) AS DOUBLE) AS returns_amt,
+        |  CAST(ROUND(SUM(CAST(profit AS DECIMAL(30,8))), 2) AS DOUBLE) AS profit
+        |FROM chan
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel ASC NULLS LAST, id ASC NULLS LAST
+        |LIMIT 100""".stripMargin,
+      duck =
       """WITH salesreturns AS (
         |  SELECT o_orderpriority AS pri, p_brand AS brand,
         |    l_extendedprice * (1 - l_discount) AS sales_price,

@@ -917,48 +917,90 @@ object MorDelete {
       prevSeq = m.seq
     }
 
-    val raw =
-      if (atTo.schemaLog.nonEmpty) Evolution.evolvedRead(spark, path, atTo)
-      else if (atTo.dataFiles.nonEmpty)
-        spark.read.option("basePath", path).parquet(atTo.dataFiles: _*)
-          .withColumn("__mor_fseq", fileSeq)
-      else resolvedOf(spark, path, atTo, Long.MaxValue)
-        .withColumn("__mor_fseq", lit(0L))
-    val dataCols = raw.columns.toSeq.filterNot(_ == "__mor_fseq")
     val lo = fromM.seq
 
-    // per-key SORTED tombstone-sequence sets, broadcast onto the one scan;
-    // kill version = the smallest sequence above the row's file sequence
-    val withKill =
-      if (atTo.batches.isEmpty) raw.withColumn("__kill", lit(null).cast("long"))
+    // per-key SORTED tombstone-sequence sets, broadcast onto the scans;
+    // kill version = the smallest sequence above the row's file sequence.
+    // No broadcast HINT: the planner (AQE) picks it when the sidecar is
+    // small — the usual case — and falls back to a shuffled join when a
+    // churn-heavy table's key set would not fit the driver, exactly like
+    // the resolved read's anti-join.
+    val seqsOpt =
+      if (atTo.batches.isEmpty) None
       else {
         val side = sidecarOf(spark, atTo.batches)
         val keyCols = side.columns.toSeq.filterNot(_ == SeqCol)
-        val seqs = side.groupBy(keyCols.map(col): _*)
+        Some((side.groupBy(keyCols.map(col): _*)
           .agg(sort_array(collect_set(col(SeqCol))).as("__kill_seqs"))
-          .select(keyCols.map(k => col(k).as(s"__tomb_$k")) :+ col("__kill_seqs"): _*)
-        // no broadcast HINT: the planner (AQE) picks it when the sidecar
-        // is small — the usual case — and falls back to a shuffled join
-        // when a churn-heavy table's key set would not fit the driver,
-        // exactly like the resolved read's anti-join
-        raw.join(seqs,
-            keyCols.map(k => raw(k) === col(s"__tomb_$k")).reduce(_ && _), "left")
+          .select(keyCols.map(k => col(k).as(s"__tomb_$k")) :+ col("__kill_seqs"): _*),
+          keyCols))
+      }
+    def withKillOf(df: DataFrame, joinType: String): DataFrame = seqsOpt match {
+      case None => df.withColumn("__kill", lit(null).cast("long"))
+      case Some((seqs, keyCols)) =>
+        df.join(seqs,
+            keyCols.map(k => df(k) === col(s"__tomb_$k")).reduce(_ && _), joinType)
           .withColumn("__kill",
             array_min(filter(col("__kill_seqs"), s => s > col("__mor_fseq"))))
           .drop("__kill_seqs")
           .drop(keyCols.map(k => s"__tomb_$k"): _*)
+    }
+    // both event kinds off one tagged frame — the evolved/empty fallback
+    def combinedEvents(raw: DataFrame, dataCols: Seq[String]): DataFrame =
+      withKillOf(raw, "left")
+        .withColumn("__events", filter(array(
+          when(col("__mor_fseq") > lo,
+            struct(lit("insert").as("t"), col("__mor_fseq").as("v"))),
+          when(col("__kill").isNotNull && col("__kill") > lo,
+            struct(lit("delete").as("t"), col("__kill").as("v")))),
+          e => e.isNotNull))
+        .filter(size(col("__events")) > 0)
+        .select(dataCols.map(col) :+ explode(col("__events")).as("__e"): _*)
+        .select(dataCols.map(col) :+ col("__e.t").as("_change_type") :+
+          col("__e.v").as("_commit_version"): _*)
+
+    val (events, dataCols) =
+      if (atTo.schemaLog.nonEmpty || atTo.dataFiles.isEmpty) {
+        val raw =
+          if (atTo.schemaLog.nonEmpty) Evolution.evolvedRead(spark, path, atTo)
+          else resolvedOf(spark, path, atTo, Long.MaxValue)
+            .withColumn("__mor_fseq", lit(0L))
+        val cols = raw.columns.toSeq.filterNot(_ == "__mor_fseq")
+        (combinedEvents(raw, cols), cols)
+      } else {
+        // Split the snapshot's file set AT PLANNING TIME on the sequence
+        // its NAME carries: a file committed at or before the `from`
+        // anchor can only contribute DELETE events, so its rows ride an
+        // INNER join against the tombstone keys — unmatched rows (the
+        // bulk of a mature table) exit at the join probe instead of
+        // paying per-row event-array construction and the explode. Files
+        // committed inside the range keep the two-event derivation (their
+        // kill, if any, is > fseq > lo by the strictly-smaller rule, so
+        // the kill range check is inherent). The incremental-consumption
+        // shape at scale: a long-lived table's feed cost tracks its
+        // tombstoned minority, not its accumulated bulk.
+        val (newF, oldF) = atTo.dataFiles.partition(f =>
+          "part-mor(\\d+)-".r.findFirstMatchIn(Paths.get(f).getFileName.toString)
+            .map(_.group(1).toLong).getOrElse(0L) > lo)
+        def scan(fs: Seq[String]) =
+          spark.read.option("basePath", path).parquet(fs: _*)
+            .withColumn("__mor_fseq", fileSeq)
+        val cols = scan(atTo.dataFiles).columns.toSeq.filterNot(_ == "__mor_fseq")
+        val oldEv =
+          if (oldF.isEmpty || seqsOpt.isEmpty) None
+          else Some(withKillOf(scan(oldF), "inner")
+            .filter(col("__kill").isNotNull && col("__kill") > lo)
+            .select(cols.map(col) :+ lit("delete").as("_change_type") :+
+              col("__kill").as("_commit_version"): _*))
+        val newEv =
+          if (newF.isEmpty) None
+          else Some(combinedEvents(scan(newF), cols))
+        val empty = scan(atTo.dataFiles).where(lit(false))
+          .select(cols.map(col) :+ lit("delete").as("_change_type") :+
+            lit(0L).as("_commit_version"): _*)
+        ((oldEv.toSeq ++ newEv.toSeq).reduceOption(_ unionByName _).getOrElse(empty),
+          cols)
       }
-    val events = withKill
-      .withColumn("__events", filter(array(
-        when(col("__mor_fseq") > lo,
-          struct(lit("insert").as("t"), col("__mor_fseq").as("v"))),
-        when(col("__kill").isNotNull && col("__kill") > lo,
-          struct(lit("delete").as("t"), col("__kill").as("v")))),
-        e => e.isNotNull))
-      .filter(size(col("__events")) > 0)
-      .select(dataCols.map(col) :+ explode(col("__events")).as("__e"): _*)
-      .select(dataCols.map(col) :+ col("__e.t").as("_change_type") :+
-        col("__e.v").as("_commit_version"): _*)
     import spark.implicits._
     val times = commitTimes.toSeq.sortBy(_._1)
       .toDF("_commit_version", "_commit_timestamp")

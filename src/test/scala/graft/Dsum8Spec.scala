@@ -88,9 +88,41 @@ class Dsum8Spec extends AnyFunSuite {
     val out = Q.fixedPointRewrite(in)
     assert(out.contains("dsum8(l_extendedprice * (1 - l_discount)) AS a"))
     assert(out.contains("ROUND(dsum8(CASE WHEN n = 'X(' THEN v ELSE 0 END), 2) AS b"))
-    // other precision untouched; bare HAVING sum untouched
+    // other precision untouched; bare HAVING sum becomes the decimal-out
+    // variant (type- and value-identical, so the compare is unchanged)
     assert(out.contains("CAST(SUM(CAST(q * q AS DECIMAL(38,8))) AS DOUBLE) AS c"))
-    assert(out.contains("HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 200"))
+    assert(out.contains("HAVING dsum8_dec(l_quantity) > 200"))
+    assert(!out.contains("SUM(CAST(l_quantity"))
+    // FILTER (WHERE …) stays on the built-in SUM (the temp-function path
+    // cannot carry a filter clause)
+    val f = "SELECT CAST(SUM(CAST(v AS DECIMAL(30,8))) FILTER (WHERE v > 0) AS DOUBLE) AS a,\n" +
+      "  SUM(CAST(v AS DECIMAL(30,8))) FILTER (WHERE v < 0) AS b FROM t"
+    assert(Q.fixedPointRewrite(f) == f)
+  }
+
+  test("fixedPointRewrite: decimal-ROUND form rewrites to dsum8_dec") {
+    val in =
+      """SELECT CAST(ROUND(SUM(CAST(sales_price AS DECIMAL(30,8))), 2) AS DOUBLE) AS s,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE), 6) AS r,
+        |  CAST(ROUND(SUM(CAST(w AS DECIMAL(30,8))), x) AS DOUBLE) AS bad
+        |FROM t""".stripMargin
+    val out = Q.fixedPointRewrite(in)
+    assert(out.contains("CAST(ROUND(dsum8_dec(sales_price), 2) AS DOUBLE) AS s"))
+    assert(out.contains("ROUND(dsum8(v), 6) AS r")) // double-ROUND form rides pass 1
+    // non-literal scale: pass 2 skips it, pass 3's bare-sum rewrite still
+    // applies (value-identical decimal out; ROUND sees the same value)
+    assert(out.contains("CAST(ROUND(dsum8_dec(w), x) AS DOUBLE) AS bad"))
+    // dsum8_dec ≡ the exact decimal sum, bitwise through ROUND + double cast
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val df = (1 to 5000).map(i => (i % 7, i * 0.37 - 900)).toDF("g", "x")
+    val dec = df.groupBy("g")
+      .agg(round(sum(col("x").cast(DecimalType(30, 8))), 2).cast("double").as("s"))
+      .collect().map(r => r.get(0) -> bits(r.get(1))).toMap
+    val fast = df.groupBy("g")
+      .agg(round(expr("dsum8_dec(x)"), 2).cast("double").as("s"))
+      .collect().map(r => r.get(0) -> bits(r.get(1))).toMap
+    assert(fast == dec)
   }
 
   test("empty input and WHERE-false input return null like SUM") {
