@@ -2483,7 +2483,41 @@ object Tpcds {
     //      part set, but the scalar-bar HAVING is replaced by the
     //      this-period vs last-period side-by-side compare (reference
     //      q14_2.sql's this_year/last_year week join) ----
-    "tpcds_q14_2_period_compare" -> Q.sqlSame(
+    // Spark side: cross_parts rides the same presence-flag form as q14
+    // (one fact pass ≡ the INTERSECT chain), and the cur/prev year arms
+    // fold into ONE pass with year-routed conditional sums — a brand is
+    // "in cur" iff its 1997 conditional sum is non-null (≥1 matching
+    // row), exactly the inner join's membership rule, and the decimal
+    // compare/casts are unchanged. 5 fact passes → 2. DuckDB keeps the
+    // original formulation.
+    "tpcds_q14_2_period_compare" -> Q.sql(
+      spark =
+      """WITH cross_parts AS (
+        |  SELECT l_partkey AS pk
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |  GROUP BY l_partkey
+        |  HAVING MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 1
+        |     AND MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) = 1
+        |     AND MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) = 1),
+        |periods AS (
+        |  SELECT p_brand,
+        |    dsum8_dec(CASE WHEN year(o_orderdate) = 1997
+        |      THEN l_extendedprice * (1 - l_discount) END) AS cur_s,
+        |    dsum8_dec(CASE WHEN year(o_orderdate) = 1996
+        |      THEN l_extendedprice * (1 - l_discount) END) AS prev_s
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |    AND l_partkey IN (SELECT pk FROM cross_parts)
+        |  GROUP BY p_brand)
+        |SELECT p_brand,
+        |  CAST(cur_s AS DOUBLE) AS cur_sales,
+        |  CAST(prev_s AS DOUBLE) AS prev_sales
+        |FROM periods
+        |WHERE cur_s IS NOT NULL AND prev_s IS NOT NULL AND cur_s > prev_s
+        |ORDER BY p_brand ASC NULLS LAST""".stripMargin,
+      duck =
       """WITH cross_parts AS (
         |  SELECT l_partkey AS pk FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |  WHERE o_orderpriority = '1-URGENT'

@@ -151,18 +151,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("change feed: one scan of the table, tombstones broadcast, no big-side shuffle") {
-    // the readChanges contract (SCALE_r15 fourth sitting): insert and
-    // delete events derive from ONE pass over the to-snapshot — the
-    // tombstone seq-sets reduce on the (small) sidecar and broadcast in,
-    // the per-row event explode is a Generate, and the only
-    // hash-partitioned exchanges are the sidecar reduction and the
-    // test query's own final aggregate — never a shuffle of the table
+    // the readChanges contract (SCALE_r15 fourth sitting, tightened in
+    // r17): insert and delete events derive from ONE pass over the
+    // to-snapshot — the tombstone seq-sets reduce on the (small) sidecar
+    // and broadcast in, and the only hash-partitioned exchanges are the
+    // sidecar reduction and the test query's own final aggregate — never
+    // a shuffle of the table. r17 split the file set at planning time:
+    // this table's files all predate the range anchor, so the plan must
+    // take the delete-only fast path — an INNER broadcast join with NO
+    // event-array Generate at all (unmatched rows exit at the probe);
+    // the two-event explode exists only for files committed in-range.
     val p = executedPlan("ddl_mor_changes_read")
     assert(!p.contains("SortMergeJoin") && !p.toLowerCase.contains("cartesianproduct"),
       "the feed must broadcast-join the tombstone reduction, never shuffle the table:\n" +
         p.linesIterator.take(40).mkString("\n"))
     assert(p.contains("BroadcastHashJoin"), "tombstone seq-sets must broadcast")
-    assert(p.contains("Generate"), "per-row events ride one explode")
+    assert(!p.contains("Generate"),
+      "pre-anchor files take the delete-only path: no per-row event explode:\n" +
+        p.linesIterator.take(40).mkString("\n"))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2,
       s"feed must add no table-side exchange ($exchanges hash exchanges):\n" +
